@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Date parsing/formatting stdlib (reference X6/X7/X10/X11,
+  * `datasource-generator/lib/date-range-filter.js:61-133`,
+  * `transcripts/download-from-drive.js:79-147`, `slack/lib/format.js:52-78`).
+  *
+  * All `try_to_date` so malformed inputs yield NULL (never ANSI errors) —
+  * the reference's cascade likewise falls through to the next pattern.
+  */
+object DateFns {
+
+  /** Filename-date extraction cascade (reference X6). Pattern priority:
+    * ISO `2025-10-13`, `10_14_2025`, `October 14, 2025`, `10_20_25`
+    * (two-digit year, 2000-pivot).
+    */
+  def filenameDate(c: Column): Column = coalesce(
+    try_to_date(regexp_extract(c, "(\\d{4}-\\d{2}-\\d{2})", 1), "yyyy-MM-dd"),
+    try_to_date(regexp_extract(c, "(\\d{2}_\\d{2}_\\d{4})", 1), "MM_dd_yyyy"),
+    try_to_date(regexp_extract(c, "([A-Z][a-z]+ \\d{1,2}, \\d{4})", 1), "MMMM d, yyyy"),
+    try_to_date(regexp_extract(c, "(\\d{2}_\\d{2}_\\d{2})(?!\\d)", 1), "MM_dd_yy"))
+
+  /** Markdown heading date (reference X7): `## 2025-10-13` or `## October 13, 2025`. */
+  def headingDate(c: Column): Column = coalesce(
+    try_to_date(regexp_extract(c, "^##\\s+(\\d{4}-\\d{2}-\\d{2})", 1), "yyyy-MM-dd"),
+    try_to_date(regexp_extract(c, "^##\\s+([A-Z][a-z]+ \\d{1,2}, \\d{4})", 1), "MMMM d, yyyy"))
+
+  /** Slack epoch-seconds-as-decimal-string → timestamp (reference X10). */
+  def epochStringToTimestamp(c: Column): Column =
+    timestamp_seconds(c.cast("double"))
+
+  /** Inclusive date-range predicate (reference F1). */
+  def inRange(c: Column, start: String, end: String): Column =
+    c.between(lit(start).cast("date"), lit(end).cast("date"))
+}

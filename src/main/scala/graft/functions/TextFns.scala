@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-function stdlib: text / identity / markup helpers.
+  *
+  * Re-expresses the reference's row-wise string logic (SURVEY.md §2.8) as
+  * codegen-friendly compositions of built-in expressions — no UDFs in the
+  * hot path, so whole-stage codegen stays intact at scale.
+  */
+object TextFns {
+
+  /** Identity normalization (reference X5, `lib/name-matcher.js:164-179`):
+    * lowercase, strip `(...)`/`[...]` qualifiers, `-`/`_` to space, strip
+    * remaining punctuation, collapse whitespace, trim. The exact chain order
+    * matters and is mirrored verbatim in the DuckDB oracle SQL.
+    */
+  def normalizeName(c: Column): Column = {
+    val lowered = lower(c)
+    val noQual = regexp_replace(lowered, "\\s*[\\(\\[][^\\)\\]]*[\\)\\]]", "")
+    val dashes = regexp_replace(noQual, "[-_]", " ")
+    val noPunct = regexp_replace(dashes, "[^a-z0-9 ]", "")
+    trim(regexp_replace(noPunct, "\\s+", " "))
+  }
+
+  /** The same normalization chain rendered as DuckDB SQL over `expr`. */
+  def normalizeNameSql(expr: String): String =
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"lower($expr), '\\s*[\\(\\[][^\\)\\]]*[\\)\\]]', '', 'g'), " +
+      "'[-_]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Issue-key extraction (reference X9, `jira/append-changelog-to-epic-tree.js:22-28`). */
+  def extractIssueKeys(c: Column): Column =
+    regexp_extract_all(c, lit("\\b([A-Z][A-Z0-9]+-\\d+)\\b"), lit(1))
+
+  /** Linkify `[ABC-123]` (reference X8, `generate_weekly_digest.js:281-292`)
+    * unless already a markdown link.
+    */
+  def linkifyIssueKeys(c: Column, browseBase: String): Column =
+    regexp_replace(
+      c,
+      "(^|[^!])\\[([A-Z][A-Z0-9]+-\\d+)\\](?!\\()",
+      "$1[$2](" + browseBase + "/$2)")
+
+  /** Whitespace token count; empty/blank strings count as 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** Token estimate `ceil(chars/4)` (reference A16, `generate_weekly_digest.js:757-769`). */
+  def estTokens(c: Column): Column =
+    ceil(length(c) / 4.0).cast("long")
+
+  /** Content checksum (reference X21, `lib/vercel-blob-uploader.js:22-24`). */
+  def sha256Hex(c: Column): Column = sha2(c, 256)
+
+  /** Secret masking (reference X17, `slack/lib/sanitizer.js:104-122`):
+    * private-key blocks, Slack `xox?-` tokens, AWS access keys, `token=`
+    * query params, `UPPER_SNAKE=value` env pairs.
+    */
+  def maskSecrets(c: Column): Column = {
+    val redacted = "[REDACTED SECRET]"
+    val steps = Seq(
+      "-----BEGIN [A-Z ]*PRIVATE KEY-----[\\s\\S]*?-----END [A-Z ]*PRIVATE KEY-----",
+      "xox[pboars]-[A-Za-z0-9-]+",
+      "\\b(?:AKIA|ASIA)[A-Z0-9]{16}\\b",
+      "(?i)\\btoken=[^\\s&]+",
+      "\\b[A-Z][A-Z0-9_]{2,}=[^\\s]+")
+    steps.foldLeft(c)((acc, pat) => regexp_replace(acc, pat, redacted))
+  }
+
+  /** Jira wiki-markup → Markdown (reference X1, `jira/csv-to-markdown.js:62-89`):
+    * strip color macros, `hN.` headings, `*bold*`, `# ` ordered lists,
+    * `[text|url]` links, collapse 3+ blank lines.
+    */
+  def jiraWikiToMarkdown(c: Column): Column = {
+    val noColor = regexp_replace(c, "\\{color[^}]*\\}", "")
+    val headings = regexp_replace(noColor, "(?m)^h([1-6])\\.\\s*", "#$1 ")
+    // placeholder '#N ' → N hashes
+    val h = (1 to 6).foldLeft(headings)((acc, n) =>
+      regexp_replace(acc, "(?m)^#" + n + " ", "#" * n + " "))
+    val bold = regexp_replace(h, "(?<!\\*)\\*([^*\\n]+)\\*(?!\\*)", "**$1**")
+    val links = regexp_replace(bold, "\\[([^\\]|]+)\\|([^\\]]+)\\]", "[$1]($2)")
+    val ordered = regexp_replace(links, "(?m)^# ", "1. ")
+    regexp_replace(ordered, "\\n{3,}", "\n\n")
+  }
+
+  /** Slack markup normalize (reference X3, `slack/lib/format.js:20-47`).
+    * Mentions are resolved against a user map upstream (broadcast join);
+    * here: `<#C123|chan>` → `#chan`, `<url|label>` → `[label](url)`,
+    * bare `<url>` → url.
+    */
+  def slackMarkupNormalize(c: Column): Column = {
+    val chan = regexp_replace(c, "<#[A-Z0-9]+\\|([^>]+)>", "#$1")
+    val labeled = regexp_replace(chan, "<(https?://[^>|]+)\\|([^>]+)>", "[$2]($1)")
+    regexp_replace(labeled, "<(https?://[^>|]+)>", "$1")
+  }
+
+  /** HTML list/inline markup → markdown-ish plain text (reference X4,
+    * `daily-reports/csv-to-markdown.js:229-294`): `<li>` → `- ` bullets,
+    * `<br>` → newline, bold/italic/code inline, strip remaining tags,
+    * decode common entities.
+    */
+  def htmlToMarkdown(c: Column): Column = {
+    val li = regexp_replace(c, "(?i)<li[^>]*>\\s*(?:<p[^>]*>)?", "\n- ")
+    val br = regexp_replace(li, "(?i)<br\\s*/?>", "\n")
+    val b = regexp_replace(br, "(?i)</?(b|strong)>", "**")
+    val i = regexp_replace(b, "(?i)</?(i|em)>", "*")
+    val code = regexp_replace(i, "(?i)</?code>", "`")
+    val tags = regexp_replace(code, "<[^>]+>", "")
+    val ent = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ").foldLeft(tags) { case (acc, (e, v)) =>
+      regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(v))
+    }
+    trim(regexp_replace(ent, "\\n{3,}", "\n\n"))
+  }
+}

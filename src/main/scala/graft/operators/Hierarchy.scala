@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative parent-pointer resolution (reference J2, the epic-hierarchy
+  * walk `jira/build-epic-tree.js:254-280,574-585`).
+  *
+  * The reference walks issue→parent→grandparent imperatively, one HTTP call
+  * per hop. Spark-first restatement: a bounded loop of equi-joins against
+  * the edge table, each iteration Catalyst-planned; rows whose parent is
+  * NULL exit the frontier. Per-level `persist`+`count` bounds lineage depth
+  * and gives AQE fresh stats each round — the standard distributed
+  * pointer-chasing pattern (scales with #edges, not driver memory).
+  */
+object Hierarchy {
+
+  /** `edges`: (id: long, parent: long|null). Returns (id, root, depth)
+    * for every id, where `root` is the transitive parent whose own parent
+    * is NULL. `maxDepth` caps runaway cycles (cycle rows are dropped).
+    */
+  def resolveRoots(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val parents = edges.select(col("id").as("cur"), col("parent"))
+    var frontier = edges
+      .select(col("id"), col("id").as("cur"), lit(0).as("depth"))
+    var done: DataFrame = null
+    var prev: DataFrame = null
+    var i = 0
+    var remaining = 1L
+    while (remaining > 0 && i < maxDepth) {
+      val joined = frontier.join(parents, Seq("cur"), "left")
+      val finished = joined.filter(col("parent").isNull)
+        .select(col("id"), col("cur").as("root"), col("depth"))
+      val next = joined.filter(col("parent").isNotNull)
+        .select(col("id"), col("parent").as("cur"), (col("depth") + 1).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      remaining = next.count()
+      done = if (done == null) finished else done.union(finished)
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = next
+      frontier = next
+      i += 1
+    }
+    done
+  }
+}

@@ -1,0 +1,519 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DateFns, TextFns}
+import graft.operators.Hierarchy
+
+/** Query catalog: one entry per operator of SURVEY.md §2, expressed over the
+  * driver's synthetic tables, each with a value-identical DuckDB oracle.
+  *
+  * Conventions for oracle parity:
+  *  - every computed column is aliased identically on both sides;
+  *  - every query ends with a total-order ORDER BY;
+  *  - double aggregates are rounded (sums of exact-decimal inputs) so the
+  *    engines' different reduction orders cannot flip the hash;
+  *  - timestamps with sub-microsecond precision are emitted as formatted
+  *    strings (Spark truncates parquet ns → µs, DuckDB keeps ns).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Catalog {
+
+  /** Table loader. `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark
+    * only reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set by Verify/Bench/tests); convert to µs TimestampType here using
+    * integer `div` (a double division would lose precision above 2^53 ns).
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  // ---------------------------------------------------------------- helpers
+  private val normSql = TextFns.normalizeNameSql _
+
+  // ------------------------------------------------------------- the catalog
+  val all: Seq[Q] = Seq(
+
+    // ===================================================== aggregations (A*)
+    Q("q1_agg",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+              sum(l_quantity) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base,
+              round(avg(l_discount), 4) AS avg_disc,
+              count(*) AS cnt
+              FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q("a2_group_custom_order",
+      // reference A2: canonical status ordering via rank expression
+      (s, d) => {
+        val rank = when(col("o_orderstatus") === "O", 0)
+          .when(col("o_orderstatus") === "F", 1)
+          .when(col("o_orderstatus") === "P", 2)
+          .otherwise(99)
+        t(s, d, "orders")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+          .withColumn("status_rank", rank)
+          .orderBy("status_rank", "o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+              CASE o_orderstatus WHEN 'O' THEN 0 WHEN 'F' THEN 1
+                   WHEN 'P' THEN 2 ELSE 99 END AS status_rank
+              FROM orders GROUP BY 1 ORDER BY status_rank, o_orderstatus""")),
+
+    Q("a4_stats_pct",
+      // reference A4: counts + percentage of total via window
+      (s, d) => {
+        t(s, d, "orders")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+          .withColumn("pct",
+            round(lit(100.0) * col("cnt") / sum("cnt").over(Window.partitionBy()), 2))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+              round(100.0 * count(*) / sum(count(*)) OVER (), 2) AS pct
+              FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    Q("a5_nested_group",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q("a7_distinct_regex_count",
+      // reference A7: distinct regex-extracted key count
+      (s, d) =>
+        t(s, d, "orders")
+          .withColumn("prio_key", regexp_extract(col("o_orderpriority"), "^(\\d+)", 1))
+          .groupBy("o_orderstatus")
+          .agg(countDistinct(col("prio_key")).as("n_prio"), count(lit(1)).as("cnt"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+              count(DISTINCT regexp_extract(o_orderpriority, '^(\d+)', 1)) AS n_prio,
+              count(*) AS cnt
+              FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    Q("a9_summary_stats",
+      (s, d) =>
+        t(s, d, "orders").agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          date_format(min("o_orderdate"), "yyyy-MM-dd").as("min_date"),
+          date_format(max("o_orderdate"), "yyyy-MM-dd").as("max_date")),
+      Some("""SELECT count(*) AS cnt, count(DISTINCT o_custkey) AS n_cust,
+              strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+              strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+              FROM orders""")),
+
+    Q("a11_group_by_date",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+          .orderBy("day"),
+      Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS cnt,
+              round(sum(value), 2) AS total_value
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("a12_day_frame",
+      // reference A12: fixed Mon..Sun frame left-joined with data
+      (s, d) => {
+        val frame = s.range(1).select(explode(sequence(
+          to_date(lit("2024-01-08")), to_date(lit("2024-01-14")))).as("day"))
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        frame.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("cnt"))
+          .orderBy("day")
+      },
+      Some("""SELECT f.day, coalesce(e.n, 0) AS cnt
+              FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-08',
+                           DATE '2024-01-14', INTERVAL 1 DAY)) AS DATE) AS day) f
+              LEFT JOIN (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                         FROM events GROUP BY 1) e USING (day)
+              ORDER BY f.day""")),
+
+    Q("a13_first_seen",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+            count(lit(1)).as("cnt"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+              count(*) AS cnt
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("a16_token_estimate",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy("lang")
+          .agg(
+            sum(TextFns.estTokens(col("text"))).as("est_tokens"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang"),
+      Some("""SELECT lang, CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens,
+              count(*) AS n_docs
+              FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ============================================================ joins (J*)
+    Q("j1_multi_join",
+      // reference J1: multi-table equi join, dims broadcast
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val n = broadcast(t(s, d, "nation"))
+        val r = broadcast(t(s, d, "region"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("cnt"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              count(*) AS cnt
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q("j2_hierarchy_walk",
+      // reference J2: iterative parent walk to root (epic resolution)
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        val edges = c.select(
+            (col("c_custkey") + 3000000L).as("id"),
+            (col("c_nationkey").cast("long") + 2000000L).as("parent"))
+          .union(n.select(
+            (col("n_nationkey").cast("long") + 2000000L).as("id"),
+            (col("n_regionkey").cast("long") + 1000000L).as("parent")))
+          .union(r.select(
+            (col("r_regionkey").cast("long") + 1000000L).as("id"),
+            lit(null).cast("long").as("parent")))
+        val roots = Hierarchy.resolveRoots(edges)
+        roots.filter(col("id") >= 3000000L)
+          .join(broadcast(r), roots("root") - 1000000L === col("r_regionkey"))
+          .select(
+            (col("id") - 3000000L).as("custkey"),
+            col("r_name").as("root_region"),
+            col("depth"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS custkey, r_name AS root_region,
+              2 AS depth
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              ORDER BY custkey""")),
+
+    Q("j3_equi_join_agg",
+      (s, d) =>
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("j5_fuzzy_name_join",
+      // reference J5: normalized-alias identity join (broadcast dim)
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val sup = t(s, d, "supplier")
+        val participants = c.filter(col("c_custkey") % 7 === 0)
+          .select(regexp_replace(col("c_name"), "#", "_").as("participant"))
+          .union(sup.select(col("s_name").as("participant")))
+        val aliases = c.filter(col("c_custkey") % 3 === 0)
+          .select(
+            upper(regexp_replace(col("c_name"), "#", "-")).as("alias"),
+            col("c_custkey").as("member_key"))
+        participants
+          .join(broadcast(aliases),
+            TextFns.normalizeName(col("participant")) === TextFns.normalizeName(col("alias")),
+            "left")
+          .select(col("participant"), col("member_key"))
+          .orderBy("participant", "member_key")
+      },
+      Some(s"""WITH participants AS (
+               SELECT replace(c_name, '#', '_') AS participant
+               FROM customer WHERE c_custkey % 7 = 0
+               UNION ALL
+               SELECT s_name AS participant FROM supplier),
+               aliases AS (
+               SELECT upper(replace(c_name, '#', '-')) AS alias,
+                      c_custkey AS member_key
+               FROM customer WHERE c_custkey % 3 = 0)
+               SELECT participant, member_key
+               FROM participants LEFT JOIN aliases
+               ON ${normSql("participant")} = ${normSql("alias")}
+               ORDER BY participant, member_key""")),
+
+    Q("j6_thread_reattach",
+      // reference J6: per-parent child collection re-attached as array
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(
+            count(lit(1)).as("n_items"),
+            concat_ws(",", sort_array(collect_list(col("l_linenumber").cast("string")))).as("items"))
+        t(s, d, "orders")
+          .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(
+            col("o_orderkey"),
+            coalesce(col("n_items"), lit(0L)).as("n_items"),
+            coalesce(col("items"), lit("")).as("items"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, coalesce(li.n_items, 0) AS n_items,
+              coalesce(li.items, '') AS items
+              FROM orders LEFT JOIN (
+                SELECT l_orderkey, count(*) AS n_items,
+                       string_agg(CAST(l_linenumber AS VARCHAR), ','
+                                  ORDER BY CAST(l_linenumber AS VARCHAR)) AS items
+                FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey
+              ORDER BY o_orderkey""")),
+
+    // ================================================== filters/predicates (F*)
+    Q("f1_date_range",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(to_date(col("l_shipdate"))
+            .between(lit("1996-01-01"), lit("1996-12-31")))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            to_date(col("l_shipdate")).as("ship_date"), col("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+              l_quantity
+              FROM lineitem
+              WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("f3_prefix_filter",
+      (s, d) =>
+        t(s, d, "documents")
+          .filter(lower(col("text")).contains("spark") || lower(col("text")).contains("vector"))
+          .groupBy("source").agg(count(lit(1)).as("cnt"))
+          .orderBy("source"),
+      Some("""SELECT source, count(*) AS cnt FROM documents
+              WHERE lower(text) LIKE '%spark%' OR lower(text) LIKE '%vector%'
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("f6_disjunctive_predicate",
+      // reference F6: base-project OR per-employee override disjunction
+      (s, d) =>
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment") === "BUILDING" ||
+            (col("c_custkey") % 10 === 0 && col("o_orderstatus") === "F"))
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("c_mktsegment", "o_orderstatus"),
+      Some("""SELECT c_mktsegment, o_orderstatus, count(*) AS cnt
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                 OR (c_custkey % 10 = 0 AND o_orderstatus = 'F')
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q("f8_blank_drop",
+      (s, d) =>
+        t(s, d, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("cnt"), min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS cnt, min(n_chars) AS min_chars,
+              max(n_chars) AS max_chars
+              FROM documents WHERE length(trim(text)) > 0
+              GROUP BY 1 ORDER BY 1""")),
+
+    // ================================================== sorts / top-k (O*)
+    Q("o1_sort_limit",
+      (s, d) =>
+        t(s, d, "orders")
+          .orderBy(col("o_custkey").asc, col("o_orderdate").desc, col("o_orderkey").asc)
+          .select(col("o_orderkey"), col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+          .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+              FROM orders ORDER BY o_custkey ASC, o_orderdate DESC, o_orderkey ASC
+              LIMIT 100""")),
+
+    Q("o3_topk_per_group",
+      // reference O3: top-1 per group via row_number
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").desc, col("event_id").asc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id ASC) AS rn
+                FROM events) WHERE rn = 1 ORDER BY event_type""")),
+
+    // ===================================================== set ops (U*)
+    Q("u1_except",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val h1 = e.filter(dayofmonth(col("ts")) <= 15)
+          .select("user_id", "event_type").distinct()
+        val h2 = e.filter(dayofmonth(col("ts")) > 15)
+          .select("user_id", "event_type").distinct()
+        h1.except(h2).orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type FROM events WHERE day(ts) <= 15
+              EXCEPT
+              SELECT user_id, event_type FROM events WHERE day(ts) > 15
+              ORDER BY user_id, event_type""")),
+
+    Q("u2_dedup_distinct",
+      (s, d) =>
+        t(s, d, "events")
+          .dropDuplicates("user_id", "event_type")
+          .groupBy("user_id").agg(count(lit(1)).as("n_types"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n_types
+              FROM (SELECT DISTINCT user_id, event_type FROM events)
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("u3_union",
+      (s, d) =>
+        t(s, d, "customer").select(col("c_name").as("name"))
+          .union(t(s, d, "supplier").select(col("s_name").as("name")))
+          .distinct()
+          .orderBy("name"),
+      Some("""SELECT c_name AS name FROM customer
+              UNION SELECT s_name AS name FROM supplier
+              ORDER BY name""")),
+
+    // =============================================== scalar functions (X*)
+    Q("x5_normalize_name",
+      (s, d) =>
+        t(s, d, "customer")
+          .filter(col("c_custkey") % 5 === 0)
+          .select(
+            col("c_custkey"),
+            TextFns.normalizeName(concat(col("c_name"), lit(" (VIP)"))).as("norm_name"))
+          .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey, ${normSql("c_name || ' (VIP)'")} AS norm_name
+               FROM customer WHERE c_custkey % 5 = 0 ORDER BY c_custkey""")),
+
+    Q("x6_filename_date",
+      // reference X6: filename-date extraction cascade over 3 format variants
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val fname = when(col("o_orderkey") % 3 === 0,
+            concat(lit("meeting-"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+              lit("T07_16_03.txt")))
+          .when(col("o_orderkey") % 3 === 1,
+            concat(lit("sync_"), date_format(col("o_orderdate"), "MM_dd_yyyy"),
+              lit(" 0926AM.txt")))
+          .otherwise(concat(lit("Meeting "),
+            date_format(col("o_orderdate"), "MMMM d, yyyy"), lit(".txt")))
+        o.select(col("o_orderkey"), fname.as("filename"))
+          .select(col("o_orderkey"), col("filename"),
+            DateFns.filenameDate(col("filename")).as("extracted"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH named AS (
+              SELECT o_orderkey,
+                CASE CAST(o_orderkey % 3 AS INT)
+                  WHEN 0 THEN 'meeting-' || strftime(o_orderdate, '%Y-%m-%d') || 'T07_16_03.txt'
+                  WHEN 1 THEN 'sync_' || strftime(o_orderdate, '%m_%d_%Y') || ' 0926AM.txt'
+                  ELSE 'Meeting ' || strftime(o_orderdate, '%B %-d, %Y') || '.txt'
+                END AS filename
+              FROM orders)
+              SELECT o_orderkey, filename,
+                CAST(coalesce(
+                  try_strptime(regexp_extract(filename, '(\d{4}-\d{2}-\d{2})', 1), '%Y-%m-%d'),
+                  try_strptime(regexp_extract(filename, '(\d{2}_\d{2}_\d{4})', 1), '%m_%d_%Y'),
+                  try_strptime(regexp_extract(filename, '([A-Z][a-z]+ \d{1,2}, \d{4})', 1), '%B %-d, %Y')
+                ) AS DATE) AS extracted
+              FROM named ORDER BY o_orderkey""")),
+
+    Q("x9_extract_keys",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(regexp_extract_all(col("text"),
+            lit("\\b(spark|hash|join|stream)\\b"), lit(1))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .orderBy("word"),
+      Some("""SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(regexp_extract_all(text, '\b(spark|hash|join|stream)\b', 1)) AS word
+                FROM documents)
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("x10_time_format",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(date_format(col("ts"), "HH").as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("hour"),
+      Some("""SELECT strftime(ts, '%H') AS hour, count(*) AS cnt
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("x14_json_extract",
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("cnt"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+              sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+              count(*) AS cnt
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("x21_sha256",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextFns.sha256Hex(col("text")).as("hash"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, sha256(text) AS hash FROM documents ORDER BY doc_id"""))
+  )
+
+  def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

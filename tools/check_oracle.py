@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate:
+run graft.Verify output vs DuckDB oracle SQL on the same tables.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOut>
+(run `sbt "runMain graft.Verify <sfDir> <verifyOut>"` first)
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({spark_files!r})").fetchall()
+            got_cols = [d[0] for d in con.description]
+            exp = con.execute(sql).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing values
+        gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        key = lambda row: tuple((v is None, str(type(v)), v) for v in row)
+        g = sorted((tuple(norm(r[i]) for i in gi) for r in got), key=key)
+        e = sorted((tuple(norm(r[i]) for i in ei) for r in exp), key=key)
+        if g == e:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            for a, b in diff:
+                print(f"   spark: {a}\n   duck : {b}")
+            if len(g) != len(e):
+                only_g = [r for r in g if r not in set(map(tuple, e))][:3]
+                only_e = [r for r in e if r not in set(map(tuple, g))][:3]
+                print(f"   only-spark: {only_g}\n   only-duck : {only_e}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
