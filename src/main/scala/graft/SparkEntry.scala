@@ -1,19 +1,21 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.Catalog
+import graft.queries.{Catalog, CatalogScale}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+  private def catalog = Catalog.all ++ CatalogScale.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Catalog.byName("j1_multi_join").run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Catalog.all.map(q => q.name -> q.run).toMap
+    catalog.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Catalog.all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+    catalog.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

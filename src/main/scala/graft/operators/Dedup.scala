@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * The reference only needs key-dedup (`dropDuplicates`, SURVEY §2.7 U2);
+  * the 100 TB mandate adds content dedup: exact (hash), n-gram Jaccard,
+  * MinHash+LSH banding, SimHash. All are shuffle-shaped as distributed
+  * candidate generation (equi-join on shingle / band key / bit block) —
+  * never an O(n²) cross join — so they scale with data size × duplication
+  * rate, not pairs.
+  */
+object Dedup {
+
+  /** Whitespace word-array of a text column. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word k-gram shingles; documents shorter than k yield one shingle. */
+  def shingles(wordsCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(wordsCol) - k, lit(0))),
+      i => array_join(slice(wordsCol, i + 1, lit(k)), " "))
+
+  /** Exact dedup via content hash (sha-256 groupBy); keeps the minimum id
+    * per identical-content group. Map-side partial agg + one shuffle.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Distinct (id, shingle) rows — the candidate-generation relation. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(words(col(textCol)), k))).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs at `num/den` threshold (e.g. 4/5
+    * = 0.8). Candidate pairs come from an equi-join on shared shingles
+    * (inverted index), so only documents sharing at least one shingle are
+    * ever paired; the threshold test is integer arithmetic
+    * (`den*inter >= num*union`) to avoid float boundary flakiness.
+    */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, num: Int, den: Int): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, k).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh"))
+    val inter = a.join(b, a("sh") === b("sh") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+    val sb = sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+    inter.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("union_sh", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * den >= col("union_sh") * num)
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("union_sh"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` permutations simulated by seeded
+    * xxhash64 over each shingle; signature i = min hash with seed i.
+    * One explode + two partial-aggregated shuffles; no driver state.
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hashArr = transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => xxhash64(i, col("sh")))
+    sh.select(col("doc_id"), posexplode(hashArr).as(Seq("pos", "mh")))
+      .groupBy("doc_id", "pos").agg(min("mh").as("mh"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mh))), s -> s.mh)").as("sig"))
+  }
+
+  /** MinHash + LSH banded near-dup detection: signatures are split into
+    * `bands` bands of `numHashes/bands` rows; docs colliding on any band
+    * hash become candidate pairs; candidates are then verified with exact
+    * shingle Jaccard at `num/den`. This is the 100 TB path: candidate
+    * generation is an equi-join on (band, bandHash), never all-pairs.
+    */
+  def minHashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingleRows(docs, idCol, textCol, k).persist()
+    val sigs = minHashSignatures(sh, numHashes)
+    val bandRows = sigs.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            h => h.cast("string")))))).as(Seq("band", "bkey")))
+    val l = bandRows.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+    val r = bandRows.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(candidates, sh, num, den)
+  }
+
+  /** Exact Jaccard for an explicit candidate-pair set (post-LSH verify). */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame, num: Int, den: Int): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = pairs
+      .join(shA, "id_a").join(shB, "id_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+    val sb = sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+    inter.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("union_sh", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * den >= col("union_sh") * num)
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("union_sh"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash from a document's word hashes: majority vote per bit.
+    * Pure Catalyst expressions (no UDF): per bit j, count words whose hash
+    * has bit j set; bit j of the simhash is 1 iff count*2 >= n_words.
+    */
+  def simHash(wordHashes: Column): Column = {
+    val n = size(wordHashes)
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, j) => {
+        val ones = size(filter(wordHashes,
+          h => call_function("shiftrightunsigned", h, j).bitwiseAND(lit(1L)) === 1L))
+        acc.bitwiseOR(
+          when(ones * 2 >= n, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+      })
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, using
+    * 4×16-bit block banding (pigeonhole: distance <=3 guarantees one
+    * identical block; we keep blocks as the candidate join key for any
+    * threshold and verify with bit_count). Hashes are over word k-gram
+    * shingles, not single words — with a small vocabulary every document
+    * shares most words, and word-level simhash stops discriminating.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxHamming: Int): DataFrame = {
+    val hashes = docs.select(
+      col(idCol).as("doc_id"),
+      transform(array_distinct(shingles(words(col(textCol)), k)),
+        w => xxhash64(w)).as("wh"))
+    val sigs = hashes.select(col("doc_id"), simHash(col("wh")).as("sig")).persist()
+    val blocks = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftrightunsigned", col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("blk", "bval")))
+    val l = blocks.select(col("blk"), col("bval"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = blocks.select(col("blk"), col("bval"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("blk", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

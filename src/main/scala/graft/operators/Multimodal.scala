@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The decode step is a DETERMINISTIC STUB (no image/audio libs in this
+  * container): it derives metadata arithmetically from the payload bytes.
+  * Everything around it — binary schema, typed Dataset, partition-batched
+  * decode via mapPartitions, pushdown-friendly projections — is the real
+  * plumbing a codec-backed decoder would drop into (swap `decodeStub` for
+  * a JNI/ffmpeg/ImageIO call; the batch shape stays identical).
+  */
+object Multimodal {
+
+  case class BinDoc(doc_id: Long, payload: Array[Byte])
+
+  case class MediaMeta(
+      doc_id: Long, byte_len: Long, width: Int, height: Int, n_frames: Int)
+
+  /** STUB decode: metadata derived deterministically from byte length.
+    * Replace with a real codec; the signature (one payload in, typed
+    * metadata out, no per-row session state) is the contract.
+    */
+  def decodeStub(doc: BinDoc): MediaMeta = {
+    val len = doc.payload.length.toLong
+    MediaMeta(
+      doc.doc_id,
+      len,
+      width = 1 + (len % 64).toInt,
+      height = 1 + (len % 37).toInt,
+      n_frames = 1 + (len % 7).toInt)
+  }
+
+  /** Binary-column decode pipeline: projects (id, payload), decodes
+    * partition-batched (the iterator shape lets a real decoder reuse a
+    * per-partition codec context), returns a typed metadata Dataset.
+    */
+  def decodeMeta(spark: SparkSession, docs: DataFrame,
+      idCol: String, payloadCol: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[BinDoc]
+      .mapPartitions(_.map(decodeStub))
+  }
+
+  /** Demo pipeline over the documents table: utf-8 bytes stand in for an
+    * encoded image payload.
+    */
+  def documentBinaryMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeMeta(
+      spark,
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      "doc_id", "payload").toDF()
+}

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the batch restatement of streaming session
+  * windows (Structured Streaming's `session_window` computes the same
+  * grouping incrementally; see graft.streaming for the streaming form).
+  * One shuffle on the user key; window functions run within partitions.
+  */
+object Sessions {
+
+  /** Adds a per-user `session_id` (1-based) using an inactivity gap.
+    * Ordering key is `orderCol` (monotonic event id), gap measured in
+    * whole seconds on `tsCol`.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(orderCol)
+    val secs = unix_timestamp(col(tsCol))
+    events
+      .withColumn("gap_s", secs - lag(secs, 1).over(w))
+      .withColumn("session_id",
+        sum(when(col("gap_s").isNull || col("gap_s") > gapSeconds, 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("gap_s")
+  }
+}

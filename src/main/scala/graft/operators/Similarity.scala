@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k against a (small, broadcast) query
+  * set — a broadcast-nested-loop whose cost is rows × queries, the right
+  * plan when queries ≪ corpus. Scale path: random-hyperplane LSH
+  * bucketing, which turns the scan into an equi-join on bucket signature.
+  * All arithmetic in double, accumulated in index order, so results are
+  * bit-identical to an oracle computing the same sequence.
+  */
+object Similarity {
+
+  /** Dot product in double precision, summed in index order. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** Brute-force cosine top-k: every corpus row scored against every query
+    * row (queries broadcast), then row_number per query. Deterministic
+    * tie-break on neighbor id.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(
+        broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("qe")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (hash-derived, no RNG state):
+    * component i of plane p in table t = hash-uniform in [-0.5, 0.5).
+    */
+  def hyperplaneSig(vec: Column, table: Int, numPlanes: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+      val dot = aggregate(
+        sequence(lit(0), lit(dim - 1)),
+        lit(0.0),
+        (acc, i) => acc +
+          element_at(vec, i + 1).cast("double") *
+            ((pmod(xxhash64(lit(table), p, i), lit(1000000L)).cast("double") / 1e6) - 0.5))
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    })
+
+  /** Multi-table LSH approximate NN: `numTables` independent hyperplane
+    * sets; corpus and queries are bucketed per table by sign signature;
+    * candidates = union of per-table bucket collisions (equi-join on
+    * (table, sig)), deduped, then exact cosine top-k within candidates.
+    * At 100 TB the bucket join replaces the per-query full scan; recall
+    * is tuned by numTables × numPlanes.
+    */
+  def annLshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      numTables: Int, numPlanes: Int, dim: Int): DataFrame = {
+    def sigs(df: DataFrame, vecCol: String): DataFrame =
+      df.select(col("*"), posexplode(
+        transform(sequence(lit(0), lit(numTables - 1)),
+          t0 => transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+            val dot = aggregate(
+              sequence(lit(0), lit(dim - 1)),
+              lit(0.0),
+              (acc, i) => acc +
+                element_at(col(vecCol), i + 1).cast("double") *
+                  ((pmod(xxhash64(t0, p, i), lit(1000000L)).cast("double") / 1e6) - 0.5))
+            when(dot >= 0, lit(1)).otherwise(lit(0))
+          }))).as(Seq("tbl", "sig")))
+    val sigC = sigs(corpus, "embedding")
+    val sigQ = sigs(queries, "qe")
+    val candPairs = sigC.select("vec_id", "tbl", "sig")
+      .join(broadcast(sigQ.select("query_id", "tbl", "sig")), Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val cand = candPairs
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("qe")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

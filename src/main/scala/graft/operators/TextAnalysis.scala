@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup.words
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure Catalyst expressions — whole-stage codegen,
+  * no UDFs, trivially partition-parallel.
+  */
+object TextAnalysis {
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"))
+
+  private def hits(wordsCol: Column, lang: String): Column =
+    size(filter(wordsCol, w => w.isin(stopwords(lang): _*)))
+
+  /** Language-ID heuristic: stopword hit counts per language, argmax with
+    * deterministic priority order en > es > de > fr > unknown.
+    */
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val w = words(lower(col(textCol)))
+    val scored = docs
+      .withColumn("en_hits", hits(w, "en"))
+      .withColumn("es_hits", hits(w, "es"))
+      .withColumn("de_hits", hits(w, "de"))
+      .withColumn("fr_hits", hits(w, "fr"))
+    scored.withColumn("predicted",
+      when(col("en_hits") + col("es_hits") + col("de_hits") + col("fr_hits") === 0, "unknown")
+        .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits"), "en")
+        .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
+        .when(col("de_hits") >= col("fr_hits"), "de")
+        .otherwise("fr"))
+  }
+
+  /** Quality scoring: token count, type-token ratio, stopword ratio,
+    * bucketed quality label.
+    */
+  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nTok = size(w)
+    val enHits = hits(w, "en")
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("ttr",
+        round(size(array_distinct(w)).cast("double") / nTok, 4))
+      .withColumn("stop_ratio", round(enHits.cast("double") / nTok, 4))
+      .withColumn("quality",
+        when(col("n_tokens") >= 50 && col("ttr") >= lit(0.25), "good")
+          .when(col("n_tokens") >= 20, "ok")
+          .otherwise("low"))
+  }
+
+  /** Whitespace tokens and BPE-ish regex tokens (letter runs / digit runs /
+    * single other-symbols) — the two standard cheap token estimators.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(words(col(textCol))))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col(textCol),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+
+  /** Content-defined fingerprint: sha-256 over the sorted distinct word
+    * set — robust to word order and repetition, cheap to group on.
+    */
+  def fingerprint(textCol: Column): Column =
+    sha2(array_join(array_sort(array_distinct(words(textCol))), " "), 256)
+
+  /** Per-doc fingerprint plus the size of its fingerprint cluster. */
+  def fingerprintClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+    fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
+  }
+}

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+
+/** Scale-extension catalog: dedup / similarity search / text analysis /
+  * multimodal plumbing / sessionization — the training-data-pipeline
+  * operators mandated beyond reference parity. Oracle conventions as in
+  * [[Catalog]]; LSH-based approximations are rows-only checked (their
+  * exact counterparts carry the oracle).
+  */
+object CatalogScale {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  private def knnQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  val all: Seq[Q] = Seq(
+
+    // ========================================================== dedup
+    Q("dedup_exact",
+      (s, d) => Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+              FROM documents GROUP BY sha256(text) ORDER BY keep_id""")),
+
+    Q("dedup_jaccard",
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 5, num = 4, den = 5).orderBy("id_a", "id_b"),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                         FROM documents),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
+                     FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                     round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+              FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+                         JOIN sz sb ON inter.id_b = sb.doc_id
+              WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+              ORDER BY id_a, id_b""")),
+
+    Q("dedup_minhash_lsh",
+      (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    Q("dedup_simhash",
+      (s, d) => Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 5, maxHamming = 3).orderBy("id_a", "id_b"),
+      None),
+
+    // ===================================================== similarity
+    Q("sim_knn_cosine",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceKnn(emb, knnQueries(emb), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                         FROM embeddings WHERE vec_id < 3),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              s AS (SELECT query_id, vec_id AS neighbor_id,
+                      list_dot_product(e, qe) /
+                      (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos
+                    FROM c, q WHERE vec_id <> query_id),
+              r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                    FROM s)
+              SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+                     round(cos, 6) AS cosine
+              FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
+    Q("sim_ann_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.annLshKnn(emb, knnQueries(emb), k = 10,
+          numTables = 6, numPlanes = 6, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // =================================================== text analysis
+    Q("ta_langid",
+      (s, d) => TextAnalysis.langId(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("lang"),
+          col("en_hits").cast("long").as("en_hits"),
+          col("es_hits").cast("long").as("es_hits"),
+          col("de_hits").cast("long").as("de_hits"),
+          col("fr_hits").cast("long").as("fr_hits"),
+          col("predicted"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, lang,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                         FROM documents),
+              s AS (SELECT doc_id, lang,
+                len(list_filter(ws, x -> x IN ('the','a','of','to','and','in','is'))) AS en_hits,
+                len(list_filter(ws, x -> x IN ('el','la','de','y','que','en','un'))) AS es_hits,
+                len(list_filter(ws, x -> x IN ('der','die','das','und','ist','ein'))) AS de_hits,
+                len(list_filter(ws, x -> x IN ('le','la','et','les','des','un','est'))) AS fr_hits
+                FROM w)
+              SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+                CASE WHEN en_hits + es_hits + de_hits + fr_hits = 0 THEN 'unknown'
+                     WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                     WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                     WHEN de_hits >= fr_hits THEN 'de'
+                     ELSE 'fr' END AS predicted
+              FROM s ORDER BY doc_id""")),
+
+    Q("ta_quality",
+      (s, d) => TextAnalysis.qualityScore(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("ttr"), col("stop_ratio"), col("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, n_chars,
+                           regexp_split_to_array(trim(text), '\s+') AS ws
+                         FROM documents)
+              SELECT doc_id, n_chars, len(ws) AS n_tokens,
+                round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS ttr,
+                round(CAST(len(list_filter(ws,
+                  x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE) / len(ws), 4) AS stop_ratio,
+                CASE WHEN len(ws) >= 50
+                       AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.25 THEN 'good'
+                     WHEN len(ws) >= 20 THEN 'ok'
+                     ELSE 'low' END AS quality
+              FROM w ORDER BY doc_id""")),
+
+    Q("ta_token_counts",
+      (s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "text")
+        .groupBy("source")
+        .agg(
+          sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("bpe_tokens")).as("bpe_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some("""SELECT source,
+                CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+                CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+                count(*) AS n_docs
+              FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    Q("ta_fingerprint",
+      (s, d) => TextAnalysis.fingerprintClusters(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+              FROM (SELECT doc_id,
+                      sha256(array_to_string(list_sort(list_distinct(
+                        regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+                    FROM documents)
+              ORDER BY doc_id""")),
+
+    // ==================================================== multimodal
+    Q("mm_binary_meta",
+      (s, d) => Multimodal.documentBinaryMeta(s, t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+                CAST(1 + octet_length(encode(text)) % 37 AS INT) AS height,
+                CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+              FROM documents ORDER BY doc_id""")),
+
+    // ============================================ windows / sessions
+    Q("w_sessionize",
+      (s, d) => Sessions.sessionize(events(s, d), "user_id", "ts", "event_id", 1800L)
+        .groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+              FROM (SELECT user_id,
+                      sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY event_id) AS sess
+                    FROM (SELECT user_id, event_id,
+                            epoch(date_trunc('second', ts)) -
+                            lag(epoch(date_trunc('second', ts)))
+                              OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+                          FROM events))
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("w_running_total",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            round(sum("value").over(w), 2).as("running"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+              FROM events ORDER BY event_id""")),
+
+    Q("w_lag_delta",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            round(col("value") - lag("value", 1).over(w), 2).as("delta"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta
+              FROM events ORDER BY event_id"""))
+  )
+}
