@@ -20,7 +20,7 @@ object TextFns {
     val lowered = lower(c)
     val noQual = regexp_replace(lowered, "\\s*[\\(\\[][^\\)\\]]*[\\)\\]]", "")
     val dashes = regexp_replace(noQual, "[-_]", " ")
-    val noPunct = regexp_replace(dashes, "[^a-z0-9 ]", "")
+    val noPunct = regexp_replace(dashes, "[^a-z0-9\\s]", "")
     trim(regexp_replace(noPunct, "\\s+", " "))
   }
 
@@ -28,7 +28,7 @@ object TextFns {
   def normalizeNameSql(expr: String): String =
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       s"lower($expr), '\\s*[\\(\\[][^\\)\\]]*[\\)\\]]', '', 'g'), " +
-      "'[-_]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+      "'[-_]', ' ', 'g'), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
   /** Issue-key extraction (reference X9, `jira/append-changelog-to-epic-tree.js:22-28`). */
   def extractIssueKeys(c: Column): Column =
@@ -114,6 +114,7 @@ object TextFns {
       "&#39;" -> "'", "&nbsp;" -> " ").foldLeft(tags) { case (acc, (e, v)) =>
       regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(v))
     }
-    trim(regexp_replace(ent, "\\n{3,}", "\n\n"))
+    // full (multiline) trim: Spark's trim() strips spaces only
+    regexp_replace(regexp_replace(ent, "\\n{3,}", "\n\n"), "^\\s+|\\s+$", "")
   }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Jira changelog flatten + compaction (reference X16/A13/J7,
+  * `jira/lib/changelog-flatten.js:81-148`, `jira/lib/changelog-markdown.js:57-77`).
+  *
+  * Input shape per issue: `histories: array<struct<id, created,
+  * author:struct<displayName>, items:array<struct<field, fromString,
+  * toString>>>>` (FIXTURES.md §3). Flatten = two explodes; per-item
+  * summary is a `when`-tree (codegen'd), grouping back to per-history
+  * blocks is `collect_list` ordered by item position.
+  */
+object Changelog {
+
+  /** Per-item human summary — mirrors the reference's field dispatch. */
+  def itemSummary(field: Column, from: Column, to: Column): Column = {
+    val f = coalesce(from, lit(""))
+    val t = coalesce(to, lit(""))
+    val arrow = concat(f, lit(" → "), t)
+    val labelDiff = concat_ws(" ",
+      transform(array_except(split(t, ",\\s*"), split(f, ",\\s*")),
+        x => concat(lit("+"), x)),
+      transform(array_except(split(f, ",\\s*"), split(t, ",\\s*")),
+        x => concat(lit("-"), x)))
+    when(field === "status", concat(lit("Status: "), arrow))
+      .when(field === "assignee", concat(lit("Assignee: "), arrow))
+      .when(field === "priority", concat(lit("Priority: "), arrow))
+      .when(field === "description",
+        concat(lit("Description [updated; "), length(t), lit(" chars]")))
+      .when(field === "labels", concat(lit("Labels: "), labelDiff))
+      .when(field === "Sprint", concat(lit("Sprint: "), labelDiff))
+      .when(field === "Link",
+        when(length(t) > 0, concat(lit("Link added: "), t))
+          .otherwise(concat(lit("Link removed: "), f)))
+      .when(field === "Rank",
+        when(lower(t).contains("higher"), lit("Ranked higher"))
+          .otherwise(lit("Ranked lower")))
+      .when(field === "IssueParentAssociation", concat(lit("Parent: "), arrow))
+      .when(field === "RemoteIssueLink" || field === "remoteworkitemlink",
+        when(lower(t).contains("confluence"), lit("Confluence link added"))
+          .when(lower(t).contains("github"), lit("GitHub link added"))
+          .otherwise(concat(lit("Remote link: "), t)))
+      .otherwise(concat(initcap(field), lit(": "), arrow))
+  }
+
+  /** Flatten `(key, histories)` → one row per changelog item with the
+    * compact summary. Preserves history/item order via posexplode.
+    */
+  def flatten(issues: DataFrame): DataFrame =
+    issues
+      .select(col("key"), posexplode(col("histories")).as(Seq("h_pos", "h")))
+      .select(
+        col("key"), col("h_pos"),
+        col("h.id").as("history_id"),
+        col("h.created").as("created"),
+        col("h.author.displayName").as("author"),
+        posexplode(col("h.items")).as(Seq("i_pos", "item")))
+      .select(
+        col("key"), col("h_pos"), col("history_id"), col("created"), col("author"),
+        col("i_pos"),
+        itemSummary(col("item.field"), col("item.fromString"), col("item.toString"))
+          .as("summary"))
+
+  /** Group flat items back into per-history blocks (reference A13),
+    * first-seen order preserved by positions, chronological by `created`.
+    */
+  def historyBlocks(flat: DataFrame): DataFrame =
+    flat.groupBy("key", "history_id")
+      .agg(
+        first("created").as("created"),
+        first("author").as("author"),
+        concat_ws("\n", expr(
+          "transform(array_sort(collect_list(struct(i_pos, summary))), s -> concat('- ', s.summary))"))
+          .as("block"))
+      .orderBy("key", "created", "history_id")
+
+  /** Attach aggregated changelog markdown per issue (reference J7):
+    * left join, missing changelog → empty string.
+    */
+  def attach(issues: DataFrame, blocks: DataFrame): DataFrame = {
+    val perIssue = blocks.groupBy("key")
+      .agg(concat_ws("\n\n", expr(
+        "transform(array_sort(collect_list(struct(created, history_id, block))), s -> concat(s.created, ' — ', s.block))"))
+        .as("changelog_md"))
+    issues.join(perIssue, Seq("key"), "left")
+      .withColumn("changelog_md", coalesce(col("changelog_md"), lit("")))
+  }
+}

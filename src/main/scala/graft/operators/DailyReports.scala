@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Daily-reports pipeline (reference EP `daily:all`, SURVEY §7.2:
+  * J1 joins + F1/F6 filters + O1 sort + A1 grouping + X4 html cleanup +
+  * K2 markdown render).
+  */
+object DailyReports {
+
+  /** Per-employee project override predicate (reference F6,
+    * `daily-reports/db-query.js:291-310`): base project OR any
+    * (employee, projects...) override.
+    */
+  def projectPredicate(baseProjectId: Int,
+      overrides: Seq[(Int, Seq[Int])]): org.apache.spark.sql.Column =
+    overrides.foldLeft(col("client_project_id") === baseProjectId) {
+      case (acc, (emp, projects)) =>
+        acc || (col("employee_id") === emp &&
+          col("client_project_id").isin(projects: _*))
+    }
+
+  /** The reference's 4-table join + filters + sort, over pre-joined or
+    * dimension DataFrames. Dims are broadcast (employees/templates/
+    * projects are small); the fact table shuffles once at most.
+    */
+  def query(reports: DataFrame, employees: DataFrame, templates: DataFrame,
+      projects: DataFrame, startDate: String, endDate: String,
+      employeeIds: Seq[Int], baseProjectId: Int,
+      overrides: Seq[(Int, Seq[Int])]): DataFrame =
+    reports
+      .join(broadcast(employees), "employee_id")
+      .join(broadcast(templates), "template_id")
+      .join(broadcast(projects), "client_project_id")
+      .filter(col("template_name") === "Daily Report")
+      .filter(col("report_date").between(lit(startDate), lit(endDate)))
+      .filter(if (employeeIds.isEmpty) lit(true)
+        else col("employee_id").isin(employeeIds: _*))
+      .filter(projectPredicate(baseProjectId, overrides))
+      .orderBy(col("employee_id").asc, col("report_date").desc)
+
+  /** A1 + X4 + K2: group per employee, clean HTML, render one markdown
+    * document per employee (sections per date, newest first). The render
+    * is a per-group aggregation — no collect(), one row out per employee.
+    */
+  def renderMarkdown(joined: DataFrame): DataFrame =
+    joined
+      .withColumn("content_md", TextFns.htmlToMarkdown(col("content")))
+      .withColumn("todo_md", TextFns.htmlToMarkdown(col("todo")))
+      .withColumn("section", concat(
+        lit("## "), col("report_date").cast("string"), lit("\n\n### Content\n"),
+        when(length(col("content_md")) > 0, col("content_md")).otherwise(lit("- (none)")),
+        lit("\n\n### To Do\n"),
+        when(length(col("todo_md")) > 0, col("todo_md")).otherwise(lit("- (none)"))))
+      .groupBy("employee_id")
+      .agg(
+        first("employee_first_name").as("first_name"),
+        first("employee_last_name").as("last_name"),
+        concat_ws("\n\n", expr(
+          "transform(reverse(array_sort(collect_list(struct(report_date, section)))), s -> s.section)"))
+          .as("sections"))
+      .select(col("employee_id"),
+        concat(lit("# Daily Report: "), col("first_name"), lit(" "),
+          col("last_name"), lit("\n\n"), col("sections")).as("doc"))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Jira issue operators (reference F2/A2-A6/X14/X15/J2-J4;
+  * `jira/export-to-csv.js`, `jira/team-report.js`, `jira/build-epic-tree.js`).
+  */
+object JiraOps {
+
+  /** Canonical status rank (reference A2/O2 order list). */
+  def statusRank(status: Column): Column =
+    when(status === "To Do", 0)
+      .when(status === "Backlog", 1)
+      .when(status === "Selected for Development", 2)
+      .when(status === "In Progress", 3)
+      .when(status === "Done", 4)
+      .otherwise(99)
+
+  /** F2: keep only comments whose (updated ?? created) falls in range,
+    * drop issues left with zero comments. `comments` is
+    * array<struct<author,created,updated,body>>.
+    */
+  def filterCommentsInRange(issues: DataFrame, start: String, end: String): DataFrame =
+    issues
+      .withColumn("comments",
+        filter(col("comments"), c =>
+          coalesce(c.getField("updated"), c.getField("created"))
+            .between(lit(start + " 00:00:00").cast("timestamp"),
+              lit(end + " 23:59:59").cast("timestamp"))))
+      .filter(size(col("comments")) > 0)
+
+  /** X14: complex-field text extraction — `.name ?? .displayName ?? raw`
+    * from a JSON-ish string column.
+    */
+  def complexFieldText(c: Column): Column =
+    when(c.isNull, lit(""))
+      .otherwise(coalesce(
+        get_json_object(c, "$.name"),
+        get_json_object(c, "$.displayName"),
+        when(c === "[object Object]", lit("")).otherwise(c)))
+
+  /** X15: custom-field projection from a fields map — drop excluded and
+    * empty entries, rename via the (broadcast) field-name map, strip the
+    * `Custom field (X)` wrapper.
+    */
+  def customFields(fieldsMap: Column, exclude: Seq[String],
+      nameMap: Map[String, String]): Column = {
+    val entries = nameMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val renameMap = if (entries.isEmpty) map() else map(entries: _*)
+    val kept = map_filter(fieldsMap, (k, v) =>
+      !k.isin(exclude: _*) && v.isNotNull && length(v) > 0)
+    transform(map_entries(kept), e => struct(
+      regexp_replace(
+        coalesce(element_at(renameMap, e.getField("key")), e.getField("key")),
+        "^Custom field \\((.*)\\)$", "$1").as("name"),
+      e.getField("value").as("value")))
+  }
+
+  /** A4-A6: counts and percentage-of-total along one dimension. */
+  def statsByDim(issues: DataFrame, dim: String): DataFrame =
+    issues.groupBy(dim)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pct",
+        round(lit(100.0) * col("cnt") / sum("cnt").over(Window.partitionBy()), 1))
+
+  /** J2-J4: resolve each issue to its epic by walking parent pointers
+    * (Hierarchy.resolveRoots), then attach epic metadata. Issues whose
+    * walk ends on a non-epic root get epic "Issues Without Epic".
+    * `issues`: (key, parent_key nullable, issuetype, summary, status).
+    */
+  def epicResolve(issues: DataFrame): DataFrame = {
+    val keyed = issues
+      .withColumn("id", xxhash64(col("key")))
+      .withColumn("parent", xxhash64(col("parent_key")))
+    val edges = keyed.select(col("id"),
+      when(col("parent_key").isNull, lit(null).cast("long"))
+        .otherwise(col("parent")).as("parent"))
+    val roots = Hierarchy.resolveRoots(edges)
+    val rootMeta = keyed.select(
+      col("id").as("root"), col("key").as("root_key"),
+      col("issuetype").as("root_type"), col("summary").as("root_summary"))
+    keyed.join(roots, "id")
+      .join(rootMeta, Seq("root"), "left")
+      .withColumn("epic_key",
+        when(col("root_type") === "Epic", col("root_key"))
+          .otherwise(lit("Issues Without Epic")))
+      .withColumn("epic_summary",
+        when(col("root_type") === "Epic", col("root_summary"))
+          .otherwise(lit("Issues Without Epic")))
+      .select(issues.columns.map(col) :+ col("epic_key") :+ col("epic_summary") :+ col("depth"): _*)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Fuzzy identity resolution (reference J5/F5, `lib/name-matcher.js`).
+  *
+  * Team mapping config → broadcast alias table; participants join on
+  * normalized alias; first-match-wins is encoded as `row_number` over the
+  * explicit (member priority, alias priority) order instead of the
+  * reference's imperative first-hit loop — deterministic under
+  * parallelism.
+  */
+object NameMatcher {
+
+  /** One team member with ordered aliases (order = match priority). */
+  case class Member(fullName: String, shortName: String, aliases: Seq[String])
+
+  /** Build the alias dimension: one row per (member, alias-variant),
+    * carrying priorities. Full name and short name are themselves
+    * match candidates, like the reference.
+    */
+  def aliasTable(spark: SparkSession, members: Seq[Member]): DataFrame = {
+    import spark.implicits._
+    members.zipWithIndex.flatMap { case (m, mi) =>
+      (Seq(m.fullName, m.shortName) ++ m.aliases).zipWithIndex.map {
+        case (a, ai) => (m.fullName, mi, a, ai)
+      }
+    }.toDF("member", "member_prio", "alias", "alias_prio")
+      .withColumn("alias_norm", TextFns.normalizeName(col("alias")))
+      .filter(length(col("alias_norm")) > 0)
+  }
+
+  /** Resolve participants to members: normalized equi-join against the
+    * broadcast alias table, first match wins via row_number. Input must
+    * have a `participant` column; output adds `member` (nullable).
+    */
+  def resolve(participants: DataFrame, aliases: DataFrame): DataFrame = {
+    val joined = participants
+      .withColumn("_pnorm", TextFns.normalizeName(col("participant")))
+      .join(broadcast(aliases), col("_pnorm") === col("alias_norm"), "left")
+    val w = Window
+      .partitionBy(participants.columns.map(col) :+ col("_pnorm"): _*)
+      .orderBy(col("member_prio").asc_nulls_last, col("alias_prio").asc_nulls_last)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_pnorm", "member_prio", "alias", "alias_prio", "alias_norm")
+  }
+
+  /** Team-participation filter (reference F5 + the bypass safeguard
+    * `download-from-drive.js:552-574`): keep a file iff
+    * `matched >= minRequired` OR (`participants > 2` AND `matched > 0`).
+    * Input: (file, participant) rows. Output: surviving file keys with
+    * participant/match counts.
+    */
+  def participationFilter(fileParticipants: DataFrame, aliases: DataFrame,
+      minRequired: Int): DataFrame = {
+    val resolved = resolve(fileParticipants, aliases)
+    resolved.groupBy("file")
+      .agg(
+        countDistinct(col("participant")).as("n_participants"),
+        countDistinct(col("member")).as("n_matched"))
+      .filter(col("n_matched") >= minRequired ||
+        (col("n_participants") > 2 && col("n_matched") > 0))
+  }
+}

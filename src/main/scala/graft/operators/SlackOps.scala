@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Slack message operators (reference J6/J8/A11/F9/X3/X20 + sanitizer
+  * X17/X18/X19; `slack/lib/format.js`, `slack/lib/sanitizer.js`).
+  */
+object SlackOps {
+
+  /** F9: keep only top-level messages (replies render under parents). */
+  def suppressThreadReplies(messages: DataFrame): Column =
+    col("thread_ts").isNull || col("thread_ts") === col("ts")
+
+  /** J6: re-attach thread replies as an ordered array on the parent. */
+  def reattachThreads(messages: DataFrame): DataFrame = {
+    val replies = messages
+      .filter(col("thread_ts").isNotNull && col("thread_ts") =!= col("ts"))
+      .groupBy(col("thread_ts").as("parent_ts"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(ts, user, text))), s -> s)")
+        .as("replies"))
+    messages
+      .filter(col("thread_ts").isNull || col("thread_ts") === col("ts"))
+      .join(replies, col("ts") === col("parent_ts"), "left")
+      .drop("parent_ts")
+      .withColumn("replies", coalesce(col("replies"), array()))
+  }
+
+  /** J8: resolve `<@U123>` mentions and author ids via a broadcast map
+    * expression (small user dim → map literal, codegen'd lookup).
+    */
+  def resolveUsers(messages: DataFrame, userMap: Map[String, String]): DataFrame = {
+    val entries = userMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val m = map(entries: _*)
+    val author = coalesce(element_at(m, col("user")), col("user"))
+    // replace each <@Uxxx> mention via the map; unknown ids keep the raw tag
+    val mentionsResolved = udfFreeMentionReplace(col("text"), userMap)
+    messages
+      .withColumn("author", author)
+      .withColumn("text", mentionsResolved)
+  }
+
+  private def udfFreeMentionReplace(text: Column, userMap: Map[String, String]): Column =
+    userMap.foldLeft(text) { case (acc, (id, name)) =>
+      regexp_replace(acc, "<@" + id + ">", "@" + name)
+    }
+
+  /** X20: reactions array → `:name:xN, :tada:x1`. */
+  def formatReactions(reactions: Column): Column =
+    array_join(
+      transform(reactions,
+        r => concat(lit(":"), r.getField("name"), lit(":x"),
+          r.getField("count").cast("string"))),
+      ", ")
+
+  /** X20: humanized byte size (B/KB/MB like the reference). */
+  def humanSize(bytes: Column): Column =
+    when(bytes < 1024, concat(bytes.cast("string"), lit(" B")))
+      .when(bytes < 1024 * 1024,
+        concat(round(bytes / 1024.0, 1).cast("string"), lit(" KB")))
+      .otherwise(concat(round(bytes / (1024.0 * 1024), 1).cast("string"), lit(" MB")))
+
+  // ------------------------------------------------------------ sanitizer
+
+  /** X18 kind classifier heuristics over a fenced block's language + body. */
+  def classifyCode(lang: String, body: String): String = {
+    val l = Option(lang).getOrElse("").toLowerCase
+    val b = Option(body).getOrElse("")
+    if (l == "sh" || l == "bash" || l == "shell" ||
+      b.linesIterator.forall(ln => ln.isEmpty || ln.startsWith("$") ||
+        ln.startsWith("npm ") || ln.startsWith("git ") || ln.startsWith("cd ")))
+      "command"
+    else if (b.contains("Traceback (most recent call last)") ||
+      b.contains("at java.") || "\\bException\\b".r.findFirstIn(b).isDefined)
+      "stacktrace"
+    else if ("(?i)\\b(error|fatal)\\b".r.findFirstIn(b).isDefined &&
+      b.linesIterator.length > 1) "error_log"
+    else if ("(?m)^\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:".r.findFirstIn(b).isDefined) "log"
+    else if (l == "json" || l == "yaml" || l == "toml" || l == "ini" ||
+      b.trim.startsWith("{") || "(?m)^[A-Za-z_]+\\s*[:=]".r.findFirstIn(b).isDefined)
+      "config"
+    else "code"
+  }
+
+  /** X18: fenced/inline code → `[REDACTED CODE N lines, language=L, kind=K]`.
+    * Hand-rolled fence scanner (no markdown AST needed for the observed
+    * output), pure Scala behind a UDF — sanitization is not the hot path.
+    */
+  def redactCode(text: String): String = {
+    if (text == null) return null
+    val fence = "(?s)```([A-Za-z0-9_+-]*)\\n?(.*?)```".r
+    val fenced = fence.replaceAllIn(text, m => {
+      val lang = m.group(1)
+      val body = m.group(2)
+      val n = body.split("\n", -1).count(_.nonEmpty)
+      val l = if (lang.isEmpty) "unknown" else lang
+      java.util.regex.Matcher.quoteReplacement(
+        s"[REDACTED CODE $n lines, language=$l, kind=${classifyCode(lang, body)}]")
+    })
+    "`([^`\n]+)`".r.replaceAllIn(fenced, "[REDACTED INLINE CODE]")
+  }
+
+  val redactCodeUdf = udf(redactCode _)
+
+  /** X19: case-insensitive line-level denylist redaction. */
+  def redactDenylist(text: Column, denylist: Seq[String]): Column = {
+    val pat = denylist.map(java.util.regex.Pattern.quote).mkString("(?i)(", "|", ")")
+    concat_ws("\n",
+      transform(split(text, "\n"),
+        line => when(line.rlike(pat), lit("[REDACTED PROMPT]")).otherwise(line)))
+  }
+
+  /** Full sanitize chain: code fences → secrets → denylist (reference
+    * order `slack/convert-to-markdown.js`).
+    */
+  def sanitize(text: Column, denylist: Seq[String]): Column =
+    redactDenylist(TextFns.maskSecrets(redactCodeUdf(text)), denylist)
+}

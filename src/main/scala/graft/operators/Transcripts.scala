@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Transcript parsing (reference X24/X25,
+  * `transcripts/transcript-to-markdown.js:88-213,336-356`).
+  *
+  * The reference's line parser is a 5-pattern cascade with
+  * header-then-content accumulation — inherently per-file ordered, so the
+  * Spark shape is: one row per file (wholetext or grouped lines) → an
+  * array-returning function → `explode` (SURVEY §7.5#4). The parser itself
+  * is pure Scala, exposed as a UDF over the file's line array; files
+  * partition across executors, lines within a file stay ordered.
+  */
+object Transcripts {
+
+  case class Utterance(time: String, speaker: String, content: String)
+
+  /** `H:MM[:SS]` → `H:MM` (reference X25). */
+  def normalizeTime(t: String): String = {
+    val m = "^(\\d{1,2}):(\\d{2})(?::\\d{2})?$".r.findFirstMatchIn(t.trim)
+    m.map(g => s"${g.group(1)}:${g.group(2)}").getOrElse(t.trim)
+  }
+
+  private val headerForm = "^(\\d{1,2}:\\d{2}(?::\\d{2})?)\\s*-\\s*(.+)$".r
+  private val timeSpeaker = "^(\\d{1,2}:\\d{2}(?::\\d{2})?)\\s+([^:]+):\\s*(.*)$".r
+  private val bracketTime = "^\\[(\\d{1,2}:\\d{2}(?::\\d{2}(?::\\d{2})?)?)\\]\\s*([^:]+):\\s*(.*)$".r
+  private val speakerParen = "^(.+?)\\s*\\((\\d{1,2}:\\d{2}(?::\\d{2})?)\\):\\s*(.*)$".r
+  private val speakerOnly = "^([A-Za-z][A-Za-z .'-]{0,60}):\\s*(.*)$".r
+
+  /** Parse ordered transcript lines into utterances. A line matching any
+    * pattern starts a new utterance; non-matching lines accumulate into
+    * the current utterance's content (the reference's state machine).
+    */
+  def parseLines(lines: Seq[String]): Seq[Utterance] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Utterance]
+    var cur: Utterance = null
+    def flush(): Unit = if (cur != null) { out += cur; cur = null }
+    for (raw <- lines; line = raw.trim if line.nonEmpty) {
+      line match {
+        case headerForm(t, sp) =>
+          flush(); cur = Utterance(normalizeTime(t), sp.trim, "")
+        case timeSpeaker(t, sp, c) =>
+          flush(); cur = Utterance(normalizeTime(t), sp.trim, c.trim)
+        case bracketTime(t, sp, c) =>
+          flush(); cur = Utterance(normalizeTime(t), sp.trim, c.trim)
+        case speakerParen(sp, t, c) =>
+          flush(); cur = Utterance(normalizeTime(t), sp.trim, c.trim)
+        case speakerOnly(sp, c) =>
+          flush(); cur = Utterance("", sp.trim, c.trim)
+        case other =>
+          if (cur != null)
+            cur = cur.copy(content =
+              if (cur.content.isEmpty) other else cur.content + "\n" + other)
+        // lines before any header are dropped (reference header handling)
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** UDF: array<string> of ordered lines → array<struct> of utterances. */
+  val parseUdf = udf((lines: Seq[String]) =>
+    if (lines == null) Seq.empty[Utterance] else parseLines(lines))
+
+  /** Distinct speakers of a parsed utterance array (participant
+    * extraction feeding the F5 team filter).
+    */
+  def participants(utterances: Column): Column =
+    array_distinct(transform(utterances, u => u.getField("speaker")))
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Idempotent Postgres upsert sink (reference K5, `lib/neon-db-storage.js`
+  * Drizzle `insert().onConflictDoUpdate`; unique keys from
+  * `db/schema.js:45,65`).
+  *
+  * Spark's JDBC writer has no MERGE, so the sink is `foreachPartition` +
+  * batched `INSERT … ON CONFLICT (…) DO UPDATE SET …` — executor-parallel,
+  * one connection per partition, re-run safe (same-key rows update).
+  */
+object PostgresUpsertSink {
+
+  /** Build the upsert statement for `table` with `cols`, conflict target
+    * `keys`; non-key columns update on conflict.
+    */
+  def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
+    require(keys.nonEmpty && keys.forall(cols.contains), "keys must be columns")
+    val updates = cols.filterNot(keys.contains)
+    val setClause =
+      if (updates.isEmpty) "NOTHING"
+      else "UPDATE SET " + updates.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keys.mkString(", ")}) DO $setClause"
+  }
+
+  /** Write `df` with upsert semantics. `batchSize` bounds statement
+    * batches (the reference batches per section/file; here per N rows).
+    */
+  def write(df: DataFrame, jdbcUrl: String, table: String, keys: Seq[String],
+      props: java.util.Properties = new java.util.Properties,
+      batchSize: Int = 500): Unit = {
+    val cols = df.columns.toSeq
+    val sql = upsertSql(table, cols, keys)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(jdbcUrl, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+            st.addBatch()
+            n += 1
+            if (n % batchSize == 0) st.executeBatch()
+          }
+          st.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+}

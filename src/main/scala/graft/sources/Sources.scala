@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File-shaped sources (reference S14/S15/S16). The reference streams
+  * CSV rows / JSON.parses whole files / lists markdown dirs imperatively;
+  * here each is a declarative scan so Catalyst gets pushdown + pruning.
+  * Remote API connectors (Jira/Slack/Drive S3-S13) are represented by
+  * their staged-file form — pagination/retry live outside the engine
+  * (SURVEY §4: connector work, not Catalyst work).
+  */
+object Sources {
+
+  /** S14: header CSV scan; permissive mode with corrupt-record capture
+    * (the reference's csv-parser tolerates ragged rows).
+    */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+    schema.map(r.schema).getOrElse(r.option("inferSchema", "true")).csv(path)
+  }
+
+  /** S15: multiLine JSON scan (channel-history envelopes are one object
+    * per file, not JSONL).
+    */
+  def json(spark: SparkSession, path: String, multiLine: Boolean = true): DataFrame =
+    spark.read.option("multiLine", multiLine.toString).json(path)
+
+  /** S16: markdown/text dir scan — one row per file with path, mtime and
+    * whole content; `recursiveFileLookup` mirrors the reference's
+    * optional 1-level recursion (generalized).
+    */
+  def markdownDir(spark: SparkSession, glob: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.md")
+      .text(glob)
+      .select(
+        input_file_name().as("path"),
+        col("_metadata.file_modification_time").as("mtime"),
+        col("value").as("content"))
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's incremental paths — beyond
+  * reference parity (the reference is batch-only; SURVEY §2.9), but the
+  * natural shape for Slack/Jira incremental pulls at scale: the same
+  * transforms run on `readStream` inputs with watermarked event time.
+  */
+object StreamingOps {
+
+  /** Tumbling-window event counts with a watermark (the reference's
+    * Mon-Sun frame A12 is this window at 7-day width, materialized
+    * statically in batch).
+    */
+  def windowedCounts(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Stateful per-user running aggregate via mapGroupsWithState — the
+    * streaming counterpart of the batch sessionize/running-total windows.
+    */
+  def runningPerUser(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(user, n, v)
+          state.update(next)
+          next
+      }
+  }
+}

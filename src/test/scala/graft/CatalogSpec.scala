@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PostgresUpsertSink
+
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("every catalog query runs and returns a non-empty schema on sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, "/root/testdata/sf0.001")
+        assert(df.columns.nonEmpty)
+        df.count() // force full execution
+        None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("postgres upsert sql shape") {
+    val sql = PostgresUpsertSink.upsertSql(
+      "daily_reports",
+      Seq("team_id", "author_name", "report_date", "content"),
+      Seq("team_id", "author_name", "report_date"))
+    assert(sql ==
+      "INSERT INTO daily_reports (team_id, author_name, report_date, content) " +
+        "VALUES (?, ?, ?, ?) " +
+        "ON CONFLICT (team_id, author_name, report_date) DO UPDATE SET content = EXCLUDED.content")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Changelog
+
+class ChangelogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // nested fixture built in SQL: `toString` can't be a case-class field
+  private def item(f: String, from: String, to: String) =
+    s"named_struct('field','$f','fromString','$from','toString','$to')"
+
+  lazy val fixtureDf = spark.sql(s"""
+    SELECT 'TC-1' AS key, array(
+      named_struct('id','100','created','2025-10-01 10:00',
+        'author', named_struct('displayName','Ann'),
+        'items', array(
+          ${item("status", "Backlog", "In Progress")},
+          ${item("assignee", "Bob", "Carol")})),
+      named_struct('id','101','created','2025-10-02 11:00',
+        'author', named_struct('displayName','Bob'),
+        'items', array(
+          ${item("description", "old {noformat}x{noformat}", "new text here")},
+          ${item("labels", "alpha,beta", "alpha,gamma")},
+          ${item("Sprint", "S1", "S1,S2")},
+          ${item("Link", "", "blocks TC-123")},
+          ${item("Rank", "", "Ranked higher")},
+          ${item("remoteworkitemlink", "", "https://confluence.example/page")}))
+    ) AS histories""")
+
+  lazy val flat = Changelog.flatten(fixtureDf)
+
+  private def summaries: Set[String] =
+    flat.selectExpr("summary").collect().map(_.getString(0)).toSet
+
+  test("flatten: one row per item, field dispatch matches reference branches") {
+    assert(flat.count() == 8)
+    val s = summaries
+    assert(s.contains("Status: Backlog → In Progress"))
+    assert(s.contains("Assignee: Bob → Carol"))
+    assert(s.contains("Description [updated; 13 chars]"))
+    assert(s.contains("Labels: +gamma -beta"))
+    assert(s.contains("Sprint: +S2"))
+    assert(s.contains("Link added: blocks TC-123"))
+    assert(s.contains("Ranked higher"))
+    assert(s.contains("Confluence link added"))
+  }
+
+  test("historyBlocks: grouped per history id, item order preserved") {
+    val blocks = Changelog.historyBlocks(flat).collect()
+    assert(blocks.length == 2)
+    val b100 = blocks.find(_.getAs[String]("history_id") == "100").get
+    assert(b100.getAs[String]("block") ==
+      "- Status: Backlog → In Progress\n- Assignee: Bob → Carol")
+    assert(b100.getAs[String]("author") == "Ann")
+  }
+
+  test("attach: issues without changelog get empty string") {
+    val issues = Seq(("TC-1", "s1"), ("TC-2", "s2")).toDF("key", "summary")
+    val got = Changelog.attach(issues, Changelog.historyBlocks(flat))
+      .select("key", "changelog_md").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("TC-1").contains("Status: Backlog → In Progress"))
+    assert(got("TC-2") == "")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.JiraOps
+
+case class TComment(author: String, created: String, updated: String, body: String)
+case class TIssue(key: String, comments: Seq[TComment])
+
+class JiraOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("filterCommentsInRange: comment pruning + empty-issue drop (F2)") {
+    val issues = Seq(
+      TIssue("A-1", Seq(
+        TComment("x", "2025-10-01 10:00:00", null, "in range"),
+        TComment("y", "2025-09-01 10:00:00", "2025-10-02 09:00:00", "updated in range"),
+        TComment("z", "2025-09-01 10:00:00", null, "out"))),
+      TIssue("A-2", Seq(TComment("x", "2025-08-01 00:00:00", null, "out")))).toDF()
+    val got = JiraOps.filterCommentsInRange(issues, "2025-10-01", "2025-10-07")
+    assert(got.count() == 1)
+    assert(got.selectExpr("size(comments)").head.getInt(0) == 2)
+  }
+
+  test("complexFieldText: name/displayName/raw/object-string") {
+    val df = Seq(
+      """{"name":"High"}""", """{"displayName":"Jane"}""",
+      "plain", "[object Object]").toDF("s")
+    val got = df.select(JiraOps.complexFieldText($"s")).as[String].collect().toSeq
+    assert(got == Seq("High", "Jane", "plain", ""))
+  }
+
+  test("customFields: exclusion, empty-drop, rename, wrapper strip") {
+    val df = Seq(1).toDF("x").select(map(
+      lit("customfield_10020"), lit("Sprint 5"),
+      lit("customfield_10016"), lit("8"),
+      lit("customfield_99999"), lit(""),
+      lit("summary"), lit("skip me")).as("fields"))
+    val got = df.select(JiraOps.customFields($"fields",
+      exclude = Seq("summary"),
+      nameMap = Map(
+        "customfield_10020" -> "Custom field (Sprint)",
+        "customfield_10016" -> "Story point estimate")).as("cf"))
+      .selectExpr("transform(array_sort(cf), e -> concat(e.name, '=', e.value))")
+      .head.getSeq[String](0)
+    assert(got.toSet == Set("Sprint=Sprint 5", "Story point estimate=8"))
+  }
+
+  test("statusRank: canonical ordering") {
+    val ordered = Seq("Done", "To Do", "Weird", "In Progress", "Backlog").toDF("s")
+      .orderBy(JiraOps.statusRank($"s"), $"s")
+      .as[String].collect().toSeq
+    assert(ordered == Seq("To Do", "Backlog", "In Progress", "Done", "Weird"))
+  }
+
+  test("epicResolve: subtask -> story -> epic walk; orphans bucketed") {
+    val issues = Seq(
+      ("E-1", null, "Epic", "The Epic", "In Progress"),
+      ("S-1", "E-1", "Story", "Story one", "Done"),
+      ("T-1", "S-1", "Sub-task", "Sub one", "To Do"),
+      ("X-1", null, "Task", "Floater", "To Do"))
+      .toDF("key", "parent_key", "issuetype", "summary", "status")
+    val got = JiraOps.epicResolve(issues)
+      .select("key", "epic_key", "depth").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got("T-1") == (("E-1", 2)))
+    assert(got("S-1") == (("E-1", 1)))
+    assert(got("E-1") == (("E-1", 0)))
+    assert(got("X-1")._1 == "Issues Without Epic")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.NameMatcher
+import graft.operators.NameMatcher.Member
+
+class NameMatcherSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val members = Seq(
+    Member("Mark Jerly Bundalian", "mark", Seq("Mark", "M. Bundalian", "Mark B (2)")),
+    Member("Jane Smith", "jane", Seq("Jane", "J. Smith")),
+    Member("Mark Otherguy", "marko", Seq("Mark"))) // duplicate alias: first wins
+
+  lazy val aliases = NameMatcher.aliasTable(spark, members)
+
+  test("alias table normalizes and keeps priorities") {
+    val row = aliases.filter($"alias" === "Mark B (2)").head
+    assert(row.getAs[String]("alias_norm") == "mark b")
+  }
+
+  test("resolve: first-match-wins on duplicate aliases") {
+    val got = NameMatcher.resolve(
+      Seq("mark", "MARK", "nobody").toDF("participant"), aliases)
+      .select("participant", "member").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("mark").contains("Mark Jerly Bundalian"))
+    assert(got("MARK").contains("Mark Jerly Bundalian"), "case-insensitive")
+    assert(got("nobody").isEmpty)
+  }
+
+  test("participationFilter: threshold and >2-participants bypass") {
+    val fp = Seq(
+      // file A: 2 participants, 1 matched -> below min=2, no bypass (not >2)
+      ("A", "Mark"), ("A", "Stranger One"),
+      // file B: 2 matched -> passes threshold
+      ("B", "Mark"), ("B", "Jane Smith"),
+      // file C: 3 participants, 1 matched -> bypass applies
+      ("C", "Mark"), ("C", "S1"), ("C", "S2"),
+      // file D: no matches -> dropped
+      ("D", "S1"), ("D", "S2"), ("D", "S3")
+    ).toDF("file", "participant")
+    val kept = NameMatcher.participationFilter(fp, aliases, minRequired = 2)
+      .select("file").as[String].collect().toSet
+    assert(kept == Set("B", "C"))
+  }
+}

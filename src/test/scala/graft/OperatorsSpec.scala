@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DailyReports, Dedup, Sessions, Similarity}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: k-grams and short-doc degenerate case") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles(Dedup.words($"t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("exactDedup keeps min id with copy count") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("keep_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccardPairs finds the planted near-dup only") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 w1 w2 w3")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, num = 1, den = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(got.head._3 > 0.5)
+  }
+
+  test("minhash LSH agrees with exact jaccard on planted dups") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"),
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10")).toDF("doc_id", "text")
+    val got = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, num = 1, den = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs at hamming 0, disjoint docs apart") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "p q r s t u v w"),
+      (3L, "z9 z8 z7 z6 z5 z4 z3 z2")).toDF("doc_id", "text")
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", k = 3, maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+  }
+
+  test("cosine: exact on known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val got = df.select(round(Similarity.cosine($"a", $"b"), 9)).as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(got(1) == 1.0)
+  }
+
+  test("bruteForceKnn ranks by cosine desc") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)), (12L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1.0f, 0.0f))).toDF("query_id", "qe")
+    val got = Similarity.bruteForceKnn(corpus, queries, 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 11L))
+  }
+
+  test("sessionize: gap splits sessions per user") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
+      (3L, "2024-01-01 02:00:00", 1L), // > 30 min gap -> new session
+      (4L, "2024-01-01 00:00:00", 2L))
+      .toDF("event_id", "ts_s", "user_id")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+    val got = Sessions.sessionize(ev, "user_id", "ts", "event_id", 1800L)
+      .groupBy("user_id").agg(max("session_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("daily reports render: per-employee doc, newest date first, html cleaned") {
+    val joined = Seq(
+      (7, "Ada", "Lovelace", "<ul><li>did <b>math</b></li></ul>", "", "2025-10-02"),
+      (7, "Ada", "Lovelace", "<ul><li>wrote notes</li></ul>", "<ul><li>more</li></ul>", "2025-10-03"))
+      .toDF("employee_id", "employee_first_name", "employee_last_name",
+        "content", "todo", "report_date")
+    val doc = DailyReports.renderMarkdown(joined).head.getAs[String]("doc")
+    assert(doc.startsWith("# Daily Report: Ada Lovelace"))
+    assert(doc.indexOf("## 2025-10-03") < doc.indexOf("## 2025-10-02"), "newest first")
+    assert(doc.contains("- did **math**"))
+    assert(doc.contains("- (none)"), "empty todo placeholder")
+  }
+}

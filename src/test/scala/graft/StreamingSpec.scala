@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{UserEvent, UserRunning}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("windowedCounts: streaming tumbling windows match batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedCounts(df, "1 hour", "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:40:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 01:10:00"), "click", 4.0),
+      (Timestamp.valueOf("2024-01-01 00:20:00"), "view", 8.0))
+    q.processAllAvailable()
+    val got = spark.table("win_out")
+      .select("win_start", "event_type", "cnt", "total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(got == Set(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "click", 2L, 3.0),
+      (Timestamp.valueOf("2024-01-01 01:00:00"), "click", 1L, 4.0),
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "view", 1L, 8.0)))
+  }
+
+  test("runningPerUser: stateful aggregation across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingOps.runningPerUser(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("run_out").start()
+    mem.addData(UserEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData(UserEvent(1L, Timestamp.valueOf("2024-01-01 00:01:00"), 2.0))
+    q.processAllAvailable()
+    val got = spark.table("run_out").as[UserRunning].collect()
+    q.stop()
+    // state accumulates across batches: latest emission has n=2, total=3
+    assert(got.exists(r => r.user_id == 1L && r.n_events == 2L && r.total_value == 3.0))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Transcripts
+import graft.operators.Transcripts.Utterance
+
+class TranscriptsSpec extends AnyFunSuite {
+
+  test("all five reference line formats parse") {
+    val lines = Seq(
+      "0:00 - Alice Smith",
+      "hello there",
+      "and more",
+      "12:34 Bob Jones: Hello",
+      "[1:02:03] Carol: Hi",
+      "Dave (45:10): Yo",
+      "Eve: no timestamp here")
+    val got = Transcripts.parseLines(lines)
+    assert(got == Seq(
+      Utterance("0:00", "Alice Smith", "hello there\nand more"),
+      Utterance("12:34", "Bob Jones", "Hello"),
+      Utterance("1:02", "Carol", "Hi"),
+      Utterance("45:10", "Dave", "Yo"),
+      Utterance("", "Eve", "no timestamp here")))
+  }
+
+  test("normalizeTime strips seconds, keeps H:MM") {
+    assert(Transcripts.normalizeTime("1:02:03") == "1:02")
+    assert(Transcripts.normalizeTime("12:34") == "12:34")
+  }
+
+  test("empty and preamble-only input") {
+    assert(Transcripts.parseLines(Nil).isEmpty)
+    assert(Transcripts.parseLines(Seq("no pattern here - at all 123")).isEmpty)
+  }
+
+  test("blank lines don't split utterances") {
+    val got = Transcripts.parseLines(Seq("5:00 - A", "x", "", "y"))
+    assert(got == Seq(Utterance("5:00", "A", "x\ny")))
+  }
+}
