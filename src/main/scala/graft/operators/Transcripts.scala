@@ -27,7 +27,7 @@ object Transcripts {
   private val timeSpeaker = "^(\\d{1,2}:\\d{2}(?::\\d{2})?)\\s+([^:]+):\\s*(.*)$".r
   private val bracketTime = "^\\[(\\d{1,2}:\\d{2}(?::\\d{2}(?::\\d{2})?)?)\\]\\s*([^:]+):\\s*(.*)$".r
   private val speakerParen = "^(.+?)\\s*\\((\\d{1,2}:\\d{2}(?::\\d{2})?)\\):\\s*(.*)$".r
-  private val speakerOnly = "^([A-Za-z][A-Za-z .'-]{0,60}):\\s*(.*)$".r
+  private val speakerOnly = "^([A-Za-z][A-Za-z0-9 .'-]{0,60}):\\s*(.*)$".r
 
   /** Parse ordered transcript lines into utterances. A line matching any
     * pattern starts a new utterance; non-matching lines accumulate into
