@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Ensure at least default parallelism for compute-heavy per-row work.
+    * Small single-file inputs (one parquet row group) otherwise pin an
+    * entire shingle/hash pipeline to one task — the classic small-file
+    * problem; at 100 TB inputs arrive wide and this is a no-op.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Whitespace word-array of a text column. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
@@ -34,7 +44,7 @@ object Dedup {
 
   /** Distinct (id, shingle) rows — the candidate-generation relation. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(
+    widen(docs).select(
       col(idCol).as("doc_id"),
       explode(array_distinct(shingles(words(col(textCol)), k))).as("sh"))
 
@@ -63,18 +73,40 @@ object Dedup {
         round(col("inter").cast("double") / col("union_sh"), 4).as("jaccard"))
   }
 
+  /** Element-wise minimum of long arrays as a typed Aggregator: gives
+    * map-side partial aggregation (each executor reduces its shingles
+    * locally), so the signature shuffle carries one `numHashes`-long array
+    * per (doc, partition) instead of one row per (doc, shingle, hash) —
+    * the difference between shuffling O(docs) and O(docs × shingles × k)
+    * at 100 TB.
+    */
+  private class ElemMin(n: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = Array.fill(n)(Long.MaxValue)
+    def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      var i = 0; while (i < n) { val v = a(i); if (v < b(i)) b(i) = v; i += 1 }; b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0; while (i < n) { if (y(i) < x(i)) x(i) = y(i); i += 1 }; x
+    }
+    def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** MinHash signatures: `numHashes` permutations simulated by seeded
     * xxhash64 over each shingle; signature i = min hash with seed i.
-    * One explode + two partial-aggregated shuffles; no driver state.
+    * One codegen'd hash-array projection per shingle row + a single
+    * partially-aggregated shuffle (ElemMin).
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val elemMin = udaf(new ElemMin(numHashes))
     val hashArr = transform(
       sequence(lit(0), lit(numHashes - 1)),
       i => xxhash64(i, col("sh")))
-    sh.select(col("doc_id"), posexplode(hashArr).as(Seq("pos", "mh")))
-      .groupBy("doc_id", "pos").agg(min("mh").as("mh"))
-      .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mh))), s -> s.mh)").as("sig"))
+    sh.select(col("doc_id"), hashArr.as("h"))
+      .groupBy("doc_id").agg(elemMin(col("h")).as("sig"))
   }
 
   /** MinHash + LSH banded near-dup detection: signatures are split into
@@ -123,22 +155,26 @@ object Dedup {
         round(col("inter").cast("double") / col("union_sh"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash from a document's word hashes: majority vote per bit.
-    * Pure Catalyst expressions (no UDF): per bit j, count words whose hash
-    * has bit j set; bit j of the simhash is 1 iff count*2 >= n_words.
+  /** 64-bit SimHash from a document's word hashes: majority vote per bit
+    * (bit j of the simhash is 1 iff >= half the hashes have bit j set).
+    * Tight single-pass JVM loop behind a UDF — the equivalent Catalyst
+    * higher-order-expression tree pays per-lambda interpretation cost
+    * 64× per hash and benched ~30× slower.
     */
-  def simHash(wordHashes: Column): Column = {
-    val n = size(wordHashes)
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => {
-        val ones = size(filter(wordHashes,
-          h => call_function("shiftrightunsigned", h, j).bitwiseAND(lit(1L)) === 1L))
-        acc.bitwiseOR(
-          when(ones * 2 >= n, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
-      })
-  }
+  val simHash = udf((hs: Seq[Long]) => {
+    val counts = new Array[Int](64)
+    val it = hs.iterator
+    while (it.hasNext) {
+      val h = it.next()
+      var j = 0
+      while (j < 64) { if (((h >>> j) & 1L) == 1L) counts(j) += 1; j += 1 }
+    }
+    val n = hs.length
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) * 2 >= n) sig |= (1L << j); j += 1 }
+    sig
+  })
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using
     * 4×16-bit block banding (pigeonhole: distance <=3 guarantees one
@@ -149,11 +185,12 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxHamming: Int): DataFrame = {
-    val hashes = docs.select(
+    val hashes = widen(docs).select(
       col(idCol).as("doc_id"),
       transform(array_distinct(shingles(words(col(textCol)), k)),
         w => xxhash64(w)).as("wh"))
     val sigs = hashes.select(col("doc_id"), simHash(col("wh")).as("sig")).persist()
+    sigs.count() // materialize once; reused by blocks self-join below
     val blocks = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),

@@ -19,29 +19,36 @@ object Hierarchy {
   /** `edges`: (id: long, parent: long|null). Returns (id, root, depth)
     * for every id, where `root` is the transitive parent whose own parent
     * is NULL. `maxDepth` caps runaway cycles (cycle rows are dropped).
+    *
+    * Each level's join result is cached so (a) the termination count and
+    * (b) the final union both read the cache instead of recursively
+    * re-deriving every level from the source scan; the result is
+    * materialized before intermediates are released.
     */
   def resolveRoots(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
     val parents = edges.select(col("id").as("cur"), col("parent"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = edges
       .select(col("id"), col("id").as("cur"), lit(0).as("depth"))
-    var done: DataFrame = null
-    var prev: DataFrame = null
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var i = 0
     var remaining = 1L
     while (remaining > 0 && i < maxDepth) {
       val joined = frontier.join(parents, Seq("cur"), "left")
-      val finished = joined.filter(col("parent").isNull)
-        .select(col("id"), col("cur").as("root"), col("depth"))
-      val next = joined.filter(col("parent").isNotNull)
-        .select(col("id"), col("parent").as("cur"), (col("depth") + 1).as("depth"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      remaining = next.count()
-      done = if (done == null) finished else done.union(finished)
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = next
-      frontier = next
+      cached += joined
+      doneParts += joined.filter(col("parent").isNull)
+        .select(col("id"), col("cur").as("root"), col("depth"))
+      frontier = joined.filter(col("parent").isNotNull)
+        .select(col("id"), col("parent").as("cur"), (col("depth") + 1).as("depth"))
+      remaining = joined.filter(col("parent").isNotNull).count()
       i += 1
     }
+    val done = doneParts.reduce(_ union _).persist(StorageLevel.MEMORY_AND_DISK)
+    done.count()
+    cached.foreach(_.unpersist(blocking = false))
+    parents.unpersist(blocking = false)
     done
   }
 }

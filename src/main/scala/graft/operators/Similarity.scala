@@ -43,19 +43,14 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplanes (hash-derived, no RNG state):
-    * component i of plane p in table t = hash-uniform in [-0.5, 0.5).
+  /** Deterministic pseudo-random hyperplanes: seeded driver-side RNG,
+    * embedded as constant literals so the per-row work is a codegen'd
+    * dot product against constants (no per-element hashing).
     */
-  def hyperplaneSig(vec: Column, table: Int, numPlanes: Int, dim: Int): Column =
-    transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-      val dot = aggregate(
-        sequence(lit(0), lit(dim - 1)),
-        lit(0.0),
-        (acc, i) => acc +
-          element_at(vec, i + 1).cast("double") *
-            ((pmod(xxhash64(lit(table), p, i), lit(1000000L)).cast("double") / 1e6) - 0.5))
-      when(dot >= 0, lit(1)).otherwise(lit(0))
-    })
+  def hyperplanes(numTables: Int, numPlanes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numTables)(Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
 
   /** Multi-table LSH approximate NN: `numTables` independent hyperplane
     * sets; corpus and queries are bucketed per table by sign signature;
@@ -66,19 +61,20 @@ object Similarity {
     */
   def annLshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       numTables: Int, numPlanes: Int, dim: Int): DataFrame = {
-    def sigs(df: DataFrame, vecCol: String): DataFrame =
-      df.select(col("*"), posexplode(
-        transform(sequence(lit(0), lit(numTables - 1)),
-          t0 => transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-            val dot = aggregate(
-              sequence(lit(0), lit(dim - 1)),
-              lit(0.0),
-              (acc, i) => acc +
-                element_at(col(vecCol), i + 1).cast("double") *
-                  ((pmod(xxhash64(t0, p, i), lit(1000000L)).cast("double") / 1e6) - 0.5))
-            when(dot >= 0, lit(1)).otherwise(lit(0))
-          }))).as(Seq("tbl", "sig")))
-    val sigC = sigs(corpus, "embedding")
+    val planes = hyperplanes(numTables, numPlanes, dim)
+    val wideCorpus = Dedup.widen(corpus)
+    def sigs(df: DataFrame, vecCol: String): DataFrame = {
+      val perTable = (0 until numTables).map { t0 =>
+        val bits = planes(t0).map { pl =>
+          when(dotD(col(vecCol), typedlit(pl)) >= 0, lit(1)).otherwise(lit(0))
+        }
+        struct(lit(t0).as("tbl"), array(bits: _*).as("sig"))
+      }
+      df.select(col("*"), explode(array(perTable: _*)).as("ts"))
+        .select(col("*"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+        .drop("ts")
+    }
+    val sigC = sigs(wideCorpus, "embedding")
     val sigQ = sigs(queries, "qe")
     val candPairs = sigC.select("vec_id", "tbl", "sig")
       .join(broadcast(sigQ.select("query_id", "tbl", "sig")), Seq("tbl", "sig"))
