@@ -1,0 +1,92 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Hierarchical team/report config (reference `lib/config.js:294-426` +
+  * Joi rules `schemas/config.schema.js`): a merge chain
+  * defaults → team config → per-report-type overlay, deep-merged with
+  * maps merged recursively and arrays/scalars REPLACED (not concatenated),
+  * then cross-field validation. Jackson (shipped with Spark) parses; no
+  * extra dependencies.
+  */
+object Config {
+
+  private val mapper = new ObjectMapper()
+
+  def parseJson(json: String): Map[String, Any] =
+    fromJava(mapper.readValue(json, classOf[java.util.Map[String, Any]]))
+      .asInstanceOf[Map[String, Any]]
+
+  private def fromJava(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> fromJava(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(fromJava).toList
+    case other => other
+  }
+
+  /** Deep merge: nested maps merge key-wise; arrays and scalars in the
+    * overlay replace the base (the reference's documented semantics).
+    */
+  def deepMerge(base: Map[String, Any], overlay: Map[String, Any]): Map[String, Any] =
+    (base.keySet ++ overlay.keySet).map { k =>
+      k -> ((base.get(k), overlay.get(k)) match {
+        case (Some(b: Map[String, Any] @unchecked), Some(o: Map[String, Any] @unchecked)) =>
+          deepMerge(b, o)
+        case (_, Some(o)) => o
+        case (Some(b), None) => b
+        case _ => null
+      })
+    }.toMap
+
+  /** Merge a chain of JSON layers, later layers win. */
+  def loadChain(layers: Seq[String]): Map[String, Any] =
+    layers.map(parseJson).reduceLeft(deepMerge)
+
+  private val isoDate = "^\\d{4}-\\d{2}-\\d{2}$".r
+
+  /** Date-range rule (`schemas/config.schema.js:36-42,128-141`):
+    * both ISO, start <= end.
+    */
+  def validateDateRange(start: String, end: String): Either[String, Unit] =
+    if (isoDate.findFirstIn(start).isEmpty) Left(s"start_date not ISO: $start")
+    else if (isoDate.findFirstIn(end).isEmpty) Left(s"end_date not ISO: $end")
+    else if (start > end) Left(s"start_date $start after end_date $end")
+    else Right(())
+
+  /** Polymorphic employee_id (`lib/validators.js:68-144`): "", 123,
+    * "123", "1,2", [1,2] — all accepted; empty means "all employees".
+    */
+  def parseEmployeeIds(v: Any): Either[String, Seq[Int]] = v match {
+    case null | "" => Right(Nil)
+    case i: Integer => Right(Seq(i.intValue))
+    case i: Int => Right(Seq(i))
+    case s: String =>
+      val parts = s.split(",").map(_.trim).filter(_.nonEmpty)
+      if (parts.forall(_.matches("\\d+"))) Right(parts.map(_.toInt).toSeq)
+      else Left(s"employee_id not numeric: $s")
+    case l: Seq[_] =>
+      val (good, bad) = l.partition {
+        case _: Int | _: Integer => true
+        case s: String => s.matches("\\d+")
+        case _ => false
+      }
+      if (bad.isEmpty) Right(good.map {
+        case i: Int => i
+        case i: Integer => i.intValue
+        case s: String => s.toInt
+      })
+      else Left(s"employee_id entries not numeric: $bad")
+    case other => Left(s"unsupported employee_id: $other")
+  }
+
+  /** Folder-subset rule (`schemas/config.schema.js:509-531`):
+    * multiProjectFolders must be a subset of folder_ids.
+    */
+  def validateFolderSubset(multiProjectFolders: Seq[String],
+      folderIds: Seq[String]): Either[String, Unit] = {
+    val extra = multiProjectFolders.filterNot(folderIds.contains)
+    if (extra.isEmpty) Right(()) else Left(s"not in folder_ids: $extra")
+  }
+}

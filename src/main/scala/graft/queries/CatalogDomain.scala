@@ -163,6 +163,17 @@ object CatalogDomain {
                 'deploy [REDACTED SECRET] with [REDACTED SECRET] and [REDACTED SECRET] done' AS text
               FROM orders ORDER BY o_orderkey""")),
 
+    Q("a14_schema_union",
+      // reference A14: sorted union of dynamic field names across records
+      (s, d) =>
+        events(s, d)
+          .select(explode(json_object_keys(col("props"))).as("field"))
+          .groupBy("field").agg(count(lit(1)).as("n_records"))
+          .orderBy("field"),
+      Some("""SELECT field, count(*) AS n_records FROM (
+                SELECT unnest(json_keys(props)) AS field FROM events)
+              GROUP BY 1 ORDER BY 1""")),
+
     Q("x24_transcript_parse",
       // reference X24: per-file ordered parse; one synthesized line per
       // event, five format variants cycling on event_id

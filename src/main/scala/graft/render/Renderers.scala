@@ -1,0 +1,54 @@
+package graft.render
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks/renderers (reference K1/K2/K3).
+  *
+  * K1 CSV and K2 markdown are distributed writes; K3 (the Python
+  * "datasource" module) is deliberately a driver-side assembly of a few
+  * pre-aggregated section strings — the reference's one legitimately
+  * small output (SURVEY §7.5#8: the collect() happens only here, on
+  * per-section aggregates, never on row data).
+  */
+object Renderers {
+
+  /** K1: header CSV write. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K2: one markdown document per key — written as a partitioned text
+    * sink (`key=.../part-*.txt`), each partition dir holding one doc.
+    */
+  def writeMarkdownDocs(docs: DataFrame, keyCol: String, docCol: String,
+      outDir: String): Unit =
+    docs.select(col(keyCol).as("k"), col(docCol))
+      .repartition(col("k"))
+      .write.mode("overwrite").partitionBy("k").text(outDir)
+
+  /** X22: escape triple quotes for embedding in a Python string blob. */
+  def escapeTripleQuotes(s: String): String = s.replace("\"\"\"", "\\\"\"\"")
+
+  /** K3: assemble a Python datasource module from named sections
+    * (reference `templates/datasource_template.py` +
+    * `generate_weekly_digest.js:529-549`).
+    */
+  def pythonDatasource(sections: Seq[(String, String)],
+      header: String = "# Auto-generated datasource module\n"): String =
+    header + "\n" + sections.map { case (name, content) =>
+      s"""$name = \"\"\"\n${escapeTripleQuotes(content)}\n\"\"\"\n"""
+    }.mkString("\n")
+
+  /** K3 upstream: aggregate a (section_name, content) DataFrame into the
+    * final module text. The only collect() in the engine — input is one
+    * row per section by construction.
+    */
+  def assembleDatasource(sections: DataFrame, nameCol: String,
+      contentCol: String): String = {
+    val rows = sections
+      .select(col(nameCol).cast("string"), col(contentCol).cast("string"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    pythonDatasource(rows)
+  }
+}

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: dumps `explain("formatted")` for representative queries so
+  * scan pruning (ReadSchema/PushedFilters), broadcast choices, and
+  * whole-stage-codegen coverage can be reviewed per round.
+  * Usage: runMain graft.tools.ExplainAudit <sfDir> [queryName ...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("f1_date_range", "j1_multi_join", "q1_agg", "o3_topk_per_group",
+        "dedup_minhash_lsh", "sim_knn_cosine")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n==================== $n ====================")
+      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

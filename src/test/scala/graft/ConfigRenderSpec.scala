@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Config
+import graft.render.Renderers
+import graft.sources.Sources
+
+class ConfigRenderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("deepMerge: maps merge, arrays and scalars replace") {
+    val merged = Config.loadChain(Seq(
+      """{"jira":{"project":"A","team_members":["x","y"],"limit":5},"keep":1}""",
+      """{"jira":{"project":"B","team_members":["z"]}}"""))
+    val jira = merged("jira").asInstanceOf[Map[String, Any]]
+    assert(jira("project") == "B")
+    assert(jira("team_members") == List("z"), "arrays replaced, not merged")
+    assert(jira("limit") == 5)
+    assert(merged("keep") == 1)
+  }
+
+  test("validateDateRange: ordering and format") {
+    assert(Config.validateDateRange("2025-10-01", "2025-10-07").isRight)
+    assert(Config.validateDateRange("2025-10-07", "2025-10-01").isLeft)
+    assert(Config.validateDateRange("10/01/2025", "2025-10-07").isLeft)
+  }
+
+  test("parseEmployeeIds: polymorphic forms") {
+    assert(Config.parseEmployeeIds("") == Right(Nil))
+    assert(Config.parseEmployeeIds(123) == Right(Seq(123)))
+    assert(Config.parseEmployeeIds("123") == Right(Seq(123)))
+    assert(Config.parseEmployeeIds("1, 2") == Right(Seq(1, 2)))
+    assert(Config.parseEmployeeIds(Seq(1, "2")) == Right(Seq(1, 2)))
+    assert(Config.parseEmployeeIds("1,x").isLeft)
+  }
+
+  test("validateFolderSubset") {
+    assert(Config.validateFolderSubset(Seq("a"), Seq("a", "b")).isRight)
+    assert(Config.validateFolderSubset(Seq("c"), Seq("a", "b")).isLeft)
+  }
+
+  test("pythonDatasource: triple-quote escaping and section layout") {
+    val mod = Renderers.pythonDatasource(Seq(
+      "JIRA_DATA" -> "has \"\"\" inside",
+      "DAILY_DATA" -> "plain"))
+    assert(mod.contains("JIRA_DATA = \"\"\"\nhas \\\"\"\" inside\n\"\"\""))
+    assert(mod.contains("DAILY_DATA = \"\"\"\nplain\n\"\"\""))
+  }
+
+  test("assembleDatasource from DataFrame sections") {
+    val df = Seq(("A_DATA", "alpha"), ("B_DATA", "beta")).toDF("name", "content")
+    val mod = Renderers.assembleDatasource(df, "name", "content")
+    assert(mod.contains("A_DATA = \"\"\"\nalpha\n\"\"\""))
+    assert(mod.contains("B_DATA = \"\"\"\nbeta\n\"\"\""))
+  }
+
+  test("markdownDir source + K2 markdown sink round trip") {
+    val out = Files.createTempDirectory("graft_md").toString
+    val docs = Seq((1L, "# Doc one\nbody"), (2L, "# Doc two\nbody")).toDF("k", "doc")
+    Renderers.writeMarkdownDocs(docs, "k", "doc", out)
+    val back = spark.read.option("recursiveFileLookup", "true")
+      .option("wholetext", "true").text(out)
+    assert(back.count() == 2)
+    val contents = back.as[String].collect().toSet
+    assert(contents.exists(_.startsWith("# Doc one")))
+  }
+
+  test("csv sink + csv source round trip with header") {
+    val out = Files.createTempDirectory("graft_csv").toString + "/t"
+    Renderers.writeCsv(Seq((1, "a"), (2, "b")).toDF("id", "v"), out)
+    val back = Sources.csv(spark, out)
+    assert(back.columns.toSeq == Seq("id", "v"))
+    assert(back.count() == 2)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.core.Config
+import graft.operators.Transcripts
+import graft.render.Renderers
+
+/** ScalaCheck properties for the pure-Scala operator logic (SURVEY §5#2).
+  * Spark-expression cascades are property-tested batch-style in
+  * [[SparkPropertySpec]] (one job over many generated rows, not one job
+  * per sample).
+  */
+object PropertySpec extends Properties("graft") {
+
+  private val word = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+
+  property("normalizeTime idempotent and seconds-stripping") =
+    Prop.forAll(Gen.choose(0, 23), Gen.choose(0, 59), Gen.choose(0, 59)) {
+      (h, m, s) =>
+        val t = Transcripts.normalizeTime(f"$h:$m%02d:$s%02d")
+        t == f"$h:$m%02d" && Transcripts.normalizeTime(t) == t
+    }
+
+  property("parseLines: every 'Speaker: content' line yields one utterance") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(word, word))) { pairs =>
+      val lines = pairs.map { case (sp, c) => s"${sp.capitalize}: $c" }
+      Transcripts.parseLines(lines).size == lines.size
+    }
+
+  property("deepMerge: overlay wins, base-only keys survive") =
+    Prop.forAll(Gen.mapOf(Gen.zip(word, Gen.choose(0, 9))),
+      Gen.mapOf(Gen.zip(word, Gen.choose(10, 19)))) { (b, o) =>
+      val m = Config.deepMerge(
+        b.asInstanceOf[Map[String, Any]], o.asInstanceOf[Map[String, Any]])
+      o.forall { case (k, v) => m(k) == v } &&
+        (b.keySet -- o.keySet).forall(k => m(k) == b(k))
+    }
+
+  property("parseEmployeeIds: comma string equals list form") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1, 9999))) { ids =>
+      Config.parseEmployeeIds(ids.mkString(",")) ==
+        Config.parseEmployeeIds(ids)
+    }
+
+  property("escapeTripleQuotes: no naked triple quote remains") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(word, Gen.const("\"\"\""))).map(_.mkString)) {
+      s => !Renderers.escapeTripleQuotes(s)
+        .replace("\\\"\"\"", "").contains("\"\"\"")
+    }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DateFns, TextFns}
+
+/** Generator-driven batch properties over Spark expressions: one job per
+  * property evaluating many generated rows (a job per ScalaCheck sample
+  * would be ~100 Spark jobs per property).
+  */
+class SparkPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val dates: Seq[LocalDate] =
+    samples(Gen.choose(0L, 365L * 80), 300)
+      .map(d => LocalDate.of(1970, 1, 1).plusDays(d))
+
+  test("prop: filename-date cascade round-trips all three render formats") {
+    val fmt1 = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val fmt2 = java.time.format.DateTimeFormatter.ofPattern("MM_dd_yyyy")
+    val fmt3 = java.time.format.DateTimeFormatter.ofPattern("MMMM d, yyyy",
+      java.util.Locale.ENGLISH)
+    val rows = dates.zipWithIndex.map { case (d, i) =>
+      val fn = (i % 3) match {
+        case 0 => s"rep-${d.format(fmt1)}T01_02_03.txt"
+        case 1 => s"sync_${d.format(fmt2)} x.txt"
+        case _ => s"Meeting ${d.format(fmt3)}.txt"
+      }
+      (fn, d.toString)
+    }
+    val bad = rows.toDF("fn", "expected")
+      .select(DateFns.filenameDate($"fn").cast("string").as("got"), $"expected")
+      .filter($"got".isNull || $"got" =!= $"expected")
+    assert(bad.count() == 0, bad.take(5).mkString(","))
+  }
+
+  test("prop: normalizeName is idempotent and produces only [a-z0-9 ]") {
+    val junk = samples(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("(x)", "[y]", "-", "_", ".", "'", "  ", "\t", "#", "Ä")))
+      .map(_.mkString(" ")), 300)
+    val df = junk.toDF("s")
+      .select(TextFns.normalizeName($"s").as("n1"))
+      .select($"n1", TextFns.normalizeName($"n1").as("n2"))
+    assert(df.filter($"n1" =!= $"n2").count() == 0, "idempotence")
+    assert(df.filter(!$"n1".rlike("^[a-z0-9 ]*$")).count() == 0, "alphabet")
+  }
+
+  test("prop: date-range predicate boundary inclusivity") {
+    val df = dates.map(_.toString).toDF("d")
+      .select(to_date($"d").as("d"))
+    val start = "1990-01-01"
+    val end = "2010-12-31"
+    val in = df.filter(DateFns.inRange($"d", start, end))
+    val manual = dates.count(d =>
+      !d.isBefore(LocalDate.parse(start)) && !d.isAfter(LocalDate.parse(end)))
+    assert(in.count() == manual)
+    // boundaries themselves are included
+    val b = Seq(start, end).toDF("d").select(to_date($"d").as("d"))
+    assert(b.filter(DateFns.inRange($"d", start, end)).count() == 2)
+  }
+
+  test("prop: estTokens == ceil(len/4) for random strings") {
+    val strs = samples(Gen.asciiPrintableStr.map(_.take(40)), 200)
+    val bad = strs.toDF("s")
+      .select(TextFns.estTokens($"s").as("got"),
+        ceil(length($"s") / lit(4.0)).cast("long").as("want"))
+      .filter($"got" =!= $"want")
+    assert(bad.count() == 0)
+  }
+}
