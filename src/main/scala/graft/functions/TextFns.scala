@@ -55,6 +55,31 @@ object TextFns {
   /** Content checksum (reference X21, `lib/vercel-blob-uploader.js:22-24`). */
   def sha256Hex(c: Column): Column = sha2(c, 256)
 
+  /** Filename slugify (reference X12, `datasource-generator/lib/
+    * output-filename.js:18-37`): NFKD accent strip (needs
+    * `java.text.Normalizer` — tiny UDF), non-alphanumeric runs → `_`,
+    * lowercase, trimmed underscores.
+    */
+  val slugify = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFKD)
+      .replaceAll("\\p{M}", "")
+      .replaceAll("[^a-zA-Z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+      .toLowerCase)
+
+  /** Windows-safe filename sanitize (reference
+    * `transcripts/download-from-drive.js:34-44`): invalid chars → `_`,
+    * control chars stripped, dots/spaces trimmed at the ends.
+    */
+  def sanitizeFilename(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "[<>:\"/\\\\|?*]", "_"),
+        "[\\x00-\\x1f]", ""),
+      "^[. ]+|[. ]+$", "")
+
   /** Secret masking (reference X17, `slack/lib/sanitizer.js:104-122`):
     * private-key blocks, Slack `xox?-` tokens, AWS access keys, `token=`
     * query params, `UPPER_SNAKE=value` env pairs.

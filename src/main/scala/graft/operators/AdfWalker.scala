@@ -1,0 +1,65 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.functions.udf
+
+/** Atlassian Document Format → plain text (reference X2,
+  * `jira/build-epic-tree.js:358-399`): recursive walk of the node tree —
+  * paragraph/heading/bulletList/orderedList/listItem/text/mention/
+  * hardBreak/codeBlock. Recursive + schema-free, so a jackson UDF rather
+  * than Catalyst expressions; ADF only appears in description/comment
+  * fields, never in the hot relational path.
+  */
+object AdfWalker {
+
+  private lazy val mapper = new ObjectMapper()
+
+  def adfToText(json: String): String = {
+    if (json == null || json.trim.isEmpty) return ""
+    val root =
+      try mapper.readTree(json)
+      catch { case _: Exception => return json } // not ADF: pass through
+    if (!root.has("type")) return json
+    val sb = new StringBuilder
+    walk(root, sb, depth = 0, ordered = false)
+    sb.toString.replaceAll("\n{3,}", "\n\n").trim
+  }
+
+  private def children(n: JsonNode): Seq[JsonNode] =
+    if (n.has("content")) n.get("content").elements().asScala.toSeq else Nil
+
+  private def walk(n: JsonNode, sb: StringBuilder, depth: Int, ordered: Boolean): Unit =
+    n.path("type").asText() match {
+      case "text" => sb.append(n.path("text").asText())
+      case "mention" =>
+        sb.append("@").append(n.path("attrs").path("text").asText()
+          .stripPrefix("@"))
+      case "hardBreak" => sb.append("\n")
+      case "paragraph" =>
+        children(n).foreach(walk(_, sb, depth, ordered)); sb.append("\n\n")
+      case "heading" =>
+        sb.append("#" * math.max(1, n.path("attrs").path("level").asInt(1)))
+          .append(" ")
+        children(n).foreach(walk(_, sb, depth, ordered)); sb.append("\n\n")
+      case "bulletList" =>
+        children(n).foreach(walk(_, sb, depth + 1, ordered = false))
+        if (depth == 0) sb.append("\n")
+      case "orderedList" =>
+        children(n).foreach(walk(_, sb, depth + 1, ordered = true))
+        if (depth == 0) sb.append("\n")
+      case "listItem" =>
+        sb.append("  " * (depth - 1)).append(if (ordered) "1. " else "- ")
+        val inner = new StringBuilder
+        children(n).foreach(walk(_, inner, depth, ordered))
+        sb.append(inner.toString.trim).append("\n")
+      case "codeBlock" =>
+        sb.append("```\n")
+        children(n).foreach(walk(_, sb, depth, ordered))
+        sb.append("\n```\n")
+      case _ => children(n).foreach(walk(_, sb, depth, ordered))
+    }
+
+  val adfToTextUdf = udf(adfToText _)
+}

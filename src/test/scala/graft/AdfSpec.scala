@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+import graft.operators.AdfWalker
+
+class AdfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val adf = """{"type":"doc","version":1,"content":[
+    {"type":"heading","attrs":{"level":2},"content":[{"type":"text","text":"Plan"}]},
+    {"type":"paragraph","content":[
+      {"type":"text","text":"Ping "},
+      {"type":"mention","attrs":{"id":"1","text":"@Jane"}},
+      {"type":"hardBreak"},
+      {"type":"text","text":"next line"}]},
+    {"type":"bulletList","content":[
+      {"type":"listItem","content":[{"type":"paragraph","content":[{"type":"text","text":"one"}]}]},
+      {"type":"listItem","content":[{"type":"paragraph","content":[{"type":"text","text":"two"}]}]}]},
+    {"type":"orderedList","content":[
+      {"type":"listItem","content":[{"type":"paragraph","content":[{"type":"text","text":"first"}]}]}]}
+  ]}"""
+
+  test("adfToText: headings, mentions, breaks, bullet and ordered lists") {
+    val got = AdfWalker.adfToText(adf)
+    assert(got ==
+      "## Plan\n\nPing @Jane\nnext line\n\n- one\n- two\n\n1. first")
+  }
+
+  test("adfToText: non-ADF and empty inputs pass through") {
+    assert(AdfWalker.adfToText("plain wiki text") == "plain wiki text")
+    assert(AdfWalker.adfToText("") == "")
+    assert(AdfWalker.adfToText(null) == "")
+  }
+
+  test("adfToText as UDF over a DataFrame") {
+    val got = Seq(adf).toDF("d")
+      .select(AdfWalker.adfToTextUdf($"d")).head.getString(0)
+    assert(got.startsWith("## Plan"))
+  }
+
+  test("slugify: NFKD accents, symbol runs, trim") {
+    val got = Seq("Café Déjà-Vu! (v2).txt", " -x- ").toDF("s")
+      .select(TextFns.slugify($"s")).as[String].collect().toSeq
+    assert(got == Seq("cafe_deja_vu_v2_txt", "x"))
+  }
+
+  test("sanitizeFilename: windows-invalid chars and edge trim") {
+    val got = Seq("a<b>:c?.txt.", "  lead.txt").toDF("s")
+      .select(TextFns.sanitizeFilename($"s")).as[String].collect().toSeq
+    assert(got == Seq("a_b__c_.txt", "lead.txt"))
+  }
+}
