@@ -105,13 +105,17 @@ object SlackOps {
 
   val redactCodeUdf = udf(redactCode _)
 
-  /** X19: case-insensitive line-level denylist redaction. */
-  def redactDenylist(text: Column, denylist: Seq[String]): Column = {
-    val pat = denylist.map(java.util.regex.Pattern.quote).mkString("(?i)(", "|", ")")
-    concat_ws("\n",
-      transform(split(text, "\n"),
-        line => when(line.rlike(pat), lit("[REDACTED PROMPT]")).otherwise(line)))
-  }
+  /** X19: case-insensitive line-level denylist redaction. Empty denylist
+    * is the identity (an empty alternation would match every line).
+    */
+  def redactDenylist(text: Column, denylist: Seq[String]): Column =
+    if (denylist.isEmpty) text
+    else {
+      val pat = denylist.map(java.util.regex.Pattern.quote).mkString("(?i)(", "|", ")")
+      concat_ws("\n",
+        transform(split(text, "\n"),
+          line => when(line.rlike(pat), lit("[REDACTED PROMPT]")).otherwise(line)))
+    }
 
   /** Full sanitize chain: code fences → secrets → denylist (reference
     * order `slack/convert-to-markdown.js`).

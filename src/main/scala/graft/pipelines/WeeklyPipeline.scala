@@ -1,0 +1,152 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.render.Renderers
+
+/** The weekly report pipeline (reference EP1 `generate_weekly_digest.js`,
+  * SURVEY §3): daily reports + Jira + transcripts + Slack → one Python
+  * datasource module.
+  *
+  * The reference runs this as six spawned processes with filesystem
+  * handoff; here it is ONE Catalyst-planned DAG per section, converging
+  * on a 5-row (section, content) DataFrame. Only those 5 aggregated
+  * strings ever reach the driver.
+  */
+object WeeklyPipeline {
+
+  case class Inputs(
+      dailyJoined: DataFrame, // J1 output shape (FIXTURES §1)
+      jiraIssues: DataFrame, // key, summary, status, assignee, parent_key, issuetype
+      changelogIssues: DataFrame, // (key, histories) — FIXTURES §3; may be empty
+      transcriptFiles: DataFrame, // (file, lines array<string>)
+      slackMessages: DataFrame, // (ts, user, text, thread_ts)
+      userMap: Map[String, String],
+      teamMembers: Seq[NameMatcher.Member])
+
+  /** One aggregated markdown string from per-key docs, separator and
+    * deterministic key order matching the reference's concatenation (U3).
+    */
+  private def concatDocs(docs: DataFrame, keyCol: String, docCol: String): DataFrame =
+    docs.agg(concat_ws("\n\n---\n\n", expr(
+      s"transform(array_sort(collect_list(struct($keyCol, $docCol))), s -> s.$docCol)"))
+      .as("content"))
+
+  def dailySection(daily: DataFrame): DataFrame =
+    concatDocs(DailyReports.renderMarkdown(daily), "employee_id", "doc")
+
+  def jiraSection(issues: DataFrame, changelogIssues: DataFrame): DataFrame = {
+    val blocks =
+      if (changelogIssues.isEmpty) changelogIssues.sparkSession.emptyDataFrame
+        .withColumn("key", lit("")).withColumn("changelog_md", lit(""))
+        .select("key", "changelog_md").limit(0)
+      else Changelog.historyBlocks(Changelog.flatten(changelogIssues))
+        .groupBy("key")
+        .agg(concat_ws("\n", collect_list(col("block"))).as("changelog_md"))
+    val withLog = issues.join(blocks, Seq("key"), "left")
+      .withColumn("changelog_md", coalesce(col("changelog_md"), lit("")))
+    val ticket = concat(
+      lit("### ["), col("key"), lit("] "), col("summary"),
+      lit("\n**Assignee**: "), coalesce(col("assignee"), lit("Unassigned")),
+      when(length(col("changelog_md")) > 0,
+        concat(lit("\n**Changelog**:\n"), col("changelog_md"))).otherwise(lit("")))
+    val byStatus = withLog
+      .withColumn("rank", JiraOps.statusRank(col("status")))
+      .withColumn("ticket_md", ticket)
+      .groupBy("rank", "status")
+      .agg(count(lit(1)).as("n"), concat_ws("\n\n", expr(
+        "transform(array_sort(collect_list(struct(key, ticket_md))), s -> s.ticket_md)"))
+        .as("tickets"))
+      .withColumn("doc", concat(lit("## "), col("status"),
+        lit(" ("), col("n"), lit(")\n\n"), col("tickets")))
+    byStatus.agg(concat_ws("\n\n", expr(
+      "transform(array_sort(collect_list(struct(rank, status, doc))), s -> s.doc)"))
+      .as("content"))
+  }
+
+  def transcriptSection(files: DataFrame, members: Seq[NameMatcher.Member],
+      minRequired: Int): DataFrame = {
+    val spark = files.sparkSession
+    val aliases = NameMatcher.aliasTable(spark, members)
+    val parsed = files.withColumn("utts", Transcripts.parseUdf(col("lines")))
+    val participants = parsed.select(col("file"),
+      explode(Transcripts.participants(col("utts"))).as("participant"))
+    val kept = NameMatcher.participationFilter(participants, aliases, minRequired)
+      .select("file")
+    val rendered = parsed.join(kept, "file")
+      .withColumn("doc", concat(lit("# Transcript: "), col("file"), lit("\n\n"),
+        concat_ws("\n", expr(
+          "transform(utts, u -> concat('- ', u.time, ' ', u.speaker, ': ', u.content))"))))
+    concatDocs(rendered.select(col("file"), col("doc")), "file", "doc")
+  }
+
+  def slackSection(messages: DataFrame, userMap: Map[String, String],
+      denylist: Seq[String]): DataFrame = {
+    import graft.functions.{DateFns, TextFns}
+    val threaded = SlackOps.reattachThreads(messages)
+    val resolved = SlackOps.resolveUsers(threaded, userMap)
+      .withColumn("clean",
+        SlackOps.sanitize(TextFns.slackMarkupNormalize(col("text")), denylist))
+    val userEntries = userMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val users = if (userEntries.isEmpty) map() else map(userEntries: _*)
+    // replies render indented under the parent; expression-level sanitize
+    // (markup + inline code + secrets) since UDFs can't run inside the
+    // transform lambda — fences in replies degrade to inline redaction
+    val replyLines = when(size(col("replies")) > 0,
+      concat(lit("\n"), concat_ws("\n", transform(col("replies"), r =>
+        concat(lit("  > "),
+          coalesce(element_at(users, r.getField("user")), r.getField("user")),
+          lit(": "),
+          TextFns.maskSecrets(regexp_replace(
+            TextFns.slackMarkupNormalize(r.getField("text")),
+            "`[^`\n]+`", "[REDACTED INLINE CODE]"))))))).otherwise(lit(""))
+    val byDay = resolved
+      .withColumn("day",
+        date_format(DateFns.epochStringToTimestamp(col("ts")), "yyyy-MM-dd"))
+      .withColumn("line", concat(
+        date_format(DateFns.epochStringToTimestamp(col("ts")), "HH:mm"),
+        lit(" **"), col("author"), lit("**: "), col("clean"), replyLines))
+      .groupBy("day")
+      .agg(concat_ws("\n", expr(
+        "transform(array_sort(collect_list(struct(ts, line))), s -> s.line)")).as("msgs"))
+      .withColumn("doc", concat(lit("## "), col("day"), lit("\n\n"), col("msgs")))
+    concatDocs(byDay.select(col("day"), col("doc")), "day", "doc")
+  }
+
+  def summarySection(daily: DataFrame, issues: DataFrame,
+      transcripts: DataFrame): DataFrame = {
+    val d = daily.agg(
+      count(lit(1)).as("n_reports"),
+      countDistinct(col("employee_id")).as("n_employees"),
+      min(col("report_date")).cast("string").as("min_date"),
+      max(col("report_date")).cast("string").as("max_date"))
+    val j = issues.agg(count(lit(1)).as("n_tickets"))
+    val t = transcripts.agg(count(lit(1)).as("n_transcripts"))
+    d.crossJoin(j).crossJoin(t).select(concat(
+      lit("- Daily reports: "), col("n_reports"),
+      lit(" from "), col("n_employees"), lit(" employees ("),
+      col("min_date"), lit(" to "), col("max_date"), lit(")\n"),
+      lit("- Jira tickets: "), col("n_tickets"), lit("\n"),
+      lit("- Transcripts: "), col("n_transcripts")).as("content"))
+  }
+
+  /** Assemble the full module. The 5 sections are independent DAG arms;
+    * the union is 5 rows; `assembleDatasource` is the only collect.
+    */
+  def run(spark: SparkSession, in: Inputs,
+      denylist: Seq[String] = Nil, minTeamMembers: Int = 1): String = {
+    def named(n: String, df: DataFrame): DataFrame =
+      df.select(lit(n).as("name"), col("content"))
+    val sections =
+      named("SUMMARY", summarySection(in.dailyJoined, in.jiraIssues, in.transcriptFiles))
+        .unionByName(named("DAILY_DATA", dailySection(in.dailyJoined)))
+        .unionByName(named("JIRA_DATA", jiraSection(in.jiraIssues, in.changelogIssues)))
+        .unionByName(named("MEETING_TRANSCRIPTS",
+          transcriptSection(in.transcriptFiles, in.teamMembers, minTeamMembers)))
+        .unionByName(named("SLACK_DATA",
+          slackSection(in.slackMessages, in.userMap, denylist)))
+    Renderers.assembleDatasource(sections, "name", "content")
+  }
+}

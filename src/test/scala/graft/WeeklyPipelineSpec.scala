@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.NameMatcher.Member
+import graft.pipelines.WeeklyPipeline
+import graft.pipelines.WeeklyPipeline.Inputs
+
+class WeeklyPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("end-to-end weekly module from fixture inputs") {
+    val daily = Seq(
+      (1, "Ada", "Lovelace", "<ul><li>math</li></ul>", "", "2025-10-01"),
+      (2, "Alan", "Turing", "<ul><li>codes</li></ul>", "", "2025-10-02"))
+      .toDF("employee_id", "employee_first_name", "employee_last_name",
+        "content", "todo", "report_date")
+    val issues = Seq(
+      ("T-1", "Fix parser", "In Progress", "Ada", null, "Task"),
+      ("T-2", "Ship report", "Done", null, null, "Task"),
+      ("T-3", "Plan next", "To Do", "Alan", null, "Task"))
+      .toDF("key", "summary", "status", "assignee", "parent_key", "issuetype")
+    val changelog = spark.sql(
+      """SELECT 'T-1' AS key, array(named_struct(
+           'id','1','created','2025-10-01 09:00',
+           'author', named_struct('displayName','Ada'),
+           'items', array(named_struct('field','status',
+             'fromString','To Do','toString','In Progress')))) AS histories""")
+    val transcripts = Seq(
+      ("standup.txt", Seq("0:00 - Ada Lovelace", "hello", "Alan: hi")),
+      ("external.txt", Seq("Stranger: nothing relevant")))
+      .toDF("file", "lines")
+    val slack = Seq(
+      ("1759910400.0", "U1", "shipped <https://ex.com|it>", null),
+      ("1759910460.0", "U2", "nice `rm -rf` work", "1759910400.0"))
+      .toDF("ts", "user", "text", "thread_ts")
+
+    val module = WeeklyPipeline.run(spark, Inputs(
+      dailyJoined = daily,
+      jiraIssues = issues,
+      changelogIssues = changelog,
+      transcriptFiles = transcripts,
+      slackMessages = slack,
+      userMap = Map("U1" -> "Ada", "U2" -> "Alan"),
+      teamMembers = Seq(
+        Member("Ada Lovelace", "ada", Seq("Ada")),
+        Member("Alan Turing", "alan", Seq("Alan")))))
+
+    // section variables present
+    for (v <- Seq("SUMMARY", "DAILY_DATA", "JIRA_DATA",
+        "MEETING_TRANSCRIPTS", "SLACK_DATA"))
+      assert(module.contains(s"$v = \"\"\""), s"missing section $v")
+    // daily: both employees, html cleaned
+    assert(module.contains("# Daily Report: Ada Lovelace"))
+    assert(module.contains("- codes"))
+    // jira: canonical status order To Do < In Progress < Done
+    val toDo = module.indexOf("## To Do (1)")
+    val inProg = module.indexOf("## In Progress (1)")
+    val done = module.indexOf("## Done (1)")
+    assert(toDo >= 0 && inProg > toDo && done > inProg, "status order")
+    assert(module.contains("**Assignee**: Unassigned"))
+    assert(module.contains("Status: To Do → In Progress"), "changelog attached")
+    // transcripts: team file kept, external dropped (no member matched)
+    assert(module.contains("# Transcript: standup.txt"))
+    assert(!module.contains("external.txt"))
+    // slack: mention/user resolution, sanitizer, thread present under parent
+    assert(module.contains("**Ada**: shipped [it](https://ex.com)"))
+    assert(module.contains("[REDACTED INLINE CODE]"))
+    // summary counts
+    assert(module.contains("- Daily reports: 2 from 2 employees (2025-10-01 to 2025-10-02)"))
+    assert(module.contains("- Jira tickets: 3"))
+  }
+}
