@@ -97,15 +97,17 @@ object Dedup {
 
   /** MinHash signatures: `numHashes` permutations simulated by seeded
     * xxhash64 over each shingle; signature i = min hash with seed i.
-    * One codegen'd hash-array projection per shingle row + a single
+    * One codegen'd hash-array projection per shingle row (native
+    * [[graft.plans.MinHashArray]] expression — stays in whole-stage
+    * codegen, unlike a higher-order `transform`) + a single
     * partially-aggregated shuffle (ElemMin).
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val elemMin = udaf(new ElemMin(numHashes))
-    val hashArr = transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => xxhash64(i, col("sh")))
-    sh.select(col("doc_id"), hashArr.as("h"))
+    val fname = s"graft_minhash_array_$numHashes"
+    sh.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.plans.MinHashArray(exprs.head, numHashes), "scala_udf")
+    sh.select(col("doc_id"), expr(s"$fname(sh)").as("h"))
       .groupBy("doc_id").agg(elemMin(col("h")).as("sig"))
   }
 

@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `minhash_array(shingle)` — the `numHashes` seeded xxhash64 values of a
+  * shingle string as `array<bigint>`, as one codegen'd native expression.
+  *
+  * The composed form (`transform(sequence(0,63), i -> xxhash64(i, sh))`)
+  * is a higher-order function, which Catalyst evaluates interpreted
+  * (lambda per element, boxed longs); this expression stays inside
+  * whole-stage codegen and hashes the string's bytes directly, once per
+  * seed, with no allocation beyond the result array. SURVEY §7.4's
+  * "custom Expression only where bench shows UDF/HOF hot spots" case —
+  * the minhash signature stage is exactly that (docs × shingles × 64).
+  */
+case class MinHashArray(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_array needs a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_array"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, i.toLong)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("mhArr")
+      val i = ctx.freshName("mhI")
+      s"""
+         |long[] $arr = new long[$numHashes];
+         |for (int $i = 0; $i < $numHashes; $i++) {
+         |  $arr[$i] = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $c.getBaseObject(), $c.getBaseOffset(), $c.numBytes(), (long) $i);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

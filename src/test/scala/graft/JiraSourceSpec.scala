@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JiraSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("jira_pages")
+    Files.writeString(d.resolve("page_0.json"),
+      """{"issues":[
+        {"key":"AB-1","project":"AB","status":"Done","assignee":"Ada",
+         "summary":"one","updated":"2025-10-01T10:00:00","labels":["x","y"]},
+        {"key":"AB-2","project":"AB","status":"To Do","assignee":null,
+         "summary":"two","updated":"2025-09-01T10:00:00","labels":[]}]}""")
+    Files.writeString(d.resolve("page_1.json"),
+      """{"issues":[
+        {"key":"ZZ-9","project":"ZZ","status":"Done","assignee":"Zed",
+         "summary":"other project","updated":"2025-10-02T10:00:00","labels":null}]}""")
+    d.toString
+  }
+
+  private def read = spark.read
+    .format("graft.sources.jira.JiraSource").option("path", dir).load()
+
+  test("reads staged pages, one partition per page") {
+    val df = read
+    assert(df.count() == 3)
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("key", "project", "status", "assignee", "summary", "updated", "labels"))
+  }
+
+  test("filter pushdown: project + updated become JQL in the scan") {
+    val df = read.filter(col("project") === "AB" &&
+      col("updated") >= lit("2025-09-15 00:00:00").cast("timestamp"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("AB-1"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("""jql=[project = "AB" AND updated >= """"), plan)
+  }
+
+  test("column pruning reaches the scan (fields= projection)") {
+    val df = read.select("key", "status")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("fields=[key,status]"), desc)
+    assert(df.collect().length == 3)
+  }
+
+  test("residual filters still evaluated by Spark") {
+    // status is NOT translatable -> stays a Spark-side filter
+    val df = read.filter(col("status") === "Done" && col("project") === "AB")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("AB-1"))
+  }
+
+  test("null handling: assignee/labels nulls survive") {
+    val rows = read.filter(col("key") === "AB-2")
+      .select("assignee", "labels").collect()
+    assert(rows.head.isNullAt(0))
+    assert(rows.head.getSeq[String](1) == Seq())
+  }
+}
