@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics: skew salting and bucketed co-located joins — the
+  * knobs that keep the SURVEY §2 operator shapes working at 100 TB
+  * (SURVEY §4 "physical strategies"). AQE handles moderate skew
+  * automatically (`spark.sql.adaptive.skewJoin`); explicit salting is for
+  * the pathological keys AQE splits can't fix (one key ≫ one executor's
+  * memory in a hash aggregate).
+  */
+object Scale {
+
+  /** Two-phase salted aggregation: counts/sums for a heavily-skewed group
+    * key. Phase 1 aggregates (key, salt) partials across `saltBuckets`
+    * shuffle partitions; phase 2 merges partials per key. Equivalent to
+    * plain groupBy for any associative aggregate.
+    */
+  def saltedCount(df: DataFrame, key: String, saltBuckets: Int): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("cnt"))
+
+  /** Salted skew join: replicate the small side `saltBuckets`× with an
+    * explicit salt, salt the big side randomly-but-deterministically, and
+    * join on (key, salt) — spreads one hot key across `saltBuckets`
+    * tasks. Inner-join semantics preserved.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+    val saltedSmall = small
+      .withColumn("_salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Write both sides bucketed by the join key so the subsequent join is
+    * co-located (no Exchange on either side). This is the engine's
+    * canonical layout for repeated fact-fact joins at 100 TB: pay one
+    * shuffle at ingest, join shuffle-free forever after.
+    */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int,
+      table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+}

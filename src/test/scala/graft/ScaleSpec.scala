@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedCount equals plain groupBy count") {
+    val df = (1 to 5000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    val salted = Scale.saltedCount(df, "k", 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    assert(salted("hot") == 500L)
+  }
+
+  test("saltedJoin equals plain inner join") {
+    val big = (1 to 2000).map(i => (s"k${i % 7}", i)).toDF("k", "v")
+    val small = Seq(("k0", "a"), ("k3", "b")).toDF("k", "name")
+    val plain = big.join(small, "k").agg(count(lit(1)), sum("v"))
+      .as[(Long, Long)].head()
+    val salted = Scale.saltedJoin(big, small, "k", 4).agg(count(lit(1)), sum("v"))
+      .as[(Long, Long)].head()
+    assert(salted == plain)
+  }
+
+  test("bucketed join plan has no shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lines")
+    // a previously-killed run can leave the managed location behind
+    // without a catalog entry; clear it or CTAS refuses the location
+    for (t <- Seq("b_orders", "b_lines")) {
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    val lines = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Scale.writeBucketed(orders, "o_orderkey", 8, "b_orders")
+    Scale.writeBucketed(lines, "o_orderkey", 8, "b_lines")
+    val joined = spark.table("b_orders").join(spark.table("b_lines"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == lines.count())
+  }
+
+  test("approx_count_distinct within 5% of exact at this scale") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val exact = li.select(countDistinct("l_partkey")).as[Long].head()
+    val approx = li.select(approx_count_distinct("l_partkey", 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+}
