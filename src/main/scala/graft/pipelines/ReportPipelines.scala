@@ -1,0 +1,124 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.render.Renderers
+
+/** The other three reference entry points (SURVEY §3): `team`,
+  * `dashboard`, `1on1` — same operator library, different DAG shapes.
+  */
+object ReportPipelines {
+
+  /** Team report (reference `jira/team-report.js`): A4 stats with
+    * percentages along status/assignee/type, A5 nested status→assignee,
+    * condensed per-ticket sections in canonical status order.
+    */
+  def teamReport(issues: DataFrame): DataFrame = {
+    def statsBlock(dim: String, title: String): DataFrame =
+      JiraOps.statsByDim(issues.withColumn(dim, coalesce(col(dim), lit("Unassigned"))), dim)
+        .withColumn("line", concat(lit("- "), col(dim), lit(": "),
+          col("cnt"), lit(" ("), col("pct"), lit("%)")))
+        .agg(concat(lit(s"## $title\n"),
+          concat_ws("\n", expr(
+            s"transform(array_sort(collect_list(struct($dim, line))), s -> s.line)")))
+          .as("content"))
+    val total = issues.agg(
+      concat(lit("**Total Tickets**: "), count(lit(1))).as("content"))
+    val nested = issues
+      .withColumn("assignee", coalesce(col("assignee"), lit("Unassigned")))
+      .withColumn("rank", JiraOps.statusRank(col("status")))
+      .groupBy("rank", "status", "assignee").agg(count(lit(1)).as("n"))
+      .withColumn("line", concat(lit("- "), col("assignee"), lit(": "), col("n")))
+      .groupBy("rank", "status")
+      .agg(sum("n").as("n"), concat_ws("\n", expr(
+        "transform(array_sort(collect_list(struct(assignee, line))), s -> s.line)"))
+        .as("by_assignee"))
+      .withColumn("doc", concat(lit("### "), col("status"), lit(" ("), col("n"),
+        lit(")\n"), col("by_assignee")))
+      .agg(concat(lit("## Status breakdown\n\n"), concat_ws("\n\n", expr(
+        "transform(array_sort(collect_list(struct(rank, status, doc))), s -> s.doc)")))
+        .as("content"))
+    total
+      .unionByName(statsBlock("status", "By Status"))
+      .unionByName(statsBlock("assignee", "By Assignee"))
+      .unionByName(nested)
+  }
+
+  /** Dashboard (reference `generate_dashboard.js`): weekly sections plus
+    * the Mon-Sun transcript frame (A12) serialized as JSON per day.
+    */
+  def transcriptsByDay(files: DataFrame, weekStart: String): DataFrame = {
+    val frame = files.sparkSession.range(1).select(
+      explode(sequence(to_date(lit(weekStart)),
+        date_add(to_date(lit(weekStart)), 6))).as("day"))
+    val dated = files
+      .withColumn("day", graft.functions.DateFns.filenameDate(col("file")))
+      .withColumn("content", concat_ws("\n", col("lines")))
+    val known = frame.join(dated, Seq("day"), "left")
+      .groupBy("day")
+      .agg(concat_ws("\n---\n", expr(
+        "transform(array_sort(collect_list(struct(file, content))), s -> s.content)"))
+        .as("content"))
+    val unknown = dated.filter(col("day").isNull ||
+        !col("day").between(lit(weekStart), date_add(to_date(lit(weekStart)), 6)))
+      .agg(concat_ws("\n---\n", expr(
+        "transform(array_sort(collect_list(struct(file, content))), s -> s.content)"))
+        .as("content"))
+      .select(lit(null).cast("date").as("day"), col("content"))
+    known.unionByName(unknown).orderBy(col("day").asc_nulls_last)
+  }
+
+  def dashboard(spark: SparkSession, in: WeeklyPipeline.Inputs,
+      weekStart: String): String = {
+    val byDay = transcriptsByDay(in.transcriptFiles, weekStart)
+      .withColumn("entry", concat(lit("\""),
+        coalesce(col("day").cast("string"), lit("unknown")),
+        lit("\": \""),
+        regexp_replace(regexp_replace(col("content"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+        lit("\"")))
+      .agg(concat(lit("{"), concat_ws(", ", collect_list(col("entry"))), lit("}"))
+        .as("content"))
+    val sections =
+      byDay.select(lit("TRANSCRIPT_DATA_BY_DAY").as("name"), col("content"))
+        .unionByName(WeeklyPipeline.slackSection(in.slackMessages, in.userMap, Nil)
+          .select(lit("SLACK_DATA").as("name"), col("content")))
+        .unionByName(WeeklyPipeline.jiraSection(in.jiraIssues, in.changelogIssues)
+          .select(lit("JIRA_DATA").as("name"), col("content")))
+    Renderers.assembleDatasource(sections, "name", "content")
+  }
+
+  /** 1on1 (reference `generate_datasources.js` J11): one module per team
+    * member — member's daily reports + assigned tickets + transcript
+    * appearances, matched via the alias table. Returns
+    * (member, module_text) rows; the per-member render is distributed,
+    * never a driver loop over members.
+    */
+  def oneOnOne(spark: SparkSession, in: WeeklyPipeline.Inputs): DataFrame = {
+    val aliases = NameMatcher.aliasTable(spark, in.teamMembers)
+    // member ↔ daily: resolve the rendered header name against aliases
+    // (the reference's J11 content-match, structured instead of regex-
+    // over-documents where we control the render)
+    val dailyNamed = DailyReports.renderMarkdown(in.dailyJoined)
+      .withColumn("participant",
+        regexp_extract(col("doc"), "# Daily Report: ([^\\n]+)", 1))
+    val dailyByMember = NameMatcher.resolve(dailyNamed, aliases)
+      .filter(col("member").isNotNull)
+      .select(col("member"), col("doc").as("daily_doc"))
+    val ticketsByMember = NameMatcher.resolve(
+      in.jiraIssues.withColumn("participant", coalesce(col("assignee"), lit(""))), aliases)
+      .filter(col("member").isNotNull)
+      .withColumn("t", concat(lit("- ["), col("key"), lit("] "), col("summary"),
+        lit(" ("), col("status"), lit(")")))
+      .groupBy("member")
+      .agg(concat_ws("\n", expr(
+        "transform(array_sort(collect_list(struct(key, t))), s -> s.t)")).as("tickets"))
+    dailyByMember.join(ticketsByMember, Seq("member"), "full")
+      .select(col("member"),
+        concat(lit("# 1on1: "), col("member"), lit("\n\n## Daily Reports\n\n"),
+          coalesce(col("daily_doc"), lit("(none)")),
+          lit("\n\n## Tickets\n\n"), coalesce(col("tickets"), lit("(none)")))
+          .as("module"))
+  }
+}

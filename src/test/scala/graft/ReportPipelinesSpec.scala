@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.NameMatcher.Member
+import graft.pipelines.{ReportPipelines, WeeklyPipeline}
+import graft.pipelines.WeeklyPipeline.Inputs
+
+class ReportPipelinesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val issues = Seq(
+    ("T-1", "Fix parser", "In Progress", "Ada", null, "Task"),
+    ("T-2", "Ship report", "Done", null, null, "Task"),
+    ("T-3", "Plan next", "To Do", "Ada", null, "Task"))
+    .toDF("key", "summary", "status", "assignee", "parent_key", "issuetype")
+
+  lazy val inputs = Inputs(
+    dailyJoined = Seq(
+      (1, "Ada", "Lovelace", "<ul><li>math</li></ul>", "", "2025-10-01"))
+      .toDF("employee_id", "employee_first_name", "employee_last_name",
+        "content", "todo", "report_date"),
+    jiraIssues = issues,
+    changelogIssues = spark.emptyDataFrame,
+    transcriptFiles = Seq(
+      ("standup-2025-10-01.txt", Seq("Ada: hello")),
+      ("undated meeting.txt", Seq("Ada: old")))
+      .toDF("file", "lines"),
+    slackMessages = Seq(("1759910400.0", "U1", "hi", null))
+      .toDF("ts", "user", "text", "thread_ts"),
+    userMap = Map("U1" -> "Ada"),
+    teamMembers = Seq(Member("Ada Lovelace", "ada", Seq("Ada"))))
+
+  test("teamReport: totals, pct stats, nested status->assignee") {
+    val got = ReportPipelines.teamReport(issues)
+      .collect().map(_.getString(0)).mkString("\n\n")
+    assert(got.contains("**Total Tickets**: 3"))
+    assert(got.contains("- Ada: 2 (66.7%)"))
+    assert(got.contains("- Unassigned: 1 (33.3%)"))
+    val nested = got.substring(got.indexOf("## Status breakdown"))
+    assert(nested.indexOf("### To Do (1)") < nested.indexOf("### In Progress (1)"))
+    assert(nested.indexOf("### In Progress (1)") < nested.indexOf("### Done (1)"))
+  }
+
+  test("transcriptsByDay: 7-day frame with unknown bucket") {
+    val byDay = ReportPipelines.transcriptsByDay(
+      inputs.transcriptFiles, "2025-09-29")
+    val rows = byDay.collect()
+    assert(rows.length == 8, "7 frame days + unknown bucket")
+    val d1 = rows.find(r => Option(r.getDate(0)).exists(_.toString == "2025-10-01")).get
+    assert(d1.getString(1).contains("Ada: hello"))
+    val unknown = rows.find(_.isNullAt(0)).get
+    assert(unknown.getString(1).contains("Ada: old"))
+  }
+
+  test("dashboard module: transcript day JSON + jira + slack sections") {
+    val mod = ReportPipelines.dashboard(spark, inputs, "2025-09-29")
+    assert(mod.contains("TRANSCRIPT_DATA_BY_DAY = \"\"\""))
+    assert(mod.contains("\"2025-10-01\": \"Ada: hello\""))
+    assert(mod.contains("\"unknown\": \"Ada: old\""))
+    assert(mod.contains("JIRA_DATA = \"\"\""))
+    assert(mod.contains("SLACK_DATA = \"\"\""))
+  }
+
+  test("oneOnOne: one module per member, daily + tickets joined by alias") {
+    val rows = ReportPipelines.oneOnOne(spark, inputs).collect()
+    assert(rows.length == 1)
+    val mod = rows.head.getString(1)
+    assert(rows.head.getString(0) == "Ada Lovelace")
+    assert(mod.contains("# 1on1: Ada Lovelace"))
+    assert(mod.contains("# Daily Report: Ada Lovelace"))
+    assert(mod.contains("- [T-1] Fix parser (In Progress)"))
+    assert(mod.contains("- [T-3] Plan next (To Do)"))
+    assert(!mod.contains("T-2"), "unassigned ticket not attributed")
+  }
+}
