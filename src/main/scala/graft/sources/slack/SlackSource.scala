@@ -1,0 +1,154 @@
+package graft.sources.slack
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, IsNotNull, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for Slack-shaped channel history (reference
+  * S8/S9, `slack/lib/api.js:120-252`): one InputPartition per channel
+  * envelope file (the per-channel pull), with the `oldest`/`latest`
+  * epoch range and channel-name equality pushed into the reader — the
+  * exact parameters the reference passes to `conversations.history`.
+  * Staged-file form (zero egress); an HTTP reader swaps the file parse
+  * for cursor-paginated fetch with Retry-After handling, planner classes
+  * unchanged.
+  */
+class SlackSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SlackSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SlackTable(properties.get("path"))
+}
+
+object SlackSource {
+  val schema: StructType = StructType(Seq(
+    StructField("channel", StringType),
+    StructField("ts", DoubleType),
+    StructField("user", StringType),
+    StructField("text", StringType),
+    StructField("thread_ts", StringType),
+    StructField("reply_count", IntegerType)))
+}
+
+class SlackTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"slack($path)"
+  override def schema(): StructType = SlackSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SlackScanBuilder(path)
+}
+
+class SlackScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SlackSource.schema
+
+  private def translatable(f: Filter): Boolean = f match {
+    case EqualTo("channel", _) => true
+    case GreaterThanOrEqual("ts", _) => true // oldest=
+    case LessThanOrEqual("ts", _) => true // latest=
+    case IsNotNull(_) => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(translatable)
+    filters.filterNot(translatable)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = SlackScan(path, required, pushed)
+}
+
+case class SlackScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  def apiParams: String = pushed.collect {
+    case EqualTo("channel", v) => s"channel=$v"
+    case GreaterThanOrEqual("ts", v) => s"oldest=$v"
+    case LessThanOrEqual("ts", v) => s"latest=$v"
+  }.mkString("&")
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SlackScan path=$path, api=[$apiParams]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val channelFilter = pushed.collectFirst { case EqualTo("channel", v) => v.toString }
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      // channel pruning at PLANNING time: skip whole channels (the
+      // reference simply doesn't fetch unrequested channels)
+      .filter(f => channelFilter.forall(c => f.getName == s"$c.json"))
+    files.map(f => SlackChannelPartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SlackReaderFactory(required, pushed)
+}
+
+case class SlackChannelPartition(file: String) extends InputPartition
+
+case class SlackReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SlackPartitionReader(
+      p.asInstanceOf[SlackChannelPartition].file, required, pushed)
+}
+
+class SlackPartitionReader(file: String, required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val (channelName, messages) = {
+    val root = mapper.readTree(new java.io.File(file))
+    val name = root.path("channel").path("name").asText()
+    (name, root.path("messages").elements().asScala.filter(keep(name)))
+  }
+  private var cur: InternalRow = _
+
+  private def keep(channel: String)(m: JsonNode): Boolean = pushed.forall {
+    case EqualTo("channel", v) => channel == v.toString
+    case GreaterThanOrEqual("ts", v) =>
+      m.path("ts").asText("0").toDouble >= v.toString.toDouble
+    case LessThanOrEqual("ts", v) =>
+      m.path("ts").asText("0").toDouble <= v.toString.toDouble
+    case _ => true
+  }
+
+  override def next(): Boolean =
+    if (messages.hasNext) { cur = toRow(messages.next()); true } else false
+
+  private def toRow(m: JsonNode): InternalRow = {
+    val values: Array[Any] = required.fields.map { f =>
+      f.name match {
+        case "channel" => UTF8String.fromString(channelName)
+        case "ts" => java.lang.Double.valueOf(m.path("ts").asText("0").toDouble)
+        case "reply_count" =>
+          java.lang.Integer.valueOf(m.path("reply_count").asInt(0))
+        case name =>
+          Option(m.get(name)).filterNot(_.isNull)
+            .map(v => UTF8String.fromString(v.asText())).orNull
+      }
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

@@ -24,6 +24,20 @@ object StreamingOps {
         col("window.start").as("win_start"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Streaming session windows (the incremental form of the batch
+    * `Sessions.sessionize` gap logic): `session_window` merges events
+    * within `gap` of each other per user, watermark bounds state.
+    */
+  def sessionWindows(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SlackSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("slack_chans")
+    Files.writeString(d.resolve("general.json"),
+      """{"channel":{"id":"C1","name":"general"},"messages":[
+        {"ts":"100.000100","user":"U1","text":"early","reply_count":0},
+        {"ts":"200.000200","user":"U2","text":"mid","thread_ts":"200.000200","reply_count":2},
+        {"ts":"300.000300","user":"U1","text":"late","reply_count":0}]}""")
+    Files.writeString(d.resolve("random.json"),
+      """{"channel":{"id":"C2","name":"random"},"messages":[
+        {"ts":"150.000150","user":"U3","text":"noise","reply_count":0}]}""")
+    d.toString
+  }
+
+  private def read = spark.read
+    .format("graft.sources.slack.SlackSource").option("path", dir).load()
+
+  test("reads channel envelopes, one partition per channel") {
+    assert(read.count() == 4)
+    assert(read.rdd.getNumPartitions == 2)
+  }
+
+  test("channel equality prunes partitions at planning time") {
+    val df = read.filter(col("channel") === "general")
+    assert(df.rdd.getNumPartitions == 1, "unrequested channel not even planned")
+    assert(df.count() == 3)
+  }
+
+  test("time-range pushdown becomes oldest/latest api params") {
+    val df = read.filter(col("ts") >= 150.0 && col("ts") <= 250.0)
+    assert(df.select("text").collect().map(_.getString(0)).toSet ==
+      Set("mid", "noise"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("oldest=150.0") && plan.contains("latest=250.0"), plan)
+  }
+}

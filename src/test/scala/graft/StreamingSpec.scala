@@ -35,6 +35,34 @@ class StreamingSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 00:00:00"), "view", 1L, 8.0)))
   }
 
+  test("sessionWindows: streaming session count matches batch sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 00:10:00", 2.0),
+      (1L, "2024-01-01 02:00:00", 4.0), // > 30 min gap: second session
+      (2L, "2024-01-01 01:00:00", 8.0))
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamingOps.sessionWindows(
+      mem.toDF().toDF("user_id", "ts", "value"), "30 minutes", "4 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    mem.addData(data.map(d => (d._1, Timestamp.valueOf(d._2), d._3)): _*)
+    q.processAllAvailable()
+    val sessions = spark.table("sess_out")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    q.stop()
+    // batch sessionize on the same data
+    val batch = graft.operators.Sessions.sessionize(
+      data.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, Timestamp.valueOf(t), v) }
+        .toDF("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "event_id", 1800L)
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("session_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(sessions == batch)
+    assert(sessions == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("runningPerUser: stateful aggregation across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
