@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-run memoization with TTL (reference §2.9: 24 h file caches for
+  * changelogs / field maps / user maps — `jira/enrich-with-changelog.js:
+  * 10-42`, `jira/lib/field-map.js:44-105`). Spark restatement: a parquet
+  * snapshot table stamped with `_fetched_at`; `loadFresh` returns only
+  * rows within TTL, and the caller refetches + appends the rest. Append
+  * + latest-wins dedup keeps re-runs idempotent without a transactional
+  * store.
+  */
+object CacheTable {
+
+  /** Append a freshly-fetched batch, stamped now. */
+  def put(df: DataFrame, path: String, fetchedAtMs: Long): Unit =
+    df.withColumn("_fetched_at", lit(fetchedAtMs))
+      .write.mode("append").parquet(path)
+
+  /** Rows still within TTL, latest fetch per key winning. Returns None
+    * if the cache doesn't exist yet.
+    */
+  def loadFresh(spark: SparkSession, path: String, keyCol: String,
+      ttlMs: Long, nowMs: Long): Option[DataFrame] = {
+    if (!new java.io.File(path).exists()) return None
+    val cutoff = nowMs - ttlMs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("_fetched_at").desc)
+    Some(spark.read.parquet(path)
+      .filter(col("_fetched_at") >= cutoff)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_fetched_at"))
+  }
+
+  /** The keys in `wanted` missing from the fresh cache — what the caller
+    * must fetch (the reference's "cache miss → HTTP fetch" set).
+    */
+  def missingKeys(wanted: DataFrame, cached: Option[DataFrame],
+      keyCol: String): DataFrame = cached match {
+    case None => wanted.select(keyCol).distinct()
+    case Some(c) =>
+      wanted.select(keyCol).distinct()
+        .join(c.select(keyCol), Seq(keyCol), "left_anti")
+  }
+}

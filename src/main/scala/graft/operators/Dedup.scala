@@ -57,11 +57,15 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, num: Int, den: Int): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k).persist()
+    // join/shuffle on the shingle's 8-byte hash, not the ~k-word string:
+    // same equality semantics (64-bit collision odds are ~1e-9 at 1e5
+    // distinct shingles) at a fraction of the shuffle width
+    val sh = shingleRows(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh")).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("id_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh"))
-    val inter = a.join(b, a("sh") === b("sh") && col("id_a") < col("id_b"))
+    val a = sh.select(col("doc_id").as("id_a"), col("shh"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shh"))
+    val inter = a.join(b, a("shh") === b("shh") && col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
     val sb = sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))
@@ -138,8 +142,11 @@ object Dedup {
     verifyJaccard(candidates, sh, num, den)
   }
 
-  /** Exact Jaccard for an explicit candidate-pair set (post-LSH verify). */
-  def verifyJaccard(pairs: DataFrame, sh: DataFrame, num: Int, den: Int): DataFrame = {
+  /** Exact Jaccard for an explicit candidate-pair set (post-LSH verify).
+    * `sh` must be (doc_id, sh) rows; hashed internally for the compare.
+    */
+  def verifyJaccard(pairs: DataFrame, shRows: DataFrame, num: Int, den: Int): DataFrame = {
+    val sh = shRows.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))

@@ -129,9 +129,14 @@ class JiraPartitionReader(file: String, required: StructType,
 
   private val mapper = new ObjectMapper()
   private val issues: Iterator[JsonNode] = {
-    val root = mapper.readTree(new java.io.File(file))
-    val arr = if (root.has("issues")) root.get("issues") else root
-    arr.elements().asScala.filter(serverSideKeep)
+    // fail-open like the reference's 401/403/404 handling
+    // (`jira/lib/changelog-client.js:86-90`): an unreadable page yields
+    // an empty partition, not a failed job
+    try {
+      val root = mapper.readTree(new java.io.File(file))
+      val arr = if (root.has("issues")) root.get("issues") else root
+      arr.elements().asScala.filter(serverSideKeep)
+    } catch { case _: Exception => Iterator.empty }
   }
   private var cur: InternalRow = _
 

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.CacheTable
+
+class CacheTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TTL cache: fresh hit, stale miss, latest-wins, missing-key set") {
+    val path = Files.createTempDirectory("graft_cache").toString + "/changelog"
+    val t0 = 1_000_000L
+    val ttl = 24L * 3600 * 1000
+
+    assert(CacheTable.loadFresh(spark, path, "key", ttl, t0).isEmpty)
+
+    CacheTable.put(Seq(("A-1", "v1"), ("A-2", "v1")).toDF("key", "data"), path, t0)
+    // second fetch updates A-1
+    CacheTable.put(Seq(("A-1", "v2")).toDF("key", "data"), path, t0 + 1000)
+
+    val fresh = CacheTable.loadFresh(spark, path, "key", ttl, t0 + 2000).get
+      .as[(String, String)].collect().toMap
+    assert(fresh == Map("A-1" -> "v2", "A-2" -> "v1"), "latest wins")
+
+    // past TTL: everything stale
+    val later = CacheTable.loadFresh(spark, path, "key", ttl, t0 + ttl + 5000).get
+    assert(later.count() == 0)
+
+    val wanted = Seq("A-1", "A-3").toDF("key")
+    val missing = CacheTable.missingKeys(wanted,
+      CacheTable.loadFresh(spark, path, "key", ttl, t0 + 2000), "key")
+      .as[String].collect().toSeq
+    assert(missing == Seq("A-3"))
+  }
+
+  test("jira connector fails open on a corrupt page file") {
+    val d = Files.createTempDirectory("jira_bad")
+    Files.writeString(d.resolve("page_0.json"),
+      """{"issues":[{"key":"OK-1","project":"OK","status":"Done",
+          "assignee":null,"summary":"s","updated":"2025-10-01T10:00:00","labels":[]}]}""")
+    Files.writeString(d.resolve("page_1.json"), "]]] not json at all")
+    val df = spark.read.format("graft.sources.jira.JiraSource")
+      .option("path", d.toString).load()
+    assert(df.count() == 1, "corrupt page -> empty partition, job succeeds")
+  }
+}
