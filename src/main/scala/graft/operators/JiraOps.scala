@@ -91,4 +91,30 @@ object JiraOps {
           .otherwise(lit("Issues Without Epic")))
       .select(issues.columns.map(col) :+ col("epic_key") :+ col("epic_summary") :+ col("depth"): _*)
   }
+
+  /** Epic-tree markdown (reference `formatEpicSection`,
+    * `build-epic-tree.js:574-677`): one section per epic, children in
+    * key order, subtasks indented beneath their parents — rendered as a
+    * per-epic aggregation with explicit sort keys (deterministic under
+    * parallelism, SURVEY §7.5#2), one row out per epic.
+    */
+  def epicTreeRender(resolved: DataFrame): DataFrame = {
+    val line = concat(
+      when(col("depth") >= 2, lit("    - ")).otherwise(lit("- ")),
+      lit("["), col("key"), lit("] "), col("summary"),
+      lit(" ("), col("status"), lit(")"))
+    resolved
+      // nest: a subtask sorts under its direct parent (primary = parent
+      // key), stories/epics under themselves — (primary, depth, key)
+      .withColumn("sort_primary",
+        when(col("depth") >= 2, col("parent_key")).otherwise(col("key")))
+      .withColumn("line", line)
+      .groupBy("epic_key", "epic_summary")
+      .agg(count(lit(1)).as("n_issues"), concat_ws("\n", expr(
+        "transform(array_sort(collect_list(struct(sort_primary, depth, key, line))), s -> s.line)"))
+        .as("body"))
+      .select(col("epic_key"),
+        concat(lit("## Epic: "), col("epic_summary"), lit(" ["), col("epic_key"),
+          lit("] ("), col("n_issues"), lit(" issues)\n"), col("body")).as("doc"))
+  }
 }

@@ -69,6 +69,37 @@ object TextAnalysis {
         size(regexp_extract_all(col(textCol),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
 
+  /** PII scrubbing: emails and international-ish phone numbers →
+    * placeholders. Pure regexp_replace chain (codegen'd) — the standard
+    * pre-training scrub pass.
+    */
+  def scrubPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    regexp_replace(email,
+      "\\+?\\d{1,3}[-. (]*\\d{3}[-. )]*\\d{3}[-. ]*\\d{4}\\b", "[PHONE]")
+  }
+
+  /** Repetition signal: frequency of the most common token over total
+    * tokens — high values flag boilerplate/spam documents.
+    */
+  def repetitionRatio(textCol: Column): Column = {
+    val w = words(textCol)
+    val counts = transform(array_distinct(w),
+      d => size(filter(w, x => x === d)))
+    round(array_max(counts).cast("double") / size(w), 4)
+  }
+
+  /** Corpus bigram counts (adjacent word pairs) — the n-gram statistics
+    * pass of a training-data pipeline; explode + partial-agg count.
+    */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    docs.select(explode(Dedup.shingles(w, 2)).as("bigram"))
+      .filter(size(split(col("bigram"), " ")) === 2)
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Content-defined fingerprint: sha-256 over the sorted distinct word
     * set — robust to word order and repetition, cheap to group on.
     */

@@ -157,6 +157,46 @@ object CatalogScale {
                 count(*) AS n_docs
               FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    Q("ta_pii_scrub",
+      // synthesized emails/phones from structured cols; oracle reconstructs
+      (s, d) => {
+        val text = concat(lit("contact "), col("c_name"),
+          lit(" at user"), col("c_custkey").cast("string"),
+          lit("@example.com or +1 555-"),
+          lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+          lit(" today"))
+        t(s, d, "customer")
+          .select(col("c_custkey"), TextAnalysis.scrubPii(text).as("text"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                'contact ' || c_name || ' at [EMAIL] or [PHONE] today' AS text
+              FROM customer ORDER BY c_custkey""")),
+
+    Q("ta_repetition",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+          .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                         FROM documents),
+              x AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS tok FROM w),
+              c AS (SELECT doc_id, n, tok, count(*) AS cnt FROM x GROUP BY 1, 2, 3)
+              SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / n, 4) AS rep_ratio
+              FROM c GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    Q("ta_bigrams",
+      (s, d) =>
+        TextAnalysis.bigramCounts(t(s, d, "documents"), "text")
+          .orderBy("bigram"),
+      Some("""SELECT array_to_string(words[g:g+1], ' ') AS bigram, count(*) AS cnt
+              FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS words
+                    FROM documents),
+                   unnest(range(1, greatest(len(words), 1))) t(g)
+              GROUP BY 1 ORDER BY 1""")),
+
     Q("ta_fingerprint",
       (s, d) => TextAnalysis.fingerprintClusters(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),

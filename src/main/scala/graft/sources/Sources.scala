@@ -34,6 +34,17 @@ object Sources {
     * whole content; `recursiveFileLookup` mirrors the reference's
     * optional 1-level recursion (generalized).
     */
+  /** O3: newest file by (priority, mtime desc) — the reference's
+    * epic-tree-with-changelog > team-report > by-assignee picker
+    * (`generate_weekly_digest.js:139-174`): top-k with k=1.
+    */
+  def latestByPriority(files: DataFrame,
+      priority: org.apache.spark.sql.Column): DataFrame =
+    files.withColumn("_prio", priority)
+      .orderBy(org.apache.spark.sql.functions.col("_prio").asc,
+        org.apache.spark.sql.functions.col("mtime").desc)
+      .limit(1).drop("_prio")
+
   def markdownDir(spark: SparkSession, glob: String): DataFrame =
     spark.read
       .option("wholetext", "true")

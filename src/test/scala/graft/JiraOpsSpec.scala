@@ -55,6 +55,35 @@ class JiraOpsSpec extends AnyFunSuite {
     assert(ordered == Seq("To Do", "Backlog", "In Progress", "Done", "Weird"))
   }
 
+  test("epicTreeRender: per-epic section, children ordered, subtasks indented") {
+    val issues = Seq(
+      ("E-1", null, "Epic", "The Epic", "In Progress"),
+      ("S-1", "E-1", "Story", "Story one", "Done"),
+      ("S-2", "E-1", "Story", "Story two", "To Do"),
+      ("T-1", "S-1", "Sub-task", "Sub one", "To Do"))
+      .toDF("key", "parent_key", "issuetype", "summary", "status")
+    val docs = JiraOps.epicTreeRender(JiraOps.epicResolve(issues))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val doc = docs("E-1")
+    assert(doc.startsWith("## Epic: The Epic [E-1] (4 issues)"))
+    assert(doc.contains("- [S-1] Story one (Done)"))
+    assert(doc.indexOf("- [S-1]") < doc.indexOf("    - [T-1] Sub one (To Do)"),
+      "subtask indented under its parent story")
+    assert(doc.indexOf("[T-1]") < doc.indexOf("- [S-2]"),
+      "grouped by parent: S-1's subtask before S-2")
+  }
+
+  test("latestByPriority picks priority then newest mtime (O3)") {
+    val files = Seq(
+      ("epic_tree_changelog.md", 100L, 0),
+      ("team_report.md", 999L, 1),
+      ("epic_tree_old.md", 50L, 0))
+      .toDF("path", "mtime", "prio")
+    val got = graft.sources.Sources.latestByPriority(files, $"prio")
+      .select("path").as[String].head()
+    assert(got == "epic_tree_changelog.md")
+  }
+
   test("epicResolve: subtask -> story -> epic walk; orphans bucketed") {
     val issues = Seq(
       ("E-1", null, "Epic", "The Epic", "In Progress"),
