@@ -23,7 +23,11 @@ object CacheTable {
     */
   def loadFresh(spark: SparkSession, path: String, keyCol: String,
       ttlMs: Long, nowMs: Long): Option[DataFrame] = {
-    if (!new java.io.File(path).exists()) return None
+    // existence via the Hadoop FS of the path — works for s3://, hdfs://,
+    // file:// alike (java.io.File would make every remote cache a miss)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
     val cutoff = nowMs - ttlMs
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col("_fetched_at").desc)

@@ -101,14 +101,15 @@ object TextFns {
     */
   def jiraWikiToMarkdown(c: Column): Column = {
     val noColor = regexp_replace(c, "\\{color[^}]*\\}", "")
-    val headings = regexp_replace(noColor, "(?m)^h([1-6])\\.\\s*", "#$1 ")
-    // placeholder '#N ' → N hashes
+    // ordered lists BEFORE headings: once 'h1.' becomes '# ', a later
+    // '^# ' list rewrite would turn every h1 into a numbered item
+    val ordered = regexp_replace(noColor, "(?m)^# ", "1. ")
+    val headings = regexp_replace(ordered, "(?m)^h([1-6])\\.\\s*", "#$1 ")
     val h = (1 to 6).foldLeft(headings)((acc, n) =>
       regexp_replace(acc, "(?m)^#" + n + " ", "#" * n + " "))
     val bold = regexp_replace(h, "(?<!\\*)\\*([^*\\n]+)\\*(?!\\*)", "**$1**")
     val links = regexp_replace(bold, "\\[([^\\]|]+)\\|([^\\]]+)\\]", "[$1]($2)")
-    val ordered = regexp_replace(links, "(?m)^# ", "1. ")
-    regexp_replace(ordered, "\\n{3,}", "\n\n")
+    regexp_replace(links, "\\n{3,}", "\n\n")
   }
 
   /** Slack markup normalize (reference X3, `slack/lib/format.js:20-47`).
@@ -134,9 +135,11 @@ object TextFns {
     val i = regexp_replace(b, "(?i)</?(i|em)>", "*")
     val code = regexp_replace(i, "(?i)</?code>", "`")
     val tags = regexp_replace(code, "<[^>]+>", "")
+    // &amp; decodes LAST: decoding it first double-decodes entity-escaped
+    // entities ("&amp;lt;" must yield the text "&lt;", not "<")
     val ent = Seq(
-      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ").foldLeft(tags) { case (acc, (e, v)) =>
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&").foldLeft(tags) { case (acc, (e, v)) =>
       regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(v))
     }
     // full (multiline) trim: Spark's trim() strips spaces only

@@ -59,7 +59,11 @@ object Dedup {
       k: Int, num: Int, den: Int): DataFrame = {
     // join/shuffle on the shingle's 8-byte hash, not the ~k-word string:
     // same equality semantics (64-bit collision odds are ~1e-9 at 1e5
-    // distinct shingles) at a fraction of the shuffle width
+    // distinct shingles) at a fraction of the shuffle width.
+    // persist (evictable MEMORY_AND_DISK) is intentionally not unpersisted:
+    // the result is lazy, so release would have to happen after the
+    // caller's action; size is bounded by the shingle relation and LRU
+    // eviction reclaims it under pressure.
     val sh = shingleRows(docs, idCol, textCol, k)
       .select(col("doc_id"), xxhash64(col("sh")).as("shh")).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -194,6 +198,9 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4-block banding only guarantees a shared block for hamming <= 3; " +
+        "higher thresholds would silently miss pairs (use more/smaller blocks)")
     val hashes = widen(docs).select(
       col(idCol).as("doc_id"),
       transform(array_distinct(shingles(words(col(textCol)), k)),

@@ -35,19 +35,25 @@ object NameMatcher {
   }
 
   /** Resolve participants to members: normalized equi-join against the
-    * broadcast alias table, first match wins via row_number. Input must
-    * have a `participant` column; output adds `member` (nullable).
+    * broadcast alias table, first match wins. The first-win rule is
+    * applied on the ALIAS side (best member per normalized alias, by
+    * (member, alias) priority) so the participant join is a plain 1:1
+    * left join — input cardinality is preserved exactly (duplicate input
+    * rows stay duplicated) and nothing ever windows/shuffles over the
+    * participants' payload columns. Input must have a `participant`
+    * column; output adds `member` (nullable).
     */
   def resolve(participants: DataFrame, aliases: DataFrame): DataFrame = {
-    val joined = participants
-      .withColumn("_pnorm", TextFns.normalizeName(col("participant")))
-      .join(broadcast(aliases), col("_pnorm") === col("alias_norm"), "left")
-    val w = Window
-      .partitionBy(participants.columns.map(col) :+ col("_pnorm"): _*)
-      .orderBy(col("member_prio").asc_nulls_last, col("alias_prio").asc_nulls_last)
-    joined.withColumn("_rn", row_number().over(w))
+    val w = Window.partitionBy("alias_norm")
+      .orderBy(col("member_prio").asc, col("alias_prio").asc)
+    val best = aliases
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_pnorm", "member_prio", "alias", "alias_prio", "alias_norm")
+      .select(col("alias_norm"), col("member"))
+    participants
+      .withColumn("_pnorm", TextFns.normalizeName(col("participant")))
+      .join(broadcast(best), col("_pnorm") === col("alias_norm"), "left")
+      .drop("_pnorm", "alias_norm")
   }
 
   /** Team-participation filter (reference F5 + the bypass safeguard

@@ -22,8 +22,15 @@ object Similarity {
       lit(0.0),
       (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+  /** Zero-magnitude vectors score 0, not NaN — NaN sorts ABOVE every
+    * double in Spark's descending order, so an unguarded 0/0 would rank
+    * zero/padding vectors as the top neighbor of every query.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val na = sqrt(dotD(a, a))
+    val nb = sqrt(dotD(b, b))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dotD(a, b) / (na * nb))
+  }
 
   /** Brute-force cosine top-k: every corpus row scored against every query
     * row (queries broadcast), then row_number per query. Deterministic

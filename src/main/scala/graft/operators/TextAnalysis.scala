@@ -81,13 +81,23 @@ object TextAnalysis {
   }
 
   /** Repetition signal: frequency of the most common token over total
-    * tokens — high values flag boilerplate/spam documents.
+    * tokens — high values flag boilerplate/spam documents. Longest equal
+    * run over the sorted token array (O(n log n)), not a per-distinct
+    * rescan (O(n²) on long documents).
     */
   def repetitionRatio(textCol: Column): Column = {
     val w = words(textCol)
-    val counts = transform(array_distinct(w),
-      d => size(filter(w, x => x === d)))
-    round(array_max(counts).cast("double") / size(w), 4)
+    val best = aggregate(
+      array_sort(w),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    round(best.cast("double") / size(w), 4)
   }
 
   /** Corpus bigram counts (adjacent word pairs) — the n-gram statistics

@@ -72,12 +72,20 @@ object ReportPipelines {
 
   def dashboard(spark: SparkSession, in: WeeklyPipeline.Inputs,
       weekStart: String): String = {
+    // full JSON string escaping: backslash first, then quotes, then
+    // control characters — multi-line transcript content would otherwise
+    // embed raw newlines and break json.loads on the consumer side
+    def jsonEscape(c: org.apache.spark.sql.Column) = {
+      val bs = regexp_replace(c, "\\\\", "\\\\\\\\")
+      val q = regexp_replace(bs, "\"", "\\\\\"")
+      val nl = regexp_replace(q, "\n", "\\\\n")
+      val cr = regexp_replace(nl, "\r", "\\\\r")
+      regexp_replace(cr, "\t", "\\\\t")
+    }
     val byDay = transcriptsByDay(in.transcriptFiles, weekStart)
       .withColumn("entry", concat(lit("\""),
         coalesce(col("day").cast("string"), lit("unknown")),
-        lit("\": \""),
-        regexp_replace(regexp_replace(col("content"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
-        lit("\"")))
+        lit("\": \""), jsonEscape(col("content")), lit("\"")))
       .agg(concat(lit("{"), concat_ws(", ", collect_list(col("entry"))), lit("}"))
         .as("content"))
     val sections =

@@ -44,7 +44,12 @@ object WeeklyPipeline {
         .select("key", "changelog_md").limit(0)
       else Changelog.historyBlocks(Changelog.flatten(changelogIssues))
         .groupBy("key")
-        .agg(concat_ws("\n", collect_list(col("block"))).as("changelog_md"))
+        // explicit (created, history_id) sort inside the aggregation —
+        // collect_list order after the groupBy exchange is otherwise
+        // nondeterministic run to run
+        .agg(concat_ws("\n", expr(
+          "transform(array_sort(collect_list(struct(created, history_id, block))), s -> s.block)"))
+          .as("changelog_md"))
     val withLog = issues.join(blocks, Seq("key"), "left")
       .withColumn("changelog_md", coalesce(col("changelog_md"), lit("")))
     val ticket = concat(
@@ -92,16 +97,19 @@ object WeeklyPipeline {
     val userEntries = userMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
     val users = if (userEntries.isEmpty) map() else map(userEntries: _*)
     // replies render indented under the parent; expression-level sanitize
-    // (markup + inline code + secrets) since UDFs can't run inside the
-    // transform lambda — fences in replies degrade to inline redaction
+    // (markup + inline code + secrets + denylist) since UDFs can't run
+    // inside the transform lambda — fences in replies degrade to inline
+    // redaction
     val replyLines = when(size(col("replies")) > 0,
       concat(lit("\n"), concat_ws("\n", transform(col("replies"), r =>
         concat(lit("  > "),
           coalesce(element_at(users, r.getField("user")), r.getField("user")),
           lit(": "),
-          TextFns.maskSecrets(regexp_replace(
-            TextFns.slackMarkupNormalize(r.getField("text")),
-            "`[^`\n]+`", "[REDACTED INLINE CODE]"))))))).otherwise(lit(""))
+          SlackOps.redactDenylist(
+            TextFns.maskSecrets(regexp_replace(
+              TextFns.slackMarkupNormalize(r.getField("text")),
+              "`[^`\n]+`", "[REDACTED INLINE CODE]")),
+            denylist)))))).otherwise(lit(""))
     val byDay = resolved
       .withColumn("day",
         date_format(DateFns.epochStringToTimestamp(col("ts")), "yyyy-MM-dd"))

@@ -131,18 +131,36 @@ class JiraPartitionReader(file: String, required: StructType,
   private val issues: Iterator[JsonNode] = {
     // fail-open like the reference's 401/403/404 handling
     // (`jira/lib/changelog-client.js:86-90`): an unreadable page yields
-    // an empty partition, not a failed job
+    // an empty partition, not a failed job. Materialized eagerly (pages
+    // are API-page sized) so filter/parse errors surface inside this try
+    // — a lazy iterator would throw from next() outside it.
     try {
       val root = mapper.readTree(new java.io.File(file))
       val arr = if (root.has("issues")) root.get("issues") else root
-      arr.elements().asScala.filter(serverSideKeep)
+      arr.elements().asScala.filter(serverSideKeep).toList.iterator
     } catch { case _: Exception => Iterator.empty }
   }
   private var cur: InternalRow = _
 
+  /** Timestamp parse tolerant of the formats Jira actually emits:
+    * `2025-10-01T10:00:00.000+0000`, with/without millis or offset.
+    * Unparseable values become None (row filtered / null column), never
+    * a task failure.
+    */
   private def ts(n: JsonNode, f: String): Option[Long] =
-    Option(n.get(f)).filterNot(_.isNull).map(v =>
-      java.sql.Timestamp.valueOf(v.asText().replace("T", " ")).getTime * 1000L)
+    Option(n.get(f)).filterNot(_.isNull).flatMap(v => parseTs(v.asText()))
+
+  private def parseTs(raw: String): Option[Long] = {
+    def attempt(f: => Long): Option[Long] =
+      try Some(f) catch { case _: Exception => None }
+    attempt(java.time.OffsetDateTime.parse(raw,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss[.SSS]Z"))
+        .toInstant.toEpochMilli * 1000L)
+      .orElse(attempt(java.time.OffsetDateTime.parse(raw)
+        .toInstant.toEpochMilli * 1000L))
+      .orElse(attempt(
+        java.sql.Timestamp.valueOf(raw.replace("T", " ")).getTime * 1000L))
+  }
 
   private def serverSideKeep(n: JsonNode): Boolean = pushed.forall {
     case EqualTo("project", v) => n.path("project").asText() == v.toString

@@ -31,6 +31,13 @@ class NameMatcherSpec extends AnyFunSuite {
     assert(got("nobody").isEmpty)
   }
 
+  test("resolve preserves input cardinality, including duplicate rows") {
+    val dup = Seq(("f1", "Mark"), ("f1", "Mark"), ("f2", "ghost"))
+      .toDF("file", "participant")
+    val got = NameMatcher.resolve(dup, aliases)
+    assert(got.count() == 3, "duplicate input rows must survive")
+  }
+
   test("participationFilter: threshold and >2-participants bypass") {
     val fp = Seq(
       // file A: 2 participants, 1 matched -> below min=2, no bypass (not >2)

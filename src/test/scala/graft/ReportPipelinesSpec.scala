@@ -24,7 +24,7 @@ class ReportPipelinesSpec extends AnyFunSuite {
     jiraIssues = issues,
     changelogIssues = spark.emptyDataFrame,
     transcriptFiles = Seq(
-      ("standup-2025-10-01.txt", Seq("Ada: hello")),
+      ("standup-2025-10-01.txt", Seq("Ada: hello", "Bob: extra")),
       ("undated meeting.txt", Seq("Ada: old")))
       .toDF("file", "lines"),
     slackMessages = Seq(("1759910400.0", "U1", "hi", null))
@@ -49,7 +49,7 @@ class ReportPipelinesSpec extends AnyFunSuite {
     val rows = byDay.collect()
     assert(rows.length == 8, "7 frame days + unknown bucket")
     val d1 = rows.find(r => Option(r.getDate(0)).exists(_.toString == "2025-10-01")).get
-    assert(d1.getString(1).contains("Ada: hello"))
+    assert(d1.getString(1) == "Ada: hello\nBob: extra")
     val unknown = rows.find(_.isNullAt(0)).get
     assert(unknown.getString(1).contains("Ada: old"))
   }
@@ -57,7 +57,8 @@ class ReportPipelinesSpec extends AnyFunSuite {
   test("dashboard module: transcript day JSON + jira + slack sections") {
     val mod = ReportPipelines.dashboard(spark, inputs, "2025-09-29")
     assert(mod.contains("TRANSCRIPT_DATA_BY_DAY = \"\"\""))
-    assert(mod.contains("\"2025-10-01\": \"Ada: hello\""))
+    // multi-line content must be JSON-escaped (valid for json.loads)
+    assert(mod.contains("\"2025-10-01\": \"Ada: hello\\nBob: extra\""))
     assert(mod.contains("\"unknown\": \"Ada: old\""))
     assert(mod.contains("JIRA_DATA = \"\"\""))
     assert(mod.contains("SLACK_DATA = \"\"\""))

@@ -50,12 +50,16 @@ class TextFnsSpec extends AnyFunSuite {
     val got = one(TextFns.htmlToMarkdown(col("s")),
       "<ul><li><p>Did <b>X</b> &amp; <i>Y</i></p></li><li>Rest &lt;ok&gt;</li></ul>")
     assert(got == "- Did **X** & *Y*\n- Rest <ok>")
+    // entity-escaped entity: "&amp;lt;" is the TEXT "&lt;", not "<"
+    assert(one(TextFns.htmlToMarkdown(col("s")), "x &amp;lt; y") == "x &lt; y")
   }
 
   test("jiraWikiToMarkdown: headings, bold, links, color strip, ordered list") {
     val got = one(TextFns.jiraWikiToMarkdown(col("s")),
       "h2. {color:#FF991F}Status{color} of *PROJ*\n# first\n[site|http://u]")
     assert(got == "## Status of **PROJ**\n1. first\n[site](http://u)")
+    // h1 must stay a heading, not become an ordered-list item
+    assert(one(TextFns.jiraWikiToMarkdown(col("s")), "h1. Overview") == "# Overview")
   }
 
   test("slackMarkupNormalize: channels, labeled and bare urls") {
