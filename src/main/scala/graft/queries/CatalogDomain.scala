@@ -163,6 +163,57 @@ object CatalogDomain {
                 'deploy [REDACTED SECRET] with [REDACTED SECRET] and [REDACTED SECRET] done' AS text
               FROM orders ORDER BY o_orderkey""")),
 
+    Q("a17_rollup",
+      // hierarchical subtotals — beyond reference parity, standard
+      // analytics surface (rollup = grouping-sets lattice prefix)
+      (s, d) =>
+        t(s, d, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    Q("a18_pivot",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("f_cnt"),
+            coalesce(col("O"), lit(0L)).as("o_cnt"),
+            coalesce(col("P"), lit(0L)).as("p_cnt"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+                count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+              FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    Q("a19_percentiles",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            // discrete percentiles: actual data values, so both engines
+            // agree exactly (interpolated medians differ in the last ulp
+            // and can flip a rounding boundary)
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+              .as("median_price"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+              .as("p90_price"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                quantile_disc(l_extendedprice, 0.5) AS median_price,
+                quantile_disc(l_extendedprice, 0.9) AS p90_price,
+                count(*) AS cnt
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     Q("a14_schema_union",
       // reference A14: sorted union of dynamic field names across records
       (s, d) =>

@@ -58,6 +58,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() == lines.count())
   }
 
+  test("partitionBy layout gives partition-pruned scans") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val df = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("approx_count_distinct within 5% of exact at this scale") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val exact = li.select(countDistinct("l_partkey")).as[Long].head()
