@@ -15,12 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product in double precision, summed in index order. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Dot product in double precision, summed in index order — native
+    * codegen expression ([[graft.plans.VectorDot]]); bit-identical to the
+    * `aggregate(zip_with(...))` composition it replaces, minus the
+    * per-element lambda interpretation and intermediate array.
+    */
+  def dotD(a: Column, b: Column): Column = graft.plans.VectorDot.dot(a, b)
 
   /** Zero-magnitude vectors score 0, not NaN — NaN sorts ABOVE every
     * double in Spark's descending order, so an unguarded 0/0 would rank
@@ -48,6 +48,21 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-dup pairs (exact all-pairs baseline): every
+    * id_a < id_b pair with cosine >= threshold. The pair join is a
+    * broadcast nested loop locally; at 100 TB candidates come from the
+    * hyperplane buckets (annLshKnn's join) and this exact compare runs
+    * only on collisions.
+    */
+  def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplanes: seeded driver-side RNG,

@@ -66,6 +66,19 @@ object CatalogScale {
         k = 5, maxHamming = 3).orderBy("id_a", "id_b"),
       None),
 
+    Q("dedup_embedding",
+      (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"), 0.35)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                  AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+              ORDER BY id_a, id_b""")),
+
     // ===================================================== similarity
     Q("sim_knn_cosine",
       (s, d) => {

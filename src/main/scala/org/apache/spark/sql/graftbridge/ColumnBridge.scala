@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. `ExpressionUtils` is `private[sql]` in
+  * Spark 4's classic API, so third-party native expressions need this
+  * one-hop shim inside an `org.apache.spark.sql` subpackage — the
+  * standard extension-library pattern for wrapping custom Catalyst
+  * expressions as user-facing Columns.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
