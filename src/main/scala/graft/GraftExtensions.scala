@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.plans.{MinHashArray, VectorDot}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so a pure-SQL user gets them with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * e.g. `SELECT vector_dot(a, b)`, `SELECT minhash_array(shingle, 64)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - double dot product of two numeric arrays"),
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_array"),
+      info("minhash_array",
+        "minhash_array(s, n) - n seeded xxhash64 values of string s"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval().toString.toInt
+        }
+        MinHashArray(exprs(0), n)
+      }))
+  }
+}

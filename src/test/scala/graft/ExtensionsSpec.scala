@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions registers native functions for SQL users") {
+    // extensions only apply at session CREATION — detach any active
+    // session so getOrCreate builds a fresh one (same JVM/context ok)
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions: `spark.sql.extensions` is only consulted when the
+    // shared SparkContext is first created, which another suite may have
+    // done already; the builder hook applies in-process either way
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions().apply(_))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dot = spark.sql(
+        "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head.getDouble(0)
+      assert(dot == 11.0)
+      val mh = spark.sql("SELECT minhash_array('hello world', 8) AS h")
+        .head.getSeq[Long](0)
+      assert(mh.length == 8)
+      assert(mh.distinct.length > 1, "seeds produce distinct hashes")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}
