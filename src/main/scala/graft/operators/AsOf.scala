@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the latest right row with
+  * `right.ts <= left.ts` on the same key. Spark has no native as-of join;
+  * the usual range-join formulation explodes into an inequality join.
+  * This composition unions both sides, sorts once per key, and carries
+  * the most recent right payload forward with an `ignoreNulls` last()
+  * window — one shuffle on the key, O(n log n) per key, no pair
+  * explosion (the pattern Flink/kdb users expect for event alignment,
+  * here expressed fully in Catalyst operators).
+  *
+  * Tie rule: a right row at exactly left.ts IS visible to that left row
+  * (right sorts before left at equal ts) — matching DuckDB/standard
+  * ASOF `>=` semantics, which the oracle checks.
+  */
+object AsOf {
+
+  /** `rightCols` are the right-side payload columns to attach (prefixed
+    * `asof_` in the output, null when no prior right row exists).
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      col(key), col(ts).as("_ts"), lit(1).as("_side"),
+      struct(leftCols.map(col): _*).as("_l"),
+      lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightCols.map(col): _*).schema.fields)).as("_r"))
+    val r = right.select(
+      col(key), col(ts).as("_ts"), lit(0).as("_side"),
+      lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          left.select(leftCols.map(col): _*).schema.fields)).as("_l"),
+      struct(rightCols.map(col): _*).as("_r"))
+    val w = Window.partitionBy(key).orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_last_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(
+        leftCols.map(c => col(s"_l.$c").as(c)) ++
+          rightCols.map(c => col(s"_last_r.$c").as(s"asof_$c")): _*)
+  }
+}

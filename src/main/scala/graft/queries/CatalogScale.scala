@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
 
 /** Scale-extension catalog: dedup / similarity search / text analysis /
   * multimodal plumbing / sessionization — the training-data-pipeline
@@ -232,6 +232,29 @@ object CatalogScale {
               FROM documents ORDER BY doc_id""")),
 
     // ============================================ windows / sessions
+    Q("j12_asof_join",
+      // backward as-of join: each purchase aligned to the user's latest
+      // prior-or-simultaneous click
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "value")
+        AsOf.backward(purchases, clicks, "user_id", "ts", Seq("ts", "value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            round(col("asof_value"), 2).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                round(c.value, 2) AS click_value
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND p.ts >= c.ts
+              ORDER BY p.event_id""")),
+
     Q("w_sessionize",
       (s, d) => Sessions.sessionize(events(s, d), "user_id", "ts", "event_id", 1800L)
         .groupBy("user_id")

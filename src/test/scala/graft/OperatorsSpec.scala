@@ -74,6 +74,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(10L, 11L))
   }
 
+  test("asof backward: latest prior row, equal-ts visible, null when none") {
+    val left = Seq(
+      (1L, 10L, "2024-01-01 00:00:05"),
+      (2L, 10L, "2024-01-01 00:00:10"), // equal ts as right row r2
+      (3L, 20L, "2024-01-01 00:00:01")) // no prior right row
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val right = Seq(
+      (10L, "2024-01-01 00:00:03", 1.0),
+      (10L, "2024-01-01 00:00:10", 2.0),
+      (20L, "2024-01-01 00:00:09", 9.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val got = graft.operators.AsOf.backward(left, right, "user_id", "ts", Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).contains(1.0), "latest prior")
+    assert(got(2L).contains(2.0), "right row at identical ts is visible")
+    assert(got(3L).isEmpty, "no prior right row -> null")
+  }
+
   test("sessionize: gap splits sessions per user") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
