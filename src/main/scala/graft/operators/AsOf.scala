@@ -22,6 +22,22 @@ object AsOf {
   /** `rightCols` are the right-side payload columns to attach (prefixed
     * `asof_` in the output, null when no prior right row exists).
     */
+  /** Tolerance variant: matches older than `toleranceSec` before the left
+    * timestamp are dropped (payload nulled) — bounded staleness, the
+    * usual guard against joining against ancient state.
+    */
+  def backwardWithin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightCols: Seq[String], toleranceSec: Long): DataFrame = {
+    val joined = backward(left, right, key, ts, Seq(ts) ++ rightCols.filterNot(_ == ts))
+    val fresh = unix_timestamp(col(ts)) - unix_timestamp(col(s"asof_$ts")) <= toleranceSec
+    rightCols.filterNot(_ == ts).foldLeft(
+      joined.withColumn(s"asof_$ts",
+        when(fresh, col(s"asof_$ts")).otherwise(lit(null)))) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(col(s"asof_$ts").isNotNull, col(s"asof_$c")).otherwise(lit(null)))
+    }
+  }
+
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq

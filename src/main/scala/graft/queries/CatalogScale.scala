@@ -255,6 +255,25 @@ object CatalogScale {
                 ON p.user_id = c.user_id AND p.ts >= c.ts
               ORDER BY p.event_id""")),
 
+    Q("u5_latest_by_key",
+      // SCD-style latest-record dedup: one surviving row per key by
+      // recency (the upsert-compaction read side of CacheTable)
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("event_id").desc)
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            round(col("value"), 2).as("value"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, round(value, 2) AS value
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                                 ORDER BY event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1 ORDER BY user_id, event_type""")),
+
     Q("w_sessionize",
       (s, d) => Sessions.sessionize(events(s, d), "user_id", "ts", "event_id", 1800L)
         .groupBy("user_id")

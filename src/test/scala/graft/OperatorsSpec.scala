@@ -96,6 +96,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L).isEmpty, "no prior right row -> null")
   }
 
+  test("asof backwardWithin: stale matches nulled by tolerance") {
+    val left = Seq((1L, 10L, "2024-01-01 01:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val right = Seq((10L, "2024-01-01 00:00:00", 5.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val tight = graft.operators.AsOf.backwardWithin(
+      left, right, "user_id", "ts", Seq("value"), toleranceSec = 60)
+    assert(tight.select("asof_value").head.isNullAt(0), "1h-old match dropped at 60s tolerance")
+    val loose = graft.operators.AsOf.backwardWithin(
+      left, right, "user_id", "ts", Seq("value"), toleranceSec = 7200)
+    assert(loose.select("asof_value").head.getDouble(0) == 5.0)
+  }
+
   test("sessionize: gap splits sessions per user") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
