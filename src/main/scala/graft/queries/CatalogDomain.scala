@@ -123,6 +123,20 @@ object CatalogDomain {
                 '[docs](https://ex.com/' || p_partkey || ')' AS md
               FROM part ORDER BY p_partkey""")),
 
+    Q("x3_slack_markup",
+      (s, d) => {
+        val k = col("p_partkey").cast("string")
+        val text = concat(lit("see <#C042|general> and <https://ex.com/p"), k,
+          lit("|Part "), k, lit("> or <https://plain.example/"), k, lit(">"))
+        t(s, d, "part")
+          .select(col("p_partkey"), TextFns.slackMarkupNormalize(text).as("text"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+                'see #general and [Part ' || p_partkey || '](https://ex.com/p'
+                || p_partkey || ') or https://plain.example/' || p_partkey AS text
+              FROM part ORDER BY p_partkey""")),
+
     Q("x4_html_to_md",
       (s, d) => {
         val html = concat(
