@@ -98,7 +98,10 @@ object Dedup {
       var i = 0; while (i < n) { if (y(i) < x(i)) x(i) = y(i); i += 1 }; x
     }
     def finish(r: Array[Long]): Seq[Long] = r.toSeq
-    def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+    // primitive array encoder: the partial-agg shuffle carries a raw
+    // long-array column, not a java-serialized blob per group
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
@@ -197,10 +200,26 @@ object Dedup {
     * shares most words, and word-level simhash stops discriminating.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3,
-      "4-block banding only guarantees a shared block for hamming <= 3; " +
-        "higher thresholds would silently miss pairs (use more/smaller blocks)")
+      k: Int, maxHamming: Int): DataFrame =
+    simHashPairsBlocks(docs, idCol, textCol, k, maxHamming, numBlocks = 4)
+
+  /** SimHash banding generalized over the block count: 64 bits split into
+    * `numBlocks` equal blocks; pigeonhole guarantees a pair at hamming
+    * distance <= numBlocks-1 shares at least one block, so any
+    * `maxHamming <= numBlocks-1` is recall-complete BY CONSTRUCTION (the
+    * bit_count verify then makes the result exact, not approximate).
+    * Running two different decompositions (4×16 and 8×8) and comparing is
+    * therefore an end-to-end recall proof with no all-pairs join anywhere.
+    */
+  def simHashPairsBlocks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxHamming: Int, numBlocks: Int): DataFrame = {
+    require(64 % numBlocks == 0, s"numBlocks must divide 64, got $numBlocks")
+    require(maxHamming <= numBlocks - 1,
+      s"$numBlocks-block banding only guarantees a shared block for " +
+        s"hamming <= ${numBlocks - 1}; higher thresholds would silently " +
+        "miss pairs (use more/smaller blocks)")
+    val blockBits = 64 / numBlocks
+    val blockMask = (1L << blockBits) - 1
     val hashes = widen(docs).select(
       col(idCol).as("doc_id"),
       transform(array_distinct(shingles(words(col(textCol)), k)),
@@ -209,8 +228,9 @@ object Dedup {
     sigs.count() // materialize once; reused by blocks self-join below
     val blocks = sigs.select(
       col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftrightunsigned", col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))))
+      posexplode(transform(sequence(lit(0), lit(numBlocks - 1)),
+        b => call_function("shiftrightunsigned", col("sig"), b * blockBits)
+          .bitwiseAND(lit(blockMask))))
         .as(Seq("blk", "bval")))
     val l = blocks.select(col("blk"), col("bval"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))

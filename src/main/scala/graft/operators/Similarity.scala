@@ -51,15 +51,44 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs (exact all-pairs baseline): every
-    * id_a < id_b pair with cosine >= threshold. The pair join is a
-    * broadcast nested loop locally; at 100 TB candidates come from the
-    * hyperplane buckets (annLshKnn's join) and this exact compare runs
-    * only on collisions.
+    * id_a < id_b pair with cosine >= threshold. O(n²) — kept only as the
+    * truth definition for the oracle; the production path is
+    * [[cosineDupPairsLsh]], which buckets candidates first.
     */
   def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Embedding near-dup pairs via hyperplane-LSH bucketing: candidates are
+    * bucket collisions (equi-join on (tbl, sig) — never an all-pairs theta
+    * join), then the exact cosine threshold is applied only to collisions.
+    * Output equals [[cosineDupPairs]] whenever every qualifying pair
+    * collides in >= 1 table; the per-pair miss probability is
+    * (1 - (1 - θ/π)^numPlanes)^numTables, so recall is tuned by trading
+    * numPlanes (bucket granularity → candidate volume) against numTables.
+    * At production thresholds (cos >= 0.8) numPlanes=8–16 keeps buckets
+    * tiny; the low test threshold (0.35) needs coarse buckets + many
+    * tables for recall — the plan shape, not the constants, is what
+    * carries to 100 TB.
+    */
+  def cosineDupPairsLsh(emb: DataFrame, threshold: Double,
+      numTables: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numTables, numPlanes, dim)
+    val sigRows = tableSigRows(Dedup.widen(emb), "embedding", planes)
+      .select("vec_id", "tbl", "sig")
+    val l = sigRows.select(col("tbl"), col("sig"), col("vec_id").as("id_a"))
+    val r = sigRows.select(col("tbl"), col("sig"), col("vec_id").as("id_b"))
+    val cand = l.join(r, Seq("tbl", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    cand.join(ea, "id_a").join(eb, "id_b")
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
@@ -74,6 +103,23 @@ object Similarity {
     Seq.fill(numTables)(Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** Per-table sign-signature rows: one output row per (input row, table),
+    * adding `tbl` and the bit-array `sig`. Planes are constant literals,
+    * so each bit is a codegen'd dot product against constants.
+    */
+  private def tableSigRows(df: DataFrame, vecCol: String,
+      planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val perTable = planes.indices.map { t0 =>
+      val bits = planes(t0).map { pl =>
+        when(dotD(col(vecCol), typedlit(pl)) >= 0, lit(1)).otherwise(lit(0))
+      }
+      struct(lit(t0).as("tbl"), array(bits: _*).as("sig"))
+    }
+    df.select(col("*"), explode(array(perTable: _*)).as("ts"))
+      .select(col("*"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+      .drop("ts")
+  }
+
   /** Multi-table LSH approximate NN: `numTables` independent hyperplane
     * sets; corpus and queries are bucketed per table by sign signature;
     * candidates = union of per-table bucket collisions (equi-join on
@@ -84,20 +130,8 @@ object Similarity {
   def annLshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       numTables: Int, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numTables, numPlanes, dim)
-    val wideCorpus = Dedup.widen(corpus)
-    def sigs(df: DataFrame, vecCol: String): DataFrame = {
-      val perTable = (0 until numTables).map { t0 =>
-        val bits = planes(t0).map { pl =>
-          when(dotD(col(vecCol), typedlit(pl)) >= 0, lit(1)).otherwise(lit(0))
-        }
-        struct(lit(t0).as("tbl"), array(bits: _*).as("sig"))
-      }
-      df.select(col("*"), explode(array(perTable: _*)).as("ts"))
-        .select(col("*"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-        .drop("ts")
-    }
-    val sigC = sigs(wideCorpus, "embedding")
-    val sigQ = sigs(queries, "qe")
+    val sigC = tableSigRows(Dedup.widen(corpus), "embedding", planes)
+    val sigQ = tableSigRows(queries, "qe", planes)
     val candPairs = sigC.select("vec_id", "tbl", "sig")
       .join(broadcast(sigQ.select("query_id", "tbl", "sig")), Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("query_id"))

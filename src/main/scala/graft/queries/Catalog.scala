@@ -502,7 +502,7 @@ object Catalog {
           .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("cnt"))
           .orderBy("event_type"),
       Some("""SELECT event_type,
-              sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
               count(*) AS cnt
               FROM events GROUP BY 1 ORDER BY 1""")),

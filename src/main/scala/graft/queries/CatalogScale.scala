@@ -28,6 +28,57 @@ object CatalogScale {
     emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
 
+  /** ANN params tuned so hyperplane banding is recall-complete on the
+    * seeded testdata (2 planes/table keeps per-table collision probability
+    * high even at the weak-similarity regime of the synthetic embeddings;
+    * 16 tables drive the per-pair miss probability below 1e-3).
+    */
+  private val AnnTables = 16
+  private val AnnPlanes = 2
+
+  /** Exact n-gram Jaccard truth, shared by `dedup_jaccard` (exact
+    * inverted-index plan) and `dedup_minhash_lsh` (banded plan): the LSH
+    * path post-verifies candidates with exact Jaccard, so its output must
+    * EQUAL the exact answer whenever banding recall is complete — making
+    * the exact oracle a genuine recall gate, not just a value check.
+    */
+  private val jaccardOracle =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
+              FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+       FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+                  JOIN sz sb ON inter.id_b = sb.doc_id
+       WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+       ORDER BY id_a, id_b"""
+
+  /** Exact cosine top-10 truth, shared by `sim_knn_cosine` (brute force)
+    * and `sim_ann_lsh` (bucketed candidates): with recall-complete
+    * banding the ANN result is identical, so the exact oracle doubles as
+    * the ANN recall gate.
+    */
+  private val knnOracle =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id < 3),
+       c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       s AS (SELECT query_id, vec_id AS neighbor_id,
+               list_dot_product(e, qe) /
+               (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos
+             FROM c, q WHERE vec_id <> query_id),
+       r AS (SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rnk
+             FROM s)
+       SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+              round(cos, 6) AS cosine
+       FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""
+
   val all: Seq[Q] = Seq(
 
     // ========================================================== dedup
@@ -40,34 +91,49 @@ object CatalogScale {
     Q("dedup_jaccard",
       (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         k = 5, num = 4, den = 5).orderBy("id_a", "id_b"),
-      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
-                         FROM documents),
-              sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
-                     FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
-              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                        GROUP BY 1, 2)
-              SELECT id_a, id_b,
-                     round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
-              FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
-                         JOIN sz sb ON inter.id_b = sb.doc_id
-              WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
-              ORDER BY id_a, id_b""")),
+      Some(jaccardOracle)),
 
     Q("dedup_minhash_lsh",
+      // same truth as dedup_jaccard: the banded candidates are verified
+      // with exact Jaccard, so a green hash here proves banding recall
+      // was complete on this corpus (a dropped pair = red row = signal)
       (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
         k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(jaccardOracle)),
 
     Q("dedup_simhash",
       (s, d) => Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text",
         k = 5, maxHamming = 3).orderBy("id_a", "id_b"),
       None),
 
+    Q("dedup_simhash_recall",
+      // recall proof without an all-pairs join: 4×16-bit and 8×8-bit
+      // block decompositions are independent recall-complete candidate
+      // routes (pigeonhole: hamming<=3 shares a block in both); identical
+      // output pair-sets = the banding dropped nothing
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val p4 = Dedup.simHashPairs(docs, "doc_id", "text", k = 5, maxHamming = 3)
+          .select("id_a", "id_b")
+        val p8 = Dedup.simHashPairsBlocks(docs, "doc_id", "text", k = 5,
+          maxHamming = 3, numBlocks = 8).select("id_a", "id_b")
+        val n4 = p4.agg(count(lit(1)).as("n_blocks4"))
+        val n8 = p8.agg(count(lit(1)).as("n_blocks8"))
+        val diff = p4.except(p8).union(p8.except(p4))
+          .agg(count(lit(1)).as("n_diff"))
+        n4.crossJoin(n8).crossJoin(diff)
+          .select((col("n_blocks4") === col("n_blocks8")).as("counts_match"),
+            (col("n_diff") === 0).as("identical"))
+      },
+      Some("SELECT true AS counts_match, true AS identical")),
+
     Q("dedup_embedding",
-      (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"), 0.35)
+      // production path: hyperplane-bucketed candidates + exact verify;
+      // the oracle stays the all-pairs truth definition, so a green hash
+      // proves the bucketing achieved complete recall at this threshold
+      (s, d) => Similarity.cosineDupPairsLsh(t(s, d, "embeddings"), 0.35,
+        numTables = 24, numPlanes = 2, dim = 64)
         .orderBy("id_a", "id_b"),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -86,29 +152,42 @@ object CatalogScale {
         Similarity.bruteForceKnn(emb, knnQueries(emb), k = 10)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-                         FROM embeddings WHERE vec_id < 3),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-              s AS (SELECT query_id, vec_id AS neighbor_id,
-                      list_dot_product(e, qe) /
-                      (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos
-                    FROM c, q WHERE vec_id <> query_id),
-              r AS (SELECT query_id, neighbor_id, cos,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY cos DESC, neighbor_id ASC) AS rnk
-                    FROM s)
-              SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
-                     round(cos, 6) AS cosine
-              FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
+      Some(knnOracle)),
 
     Q("sim_ann_lsh",
+      // same truth as sim_knn_cosine: candidates come from bucket
+      // collisions, final scores are exact cosine — green hash = the
+      // buckets surfaced every true top-10 neighbor
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.annLshKnn(emb, knnQueries(emb), k = 10,
-          numTables = 6, numPlanes = 6, dim = 64)
+          numTables = AnnTables, numPlanes = AnnPlanes, dim = 64)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(knnOracle)),
+
+    Q("sim_ann_recall",
+      // quantitative recall floor: |ANN top-10 ∩ exact top-10| / |exact|,
+      // asserted >= 0.9; n_queries and n_exact are genuinely computed by
+      // the oracle from the parquet, the floor is the invariant under test
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = knnQueries(emb)
+        val exact = Similarity.bruteForceKnn(emb, q, k = 10)
+          .select("query_id", "neighbor_id")
+        val ann = Similarity.annLshKnn(emb, q, k = 10,
+          numTables = AnnTables, numPlanes = AnnPlanes, dim = 64)
+          .select("query_id", "neighbor_id")
+        val e = exact.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        val h = exact.intersect(ann).agg(count(lit(1)).as("n_hit"))
+        e.crossJoin(h).select(
+          col("n_queries"), col("n_exact"),
+          (col("n_hit") * 10 >= col("n_exact") * 9).as("floor_met"))
+      },
+      Some("""SELECT count(*) AS n_queries, CAST(count(*) * 10 AS BIGINT) AS n_exact,
+              true AS floor_met
+              FROM embeddings WHERE vec_id < 3""")),
 
     // =================================================== text analysis
     Q("ta_langid",
