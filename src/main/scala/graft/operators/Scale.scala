@@ -12,27 +12,38 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Content-derived salt: deterministic across task retries, unlike
+    * `spark_partition_id`/`monotonically_increasing_id` — a salt that
+    * changes when a map stage is partially recomputed after a fetch
+    * failure feeds a nondeterministic shuffle key and can duplicate or
+    * drop rows (the SPARK-23207 class of bug), precisely on the large
+    * clusters these operators target. Identical rows share a salt, which
+    * only matters if one hot key's rows are also identical across every
+    * column — add a distinguishing column upstream in that case.
+    */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
+
   /** Two-phase salted aggregation: counts/sums for a heavily-skewed group
     * key. Phase 1 aggregates (key, salt) partials across `saltBuckets`
     * shuffle partitions; phase 2 merges partials per key. Equivalent to
     * plain groupBy for any associative aggregate.
     */
   def saltedCount(df: DataFrame, key: String, saltBuckets: Int): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    df.withColumn("_salt", contentSalt(df, saltBuckets))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum("_partial").as("cnt"))
 
   /** Salted skew join: replicate the small side `saltBuckets`× with an
-    * explicit salt, salt the big side randomly-but-deterministically, and
-    * join on (key, salt) — spreads one hot key across `saltBuckets`
+    * explicit salt, salt the big side deterministically from row content,
+    * and join on (key, salt) — spreads one hot key across `saltBuckets`
     * tasks. Inner-join semantics preserved.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
-    val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+    val saltedBig = big.withColumn("_salt", contentSalt(big, saltBuckets))
     val saltedSmall = small
       .withColumn("_salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")

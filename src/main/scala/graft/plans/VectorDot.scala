@@ -40,12 +40,17 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // mismatched lengths yield null (malformed embeddings must not produce
+  // a plausible-but-wrong truncated dot product), so the result is
+  // nullable even over non-null inputs
+  override def nullable: Boolean = true
   override def prettyName: String = "vector_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var acc = 0.0
@@ -69,12 +74,16 @@ case class VectorDot(left: Expression, right: Expression)
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
         else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ($getA) * ($getB);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ($getA) * ($getB);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

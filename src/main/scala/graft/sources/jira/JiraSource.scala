@@ -67,7 +67,10 @@ class JiraScanBuilder(path: String) extends ScanBuilder
   private def translatable(f: Filter): Boolean = f match {
     case EqualTo("project", _) => true
     case GreaterThanOrEqual("updated", _) => true
-    case IsNotNull(_) => true // implied by the API (rows always have keys)
+    // only columns the API guarantees non-null may be claimed as pushed;
+    // nullable columns (assignee, labels, ...) must stay residual or
+    // Spark drops a filter the reader never enforces
+    case IsNotNull("key") | IsNotNull("project") => true
     case _ => false
   }
 
@@ -129,16 +132,19 @@ class JiraPartitionReader(file: String, required: StructType,
 
   private val mapper = new ObjectMapper()
   private val issues: Iterator[JsonNode] = {
-    // fail-open like the reference's 401/403/404 handling
-    // (`jira/lib/changelog-client.js:86-90`): an unreadable page yields
-    // an empty partition, not a failed job. Materialized eagerly (pages
-    // are API-page sized) so filter/parse errors surface inside this try
-    // — a lazy iterator would throw from next() outside it.
-    try {
-      val root = mapper.readTree(new java.io.File(file))
-      val arr = if (root.has("issues")) root.get("issues") else root
-      arr.elements().asScala.filter(serverSideKeep).toList.iterator
-    } catch { case _: Exception => Iterator.empty }
+    // fail-open ONLY for an unreadable/unparseable page, like the
+    // reference's 401/403/404 handling (`jira/lib/changelog-client.js:
+    // 86-90`). Filter evaluation runs OUTSIDE the catch: a bad pushed
+    // bound must fail the task loudly, not silently empty the partition.
+    val parsed =
+      try Some(mapper.readTree(new java.io.File(file)))
+      catch { case _: Exception => None }
+    parsed match {
+      case None => Iterator.empty
+      case Some(root) =>
+        val arr = if (root.has("issues")) root.get("issues") else root
+        arr.elements().asScala.filter(serverSideKeep).toList.iterator
+    }
   }
   private var cur: InternalRow = _
 
@@ -162,14 +168,29 @@ class JiraPartitionReader(file: String, required: StructType,
         java.sql.Timestamp.valueOf(raw.replace("T", " ")).getTime * 1000L))
   }
 
+  /** Pushed-bound value → epoch micros. Spark hands TimestampType bounds
+    * as java.sql.Timestamp by default but as java.time.Instant under
+    * `spark.sql.datetime.java8API.enabled=true` — both must be handled,
+    * and an unconvertible bound throws (surfacing as a task failure)
+    * rather than silently filtering everything out.
+    */
+  private def tsBound(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case l: java.time.LocalDateTime =>
+      val i = l.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case d: java.util.Date => d.getTime * 1000L
+    case s => parseTs(s.toString).getOrElse(
+      throw new IllegalArgumentException(s"unsupported 'updated' bound: $s"))
+  }
+
   private def serverSideKeep(n: JsonNode): Boolean = pushed.forall {
     case EqualTo("project", v) => n.path("project").asText() == v.toString
     case GreaterThanOrEqual("updated", v) =>
-      val bound = v match {
-        case t: java.sql.Timestamp => t.getTime * 1000L
-        case s => java.sql.Timestamp.valueOf(s.toString.replace("T", " ")).getTime * 1000L
-      }
-      ts(n, "updated").exists(_ >= bound)
+      ts(n, "updated").exists(_ >= tsBound(v))
+    case IsNotNull(f) =>
+      Option(n.get(f)).exists(!_.isNull)
     case _ => true
   }
 

@@ -60,7 +60,10 @@ class SlackScanBuilder(path: String) extends ScanBuilder
     case EqualTo("channel", _) => true
     case GreaterThanOrEqual("ts", _) => true // oldest=
     case LessThanOrEqual("ts", _) => true // latest=
-    case IsNotNull(_) => true
+    // only the columns the envelope guarantees non-null; nullable ones
+    // (thread_ts, user, text) must stay residual — claiming them pushed
+    // would make Spark drop a filter the reader never enforces
+    case IsNotNull("channel") | IsNotNull("ts") => true
     case _ => false
   }
 
@@ -93,9 +96,41 @@ case class SlackScan(path: String, required: StructType, pushed: Array[Filter])
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".json")).sortBy(_.getName)
       // channel pruning at PLANNING time: skip whole channels (the
-      // reference simply doesn't fetch unrequested channels)
-      .filter(f => channelFilter.forall(c => f.getName == s"$c.json"))
+      // reference simply doesn't fetch unrequested channels). The prune
+      // reads the envelope's embedded channel name — the SAME field the
+      // reader filters on — so pruned and unpruned plans agree even when
+      // a file is named differently from its envelope. (The HTTP form of
+      // this connector would prune from the conversations.list response
+      // instead of opening files.)
+      .filter(f => channelFilter.forall(c => envelopeChannel(f) == c))
     files.map(f => SlackChannelPartition(f.getAbsolutePath): InputPartition)
+  }
+
+  /** Streaming parse of just `channel.name` from an envelope file — no
+    * full-document materialization at planning time.
+    */
+  private def envelopeChannel(f: java.io.File): String = {
+    val p = new com.fasterxml.jackson.core.JsonFactory().createParser(f)
+    try {
+      var depth = 0
+      var inChannel = false
+      while (p.nextToken() != null) {
+        import com.fasterxml.jackson.core.JsonToken._
+        p.currentToken() match {
+          case START_OBJECT | START_ARRAY => depth += 1
+          case END_OBJECT | END_ARRAY =>
+            depth -= 1
+            if (inChannel && depth <= 1) inChannel = false
+          case FIELD_NAME if depth == 1 && p.currentName() == "channel" =>
+            inChannel = true
+          case FIELD_NAME if inChannel && depth == 2 && p.currentName() == "name" =>
+            p.nextToken()
+            return p.getText()
+          case _ => ()
+        }
+      }
+      ""
+    } catch { case _: Exception => "" } finally p.close()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -128,6 +163,8 @@ class SlackPartitionReader(file: String, required: StructType,
       m.path("ts").asText("0").toDouble >= v.toString.toDouble
     case LessThanOrEqual("ts", v) =>
       m.path("ts").asText("0").toDouble <= v.toString.toDouble
+    case IsNotNull("channel") => channel.nonEmpty
+    case IsNotNull("ts") => m.has("ts") && !m.get("ts").isNull
     case _ => true
   }
 

@@ -29,6 +29,16 @@ class ExtensionsSpec extends AnyFunSuite {
         .head.getSeq[Long](0)
       assert(mh.length == 8)
       assert(mh.distinct.length > 1, "seeds produce distinct hashes")
+      // length mismatch -> null, never a truncated dot (ADVICE r1)
+      val mismatch = spark.sql(
+        "SELECT vector_dot(array(1.0D, 2.0D, 3.0D), array(3.0D, 4.0D)) AS d")
+        .head
+      assert(mismatch.isNullAt(0), "mismatched lengths must yield null")
+      // same through the interpreted (non-codegen) path
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val interp = graft.plans.VectorDot(
+        Literal.create(Seq(1.0, 2.0, 3.0)), Literal.create(Seq(3.0, 4.0)))
+      assert(interp.eval(null) == null)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

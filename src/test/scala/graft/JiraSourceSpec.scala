@@ -61,4 +61,25 @@ class JiraSourceSpec extends AnyFunSuite {
     assert(rows.head.isNullAt(0))
     assert(rows.head.getSeq[String](1) == Seq())
   }
+
+  test("isNotNull on a nullable column filters rows (stays residual)") {
+    // AB-2 has assignee=null; an IsNotNull the source claimed-but-ignored
+    // would let it through (ADVICE r1)
+    val keys = read.filter(col("assignee").isNotNull)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("AB-1", "ZZ-9"))
+  }
+
+  test("pushed updated bound works with java.time.Instant (java8 datetime API)") {
+    // with datetime.java8API.enabled the bound arrives as Instant; the
+    // old fail-open catch turned the resulting conversion error into a
+    // silently empty scan (ADVICE r1)
+    val prev = spark.conf.get("spark.sql.datetime.java8API.enabled", "false")
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    try {
+      val df = read.filter(col("project") === "AB" &&
+        col("updated") >= lit("2025-09-15 00:00:00").cast("timestamp"))
+      assert(df.collect().map(_.getString(0)).toSeq == Seq("AB-1"))
+    } finally spark.conf.set("spark.sql.datetime.java8API.enabled", prev)
+  }
 }

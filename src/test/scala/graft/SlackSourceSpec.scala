@@ -42,4 +42,27 @@ class SlackSourceSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("oldest=150.0") && plan.contains("latest=250.0"), plan)
   }
+
+  test("isNotNull on thread_ts filters rows (stays residual)") {
+    // only "mid" carries thread_ts; a claimed-but-unenforced IsNotNull
+    // push would return all 4 rows (ADVICE r1)
+    val texts = read.filter(col("thread_ts").isNotNull)
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(texts == Seq("mid"))
+  }
+
+  test("planning-time prune uses the envelope name, not the filename") {
+    // file misnamed.json holds channel "alpha": filename-based pruning
+    // would plan zero partitions for channel === "alpha" while the
+    // reader-side filter matches — same query, different answers
+    // depending on pushdown (ADVICE r1)
+    val d = Files.createTempDirectory("slack_misnamed")
+    Files.writeString(d.resolve("misnamed.json"),
+      """{"channel":{"id":"C9","name":"alpha"},"messages":[
+        {"ts":"500.000500","user":"U9","text":"hello","reply_count":0}]}""")
+    val df = spark.read.format("graft.sources.slack.SlackSource")
+      .option("path", d.toString).load()
+      .filter(col("channel") === "alpha")
+    assert(df.count() == 1)
+  }
 }
