@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Changelog, JiraOps}
+
+/** Connector-path catalog: the nested Jira row shapes (comments arrays,
+  * changelog histories, dynamic fields map — reference
+  * `jira/export-to-csv.js:84-102,288-296,316-322`,
+  * `jira/lib/changelog-client.js:125-151`) exercised END TO END through
+  * the DSv2 connector, not via fixtures: an export stage materializes
+  * issue pages as JSON (distributed write — the analog of the reference
+  * persisting fetched API pages), [[graft.sources.jira.JiraSource]] reads
+  * them back with JQL/fields pushdown, and DuckDB recomputes the same
+  * answer independently from the original parquet tables.
+  *
+  * Page content is derived deterministically from `orders`/`lineitem`
+  * (issue = order, comment/history = line item), so the oracle needs no
+  * access to the staged files.
+  */
+object CatalogConnector {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Staged pages live under tmp, keyed by sf-dir so scale factors don't
+    * collide. Re-written (overwrite) on every call: the stage IS part of
+    * the measured pipeline, exactly like the reference's fetch-then-read.
+    */
+  private def stageIssuePages(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jira_stage_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/issues"
+    val o = t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+    val li = t(s, d, "lineitem")
+    val perOrder = li.groupBy("l_orderkey").agg(
+      sort_array(collect_list(struct(
+        col("l_linenumber").as("ln"),
+        concat(lit("supplier_"), col("l_suppkey")).as("author"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("created"),
+        concat(lit("part "), col("l_partkey")).as("body")))).as("comments"),
+      sort_array(collect_list(struct(
+        col("l_linenumber").as("ln"),
+        concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("id"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("created"),
+        struct(concat(lit("supplier_"), col("l_suppkey")).as("displayName"))
+          .as("author"),
+        array(
+          struct(lit("status").as("field"), lit("PENDING").as("fromString"),
+            col("l_linestatus").as("toString")),
+          struct(lit("Rank").as("field"), lit("").as("fromString"),
+            when(col("l_linenumber") % 2 === 0, lit("Ranked higher"))
+              .otherwise(lit("Ranked lower")).as("toString"))).as("items"))))
+        .as("histories"))
+    o.join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        concat(lit("ORD-"), col("o_orderkey")).as("key"),
+        col("o_orderpriority").as("project"),
+        col("o_orderstatus").as("status"),
+        concat(lit("cust_"), col("o_custkey")).as("assignee"),
+        concat(lit("order "), col("o_orderkey")).as("summary"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("updated"),
+        col("comments"), col("histories"),
+        // dynamic field presence varies per issue — the A14 name-union
+        // must actually discover differing key sets
+        map_filter(map(
+          lit("priority"), col("o_orderpriority"),
+          lit("status"), col("o_orderstatus"),
+          lit("rush"), when(col("o_orderpriority").startsWith("1"), lit("y"))
+            .otherwise(lit(null).cast("string")),
+          lit("bigorder"), when(col("o_totalprice") > 200000, lit("y"))
+            .otherwise(lit(null).cast("string"))),
+          (_, v) => v.isNotNull).as("fields"))
+      .repartition(8)
+      .write.mode("overwrite").json(out)
+    out
+  }
+
+  private def readIssues(s: SparkSession, pages: String): DataFrame =
+    s.read.format("graft.sources.jira.JiraSource").option("path", pages).load()
+
+  val all: Seq[Q] = Seq(
+
+    Q("f2_connector_comments",
+      // F2 through the connector: project filter pushes down as JQL, the
+      // comment-date window trims arrays in place, empty parents drop
+      (s, d) => {
+        val pages = stageIssuePages(s, d)
+        val issues = readIssues(s, pages).filter(col("project") === "1-URGENT")
+        JiraOps.filterCommentsInRange(issues, "1996-01-01", "1996-12-31")
+          .select(col("key"), size(col("comments")).as("n_comments"),
+            // l_linenumber is not unique per order in the synthetic data,
+            // so "first" would be tie-broken differently by each engine —
+            // min(author) is deterministic on both sides
+            array_min(transform(col("comments"), c => c.getField("author")))
+              .as("min_author"))
+          .orderBy("key")
+      },
+      Some("""WITH c AS (
+                SELECT 'ORD-' || o_orderkey AS key,
+                       'supplier_' || l_suppkey AS author
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_orderkey % 10 = 0 AND o_orderpriority = '1-URGENT'
+                  AND CAST(l_shipdate AS DATE)
+                      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31')
+              SELECT key, CAST(count(*) AS INT) AS n_comments,
+                     min(author) AS min_author
+              FROM c GROUP BY key ORDER BY key""")),
+
+    Q("a14_connector_fields",
+      // A14 through the connector: union of dynamic field names across
+      // all issues (reference export-to-csv.js:316-322 header builder)
+      (s, d) => {
+        val pages = stageIssuePages(s, d)
+        readIssues(s, pages)
+          .select(explode(map_keys(col("fields"))).as("fname"))
+          .distinct()
+          .agg(count(lit(1)).as("n_fields"),
+            concat_ws(",", sort_array(collect_list(col("fname")))).as("all_fields"))
+      },
+      Some("""WITH ks AS (SELECT DISTINCT k FROM (
+                SELECT 'priority' AS k FROM orders
+                  WHERE o_orderkey % 10 = 0 AND o_orderpriority IS NOT NULL
+                UNION ALL SELECT 'status' FROM orders
+                  WHERE o_orderkey % 10 = 0 AND o_orderstatus IS NOT NULL
+                UNION ALL SELECT 'rush' FROM orders
+                  WHERE o_orderkey % 10 = 0 AND o_orderpriority LIKE '1%'
+                UNION ALL SELECT 'bigorder' FROM orders
+                  WHERE o_orderkey % 10 = 0 AND o_totalprice > 200000) u(k))
+              SELECT count(*) AS n_fields,
+                     string_agg(k, ',' ORDER BY k) AS all_fields
+              FROM ks""")),
+
+    Q("x16_connector_changelog",
+      // S5/X16 through the connector: histories arrive as nested arrays,
+      // Changelog.flatten dispatches the per-item summary tree
+      (s, d) => {
+        val pages = stageIssuePages(s, d)
+        val issues = readIssues(s, pages).filter(col("project") === "2-HIGH")
+        Changelog.flatten(issues.select("key", "histories"))
+          .select("key", "history_id", "author", "i_pos", "summary")
+          .orderBy("key", "history_id", "i_pos")
+      },
+      Some("""WITH h AS (
+                SELECT 'ORD-' || o_orderkey AS key,
+                       o_orderkey || '-' || l_linenumber AS history_id,
+                       'supplier_' || l_suppkey AS author,
+                       l_linestatus, l_linenumber
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_orderkey % 10 = 0 AND o_orderpriority = '2-HIGH')
+              SELECT key, history_id, author, i_pos, summary FROM (
+                SELECT key, history_id, author, 0 AS i_pos,
+                       'Status: PENDING → ' || l_linestatus AS summary FROM h
+                UNION ALL
+                SELECT key, history_id, author, 1 AS i_pos,
+                       CASE WHEN l_linenumber % 2 = 0 THEN 'Ranked higher'
+                            ELSE 'Ranked lower' END AS summary FROM h)
+              ORDER BY key, history_id, i_pos"""))
+  )
+}

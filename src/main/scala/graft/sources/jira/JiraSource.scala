@@ -40,6 +40,32 @@ class JiraSource extends TableProvider {
 }
 
 object JiraSource {
+  /** Comment rows as the reference materializes them onto issues
+    * (`jira/export-to-csv.js:288-296`: `issue.fields.comment.comments`,
+    * each with author/created/updated/body; the date filter keys on
+    * `updated ?? created`, `:114-120`).
+    */
+  val commentType: StructType = StructType(Seq(
+    StructField("author", StringType),
+    StructField("created", TimestampType),
+    StructField("updated", TimestampType),
+    StructField("body", StringType)))
+
+  /** Changelog history rows (`jira/lib/changelog-client.js:125-151`
+    * pagination result: { id, author, created, items:[{field,
+    * fromString, toString}] }) — the exact shape
+    * [[graft.operators.Changelog.flatten]] consumes.
+    */
+  val historyType: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("created", StringType),
+    StructField("author",
+      StructType(Seq(StructField("displayName", StringType)))),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("field", StringType),
+      StructField("fromString", StringType),
+      StructField("toString", StringType)))))))
+
   val schema: StructType = StructType(Seq(
     StructField("key", StringType),
     StructField("project", StringType),
@@ -47,7 +73,12 @@ object JiraSource {
     StructField("assignee", StringType),
     StructField("summary", StringType),
     StructField("updated", TimestampType),
-    StructField("labels", ArrayType(StringType))))
+    StructField("labels", ArrayType(StringType)),
+    StructField("comments", ArrayType(commentType)),
+    StructField("histories", ArrayType(historyType)),
+    // the ~50 dynamic fields whose name-union drives A14
+    // (`jira/export-to-csv.js:316-322`)
+    StructField("fields", MapType(StringType, StringType))))
 }
 
 class JiraTable(path: String) extends Table with SupportsRead {
@@ -136,14 +167,26 @@ class JiraPartitionReader(file: String, required: StructType,
     // reference's 401/403/404 handling (`jira/lib/changelog-client.js:
     // 86-90`). Filter evaluation runs OUTSIDE the catch: a bad pushed
     // bound must fail the task loudly, not silently empty the partition.
-    val parsed =
-      try Some(mapper.readTree(new java.io.File(file)))
-      catch { case _: Exception => None }
+    val parsed: Option[List[JsonNode]] =
+      try {
+        val text = java.nio.file.Files.readString(java.nio.file.Path.of(file))
+        val root = mapper.readTree(text)
+        if (root == null) Some(Nil)
+        else if (root.isArray) Some(root.elements().asScala.toList)
+        else if (root.has("issues"))
+          Some(root.get("issues").elements().asScala.toList)
+        else {
+          // JSON-lines page (e.g. a Spark-exported staging dir): one
+          // issue object per line; a single pretty-printed issue object
+          // falls back to the whole-file parse
+          try Some(text.linesIterator.filter(_.trim.nonEmpty)
+            .map(mapper.readTree).toList)
+          catch { case _: Exception => Some(List(root)) }
+        }
+      } catch { case _: Exception => None }
     parsed match {
       case None => Iterator.empty
-      case Some(root) =>
-        val arr = if (root.has("issues")) root.get("issues") else root
-        arr.elements().asScala.filter(serverSideKeep).toList.iterator
+      case Some(nodes) => nodes.iterator.filter(serverSideKeep)
     }
   }
   private var cur: InternalRow = _
@@ -197,6 +240,59 @@ class JiraPartitionReader(file: String, required: StructType,
   override def next(): Boolean =
     if (issues.hasNext) { cur = toRow(issues.next()); true } else false
 
+  private def str(v: JsonNode): UTF8String =
+    if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
+
+  private def nodeOpt(n: JsonNode, f: String): Option[JsonNode] =
+    Option(n.get(f)).filterNot(_.isNull)
+
+  /** `author` is an object with displayName in the API, a plain string in
+    * compact staged exports — accept both.
+    */
+  private def authorName(v: JsonNode): UTF8String =
+    if (v == null || v.isNull) null
+    else if (v.isObject) str(v.get("displayName"))
+    else str(v)
+
+  private def commentsArray(n: JsonNode): GenericArrayData =
+    nodeOpt(n, "comments").map { cs =>
+      new GenericArrayData(cs.elements().asScala.map { c =>
+        new GenericInternalRow(Array[Any](
+          authorName(c.get("author")),
+          nodeOpt(c, "created").flatMap(v => parseTs(v.asText()))
+            .map(java.lang.Long.valueOf).orNull,
+          nodeOpt(c, "updated").flatMap(v => parseTs(v.asText()))
+            .map(java.lang.Long.valueOf).orNull,
+          str(c.get("body"))))
+      }.toArray[Any])
+    }.orNull
+
+  private def historiesArray(n: JsonNode): GenericArrayData =
+    nodeOpt(n, "histories").map { hs =>
+      new GenericArrayData(hs.elements().asScala.map { h =>
+        val items = nodeOpt(h, "items").map { is =>
+          new GenericArrayData(is.elements().asScala.map { it =>
+            new GenericInternalRow(Array[Any](
+              str(it.get("field")), str(it.get("fromString")),
+              str(it.get("toString"))))
+          }.toArray[Any])
+        }.orNull
+        new GenericInternalRow(Array[Any](
+          str(h.get("id")), str(h.get("created")),
+          new GenericInternalRow(Array[Any](authorName(h.get("author")))),
+          items))
+      }.toArray[Any])
+    }.orNull
+
+  private def fieldsMap(n: JsonNode): org.apache.spark.sql.catalyst.util.ArrayBasedMapData =
+    nodeOpt(n, "fields").map { fs =>
+      val entries = fs.properties().asScala.toSeq
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(entries.map(e =>
+          UTF8String.fromString(e.getKey): Any).toArray),
+        new GenericArrayData(entries.map(e => str(e.getValue): Any).toArray))
+    }.orNull
+
   private def toRow(n: JsonNode): InternalRow = {
     val values = required.fields.map { f =>
       f.name match {
@@ -205,6 +301,9 @@ class JiraPartitionReader(file: String, required: StructType,
           Option(n.get("labels")).filterNot(_.isNull).map(l =>
             new GenericArrayData(l.elements().asScala
               .map(e => UTF8String.fromString(e.asText())).toArray[Any])).orNull
+        case "comments" => commentsArray(n)
+        case "histories" => historiesArray(n)
+        case "fields" => fieldsMap(n)
         case name =>
           Option(n.get(name)).filterNot(_.isNull)
             .map(v => UTF8String.fromString(v.asText())).orNull

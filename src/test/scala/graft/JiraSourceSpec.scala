@@ -31,7 +31,8 @@ class JiraSourceSpec extends AnyFunSuite {
     assert(df.count() == 3)
     assert(df.rdd.getNumPartitions == 2)
     assert(df.schema.fieldNames.toSeq ==
-      Seq("key", "project", "status", "assignee", "summary", "updated", "labels"))
+      Seq("key", "project", "status", "assignee", "summary", "updated", "labels",
+        "comments", "histories", "fields"))
   }
 
   test("filter pushdown: project + updated become JQL in the scan") {
@@ -68,6 +69,51 @@ class JiraSourceSpec extends AnyFunSuite {
     val keys = read.filter(col("assignee").isNotNull)
       .select("key").collect().map(_.getString(0)).toSet
     assert(keys == Set("AB-1", "ZZ-9"))
+  }
+
+  test("nested row shape: comments, histories, fields map parse through the connector") {
+    val d = Files.createTempDirectory("jira_nested")
+    Files.writeString(d.resolve("page_0.json"),
+      """{"issues":[
+        {"key":"NN-1","project":"NN","status":"Done",
+         "updated":"2025-10-01T10:00:00",
+         "comments":[
+           {"author":{"displayName":"Ada"},"created":"2025-10-01T09:00:00",
+            "updated":"2025-10-02T09:00:00","body":"first"},
+           {"author":"Bob","created":"2025-10-03T09:00:00","body":"second"}],
+         "histories":[
+           {"id":"7","created":"2025-10-01 10:00",
+            "author":{"displayName":"Ada"},
+            "items":[{"field":"status","fromString":"To Do","toString":"Done"}]}],
+         "fields":{"customfield_10020":"Sprint 4","priority":"High"}}]}""")
+    val df = spark.read.format("graft.sources.jira.JiraSource")
+      .option("path", d.toString).load()
+    val row = df.filter(col("key") === "NN-1").head
+    val comments = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("comments"))
+    assert(comments.map(_.getString(0)) == Seq("Ada", "Bob"))
+    assert(comments.head.getTimestamp(2) != null, "comment.updated parsed")
+    assert(comments(1).isNullAt(2), "missing updated stays null")
+    val hist = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("histories"))
+    assert(hist.head.getString(0) == "7")
+    assert(hist.head.getStruct(2).getString(0) == "Ada")
+    val items = hist.head.getSeq[org.apache.spark.sql.Row](3)
+    assert(items.head.getString(0) == "status" && items.head.getString(2) == "Done")
+    val fields = row.getMap[String, String](row.fieldIndex("fields"))
+    assert(fields == Map("customfield_10020" -> "Sprint 4", "priority" -> "High"))
+    // pruning still reaches the scan with the wide schema
+    val desc = df.select("key", "fields").queryExecution.executedPlan.toString
+    assert(desc.contains("fields=[key,fields]"), desc)
+  }
+
+  test("JSONL page files (Spark-exported staging) parse issue-per-line") {
+    val d = Files.createTempDirectory("jira_jsonl")
+    Files.writeString(d.resolve("part-0.json"),
+      """{"key":"L-1","project":"L","status":"Done","updated":"2025-01-01T00:00:00"}
+        |{"key":"L-2","project":"L","status":"To Do","updated":"2025-01-02T00:00:00"}
+        |""".stripMargin)
+    val df = spark.read.format("graft.sources.jira.JiraSource")
+      .option("path", d.toString).load()
+    assert(df.select("key").collect().map(_.getString(0)).toSet == Set("L-1", "L-2"))
   }
 
   test("pushed updated bound works with java.time.Instant (java8 datetime API)") {
