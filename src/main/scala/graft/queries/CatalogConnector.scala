@@ -79,6 +79,25 @@ object CatalogConnector {
   private def readIssues(s: SparkSession, pages: String): DataFrame =
     s.read.format("graft.sources.jira.JiraSource").option("path", pages).load()
 
+  /** Transcript folder staged from `documents` via the distributed
+    * file sink (one .txt per doc, mtime derived from doc_id) — the Drive
+    * connector's "folder" with deterministic content for the oracle.
+    */
+  private def stageDriveFolder(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_drive_stage_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/folder"
+    val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+      .select(
+        concat(lit("doc_"), lpad(col("doc_id").cast("string"), 6, "0"),
+          lit(".txt")).as("fname"),
+        col("text"),
+        // 2024-01-01T00:00:00Z + (doc_id % 30) days
+        (lit(1704067200000L) + (col("doc_id") % 30) * 86400000L).as("mtime_ms"))
+    graft.sources.drive.DriveSource.stageFiles(
+      docs, out, "fname", "text", Some("mtime_ms"))
+    out
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("f2_connector_comments",
@@ -155,6 +174,26 @@ object CatalogConnector {
                 SELECT key, history_id, author, 1 AS i_pos,
                        CASE WHEN l_linenumber % 2 = 0 THEN 'Ranked higher'
                             ELSE 'Ranked lower' END AS summary FROM h)
-              ORDER BY key, history_id, i_pos"""))
+              ORDER BY key, history_id, i_pos""")),
+
+    Q("s12_drive_scan",
+      // S12/S13 through the Drive connector: name + modifiedTime
+      // predicates push into the listing (the Drive `q` param) and prune
+      // files at planning; content is "downloaded" executor-side only
+      // for surviving files
+      (s, d) => {
+        val folder = stageDriveFolder(s, d)
+        s.read.format("graft.sources.drive.DriveSource")
+          .option("path", folder).load()
+          .filter(col("name").endsWith(".txt") &&
+            col("modified_time") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+          .select(col("name"), length(col("content")).cast("long").as("n_chars"))
+          .orderBy("name")
+      },
+      Some("""SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+                     CAST(length(text) AS BIGINT) AS n_chars
+              FROM documents
+              WHERE doc_id % 5 = 0 AND doc_id % 30 >= 14
+              ORDER BY name"""))
   )
 }

@@ -55,4 +55,19 @@ object Sources {
         input_file_name().as("path"),
         col("_metadata.file_modification_time").as("mtime"),
         col("value").as("content"))
+
+  /** S12/S13: transcript folder through the Drive-shaped DSv2 connector
+    * ([[graft.sources.drive.DriveSource]]) in the
+    * `WeeklyPipeline.transcriptFiles` shape (file, mtime, lines). Name /
+    * modified_time predicates applied by the caller push down into the
+    * listing (the Drive `q` param); the mime filter stays residual.
+    */
+  def driveTranscripts(spark: SparkSession, folder: String): DataFrame =
+    spark.read.format("graft.sources.drive.DriveSource")
+      .option("path", folder).load()
+      .filter(col("mime_type").isin("text/plain", "text/markdown"))
+      .select(
+        col("name").as("file"),
+        col("modified_time").as("mtime"),
+        split(col("content"), "\n").as("lines"))
 }

@@ -1,0 +1,255 @@
+package graft.sources.drive
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for Drive-shaped folder scans (reference
+  * S12/S13, `transcripts/download-from-drive.js:306-325`): the file
+  * listing is `files.list` with a `q` filter and a `fields=` projection;
+  * the per-file download is `files.get(alt=media)`.
+  *
+  * Spark-first restatement:
+  *  - name / mime_type / modified_time predicates are PUSHED and applied
+  *    at planning time — the staged-folder analog of the `q` parameter
+  *    (`'folder' in parents and mimeType != ... and trashed = false`,
+  *    reference `:309`); pruned files are never planned, let alone read.
+  *  - column pruning maps to `fields=` (reference `:310`); in particular,
+  *    pruning `content` away turns the scan into a metadata-only listing —
+  *    NO file is ever opened (the API analog: list without downloads).
+  *  - one InputPartition per batch of files (`filesPerPartition`, default
+  *    64) so millions of small transcripts don't mean millions of tasks.
+  *
+  * Staged form reads a local/shared folder (zero-egress container); an
+  * HTTP-backed reader would swap the listing for `files.list` pagination
+  * and the content read for `files.get`, planner classes unchanged.
+  */
+class DriveSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DriveSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new DriveTable(properties.get("path"),
+      Option(properties.get("filesPerPartition")).map(_.toInt).getOrElse(64))
+}
+
+object DriveSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("mime_type", StringType),
+    StructField("size", LongType),
+    StructField("modified_time", TimestampType),
+    StructField("content", StringType)))
+
+  def mimeOf(name: String): String = {
+    val ext = name.lastIndexOf('.') match {
+      case -1 => ""
+      case i => name.substring(i + 1).toLowerCase
+    }
+    ext match {
+      case "txt" => "text/plain"
+      case "md" => "text/markdown"
+      case "json" => "application/json"
+      case "csv" => "text/csv"
+      case _ => "application/octet-stream"
+    }
+  }
+
+  /** Pushed-bound value → epoch millis (same tolerance as JiraSource:
+    * Timestamp by default, Instant under the java8 datetime API, string
+    * forms; unconvertible bounds throw rather than silently filter).
+    */
+  def tsBoundMillis(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime
+    case i: java.time.Instant => i.toEpochMilli
+    case l: java.time.LocalDateTime =>
+      l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case d: java.util.Date => d.getTime
+    case s =>
+      val raw = s.toString
+      try java.sql.Timestamp.valueOf(raw.replace("T", " ")).getTime
+      catch {
+        case _: Exception =>
+          try java.time.OffsetDateTime.parse(raw).toInstant.toEpochMilli
+          catch {
+            case _: Exception => throw new IllegalArgumentException(
+              s"unsupported modified_time bound: $raw")
+          }
+      }
+  }
+
+  /** Does file metadata satisfy one pushed filter? (The staged-folder
+    * implementation of the server-side `q`.)
+    */
+  def metaKeep(f: java.io.File)(filter: Filter): Boolean = filter match {
+    case EqualTo("name", v) => f.getName == v.toString
+    case StringStartsWith("name", v) => f.getName.startsWith(v)
+    case StringEndsWith("name", v) => f.getName.endsWith(v)
+    case StringContains("name", v) => f.getName.contains(v)
+    case EqualTo("mime_type", v) => mimeOf(f.getName) == v.toString
+    case GreaterThanOrEqual("modified_time", v) => f.lastModified >= tsBoundMillis(v)
+    case GreaterThan("modified_time", v) => f.lastModified > tsBoundMillis(v)
+    case LessThanOrEqual("modified_time", v) => f.lastModified <= tsBoundMillis(v)
+    case LessThan("modified_time", v) => f.lastModified < tsBoundMillis(v)
+    case IsNotNull(_) => true // guaranteed non-null for listed files
+    case _ => true
+  }
+
+  /** Distributed file-staging sink: writes one file per row (name column
+    * → file name, content column → UTF-8 body) via foreachPartition —
+    * the inverse of the download path, used to materialize transcript
+    * folders from a DataFrame without any driver-side collect. Optional
+    * mtime column (epoch millis) stamps the file's modified time so
+    * modified_time pushdown is testable.
+    */
+  def stageFiles(df: org.apache.spark.sql.DataFrame, dir: String,
+      nameCol: String, contentCol: String, mtimeMillisCol: Option[String] = None): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    d.listFiles().foreach(f => if (f.isFile) f.delete())
+    val cols = Seq(nameCol, contentCol) ++ mtimeMillisCol.toSeq
+    df.selectExpr(cols: _*).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val p = java.nio.file.Path.of(dir, r.getString(0))
+          java.nio.file.Files.writeString(p, r.getString(1))
+          if (mtimeMillisCol.isDefined)
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(r.getLong(2)))
+        }
+    }
+  }
+}
+
+class DriveTable(path: String, filesPerPartition: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"drive($path)"
+  override def schema(): StructType = DriveSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DriveScanBuilder(path, filesPerPartition)
+}
+
+class DriveScanBuilder(path: String, filesPerPartition: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = DriveSource.schema
+
+  private def translatable(f: Filter): Boolean = f match {
+    case EqualTo("name", _) | StringStartsWith("name", _) |
+         StringEndsWith("name", _) | StringContains("name", _) => true
+    case EqualTo("mime_type", _) => true
+    case GreaterThanOrEqual("modified_time", _) | GreaterThan("modified_time", _) |
+         LessThanOrEqual("modified_time", _) | LessThan("modified_time", _) => true
+    // listing guarantees these; content may be null (unreadable file)
+    // and must stay residual
+    case IsNotNull("id") | IsNotNull("name") | IsNotNull("mime_type") |
+         IsNotNull("size") | IsNotNull("modified_time") => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(translatable)
+    filters.filterNot(translatable)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = DriveScan(path, required, pushed, filesPerPartition)
+}
+
+case class DriveScan(path: String, required: StructType, pushed: Array[Filter],
+    filesPerPartition: Int) extends Scan with Batch {
+
+  /** The `q` string the reference would send (`files.list q=...`). */
+  def q: String = {
+    val clauses = pushed.collect {
+      case EqualTo("name", v) => s"name = '$v'"
+      case StringStartsWith("name", v) => s"name starts with '$v'"
+      case StringEndsWith("name", v) => s"name ends with '$v'"
+      case StringContains("name", v) => s"name contains '$v'"
+      case EqualTo("mime_type", v) => s"mimeType = '$v'"
+      case GreaterThanOrEqual("modified_time", v) => s"modifiedTime >= '$v'"
+      case GreaterThan("modified_time", v) => s"modifiedTime > '$v'"
+      case LessThanOrEqual("modified_time", v) => s"modifiedTime <= '$v'"
+      case LessThan("modified_time", v) => s"modifiedTime < '$v'"
+    }
+    clauses.mkString(" and ")
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DriveScan folder=$path, q=[$q], " +
+      s"fields=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).sortBy(_.getName)
+      // server-side q: pruned files are never planned
+      .filter(f => pushed.forall(DriveSource.metaKeep(f)))
+    all.grouped(math.max(1, filesPerPartition))
+      .map(batch => DriveFilesPartition(batch.map(_.getAbsolutePath)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DriveReaderFactory(required)
+}
+
+case class DriveFilesPartition(files: Array[String]) extends InputPartition
+
+case class DriveReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DrivePartitionReader(
+      p.asInstanceOf[DriveFilesPartition].files, required)
+}
+
+/** Emits one row per file; the content "download" happens here, executor
+  * side, and ONLY when the `content` column survived pruning.
+  */
+class DrivePartitionReader(files: Array[String], required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val needContent = required.fieldNames.contains("content")
+  private val it = files.iterator
+  private var cur: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) { cur = toRow(new java.io.File(it.next())); true }
+    else false
+
+  private def toRow(f: java.io.File): InternalRow = {
+    // fail-open per file on the DOWNLOAD only (reference skips files it
+    // can't fetch); metadata comes from the listing and can't fail here
+    lazy val content: UTF8String =
+      try UTF8String.fromString(java.nio.file.Files.readString(f.toPath))
+      catch { case _: Exception => null }
+    val values: Array[Any] = required.fields.map { fld =>
+      fld.name match {
+        case "id" => UTF8String.fromString(f.getAbsolutePath)
+        case "name" => UTF8String.fromString(f.getName)
+        case "mime_type" => UTF8String.fromString(DriveSource.mimeOf(f.getName))
+        case "size" => java.lang.Long.valueOf(f.length())
+        case "modified_time" => java.lang.Long.valueOf(f.lastModified() * 1000L)
+        case "content" => if (needContent) content else null
+        case _ => null
+      }
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+class DriveSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def touch(d: Path, name: String, body: String, mtimeMs: Long): Unit = {
+    val p = d.resolve(name)
+    Files.writeString(p, body)
+    Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
+  }
+
+  private val jan10 = 1704844800000L // 2024-01-10T00:00:00Z
+  private val jan20 = 1705708800000L // 2024-01-20T00:00:00Z
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("drive_folder")
+    touch(d, "meeting-2024-01-09.txt", "0:05 - Ann\nhello\n", jan10)
+    touch(d, "meeting-2024-01-19.txt", "0:07 - Bob\nworld\n", jan20)
+    touch(d, "notes.md", "# notes", jan20)
+    touch(d, "image.bin", "xx", jan20)
+    d.toString
+  }
+
+  private def read = spark.read
+    .format("graft.sources.drive.DriveSource")
+    .option("path", dir).option("filesPerPartition", "1").load()
+
+  test("lists folder with metadata + content") {
+    val rows = read.orderBy("name").collect()
+    assert(rows.length == 4)
+    val first = rows.head
+    assert(first.getAs[String]("name") == "image.bin")
+    assert(first.getAs[String]("mime_type") == "application/octet-stream")
+    assert(first.getAs[Long]("size") == 2L)
+    val txt = rows.find(_.getAs[String]("name").endsWith("01-09.txt")).get
+    assert(txt.getAs[String]("content").startsWith("0:05 - Ann"))
+  }
+
+  test("name + modifiedTime predicates prune files at planning (Drive q)") {
+    val df = read.filter(col("name").endsWith(".txt") &&
+      col("modified_time") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+    // 1 file survives the q; with filesPerPartition=1 that's 1 partition
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.select("name").collect().map(_.getString(0)).toSeq ==
+      Seq("meeting-2024-01-19.txt"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("name ends with '.txt'") &&
+      plan.contains("modifiedTime >= "), plan)
+  }
+
+  test("pruning content away is a metadata-only listing (fields=)") {
+    val df = read.select("name", "size")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("fields=[name,size]"), plan)
+    assert(df.count() == 4)
+  }
+
+  test("isNotNull on content stays residual (unreadable download => null)") {
+    // content is the one column the listing can't guarantee
+    val df = read.filter(col("content").isNotNull)
+    assert(df.count() == 4)
+  }
+
+  test("driveTranscripts feeds the transcript parser through the connector") {
+    val folder = Sources.driveTranscripts(spark, dir)
+    assert(folder.columns.toSeq == Seq("file", "mtime", "lines"))
+    val parsed = folder
+      .filter(col("file").startsWith("meeting-"))
+      .select(col("file"),
+        explode(graft.operators.Transcripts.parseUdf(col("lines"))).as("u"))
+      .select(col("file"), col("u.speaker").as("speaker"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(parsed == Set(
+      ("meeting-2024-01-09.txt", "Ann"),
+      ("meeting-2024-01-19.txt", "Bob")))
+  }
+
+  test("stageFiles writes one file per row, distributed, with mtime") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("drive_staged").toString
+    val df = Seq(("a.txt", "alpha", jan10), ("b.txt", "beta", jan20))
+      .toDF("fname", "body", "mtime_ms")
+    graft.sources.drive.DriveSource.stageFiles(
+      df, out, "fname", "body", Some("mtime_ms"))
+    val back = spark.read.format("graft.sources.drive.DriveSource")
+      .option("path", out).load()
+      .select("name", "content", "modified_time").orderBy("name").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("a.txt", "b.txt"))
+    assert(back.map(_.getString(1)).toSeq == Seq("alpha", "beta"))
+    assert(back.head.getTimestamp(2).getTime == jan10)
+  }
+}
