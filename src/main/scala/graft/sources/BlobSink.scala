@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** K4: blob-store upload sink (reference `lib/vercel-blob-uploader.js`):
+  * every (filename, content) row is PUT to
+  * `{endpoint}/{project}/{module}/{base}_{start}_to_{end}{ext}`
+  * (pathing `:65-74`) with its sha-256 checksum (`:22-24`) as a header.
+  *
+  * Spark-shaped: uploads run `foreachPartition` on the executors — one
+  * HTTP client per partition (connection reuse), rows streamed, nothing
+  * collected to the driver. Per-file failures are counted, not fatal
+  * (the reference warns and continues, `:93-101`); transient statuses
+  * (429/5xx) get a bounded retry with linear backoff, mirroring the
+  * reference's retry handling around Blob/API calls.
+  */
+object BlobSink {
+
+  /** `{project}/{module}/{base}_{dateRange}{ext}`; a basename already
+    * carrying a `_to_` range keeps its own (reference `:65-74`).
+    */
+  def blobPathname(project: String, module: String, filename: String,
+      dateRange: String): String = {
+    val dot = filename.lastIndexOf('.')
+    val (base, ext) =
+      if (dot <= 0) (filename, "")
+      else (filename.substring(0, dot), filename.substring(dot))
+    val newBase = if (base.contains("_to_")) base else s"${base}_$dateRange"
+    s"$project/$module/$newBase$ext"
+  }
+
+  def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  /** Upload all rows; returns (uploaded, failed) via accumulators. */
+  def upload(df: DataFrame, endpoint: String, project: String, module: String,
+      dateRange: String, nameCol: String = "filename",
+      contentCol: String = "content", maxAttempts: Int = 3): (Long, Long) = {
+    val sc = df.sparkSession.sparkContext
+    val ok = sc.longAccumulator("blob_uploaded")
+    val fail = sc.longAccumulator("blob_failed")
+    df.select(col(nameCol), col(contentCol)).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val client = HttpClient.newHttpClient()
+        rows.foreach { r =>
+          val path = blobPathname(project, module, r.getString(0), dateRange)
+          val body = r.getString(1)
+          var attempt = 0
+          var done = false
+          while (!done && attempt < maxAttempts) {
+            attempt += 1
+            val status =
+              try {
+                val req = HttpRequest.newBuilder(URI.create(s"$endpoint/$path"))
+                  .header("content-type", "text/markdown")
+                  .header("x-content-sha256", sha256Hex(body))
+                  .PUT(HttpRequest.BodyPublishers.ofString(body)).build()
+                client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+              } catch { case _: Exception => -1 }
+            if (status / 100 == 2) { ok.add(1); done = true }
+            else if ((status == 429 || status >= 500 || status < 0)
+                && attempt < maxAttempts) {
+              Thread.sleep(50L * attempt) // linear backoff; stub-scale
+            } else { fail.add(1); done = true }
+          }
+        }
+    }
+    (ok.value, fail.value)
+  }
+}

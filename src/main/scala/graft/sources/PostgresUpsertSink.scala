@@ -55,4 +55,46 @@ object PostgresUpsertSink {
       }
     }
   }
+
+  /** Portable upsert for engines without `ON CONFLICT` (Derby, older
+    * MySQL, …): UPDATE by key first, INSERT when no row matched — the
+    * classic two-statement upsert, transactional per partition. Same
+    * executor-parallel `foreachPartition` shape as [[write]]; this is
+    * what the embedded-Derby integration spec drives, proving the
+    * sink's re-run idempotence against a LIVE database rather than at
+    * SQL-string level.
+    */
+  def writePortable(df: DataFrame, jdbcUrl: String, table: String,
+      keys: Seq[String],
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val cols = df.columns.toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains), "keys must be columns")
+    val updates = cols.filterNot(keys.contains)
+    val updateSql = s"UPDATE $table SET " +
+      updates.map(c => s"$c = ?").mkString(", ") +
+      " WHERE " + keys.map(c => s"$c = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(jdbcUrl, props)
+        try {
+          conn.setAutoCommit(false)
+          val up = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          rows.foreach { r =>
+            updates.indices.foreach(i =>
+              up.setObject(i + 1, r.get(cols.indexOf(updates(i)))))
+            keys.indices.foreach(i =>
+              up.setObject(updates.length + i + 1, r.get(cols.indexOf(keys(i)))))
+            if (up.executeUpdate() == 0) {
+              cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+              ins.executeUpdate()
+            }
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
 }

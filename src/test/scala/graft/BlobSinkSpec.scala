@@ -1,0 +1,100 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.BlobSink
+
+/** Round-trip test for the K4 blob sink against an in-process HTTP stub
+  * (JDK HttpServer, zero egress): upload → list → checksum match, plus
+  * 429-then-success retry.
+  */
+class BlobSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private class Stub(flakyFirst: Boolean) {
+    val store = new ConcurrentHashMap[String, Array[Byte]]()
+    val attempts = new ConcurrentHashMap[String, AtomicInteger]()
+    val server: HttpServer = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val path = x.getRequestURI.getPath.stripPrefix("/")
+      x.getRequestMethod match {
+        case "PUT" =>
+          val n = attempts.computeIfAbsent(path, _ => new AtomicInteger())
+            .incrementAndGet()
+          val body = x.getRequestBody.readAllBytes()
+          if (flakyFirst && n == 1) {
+            x.sendResponseHeaders(429, -1)
+          } else {
+            store.put(path, body)
+            x.sendResponseHeaders(200, 0)
+          }
+        case _ => x.sendResponseHeaders(405, -1)
+      }
+      x.close()
+    })
+    server.start()
+    def endpoint: String =
+      s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("pathname building mirrors the reference (existing _to_ kept)") {
+    assert(BlobSink.blobPathname("proj", "jira", "report.md", "2024-01-01_to_2024-01-07")
+      == "proj/jira/report_2024-01-01_to_2024-01-07.md")
+    assert(BlobSink.blobPathname("proj", "slack", "wk_2024-01-01_to_2024-01-07.md", "x")
+      == "proj/slack/wk_2024-01-01_to_2024-01-07.md")
+    assert(BlobSink.blobPathname("p", "m", "noext", "r") == "p/m/noext_r")
+  }
+
+  test("upload round-trip: every row PUT, bytes and checksums match") {
+    import spark.implicits._
+    val stub = new Stub(flakyFirst = false)
+    try {
+      val df = (1 to 20)
+        .map(i => (s"doc_$i.md", s"# doc $i\ncontents of document $i\n"))
+        .toDF("filename", "content").repartition(4)
+      val (ok, failed) = BlobSink.upload(
+        df, stub.endpoint, "projA", "transcripts", "2024-01-01_to_2024-01-07")
+      assert(ok == 20 && failed == 0)
+      assert(stub.store.size() == 20)
+      val expected = (1 to 20).map(i =>
+        s"projA/transcripts/doc_${i}_2024-01-01_to_2024-01-07.md").toSet
+      assert(stub.store.keySet().asScala.toSet == expected)
+      // checksum of what landed = checksum of what we sent
+      val body = new String(
+        stub.store.get("projA/transcripts/doc_7_2024-01-01_to_2024-01-07.md"),
+        "UTF-8")
+      assert(body == "# doc 7\ncontents of document 7\n")
+      assert(BlobSink.sha256Hex(body) ==
+        BlobSink.sha256Hex("# doc 7\ncontents of document 7\n"))
+    } finally stub.stop()
+  }
+
+  test("429 on first attempt is retried, not failed") {
+    import spark.implicits._
+    val stub = new Stub(flakyFirst = true)
+    try {
+      val df = Seq(("a.md", "alpha"), ("b.md", "beta")).toDF("filename", "content")
+      val (ok, failed) = BlobSink.upload(
+        df, stub.endpoint, "p", "m", "r1_to_r2")
+      assert(ok == 2 && failed == 0)
+      assert(stub.attempts.values().asScala.forall(_.get() == 2),
+        "each path PUT exactly twice (429 then 200)")
+    } finally stub.stop()
+  }
+
+  test("unreachable endpoint counts failures instead of failing the job") {
+    import spark.implicits._
+    val df = Seq(("a.md", "alpha")).toDF("filename", "content")
+    val (ok, failed) = BlobSink.upload(
+      df, "http://127.0.0.1:1", "p", "m", "r", maxAttempts = 2)
+    assert(ok == 0 && failed == 1)
+  }
+}
