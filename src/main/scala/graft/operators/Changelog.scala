@@ -14,35 +14,74 @@ import org.apache.spark.sql.functions._
   */
 object Changelog {
 
-  /** Per-item human summary — mirrors the reference's field dispatch. */
+  /** Per-item human summary — value-identical port of the reference's
+    * `compactItem` (`jira/lib/changelog-flatten.js:81-148`), verified
+    * branch-for-branch against `test/test-changelog-flatten.js:5-93`:
+    * '-' placeholders for empty endpoints, lowercase labels, noformat
+    * stripping in description lengths, set-diff labels/Sprint bodies
+    * (labels prefixes every element, Sprint only the first), relation+key
+    * extraction for links, and remote-link classification.
+    */
   def itemSummary(field: Column, from: Column, to: Column): Column = {
-    val f = coalesce(from, lit(""))
-    val t = coalesce(to, lit(""))
-    val arrow = concat(f, lit(" → "), t)
-    val labelDiff = concat_ws(" ",
-      transform(array_except(split(t, ",\\s*"), split(f, ",\\s*")),
-        x => concat(lit("+"), x)),
-      transform(array_except(split(f, ",\\s*"), split(t, ",\\s*")),
-        x => concat(lit("-"), x)))
-    when(field === "status", concat(lit("Status: "), arrow))
-      .when(field === "assignee", concat(lit("Assignee: "), arrow))
-      .when(field === "priority", concat(lit("Priority: "), arrow))
-      .when(field === "description",
-        concat(lit("Description [updated; "), length(t), lit(" chars]")))
-      .when(field === "labels", concat(lit("Labels: "), labelDiff))
-      .when(field === "Sprint", concat(lit("Sprint: "), labelDiff))
-      .when(field === "Link",
-        when(length(t) > 0, concat(lit("Link added: "), t))
-          .otherwise(concat(lit("Link removed: "), f)))
-      .when(field === "Rank",
-        when(lower(t).contains("higher"), lit("Ranked higher"))
-          .otherwise(lit("Ranked lower")))
-      .when(field === "IssueParentAssociation", concat(lit("Parent: "), arrow))
-      .when(field === "RemoteIssueLink" || field === "remoteworkitemlink",
-        when(lower(t).contains("confluence"), lit("Confluence link added"))
-          .when(lower(t).contains("github"), lit("GitHub link added"))
-          .otherwise(concat(lit("Remote link: "), t)))
-      .otherwise(concat(initcap(field), lit(": "), arrow))
+    val fieldT = trim(field)
+    val lowerF = lower(fieldT)
+    val fromStr = when(from.isNull || from === "", lit("-")).otherwise(from)
+    val toStr = when(to.isNull || to === "", lit("-")).otherwise(to)
+    val arrow = concat(fromStr, lit(" → "), toStr)
+
+    // normalizeList: split ',', trim entries, drop blanks (`:61-67`);
+    // diffLists is a set difference keeping first-seen order (`:69-74`)
+    // — exactly Spark's array_except
+    def normList(c: Column): Column =
+      filter(transform(split(coalesce(c, lit("")), ","), x => trim(x)),
+        x => x =!= "")
+    val added = array_except(normList(to), normList(from))
+    val removed = array_except(normList(from), normList(to))
+    // labels joins added as "+a,+b"; Sprint as "+a,b" (`:104-121`)
+    def diffBody(plusSep: String, minusSep: String): Column = {
+      val plus = when(size(added) > 0,
+        concat(lit("+"), array_join(added, plusSep))).otherwise(lit(""))
+      val minus = when(size(removed) > 0,
+        concat(lit("-"), array_join(removed, minusSep))).otherwise(lit(""))
+      val joined = concat_ws(" ", filter(array(plus, minus), x => x =!= ""))
+      when(joined === "", lit("(no change)")).otherwise(joined)
+    }
+
+    val cleanedDesc = regexp_replace(coalesce(to, lit("")), "\\{noformat\\}", "")
+
+    // (toString || fromString || '').trim() — JS truthiness: null/'' fall through
+    val linkRaw = trim(
+      when(to.isNotNull && to =!= "", to)
+        .when(from.isNotNull && from =!= "", from)
+        .otherwise(lit("")))
+    val linkPattern = "([^\\s].*?)\\s+([A-Z][A-Z0-9]+-\\d+)"
+    val linkRel = regexp_extract(linkRaw, linkPattern, 1)
+    val linkKey = regexp_extract(linkRaw, linkPattern, 2)
+    val linkBody = when(length(linkRel) > 0,
+        concat(lit("Link: "), linkRel, lit(" "), linkKey))
+      .otherwise(concat(lit("Link: "),
+        when(linkRaw === "", arrow).otherwise(linkRaw)))
+
+    val remoteLower = lower(linkRaw)
+    val remoteBody = when(remoteLower.contains("confluence"), lit("linked Confluence page"))
+      .when(remoteLower.contains("github"), lit("linked GitHub item"))
+      .when(remoteLower.contains("document"), lit("linked document"))
+      .otherwise(lit("linked external item"))
+
+    when(lowerF.isin("status", "assignee", "priority", "summary", "story points"),
+        concat(lowerF, lit(": "), arrow))
+      .when(lowerF === "story point estimate",
+        concat(lit("story points: "), arrow))
+      .when(lowerF === "description",
+        concat(lit("description: [updated; "), length(cleanedDesc), lit(" chars]")))
+      .when(lowerF === "labels", concat(lit("labels: "), diffBody(",+", ",-")))
+      .when(lowerF === "sprint", concat(lit("Sprint: "), diffBody(",", ",")))
+      .when(lowerF === "link" || lowerF === "issuelinks", linkBody)
+      .when(lowerF === "issueparentassociation" || lowerF === "parent",
+        concat(lit("parent: "), arrow))
+      .when(lowerF === "remoteworkitemlink", remoteBody)
+      .when(lowerF === "rank", concat(lit("Rank: "), toStr))
+      .otherwise(concat(fieldT, lit(": "), arrow))
   }
 
   /** Flatten `(key, histories)` → one row per changelog item with the

@@ -169,11 +169,11 @@ object CatalogConnector {
                 WHERE o_orderkey % 10 = 0 AND o_orderpriority = '2-HIGH')
               SELECT key, history_id, author, i_pos, summary FROM (
                 SELECT key, history_id, author, 0 AS i_pos,
-                       'Status: PENDING → ' || l_linestatus AS summary FROM h
+                       'status: PENDING → ' || l_linestatus AS summary FROM h
                 UNION ALL
                 SELECT key, history_id, author, 1 AS i_pos,
-                       CASE WHEN l_linenumber % 2 = 0 THEN 'Ranked higher'
-                            ELSE 'Ranked lower' END AS summary FROM h)
+                       CASE WHEN l_linenumber % 2 = 0 THEN 'Rank: Ranked higher'
+                            ELSE 'Rank: Ranked lower' END AS summary FROM h)
               ORDER BY key, history_id, i_pos""")),
 
     Q("s12_drive_scan",

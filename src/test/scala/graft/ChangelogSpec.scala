@@ -4,57 +4,123 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Changelog
 
+/** Changelog flatten/compaction parity. The first suite is a verbatim
+  * port of the reference's own test matrix
+  * (`test/test-changelog-flatten.js:5-93`): same eight histories, same
+  * asserted summary lines, plus the remote-link classification branches
+  * (`jira/lib/changelog-flatten.js:129-136`) the JS matrix leaves
+  * uncovered.
+  */
 class ChangelogSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
   // nested fixture built in SQL: `toString` can't be a case-class field
-  private def item(f: String, from: String, to: String) =
-    s"named_struct('field','$f','fromString','$from','toString','$to')"
+  private def item(f: String, from: String, to: String) = {
+    def q(s: String) = if (s == null) "CAST(NULL AS STRING)" else s"'$s'"
+    s"named_struct('field',${q(f)},'fromString',${q(from)},'toString',${q(to)})"
+  }
 
-  lazy val fixtureDf = spark.sql(s"""
+  private def history(id: String, created: String, author: String,
+      items: String*) =
+    s"""named_struct('id','$id','created','$created',
+        'author', named_struct('displayName','$author'),
+        'items', array(${items.mkString(",")}))"""
+
+  /** The reference's sampleHistories() fixture, field for field. */
+  lazy val sampleDf = spark.sql(s"""
     SELECT 'TC-1' AS key, array(
-      named_struct('id','100','created','2025-10-01 10:00',
-        'author', named_struct('displayName','Ann'),
-        'items', array(
-          ${item("status", "Backlog", "In Progress")},
-          ${item("assignee", "Bob", "Carol")})),
-      named_struct('id','101','created','2025-10-02 11:00',
-        'author', named_struct('displayName','Bob'),
-        'items', array(
-          ${item("description", "old {noformat}x{noformat}", "new text here")},
-          ${item("labels", "alpha,beta", "alpha,gamma")},
-          ${item("Sprint", "S1", "S1,S2")},
-          ${item("Link", "", "blocks TC-123")},
-          ${item("Rank", "", "Ranked higher")},
-          ${item("remoteworkitemlink", "", "https://confluence.example/page")}))
+      ${history("1", "2025-08-07", "cleo",
+        item("description", "", "{noformat}Updated body{noformat}"))},
+      ${history("2", "2025-08-15", "Ismael Jr. Cristal",
+        item("status", "Backlog", "In Progress"))},
+      ${history("3", "2025-08-27", "Crystal Selina Bandalan",
+        item("Sprint", "MVP Sprint 5", "Proposed Sprint 6"))},
+      ${history("4", "2025-08-10", "System",
+        item("labels", "alpha,beta", "alpha,gamma"))},
+      ${history("5", "2025-08-11", "Bot",
+        item("IssueParentAssociation", "OLD-1", "NEW-2"))},
+      ${history("6", "2025-08-12", "PM",
+        item("Link", "", "blocks TC-123"))},
+      ${history("7", "2025-08-13", "Lead",
+        item("Rank", "", "Ranked higher"))},
+      ${history("8", "2025-08-14", "User",
+        item("assignee", "-", "Alice"),
+        item("priority", "Low", "High"))}
     ) AS histories""")
 
-  lazy val flat = Changelog.flatten(fixtureDf)
+  private def summariesOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    Changelog.flatten(df).select("summary").collect().map(_.getString(0)).toSeq
 
-  private def summaries: Set[String] =
-    flat.selectExpr("summary").collect().map(_.getString(0)).toSet
-
-  test("flatten: one row per item, field dispatch matches reference branches") {
-    assert(flat.count() == 8)
-    val s = summaries
-    assert(s.contains("Status: Backlog → In Progress"))
-    assert(s.contains("Assignee: Bob → Carol"))
-    assert(s.contains("Description [updated; 13 chars]"))
-    assert(s.contains("Labels: +gamma -beta"))
-    assert(s.contains("Sprint: +S2"))
-    assert(s.contains("Link added: blocks TC-123"))
-    assert(s.contains("Ranked higher"))
-    assert(s.contains("Confluence link added"))
+  test("reference matrix: every asserted summary line reproduced") {
+    val lines = summariesOf(sampleDf)
+    // assertions lifted verbatim from test-changelog-flatten.js:83-92
+    assert(lines.exists(_.contains("status: Backlog → In Progress")))
+    assert(lines.exists(_.contains("Sprint: +Proposed Sprint 6 -MVP Sprint 5")))
+    assert(lines.exists(_.contains("labels: +gamma -beta")))
+    assert(lines.exists(_.contains("description: [updated;")))
+    assert(lines.exists(_.contains("parent: OLD-1 → NEW-2")))
+    assert(lines.exists(_.contains("Link: blocks TC-123")))
+    assert(lines.exists(_.contains("Rank: Ranked higher")))
+    assert(lines.exists(_.contains("assignee: - → Alice")))
+    assert(lines.exists(_.contains("priority: Low → High")))
+    assert(lines.length == 9, "8 histories, one with 2 items")
   }
+
+  test("description length counts noformat-stripped characters") {
+    // '{noformat}Updated body{noformat}' -> 'Updated body' (12 chars)
+    val lines = summariesOf(sampleDf)
+    assert(lines.contains("description: [updated; 12 chars]"))
+  }
+
+  test("remote-link classification branches (flatten.js:129-136)") {
+    val df = spark.sql(s"""
+      SELECT 'TC-2' AS key, array(
+        ${history("10", "2025-08-01", "A",
+          item("remoteworkitemlink", "", "https://confluence.example/page"))},
+        ${history("11", "2025-08-02", "B",
+          item("remoteworkitemlink", "", "https://github.example/pr/1"))},
+        ${history("12", "2025-08-03", "C",
+          item("remoteworkitemlink", "", "shared document xyz"))},
+        ${history("13", "2025-08-04", "D",
+          item("remoteworkitemlink", "", "misc target"))}
+      ) AS histories""")
+    assert(summariesOf(df) == Seq(
+      "linked Confluence page", "linked GitHub item",
+      "linked document", "linked external item"))
+  }
+
+  test("edge branches: empty endpoints, no-change diffs, story points alias") {
+    val df = spark.sql(s"""
+      SELECT 'TC-3' AS key, array(
+        ${history("20", "2025-08-01", "A",
+          item("status", null, "Done"))},
+        ${history("21", "2025-08-02", "B",
+          item("labels", "x", "x"))},
+        ${history("22", "2025-08-03", "C",
+          item("Story point estimate", "3", "5"))},
+        ${history("23", "2025-08-04", "D",
+          item("Link", "no issue key here", ""))},
+        ${history("24", "2025-08-05", "E",
+          item("customfield_9", "a", "b"))}
+      ) AS histories""")
+    assert(summariesOf(df) == Seq(
+      "status: - → Done",
+      "labels: (no change)",
+      "story points: 3 → 5",
+      "Link: no issue key here",
+      "customfield_9: a → b"))
+  }
+
+  lazy val flat = Changelog.flatten(sampleDf)
 
   test("historyBlocks: grouped per history id, item order preserved") {
     val blocks = Changelog.historyBlocks(flat).collect()
-    assert(blocks.length == 2)
-    val b100 = blocks.find(_.getAs[String]("history_id") == "100").get
-    assert(b100.getAs[String]("block") ==
-      "- Status: Backlog → In Progress\n- Assignee: Bob → Carol")
-    assert(b100.getAs[String]("author") == "Ann")
+    assert(blocks.length == 8)
+    val b8 = blocks.find(_.getAs[String]("history_id") == "8").get
+    assert(b8.getAs[String]("block") ==
+      "- assignee: - → Alice\n- priority: Low → High")
+    assert(b8.getAs[String]("author") == "User")
   }
 
   test("attach: issues without changelog get empty string") {
@@ -62,7 +128,7 @@ class ChangelogSpec extends AnyFunSuite {
     val got = Changelog.attach(issues, Changelog.historyBlocks(flat))
       .select("key", "changelog_md").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got("TC-1").contains("Status: Backlog → In Progress"))
+    assert(got("TC-1").contains("status: Backlog → In Progress"))
     assert(got("TC-2") == "")
   }
 }

@@ -62,7 +62,7 @@ class WeeklyPipelineSpec extends AnyFunSuite {
     val done = module.indexOf("## Done (1)")
     assert(toDo >= 0 && inProg > toDo && done > inProg, "status order")
     assert(module.contains("**Assignee**: Unassigned"))
-    assert(module.contains("Status: To Do → In Progress"), "changelog attached")
+    assert(module.contains("status: To Do → In Progress"), "changelog attached")
     // transcripts: team file kept, external dropped (no member matched)
     assert(module.contains("# Transcript: standup.txt"))
     assert(!module.contains("external.txt"))
