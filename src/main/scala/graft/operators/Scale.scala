@@ -55,8 +55,10 @@ object Scale {
     * shuffle at ingest, join shuffle-free forever after.
     */
   def writeBucketed(df: DataFrame, key: String, buckets: Int,
-      table: String): Unit =
-    df.write.mode("overwrite")
+      table: String, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -58,6 +58,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() == lines.count())
   }
 
+  test("j1_bucketed catalog query joins with no shuffle on the join key") {
+    val q = graft.queries.CatalogScale.all.find(_.name == "j1_bucketed").get
+    val df = q.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"fact-fact join must read bucketed tables shuffle-free:\n$plan")
+    assert(df.count() == 5)
+  }
+
   test("partitionBy layout gives partition-pruned scans") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
