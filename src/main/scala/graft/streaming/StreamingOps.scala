@@ -38,6 +38,38 @@ object StreamingOps {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Incremental connector ingest (the streaming restatement of the
+    * reference's 24 h TTL caches, `jira/enrich-with-changelog.js:10-42`):
+    * the staged-pages directory is a file-source STREAM — Structured
+    * Streaming's file tracking picks up only pages that arrived since the
+    * last trigger (exactly "fetch what's new since the last run"), and
+    * each micro-batch appends into a [[graft.core.CacheTable]] snapshot.
+    * Compaction is on the READ side: `CacheTable.loadFresh` returns the
+    * latest fetch per key within TTL, so re-delivered or re-fetched pages
+    * are idempotent without a transactional store.
+    *
+    * Batches are stamped `baseMs + batchId` — monotonic per micro-batch,
+    * so latest-wins is deterministic even when two batches land within
+    * one wall-clock millisecond (and on foreachBatch retries, which
+    * re-run with the SAME batchId).
+    */
+  def incrementalIngest(spark: org.apache.spark.sql.SparkSession,
+      pagesDir: String, cachePath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      baseMs: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    val pages = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .json(pagesDir)
+    pages.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$cachePath/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.core.CacheTable.put(batch, s"$cachePath/data", baseMs + batchId)
+      }
+      .start()
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -63,6 +63,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("incrementalIngest: new page files land in the cache, latest fetch wins") {
+    import org.apache.spark.sql.types._
+    val pagesDir = java.nio.file.Files.createTempDirectory("ingest_pages").toString
+    val cache = java.nio.file.Files.createTempDirectory("ingest_cache").toString
+    val schema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("status", StringType)))
+    val q = StreamingOps.incrementalIngest(spark, pagesDir, cache, schema,
+      baseMs = 1000000L)
+    try {
+      // page 0 arrives (the first "fetch")
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(pagesDir, "page_0.json"),
+        """{"key":"AB-1","status":"To Do"}
+          |{"key":"AB-2","status":"To Do"}
+          |""".stripMargin)
+      q.processAllAvailable()
+      val first = graft.core.CacheTable.loadFresh(
+        spark, s"$cache/data", "key", ttlMs = 86400000L, nowMs = 2000000L).get
+      assert(first.count() == 2)
+
+      // page 1 arrives later: one NEW issue + one UPDATED issue — only
+      // this file is read (incremental), and the re-fetched key's latest
+      // version wins at read time
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(pagesDir, "page_1.json"),
+        """{"key":"AB-2","status":"Done"}
+          |{"key":"AB-3","status":"In Progress"}
+          |""".stripMargin)
+      q.processAllAvailable()
+      val fresh = graft.core.CacheTable.loadFresh(
+        spark, s"$cache/data", "key", ttlMs = 86400000L, nowMs = 2000000L).get
+        .orderBy("key").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(fresh.toSeq == Seq(
+        ("AB-1", "To Do"), ("AB-2", "Done"), ("AB-3", "In Progress")))
+
+      // TTL: far-future read finds everything stale (the refetch signal)
+      val stale = graft.core.CacheTable.loadFresh(
+        spark, s"$cache/data", "key", ttlMs = 10L, nowMs = 99000000L).get
+      assert(stale.count() == 0)
+    } finally q.stop()
+  }
+
   test("runningPerUser: stateful aggregation across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
