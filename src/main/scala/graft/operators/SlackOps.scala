@@ -29,19 +29,61 @@ object SlackOps {
       .withColumn("replies", coalesce(col("replies"), array()))
   }
 
-  /** J8: resolve `<@U123>` mentions and author ids via a broadcast map
-    * expression (small user dim → map literal, codegen'd lookup).
+  /** Above this size, per-user expression folding degenerates (one
+    * regexp_replace node and two map-literal entries per user in the
+    * tree); a 10k-user workspace needs the broadcast path.
     */
-  def resolveUsers(messages: DataFrame, userMap: Map[String, String]): DataFrame = {
-    val entries = userMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
-    val m = map(entries: _*)
-    val author = coalesce(element_at(m, col("user")), col("user"))
-    // replace each <@Uxxx> mention via the map; unknown ids keep the raw tag
-    val mentionsResolved = udfFreeMentionReplace(col("text"), userMap)
-    messages
-      .withColumn("author", author)
-      .withColumn("text", mentionsResolved)
-  }
+  private val MapExprThreshold = 64
+
+  /** J8: resolve `<@U123>` mentions and author ids. Team-sized maps stay
+    * fully codegen'd (map-literal lookup + folded regexp_replace chain);
+    * larger maps switch to a broadcast-hash-join for the author column
+    * and ONE compiled regex + broadcast map for mentions (single pass
+    * over each message, O(text) regardless of user count).
+    */
+  def resolveUsers(messages: DataFrame, userMap: Map[String, String]): DataFrame =
+    if (userMap.size <= MapExprThreshold) {
+      val entries = userMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+      val m = map(entries: _*)
+      val author = coalesce(element_at(m, col("user")), col("user"))
+      // replace each <@Uxxx> mention via the map; unknown ids keep the raw tag
+      val mentionsResolved = udfFreeMentionReplace(col("text"), userMap)
+      messages
+        .withColumn("author", author)
+        .withColumn("text", mentionsResolved)
+    } else {
+      val spark = messages.sparkSession
+      val bc = spark.sparkContext.broadcast(userMap)
+      // UDF justified per SURVEY §7.4: a per-row map lookup inside a
+      // single regex scan has no codegen-expression equivalent that
+      // doesn't grow with |users|
+      val mention = udf { (s: String) =>
+        if (s == null) null
+        else {
+          val matcher = mentionPattern.matcher(s)
+          val sb = new java.lang.StringBuilder(s.length)
+          var last = 0
+          while (matcher.find()) {
+            sb.append(s, last, matcher.start())
+            bc.value.get(matcher.group(1)) match {
+              case Some(name) => sb.append('@').append(name)
+              case None => sb.append(matcher.group(0))
+            }
+            last = matcher.end()
+          }
+          sb.append(s, last, s.length).toString
+        }
+      }
+      val users = spark.createDataFrame(userMap.toSeq)
+        .toDF("user", "_resolved_name")
+      messages
+        .join(broadcast(users), Seq("user"), "left")
+        .withColumn("author", coalesce(col("_resolved_name"), col("user")))
+        .drop("_resolved_name")
+        .withColumn("text", mention(col("text")))
+    }
+
+  private val mentionPattern = java.util.regex.Pattern.compile("<@([A-Za-z0-9]+)>")
 
   private def udfFreeMentionReplace(text: Column, userMap: Map[String, String]): Column =
     userMap.foldLeft(text) { case (acc, (id, name)) =>
