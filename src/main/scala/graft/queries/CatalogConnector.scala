@@ -176,6 +176,49 @@ object CatalogConnector {
                             ELSE 'Rank: Ranked lower' END AS summary FROM h)
               ORDER BY key, history_id, i_pos""")),
 
+    Q("x15_connector_customfields",
+      // X15 through the connector: project the dynamic fields map into
+      // renamed custom-field structs (exclusions + `Custom field (X)`
+      // unwrapping), rendered as a deterministic sorted string
+      (s, d) => {
+        val pages = stageIssuePages(s, d)
+        val issues = readIssues(s, pages).filter(col("project") === "1-URGENT")
+        issues.select(col("key"),
+          concat_ws(",", transform(
+            array_sort(JiraOps.customFields(col("fields"),
+              exclude = Seq("status"),
+              nameMap = Map("rush" -> "Custom field (Rush)"))),
+            e => concat(e.getField("name"), lit("="), e.getField("value"))))
+            .as("cf"))
+          .orderBy("key")
+      },
+      Some("""SELECT 'ORD-' || o_orderkey AS key,
+                     'Rush=y,' ||
+                     CASE WHEN o_totalprice > 200000 THEN 'bigorder=y,' ELSE '' END ||
+                     'priority=' || o_orderpriority AS cf
+              FROM orders
+              WHERE o_orderkey % 10 = 0 AND o_orderpriority = '1-URGENT'
+              ORDER BY key""")),
+
+    Q("x14_variant_json",
+      // Spark 4 VariantType form of the x14 JSON extraction: parse_json
+      // once, typed variant_get paths after — the engine's answer to the
+      // reference's ad-hoc JSON field plucks at columnar speed
+      (s, d) => {
+        val ev = t(s, d, "events")
+        ev.withColumn("v", parse_json(col("props")))
+          .withColumn("k", try_variant_get(col("v"), "$.k", "long"))
+          .groupBy("event_type")
+          .agg(sum("k").as("sum_k"), max("k").as("max_k"),
+            count(lit(1)).as("cnt"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+              count(*) AS cnt
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
     Q("s12_drive_scan",
       // S12/S13 through the Drive connector: name + modifiedTime
       // predicates push into the listing (the Drive `q` param) and prune

@@ -97,6 +97,9 @@ class JiraScanBuilder(path: String) extends ScanBuilder
 
   private def translatable(f: Filter): Boolean = f match {
     case EqualTo("project", _) => true
+    // S7 single-issue point lookup: `key = "X"` becomes the JQL the
+    // reference's GET /issue/{key} path is equivalent to
+    case EqualTo("key", _) => true
     case GreaterThanOrEqual("updated", _) => true
     // only columns the API guarantees non-null may be claimed as pushed;
     // nullable columns (assignee, labels, ...) must stay residual or
@@ -122,6 +125,7 @@ case class JiraScan(path: String, required: StructType, pushed: Array[Filter])
   def jql: String = {
     val clauses = pushed.collect {
       case EqualTo("project", v) => s"""project = "$v""""
+      case EqualTo("key", v) => s"""key = "$v""""
       case GreaterThanOrEqual("updated", v) => s"""updated >= "$v""""
     }
     if (clauses.isEmpty) "" else clauses.mkString(" AND ")
@@ -230,6 +234,7 @@ class JiraPartitionReader(file: String, required: StructType,
 
   private def serverSideKeep(n: JsonNode): Boolean = pushed.forall {
     case EqualTo("project", v) => n.path("project").asText() == v.toString
+    case EqualTo("key", v) => n.path("key").asText() == v.toString
     case GreaterThanOrEqual("updated", v) =>
       ts(n, "updated").exists(_ >= tsBound(v))
     case IsNotNull(f) =>

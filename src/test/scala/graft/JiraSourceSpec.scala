@@ -50,6 +50,13 @@ class JiraSourceSpec extends AnyFunSuite {
     assert(df.collect().length == 3)
   }
 
+  test("single-issue point lookup pushes key equality as JQL (S7)") {
+    val df = read.filter(col("key") === "ZZ-9")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("ZZ-9"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("""jql=[key = "ZZ-9"]"""), plan)
+  }
+
   test("residual filters still evaluated by Spark") {
     // status is NOT translatable -> stays a Spark-side filter
     val df = read.filter(col("status") === "Done" && col("project") === "AB")
