@@ -39,7 +39,21 @@ object AsOf {
   }
 
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String]): DataFrame =
+    aligned(left, right, key, ts, rightCols, descending = false)
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` on the same key (the "next event after"
+    * alignment). Same single-shuffle union+window shape as [[backward]],
+    * scanned in descending time order; at equal ts the right row IS
+    * visible (DuckDB ASOF `<=` semantics, oracle-checked).
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String]): DataFrame =
+    aligned(left, right, key, ts, rightCols, descending = true)
+
+  private def aligned(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightCols: Seq[String], descending: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left.select(
       col(key), col(ts).as("_ts"), lit(1).as("_side"),
@@ -53,7 +67,10 @@ object AsOf {
         org.apache.spark.sql.types.StructType(
           left.select(leftCols.map(col): _*).schema.fields)).as("_l"),
       struct(rightCols.map(col): _*).as("_r"))
-    val w = Window.partitionBy(key).orderBy(col("_ts").asc, col("_side").asc)
+    val order = if (descending) col("_ts").desc else col("_ts").asc
+    // right (_side=0) sorts before left at equal _ts in both directions,
+    // so a right row at exactly left.ts is visible — the >= / <= tie rule
+    val w = Window.partitionBy(key).orderBy(order, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_last_r", last(col("_r"), ignoreNulls = true).over(w))

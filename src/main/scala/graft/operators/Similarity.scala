@@ -120,18 +120,51 @@ object Similarity {
       .drop("ts")
   }
 
+  /** Query-side multi-probe signatures: the exact bucket plus every
+    * single-bit-flip variant, per table — (numPlanes+1) probe rows per
+    * (row, table).
+    */
+  private def probeSigRows(df: DataFrame, vecCol: String,
+      planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val perTable = planes.indices.flatMap { t0 =>
+      val bits = planes(t0).map { pl =>
+        when(dotD(col(vecCol), typedlit(pl)) >= 0, lit(1)).otherwise(lit(0))
+      }
+      val variants = array(bits: _*) +: bits.indices.map { j =>
+        array(bits.zipWithIndex.map {
+          case (b, i) => if (i == j) lit(1) - b else b
+        }: _*)
+      }
+      variants.map(v => struct(lit(t0).as("tbl"), v.as("sig")))
+    }
+    df.select(col("*"), explode(array(perTable: _*)).as("ts"))
+      .select(col("*"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+      .drop("ts")
+  }
+
   /** Multi-table LSH approximate NN: `numTables` independent hyperplane
     * sets; corpus and queries are bucketed per table by sign signature;
     * candidates = union of per-table bucket collisions (equi-join on
     * (table, sig)), deduped, then exact cosine top-k within candidates.
     * At 100 TB the bucket join replaces the per-query full scan; recall
     * is tuned by numTables × numPlanes.
+    *
+    * `multiProbe`: queries additionally probe every single-bit-flip
+    * neighbor bucket (numPlanes extra probes per query per table —
+    * QUERY-side only, the corpus index is untouched). A one-bit miss is
+    * by far the likeliest failure at moderate numPlanes, so probing buys
+    * roughly the recall of ~2.5× the tables at a fraction of the index
+    * size and candidate volume — the standard multi-probe LSH trade
+    * (Lv et al., VLDB'07).
     */
   def annLshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      numTables: Int, numPlanes: Int, dim: Int): DataFrame = {
+      numTables: Int, numPlanes: Int, dim: Int,
+      multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(numTables, numPlanes, dim)
     val sigC = tableSigRows(Dedup.widen(corpus), "embedding", planes)
-    val sigQ = tableSigRows(queries, "qe", planes)
+    val sigQ =
+      if (multiProbe) probeSigRows(queries, "qe", planes)
+      else tableSigRows(queries, "qe", planes)
     val candPairs = sigC.select("vec_id", "tbl", "sig")
       .join(broadcast(sigQ.select("query_id", "tbl", "sig")), Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -208,6 +208,19 @@ object CatalogScale {
       },
       Some(knnOracle)),
 
+    Q("sim_ann_multiprobe",
+      // multi-probe variant: 6 tables × 3 planes with single-bit query
+      // probing reaches the SAME exact-truth oracle as the 16-table
+      // single-probe config, with a 2.7× smaller corpus index — the
+      // standard recall-vs-index-size trade, here proven by the oracle
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.annLshKnn(emb, knnQueries(emb), k = 10,
+          numTables = 6, numPlanes = 3, dim = 64, multiProbe = true)
+          .orderBy("query_id", "rank")
+      },
+      Some(knnOracle)),
+
     Q("sim_ann_recall",
       // quantitative recall floor: |ANN top-10 ∩ exact top-10| / |exact|,
       // asserted >= 0.9; n_queries and n_exact are genuinely computed by
@@ -374,6 +387,29 @@ object CatalogScale {
               FROM (SELECT * FROM events WHERE event_type = 'purchase') p
               ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
                 ON p.user_id = c.user_id AND p.ts >= c.ts
+              ORDER BY p.event_id""")),
+
+    Q("j13_asof_forward",
+      // forward as-of join: each purchase aligned to the user's earliest
+      // at-or-after click (the "next event" alignment)
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "value")
+        AsOf.forward(purchases, clicks, "user_id", "ts", Seq("ts", "value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            round(col("asof_value"), 2).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                round(c.value, 2) AS click_value
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND p.ts <= c.ts
               ORDER BY p.event_id""")),
 
     Q("u5_latest_by_key",
