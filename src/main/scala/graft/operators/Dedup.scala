@@ -156,10 +156,15 @@ object Dedup {
     val sh = shRows.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val shB = sh.select(col("doc_id").as("id_b2"), col("sh").as("sh_b"))
+    // the shingle is PART OF THE JOIN KEY: joining on id_b alone and
+    // filtering sh_a = sh_b afterwards would materialize
+    // |sh(a)| × |sh(b)| rows per candidate pair before filtering —
+    // quadratic in document length; as a two-key hash join the engine
+    // produces only the intersection rows
     val inter = pairs
-      .join(shA, "id_a").join(shB, "id_b")
-      .filter(col("sh_a") === col("sh_b"))
+      .join(shA, "id_a")
+      .join(shB, col("id_b") === col("id_b2") && col("sh_a") === col("sh_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
     val sb = sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))

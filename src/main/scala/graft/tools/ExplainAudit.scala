@@ -11,8 +11,10 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("f1_date_range", "j1_multi_join", "q1_agg", "o3_topk_per_group",
-        "dedup_minhash_lsh", "sim_knn_cosine")
+      else Seq("f1_date_range", "j1_multi_join", "j1_bucketed", "q1_agg",
+        "o3_topk_per_group", "dedup_minhash_lsh", "dedup_embedding",
+        "sim_knn_cosine", "sim_ann_multiprobe", "s12_drive_scan",
+        "f2_connector_comments")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
