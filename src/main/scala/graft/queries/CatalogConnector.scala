@@ -24,6 +24,16 @@ object CatalogConnector {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` arrives as raw nanos (nanosAsLong) — same conversion as
+    * [[Catalog]].
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
   /** Staged pages live under tmp, keyed by sf-dir so scale factors don't
     * collide. Re-written (overwrite) on every call: the stage IS part of
     * the measured pipeline, exactly like the reference's fetch-then-read.
@@ -78,6 +88,35 @@ object CatalogConnector {
 
   private def readIssues(s: SparkSession, pages: String): DataFrame =
     s.read.format("graft.sources.jira.JiraSource").option("path", pages).load()
+
+  /** Slack channel envelopes staged from `events` (channel = event_type,
+    * message ts = epoch-seconds string with micro fraction) — one
+    * envelope JSON per channel, written by the distributed file sink, so
+    * the Slack connector's planning-time channel pruning and
+    * oldest/latest pushdown run against deterministic content the
+    * oracle can recompute from the parquet.
+    */
+  private def stageSlackChannels(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_slack_stage_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/channels"
+    val msgs = events(s, d).select(
+      col("event_type").as("ch"),
+      struct(
+        concat(expr("unix_micros(ts) div 1000000"), lit("."),
+          lpad(pmod(unix_micros(col("ts")), lit(1000000L)).cast("string"), 6, "0"))
+          .as("ts"),
+        concat(lit("U"), col("user_id")).as("user"),
+        concat(lit("msg "), col("event_id")).as("text")).as("m"))
+    val envelopes = msgs.groupBy("ch")
+      .agg(sort_array(collect_list(col("m"))).as("messages"))
+      .select(
+        concat(col("ch"), lit(".json")).as("fname"),
+        to_json(struct(
+          struct(col("ch").as("name")).as("channel"),
+          col("messages"))).as("body"))
+    graft.sources.drive.DriveSource.stageFiles(envelopes, out, "fname", "body")
+    out
+  }
 
   /** Transcript folder staged from `documents` via the distributed
     * file sink (one .txt per doc, mtime derived from doc_id) — the Drive
@@ -175,6 +214,26 @@ object CatalogConnector {
                        CASE WHEN l_linenumber % 2 = 0 THEN 'Rank: Ranked higher'
                             ELSE 'Rank: Ranked lower' END AS summary FROM h)
               ORDER BY key, history_id, i_pos""")),
+
+    Q("s8_slack_connector",
+      // S8/S9 through the Slack connector: channel equality prunes to
+      // one planned partition (envelope-name source of truth), the ts
+      // range pushes as oldest/latest; .5s window bounds sidestep the
+      // ns-vs-µs truncation at exact-second boundaries
+      (s, d) => {
+        val chans = stageSlackChannels(s, d)
+        s.read.format("graft.sources.slack.SlackSource")
+          .option("path", chans).load()
+          .filter(col("channel") === "click" &&
+            col("ts") >= 1704844800.5 && col("ts") <= 1705536000.5)
+          .groupBy("user").agg(count(lit(1)).as("n_msgs"))
+          .orderBy("user")
+      },
+      Some("""SELECT 'U' || user_id AS "user", count(*) AS n_msgs
+              FROM events
+              WHERE event_type = 'click'
+                AND epoch(ts) >= 1704844800.5 AND epoch(ts) <= 1705536000.5
+              GROUP BY 1 ORDER BY 1""")),
 
     Q("x15_connector_customfields",
       // X15 through the connector: project the dynamic fields map into
