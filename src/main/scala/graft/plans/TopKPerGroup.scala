@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+
+/** Native top-k-per-group operator (reference O3 "newest file wins" /
+  * top-1-per-status picks, `generate_weekly_digest.js:139-174`, at
+  * engine level): the full custom-operator ladder — logical node,
+  * planner strategy, physical exec — SURVEY §7's option (c).
+  *
+  * Why not `row_number().over(window) <= k`? The window form sorts every
+  * group's FULL row set (O(n log n) per group, full sort buffers spilled
+  * at scale) just to discard all but k rows. This operator keeps a
+  * bounded k-row heap per group per partition: O(n log k) compares, O(k)
+  * memory per group, nothing spills. Requires `order` to be a total
+  * order (add a unique tiebreak column) for deterministic output.
+  */
+case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+/** Physical: Spark clusters input rows by the group key (the ONE
+  * shuffle, satisfied for free when the child is already partitioned
+  * compatibly), then each partition folds its rows into per-group
+  * bounded heaps — root = worst kept row, evicted on anything better.
+  */
+case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(groupExprs))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val gExprs = groupExprs
+    val ord = order
+    val kk = k
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(gExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val rowOrd = new LazilyGeneratedOrdering(ord, childOutput)
+      val unsafeOrd = rowOrd.asInstanceOf[Ordering[InternalRow]]
+      val heaps = scala.collection.mutable.LinkedHashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      it.foreach { row =>
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+          scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
+            unsafeOrd.asInstanceOf[Ordering[UnsafeRow]]))
+        if (heap.size < kk) heap.enqueue(toUnsafe(row).copy())
+        else if (unsafeOrd.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(toUnsafe(row).copy())
+        }
+      }
+      heaps.valuesIterator.flatMap { h =>
+        val rows: Seq[UnsafeRow] = h.dequeueAll
+        rows.reverseIterator.map(r => r: InternalRow)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+
+  /** Planner rule: the one-case strategy mapping the logical node to its
+    * exec. Registered idempotently via `experimental.extraStrategies`
+    * (works in any session, no extensions plumbing required).
+    */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case TopKPerGroup(g, o, k, child) =>
+        TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** First k rows per group under `orderCols` (use `.desc`/`.asc`
+    * Columns; a bare Column sorts ascending). `orderCols` must be a
+    * total order for deterministic results.
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[Column],
+      orderCols: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(Strategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ Strategy
+    val child = PlanBridge.analyzed(df)
+    // eager conversion + name resolution against the analyzed child:
+    // the analyzer's generic rules won't reach inside a custom node's
+    // lazy column wrappers
+    def resolve(c: Column): Expression =
+      PlanBridge.convertedExpression(c).transformUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          child.output.find(a => spark.sessionState.conf.resolver(a.name, u.name))
+            .getOrElse(throw new IllegalArgumentException(
+              s"column ${u.name} not in ${child.output.map(_.name).mkString(",")}"))
+      }
+    val sortOrders = orderCols.map(c => resolve(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    PlanBridge.ofRows(spark,
+      TopKPerGroup(groupCols.map(resolve), sortOrders, k, child))
+  }
+}

@@ -431,6 +431,25 @@ object CatalogScale {
                     FROM events)
               WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    Q("o3_topk_native",
+      // O3 via the native custom operator (logical node + strategy +
+      // bounded-heap exec) instead of the window row_number form — same
+      // oracle, better plan: O(n log k) and O(k)-per-group memory vs a
+      // full per-group sort
+      (s, d) => {
+        val ev = events(s, d).select("event_type", "event_id", "value")
+        graft.plans.TopKPerGroup.perGroup(ev,
+          Seq(col("event_type")),
+          Seq(col("value").desc, col("event_id").asc), k = 3)
+          .orderBy(col("event_type"), col("value").desc, col("event_id").asc)
+      },
+      Some("""SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id ASC) AS rn
+                FROM events) WHERE rn <= 3
+              ORDER BY event_type, value DESC, event_id ASC""")),
+
     Q("w_sessionize",
       (s, d) => Sessions.sessionize(events(s, d), "user_id", "ts", "event_id", 1800L)
         .groupBy("user_id")

@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** LogicalPlan ↔ DataFrame bridge. `Dataset.ofRows` is `private[sql]`
+  * in Spark 4's classic API, so third-party logical operators need this
+  * one-hop shim (same pattern as [[ColumnBridge]]) to surface a custom
+  * plan node as a user-facing DataFrame.
+  */
+object PlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Eagerly convert a Column to a real Expression tree (the classic
+    * API's lazy `ColumnNodeExpression` wrapper only converts inside the
+    * analyzer's handling of BUILT-IN operators; a custom logical node
+    * must convert up front).
+    */
+  def convertedExpression(c: org.apache.spark.sql.Column):
+      org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerGroup
+
+class TopKPerGroupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val df = (1 to 5000)
+    .map(i => (s"g${i % 7}", i.toLong, (i * 37 % 1000).toDouble))
+    .toDF("grp", "id", "score")
+
+  test("matches the window row_number formulation exactly") {
+    val native = TopKPerGroup.perGroup(df, Seq(col("grp")),
+        Seq(col("score").desc, col("id").asc), k = 5)
+      .select("grp", "id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("grp", "id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == windowed)
+    assert(native.size == 35)
+  }
+
+  test("plans through the custom exec, clustered by the group key") {
+    val native = TopKPerGroup.perGroup(df, Seq(col("grp")),
+      Seq(col("score").desc, col("id").asc), k = 2)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup ["), plan) // exec nodeName strips "Exec"
+    assert(plan.contains("Exchange hashpartitioning(grp"),
+      s"group clustering must come from a key shuffle:\n$plan")
+    assert(!plan.contains("Window"), "no window sort in the native plan")
+  }
+
+  test("k larger than any group returns everything") {
+    val all = TopKPerGroup.perGroup(df, Seq(col("grp")),
+      Seq(col("id").asc), k = 100000)
+    assert(all.count() == 5000)
+  }
+
+  test("composes with downstream Catalyst operators") {
+    val agg = TopKPerGroup.perGroup(df, Seq(col("grp")),
+        Seq(col("score").desc, col("id").asc), k = 3)
+      .groupBy("grp").agg(sum("score").as("top3_score"))
+    assert(agg.count() == 7)
+  }
+}
