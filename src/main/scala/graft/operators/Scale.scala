@@ -21,8 +21,25 @@ object Scale {
     * only matters if one hot key's rows are also identical across every
     * column — add a distinguishing column upstream in that case.
     */
-  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column = {
+    // xxhash64 rejects map/variant inputs — hash the hashable columns
+    // directly and route the rest through their JSON form, so any schema
+    // (e.g. the Jira connector's fields map) can be salted
+    val (plain, unhashable) = df.schema.fields.partition { f =>
+      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case org.apache.spark.sql.types.ArrayType(et, _) => hashable(et)
+        case s: org.apache.spark.sql.types.StructType => s.fields.forall(f2 => hashable(f2.dataType))
+        case _: org.apache.spark.sql.types.VariantType => false
+        case _ => true
+      }
+      hashable(f.dataType)
+    }
+    val parts = plain.map(f => col(f.name)).toIndexedSeq ++
+      (if (unhashable.isEmpty) Nil
+       else Seq(to_json(struct(unhashable.map(f => col(f.name)).toIndexedSeq: _*))))
+    pmod(xxhash64(parts: _*), lit(saltBuckets))
+  }
 
   /** Two-phase salted aggregation: counts/sums for a heavily-skewed group
     * key. Phase 1 aggregates (key, salt) partials across `saltBuckets`

@@ -79,8 +79,10 @@ object SlackOps {
       messages
         .join(broadcast(users), Seq("user"), "left")
         .withColumn("author", coalesce(col("_resolved_name"), col("user")))
-        .drop("_resolved_name")
         .withColumn("text", mention(col("text")))
+        // same column order as the small-map branch (the join moved the
+        // key first) — callers must see one schema regardless of map size
+        .select(messages.columns.map(col).toIndexedSeq :+ col("author"): _*)
     }
 
   private val mentionPattern = java.util.regex.Pattern.compile("<@([A-Za-z0-9]+)>")

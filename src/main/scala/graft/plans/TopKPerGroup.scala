@@ -18,9 +18,13 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   * Why not `row_number().over(window) <= k`? The window form sorts every
   * group's FULL row set (O(n log n) per group, full sort buffers spilled
   * at scale) just to discard all but k rows. This operator keeps a
-  * bounded k-row heap per group per partition: O(n log k) compares, O(k)
-  * memory per group, nothing spills. Requires `order` to be a total
-  * order (add a unique tiebreak column) for deterministic output.
+  * bounded k-row heap per group per partition: O(n log k) compares and
+  * O(k × groups-per-partition) memory — it never spills, so it targets
+  * the many-rows-per-group regime (heavy groups, small k). For
+  * ultra-high group cardinality with few rows per group, the heaps
+  * dominate memory and the spilling window/aggregate form is the right
+  * plan instead. Requires `order` to be a total order (add a unique
+  * tiebreak column) for deterministic output.
   */
 case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
@@ -54,9 +58,17 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
       it.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
-            unsafeOrd.asInstanceOf[Ordering[UnsafeRow]]))
+        // probe with the reused projection buffer; copy the key only on
+        // first sight of a group — no per-row allocation on the hot path
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
+              unsafeOrd.asInstanceOf[Ordering[UnsafeRow]])
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < kk) heap.enqueue(toUnsafe(row).copy())
         else if (unsafeOrd.compare(row, heap.head) < 0) {
           heap.dequeue()

@@ -51,6 +51,7 @@ object BlobSink {
         rows.foreach { r =>
           val path = blobPathname(project, module, r.getString(0), dateRange)
           val body = r.getString(1)
+          val checksum = sha256Hex(body) // invariant across retries
           var attempt = 0
           var done = false
           while (!done && attempt < maxAttempts) {
@@ -59,7 +60,7 @@ object BlobSink {
               try {
                 val req = HttpRequest.newBuilder(URI.create(s"$endpoint/$path"))
                   .header("content-type", "text/markdown")
-                  .header("x-content-sha256", sha256Hex(body))
+                  .header("x-content-sha256", checksum)
                   .PUT(HttpRequest.BodyPublishers.ofString(body)).build()
                 client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
               } catch { case _: Exception => -1 }

@@ -70,25 +70,43 @@ object PostgresUpsertSink {
     val cols = df.columns.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains), "keys must be columns")
     val updates = cols.filterNot(keys.contains)
-    val updateSql = s"UPDATE $table SET " +
-      updates.map(c => s"$c = ?").mkString(", ") +
-      " WHERE " + keys.map(c => s"$c = ?").mkString(" AND ")
+    // all-key tables (pure link tables) degrade to insert-if-absent:
+    // there is nothing to update and 'UPDATE t SET WHERE …' is invalid SQL
+    val checkSql =
+      if (updates.isEmpty)
+        s"SELECT 1 FROM $table WHERE " + keys.map(c => s"$c = ?").mkString(" AND ")
+      else
+        s"UPDATE $table SET " + updates.map(c => s"$c = ?").mkString(", ") +
+          " WHERE " + keys.map(c => s"$c = ?").mkString(" AND ")
     val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    // precomputed positions: no per-row linear scans in the hot loop
+    val updateIdx = updates.map(cols.indexOf).toArray
+    val keyIdx = keys.map(cols.indexOf).toArray
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(jdbcUrl, props)
         try {
           conn.setAutoCommit(false)
-          val up = conn.prepareStatement(updateSql)
+          val check = conn.prepareStatement(checkSql)
           val ins = conn.prepareStatement(insertSql)
           rows.foreach { r =>
-            updates.indices.foreach(i =>
-              up.setObject(i + 1, r.get(cols.indexOf(updates(i)))))
-            keys.indices.foreach(i =>
-              up.setObject(updates.length + i + 1, r.get(cols.indexOf(keys(i)))))
-            if (up.executeUpdate() == 0) {
-              cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+            var i = 0
+            while (i < updateIdx.length) {
+              check.setObject(i + 1, r.get(updateIdx(i))); i += 1
+            }
+            var j = 0
+            while (j < keyIdx.length) {
+              check.setObject(updateIdx.length + j + 1, r.get(keyIdx(j))); j += 1
+            }
+            val matched =
+              if (updateIdx.isEmpty) {
+                val rs = check.executeQuery()
+                try rs.next() finally rs.close()
+              } else check.executeUpdate() > 0
+            if (!matched) {
+              var c = 0
+              while (c < cols.length) { ins.setObject(c + 1, r.get(c)); c += 1 }
               ins.executeUpdate()
             }
           }

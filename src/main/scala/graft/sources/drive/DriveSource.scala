@@ -64,22 +64,28 @@ object DriveSource {
     }
   }
 
-  /** Pushed-bound value → epoch millis (same tolerance as JiraSource:
+  /** Pushed-bound value → epoch MICROS (same tolerance as JiraSource:
     * Timestamp by default, Instant under the java8 datetime API, string
     * forms; unconvertible bounds throw rather than silently filter).
+    * Micros, not millis: rows carry microsecond timestamps and these
+    * filters are fully pushed (no residual re-check), so truncating a
+    * sub-millisecond bound would silently change the row set.
     */
-  def tsBoundMillis(v: Any): Long = v match {
-    case t: java.sql.Timestamp => t.getTime
-    case i: java.time.Instant => i.toEpochMilli
+  def tsBoundMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
     case l: java.time.LocalDateTime =>
-      l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    case d: java.util.Date => d.getTime
+      val inst = l.toInstant(java.time.ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    case d: java.util.Date => d.getTime * 1000L
     case s =>
       val raw = s.toString
-      try java.sql.Timestamp.valueOf(raw.replace("T", " ")).getTime
+      try tsBoundMicros(java.sql.Timestamp.valueOf(raw.replace("T", " ")))
       catch {
         case _: Exception =>
-          try java.time.OffsetDateTime.parse(raw).toInstant.toEpochMilli
+          try tsBoundMicros(java.time.OffsetDateTime.parse(raw).toInstant)
           catch {
             case _: Exception => throw new IllegalArgumentException(
               s"unsupported modified_time bound: $raw")
@@ -96,10 +102,16 @@ object DriveSource {
     case StringEndsWith("name", v) => f.getName.endsWith(v)
     case StringContains("name", v) => f.getName.contains(v)
     case EqualTo("mime_type", v) => mimeOf(f.getName) == v.toString
-    case GreaterThanOrEqual("modified_time", v) => f.lastModified >= tsBoundMillis(v)
-    case GreaterThan("modified_time", v) => f.lastModified > tsBoundMillis(v)
-    case LessThanOrEqual("modified_time", v) => f.lastModified <= tsBoundMillis(v)
-    case LessThan("modified_time", v) => f.lastModified < tsBoundMillis(v)
+    // compare in micros — the resolution of the row value the engine
+    // would otherwise have filtered on
+    case GreaterThanOrEqual("modified_time", v) =>
+      f.lastModified * 1000L >= tsBoundMicros(v)
+    case GreaterThan("modified_time", v) =>
+      f.lastModified * 1000L > tsBoundMicros(v)
+    case LessThanOrEqual("modified_time", v) =>
+      f.lastModified * 1000L <= tsBoundMicros(v)
+    case LessThan("modified_time", v) =>
+      f.lastModified * 1000L < tsBoundMicros(v)
     case IsNotNull(_) => true // guaranteed non-null for listed files
     case _ => true
   }

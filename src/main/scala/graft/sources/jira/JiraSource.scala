@@ -180,12 +180,19 @@ class JiraPartitionReader(file: String, required: StructType,
         else if (root.has("issues"))
           Some(root.get("issues").elements().asScala.toList)
         else {
-          // JSON-lines page (e.g. a Spark-exported staging dir): one
-          // issue object per line; a single pretty-printed issue object
-          // falls back to the whole-file parse
-          try Some(text.linesIterator.filter(_.trim.nonEmpty)
-            .map(mapper.readTree).toList)
-          catch { case _: Exception => Some(List(root)) }
+          // JSON-lines page (e.g. a Spark-exported staging dir) vs a
+          // single pretty-printed issue object: decide by whether the
+          // FIRST non-empty line is a complete JSON value. A malformed
+          // line in JSONL mode then propagates to the fail-open catch —
+          // the page reads as EMPTY (consistent with any other corrupt
+          // page), never silently truncated to its first object.
+          val lines = text.linesIterator.filter(_.trim.nonEmpty).toList
+          val firstLineParses = lines.headOption.exists { l =>
+            try { mapper.readTree(l); true } catch { case _: Exception => false }
+          }
+          if (lines.length > 1 && firstLineParses)
+            Some(lines.map(mapper.readTree))
+          else Some(List(root))
         }
       } catch { case _: Exception => None }
     parsed match {
@@ -222,7 +229,10 @@ class JiraPartitionReader(file: String, required: StructType,
     * rather than silently filtering everything out.
     */
   private def tsBound(v: Any): Long = v match {
-    case t: java.sql.Timestamp => t.getTime * 1000L
+    // getTime is millis; nanos carries the full sub-second part — a
+    // plain getTime*1000 would truncate sub-millisecond bounds
+    case t: java.sql.Timestamp =>
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
     case l: java.time.LocalDateTime =>
       val i = l.toInstant(java.time.ZoneOffset.UTC)

@@ -122,7 +122,14 @@ case class SlackScan(path: String, required: StructType, pushed: Array[Filter])
             depth -= 1
             if (inChannel && depth <= 1) inChannel = false
           case FIELD_NAME if depth == 1 && p.currentName() == "channel" =>
-            inChannel = true
+            // only latch when the value actually IS an object — a scalar
+            // channel value must not leave the flag set, or the next
+            // depth-2 "name" anywhere in the envelope would be returned
+            p.nextToken() match {
+              case START_OBJECT => depth += 1; inChannel = true
+              case START_ARRAY => depth += 1
+              case _ => () // scalar value consumed, flag stays off
+            }
           case FIELD_NAME if inChannel && depth == 2 && p.currentName() == "name" =>
             p.nextToken()
             return p.getText()

@@ -112,6 +112,20 @@ class JiraSourceSpec extends AnyFunSuite {
     assert(desc.contains("fields=[key,fields]"), desc)
   }
 
+  test("corrupt JSONL page reads as empty, never truncated to its first object") {
+    val d = Files.createTempDirectory("jira_jsonl_bad")
+    Files.writeString(d.resolve("part-0.json"),
+      """{"key":"B-1","project":"B","status":"Done"}
+        |{"key":"B-2","project":"B","st
+        |{"key":"B-3","project":"B","status":"Done"}
+        |""".stripMargin)
+    val df = spark.read.format("graft.sources.jira.JiraSource")
+      .option("path", d.toString).load()
+    // fail-open semantics: the whole page is treated as unreadable (0
+    // rows) — the old fallback silently emitted ONLY B-1
+    assert(df.count() == 0)
+  }
+
   test("JSONL page files (Spark-exported staging) parse issue-per-line") {
     val d = Files.createTempDirectory("jira_jsonl")
     Files.writeString(d.resolve("part-0.json"),

@@ -19,6 +19,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted("hot") == 500L)
   }
 
+  test("salting works on schemas with map columns (xxhash64 can't hash maps)") {
+    val df = (1 to 100).map(i => (s"k${i % 3}", i)).toDF("k", "v")
+      .withColumn("attrs", map(lit("a"), col("v").cast("string")))
+    val salted = Scale.saltedCount(df, "k", 4).as[(String, Long)].collect().toMap
+    assert(salted == Map("k0" -> 33L, "k1" -> 34L, "k2" -> 33L))
+  }
+
   test("saltedJoin equals plain inner join") {
     val big = (1 to 2000).map(i => (s"k${i % 7}", i)).toDF("k", "v")
     val small = Seq(("k0", "a"), ("k3", "b")).toDF("k", "name")

@@ -51,6 +51,20 @@ class SlackSourceSpec extends AnyFunSuite {
     assert(texts == Seq("mid"))
   }
 
+  test("scalar channel value never leaks a nested name into the prune") {
+    // channel is a scalar here; the old streaming parse latched and
+    // returned user.name ("bob"), wrongly admitting this file for
+    // channel === "bob" at planning
+    val d = Files.createTempDirectory("slack_scalar")
+    Files.writeString(d.resolve("weird.json"),
+      """{"channel":"growth","user":{"name":"bob"},"messages":[
+        {"ts":"1.000001","user":"U1","text":"x","reply_count":0}]}""")
+    val df = spark.read.format("graft.sources.slack.SlackSource")
+      .option("path", d.toString).load()
+      .filter(col("channel") === "bob")
+    assert(df.rdd.getNumPartitions == 0, "file must be pruned at planning")
+  }
+
   test("planning-time prune uses the envelope name, not the filename") {
     // file misnamed.json holds channel "alpha": filename-based pruning
     // would plan zero partitions for channel === "alpha" while the

@@ -84,6 +84,30 @@ class UpsertIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("all-key link table degrades to insert-if-absent") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE team_members") catch { case _: Exception => () }
+      st.execute("""CREATE TABLE team_members (
+        team_id VARCHAR(36) NOT NULL, member VARCHAR(100) NOT NULL,
+        CONSTRAINT uq_tm UNIQUE (team_id, member))""")
+    } finally conn.close()
+    val df = Seq(("t1", "ada"), ("t1", "bob")).toDF("team_id", "member")
+    PostgresUpsertSink.writePortable(df, url, "team_members",
+      Seq("team_id", "member"))
+    PostgresUpsertSink.writePortable(df, url, "team_members",
+      Seq("team_id", "member")) // re-run: no duplicates, no SQL error
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement()
+        .executeQuery("SELECT count(*) FROM team_members")
+      rs.next()
+      assert(rs.getInt(1) == 2)
+    } finally c2.close()
+  }
+
   test("unique constraint actually enforces the reference key") {
     withTable {
       val conn = DriverManager.getConnection(url)
