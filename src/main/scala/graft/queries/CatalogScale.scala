@@ -431,6 +431,26 @@ object CatalogScale {
                     FROM events)
               WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    Q("a20_hll_mergeable",
+      // the 100 TB distinct-count pattern: per-day HLL sketches are
+      // merged (hll_union_agg) instead of recounting the raw rows — the
+      // estimate must land within 5% of the exact count, asserted as an
+      // oracle row whose exact side DuckDB recomputes
+      (s, d) => {
+        val ev = events(s, d)
+        val perDay = ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = perDay.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.crossJoin(merged).select(
+          col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 5)
+            .as("within_5pct"))
+      },
+      Some("""SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
+              FROM events""")),
+
     Q("o3_topk_native",
       // O3 via the native custom operator (logical node + strategy +
       // bounded-heap exec) instead of the window row_number form — same
