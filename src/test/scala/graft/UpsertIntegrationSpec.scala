@@ -123,6 +123,30 @@ class UpsertIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("S1/S2: spark.read.jdbc against a live DB pushes predicates to the source") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE reports_src") catch { case _: Exception => () }
+      st.execute("""CREATE TABLE reports_src (
+        id INT NOT NULL, author VARCHAR(50) NOT NULL,
+        report_date VARCHAR(10) NOT NULL, body VARCHAR(200))""")
+      (1 to 50).foreach(i => st.execute(
+        s"INSERT INTO reports_src VALUES ($i, 'emp${i % 5}', " +
+          s"'2024-01-${"%02d".format(i % 28 + 1)}', 'entry $i')"))
+    } finally conn.close()
+    val df = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "reports_src")
+      .load()
+      .filter(org.apache.spark.sql.functions.col("author") === "emp1")
+    // the reference's daily-reports query (S2): predicate reaches the DB
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(AUTHOR,emp1)"),
+      s"author equality must be pushed into the JDBC source:\n$plan")
+    assert(df.count() == 10)
+  }
+
   test("postgres dialect SQL keeps ON CONFLICT DO UPDATE on the same key") {
     val sql = PostgresUpsertSink.upsertSql("daily_reports",
       Seq("team_id", "author_name", "report_date", "content"), keys)
