@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketed range join: match point rows to interval rows WITHOUT an
+  * equi key. Spark plans a bare `p >= start AND p < end` join as a
+  * broadcast-nested-loop / cartesian — points × intervals work. The
+  * scale shape instead discretizes time into fixed buckets: each
+  * interval explodes to the buckets it covers, each point maps to
+  * exactly ONE bucket, candidates come from the (bucket) equi-join, and
+  * the exact containment predicate filters the candidates. Cost is
+  * O(points + intervals × span/bucket + candidates) — scales with bucket
+  * co-occupancy, not the cross product, and the bucket width trades
+  * explode volume against candidate precision.
+  *
+  * A pair can only appear once (the point's bucket is unique), so no
+  * dedup pass is needed.
+  */
+object RangeJoin {
+
+  /** Join `points` (with date column `ptCol`) to `intervals` (with
+    * `startCol` inclusive, `endCol` exclusive), bucketing by
+    * `bucketDays`-day buckets. Returns all columns of both inputs for
+    * each contained pair.
+    */
+  def pointsInIntervals(points: DataFrame, ptCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketDays: Int): DataFrame = {
+    require(bucketDays > 0, "bucketDays must be positive")
+    val epoch = lit("1970-01-01")
+    def bucketOf(c: Column): Column = floor(datediff(c, epoch) / bucketDays)
+    val p = points.withColumn("_bkt", bucketOf(col(ptCol)))
+    val iv = intervals.withColumn("_bkt",
+      explode(sequence(bucketOf(col(startCol)),
+        // endCol is exclusive, but a point in end's bucket can still
+        // precede it — include the end bucket
+        bucketOf(col(endCol)))))
+    p.join(iv, Seq("_bkt"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("_bkt")
+  }
+}

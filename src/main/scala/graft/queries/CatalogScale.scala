@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Multimodal, Scale, Sessions, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Scale, Sessions, Similarity, TextAnalysis}
 
 /** Scale-extension catalog: dedup / similarity search / text analysis /
   * multimodal plumbing / sessionization — the training-data-pipeline
@@ -430,6 +430,33 @@ object CatalogScale {
                                                  ORDER BY event_id DESC) AS rn
                     FROM events)
               WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    Q("j14_range_join",
+      // keyless interval containment via bucketed candidates: shipments
+      // falling inside ANY sampled order's 7-day window — the plan is a
+      // bucket equi-join + containment filter, never points × intervals
+      (s, d) => {
+        val iv = t(s, d, "orders").filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("w_start"),
+            date_add(to_date(col("o_orderdate")), 7).as("w_end"))
+        val pts = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            to_date(col("l_shipdate")).as("ship"))
+        RangeJoin.pointsInIntervals(pts, "ship", iv, "w_start", "w_end",
+          bucketDays = 7)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_in_window"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_in_window
+              FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS w_start,
+                           CAST(o_orderdate AS DATE) + 7 AS w_end
+                    FROM orders WHERE o_orderkey % 100 = 0) o
+              JOIN lineitem
+                ON CAST(l_shipdate AS DATE) >= w_start
+               AND CAST(l_shipdate AS DATE) < w_end
+              GROUP BY 1 ORDER BY 1""")),
 
     Q("a20_hll_mergeable",
       // the 100 TB distinct-count pattern: per-day HLL sketches are

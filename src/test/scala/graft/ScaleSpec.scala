@@ -65,6 +65,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() == lines.count())
   }
 
+  test("bucketed range join avoids the nested-loop cross product") {
+    import java.sql.Date
+    val pts = Seq((1L, Date.valueOf("2024-01-03")), (2L, Date.valueOf("2024-02-20")))
+      .toDF("pid", "d")
+    val iv = Seq((10L, Date.valueOf("2024-01-01"), Date.valueOf("2024-01-08")),
+        (20L, Date.valueOf("2024-02-01"), Date.valueOf("2024-02-08")))
+      .toDF("iid", "s", "e")
+    val joined = graft.operators.RangeJoin.pointsInIntervals(pts, "d", iv, "s", "e", 7)
+    val got = joined.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L)), "only the contained pair matches")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"containment must come from the bucket equi-join:\n$plan")
+  }
+
   test("j1_bucketed catalog query joins with no shuffle on the join key") {
     val q = graft.queries.CatalogScale.all.find(_.name == "j1_bucketed").get
     val df = q.run(spark, "/root/testdata/sf0.001")
