@@ -77,4 +77,52 @@ class SparkPropertySpec extends AnyFunSuite {
       .filter($"got" =!= $"want")
     assert(bad.count() == 0)
   }
+
+  test("prop: bucketed range join equals the naive inequality join") {
+    val ptDays = samples(Gen.choose(0L, 400L), 300).zipWithIndex
+      .map { case (d, i) =>
+        (i.toLong, java.sql.Date.valueOf(LocalDate.of(2024, 1, 1).plusDays(d)))
+      }
+    val ivDays = samples(Gen.zip(Gen.choose(0L, 380L), Gen.choose(1L, 40L)), 60)
+      .zipWithIndex.map { case ((s0, len), i) =>
+        val st = LocalDate.of(2024, 1, 1).plusDays(s0)
+        (i.toLong, java.sql.Date.valueOf(st),
+          java.sql.Date.valueOf(st.plusDays(len)))
+      }
+    val pts = ptDays.toDF("pid", "d")
+    val iv = ivDays.toDF("iid", "s", "e")
+    for (bucket <- Seq(1, 7, 30)) {
+      val bucketed = graft.operators.RangeJoin
+        .pointsInIntervals(pts, "d", iv, "s", "e", bucket)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = pts.join(iv, $"d" >= $"s" && $"d" < $"e")
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketed == naive, s"bucketDays=$bucket")
+    }
+  }
+
+  test("prop: forward as-of equals the naive earliest-at-or-after lookup") {
+    val ptsRaw = samples(Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 100000L)), 200)
+      .zipWithIndex.map { case ((u, t0), i) =>
+        (i.toLong, u, new java.sql.Timestamp(t0 * 1000L))
+      }
+    val rightRaw = samples(Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 100000L)), 200)
+      .map { case (u, t0) => (u, new java.sql.Timestamp(t0 * 1000L), t0.toDouble) }
+      .distinct
+    val left = ptsRaw.toDF("event_id", "user_id", "ts")
+    val right = rightRaw.toDF("user_id", "ts", "value")
+    val got = graft.operators.AsOf
+      .forward(left, right, "user_id", "ts", Seq("ts", "value"))
+      .select("event_id", "asof_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    val rightByUser = rightRaw.groupBy(_._1)
+    val want = ptsRaw.map { case (id, u, t0) =>
+      id -> rightByUser.getOrElse(u, Nil)
+        .filter(_._2.getTime >= t0.getTime)
+        .sortBy(_._2.getTime).headOption.map(_._2)
+    }.toMap
+    assert(got == want)
+  }
 }
