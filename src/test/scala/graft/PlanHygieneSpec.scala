@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog-wide anti-pattern sweep: every query's physical plan is
+  * checked for cross products. Nested-loop/cartesian joins are allowed
+  * only where they ARE the documented design (broadcast brute-force
+  * baselines, deliberately tiny broadcast cross joins); anything else
+  * failing here is a scale regression, caught at plan time before it
+  * costs a cluster run.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose nested-loop/cartesian is the documented design:
+    * brute-force kNN baseline (queries broadcast; `Similarity.scala`),
+    * regex content join (broadcast 3-row variant table;
+    * `CatalogDomain`), and the recall/summary queries that cross-join
+    * SINGLE-ROW aggregates (`sim_ann_recall`, `dedup_simhash_recall`,
+    * `a20_hll_mergeable`). Everything else must be equi-join shaped.
+    */
+  private val nlAllowed = Set(
+    "sim_knn_cosine", "sim_ann_recall", "j11_regex_content_join",
+    "dedup_simhash_recall", "a20_hll_mergeable")
+
+  test("no undocumented cross products anywhere in the catalog") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    (graft.queries.Catalog.all ++ graft.queries.CatalogScale.all ++
+      graft.queries.CatalogDomain.all ++ graft.queries.CatalogConnector.all)
+      .foreach { q =>
+        val plan =
+          try q.run(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case e: Exception => s"PLANNING FAILED: ${e.getMessage}" }
+        val hasNl = plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct")
+        if (plan.startsWith("PLANNING FAILED"))
+          offenders += s"${q.name}: $plan"
+        else if (hasNl && !nlAllowed.contains(q.name))
+          offenders += s"${q.name}: nested-loop/cartesian join in plan"
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
