@@ -80,6 +80,13 @@ object TextAnalysis {
       "\\+?\\d{1,3}[-. (]*\\d{3}[-. )]*\\d{3}[-. ]*\\d{4}\\b", "[PHONE]")
   }
 
+  /** URL scrubbing: http(s) URLs → a placeholder — the companion of
+    * [[scrubPii]] in the pre-training cleanup pass (links are the most
+    * common leak vector for boilerplate and tracking junk).
+    */
+  def scrubUrls(c: Column): Column =
+    regexp_replace(c, "https?://\\S+", "[URL]")
+
   /** Repetition signal: frequency of the most common token over total
     * tokens — high values flag boilerplate/spam documents. Longest equal
     * run over the sorted token array (O(n log n)), not a per-distinct

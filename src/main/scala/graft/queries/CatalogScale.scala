@@ -321,6 +321,20 @@ object CatalogScale {
                 'contact ' || c_name || ' at [EMAIL] or [PHONE] today' AS text
               FROM customer ORDER BY c_custkey""")),
 
+    Q("ta_url_scrub",
+      // synthesized links from structured cols; oracle reconstructs the
+      // scrubbed form (URL regex \S+ greediness matches on both engines)
+      (s, d) => {
+        val text = concat(lit("see https://docs.example.com/p/"),
+          col("c_custkey"), lit("?q=a b and http://"),
+          regexp_replace(col("c_name"), "#", ""), lit(".io/x done"))
+        t(s, d, "customer")
+          .select(col("c_custkey"), TextAnalysis.scrubUrls(text).as("text"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, 'see [URL] b and [URL] done' AS text
+              FROM customer ORDER BY c_custkey""")),
+
     Q("ta_repetition",
       (s, d) =>
         t(s, d, "documents")

@@ -42,4 +42,18 @@ class PlanHygieneSpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("filters and projections reach the parquet scan on representative queries") {
+    // predicate pushdown evidence, asserted (ExplainAudit shows it,
+    // this pins it): date-range filter lands in PushedFilters, and the
+    // 2-column projection prunes the read schema
+    val f1 = graft.queries.Catalog.byName("f1_date_range")
+      .run(spark, sfDir).queryExecution.executedPlan.toString
+    assert(f1.contains("PushedFilters:") &&
+      f1.contains("GreaterThanOrEqual(l_shipdate") &&
+      f1.contains("LessThan(l_shipdate"), f1)
+    val x21 = graft.queries.Catalog.byName("x21_sha256")
+      .run(spark, sfDir).queryExecution.executedPlan.toString
+    assert(x21.contains("ReadSchema: struct<doc_id:bigint,text:string>"), x21)
+  }
 }
