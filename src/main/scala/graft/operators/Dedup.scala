@@ -176,6 +176,56 @@ object Dedup {
         round(col("inter").cast("double") / col("union_sh"), 4).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge set by iterative
+    * min-label propagation: every node starts labeled with itself; each
+    * round, a node adopts the minimum label among itself and its
+    * neighbors; fixpoint in O(component diameter) rounds (near-dup
+    * clusters are dense, so typically 1–2). Each round is one
+    * equi-join + partial-agg shuffle — the standard distributed CC
+    * shape, no driver-side graph.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      next.count() // materialize; bounds lineage across rounds
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).limit(1).count() == 0
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** The dedup DECISION step: assign every document a cluster id (the
+    * minimum doc_id of its near-dup component; singletons cluster with
+    * themselves). Downstream keeps one row per cluster.
+    */
+  def clusterAssign(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+  }
+
   /** 64-bit SimHash from a document's word hashes: majority vote per bit
     * (bit j of the simhash is 1 iff >= half the hashes have bit j set).
     * Tight single-pass JVM loop behind a UDF — the equivalent Catalyst

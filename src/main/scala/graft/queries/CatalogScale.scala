@@ -128,6 +128,41 @@ object CatalogScale {
       },
       Some("SELECT true AS counts_match, true AS identical")),
 
+    Q("dedup_clusters",
+      // the dedup decision step: LSH-banded candidate pairs → connected
+      // components → one cluster id (min member) per document; the
+      // oracle recomputes the transitive closure with a recursive CTE
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
+        Dedup.clusterAssign(docs, "doc_id", pairs)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+              w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                    FROM documents),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
+                     FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT id_a, id_b
+                        FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+                                   JOIN sz sb ON inter.id_b = sb.doc_id
+                        WHERE inter * 5 >= (sa.n + sb.n - inter) * 4),
+              edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (SELECT u, v FROM edges
+                        UNION
+                        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+              SELECT d.doc_id,
+                     CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
+                       AS cluster
+              FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+              GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
     Q("dedup_embedding",
       // production path: hyperplane-bucketed candidates + exact verify;
       // the oracle stays the all-pairs truth definition, so a green hash
