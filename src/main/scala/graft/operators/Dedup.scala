@@ -202,9 +202,12 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist()
-      next.count() // materialize; bounds lineage across rounds
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).limit(1).count() == 0
+      // one action per round: materializes `next` (bounding lineage) AND
+      // decides convergence in the same job
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      converged = changed == 0
       labels.unpersist()
       labels = next
       i += 1
