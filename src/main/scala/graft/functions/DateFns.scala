@@ -22,6 +22,39 @@ object DateFns {
     try_to_date(regexp_extract(c, "([A-Z][a-z]+ \\d{1,2}, \\d{4})", 1), "MMMM d, yyyy"),
     try_to_date(regexp_extract(c, "(\\d{2}_\\d{2}_\\d{2})(?!\\d)", 1), "MM_dd_yy"))
 
+  /** Transcript filename-date cascade — value-identical port of the
+    * reference's `extractDateFromFilename`
+    * (`transcripts/download-from-drive.js:79-147`, matrix
+    * `test/test-date-extraction.js:66-81`): three patterns in priority
+    * order (`YYYY sep MM sep DD`, `MM sep DD sep YYYY`,
+    * `MM sep DD sep YY` with 2000-pivot), separators `- _ /`, extension
+    * stripped first, and a 2020–2030 sanity window per pattern that
+    * FALLS THROUGH to the next pattern on failure (not to null).
+    * Divergence (documented): invalid month/day yield null here where JS
+    * `Date` would roll the overflow into adjacent months — strict
+    * calendar validation is the saner engine behavior.
+    */
+  def transcriptFilenameDate(c: Column): Column = {
+    val base = regexp_replace(c, "(?i)\\.(txt|md)$", "")
+    def inWindow(d: Column): Column =
+      when(year(d).between(2020, 2030), d)
+    val p1 = "(\\d{4})[-_/](\\d{2})[-_/](\\d{2})"
+    val ymd = inWindow(try_to_date(concat_ws("-",
+      regexp_extract(base, p1, 1), regexp_extract(base, p1, 2),
+      regexp_extract(base, p1, 3)), "yyyy-MM-dd"))
+    val p2 = "(\\d{2})[-_/](\\d{2})[-_/](\\d{4})"
+    val mdy4 = inWindow(try_to_date(concat_ws("-",
+      regexp_extract(base, p2, 3), regexp_extract(base, p2, 1),
+      regexp_extract(base, p2, 2)), "yyyy-MM-dd"))
+    val p3 = "(\\d{2})[-_/](\\d{2})[-_/](\\d{2})"
+    // textual 2000-pivot: "20" ++ yy ("25" -> "2025"); a no-match ""
+    // yields year "20", which try_to_date rejects
+    val mdy2 = inWindow(try_to_date(concat_ws("-",
+      concat(lit("20"), regexp_extract(base, p3, 3)),
+      regexp_extract(base, p3, 1), regexp_extract(base, p3, 2)), "yyyy-MM-dd"))
+    coalesce(ymd, mdy4, mdy2)
+  }
+
   /** Markdown heading date (reference X7): `## 2025-10-13` or `## October 13, 2025`. */
   def headingDate(c: Column): Column = coalesce(
     try_to_date(regexp_extract(c, "^##\\s+(\\d{4}-\\d{2}-\\d{2})", 1), "yyyy-MM-dd"),

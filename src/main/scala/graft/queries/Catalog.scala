@@ -473,6 +473,43 @@ object Catalog {
                 ) AS DATE) AS extracted
               FROM named ORDER BY o_orderkey""")),
 
+    Q("x7_transcript_date",
+      // reference X7: transcript filename-date cascade over the Drive
+      // formats (2-digit years, slash/underscore separators, no-date)
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val dt = date_add(to_date(lit("2024-01-01")),
+          pmod(col("o_orderkey"), lit(365)).cast("int"))
+        val fname = when(col("o_orderkey") % 5 === 0,
+            concat(lit("fathom_AICoach-"), date_format(dt, "MM_dd_yy"),
+              lit(" 09_14AM.txt")))
+          .when(col("o_orderkey") % 5 === 1,
+            concat(lit("meeting_"), date_format(dt, "yyyy/MM/dd"), lit(".txt")))
+          .when(col("o_orderkey") % 5 === 2,
+            concat(lit("call_"), date_format(dt, "MM/dd/yyyy"), lit(".txt")))
+          .when(col("o_orderkey") % 5 === 3,
+            concat(lit("transcript-"), date_format(dt, "yyyy-MM-dd"), lit(".txt")))
+          .otherwise(lit("no_date_here_10_30AM.txt"))
+        o.select(col("o_orderkey"), fname.as("filename"))
+          .select(col("o_orderkey"), col("filename"),
+            DateFns.transcriptFilenameDate(col("filename")).as("extracted"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+                SELECT o_orderkey,
+                       DATE '2024-01-01' + CAST(o_orderkey % 365 AS INT) AS dt
+                FROM orders)
+              SELECT o_orderkey,
+                CASE CAST(o_orderkey % 5 AS INT)
+                  WHEN 0 THEN 'fathom_AICoach-' || strftime(dt, '%m_%d_%y') || ' 09_14AM.txt'
+                  WHEN 1 THEN 'meeting_' || strftime(dt, '%Y/%m/%d') || '.txt'
+                  WHEN 2 THEN 'call_' || strftime(dt, '%m/%d/%Y') || '.txt'
+                  WHEN 3 THEN 'transcript-' || strftime(dt, '%Y-%m-%d') || '.txt'
+                  ELSE 'no_date_here_10_30AM.txt'
+                END AS filename,
+                CASE WHEN o_orderkey % 5 = 4 THEN NULL ELSE dt END AS extracted
+              FROM base ORDER BY o_orderkey""")),
+
     Q("x9_extract_keys",
       (s, d) =>
         t(s, d, "documents")

@@ -87,6 +87,31 @@ class TextFnsSpec extends AnyFunSuite {
     assert(oneDate(c, "x-2025-02-30-y.txt") == null, "invalid date must be null")
   }
 
+  test("transcriptFilenameDate: reference test matrix, verbatim") {
+    // test/test-date-extraction.js:66-81, all 14 cases
+    val c = DateFns.transcriptFilenameDate(col("s"))
+    val cases = Seq(
+      "fathom_AICoach-09_30_25 09_14AM.txt" -> "2025-09-30",
+      "fathom_AICoach-09_24_25 04_49AM-AICoachTestCall.txt" -> "2025-09-24",
+      "fathom_AICoach-09_15_25 09_51AM.txt" -> "2025-09-15",
+      "fathom_AICoach-09/24/25 08:44AM-EngPathDeploymentCall.txt" -> "2025-09-24",
+      "transcript-2025-09-24.txt" -> "2025-09-24",
+      "meeting_2025_09_15.txt" -> "2025-09-15",
+      "meeting_2025/09/15.txt" -> "2025-09-15",
+      "fathom-09-24-25.txt" -> "2025-09-24",
+      "call_09_24_2025.txt" -> "2025-09-24",
+      "call_09/24/2025.txt" -> "2025-09-24",
+      "meeting-12-31-23.txt" -> "2023-12-31",
+      "transcript-01-01-24.txt" -> "2024-01-01")
+    for ((in, want) <- cases)
+      assert(oneDate(c, in) != null && oneDate(c, in).toString == want,
+        s"input: $in")
+    assert(oneDate(c, "no_date_in_this_file.txt") == null)
+    assert(oneDate(c, "meeting_with_time_only_10_30AM.txt") == null)
+    // out-of-window year falls through patterns, then null (JS range check)
+    assert(oneDate(c, "old-1998-01-05.txt") == null)
+  }
+
   test("headingDate: iso and month-name headings") {
     assert(oneDate(DateFns.headingDate(col("s")), "## 2025-10-13").toString == "2025-10-13")
     assert(oneDate(DateFns.headingDate(col("s")), "## October 13, 2025").toString == "2025-10-13")
