@@ -87,6 +87,21 @@ class TextFnsSpec extends AnyFunSuite {
     assert(oneDate(c, "x-2025-02-30-y.txt") == null, "invalid date must be null")
   }
 
+  test("normalizeName: reference name-matcher matrix (test-name-matcher.js group 1)") {
+    def norm(s: String): String =
+      Seq(s).toDF("s").select(TextFns.normalizeName(col("s"))).head.getString(0)
+    assert(norm("John Doe") == "john doe")
+    assert(norm("John Doe, Jr.") == "john doe jr")
+    assert(norm("John   Doe") == "john doe")
+    assert(norm("Allan-Arneil") == "allan arneil")
+    assert(norm("Allan_Sheldon_Iba_ez") == "allan sheldon iba ez")
+    assert(norm("") == "")
+    assert(norm("  John Doe  ") == "john doe")
+    // qualifier stripping (reference test-normalization-qualifiers.js)
+    assert(norm("Mark B (2)") == "mark b")
+    assert(norm("Jane [guest]") == "jane")
+  }
+
   test("transcriptFilenameDate: reference test matrix, verbatim") {
     // test/test-date-extraction.js:66-81, all 14 cases
     val c = DateFns.transcriptFilenameDate(col("s"))
