@@ -86,13 +86,26 @@ object TextFns {
     */
   def maskSecrets(c: Column): Column = {
     val redacted = "[REDACTED SECRET]"
-    val steps = Seq(
+    // order and output grammar mirror the reference heuristics
+    // (`slack/lib/sanitizer.js:104-122`): PEM blocks get their own
+    // marker; credential params and ENV pairs KEEP the key name, only
+    // the value is redacted
+    val pem = regexp_replace(c,
       "-----BEGIN [A-Z ]*PRIVATE KEY-----[\\s\\S]*?-----END [A-Z ]*PRIVATE KEY-----",
-      "xox[pboars]-[A-Za-z0-9-]+",
-      "\\b(?:AKIA|ASIA)[A-Z0-9]{16}\\b",
-      "(?i)\\btoken=[^\\s&]+",
-      "\\b[A-Z][A-Z0-9_]{2,}=[^\\s]+")
-    steps.foldLeft(c)((acc, pat) => regexp_replace(acc, pat, redacted))
+      "[REDACTED SECRET KEY BLOCK]")
+    val slackTok = regexp_replace(pem, "xox[pboars]-[A-Za-z0-9-]+", redacted)
+    val awsKey = regexp_replace(slackTok, "\\b(?:AKIA|ASIA)[A-Z0-9]{16}\\b", redacted)
+    // ENV pass runs BEFORE the credential-param pass: the reference's
+    // order (cred first) lets the env regex re-match the '[REDACTED'
+    // replacement text of an uppercase TOKEN=… and garble it — a latent
+    // reference bug its tests never hit; this order produces the same
+    // grammar without the double-redaction (the cred value class has no
+    // '[', so it can never re-match a redacted env value)
+    val envPair = regexp_replace(awsKey,
+      "\\b([A-Z][A-Z0-9_]{1,48})\\s*=\\s*[^\\s\"']+", "$1=" + redacted)
+    regexp_replace(envPair,
+      "(?i)\\b(access[-_]?token|token|auth|authorization|password|passwd|pwd|apikey|api[_-]?key)[=:]\\s*[A-Za-z0-9._~+/=-]{6,}",
+      "$1=" + redacted)
   }
 
   /** Jira wiki-markup → Markdown (reference X1, `jira/csv-to-markdown.js:62-89`):

@@ -109,23 +109,57 @@ object SlackOps {
 
   // ------------------------------------------------------------ sanitizer
 
-  /** X18 kind classifier heuristics over a fenced block's language + body. */
+  /** X18 kind classifier — branch-for-branch port of the reference's
+    * `classifyBlockContent` (`slack/lib/sanitizer.js:24-82`): language
+    * hints first (shell → command, known code/config langs → code), then
+    * command / stacktrace / error-log / log / config heuristics in that
+    * order, `code` as the fallback.
+    */
   def classifyCode(lang: String, body: String): String = {
+    val text = Option(body).getOrElse("").take(5000)
+    val firstLines = text.split("\n").take(5).mkString("\n")
     val l = Option(lang).getOrElse("").toLowerCase
-    val b = Option(body).getOrElse("")
-    if (l == "sh" || l == "bash" || l == "shell" ||
-      b.linesIterator.forall(ln => ln.isEmpty || ln.startsWith("$") ||
-        ln.startsWith("npm ") || ln.startsWith("git ") || ln.startsWith("cd ")))
-      "command"
-    else if (b.contains("Traceback (most recent call last)") ||
-      b.contains("at java.") || "\\bException\\b".r.findFirstIn(b).isDefined)
-      "stacktrace"
-    else if ("(?i)\\b(error|fatal)\\b".r.findFirstIn(b).isDefined &&
-      b.linesIterator.length > 1) "error_log"
-    else if ("(?m)^\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:".r.findFirstIn(b).isDefined) "log"
-    else if (l == "json" || l == "yaml" || l == "toml" || l == "ini" ||
-      b.trim.startsWith("{") || "(?m)^[A-Za-z_]+\\s*[:=]".r.findFirstIn(b).isDefined)
-      "config"
+    val shellLangs = Set("bash", "shell", "sh", "zsh", "ps1", "powershell", "cmd")
+    val codeLangs = Set("js", "javascript", "ts", "typescript", "py", "python",
+      "java", "go", "ruby", "php", "c", "cpp", "csharp", "cs", "json", "yaml",
+      "yml", "toml", "sql", "kotlin", "swift")
+    if (shellLangs(l)) return "command"
+    if (codeLangs(l)) return "code"
+    def any(ps: Seq[String], s: String): Boolean =
+      ps.exists(p => p.r.findFirstIn(s).isDefined)
+    val commandPatterns = Seq(
+      "(?m)^\\s*[$>#] ",
+      "(?i)\\b(npm|pnpm|yarn)\\s+(run\\s+)?[a-z0-9:_-]+",
+      "(?i)\\b(git|curl|wget|tar|zip|unzip|chmod|chown|scp|ssh)\\b",
+      "(?i)\\b(docker|kubectl|helm|terraform|gcloud|aws|az)\\b",
+      "(?i)\\b(systemctl|service|brew|apt|yum|dnf|pip|pip3|python|node)\\b",
+      "(?mi)^\\s*(dir|copy|del|type)\\s+")
+    if (any(commandPatterns, text)) return "command"
+    val stackPatterns = Seq(
+      "(?i)traceback \\(most recent call last\\)",
+      "(?m)^\\s*at\\s+\\S+\\s+\\(.+\\)$",
+      "Exception in thread ",
+      "\\bCaused by:")
+    if (any(stackPatterns, firstLines) || any(stackPatterns, text))
+      return "stacktrace"
+    val errorPatterns = Seq("(?i)\\berror\\b[:\\s]", "(?i)npm ERR!")
+    if (any(errorPatterns, firstLines) || any(errorPatterns, text))
+      return "error_log"
+    val logPatterns = Seq(
+      "(?m)^\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}.*\\b(ERROR|WARN|INFO|DEBUG|TRACE)\\b",
+      "(?m)^\\w{3}\\s+\\d{1,2}\\s+\\d{2}:\\d{2}:\\d{2}\\s+\\S+\\s+\\S+\\[",
+      "(?i)level=(info|warn|error|debug)")
+    if (any(logPatterns, text)) return "log"
+    val isLikelyJson =
+      "\"[A-Za-z0-9_.-]+\"\\s*:\\s*".r.findAllIn(text).length >= 3
+    val yamlKeyLines =
+      "(?m)^\\s*[A-Za-z0-9_.-]+\\s*:\\s*.+$".r.findAllIn(text).length
+    val hasK8s =
+      "\\bapiVersion:\\b|\\bkind:\\b|\\bmetadata:\\b".r.findFirstIn(text).isDefined
+    val configWords =
+      "(?i)(^|\\b)(config|configuration|settings|version|name|dependencies|scripts|env)(\\b|:)"
+        .r.findFirstIn(text).isDefined
+    if (isLikelyJson || yamlKeyLines >= 3 || hasK8s || configWords) "config"
     else "code"
   }
 
@@ -144,7 +178,9 @@ object SlackOps {
       java.util.regex.Matcher.quoteReplacement(
         s"[REDACTED CODE $n lines, language=$l, kind=${classifyCode(lang, body)}]")
     })
-    "`([^`\n]+)`".r.replaceAllIn(fenced, "[REDACTED INLINE CODE]")
+    "`([^`\n]+)`".r.replaceAllIn(fenced, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"[REDACTED INLINE CODE, kind=${classifyCode("", m.group(1))}]"))
   }
 
   val redactCodeUdf = udf(redactCode _)

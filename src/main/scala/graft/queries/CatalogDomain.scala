@@ -174,7 +174,7 @@ object CatalogDomain {
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey,
-                'deploy [REDACTED SECRET] with [REDACTED SECRET] and [REDACTED SECRET] done' AS text
+                'deploy TOKEN=[REDACTED SECRET] with [REDACTED SECRET] and [REDACTED SECRET] done' AS text
               FROM orders ORDER BY o_orderkey""")),
 
     Q("a17_rollup",

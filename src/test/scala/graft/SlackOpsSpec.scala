@@ -69,13 +69,20 @@ class SlackOpsSpec extends AnyFunSuite {
   test("redactCode: fence classification kinds") {
     val cmd = SlackOps.redactCode("run\n```\nnpm run build\ngit push\n```\ndone")
     assert(cmd.contains("[REDACTED CODE 2 lines, language=unknown, kind=command]"), cmd)
-    val trace = SlackOps.redactCode(
+    // language hints win over content (sanitizer.js:34-36): python and
+    // json are codeLangs, so even a traceback body classifies as code
+    val pyTrace = SlackOps.redactCode(
       "```python\nTraceback (most recent call last):\n  File x\n```")
+    assert(pyTrace.contains("language=python, kind=code"), pyTrace)
+    val trace = SlackOps.redactCode(
+      "```\nTraceback (most recent call last):\n  File x\n```")
     assert(trace.contains("kind=stacktrace"), trace)
-    val config = SlackOps.redactCode("```json\n{\"a\": 1}\n```")
+    val config = SlackOps.redactCode(
+      "```\nname: app\nversion: 1.2\ndependencies: none\n```")
     assert(config.contains("kind=config"), config)
     val inline = SlackOps.redactCode("use `rm -rf` carefully")
-    assert(inline == "use [REDACTED INLINE CODE] carefully")
+    assert(inline == "use [REDACTED INLINE CODE, kind=code] carefully",
+      "rm is not in the reference command patterns; fallback is code")
   }
 
   test("sanitize chain: code + secrets + denylist") {
