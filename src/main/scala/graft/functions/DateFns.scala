@@ -46,7 +46,11 @@ object DateFns {
     val mdy4 = inWindow(try_to_date(concat_ws("-",
       regexp_extract(base, p2, 3), regexp_extract(base, p2, 1),
       regexp_extract(base, p2, 2)), "yyyy-MM-dd"))
-    val p3 = "(\\d{2})[-_/](\\d{2})[-_/](\\d{2})"
+    // (?!\d) guard: without it an out-of-window MM/DD/YYYY like
+    // '09/24/2019' would re-match as '09/24/20' here and FABRICATE an
+    // in-window date (the JS reference has this hole; strictness is the
+    // saner engine behavior, second documented divergence)
+    val p3 = "(\\d{2})[-_/](\\d{2})[-_/](\\d{2})(?!\\d)"
     // textual 2000-pivot: "20" ++ yy ("25" -> "2025"); a no-match ""
     // yields year "20", which try_to_date rejects
     val mdy2 = inWindow(try_to_date(concat_ws("-",

@@ -93,19 +93,23 @@ object TextFns {
     val pem = regexp_replace(c,
       "-----BEGIN [A-Z ]*PRIVATE KEY-----[\\s\\S]*?-----END [A-Z ]*PRIVATE KEY-----",
       "[REDACTED SECRET KEY BLOCK]")
-    val slackTok = regexp_replace(pem, "xox[pboars]-[A-Za-z0-9-]+", redacted)
-    val awsKey = regexp_replace(slackTok, "\\b(?:AKIA|ASIA)[A-Z0-9]{16}\\b", redacted)
-    // ENV pass runs BEFORE the credential-param pass: the reference's
-    // order (cred first) lets the env regex re-match the '[REDACTED'
-    // replacement text of an uppercase TOKEN=… and garble it — a latent
-    // reference bug its tests never hit; this order produces the same
-    // grammar without the double-redaction (the cred value class has no
-    // '[', so it can never re-match a redacted env value)
-    val envPair = regexp_replace(awsKey,
-      "\\b([A-Z][A-Z0-9_]{1,48})\\s*=\\s*[^\\s\"']+", "$1=" + redacted)
-    regexp_replace(envPair,
-      "(?i)\\b(access[-_]?token|token|auth|authorization|password|passwd|pwd|apikey|api[_-]?key)[=:]\\s*[A-Za-z0-9._~+/=-]{6,}",
+    // pass ORDER prevents double redaction (a latent reference bug its
+    // tests never hit): key=value passes run BEFORE the bare-token
+    // passes, so 'SLACK_TOKEN=xoxb-…' is consumed whole by the env pass
+    // and no later pass can re-match inside a '[REDACTED …]' marker
+    // (the env/cred value classes exclude '['-leading text by then
+    // having nothing left to match; xox/AKIA never appear in markers).
+    // Values may be quoted — '"hunter2"' must not escape masking.
+    val envPair = regexp_replace(pem,
+      "\\b([A-Z][A-Z0-9_]{1,48})\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s\"']+)",
       "$1=" + redacted)
+    // optional Bearer prefix: 'authorization: Bearer <tok>' must mask
+    // the token, not just the word Bearer
+    val credParam = regexp_replace(envPair,
+      "(?i)\\b(access[-_]?token|token|auth|authorization|password|passwd|pwd|apikey|api[_-]?key)[=:]\\s*(?:Bearer\\s+)?[A-Za-z0-9._~+/=-]{6,}",
+      "$1=" + redacted)
+    val slackTok = regexp_replace(credParam, "xox[pboars]-[A-Za-z0-9-]+", redacted)
+    regexp_replace(slackTok, "\\b(?:AKIA|ASIA)[A-Z0-9]{16}\\b", redacted)
   }
 
   /** Jira wiki-markup → Markdown (reference X1, `jira/csv-to-markdown.js:62-89`):

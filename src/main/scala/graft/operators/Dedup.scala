@@ -184,13 +184,17 @@ object Dedup {
     * equi-join + partial-agg shuffle — the standard distributed CC
     * shape, no driver-side graph.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // each round LOCAL-CHECKPOINTS (eager): caches the round's labels AND
+    // truncates the logical plan — a plain persist leaves a plan tree
+    // that references the previous round's plan on three sides and
+    // doubles per round, which OOMs the PLANNER long before the data
+    // gets big (hit by a 24-hop path-graph spec)
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    labels.count()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -201,18 +205,20 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
-      // one action per round: materializes `next` (bounding lineage) AND
-      // decides convergence in the same job
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).count()
       converged = changed == 0
-      labels.unpersist()
-      labels = next
+      labels = next // superseded checkpoint RDDs are GC-reclaimed
       i += 1
     }
     sym.unpersist()
+    // silent truncation would split components and let duplicates
+    // survive the downstream keep-one-per-cluster step — fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 

@@ -117,7 +117,6 @@ object SlackOps {
     */
   def classifyCode(lang: String, body: String): String = {
     val text = Option(body).getOrElse("").take(5000)
-    val firstLines = text.split("\n").take(5).mkString("\n")
     val l = Option(lang).getOrElse("").toLowerCase
     val shellLangs = Set("bash", "shell", "sh", "zsh", "ps1", "powershell", "cmd")
     val codeLangs = Set("js", "javascript", "ts", "typescript", "py", "python",
@@ -135,16 +134,16 @@ object SlackOps {
       "(?i)\\b(systemctl|service|brew|apt|yum|dnf|pip|pip3|python|node)\\b",
       "(?mi)^\\s*(dir|copy|del|type)\\s+")
     if (any(commandPatterns, text)) return "command"
+    // the reference checks firstLines || text; firstLines is a prefix of
+    // text, so checking text alone is equivalent
     val stackPatterns = Seq(
       "(?i)traceback \\(most recent call last\\)",
       "(?m)^\\s*at\\s+\\S+\\s+\\(.+\\)$",
       "Exception in thread ",
       "\\bCaused by:")
-    if (any(stackPatterns, firstLines) || any(stackPatterns, text))
-      return "stacktrace"
+    if (any(stackPatterns, text)) return "stacktrace"
     val errorPatterns = Seq("(?i)\\berror\\b[:\\s]", "(?i)npm ERR!")
-    if (any(errorPatterns, firstLines) || any(errorPatterns, text))
-      return "error_log"
+    if (any(errorPatterns, text)) return "error_log"
     val logPatterns = Seq(
       "(?m)^\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}.*\\b(ERROR|WARN|INFO|DEBUG|TRACE)\\b",
       "(?m)^\\w{3}\\s+\\d{1,2}\\s+\\d{2}:\\d{2}:\\d{2}\\s+\\S+\\s+\\S+\\[",
@@ -154,8 +153,10 @@ object SlackOps {
       "\"[A-Za-z0-9_.-]+\"\\s*:\\s*".r.findAllIn(text).length >= 3
     val yamlKeyLines =
       "(?m)^\\s*[A-Za-z0-9_.-]+\\s*:\\s*.+$".r.findAllIn(text).length
+    // the reference's '\\bapiVersion:\\b' can never match 'apiVersion: v1'
+    // (no word boundary between ':' and ' ') — match the colon plainly
     val hasK8s =
-      "\\bapiVersion:\\b|\\bkind:\\b|\\bmetadata:\\b".r.findFirstIn(text).isDefined
+      "\\b(apiVersion|kind|metadata):".r.findFirstIn(text).isDefined
     val configWords =
       "(?i)(^|\\b)(config|configuration|settings|version|name|dependencies|scripts|env)(\\b|:)"
         .r.findFirstIn(text).isDefined

@@ -136,4 +136,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(doc.contains("- did **math**"))
     assert(doc.contains("- (none)"), "empty todo placeholder")
   }
+
+  test("connectedComponents: path graph converges; tight maxIter fails loudly") {
+    import spark.implicits._
+    val chain = (0 until 24).map(i => (i.toLong, i.toLong + 1))
+      .toDF("src", "dst")
+    val labels = graft.operators.Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(0L), "one component, min label 0")
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponents(chain, maxIter = 2)
+    }
+  }
 }

@@ -57,6 +57,20 @@ class TextFnsSpec extends AnyFunSuite {
     assert(!out.contains("supersecret"))
   }
 
+  test("maskSecrets: quoted values, env-named tokens, Bearer headers (review r2)") {
+    // quoted value must not escape masking
+    val quoted = one(TextFns.maskSecrets(col("s")), "DB_PASSWORD=\"hunter2\" ok")
+    assert(!quoted.contains("hunter2"), quoted)
+    assert(quoted.contains("DB_PASSWORD=[REDACTED SECRET]"), quoted)
+    // an env-named slack token must redact ONCE, never garble
+    val envTok = one(TextFns.maskSecrets(col("s")), "SLACK_TOKEN=xoxb-12-ab end")
+    assert(envTok == "SLACK_TOKEN=[REDACTED SECRET] end", envTok)
+    // bearer header: the token itself is masked, not just 'Bearer'
+    val bearer = one(TextFns.maskSecrets(col("s")),
+      "authorization: Bearer ghp4abc123secret rest")
+    assert(!bearer.contains("ghp4abc123secret"), bearer)
+  }
+
   test("linkifyIssueKeys: wraps bare [KEY-1], leaves existing links") {
     val c = TextFns.linkifyIssueKeys(col("s"), "https://j/browse")
     assert(one(c, "done [ABC-12] today") ==
@@ -143,6 +157,9 @@ class TextFnsSpec extends AnyFunSuite {
     assert(oneDate(c, "meeting_with_time_only_10_30AM.txt") == null)
     // out-of-window year falls through patterns, then null (JS range check)
     assert(oneDate(c, "old-1998-01-05.txt") == null)
+    // out-of-window MM/DD/YYYY must NOT re-match as MM/DD/YY inside the
+    // same digits and fabricate an in-window date
+    assert(oneDate(c, "call_09/24/2019.txt") == null)
   }
 
   test("headingDate: iso and month-name headings") {
