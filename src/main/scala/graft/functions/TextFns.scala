@@ -104,10 +104,13 @@ object TextFns {
       "\\b([A-Z][A-Z0-9_]{1,48})\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s\"']+)",
       "$1=" + redacted)
     // optional Bearer prefix: 'authorization: Bearer <tok>' must mask
-    // the token, not just the word Bearer
+    // the token, not just the word Bearer. The separator is CAPTURED and
+    // re-emitted ('authorization: …' stays a header, 'token=…' stays a
+    // param); value floor is 4 chars so short secrets ('token=abc1')
+    // don't escape a pass the old 6-char floor let through.
     val credParam = regexp_replace(envPair,
-      "(?i)\\b(access[-_]?token|token|auth|authorization|password|passwd|pwd|apikey|api[_-]?key)[=:]\\s*(?:Bearer\\s+)?[A-Za-z0-9._~+/=-]{6,}",
-      "$1=" + redacted)
+      "(?i)\\b(access[-_]?token|token|auth|authorization|password|passwd|pwd|apikey|api[_-]?key)([=:]\\s*)(?:Bearer\\s+)?[A-Za-z0-9._~+/=-]{4,}",
+      "$1$2" + redacted)
     val slackTok = regexp_replace(credParam, "xox[pboars]-[A-Za-z0-9-]+", redacted)
     regexp_replace(slackTok, "\\b(?:AKIA|ASIA)[A-Z0-9]{16}\\b", redacted)
   }

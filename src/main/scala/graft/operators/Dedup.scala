@@ -185,16 +185,25 @@ object Dedup {
     * shape, no driver-side graph.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    // each round LOCAL-CHECKPOINTS (eager): caches the round's labels AND
+    // each round CHECKPOINTS (eager): caches the round's labels AND
     // truncates the logical plan — a plain persist leaves a plan tree
     // that references the previous round's plan on three sides and
     // doubles per round, which OOMs the PLANNER long before the data
-    // gets big (hit by a 24-hop path-graph spec)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // gets big (hit by a 24-hop path-graph spec).
+    //   local mode / bench: localCheckpoint — executor blocks, no FS
+    //     round-trip, but lineage is GONE, so executor loss kills the job;
+    //   cluster runs: set sc.setCheckpointDir to a reliable FS (HDFS/S3)
+    //     and the loop automatically uses reliable checkpoints, surviving
+    //     executor decommission (ADVICE r2) at the cost of an FS write
+    //     per round.
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def chk(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = chk(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -202,10 +211,9 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = chk(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       val changed = next
         .join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).count()

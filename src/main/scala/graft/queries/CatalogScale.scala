@@ -197,13 +197,28 @@ object CatalogScale {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete()
         }
-        if (!s.catalog.tableExists(liT)) {
-          rm(new java.io.File(s"$base/$liT")) // stale location from a prior session
+        // a catalog entry is only trustworthy if its data is still on
+        // disk — with a persistent metastore and a wiped tmpdir (reboot,
+        // tmp cleaner) tableExists is true but the files are gone
+        // (ADVICE r2); verify the location holds data, drop + rewrite
+        // otherwise
+        def hasData(loc: String): Boolean = {
+          val fs = Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty)
+          fs.exists(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        }
+        def ensure(tbl: String, loc: String)(write: => Unit): Unit = {
+          if (s.catalog.tableExists(tbl) && !hasData(loc))
+            s.sql(s"DROP TABLE $tbl")
+          if (!s.catalog.tableExists(tbl)) {
+            rm(new java.io.File(loc)) // stale location from a prior session
+            write
+          }
+        }
+        ensure(liT, s"$base/$liT") {
           Scale.writeBucketed(t(s, d, "lineitem"), "l_orderkey", 8, liT,
             Some(s"$base/$liT"))
         }
-        if (!s.catalog.tableExists(oT)) {
-          rm(new java.io.File(s"$base/$oT"))
+        ensure(oT, s"$base/$oT") {
           Scale.writeBucketed(
             t(s, d, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
             "l_orderkey", 8, oT, Some(s"$base/$oT"))

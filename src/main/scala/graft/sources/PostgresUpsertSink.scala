@@ -64,11 +64,17 @@ object PostgresUpsertSink {
     * sink's re-run idempotence against a LIVE database rather than at
     * SQL-string level.
     */
-  def writePortable(df: DataFrame, jdbcUrl: String, table: String,
+  def writePortable(dfIn: DataFrame, jdbcUrl: String, table: String,
       keys: Seq[String],
       props: java.util.Properties = new java.util.Properties): Unit = {
-    val cols = df.columns.toSeq
+    val cols = dfIn.columns.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains), "keys must be columns")
+    // UPDATE-then-INSERT races when the same key lands in two partitions
+    // (both miss the UPDATE, both INSERT, one aborts mid-transaction
+    // while other partitions already committed — ADVICE r2): dedupe the
+    // batch per key so one run never competes with itself; the savepoint
+    // fallback below covers concurrent RUNS.
+    val df = dfIn.dropDuplicates(keys)
     val updates = cols.filterNot(keys.contains)
     // all-key tables (pure link tables) degrade to insert-if-absent:
     // there is nothing to update and 'UPDATE t SET WHERE …' is invalid SQL
@@ -107,7 +113,20 @@ object PostgresUpsertSink {
             if (!matched) {
               var c = 0
               while (c < cols.length) { ins.setObject(c + 1, r.get(c)); c += 1 }
-              ins.executeUpdate()
+              // a concurrent run can insert this key between our UPDATE
+              // and INSERT; the unique constraint then fires. Savepoint
+              // isolates the failed INSERT (engines abort the whole
+              // transaction on error otherwise), and the row retries as
+              // an UPDATE — the lost race means the key now exists.
+              val sp = conn.setSavepoint()
+              try { ins.executeUpdate(); conn.releaseSavepoint(sp) }
+              catch {
+                case e: java.sql.SQLException
+                    if Option(e.getSQLState).exists(_.startsWith("23")) =>
+                  conn.rollback(sp)
+                  if (updateIdx.nonEmpty) check.executeUpdate()
+                // all-key link tables: the row exists, nothing to update
+              }
             }
           }
           conn.commit()

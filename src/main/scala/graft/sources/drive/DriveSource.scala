@@ -122,6 +122,12 @@ object DriveSource {
     * folders from a DataFrame without any driver-side collect. Optional
     * mtime column (epoch millis) stamps the file's modified time so
     * modified_time pushdown is testable.
+    *
+    * Executors write `dir` directly, so the path must be visible from
+    * every executor — local mode or a shared filesystem (NFS/FUSE
+    * mount); on a real cluster stage to a distributed FS path instead.
+    * Names are untrusted row data: anything that resolves outside `dir`
+    * (separators, `..`) is rejected, not silently re-rooted.
     */
   def stageFiles(df: org.apache.spark.sql.DataFrame, dir: String,
       nameCol: String, contentCol: String, mtimeMillisCol: Option[String] = None): Unit = {
@@ -131,8 +137,11 @@ object DriveSource {
     val cols = Seq(nameCol, contentCol) ++ mtimeMillisCol.toSeq
     df.selectExpr(cols: _*).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val base = java.nio.file.Path.of(dir).toAbsolutePath.normalize()
         rows.foreach { r =>
-          val p = java.nio.file.Path.of(dir, r.getString(0))
+          val p = base.resolve(r.getString(0)).normalize()
+          require(p.getParent == base,
+            s"unsafe staged file name (escapes $dir): ${r.getString(0)}")
           java.nio.file.Files.writeString(p, r.getString(1))
           if (mtimeMillisCol.isDefined)
             java.nio.file.Files.setLastModifiedTime(p,

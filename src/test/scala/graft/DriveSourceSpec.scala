@@ -97,4 +97,17 @@ class DriveSourceSpec extends AnyFunSuite {
     assert(back.map(_.getString(1)).toSeq == Seq("alpha", "beta"))
     assert(back.head.getTimestamp(2).getTime == jan10)
   }
+
+  test("stageFiles rejects names that escape the staging dir (ADVICE r2)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("drive_staged_esc").toString
+    val df = Seq(("../evil.txt", "x"), ("sub/dir.txt", "y"))
+      .toDF("fname", "body")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.drive.DriveSource.stageFiles(df, out, "fname", "body")
+    }
+    assert(e.getMessage.contains("unsafe staged file name")
+      || Option(e.getCause).exists(_.getMessage.contains("unsafe staged file name")))
+    assert(!Files.exists(java.nio.file.Path.of(out).getParent.resolve("evil.txt")))
+  }
 }

@@ -148,4 +148,21 @@ class OperatorsSpec extends AnyFunSuite {
       graft.operators.Dedup.connectedComponents(chain, maxIter = 2)
     }
   }
+
+  test("connectedComponents: reliable-checkpoint mode matches local mode") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val local = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val reliable = graft.operators.Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(reliable == local)
+      assert(new java.io.File(dir).listFiles().nonEmpty,
+        "reliable checkpoints were actually written")
+    } finally sc.setCheckpointDir(null)
+  }
 }

@@ -65,10 +65,15 @@ class TextFnsSpec extends AnyFunSuite {
     // an env-named slack token must redact ONCE, never garble
     val envTok = one(TextFns.maskSecrets(col("s")), "SLACK_TOKEN=xoxb-12-ab end")
     assert(envTok == "SLACK_TOKEN=[REDACTED SECRET] end", envTok)
-    // bearer header: the token itself is masked, not just 'Bearer'
+    // bearer header: the token itself is masked, not just 'Bearer',
+    // and the ':' separator survives (ADVICE r2: ':' must not become '=')
     val bearer = one(TextFns.maskSecrets(col("s")),
       "authorization: Bearer ghp4abc123secret rest")
     assert(!bearer.contains("ghp4abc123secret"), bearer)
+    assert(bearer == "authorization: [REDACTED SECRET] rest", bearer)
+    // short lowercase secrets clear the lowered 4-char value floor
+    val short = one(TextFns.maskSecrets(col("s")), "use token=abc12 now")
+    assert(short == "use token=[REDACTED SECRET] now", short)
   }
 
   test("linkifyIssueKeys: wraps bare [KEY-1], leaves existing links") {

@@ -84,6 +84,28 @@ class UpsertIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("same key in multiple partitions cannot race itself (ADVICE r2)") {
+    import spark.implicits._
+    withTable {
+      // 8 copies of one key spread over 8 partitions: without the
+      // per-key dedupe this is the two-partition INSERT/INSERT race
+      val dup = (1 to 8).map(i => ("team-1", "ada", "2024-01-08", s"v$i", "c"))
+        .toDF("team_id", "author_name", "report_date", "content", "checksum_sha256")
+        .repartition(8)
+      PostgresUpsertSink.writePortable(dup, url, "daily_reports", keys)
+      val rows = allRows
+      assert(rows.size == 1, "one row per key survives")
+      assert(rows.head._4.startsWith("v"), "one of the batch's values won")
+      // a pre-existing row + a duplicate-key INSERT from a 'concurrent
+      // run' resolves via the savepoint retry path, not an abort
+      PostgresUpsertSink.writePortable(
+        Seq(("team-1", "ada", "2024-01-08", "final", "c9"))
+          .toDF("team_id", "author_name", "report_date", "content", "checksum_sha256"),
+        url, "daily_reports", keys)
+      assert(allRows.head._4 == "final")
+    }
+  }
+
   test("all-key link table degrades to insert-if-absent") {
     import spark.implicits._
     val conn = DriverManager.getConnection(url)
