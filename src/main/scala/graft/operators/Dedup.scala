@@ -272,8 +272,22 @@ object Dedup {
     * shares most words, and word-level simhash stops discriminating.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxHamming: Int): DataFrame =
-    simHashPairsBlocks(docs, idCol, textCol, k, maxHamming, numBlocks = 4)
+      k: Int, maxHamming: Int,
+      hashFn: Column => Column = xxhash64(_)): DataFrame =
+    simHashPairsBlocks(docs, idCol, textCol, k, maxHamming, numBlocks = 4,
+      hashFn)
+
+  /** Engine-portable 64-bit string hash: the first 16 hex chars of md5,
+    * parsed big-endian (high int from chars 1-8, low from 9-16, composed
+    * bitwise so values past 2^63 wrap instead of tripping ANSI overflow).
+    * Identical bit pattern to DuckDB's `('0x'||substr(md5(s),1,16))
+    * ::UBIGINT`, which is what lets a simhash built on it carry a full
+    * SQL oracle. xxhash64 stays the default — md5 costs ~2× per shingle;
+    * use this one when cross-engine reproducibility is worth that.
+    */
+  def portableHash64(s: Column): Column =
+    shiftleft(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
 
   /** SimHash banding generalized over the block count: 64 bits split into
     * `numBlocks` equal blocks; pigeonhole guarantees a pair at hamming
@@ -284,7 +298,8 @@ object Dedup {
     * therefore an end-to-end recall proof with no all-pairs join anywhere.
     */
   def simHashPairsBlocks(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxHamming: Int, numBlocks: Int): DataFrame = {
+      k: Int, maxHamming: Int, numBlocks: Int,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(64 % numBlocks == 0, s"numBlocks must divide 64, got $numBlocks")
     require(maxHamming <= numBlocks - 1,
       s"$numBlocks-block banding only guarantees a shared block for " +
@@ -295,7 +310,7 @@ object Dedup {
     val hashes = widen(docs).select(
       col(idCol).as("doc_id"),
       transform(array_distinct(shingles(words(col(textCol)), k)),
-        w => xxhash64(w)).as("wh"))
+        w => hashFn(w)).as("wh"))
     val sigs = hashes.select(col("doc_id"), simHash(col("wh")).as("sig")).persist()
     sigs.count() // materialize once; reused by blocks self-join below
     val blocks = sigs.select(

@@ -103,9 +103,33 @@ object CatalogScale {
       Some(jaccardOracle)),
 
     Q("dedup_simhash",
+      // the checked path runs on the engine-portable md5 shingle hash so
+      // DuckDB can rebuild the ENTIRE simhash — shingles, bit votes,
+      // banded candidates collapsed to the exact hamming≤3 truth — and
+      // hash-compare it; banding recall is thereby oracle-proven, not
+      // just self-consistent (the xxhash64 default path shares every
+      // line of plan except the per-shingle hash expression)
       (s, d) => Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text",
-        k = 5, maxHamming = 3).orderBy("id_a", "id_b"),
-      None),
+        k = 5, maxHamming = 3, hashFn = Dedup.portableHash64)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                         FROM documents),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
+                   FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
+            h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS h
+                  FROM sh),
+            bits AS (SELECT doc_id, j,
+                       CASE WHEN ((h >> CAST(j AS INTEGER)) & 1) = 1 THEN 1 ELSE 0 END AS b
+                     FROM h, unnest(range(0, 64)) t(j)),
+            sig AS (SELECT doc_id, j,
+                      CASE WHEN 2 * sum(b) >= count(*) THEN 1 ELSE 0 END AS sb
+                    FROM bits GROUP BY doc_id, j),
+            ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(sum(CASE WHEN a.sb <> b.sb THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+                    FROM sig a JOIN sig b ON a.j = b.j AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+            SELECT id_a, id_b, hamming FROM ham
+            WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
     Q("dedup_simhash_recall",
       // recall proof without an all-pairs join: 4×16-bit and 8×8-bit

@@ -54,6 +54,19 @@ class OperatorsSpec extends AnyFunSuite {
     val got = Dedup.simHashPairs(docs, "doc_id", "text", k = 3, maxHamming = 0)
       .as[(Long, Long, Int)].collect()
     assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // the portable-hash variant must find the same pair set
+    val portable = Dedup.simHashPairs(docs, "doc_id", "text", k = 3,
+      maxHamming = 0, hashFn = Dedup.portableHash64)
+      .as[(Long, Long, Int)].collect()
+    assert(portable.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+  }
+
+  test("portableHash64: big-endian md5 prefix, bit-identical to DuckDB's cast") {
+    // DuckDB: SELECT ('0x'||substr(md5('hello world'),1,16))::UBIGINT
+    //         → 6824707963431612112 (0x5eb63bbbe01eeed0)
+    val h = Seq("hello world").toDF("s")
+      .select(Dedup.portableHash64($"s")).as[Long].head()
+    assert(h == 6824707963431612112L)
   }
 
   test("cosine: exact on known vectors") {
