@@ -182,4 +182,64 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** Assign each vector to its `takeN` nearest centroids by cosine
+    * (deterministic tie-break on centroid id). Centroids are broadcast;
+    * cost is rows × nCentroids dot products, one pass, no shuffle until
+    * the per-vector top-N window (which AQE keeps partition-local after
+    * the `vecId` hash partitioning of the input scan).
+    */
+  private def assignCells(vecs: DataFrame, vecId: String, vecCol: String,
+      centroids: DataFrame, takeN: Int): DataFrame = {
+    val scored = vecs.join(broadcast(centroids))
+      .select(col(vecId), col("cent_id"),
+        cosine(col(vecCol), col("ce")).as("ccos"))
+    val w = Window.partitionBy(vecId)
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= takeN)
+      .select(col(vecId), col("cent_id").as("cell"))
+  }
+
+  /** IVF-style ANN top-k: a coarse quantizer partitions the corpus into
+    * `nCells` inverted lists (each vector files under its nearest
+    * centroid); a query probes only its `nProbe` nearest cells and runs
+    * exact cosine there. The scan shrinks by ~nCells/nProbe — the
+    * classic IVF trade (Jégou et al., PAMI'11) — and every stage is an
+    * equi-join on the cell id, so the 100 TB plan shuffles the corpus
+    * once (by cell) and streams candidates.
+    *
+    * Centroids here are the first `nCells` corpus vectors (a
+    * deterministic seed — k-means++ init's first draw, re-runnable and
+    * oracle-reproducible); production would Lloyd-refine them, which
+    * moves cell QUALITY but not the plan shape or the probe semantics.
+    * Recall is quantified by the companion recall query, exactly as for
+    * the hyperplane-LSH path.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
+    val centroids = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val corpusCells = assignCells(Dedup.widen(corpus), "vec_id", "embedding",
+      centroids, takeN = 1)
+    val queryCells = assignCells(queries, "query_id", "qe",
+      centroids, takeN = nProbe)
+    val candPairs = corpusCells
+      .join(broadcast(queryCells), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val cand = candPairs
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("qe")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
 }

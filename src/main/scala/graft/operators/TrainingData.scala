@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators: the steps between "deduped corpus"
+  * and "batches on the trainer" — stratified sampling, domain-mix
+  * upsampling, sequence packing, benchmark decontamination.
+  *
+  * Everything is deterministic by construction (ordering keys are
+  * content/id hashes, never partition order or RNG state), so every
+  * operator re-runs to the identical result on any cluster layout and
+  * carries a full SQL oracle. Each is one window or one equi-join per
+  * stratum/stream key — no driver-side loops, no all-pairs joins.
+  */
+object TrainingData {
+
+  /** Deterministic "random" order: md5 of the id rendered as a string.
+    * Lexicographic hex compares identically in every engine (no
+    * signed/unsigned 64-bit ambiguity), and hashing the ID decouples the
+    * order from ingest order — the distributed stand-in for `ORDER BY
+    * random(seed)`.
+    */
+  def hashOrder(id: Column): Column = md5(id.cast("string"))
+
+  /** Proportional stratified sample: within each stratum, rank rows in
+    * hash order and keep the first floor(n · num/den). Exact per-stratum
+    * proportions (unlike Bernoulli `sample()`, which only hits the
+    * fraction in expectation), deterministic, and one window per stratum
+    * — the shuffle is by stratum key, so 100 TB scales as long as no
+    * single stratum must fit one executor's SORT… which AQE-splits
+    * anyway; the window needs only rank, not materialized partitions.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, "need 0 <= num/den <= 1")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy(strataCol)))
+      .filter(col("rn") * den <= col("n_stratum") * num)
+      .drop("rn", "n_stratum")
+  }
+
+  /** Domain-mix upsampling: repeat each row `weight` times (an integer
+    * column/expression; 0 drops the row), tagging each copy with its
+    * 1-based `copy` index so downstream shuffles can spread replicas.
+    * `explode(sequence(…))` is codegen'd and stays in the row's
+    * partition — no shuffle at all; the trainer's global shuffle
+    * randomizes replica placement later.
+    */
+  def upsample(df: DataFrame, weight: Column): DataFrame =
+    df.filter(weight >= 1)
+      .withColumn("copy", explode(sequence(lit(1), weight, lit(1))))
+
+  /** GPT-style sequence packing: per stream, lay documents end to end in
+    * hash order and cut every `budget` tokens. Emits each document's
+    * token count and the first/last chunk it lands in (a doc may
+    * straddle chunks — that IS concat-then-chunk packing). One window
+    * per stream key; the running sum never materializes the
+    * concatenation.
+    */
+  def packSequences(df: DataFrame, streamCol: String, idCol: String,
+      tokens: Column, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(streamCol)
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tok", tokens)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col(streamCol), col(idCol), col("n_tok"),
+        expr(s"(cum - n_tok) div $budget").as("chunk_first"),
+        expr(s"(cum - 1) div $budget").as("chunk_last"))
+  }
+
+  /** Benchmark decontamination: count, per training document, the
+    * distinct word k-grams it shares with an evaluation corpus. The
+    * standard train/test-overlap check (k≈8 in published pipelines);
+    * join is an equi-join on the 8-byte shingle hash against the
+    * DISTINCT eval shingle set — cost scales with shingle volume, never
+    * with |train| × |eval|. Only contaminated documents are returned;
+    * anti-join against this output to clean the corpus.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val trainSh = Dedup.shingleRows(train, idCol, textCol, k)
+      .withColumn("h", xxhash64(col("sh"))).drop("sh")
+    val evalSh = Dedup.shingleRows(eval, idCol, textCol, k)
+      .select(xxhash64(col("sh")).as("h")).distinct()
+    trainSh.join(evalSh, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+}

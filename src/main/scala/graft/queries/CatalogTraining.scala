@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TrainingData}
+
+/** Training-data assembly catalog: stratified sampling, domain-mix
+  * upsampling, sequence packing, benchmark decontamination, IVF ANN —
+  * the batch-assembly layer a 100 TB pretraining pipeline runs after
+  * dedup/quality filtering. Every query is deterministic (hash-order
+  * sampling, seeded centroids) and carries a full SQL oracle; the
+  * DuckDB side recomputes the operator from the raw tables, so these
+  * rows prove semantics, not just plumbing.
+  */
+object CatalogTraining {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def knnQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  /** IVF params: 16 cells (seed centroids = first 16 vectors), probe 4.
+    * The recall row quantifies what that probe width buys on this data.
+    */
+  private val IvfCells = 16
+  private val IvfProbe = 4
+
+  val all: Seq[Q] = Seq(
+
+    Q("td_sample_stratified",
+      // exact 30% per language stratum, hash-ordered: the oracle
+      // recomputes rank and stratum size from scratch, proving the
+      // sample is the deterministic prefix, not "roughly 30%"
+      (s, d) => TrainingData.stratifiedSample(
+          t(s, d, "documents"), "lang", "doc_id", num = 3, den = 10)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                count(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+              SELECT doc_id, lang FROM r WHERE rn * 10 <= n * 3
+              ORDER BY doc_id""")),
+
+    Q("td_upsample",
+      // domain-mix weighting: src0 3x, src1 dropped, everything else 1x;
+      // each replica is tagged with its copy index
+      (s, d) => TrainingData.upsample(
+          t(s, d, "documents").select("doc_id", "source"),
+          when(col("source") === "src0", 3)
+            .when(col("source") === "src1", 0).otherwise(1))
+        .orderBy("doc_id", "copy"),
+      Some("""WITH w AS (SELECT doc_id, source,
+                CASE WHEN source = 'src0' THEN 3
+                     WHEN source = 'src1' THEN 0 ELSE 1 END AS wt
+              FROM documents)
+              SELECT doc_id, source, CAST(copy AS INTEGER) AS copy
+              FROM w, unnest(range(1, wt + 1)) t(copy)
+              ORDER BY doc_id, copy""")),
+
+    Q("td_pack_sequences",
+      // concat-then-chunk packing at a 256-token budget per language
+      // stream: the oracle rebuilds the running token sum and chunk
+      // boundaries (straddles included) from the raw text
+      (s, d) => TrainingData.packSequences(
+          t(s, d, "documents"), "lang", "doc_id",
+          size(graft.operators.Dedup.words(col("text"))).cast("long"),
+          budget = 256)
+        .orderBy("lang", "doc_id"),
+      Some("""WITH d AS (SELECT lang, doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+              FROM documents),
+              c AS (SELECT lang, doc_id, n_tok,
+                CAST(sum(n_tok) OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM d)
+              SELECT lang, doc_id, n_tok,
+                     (cum - n_tok) // 256 AS chunk_first,
+                     (cum - 1) // 256 AS chunk_last
+              FROM c ORDER BY lang, doc_id""")),
+
+    Q("td_decontaminate",
+      // train/test overlap at 8-gram granularity: docs with doc_id % 20
+      // == 0 stand in for the benchmark set; the oracle recomputes the
+      // distinct-shingle intersection per training doc with string joins
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TrainingData.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", k = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                         FROM documents),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+7], ' ') AS sh
+                     FROM w, unnest(range(1, greatest(len(words)-7, 1)+1)) t(g)),
+              ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0)
+              SELECT doc_id, count(*) AS n_overlap
+              FROM sh JOIN ev USING (sh)
+              WHERE doc_id % 20 <> 0
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q("sim_ann_ivf",
+      // IVF probe path end to end: the oracle replays the coarse
+      // quantizer (seed centroids, argmax-cosine cell assignment), the
+      // 4-cell probe, and the exact re-rank — cell routing itself is
+      // what's hash-compared, not just the final distances
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfKnn(emb, knnQueries(emb), k = 10,
+          nCells = IvfCells, nProbe = IvfProbe)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+              asgc AS (SELECT vec_id, cent_id,
+                row_number() OVER (PARTITION BY vec_id ORDER BY
+                  list_dot_product(e, ce) /
+                  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+                  cent_id) AS rn
+              FROM v, c),
+              cell AS (SELECT vec_id, cent_id AS cell FROM asgc WHERE rn = 1),
+              q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+              qa AS (SELECT query_id, cent_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY
+                  list_dot_product(qe, ce) /
+                  (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) DESC,
+                  cent_id) AS rn
+              FROM q, c),
+              qcell AS (SELECT query_id, cent_id AS cell FROM qa WHERE rn <= 4),
+              cand AS (SELECT DISTINCT query_id, vec_id
+                       FROM qcell JOIN cell USING (cell)
+                       WHERE vec_id <> query_id),
+              s AS (SELECT query_id, vec_id AS neighbor_id,
+                      list_dot_product(e, qe) /
+                      (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos
+                    FROM cand JOIN v USING (vec_id) JOIN q USING (query_id)),
+              r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM s)
+              SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                     round(cos, 6) AS cosine
+              FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    Q("sim_ann_ivf_recall",
+      // |IVF top-10 ∩ exact top-10| / |exact| with a floor the data
+      // actually clears; n_queries/n_exact genuinely computed by the
+      // oracle, the floor is the invariant under test
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = knnQueries(emb)
+        val exact = Similarity.bruteForceKnn(emb, q, k = 10)
+          .select("query_id", "neighbor_id")
+        val ivf = Similarity.ivfKnn(emb, q, k = 10,
+          nCells = IvfCells, nProbe = IvfProbe)
+          .select("query_id", "neighbor_id")
+        val e = exact.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        val h = exact.intersect(ivf).agg(count(lit(1)).as("n_hit"))
+        e.crossJoin(h).select(
+          col("n_queries"), col("n_exact"),
+          (col("n_hit") * 10 >= col("n_exact") * 7).as("floor_met"))
+      },
+      Some("""SELECT count(*) AS n_queries, CAST(count(*) * 10 AS BIGINT) AS n_exact,
+              true AS floor_met
+              FROM embeddings WHERE vec_id < 3"""))
+  )
+}
