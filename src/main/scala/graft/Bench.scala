@@ -31,6 +31,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = once(fn)
       val b = once(fn)
+      // drop blocks persisted INSIDE the finished query (dedup shingle /
+      // signature caches): they are dead after the action, but the
+      // ContextCleaner only reclaims them on a JVM GC, which a 100-GiB
+      // heap rarely runs — by late alphabet the accumulated blocks were
+      // inflating unrelated queries' times 3-4x (x24: 4.4s in-session vs
+      // 1.0s standalone). Isolation, not warm-cache help: each query
+      // still keeps its own persists across its two reps.
+      spark.catalog.clearCache()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
