@@ -43,6 +43,25 @@ object TrainingData {
       .drop("rn", "n_stratum")
   }
 
+  /** Quantile quality filter: within each stratum, keep the top
+    * floor(n · num/den) rows by `score` (descending; deterministic
+    * tie-break on id). The distributed form of "drop everything below
+    * the per-language p25 quality" — a rank cutoff rather than a global
+    * threshold, so a low-resource language isn't wiped out by a
+    * high-resource language's score distribution. Same single-window
+    * shape as [[stratifiedSample]].
+    */
+  def quantileFilter(df: DataFrame, strataCol: String, idCol: String,
+      score: Column, num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, "need 0 <= num/den <= 1")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(score.desc, col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy(strataCol)))
+      .filter(col("rn") * den <= col("n_stratum") * num)
+      .drop("rn", "n_stratum")
+  }
+
   /** Domain-mix upsampling: repeat each row `weight` times (an integer
     * column/expression; 0 drops the row), tagging each copy with its
     * 1-based `copy` index so downstream shuffles can spread replicas.

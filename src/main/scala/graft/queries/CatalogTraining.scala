@@ -45,6 +45,28 @@ object CatalogTraining {
               SELECT doc_id, lang FROM r WHERE rn * 10 <= n * 3
               ORDER BY doc_id""")),
 
+    Q("td_quality_filter",
+      // per-language rank cutoff: keep the top 3/4 by type-token ratio,
+      // ties broken by doc_id; the oracle recomputes ttr AND the rank
+      // from the raw text
+      (s, d) => {
+        val scored = graft.operators.TextAnalysis
+          .qualityScore(t(s, d, "documents"), "text")
+        TrainingData.quantileFilter(scored, "lang", "doc_id",
+          col("ttr"), num = 3, den = 4)
+          .select("doc_id", "lang", "ttr").orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang,
+                round(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\s+')), 4) AS ttr
+              FROM documents),
+              r AS (SELECT doc_id, lang, ttr,
+                row_number() OVER (PARTITION BY lang ORDER BY ttr DESC, doc_id) AS rn,
+                count(*) OVER (PARTITION BY lang) AS n
+              FROM w)
+              SELECT doc_id, lang, ttr FROM r WHERE rn * 4 <= n * 3
+              ORDER BY doc_id""")),
+
     Q("td_upsample",
       // domain-mix weighting: src0 3x, src1 dropped, everything else 1x;
       // each replica is tagged with its copy index

@@ -70,6 +70,31 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming exact dedup, global: first occurrence of each content
+    * hash wins, every later duplicate is dropped — the incremental form
+    * of [[graft.operators.Dedup.exactDedup]] for a continuously
+    * ingesting corpus. State holds one entry PER DISTINCT HASH forever;
+    * exact, but unbounded — use the watermarked variant when the stream
+    * has no end.
+    */
+  def dedupStreamGlobal(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("content_hash", sha2(col(textCol), 256))
+      .dropDuplicates("content_hash")
+
+  /** Streaming exact dedup with BOUNDED state: duplicates are dropped
+    * only while the original is within the watermark horizon; state for
+    * hashes older than the watermark is evicted. The practical 100 TB
+    * shape — dedup state scales with the horizon's distinct-hash volume,
+    * not the stream's lifetime — paired with a periodic batch
+    * `exactDedup` sweep for beyond-horizon duplicates (the standard
+    * lambda split).
+    */
+  def dedupStreamWithinWatermark(docs: DataFrame, textCol: String,
+      tsCol: String, watermark: String): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -122,4 +122,41 @@ class StreamingSpec extends AnyFunSuite {
     // state accumulates across batches: latest emission has n=2, total=3
     assert(got.exists(r => r.user_id == 1L && r.n_events == 2L && r.total_value == 3.0))
   }
+
+  test("dedupStreamGlobal: duplicates dropped across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.dedupStreamGlobal(df, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    mem.addData((1L, "same text"), (2L, "same text"), (3L, "other"))
+    q.processAllAvailable()
+    mem.addData((4L, "same text"), (5L, "third")) // dup arrives a BATCH later
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L, 3L, 5L), "first occurrence wins, even cross-batch")
+  }
+
+  test("dedupStreamWithinWatermark: bounded-state dedup inside the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStreamWithinWatermark(df, "text", "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out").start()
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "alpha"),
+      (2L, Timestamp.valueOf("2024-01-01 00:10:00"), "alpha"), // in-horizon dup
+      (3L, Timestamp.valueOf("2024-01-01 00:20:00"), "beta"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_wm_out").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L, 3L), "in-horizon duplicate dropped")
+  }
 }

@@ -24,6 +24,15 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(TrainingData.stratifiedSample(df, "lang", "doc_id", 0, 5).count() == 0)
   }
 
+  test("quantileFilter: keeps top fraction by score per stratum") {
+    val df = Seq(
+      (1L, "en", 0.9), (2L, "en", 0.5), (3L, "en", 0.7), (4L, "en", 0.1),
+      (5L, "de", 0.3), (6L, "de", 0.8)).toDF("doc_id", "lang", "score")
+    val got = TrainingData.quantileFilter(df, "lang", "doc_id", $"score", 1, 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 6L), "top half per stratum: en keeps 2 of 4, de 1 of 2")
+  }
+
   test("upsample: weight n yields copies 1..n, weight 0 drops") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "src")
     val w = when($"src" === "a", 3).when($"src" === "b", 0).otherwise(1)
