@@ -37,8 +37,12 @@ object Bench {
       // heap rarely runs — by late alphabet the accumulated blocks were
       // inflating unrelated queries' times 3-4x (x24: 4.4s in-session vs
       // 1.0s standalone). Isolation, not warm-cache help: each query
-      // still keeps its own persists across its two reps.
+      // still keeps its own persists across its two reps. clearCache only
+      // drains the Dataset CacheManager; connectedComponents' per-round
+      // localCheckpoints are RDD-level persists that need the second pass.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -107,9 +107,13 @@ object TextFns {
     // the token, not just the word Bearer. The separator is CAPTURED and
     // re-emitted ('authorization: …' stays a header, 'token=…' stays a
     // param); value floor is 4 chars so short secrets ('token=abc1')
-    // don't escape a pass the old 6-char floor let through.
+    // don't escape a pass the old 6-char floor let through. The Bearer
+    // branch is a full ALTERNATIVE with a 1-char token floor: with
+    // `(?:Bearer\s+)?` optional, a sub-floor token ('Bearer abc') made
+    // the engine backtrack and redact the word 'Bearer' itself — output
+    // LOOKED sanitized while the real token leaked right after it.
     val credParam = regexp_replace(envPair,
-      "(?i)\\b(access[-_]?token|token|auth|authorization|password|passwd|pwd|apikey|api[_-]?key)([=:]\\s*)(?:Bearer\\s+)?[A-Za-z0-9._~+/=-]{4,}",
+      "(?i)\\b(access[-_]?token|token|auth|authorization|password|passwd|pwd|apikey|api[_-]?key)([=:]\\s*)(?:Bearer\\s+[A-Za-z0-9._~+/=-]+|[A-Za-z0-9._~+/=-]{4,})",
       "$1$2" + redacted)
     val slackTok = regexp_replace(credParam, "xox[pboars]-[A-Za-z0-9-]+", redacted)
     regexp_replace(slackTok, "\\b(?:AKIA|ASIA)[A-Z0-9]{16}\\b", redacted)

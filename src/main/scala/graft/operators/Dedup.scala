@@ -196,9 +196,28 @@ object Dedup {
     //     and the loop automatically uses reliable checkpoints, surviving
     //     executor decommission (ADVICE r2) at the cost of an FS write
     //     per round.
-    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def chk(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // reliable checkpoints are FILES, and the cleaner only removes them
+    // when spark.cleaner.referenceTracking.cleanCheckpoints is on (off
+    // by default) — without eager deletion a deep graph leaves O(rounds)
+    // full label snapshots on HDFS/S3. Walk the checkpointed Dataset's
+    // RDD deps to its file and delete each round's snapshot as soon as
+    // the next round has materialized; the FINAL labels' files survive
+    // (the returned Dataset reads from them).
+    def ckptFile(df: DataFrame): Option[String] = {
+      def walk(r: org.apache.spark.rdd.RDD[_]): Option[String] =
+        r.getCheckpointFile.orElse(
+          r.dependencies.iterator.map(d => walk(d.rdd))
+            .collectFirst { case Some(p) => p })
+      walk(df.queryExecution.toRdd)
+    }
+    def deleteCkpt(path: Option[String]): Unit = path.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -218,7 +237,8 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).count()
       converged = changed == 0
-      labels = next // superseded checkpoint RDDs are GC-reclaimed
+      if (reliable) deleteCkpt(ckptFile(labels)) // superseded round's files
+      labels = next // superseded localCheckpoint RDDs are GC-reclaimed
       i += 1
     }
     sym.unpersist()

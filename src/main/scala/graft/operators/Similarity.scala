@@ -219,7 +219,9 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
-    val centroids = corpus.filter(col("vec_id") < nCells)
+    // first nCells by id ORDER, not `id < nCells`: a sparse or shifted
+    // id space (post-dedup subset) must still yield a full centroid set
+    val centroids = corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
     val corpusCells = assignCells(Dedup.widen(corpus), "vec_id", "embedding",
       centroids, takeN = 1)

@@ -24,6 +24,23 @@ object TrainingData {
     */
   def hashOrder(id: Column): Column = md5(id.cast("string"))
 
+  /** Shared rank-cutoff core: keep each stratum's first
+    * floor(n · num/den) rows under `order`. Rank and count are widened
+    * to long BEFORE the multiply — row_number is 32-bit and `rn * den`
+    * would wrap negative past ~2^31/den rows per stratum, silently
+    * corrupting the cutoff exactly at the corpus sizes this is for.
+    */
+  private def rankCutoff(df: DataFrame, strataCol: String,
+      order: Seq[Column], num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, "need 0 <= num/den <= 1")
+    val w = Window.partitionBy(strataCol).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_stratum",
+        count(lit(1)).over(Window.partitionBy(strataCol)))
+      .filter(col("rn") * den <= col("n_stratum") * num)
+      .drop("rn", "n_stratum")
+  }
+
   /** Proportional stratified sample: within each stratum, rank rows in
     * hash order and keep the first floor(n · num/den). Exact per-stratum
     * proportions (unlike Bernoulli `sample()`, which only hits the
@@ -33,34 +50,20 @@ object TrainingData {
     * anyway; the window needs only rank, not materialized partitions.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
-      num: Int, den: Int): DataFrame = {
-    require(num >= 0 && den > 0 && num <= den, "need 0 <= num/den <= 1")
-    val w = Window.partitionBy(strataCol)
-      .orderBy(hashOrder(col(idCol)), col(idCol))
-    df.withColumn("rn", row_number().over(w))
-      .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy(strataCol)))
-      .filter(col("rn") * den <= col("n_stratum") * num)
-      .drop("rn", "n_stratum")
-  }
+      num: Int, den: Int): DataFrame =
+    rankCutoff(df, strataCol,
+      Seq(hashOrder(col(idCol)), col(idCol)), num, den)
 
   /** Quantile quality filter: within each stratum, keep the top
     * floor(n · num/den) rows by `score` (descending; deterministic
     * tie-break on id). The distributed form of "drop everything below
     * the per-language p25 quality" — a rank cutoff rather than a global
     * threshold, so a low-resource language isn't wiped out by a
-    * high-resource language's score distribution. Same single-window
-    * shape as [[stratifiedSample]].
+    * high-resource language's score distribution.
     */
   def quantileFilter(df: DataFrame, strataCol: String, idCol: String,
-      score: Column, num: Int, den: Int): DataFrame = {
-    require(num >= 0 && den > 0 && num <= den, "need 0 <= num/den <= 1")
-    val w = Window.partitionBy(strataCol)
-      .orderBy(score.desc, col(idCol))
-    df.withColumn("rn", row_number().over(w))
-      .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy(strataCol)))
-      .filter(col("rn") * den <= col("n_stratum") * num)
-      .drop("rn", "n_stratum")
-  }
+      score: Column, num: Int, den: Int): DataFrame =
+    rankCutoff(df, strataCol, Seq(score.desc, col(idCol)), num, den)
 
   /** Domain-mix upsampling: repeat each row `weight` times (an integer
     * column/expression; 0 drops the row), tagging each copy with its
@@ -79,6 +82,12 @@ object TrainingData {
     * straddle chunks — that IS concat-then-chunk packing). One window
     * per stream key; the running sum never materializes the
     * concatenation.
+    *
+    * Zero-token documents are dropped, not placed: they contribute no
+    * content, and keeping them would both invert their chunk range
+    * (chunk_last < chunk_first) and let `cum - 1` go negative at a
+    * stream head, where `div`'s truncate-toward-zero diverges from
+    * floor division.
     */
   def packSequences(df: DataFrame, streamCol: String, idCol: String,
       tokens: Column, budget: Int): DataFrame = {
@@ -87,6 +96,7 @@ object TrainingData {
       .orderBy(hashOrder(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tok", tokens)
+      .filter(col("n_tok") >= 1)
       .withColumn("cum", sum(col("n_tok")).over(w))
       .select(col(streamCol), col(idCol), col("n_tok"),
         expr(s"(cum - n_tok) div $budget").as("chunk_first"),

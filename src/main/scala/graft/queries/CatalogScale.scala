@@ -24,7 +24,10 @@ object CatalogScale {
     else df
   }
 
-  private def knnQueries(emb: DataFrame): DataFrame =
+  /** Shared with [[CatalogTraining]] so every recall gate (LSH, IVF)
+    * compares against the SAME query set as the exact-kNN oracle.
+    */
+  private[queries] def knnQueries(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
 

@@ -19,8 +19,7 @@ object CatalogTraining {
     s.read.parquet(s"$dir/$name.parquet")
 
   private def knnQueries(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    CatalogScale.knnQueries(emb)
 
   /** IVF params: 16 cells (seed centroids = first 16 vectors), probe 4.
     * The recall row quantifies what that probe width buys on this data.
@@ -139,7 +138,7 @@ object CatalogTraining {
           .orderBy("query_id", "rank")
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-              c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+              c AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT 16),
               asgc AS (SELECT vec_id, cent_id,
                 row_number() OVER (PARTITION BY vec_id ORDER BY
                   list_dot_product(e, ce) /

@@ -174,8 +174,15 @@ class OperatorsSpec extends AnyFunSuite {
       val reliable = graft.operators.Dedup.connectedComponents(edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
       assert(reliable == local)
-      assert(new java.io.File(dir).listFiles().nonEmpty,
-        "reliable checkpoints were actually written")
+      // superseded rounds' snapshots are deleted eagerly: only the FINAL
+      // labels' checkpoint may remain (cleanCheckpoints is off by
+      // default, so without eager deletion this would be O(rounds) dirs)
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten
+          .flatMap(c => if (c.getName.startsWith("rdd-")) Seq(c) else rddDirs(c))
+      val remaining = rddDirs(new java.io.File(dir))
+      assert(remaining.size == 1,
+        s"one surviving checkpoint (the result), got: $remaining")
     } finally sc.setCheckpointDir(null)
   }
 }

@@ -74,6 +74,11 @@ class TextFnsSpec extends AnyFunSuite {
     // short lowercase secrets clear the lowered 4-char value floor
     val short = one(TextFns.maskSecrets(col("s")), "use token=abc12 now")
     assert(short == "use token=[REDACTED SECRET] now", short)
+    // a sub-floor Bearer token must be masked WITH the Bearer prefix —
+    // never leave 'abc' in cleartext after a reassuring [REDACTED] marker
+    val shortBearer = one(TextFns.maskSecrets(col("s")),
+      "authorization: Bearer abc rest")
+    assert(shortBearer == "authorization: [REDACTED SECRET] rest", shortBearer)
   }
 
   test("linkifyIssueKeys: wraps bare [KEY-1], leaves existing links") {

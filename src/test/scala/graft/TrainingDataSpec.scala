@@ -83,4 +83,19 @@ class TrainingDataSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(ivf == exact)
   }
+
+  test("ivfKnn: sparse/shifted id space still gets a full centroid set") {
+    // ids start at 1000 — `vec_id < nCells` would select ZERO centroids
+    val vecs = (1000L until 1020L).map { i =>
+      (i, Seq.tabulate(4)(j => (math.sin(i * 7 + j) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 1002L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val exact = Similarity.bruteForceKnn(vecs, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfKnn(vecs, q, k = 5, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == exact)
+    assert(ivf.nonEmpty)
+  }
 }
