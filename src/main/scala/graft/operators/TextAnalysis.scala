@@ -128,4 +128,26 @@ object TextAnalysis {
     val fp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
     fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
   }
+
+  /** Corpus-unigram mean log-probability per document — the cheap
+    * perplexity stand-in used for LM-based quality filtering (a doc of
+    * globally-rare tokens scores low; boilerplate scores high). Two
+    * passes over the token relation: global frequencies (one partial-agg
+    * shuffle), then tokens ⋈ frequencies on the token key and a per-doc
+    * mean — both equi-joins/aggs, no driver state; the frequency table
+    * is corpus vocabulary, which Zipf keeps far smaller than the corpus.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = Dedup.widen(docs)
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("n"))
+    tok.join(freq, "w")
+      .join(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("n").cast("double"))), 4)
+          .as("avg_logprob"))
+  }
 }

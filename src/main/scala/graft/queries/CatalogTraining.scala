@@ -126,6 +126,56 @@ object CatalogTraining {
               WHERE doc_id % 20 <> 0
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("ta_unigram_logprob",
+      // corpus-unigram mean log-prob (the cheap perplexity stand-in for
+      // LM quality filtering): the oracle rebuilds frequencies and the
+      // per-doc mean from the raw text
+      (s, d) => graft.operators.TextAnalysis
+        .unigramLogProb(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents),
+              freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq)
+              SELECT doc_id, count(*) AS n_tokens,
+                round(avg(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS avg_logprob
+              FROM tok JOIN freq USING (w) CROSS JOIN tot
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q("td_mix_report",
+      // final mixture composition after domain weighting: replicas,
+      // tokens, and each source's token share of the training mix —
+      // what a pipeline publishes next to the trained model
+      (s, d) => {
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          size(graft.operators.Dedup.words(col("text"))).cast("long").as("n_tok"))
+        val wt = when(col("source") === "src0", 3)
+          .when(col("source") === "src1", 0).otherwise(1)
+        val g = TrainingData.upsample(docs, wt)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        g.withColumn("token_share",
+          round(col("n_tokens") /
+            sum("n_tokens").over(org.apache.spark.sql.expressions.Window
+              .partitionBy()), 4))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                CASE WHEN source = 'src0' THEN 3
+                     WHEN source = 'src1' THEN 0 ELSE 1 END AS wt
+              FROM documents),
+              up AS (SELECT source, n_tok FROM w, unnest(range(1, wt + 1)) t(copy)),
+              g AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                    FROM up GROUP BY source)
+              SELECT source, n_docs, n_tokens,
+                round(CAST(n_tokens AS DOUBLE) /
+                  (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM g), 4) AS token_share
+              FROM g ORDER BY source""")),
+
     Q("sim_ann_ivf",
       // IVF probe path end to end: the oracle replays the coarse
       // quantizer (seed centroids, argmax-cosine cell assignment), the

@@ -61,6 +61,47 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(again == got.map(t => (t._1, t._3)).toSet)
   }
 
+  test("prop: packSequences conserves tokens and produces contiguous chunks") {
+    // generated corpus: many streams, arbitrary positive token counts
+    val rows = (0 until 400).map { i =>
+      (i.toLong, s"s${i % 7}", ((i * 2654435761L >>> 7) % 97 + 1))
+    }
+    val df = rows.toDF("doc_id", "stream", "toks")
+    val budget = 64
+    val got = TrainingData.packSequences(df, "stream", "doc_id", $"toks", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // token conservation: nothing dropped or double-placed
+    assert(got.map(_._3).sum == rows.map(_._3).sum)
+    // every chunk range is valid and spans exactly the doc's tokens:
+    // a doc of n_tok tokens touches at most ceil(n_tok/budget)+1 chunks
+    got.foreach { case (_, id, n, first, last) =>
+      assert(first <= last, s"doc $id inverted range")
+      assert(last - first <= n / budget + 1, s"doc $id spans too many chunks")
+    }
+    // per stream, chunk ids are gapless from 0: the union of [first,last]
+    // ranges covers 0..max with no hole (concat-then-chunk leaves none)
+    got.groupBy(_._1).foreach { case (stream, docs) =>
+      val covered = docs.flatMap(d => d._4 to d._5).toSet
+      val maxChunk = docs.map(_._5).max
+      assert(covered == (0L to maxChunk).toSet, s"stream $stream has chunk holes")
+    }
+  }
+
+  test("prop: stratifiedSample size is exactly floor(n*num/den) per stratum") {
+    val rows = (0 until 500).map(i => (i.toLong, s"g${i % 11}"))
+    val df = rows.toDF("doc_id", "grp")
+    for ((num, den) <- Seq((1, 3), (2, 5), (9, 10))) {
+      val got = TrainingData.stratifiedSample(df, "grp", "doc_id", num, den)
+        .groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = rows.groupBy(_._2).map { case (g, rs) =>
+        g -> (rs.size.toLong * num / den)
+      }.filter(_._2 > 0)
+      assert(got == expect, s"$num/$den")
+    }
+  }
+
   test("decontaminate: counts distinct shared k-grams, clean docs absent") {
     val train = Seq(
       (1L, "a b c d e f g h i j"), // shares 8-grams with eval doc
@@ -69,6 +110,18 @@ class TrainingDataSpec extends AnyFunSuite {
     val got = TrainingData.decontaminate(train, eval, "doc_id", "text", k = 8)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L), "3 distinct 8-grams in a 10-word doc, doc 2 clean")
+  }
+
+  test("unigramLogProb: known frequencies give the exact mean log-prob") {
+    // corpus: 4 tokens total — 'a' appears 3x (p=3/4), 'b' once (p=1/4)
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val gotMap = graft.operators.TextAnalysis
+      .unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gotMap(1L) == ((3L,
+      BigDecimal(math.log(0.75)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(gotMap(2L) == ((1L,
+      BigDecimal(math.log(0.25)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
   test("ivfKnn: probing all cells equals brute force") {
