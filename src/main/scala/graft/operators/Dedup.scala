@@ -230,15 +230,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nlabel"))
+      // the changed flag rides ALONG with the label update (computed
+      // before the checkpoint), so convergence detection is a filter
+      // over checkpointed blocks — not the extra labels⋈next shuffle
+      // join per round it used to be
       val next = chk(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("nlabel"), col("label")))
+            =!= col("label")).as("chg")))
+      val changed = next.filter(col("chg")).count()
       converged = changed == 0
       if (reliable) deleteCkpt(ckptFile(labels)) // superseded round's files
-      labels = next // superseded localCheckpoint RDDs are GC-reclaimed
+      labels = next.drop("chg") // superseded localCheckpoint RDDs GC-reclaimed
       i += 1
     }
     sym.unpersist()
