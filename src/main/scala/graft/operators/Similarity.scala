@@ -201,6 +201,30 @@ object Similarity {
       .select(col(vecId), col("cent_id").as("cell"))
   }
 
+  /** Nearest-centroid (top-1) assignment as a pure PROJECTION: centroids
+    * embedded as constant literals, argmax = `array_max` over an array
+    * of (cosine, -id) structs (struct ordering is lexicographic, so the
+    * max is highest cosine with ties to the LOWEST id — matching the
+    * window form's tie-break; a when-chain fold would duplicate its
+    * accumulator twice per level and blow up exponentially). The
+    * join+window form expands every row ×nCells and shuffles the
+    * expansion through a per-vector window — a 16× data shuffle at
+    * 100 TB for what is arithmetic against constants. Centroids are
+    * collected to the driver first: nCells rows of fixed size, the same
+    * constant-metadata license as the LSH hyperplane literals (and
+    * FAISS-style IVF coarse quantizers, whose centroid tables are
+    * broadcast state by design).
+    */
+  private def assignCellsLiteral(vecs: DataFrame, vecId: String,
+      vecCol: String, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val scored = cents.map { case (cid, ce) =>
+      struct(cosine(col(vecCol), typedlit(ce)).as("ccos"),
+        lit(-cid).as("ncell"))
+    }
+    vecs.select(col(vecId),
+      (array_max(array(scored: _*)).getField("ncell") * -1L).as("cell"))
+  }
+
   /** IVF-style ANN top-k: a coarse quantizer partitions the corpus into
     * `nCells` inverted lists (each vector files under its nearest
     * centroid); a query probes only its `nProbe` nearest cells and runs
@@ -216,6 +240,11 @@ object Similarity {
     * Recall is quantified by the companion recall query, exactly as for
     * the hyperplane-LSH path.
     */
+  /** Above this, the literal argmax's nested when-chain risks the 64KB
+    * codegen method ceiling; the join+window assignment takes over.
+    */
+  private val LiteralCentroidMax = 64
+
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
@@ -223,8 +252,18 @@ object Similarity {
     // id space (post-dedup subset) must still yield a full centroid set
     val centroids = corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val corpusCells = assignCells(Dedup.widen(corpus), "vec_id", "embedding",
-      centroids, takeN = 1)
+    // corpus assignment is the volume path: literal-fold projection when
+    // the when-chain stays codegen-friendly, join+window beyond that
+    val corpusCells =
+      if (nCells <= LiteralCentroidMax) {
+        val cents = centroids.collect().toSeq.map { r =>
+          (r.getLong(0),
+            r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
+        }
+        assignCellsLiteral(Dedup.widen(corpus), "vec_id", "embedding", cents)
+      } else
+        assignCells(Dedup.widen(corpus), "vec_id", "embedding",
+          centroids, takeN = 1)
     val queryCells = assignCells(queries, "query_id", "qe",
       centroids, takeN = nProbe)
     val candPairs = corpusCells
