@@ -112,7 +112,10 @@ object TextAnalysis {
     */
   def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
     val w = words(col(textCol))
-    docs.select(explode(Dedup.shingles(w, 2)).as("bigram"))
+    // widen first: a single-file input otherwise pins the whole
+    // shingle/explode pipeline to one task (the explode's width is why
+    // this one op dominated the text-analysis bench family)
+    Dedup.widen(docs).select(explode(Dedup.shingles(w, 2)).as("bigram"))
       .filter(size(split(col("bigram"), " ")) === 2)
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
   }
