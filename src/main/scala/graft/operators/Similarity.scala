@@ -245,28 +245,44 @@ object Similarity {
     */
   private val LiteralCentroidMax = 64
 
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int, nProbe: Int): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
-    // first nCells by id ORDER, not `id < nCells`: a sparse or shifted
-    // id space (post-dedup subset) must still yield a full centroid set
-    val centroids = corpus.orderBy(col("vec_id")).limit(nCells)
+  /** Deterministic seed centroids: the first `nCells` corpus vectors in
+    * id ORDER (not `id < nCells` — a sparse or shifted id space must
+    * still yield a full set), collected as driver-side constant
+    * metadata (nCells rows of fixed size — the hyperplane-literal
+    * license).
+    */
+  private def seedCentroids(corpus: DataFrame, nCells: Int): Seq[(Long, Seq[Double])] =
+    corpus.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    // corpus assignment is the volume path: literal-fold projection when
-    // the when-chain stays codegen-friendly, join+window beyond that
-    val corpusCells =
-      if (nCells <= LiteralCentroidMax) {
-        val cents = centroids.collect().toSeq.map { r =>
-          (r.getLong(0),
-            r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
-        }
-        assignCellsLiteral(Dedup.widen(corpus), "vec_id", "embedding", cents)
-      } else
-        assignCells(Dedup.widen(corpus), "vec_id", "embedding",
-          centroids, takeN = 1)
+      .collect().toSeq.map { r =>
+        (r.getLong(0),
+          r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
+      }
+
+  /** Corpus-side top-1 assignment against a fixed centroid set: literal
+    * projection while the argmax array stays codegen-friendly,
+    * join+window beyond.
+    */
+  private def corpusCellsFor(corpus: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    if (cents.size <= LiteralCentroidMax)
+      assignCellsLiteral(Dedup.widen(corpus), "vec_id", "embedding", cents)
+    else {
+      import corpus.sparkSession.implicits._
+      assignCells(Dedup.widen(corpus), "vec_id", "embedding",
+        cents.toDF("cent_id", "ce"), takeN = 1)
+    }
+
+  /** The IVF probe pipeline against a given centroid set: corpus files
+    * under nearest centroids, queries probe `nProbe` cells, exact
+    * cosine re-rank on the candidates.
+    */
+  private def probeWithCentroids(corpus: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import corpus.sparkSession.implicits._
     val queryCells = assignCells(queries, "query_id", "qe",
-      centroids, takeN = nProbe)
-    val candPairs = corpusCells
+      cents.toDF("cent_id", "ce"), takeN = nProbe)
+    val candPairs = corpusCellsFor(corpus, cents)
       .join(broadcast(queryCells), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
@@ -282,5 +298,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
+    probeWithCentroids(corpus, queries, k, nProbe,
+      seedCentroids(corpus, nCells))
+  }
+
+  /** IVF with Lloyd-refined centroids: `rounds` k-means iterations on
+    * top of the deterministic seed — assign every vector (projection),
+    * recompute each cell's element-wise-mean centroid (one partial-agg
+    * shuffle of cell × dim cells), round means to 6 dp, repeat. The
+    * rounding is what keeps the quantizer ENGINE-EXACT: per-element
+    * means differ across engines in the last ulp (summation order), and
+    * an unrounded mean could flip a borderline cell assignment — at
+    * 6 dp both engines see identical centroids, so the oracle can
+    * replay the full refinement in SQL. Cells that lose all members
+    * keep their previous centroid. Each round is one job; centroid
+    * state stays driver-side constant metadata.
+    */
+  def ivfKnnLloyd(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nProbe: Int, rounds: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
+    require(rounds >= 1, "rounds must be >= 1")
+    var cents = seedCentroids(corpus, nCells)
+    (1 to rounds).foreach { _ =>
+      val means = corpus.join(corpusCellsFor(corpus, cents), "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getLong(0)).map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      cents = cents.map { case (cid, ce) => (cid, byCell.getOrElse(cid, ce)) }
+    }
+    probeWithCentroids(corpus, queries, k, nProbe, cents)
   }
 }

@@ -219,6 +219,63 @@ object CatalogTraining {
                      round(cos, 6) AS cosine
               FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    Q("sim_ann_ivf_lloyd",
+      // one k-means round on top of the seed quantizer; means rounded
+      // to 6dp make the refinement ENGINE-EXACT, so the oracle replays
+      // assign → element-wise means → re-assign → probe → re-rank
+      // entirely in SQL
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfKnnLloyd(emb, knnQueries(emb), k = 10,
+          nCells = IvfCells, nProbe = IvfProbe, rounds = 1)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              c AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+              asg1 AS (SELECT vec_id, cent_id,
+                row_number() OVER (PARTITION BY vec_id ORDER BY
+                  list_dot_product(e, ce) /
+                  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+                  cent_id) AS rn
+              FROM v, c),
+              cell1 AS (SELECT vec_id, cent_id AS cell FROM asg1 WHERE rn = 1),
+              m AS (SELECT cell, j, round(avg(e[j]), 6) AS mj
+                    FROM cell1 JOIN v USING (vec_id), unnest(range(1, 65)) t(j)
+                    GROUP BY cell, j),
+              refined AS (SELECT cell AS cent_id, list(mj ORDER BY j) AS ce2
+                          FROM m GROUP BY cell),
+              c2 AS (SELECT c.cent_id, coalesce(refined.ce2, c.ce) AS ce
+                     FROM c LEFT JOIN refined USING (cent_id)),
+              asg2 AS (SELECT vec_id, cent_id,
+                row_number() OVER (PARTITION BY vec_id ORDER BY
+                  list_dot_product(e, ce) /
+                  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+                  cent_id) AS rn
+              FROM v, c2),
+              cell2 AS (SELECT vec_id, cent_id AS cell FROM asg2 WHERE rn = 1),
+              q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+              qa AS (SELECT query_id, cent_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY
+                  list_dot_product(qe, ce) /
+                  (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) DESC,
+                  cent_id) AS rn
+              FROM q, c2),
+              qcell AS (SELECT query_id, cent_id AS cell FROM qa WHERE rn <= 4),
+              cand AS (SELECT DISTINCT query_id, vec_id
+                       FROM qcell JOIN cell2 USING (cell)
+                       WHERE vec_id <> query_id),
+              s AS (SELECT query_id, vec_id AS neighbor_id,
+                      list_dot_product(e, qe) /
+                      (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos
+                    FROM cand JOIN v USING (vec_id) JOIN q USING (query_id)),
+              r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM s)
+              SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                     round(cos, 6) AS cosine
+              FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     Q("sim_ann_ivf_recall",
       // |IVF top-10 ∩ exact top-10| / |exact| with a floor the data
       // actually clears; n_queries/n_exact genuinely computed by the

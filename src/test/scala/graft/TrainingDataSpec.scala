@@ -137,6 +137,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  test("ivfKnnLloyd: full probe equals brute force after refinement") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Seq.tabulate(4)(j => (math.sin(i * 7 + j) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val exact = Similarity.bruteForceKnn(vecs, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val lloyd = Similarity.ivfKnnLloyd(vecs, q, k = 5, nCells = 4,
+      nProbe = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(lloyd == exact, "refinement moves cells, full probe stays exact")
+  }
+
   test("ivfKnn: sparse/shifted id space still gets a full centroid set") {
     // ids start at 1000 — `vec_id < nCells` would select ZERO centroids
     val vecs = (1000L until 1020L).map { i =>
