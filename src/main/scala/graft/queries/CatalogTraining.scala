@@ -126,6 +126,31 @@ object CatalogTraining {
               WHERE doc_id % 20 <> 0
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("td_decontaminate_clean",
+      // the removal step: training docs surviving the 8-gram overlap
+      // check — an anti-join against the contaminated set, the exact
+      // complement of td_decontaminate
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 20 =!= 0)
+        val contaminated = TrainingData.decontaminate(
+          train, docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", k = 8)
+        train.select("doc_id")
+          .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                         FROM documents),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+7], ' ') AS sh
+                     FROM w, unnest(range(1, greatest(len(words)-7, 1)+1)) t(g)),
+              ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+              bad AS (SELECT DISTINCT doc_id FROM sh JOIN ev USING (sh)
+                      WHERE doc_id % 20 <> 0)
+              SELECT doc_id FROM documents
+              WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+              ORDER BY doc_id""")),
+
     Q("ta_unigram_logprob",
       // corpus-unigram mean log-prob (the cheap perplexity stand-in for
       // LM quality filtering): the oracle rebuilds frequencies and the

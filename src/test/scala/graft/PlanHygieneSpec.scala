@@ -23,12 +23,21 @@ class PlanHygieneSpec extends AnyFunSuite {
     */
   private val nlAllowed = Set(
     "sim_knn_cosine", "sim_ann_recall", "j11_regex_content_join",
-    "dedup_simhash_recall", "a20_hll_mergeable")
+    "dedup_simhash_recall", "a20_hll_mergeable",
+    // IVF: the QUERY-side nProbe assignment scores a handful of query
+    // rows against the broadcast centroid table (corpus-side assignment
+    // is a literal projection — no join at all); the recall row also
+    // cross-joins single-row aggregates
+    "sim_ann_ivf", "sim_ann_ivf_lloyd", "sim_ann_ivf_recall",
+    // broadcasts the SINGLE-ROW corpus-total aggregate into the
+    // per-token score projection
+    "ta_unigram_logprob")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     (graft.queries.Catalog.all ++ graft.queries.CatalogScale.all ++
-      graft.queries.CatalogDomain.all ++ graft.queries.CatalogConnector.all)
+      graft.queries.CatalogDomain.all ++ graft.queries.CatalogConnector.all ++
+      graft.queries.CatalogTraining.all)
       .foreach { q =>
         val plan =
           try q.run(spark, sfDir).queryExecution.executedPlan.toString

@@ -125,4 +125,17 @@ class SparkPropertySpec extends AnyFunSuite {
     }.toMap
     assert(got == want)
   }
+
+  test("prop: portableHash64 equals a driver-side big-endian md5 prefix") {
+    val strs = samples(Gen.asciiPrintableStr.map(_.take(30)), 300).distinct
+    val got = strs.toDF("s")
+      .select($"s", graft.operators.Dedup.portableHash64($"s").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    strs.foreach { s =>
+      val d = md.digest(s.getBytes("UTF-8"))
+      val want = java.nio.ByteBuffer.wrap(d, 0, 8).getLong // big-endian
+      assert(got(s) == want, s"input: $s")
+    }
+  }
 }
