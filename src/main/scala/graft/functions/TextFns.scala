@@ -99,9 +99,12 @@ object TextFns {
     // and no later pass can re-match inside a '[REDACTED …]' marker
     // (the env/cred value classes exclude '['-leading text by then
     // having nothing left to match; xox/AKIA never appear in markers).
-    // Values may be quoted — '"hunter2"' must not escape masking.
+    // Values may be quoted — '"hunter2"' must not escape masking — and a
+    // Bearer-prefixed value ('TOKEN=Bearer abc') must be consumed WHOLE:
+    // stopping at the space would redact just the word Bearer and leave
+    // the real token in cleartext after the marker.
     val envPair = regexp_replace(pem,
-      "\\b([A-Z][A-Z0-9_]{1,48})\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s\"']+)",
+      "\\b([A-Z][A-Z0-9_]{1,48})\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|Bearer\\s+[^\\s\"']+|[^\\s\"']+)",
       "$1=" + redacted)
     // optional Bearer prefix: 'authorization: Bearer <tok>' must mask
     // the token, not just the word Bearer. The separator is CAPTURED and

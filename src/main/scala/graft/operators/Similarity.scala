@@ -311,13 +311,15 @@ object Similarity {
     * top of the deterministic seed — assign every vector (projection),
     * recompute each cell's element-wise-mean centroid (one partial-agg
     * shuffle of cell × dim cells), round means to 6 dp, repeat. The
-    * rounding is what keeps the quantizer ENGINE-EXACT: per-element
-    * means differ across engines in the last ulp (summation order), and
-    * an unrounded mean could flip a borderline cell assignment — at
-    * 6 dp both engines see identical centroids, so the oracle can
-    * replay the full refinement in SQL. Cells that lose all members
-    * keep their previous centroid. Each round is one job; centroid
-    * state stays driver-side constant metadata.
+    * rounding is what keeps the quantizer cross-engine stable:
+    * per-element means differ across engines in the last ulp (summation
+    * order), and an unrounded mean could flip a borderline cell
+    * assignment — at 6 dp both engines see identical centroids except
+    * when a mean lands within an ulp (~1e-16) of a 5e-7 rounding
+    * boundary, a ~1e-10-per-element residual risk (~1e-7 per 16×64
+    * refinement) accepted as unreachable in practice. Cells that lose
+    * all members keep their previous centroid. Each round is one job;
+    * centroid state stays driver-side constant metadata.
     */
   def ivfKnnLloyd(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int, nProbe: Int, rounds: Int = 1): DataFrame = {

@@ -94,11 +94,12 @@ object CatalogTraining {
       Some("""WITH d AS (SELECT lang, doc_id,
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
               FROM documents),
+              d1 AS (SELECT * FROM d WHERE n_tok >= 1),
               c AS (SELECT lang, doc_id, n_tok,
                 CAST(sum(n_tok) OVER (PARTITION BY lang
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-              FROM d)
+              FROM d1)
               SELECT lang, doc_id, n_tok,
                      (cum - n_tok) // 256 AS chunk_first,
                      (cum - 1) // 256 AS chunk_last
@@ -265,7 +266,8 @@ object CatalogTraining {
               FROM v, c),
               cell1 AS (SELECT vec_id, cent_id AS cell FROM asg1 WHERE rn = 1),
               m AS (SELECT cell, j, round(avg(e[j]), 6) AS mj
-                    FROM cell1 JOIN v USING (vec_id), unnest(range(1, 65)) t(j)
+                    FROM cell1 JOIN v USING (vec_id),
+                         unnest(range(1, len(e) + 1)) t(j)
                     GROUP BY cell, j),
               refined AS (SELECT cell AS cent_id, list(mj ORDER BY j) AS ce2
                           FROM m GROUP BY cell),

@@ -79,6 +79,11 @@ class TextFnsSpec extends AnyFunSuite {
     val shortBearer = one(TextFns.maskSecrets(col("s")),
       "authorization: Bearer abc rest")
     assert(shortBearer == "authorization: [REDACTED SECRET] rest", shortBearer)
+    // ENV-pair form of the same trap: the value must swallow the Bearer
+    // prefix AND the token, not stop at the space
+    val envBearer = one(TextFns.maskSecrets(col("s")),
+      "TOKEN=Bearer abc123 rest")
+    assert(envBearer == "TOKEN=[REDACTED SECRET] rest", envBearer)
   }
 
   test("linkifyIssueKeys: wraps bare [KEY-1], leaves existing links") {

@@ -151,6 +151,21 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(lloyd == exact, "refinement moves cells, full probe stays exact")
   }
 
+  test("ivfKnn: join+window fallback beyond the literal-centroid cap") {
+    // 70 cells > LiteralCentroidMax (64) exercises the DataFrame
+    // assignment path, which no catalog query reaches
+    val vecs = (0L until 80L).map { i =>
+      (i, Seq.tabulate(4)(j => (math.sin(i * 7 + j) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val exact = Similarity.bruteForceKnn(vecs, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfKnn(vecs, q, k = 5, nCells = 70, nProbe = 70)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == exact)
+  }
+
   test("ivfKnn: sparse/shifted id space still gets a full centroid set") {
     // ids start at 1000 — `vec_id < nCells` would select ZERO centroids
     val vecs = (1000L until 1020L).map { i =>
