@@ -103,6 +103,32 @@ object TrainingData {
         expr(s"(cum - 1) div $budget").as("chunk_last"))
   }
 
+  /** Deterministic shard id in [0, nShards): the low 32 bits of the
+    * portable md5 hash, mod nShards. 32 bits on purpose — the value is
+    * non-negative in every engine's integer model, so `% n` agrees
+    * everywhere (a 64-bit hash is negative in signed engines and
+    * positive in unsigned ones, and their `%` disagree). Content-hash
+    * sharding decouples shard membership from ingest order: re-runs and
+    * backfills land every doc in the same shard.
+    */
+  def shardId(id: Column, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+      % nShards).cast("int")
+  }
+
+  /** Export the corpus as `nShards` balanced shard directories
+    * (`shard=K/part-*.parquet`) — the layout a training data loader
+    * consumes. One repartition ON the shard id co-locates each shard's
+    * rows, so every shard directory holds exactly one writer task's
+    * output and file count stays O(nShards), not O(nShards × tasks).
+    */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    df.withColumn("shard", shardId(col(idCol), nShards))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Benchmark decontamination: count, per training document, the
     * distinct word k-grams it shares with an evaluation corpus. The
     * standard train/test-overlap check (k≈8 in published pipelines);

@@ -127,6 +127,27 @@ object CatalogTraining {
               WHERE doc_id % 20 <> 0
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("td_shard_assign",
+      // shard balance report for the training export: per-shard doc and
+      // token volume; the oracle recomputes the content-hash shard ids
+      (s, d) => {
+        val docs = t(s, d, "documents").select(
+          col("doc_id"),
+          size(graft.operators.Dedup.words(col("text"))).cast("long").as("n_tok"))
+        docs.withColumn("shard", TrainingData.shardId(col("doc_id"), 16))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .orderBy("shard")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 16 AS INTEGER) AS shard
+              FROM documents)
+              SELECT shard, count(*) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              FROM w GROUP BY shard ORDER BY shard""")),
+
     Q("td_decontaminate_clean",
       // the removal step: training docs surviving the 8-gram overlap
       // check — an anti-join against the contaminated set, the exact

@@ -112,6 +112,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L), "3 distinct 8-grams in a 10-word doc, doc 2 clean")
   }
 
+  test("writeShards: shard dirs partition the corpus, stable across re-runs") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    TrainingData.writeShards(docs, "doc_id", 8, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200, "nothing lost")
+    val shards = back.select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(shards.forall(s => s >= 0 && s < 8))
+    // same doc -> same shard on re-run (content-hash, not ingest order)
+    val m1 = back.select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    TrainingData.writeShards(docs.orderBy(org.apache.spark.sql.functions.rand(7)),
+      "doc_id", 8, out)
+    val m2 = spark.read.parquet(out).select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m1 == m2)
+    // one file per shard directory: the repartition-by-shard contract
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} files")
+    }
+  }
+
   test("unigramLogProb: known frequencies give the exact mean log-prob") {
     // corpus: 4 tokens total — 'a' appears 3x (p=3/4), 'b' once (p=1/4)
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
