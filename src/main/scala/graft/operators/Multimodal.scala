@@ -55,4 +55,33 @@ object Multimodal {
       spark,
       docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
       "doc_id", "payload").toDF()
+
+  /** Frame sampling plan: one row per kept frame (`every`-th frame of
+    * each clip, frame 0 always kept) — the explode is partition-local,
+    * so the expansion never shuffles; a real pipeline hands each
+    * (doc_id, frame_idx) row to the decoder for that frame only,
+    * which is the whole point of planning the sample BEFORE decoding
+    * full clips.
+    */
+  def sampleFrames(meta: DataFrame, every: Int): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    meta.select(col("*"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(every)))
+        .as("frame_idx"))
+  }
+
+  /** Resize planning: target dimensions fitting (maxW, maxH) with
+    * aspect preserved, never upscaled, floor(≥1). Pure arithmetic on
+    * the metadata — the stub-vs-real boundary is BELOW this (a codec
+    * consumes these dims); deterministic IEEE ops, so the same plan
+    * falls out of any engine.
+    */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    meta
+      .withColumn("out_w", greatest(lit(1), floor(col("width") * scale)).cast("int"))
+      .withColumn("out_h", greatest(lit(1), floor(col("height") * scale)).cast("int"))
+  }
 }

@@ -456,6 +456,31 @@ object CatalogScale {
                 CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
               FROM documents ORDER BY doc_id""")),
 
+    Q("mm_frame_resize",
+      // the full pre-decode plan: metadata → aspect-preserving resize
+      // dims → every-2nd-frame sample, one row per frame to decode; the
+      // oracle recomputes the stub arithmetic, the resize floor, and
+      // the frame grid from raw text bytes
+      (s, d) => {
+        val meta = Multimodal.documentBinaryMeta(s, t(s, d, "documents"))
+        Multimodal.sampleFrames(
+          Multimodal.resizePlan(meta, maxW = 32, maxH = 32), every = 2)
+          .select("doc_id", "frame_idx", "out_w", "out_h")
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                CAST(1 + octet_length(encode(text)) % 64 AS INT) AS w,
+                CAST(1 + octet_length(encode(text)) % 37 AS INT) AS h,
+                CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+              FROM documents),
+              r AS (SELECT doc_id, n_frames,
+                CAST(greatest(1, floor(w * least(32.0 / w, 32.0 / h, 1.0))) AS INT) AS out_w,
+                CAST(greatest(1, floor(h * least(32.0 / w, 32.0 / h, 1.0))) AS INT) AS out_h
+              FROM m)
+              SELECT doc_id, CAST(f AS INT) AS frame_idx, out_w, out_h
+              FROM r, unnest(range(0, n_frames, 2)) t(f)
+              ORDER BY doc_id, frame_idx""")),
+
     // ============================================ windows / sessions
     Q("j12_asof_join",
       // backward as-of join: each purchase aligned to the user's latest
