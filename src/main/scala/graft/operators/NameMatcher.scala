@@ -61,15 +61,22 @@ object NameMatcher {
     * `matched >= minRequired` OR (`participants > 2` AND `matched > 0`).
     * Input: (file, participant) rows. Output: surviving file keys with
     * participant/match counts.
+    *
+    * An EMPTY team fails OPEN (every file kept, reference
+    * `test-global-team-filter.js` "empty team members — fail-open"):
+    * a missing/misloaded team config must degrade to "no filtering",
+    * not silently drop the whole corpus. The alias table is team-config
+    * metadata, so the emptiness probe is a constant-size action.
     */
   def participationFilter(fileParticipants: DataFrame, aliases: DataFrame,
       minRequired: Int): DataFrame = {
     val resolved = resolve(fileParticipants, aliases)
-    resolved.groupBy("file")
+    val grouped = resolved.groupBy("file")
       .agg(
         countDistinct(col("participant")).as("n_participants"),
         countDistinct(col("member")).as("n_matched"))
-      .filter(col("n_matched") >= minRequired ||
-        (col("n_participants") > 2 && col("n_matched") > 0))
+    if (aliases.isEmpty) grouped
+    else grouped.filter(col("n_matched") >= minRequired ||
+      (col("n_participants") > 2 && col("n_matched") > 0))
   }
 }

@@ -53,4 +53,34 @@ class NameMatcherSpec extends AnyFunSuite {
       .select("file").as[String].collect().toSet
     assert(kept == Set("B", "C"))
   }
+
+  test("global team filter matrix (test-global-team-filter.js)") {
+    // reference fixtures: a 1:1, a team standup, an external meeting
+    val team = Seq("Ethan Patrick Bandebas", "Harold Inacay",
+      "Reymart Militante", "Kentward Maratas", "Jeffrey Milanes")
+    val teamAliases = NameMatcher.aliasTable(spark,
+      team.map(n => NameMatcher.Member(n, n.split(" ").head, Seq.empty)))
+    val fp = Seq(
+      ("1on1", "Ethan Patrick Bandebas"), ("1on1", "Manager Name"),
+      ("standup", "Ethan Patrick Bandebas"), ("standup", "Harold Inacay"),
+      ("standup", "Reymart Militante"), ("standup", "Manager Name"),
+      ("external", "External Person"), ("external", "Client Representative")
+    ).toDF("file", "participant")
+    def kept(minReq: Int) =
+      NameMatcher.participationFilter(fp, teamAliases, minReq)
+        .select("file").as[String].collect().toSet
+    // 1:1 includes at threshold 1, excludes at 2 (2 participants, 1 match
+    // — no >2 bypass); standup includes at both; external never
+    assert(kept(1) == Set("1on1", "standup"))
+    assert(kept(2) == Set("standup"))
+    // threshold above every possible match count excludes (but the >2
+    // bypass keeps the standup: 4 participants, 3 matched)
+    assert(kept(5) == Set("standup"))
+    // empty team fails OPEN: every file kept, nothing silently dropped
+    val noTeam = NameMatcher.aliasTable(spark, Seq.empty)
+    val keptOpen = NameMatcher.participationFilter(fp, noTeam, 1)
+      .select("file").as[String].collect().toSet
+    assert(keptOpen == Set("1on1", "standup", "external"),
+      "missing team config degrades to no filtering (fail-open)")
+  }
 }
