@@ -59,10 +59,74 @@ object DateFns {
     coalesce(ymd, mdy4, mdy2)
   }
 
-  /** Markdown heading date (reference X7): `## 2025-10-13` or `## October 13, 2025`. */
-  def headingDate(c: Column): Column = coalesce(
-    try_to_date(regexp_extract(c, "^##\\s+(\\d{4}-\\d{2}-\\d{2})", 1), "yyyy-MM-dd"),
-    try_to_date(regexp_extract(c, "^##\\s+([A-Z][a-z]+ \\d{1,2}, \\d{4})", 1), "MMMM d, yyyy"))
+  /** Markdown heading date (reference X7,
+    * `datasource-generator/lib/date-range-filter.js:143-170`):
+    * `## 2025-10-13` (whitespace after `##` OPTIONAL — `##2025-12-31`
+    * parses) or `## October 13, 2025` (comma optional, month name
+    * case-insensitive — both per the reference's regex + lowercase
+    * month lookup, matrix `test-date-range-filter.js`).
+    */
+  def headingDate(c: Column): Column = {
+    val longRe = "(?i)##\\s+([A-Za-z]+)\\s+(\\d{1,2}),?\\s+(\\d{4})"
+    coalesce(
+      try_to_date(regexp_extract(c, "##\\s*(\\d{4}-\\d{2}-\\d{2})", 1), "yyyy-MM-dd"),
+      try_to_date(concat_ws(" ",
+        initcap(lower(regexp_extract(c, longRe, 1))),
+        regexp_extract(c, longRe, 2),
+        regexp_extract(c, longRe, 3)), "MMMM d yyyy"))
+  }
+
+  /** Transcript filename date, the DATASOURCE-GENERATOR grammar
+    * (`datasource-generator/lib/date-range-filter.js:61-133`, distinct
+    * from the transcripts-module cascade above; matrix
+    * `test-date-range-filter.js`): basename (both separators) first,
+    * then in priority order — ISO before `T`; `M[_-]D[_-]YYYY` with
+    * 1–2-digit month/day; `M[_-]D[_-]YY` (not followed by a digit) with
+    * the 50-pivot (00–50 → 2000s, 51–99 → 1900s); after normalizing
+    * `-_.` runs to single spaces, `M D YYYY` then `M D YY` (same
+    * pivot); finally `MonthName D,? YYYY`. Calendar validity comes from
+    * `try_to_date` — the reference re-validates through a real Date for
+    * the same reason (2025-02-30 → null, never a rolled-over date).
+    * Divergence (documented): when a pattern matches syntactically but
+    * the date is calendar-invalid, this cascade falls through to the
+    * NEXT pattern where the reference returns null at the first match —
+    * strictly more dates recovered, never a different non-null result.
+    */
+  def dateRangeFilenameDate(c: Column): Column = {
+    val base = element_at(split(element_at(split(c, "/"), -1), "\\\\"), -1)
+    def mdy(m: Column, d: Column, y: Column): Column =
+      try_to_date(concat_ws("-", y, lpad(m, 2, "0"), lpad(d, 2, "0")),
+        "yyyy-MM-dd")
+    // two-digit-year pivot; "" (no match) must stay null, and the cast
+    // is guarded so ANSI mode can't throw on the empty string
+    def pivot(yy: Column): Column =
+      when(yy.rlike("^\\d{2}$"),
+        when(yy.cast("int") <= 50, yy.cast("int") + 2000)
+          .otherwise(yy.cast("int") + 1900).cast("string"))
+    val iso = try_to_date(
+      regexp_extract(base, "(\\d{4}-\\d{2}-\\d{2})T", 1), "yyyy-MM-dd")
+    val p4 = "(\\d{1,2})[_-](\\d{1,2})[_-](\\d{4})"
+    val mdy4 = mdy(regexp_extract(base, p4, 1), regexp_extract(base, p4, 2),
+      regexp_extract(base, p4, 3))
+    val p2 = "(\\d{1,2})[_-](\\d{1,2})[_-](\\d{2})(?!\\d)"
+    val mdy2 = mdy(regexp_extract(base, p2, 1), regexp_extract(base, p2, 2),
+      pivot(regexp_extract(base, p2, 3)))
+    val norm = trim(regexp_replace(regexp_replace(base, "[-_.]+", " "),
+      "\\s+", " "))
+    val n4 = "\\b(\\d{1,2}) (\\d{1,2}) (\\d{4})\\b"
+    val nmdy4 = mdy(regexp_extract(norm, n4, 1), regexp_extract(norm, n4, 2),
+      regexp_extract(norm, n4, 3))
+    val n2 = "\\b(\\d{1,2}) (\\d{1,2}) (\\d{2})\\b"
+    val nmdy2 = mdy(regexp_extract(norm, n2, 1), regexp_extract(norm, n2, 2),
+      pivot(regexp_extract(norm, n2, 3)))
+    val monRe = "(?i)\\b(January|February|March|April|May|June|July|August|" +
+      "September|October|November|December)\\s+(\\d{1,2}),?\\s+(\\d{4})\\b"
+    val named = try_to_date(concat_ws(" ",
+      initcap(lower(regexp_extract(norm, monRe, 1))),
+      regexp_extract(norm, monRe, 2),
+      regexp_extract(norm, monRe, 3)), "MMMM d yyyy")
+    coalesce(iso, mdy4, mdy2, nmdy4, nmdy2, named)
+  }
 
   /** Slack epoch-seconds-as-decimal-string → timestamp (reference X10). */
   def epochStringToTimestamp(c: Column): Column =

@@ -177,10 +177,49 @@ class TextFnsSpec extends AnyFunSuite {
     assert(oneDate(c, "call_09/24/2019.txt") == null)
   }
 
-  test("headingDate: iso and month-name headings") {
-    assert(oneDate(DateFns.headingDate(col("s")), "## 2025-10-13").toString == "2025-10-13")
-    assert(oneDate(DateFns.headingDate(col("s")), "## October 13, 2025").toString == "2025-10-13")
-    assert(oneDate(DateFns.headingDate(col("s")), "## Notes") == null)
+  test("headingDate: iso and month-name headings (test-date-range-filter.js)") {
+    val h = DateFns.headingDate(col("s"))
+    assert(oneDate(h, "## 2025-10-13").toString == "2025-10-13")
+    assert(oneDate(h, "## October 13, 2025").toString == "2025-10-13")
+    assert(oneDate(h, "## Notes") == null)
+    // reference grammar: no space after ## still parses (ISO),
+    // comma optional and month case-insensitive (long form)
+    assert(oneDate(h, "##2025-12-31").toString == "2025-12-31")
+    assert(oneDate(h, "## October 13 2025").toString == "2025-10-13")
+    assert(oneDate(h, "## JANUARY 1, 2025").toString == "2025-01-01")
+    assert(oneDate(h, "## Notamonth 13, 2025") == null)
+  }
+
+  test("dateRangeFilenameDate matrix (test-date-range-filter.js)") {
+    val c = DateFns.dateRangeFilenameDate(col("s"))
+    // Fathom ISO exports
+    assert(oneDate(c, "fathom-transcripts-2025-10-13T07_16_03+00_00.md")
+      .toString == "2025-10-13")
+    assert(oneDate(c, "fathom-transcripts-2025-01-01T00_00_00+00_00.md")
+      .toString == "2025-01-01")
+    // subdirectories, both separators
+    assert(oneDate(c, "subfolder/fathom-transcripts-2025-10-13T07_16_03+00_00.md")
+      .toString == "2025-10-13")
+    assert(oneDate(c, "team-a\\fathom-transcripts-2025-10-13T07_16_03+00_00.md")
+      .toString == "2025-10-13")
+    // no date / invalid calendar dates
+    assert(oneDate(c, "transcript.md") == null)
+    assert(oneDate(c, "meeting-notes.md") == null)
+    assert(oneDate(c, "") == null)
+    assert(oneDate(c, "fathom-transcripts-2025-13-01T00_00_00.md") == null)
+    assert(oneDate(c, "fathom-transcripts-2025-02-30T00_00_00.md") == null)
+    // MM_DD_YYYY with 1-2 digit month/day
+    assert(oneDate(c, "fathom_AICoach-10_14_2025 09_26AM.md")
+      .toString == "2025-10-14")
+    assert(oneDate(c, "folder/sub/fathom-9-8-2024_notes.md")
+      .toString == "2024-09-08")
+    // MM_DD_YY with the 50-pivot: 00-50 -> 2000s, 51-99 -> 1900s
+    assert(oneDate(c, "fathom_AICoach-10_14_25 09_26AM.md")
+      .toString == "2025-10-14")
+    assert(oneDate(c, "meeting-1_2_01-summary.md").toString == "2001-01-02")
+    assert(oneDate(c, "meeting-12_31_99-summary.md").toString == "1999-12-31")
+    // month-name form reached through separator normalization
+    assert(oneDate(c, "notes.October 14, 2025.md").toString == "2025-10-14")
   }
 
   test("epochStringToTimestamp: slack decimal epoch strings") {
