@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,26 @@ object NameMatcher {
 
   /** One team member with ordered aliases (order = match priority). */
   case class Member(fullName: String, shortName: String, aliases: Seq[String])
+
+  /** Short name for rendered filenames/section keys (reference
+    * `getShortName`, matrix `test-datasource-mapping.js`): the member's
+    * configured shortName when mapped (old string-format and new
+    * object-format configs both land in [[Member.shortName]]), else the
+    * full name lowercased with whitespace runs as `_` and every
+    * non-`[A-Za-z0-9_]` char REMOVED — JS `\w` is ASCII, so accents are
+    * dropped, not transliterated ('José García' → 'jos_garca'; the
+    * NFKD slug in TextFns is a different, lossier-input function).
+    * Team maps are config-sized, so the lookup is a literal map.
+    */
+  def shortNameFor(fullName: Column, members: Seq[Member]): Column = {
+    val fallback = regexp_replace(
+      regexp_replace(lower(fullName), "\\s+", "_"), "[^A-Za-z0-9_]", "")
+    if (members.isEmpty) fallback
+    else {
+      val entries = members.flatMap(m => Seq(lit(m.fullName), lit(m.shortName)))
+      coalesce(element_at(map(entries: _*), fullName), fallback)
+    }
+  }
 
   /** Build the alias dimension: one row per (member, alias-variant),
     * carrying priorities. Full name and short name are themselves

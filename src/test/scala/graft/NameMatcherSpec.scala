@@ -54,6 +54,31 @@ class NameMatcherSpec extends AnyFunSuite {
     assert(kept == Set("B", "C"))
   }
 
+  test("shortNameFor matrix (test-datasource-mapping.js)") {
+    val members = Seq(
+      NameMatcher.Member("Mark Jerly Bundalian", "mark",
+        Seq("Mark", "Bundalian")),
+      NameMatcher.Member("Jamnilloh Bracamonte", "jam", Seq("Jam")),
+      NameMatcher.Member("Old Format Person", "oldperson", Seq.empty))
+    def short(n: String, ms: Seq[NameMatcher.Member] = members): String =
+      Seq(n).toDF("n")
+        .select(NameMatcher.shortNameFor($"n", ms)).as[String].head()
+    // mapped names use the configured short name (old and new formats
+    // both normalize into Member.shortName)
+    assert(short("Mark Jerly Bundalian") == "mark")
+    assert(short("Jamnilloh Bracamonte") == "jam")
+    assert(short("Old Format Person") == "oldperson")
+    // unmapped: lowercase, whitespace runs -> _, non-word chars removed
+    assert(short("Unknown Person") == "unknown_person")
+    assert(short("Name With-Hyphens") == "name_withhyphens")
+    assert(short("Name With.Dots") == "name_withdots")
+    assert(short("Name  With   Spaces") == "name_with_spaces")
+    assert(short("José García") == "jos_garca",
+      "accents removed (JS \\w is ASCII), not transliterated")
+    // empty mapping: pure fallback
+    assert(short("John Doe", Seq.empty) == "john_doe")
+  }
+
   test("global team filter matrix (test-global-team-filter.js)") {
     // reference fixtures: a 1:1, a team standup, an external meeting
     val team = Seq("Ethan Patrick Bandebas", "Harold Inacay",
