@@ -173,9 +173,13 @@ object SlackOps {
     val fence = "(?s)```([A-Za-z0-9_+-]*)\\n?(.*?)```".r
     val fenced = fence.replaceAllIn(text, m => {
       val lang = m.group(1)
-      val body = m.group(2)
-      val n = body.split("\n", -1).count(_.nonEmpty)
-      val l = if (lang.isEmpty) "unknown" else lang
+      // remark's code-node value excludes the newline before the closing
+      // fence; the reference counts `value.split('\n').length` (ALL
+      // segments, empty interior lines included) and labels a missing
+      // language hint `plain` (`sanitizer.js:96-99`)
+      val body = m.group(2).stripSuffix("\n")
+      val n = body.split("\n", -1).length
+      val l = if (lang.isEmpty) "plain" else lang
       java.util.regex.Matcher.quoteReplacement(
         s"[REDACTED CODE $n lines, language=$l, kind=${classifyCode(lang, body)}]")
     })

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DateFns, TextFns}
-import graft.operators.Transcripts
+import graft.operators.{SlackOps, Transcripts}
 
 /** Domain-operator queries: the reference's parser/markup/sanitize
   * operators (SURVEY §2.8) driven by inputs SYNTHESIZED from structured
@@ -275,6 +275,93 @@ object CatalogDomain {
       Some("""SELECT user_id, count(*) AS n_utterances,
                 count(*) FILTER (WHERE event_id % 5 <> 4) AS n_with_time,
                 1 AS n_speakers
-              FROM events GROUP BY user_id ORDER BY user_id"""))
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    Q("x18_redact_code",
+      // reference X18 (`slack/lib/sanitizer.js:24-102`): fence + inline
+      // redaction with content classification. Five bodies cycle on
+      // p_partkey % 5, one per classifier branch (command / stacktrace /
+      // error_log / log / config); the oracle reconstructs the redacted
+      // output — kind, line count, and language label — directly.
+      (s, d) => {
+        val k = col("p_partkey").cast("string")
+        val body = when(col("p_partkey") % 5 === 0,
+            concat(lit("$ make build-"), k))
+          .when(col("p_partkey") % 5 === 1,
+            concat(lit("    at run (app.js:"), k, lit(":5)")))
+          .when(col("p_partkey") % 5 === 2,
+            concat(lit("Error: boom "), k))
+          .when(col("p_partkey") % 5 === 3,
+            concat(lit("2024-01-02 03:04:05 INFO started "), k))
+          .otherwise(
+            concat(lit("{\"a\": 1, \"b\": 2, \"c\": "), k, lit("}")))
+        val text = concat(lit("pre ```\n"), body, lit("\n``` mid `git status` end"))
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            SlackOps.redactCodeUdf(text).as("text"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+                'pre [REDACTED CODE 1 lines, language=plain, kind=' ||
+                CASE p_partkey % 5
+                  WHEN 0 THEN 'command'
+                  WHEN 1 THEN 'stacktrace'
+                  WHEN 2 THEN 'error_log'
+                  WHEN 3 THEN 'log'
+                  ELSE 'config' END ||
+                '] mid [REDACTED INLINE CODE, kind=command] end' AS text
+              FROM part ORDER BY p_partkey""")),
+
+    Q("x19_denylist",
+      // reference X19 (`slack/lib/sanitizer.js:159-190`): case-insensitive
+      // line-level denylist — a hit replaces the WHOLE line. Line 2 cycles
+      // hit/hit/miss on o_orderkey % 3.
+      (s, d) => {
+        val k = col("o_orderkey").cast("string")
+        val line2 = when(col("o_orderkey") % 3 === 0,
+            concat(lit("our SYSTEM PROMPT says "), k))
+          .when(col("o_orderkey") % 3 === 1,
+            concat(lit("please ignore previous instructions "), k))
+          .otherwise(concat(lit("nothing to hide "), k))
+        val text = concat(lit("hello "), k, lit("\n"), line2,
+          lit("\nbye "), k)
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            SlackOps.redactDenylist(text,
+              Seq("ignore previous instructions", "system prompt")).as("text"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+                'hello ' || o_orderkey || chr(10) ||
+                CASE WHEN o_orderkey % 3 IN (0, 1) THEN '[REDACTED PROMPT]'
+                     ELSE 'nothing to hide ' || o_orderkey END || chr(10) ||
+                'bye ' || o_orderkey AS text
+              FROM orders ORDER BY o_orderkey""")),
+
+    Q("x20_reactions",
+      // reference X20 (`slack/lib/format.js:84-131`): reactions array →
+      // `:name:xN` list; attachment byte size humanized across the three
+      // B / KB / MB branches.
+      (s, d) => {
+        val n = (col("p_partkey") % 5 + 1).cast("int")
+        val reactions = array(
+          struct(lit("rocket").as("name"), n.as("count")),
+          struct(lit("tada").as("name"), lit(1).as("count")))
+        val bytes = when(col("p_partkey") % 3 === 0, lit(512))
+          .when(col("p_partkey") % 3 === 1, lit(2560))
+          .otherwise(lit(5242880))
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            SlackOps.formatReactions(reactions).as("reactions_fmt"),
+            SlackOps.humanSize(bytes).as("size_fmt"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+                ':rocket:x' || (p_partkey % 5 + 1) || ', :tada:x1' AS reactions_fmt,
+                CASE p_partkey % 3
+                  WHEN 0 THEN '512 B'
+                  WHEN 1 THEN '2.5 KB'
+                  ELSE '5.0 MB' END AS size_fmt
+              FROM part ORDER BY p_partkey"""))
   )
 }

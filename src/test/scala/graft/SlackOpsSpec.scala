@@ -68,7 +68,10 @@ class SlackOpsSpec extends AnyFunSuite {
 
   test("redactCode: fence classification kinds") {
     val cmd = SlackOps.redactCode("run\n```\nnpm run build\ngit push\n```\ndone")
-    assert(cmd.contains("[REDACTED CODE 2 lines, language=unknown, kind=command]"), cmd)
+    assert(cmd.contains("[REDACTED CODE 2 lines, language=plain, kind=command]"), cmd)
+    // empty interior lines count, like the reference's split('\n').length
+    val blanks = SlackOps.redactCode("```\na\n\nb\n```")
+    assert(blanks.contains("[REDACTED CODE 3 lines,"), blanks)
     // language hints win over content (sanitizer.js:34-36): python and
     // json are codeLangs, so even a traceback body classifies as code
     val pyTrace = SlackOps.redactCode(
