@@ -89,14 +89,26 @@ object NameMatcher {
     * metadata, so the emptiness probe is a constant-size action.
     */
   def participationFilter(fileParticipants: DataFrame, aliases: DataFrame,
+      minRequired: Int): DataFrame =
+    participationDecision(fileParticipants, aliases, minRequired)
+      .filter(col("kept")).drop("kept")
+
+  /** The full decision table behind [[participationFilter]]: every file
+    * with its participant/match counts and the keep/drop verdict, so the
+    * reference's threshold × bypass × fail-open matrix is inspectable
+    * (and oracle-checkable) without filtering rows away.
+    */
+  def participationDecision(fileParticipants: DataFrame, aliases: DataFrame,
       minRequired: Int): DataFrame = {
     val resolved = resolve(fileParticipants, aliases)
     val grouped = resolved.groupBy("file")
       .agg(
         countDistinct(col("participant")).as("n_participants"),
         countDistinct(col("member")).as("n_matched"))
-    if (aliases.isEmpty) grouped
-    else grouped.filter(col("n_matched") >= minRequired ||
-      (col("n_participants") > 2 && col("n_matched") > 0))
+    val kept =
+      if (aliases.isEmpty) lit(true) // empty team fails OPEN
+      else col("n_matched") >= minRequired ||
+        (col("n_participants") > 2 && col("n_matched") > 0)
+    grouped.withColumn("kept", kept)
   }
 }

@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DateFns, TextFns}
-import graft.operators.{SlackOps, Transcripts}
+import graft.operators.{AdfWalker, NameMatcher, SlackOps, Transcripts}
 
 /** Domain-operator queries: the reference's parser/markup/sanitize
   * operators (SURVEY §2.8) driven by inputs SYNTHESIZED from structured
@@ -362,6 +362,93 @@ object CatalogDomain {
                   WHEN 0 THEN '512 B'
                   WHEN 1 THEN '2.5 KB'
                   ELSE '5.0 MB' END AS size_fmt
-              FROM part ORDER BY p_partkey"""))
+              FROM part ORDER BY p_partkey""")),
+
+    Q("x2_adf_text",
+      // reference X2 (`jira/build-epic-tree.js:358-399`): recursive ADF →
+      // text walk. The ADF JSON is synthesized from part columns (heading,
+      // paragraph with a mention, two-item bulletList, codeBlock); the
+      // oracle reconstructs the walked text directly from the same columns.
+      (s, d) => {
+        def txt(c: Column): Column =
+          concat(lit("{\"type\":\"text\",\"text\":\""), c, lit("\"}"))
+        val heading = concat(
+          lit("{\"type\":\"heading\",\"attrs\":{\"level\":2},\"content\":["),
+          txt(concat(lit("Part "), col("p_name"))), lit("]}"))
+        val para = concat(
+          lit("{\"type\":\"paragraph\",\"content\":["),
+          txt(lit("brand ")),
+          lit(",{\"type\":\"mention\",\"attrs\":{\"id\":\"u1\",\"text\":\"@"),
+          col("p_brand"), lit("\"}}]}"))
+        def item(c: Column): Column = concat(
+          lit("{\"type\":\"listItem\",\"content\":[{\"type\":\"paragraph\",\"content\":["),
+          txt(c), lit("]}]}"))
+        val list = concat(
+          lit("{\"type\":\"bulletList\",\"content\":["),
+          item(concat(lit("size "), col("p_size").cast("string"))), lit(","),
+          item(concat(lit("type "), col("p_type"))), lit("]}"))
+        val code = concat(
+          lit("{\"type\":\"codeBlock\",\"content\":["),
+          txt(concat(lit("code "), col("p_brand"))), lit("]}"))
+        val adf = concat(lit("{\"type\":\"doc\",\"version\":1,\"content\":["),
+          heading, lit(","), para, lit(","), list, lit(","), code, lit("]}"))
+        t(s, d, "part")
+          .select(col("p_partkey"), AdfWalker.adfToTextUdf(adf).as("text"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+                '## Part ' || p_name || chr(10) || chr(10) ||
+                'brand @' || p_brand || chr(10) || chr(10) ||
+                '- size ' || p_size || chr(10) ||
+                '- type ' || p_type || chr(10) || chr(10) ||
+                '```' || chr(10) || 'code ' || p_brand || chr(10) || '```' AS text
+              FROM part ORDER BY p_partkey""")),
+
+    Q("f5_participation",
+      // reference F5 decision table (`lib/name-matcher.js:329-391`,
+      // `transcripts/download-from-drive.js:552-574`): keep a file iff
+      // matched >= min OR (participants > 2 AND matched > 0). Participants
+      // are synthesized with case/separator variants that all normalize to
+      // the same identity; the oracle replays the normalization chain AND
+      // the decision predicate in SQL.
+      (s, d) => {
+        val team = (0 to 2).map(i =>
+          NameMatcher.Member(s"User $i", s"u$i", Nil))
+        val aliases = NameMatcher.aliasTable(s, team)
+        // files = blocks of 5 consecutive custkeys (constant size at ANY
+        // scale factor); participant identity cycles mod 11, so a block's
+        // overlap with team {0,1,2} ranges 0..3 — blocks starting at
+        // s ≡ 3..6 (mod 11) have ZERO matches and are dropped, exercising
+        // the negative leg of the decision table at every SF
+        val k11 = (col("c_custkey") % 11).cast("string")
+        val participant = when(col("c_custkey") % 3 === 0,
+            concat(lit("User-"), k11))
+          .when(col("c_custkey") % 3 === 1, concat(lit("user_"), k11))
+          .otherwise(concat(lit("USER "), k11, lit("  ")))
+        val fp = t(s, d, "customer")
+          .select(expr("c_custkey div 5").as("file"), participant.as("participant"))
+        NameMatcher.participationDecision(fp, aliases, minRequired = 2)
+          .orderBy("file")
+      },
+      Some(s"""WITH p AS (
+                SELECT c_custkey // 5 AS file,
+                  CASE c_custkey % 3
+                    WHEN 0 THEN 'User-' || (c_custkey % 11)
+                    WHEN 1 THEN 'user_' || (c_custkey % 11)
+                    ELSE 'USER ' || (c_custkey % 11) || '  ' END AS participant
+                FROM customer),
+              n AS (
+                SELECT file, participant,
+                  ${TextFns.normalizeNameSql("participant")} AS pn
+                FROM p),
+              g AS (
+                SELECT file,
+                  count(DISTINCT participant) AS n_participants,
+                  count(DISTINCT CASE WHEN pn IN ('user 0','user 1','user 2')
+                                      THEN pn END) AS n_matched
+                FROM n GROUP BY file)
+              SELECT file, n_participants, n_matched,
+                (n_matched >= 2 OR (n_participants > 2 AND n_matched > 0)) AS kept
+              FROM g ORDER BY file"""))
   )
 }
