@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -65,4 +66,158 @@ object DailyReports {
       .select(col("employee_id"),
         concat(lit("# Daily Report: "), col("first_name"), lit(" "),
           col("last_name"), lit("\n\n"), col("sections")).as("doc"))
+
+  // ------------------------------------------------- reference-format render
+
+  /** Single-pass entity decode (reference `decodeEntities`,
+    * `csv-to-markdown.js:281-295`). `&amp;` is decoded LAST so a chain of
+    * replaces matches the reference's single-pass semantics
+    * (`&amp;lt;` → `&lt;`, never double-decoded to `<`).
+    */
+  private def decodeEntities(c: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to))
+    }
+  }
+
+  /** Inline HTML → markdown (reference `htmlInlineToMarkdown`,
+    * `csv-to-markdown.js:263-275`): b/strong → `**`, i/em → `*`,
+    * code → backtick, br → newline.
+    */
+  private def htmlInline(c: Column): Column = {
+    val steps = Seq(
+      "(?i)<\\s*(b|strong)\\s*>" -> "**", "(?i)<\\s*/\\s*(b|strong)\\s*>" -> "**",
+      "(?i)<\\s*(i|em)\\s*>" -> "*", "(?i)<\\s*/\\s*(i|em)\\s*>" -> "*",
+      "(?i)<\\s*code\\s*>" -> "`", "(?i)<\\s*/\\s*code\\s*>" -> "`",
+      "(?i)<\\s*br\\s*/?\\s*>" -> "\n")
+    steps.foldLeft(c) { case (acc, (p, r)) =>
+      regexp_replace(acc, p, java.util.regex.Matcher.quoteReplacement(r))
+    }
+  }
+
+  /** `<li>` items → cleaned bullet texts (reference `htmlToBulletLines`,
+    * `csv-to-markdown.js:230-253`): strip wrapping `<p>`, inline → md,
+    * strip tags, decode entities, collapse whitespace; empties dropped.
+    */
+  def htmlBulletLines(html: Column): Column = {
+    val raw = regexp_extract_all(html, lit("(?si)<li.*?>(.*?)</li>"), lit(1))
+    val cleaned = transform(raw, it => {
+      val noP = regexp_replace(
+        regexp_replace(it, "(?i)^\\s*<p[^>]*>", ""), "(?i)</p>\\s*$", "")
+      val decoded = decodeEntities(
+        regexp_replace(htmlInline(noP), "<[^>]+>", ""))
+      trim(regexp_replace(decoded, "\\s+", " "))
+    })
+    filter(cleaned, x => length(x) > 0)
+  }
+
+  /** Whole-fragment plain text (reference `htmlToPlainText`). */
+  def htmlPlainText(html: Column): Column =
+    trim(regexp_replace(
+      decodeEntities(regexp_replace(htmlInline(html), "<[^>]+>", "")),
+      "\\s+", " "))
+
+  private def nonEmptyOrNull(c: Column): Column =
+    when(length(c) > 0, c)
+
+  /** Reference-faithful K2/A1 renderer (`daily-reports/csv-to-markdown.js:
+    * 51-227`): one `# Daily Reports` doc per employee — header context
+    * lines with trailing double-space line breaks, dates ASCENDING with
+    * humanized `MMMM d, yyyy` headings, per-row Tasks Done / To Do bullet
+    * extraction from the HTML fields, a Details block, and the
+    * `### Name — Project` label branch when a date has multiple rows.
+    * Pure per-group aggregation — no collect(); `rowOrder` is the
+    * within-date tiebreak standing in for the reference's CSV row order.
+    *
+    * Input columns: employee_id, employee_first_name, employee_last_name,
+    * report_date, client_project_name, client_project_id,
+    * report_template_name, content, todo.
+    */
+  def renderReportMarkdown(rows: DataFrame, generatedAt: String,
+      rowOrder: Column = lit(0)): DataFrame = {
+    val name = trim(concat_ws(" ",
+      nonEmptyOrNull(trim(col("employee_first_name"))),
+      nonEmptyOrNull(trim(col("employee_last_name")))))
+    val project = trim(col("client_project_name"))
+
+    def bulletBlock(title: String, html: Column): Column = {
+      val items = htmlBulletLines(html)
+      val fallback = htmlPlainText(html)
+      concat(lit(s"### $title\n\n"),
+        when(size(items) > 0,
+          concat(array_join(transform(items, i => concat(lit("- "), i)), "\n"),
+            lit("\n\n")))
+          .otherwise(concat(
+            when(length(fallback) > 0, concat(lit("- "), fallback))
+              .otherwise(lit("- (none)")),
+            lit("\n\n"))))
+    }
+
+    val multiple =
+      count(lit(1)).over(Window.partitionBy("employee_id", "report_date")) > 1
+    val label = concat_ws(" — ", nonEmptyOrNull(name), nonEmptyOrNull(project))
+    val context = concat_ws("  \n",
+      nonEmptyOrNull(concat(lit("**Employee**: "), name)),
+      nonEmptyOrNull(concat(lit("**Project**: "), project)))
+    val head = when(multiple,
+        coalesce(nonEmptyOrNull(concat(lit("### "), label, lit("\n\n"))), lit("")))
+      .otherwise(
+        coalesce(nonEmptyOrNull(concat(context, lit("\n\n"))), lit("")))
+
+    val meta = concat(
+      coalesce(nonEmptyOrNull(concat(lit("- Template: "),
+        col("report_template_name"), lit("\n"))), lit("")),
+      coalesce(nonEmptyOrNull(concat(lit("- Project ID: "),
+        col("client_project_id").cast("string"), lit("\n"))), lit("")),
+      coalesce(nonEmptyOrNull(concat(lit("- Employee ID: "),
+        col("employee_id").cast("string"), lit("\n"))), lit("")))
+    val details =
+      coalesce(nonEmptyOrNull(concat(lit("### Details\n\n"), meta, lit("\n"))),
+        lit(""))
+
+    val rowBlock = concat(head,
+      bulletBlock("Tasks Done", col("content")),
+      bulletBlock("To Do", col("todo")),
+      details)
+
+    val headerFields = struct(name.as("name"), project.as("project"),
+      col("report_template_name").as("template"))
+
+    val perDate = rows
+      .withColumn("_block", rowBlock)
+      .withColumn("_ord", rowOrder)
+      .groupBy(col("employee_id"), col("report_date"))
+      .agg(
+        min_by(headerFields, rowOrder).as("_hdr"),
+        concat(
+          lit("## "), date_format(col("report_date"), "MMMM d, yyyy"),
+          lit("\n\n"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(_ord, _block))), x -> x._block)"),
+            ""),
+          lit("\n")).as("_date_md"))
+
+    val header = concat(lit("# Daily Reports\n\n"),
+      coalesce(nonEmptyOrNull(concat(lit("**Employee**: "),
+        col("_hdr.name"), lit("  \n"))), lit("")),
+      coalesce(nonEmptyOrNull(concat(lit("**Project**: "),
+        col("_hdr.project"), lit("  \n"))), lit("")),
+      coalesce(nonEmptyOrNull(concat(lit("**Template**: "),
+        col("_hdr.template"), lit("  \n"))), lit("")),
+      lit(s"**Generated**: $generatedAt\n\n"))
+
+    perDate
+      .groupBy(col("employee_id"))
+      .agg(
+        min_by(col("_hdr"), col("report_date")).as("_hdr"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(report_date, _date_md))), x -> x._date_md)"),
+          "").as("_body"))
+      .select(col("employee_id"),
+        concat(regexp_replace(concat(header, col("_body")), "\\s+\\z", ""),
+          lit("\n")).as("doc"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DateFns, TextFns}
-import graft.operators.{AdfWalker, NameMatcher, SlackOps, Transcripts}
+import graft.operators.{AdfWalker, DailyReports, NameMatcher, SlackOps, Transcripts}
 
 /** Domain-operator queries: the reference's parser/markup/sanitize
   * operators (SURVEY §2.8) driven by inputs SYNTHESIZED from structured
@@ -449,6 +449,62 @@ object CatalogDomain {
                 FROM n GROUP BY file)
               SELECT file, n_participants, n_matched,
                 (n_matched >= 2 OR (n_participants > 2 AND n_matched > 0)) AS kept
-              FROM g ORDER BY file"""))
+              FROM g ORDER BY file""")),
+
+    Q("k2_daily_render",
+      // reference K2/A1 (`daily-reports/csv-to-markdown.js:51-227`): the
+      // full per-employee markdown grammar — header context lines, dates
+      // ascending with humanized headings, <li> bullet extraction with
+      // inline markdown + entity decode, Details block, final trim. The
+      // oracle rebuilds the entire document from the same aggregates.
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val rows = daily.select(
+          col("user_id").as("employee_id"),
+          lit("User").as("employee_first_name"),
+          col("user_id").cast("string").as("employee_last_name"),
+          col("day").as("report_date"),
+          lit("Graft Project").as("client_project_name"),
+          lit(7).as("client_project_id"),
+          lit("Daily Report").as("report_template_name"),
+          concat(lit("<ul><li><p>Did <b>"), col("n").cast("string"),
+            lit(" things</b> &amp; more</p></li><li>review</li></ul>")).as("content"),
+          when(col("day") < lit("2024-01-08"),
+            lit("<ul><li>follow up</li></ul>")).otherwise(lit("")).as("todo"))
+        DailyReports.renderReportMarkdown(rows, "2024-02-01 00:00:00")
+          .orderBy("employee_id")
+      },
+      Some("""WITH daily AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+                FROM events GROUP BY 1, 2),
+              blocks AS (
+                SELECT user_id, day,
+                  '## ' || strftime(day, '%B %-d, %Y') || chr(10) || chr(10) ||
+                  '**Employee**: User ' || user_id || '  ' || chr(10) ||
+                  '**Project**: Graft Project' || chr(10) || chr(10) ||
+                  '### Tasks Done' || chr(10) || chr(10) ||
+                  '- Did **' || n || ' things** & more' || chr(10) ||
+                  '- review' || chr(10) || chr(10) ||
+                  '### To Do' || chr(10) || chr(10) ||
+                  CASE WHEN day < DATE '2024-01-08' THEN '- follow up'
+                       ELSE '- (none)' END || chr(10) || chr(10) ||
+                  '### Details' || chr(10) || chr(10) ||
+                  '- Template: Daily Report' || chr(10) ||
+                  '- Project ID: 7' || chr(10) ||
+                  '- Employee ID: ' || user_id || chr(10) ||
+                  chr(10) || chr(10) AS block
+                FROM daily)
+              SELECT user_id AS employee_id,
+                regexp_replace(
+                  '# Daily Reports' || chr(10) || chr(10) ||
+                  '**Employee**: User ' || user_id || '  ' || chr(10) ||
+                  '**Project**: Graft Project  ' || chr(10) ||
+                  '**Template**: Daily Report  ' || chr(10) ||
+                  '**Generated**: 2024-02-01 00:00:00' || chr(10) || chr(10) ||
+                  string_agg(block, '' ORDER BY day),
+                  '\s+$', '') || chr(10) AS doc
+              FROM blocks GROUP BY user_id ORDER BY employee_id"""))
   )
 }

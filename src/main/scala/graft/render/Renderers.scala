@@ -39,6 +39,160 @@ object Renderers {
       s"""$name = \"\"\"\n${escapeTripleQuotes(content)}\n\"\"\"\n"""
     }.mkString("\n")
 
+  /** K3: the reference's per-member datasource module, byte-for-byte
+    * (template `datasource-generator/templates/datasource_template.py:1-20`
+    * filled by `generate_datasources.js:368-385`): three triple-quoted
+    * text blobs plus the two accessor functions. Empty inputs take the
+    * reference's fallback texts.
+    */
+  def memberDatasourceModule(memberName: String, generatedDate: String,
+      daily: String, jira: String, fathom: String): String = {
+    def orElse(s: String, fallback: String): String =
+      if (s == null || s.isEmpty) fallback else s
+    val d = orElse(daily,
+      "# Daily Reports\n\nNo daily reports found for this team member.")
+    val j = orElse(jira,
+      "# JIRA Tickets Report\n\nNo JIRA tickets found for this team member.")
+    val f = orElse(fathom, "# Transcripts\n\nNo transcripts found.")
+    val tq = "\"\"\""
+    // no stripMargin: interpolated content must pass through verbatim
+    s"DAILY_TEXT = $tq$d$tq\n" +
+      s"\nJIRA_TEXT = $tq$j$tq\n" +
+      s"\nFATHOM_TEXT = $tq$f$tq\n" +
+      "\ndef get_data_sources():\n" +
+      s"    ${tq}Returns all data sources for this team member.$tq\n" +
+      "    return {\n" +
+      "        \"daily_text\": DAILY_TEXT,\n" +
+      "        \"jira_text\": JIRA_TEXT,\n" +
+      "        \"fathom_text\": FATHOM_TEXT\n" +
+      "    }\n" +
+      "\ndef get_team_member_info():\n" +
+      s"    ${tq}Returns information about this team member.$tq\n" +
+      "    return {\n" +
+      s"""        "name": "$memberName",\n""" +
+      s"""        "generated_date": "$generatedDate"\n""" +
+      "    }\n"
+  }
+
+  // ----------------------------------------------------- weekly digest (K3)
+
+  /** First-seen-order per-line counters (JS object key insertion order,
+    * which the reference's `Object.entries` iteration preserves).
+    */
+  private def countsByLine(content: String,
+      patterns: Seq[scala.util.matching.Regex]): Seq[(String, Int)] = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    content.split("\n", -1).foreach { line =>
+      patterns.view.flatMap(_.findFirstMatchIn(line)).headOption.foreach { m =>
+        val k = m.group(1).trim
+        if (k.nonEmpty) acc(k) = acc.getOrElse(k, 0) + 1
+      }
+    }
+    acc.toSeq
+  }
+
+  private def uniqueIssueKeys(content: String): Int =
+    "\\[([A-Z]+-\\d+)\\]".r.findAllMatchIn(content).map(_.group(1))
+      .toSeq.distinct.size
+
+  private def statList(title: String, entries: Seq[(String, Int)]): String =
+    if (entries.isEmpty) ""
+    else s"### $title\n" +
+      entries.map { case (k, v) => s"- **$k**: $v\n" }.mkString + "\n"
+
+  /** Weekly-digest JIRA summary header (reference
+    * `generate_weekly_digest.js:393-496`): total + by-status/by-assignee
+    * breakdowns, parsed per source format (`epic-tree`, `team-report`,
+    * else individual reports).
+    */
+  def summarizeJira(content: String, source: String): String = {
+    val (total, byStatus, byAssignee) = source match {
+      case "epic-tree" =>
+        (uniqueIssueKeys(content),
+          countsByLine(content, Seq("\\*\\*Status\\*\\*:\\s*(.+)$".r,
+            "Status:\\s*(.+)$".r)),
+          countsByLine(content, Seq("\\*\\*Assignee\\*\\*:\\s*(.+)$".r,
+            "Assignee:\\s*(.+)$".r)))
+      case "team-report" =>
+        val byStatus = {
+          val acc = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+          content.split("\n", -1).foreach(l =>
+            "^###\\s+([^()]+)\\s+\\((\\d+)\\)".r.findFirstMatchIn(l)
+              .foreach(m => acc(m.group(1).trim) = m.group(2).toInt))
+          acc.toSeq
+        }
+        val totalDeclared =
+          "\\*\\*Total Tickets\\*\\*:\\s*(\\d+)".r.findFirstMatchIn(content)
+            .map(_.group(1).toInt)
+        val byAssignee = {
+          val acc = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+          var inSection = false
+          content.split("\n", -1).foreach { line =>
+            if (line.trim == "## Team Member Details") inSection = true
+            else if (inSection && line.startsWith("## ")) inSection = false
+            else if (inSection)
+              "^###\\s+(.+?)\\s+\\((\\d+) tickets\\)".r
+                .findFirstMatchIn(line.trim)
+                .foreach(m => acc(m.group(1).trim) = m.group(2).toInt)
+          }
+          acc.toSeq
+        }
+        (totalDeclared.getOrElse(uniqueIssueKeys(content)), byStatus, byAssignee)
+      case _ =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+        var current: Option[String] = None
+        content.split("\n", -1).foreach { line =>
+          if (line.startsWith("## ") && !line.startsWith("## Tickets by Status")) {
+            current = Some(line.replaceFirst("^##\\s+", "").trim).filter(_.nonEmpty)
+            current.foreach(c => acc(c) = 0) // JS resets a repeated heading
+
+          } else if (current.isDefined &&
+              "\\[([A-Z]+-\\d+)\\]".r.findFirstIn(line).isDefined)
+            acc(current.get) += 1
+        }
+        (uniqueIssueKeys(content), Seq.empty[(String, Int)], acc.toSeq)
+    }
+    s"## JIRA Summary\n\n**Total Tickets**: $total  \n\n" +
+      statList("By Status", byStatus) + statList("By Assignee", byAssignee) +
+      "---\n\n" + content
+  }
+
+  /** Daily-reports summary header (`generate_weekly_digest.js:497-515`). */
+  def summarizeDaily(content: String): String = {
+    val totalReports = "# Daily Report:".r.findAllIn(content).size
+    val employees = "\\*\\*Employee\\*\\*:\\s*([^\n]+)".r
+      .findAllMatchIn(content).map(_.group(1).trim).toSet
+    val dates = "(?m)^##\\s+(\\d{4}-\\d{2}-\\d{2})".r
+      .findAllMatchIn(content).map(_.group(1)).toSeq.sorted
+    val range =
+      if (dates.nonEmpty) s"**Date Range**: ${dates.head} to ${dates.last}  \n"
+      else ""
+    s"## Daily Reports Summary\n\n**Total Reports**: $totalReports  \n" +
+      s"**Unique Employees**: ${employees.size}  \n" + range + "\n---\n\n" +
+      content
+  }
+
+  /** Transcripts summary header (`generate_weekly_digest.js:517-523`). */
+  def summarizeTranscripts(content: String): String = {
+    val count = "# Transcript:".r.findAllIn(content).size
+    s"## Transcripts Summary\n\n**Total Transcripts**: $count  \n\n---\n\n" +
+      content
+  }
+
+  /** The weekly-digest datasource module, byte-for-byte (reference
+    * `generate_weekly_digest.js:529-553,740-745`): comment header + three
+    * triple-quote-escaped data blobs; the embedded Python helpers are
+    * stripped at the `def get_weekly_digest_data():` marker before the
+    * file is written, so the data-only module ends after the last blob.
+    */
+  def weeklyDigestModule(projectName: String, generatedOn: String,
+      jira: String, daily: String, transcripts: String): String =
+    s"# Weekly Digest Datasource for $projectName\n" +
+      s"# Generated on $generatedOn\n\n" +
+      "JIRA_DATA = \"\"\"" + escapeTripleQuotes(jira) + "\"\"\"\n\n" +
+      "DAILY_REPORTS_DATA = \"\"\"" + escapeTripleQuotes(daily) + "\"\"\"\n\n" +
+      "TRANSCRIPT_DATA = \"\"\"" + escapeTripleQuotes(transcripts) + "\"\"\"\n\n"
+
   /** K3 upstream: aggregate a (section_name, content) DataFrame into the
     * final module text. The only collect() in the engine — input is one
     * row per section by construction.

@@ -1,0 +1,26 @@
+DAILY_TEXT = """# Daily Reports
+
+day one"""
+
+JIRA_TEXT = """# JIRA Tickets Report
+
+No JIRA tickets found for this team member."""
+
+FATHOM_TEXT = """# Transcripts
+
+call notes"""
+
+def get_data_sources():
+    """Returns all data sources for this team member."""
+    return {
+        "daily_text": DAILY_TEXT,
+        "jira_text": JIRA_TEXT,
+        "fathom_text": FATHOM_TEXT
+    }
+
+def get_team_member_info():
+    """Returns information about this team member."""
+    return {
+        "name": "Ada Lovelace",
+        "generated_date": "2024-02-01 09:30:00"
+    }

@@ -1,0 +1,56 @@
+# Weekly Digest Datasource for Apollo
+# Generated on 2024-02-01 09:30:00
+
+JIRA_DATA = """## JIRA Summary
+
+**Total Tickets**: 3  
+
+### By Assignee
+- **Ada Lovelace**: 2
+- **Grace Hopper**: 1
+
+---
+
+## Ada Lovelace
+
+- [AB-1] Fix parser
+- [AB-2] Ship docs
+
+## Grace Hopper
+
+- [AB-3] Review compiler"""
+
+DAILY_REPORTS_DATA = """## Daily Reports Summary
+
+**Total Reports**: 2  
+**Unique Employees**: 2  
+**Date Range**: 2024-01-05 to 2024-01-06  
+
+---
+
+# Daily Report: Ada
+
+**Employee**: Ada Lovelace  
+
+## 2024-01-05
+
+- did things
+
+# Daily Report: Grace
+
+**Employee**: Grace Hopper  
+
+## 2024-01-06
+
+- other things"""
+
+TRANSCRIPT_DATA = """## Transcripts Summary
+
+**Total Transcripts**: 1  
+
+---
+
+# Transcript: Standup
+
+notes"""
+
