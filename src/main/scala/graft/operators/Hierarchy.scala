@@ -17,8 +17,12 @@ import org.apache.spark.storage.StorageLevel
 object Hierarchy {
 
   /** `edges`: (id: long, parent: long|null). Returns (id, root, depth)
-    * for every id, where `root` is the transitive parent whose own parent
-    * is NULL. `maxDepth` caps runaway cycles (cycle rows are dropped).
+    * for EVERY id: resolvable ids carry the transitive parent whose own
+    * parent is NULL; ids still walking at `maxDepth` (a cycle, or a chain
+    * deeper than the cap) come back with `root` NULL so callers can bucket
+    * them — the reference routes every non-resolvable issue into "Issues
+    * Without Epic" (`jira/build-epic-tree.js:574-585`) rather than losing
+    * rows silently.
     *
     * Each level's join result is cached so (a) the termination count and
     * (b) the final union both read the cache instead of recursively
@@ -45,7 +49,15 @@ object Hierarchy {
       remaining = joined.filter(col("parent").isNotNull).count()
       i += 1
     }
-    val done = doneParts.reduce(_ union _).persist(StorageLevel.MEMORY_AND_DISK)
+    // anything still in the frontier after maxDepth rounds is a cycle or an
+    // over-deep chain: emit it with a NULL root instead of dropping it
+    val unresolved =
+      if (remaining > 0)
+        Seq(frontier.select(col("id"), lit(null).cast("long").as("root"),
+          col("depth")))
+      else Seq.empty[DataFrame]
+    val done = (doneParts ++ unresolved).reduce(_ union _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     done.count()
     cached.foreach(_.unpersist(blocking = false))
     parents.unpersist(blocking = false)

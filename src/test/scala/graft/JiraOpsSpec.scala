@@ -99,4 +99,23 @@ class JiraOpsSpec extends AnyFunSuite {
     assert(got("E-1") == (("E-1", 0)))
     assert(got("X-1")._1 == "Issues Without Epic")
   }
+
+  test("epicResolve: a parent cycle lands in the fallback bucket, not dropped") {
+    val issues = Seq(
+      ("E-1", null, "Epic", "The Epic", "In Progress"),
+      ("S-1", "E-1", "Story", "Story one", "Done"),
+      // A-1 <-> B-1 form a cycle; C-1 hangs off it
+      ("A-1", "B-1", "Task", "Cycle a", "To Do"),
+      ("B-1", "A-1", "Task", "Cycle b", "To Do"),
+      ("C-1", "A-1", "Task", "Cycle child", "To Do"))
+      .toDF("key", "parent_key", "issuetype", "summary", "status")
+    val rows = JiraOps.epicResolve(issues)
+      .select("key", "epic_key").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == 5, "no rows may vanish on a cycle")
+    assert(rows("S-1") == "E-1")
+    assert(rows("A-1") == "Issues Without Epic")
+    assert(rows("B-1") == "Issues Without Epic")
+    assert(rows("C-1") == "Issues Without Epic")
+  }
 }
