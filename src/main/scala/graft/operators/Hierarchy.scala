@@ -24,24 +24,28 @@ object Hierarchy {
     * Without Epic" (`jira/build-epic-tree.js:574-585`) rather than losing
     * rows silently.
     *
-    * Each level's join result is cached so (a) the termination count and
-    * (b) the final union both read the cache instead of recursively
-    * re-deriving every level from the source scan; the result is
+    * Each level's join result is CHECKPOINTED eagerly (localCheckpoint in
+    * local mode, reliable when `sc.setCheckpointDir` is set, like
+    * `Dedup.connectedComponents`): a plain persist bounds recomputation
+    * but not the logical-plan depth, and a deep walk (a cycle burning all
+    * `maxDepth` rounds) otherwise OOMs the PLANNER in AQE's per-round
+    * explain rendering long before the data gets big. The result is
     * materialized before intermediates are released.
     */
   def resolveRoots(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def chk(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val parents = edges.select(col("id").as("cur"), col("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = edges
       .select(col("id"), col("id").as("cur"), lit(0).as("depth"))
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var i = 0
     var remaining = 1L
     while (remaining > 0 && i < maxDepth) {
-      val joined = frontier.join(parents, Seq("cur"), "left")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cached += joined
+      val joined = chk(frontier.join(parents, Seq("cur"), "left"))
       doneParts += joined.filter(col("parent").isNull)
         .select(col("id"), col("cur").as("root"), col("depth"))
       frontier = joined.filter(col("parent").isNotNull)
@@ -59,8 +63,7 @@ object Hierarchy {
     val done = (doneParts ++ unresolved).reduce(_ union _)
       .persist(StorageLevel.MEMORY_AND_DISK)
     done.count()
-    cached.foreach(_.unpersist(blocking = false))
     parents.unpersist(blocking = false)
-    done
+    done // per-round checkpoint blocks are GC-reclaimed once `done` drops them
   }
 }

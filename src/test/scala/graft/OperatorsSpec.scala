@@ -157,6 +157,9 @@ class OperatorsSpec extends AnyFunSuite {
     val labels = graft.operators.Dedup.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet == Set(0L), "one component, min label 0")
+    assert(graft.operators.Dedup.lastRounds <= 10,
+      s"pointer jumping should converge a 24-hop path in O(log d) rounds, " +
+        s"took ${graft.operators.Dedup.lastRounds}")
     intercept[IllegalStateException] {
       graft.operators.Dedup.connectedComponents(chain, maxIter = 2)
     }
