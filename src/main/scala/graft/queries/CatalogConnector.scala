@@ -296,6 +296,61 @@ object CatalogConnector {
                      CAST(length(text) AS BIGINT) AS n_chars
               FROM documents
               WHERE doc_id % 5 = 0 AND doc_id % 30 >= 14
-              ORDER BY name"""))
+              ORDER BY name""")),
+
+    Q("s14_csv_roundtrip",
+      // S14 end to end: a distributed header-CSV stage (the analog of the
+      // reference's db-query.js CSV export), read back through
+      // Sources.csv with an explicit schema, aggregated; the oracle
+      // recomputes from the original parquet, so any CSV write/parse
+      // drift (quoting, types, header) breaks the row.
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        graft.sources.Sources.csv(s, out, Some(schema))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    Q("s15_json_roundtrip",
+      // S15 end to end: nested JSON staged (struct-ish key/status plus a
+      // line-number array per order), read back through Sources.json,
+      // array-aggregated; oracle recomputes from orders ⋈ lineitem.
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_stage_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        val li = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        t(s, d, "orders")
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("key"),
+            col("o_orderstatus").as("status"), col("lines"))
+          .write.mode("overwrite").json(out)
+        graft.sources.Sources.json(s, out, multiLine = false)
+          .select(col("status"), size(col("lines")).as("n"),
+            expr("aggregate(lines, 0L, (a, x) -> a + x)").as("lsum"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_orders"), sum("n").as("n_lines"),
+            sum("lsum").as("sum_linenums"))
+          .orderBy("status")
+      },
+      Some("""WITH per AS (
+                SELECT l_orderkey, count(*) AS n, sum(l_linenumber) AS s
+                FROM lineitem GROUP BY 1)
+              SELECT o.o_orderstatus AS status, count(*) AS n_orders,
+                CAST(sum(p.n) AS BIGINT) AS n_lines,
+                CAST(sum(p.s) AS BIGINT) AS sum_linenums
+              FROM orders o JOIN per p ON o.o_orderkey = p.l_orderkey
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

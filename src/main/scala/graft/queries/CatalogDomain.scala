@@ -451,6 +451,74 @@ object CatalogDomain {
                 (n_matched >= 2 OR (n_participants > 2 AND n_matched > 0)) AS kept
               FROM g ORDER BY file""")),
 
+    Q("j8_user_resolution",
+      // reference J8 (`slack/convert-to-markdown.js` author + mention
+      // resolution): codegen map-literal author lookup + folded
+      // regexp_replace mention chain (<= 64 users); ids outside the map
+      // keep the raw <@U…> tag. Oracle reconstructs both columns.
+      (s, d) => {
+        val userMap = (0 until 20).map(i => s"U$i" -> s"User $i").toMap
+        val uid = col("user_id") % 20
+        val m = (col("user_id") + col("event_id")) % 25
+        val messages = events(s, d).select(
+          col("event_id"),
+          concat(lit("U"), uid.cast("string")).as("user"),
+          concat(lit("ping <@U"), m.cast("string"), lit("> re "),
+            col("event_id").cast("string")).as("text"))
+        SlackOps.resolveUsers(messages, userMap)
+          .select(col("event_id"), col("author"), col("text"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+                'User ' || (user_id % 20) AS author,
+                CASE WHEN (user_id + event_id) % 25 < 20
+                     THEN 'ping @User ' || ((user_id + event_id) % 25)
+                          || ' re ' || event_id
+                     ELSE 'ping <@U' || ((user_id + event_id) % 25)
+                          || '> re ' || event_id END AS text
+              FROM events ORDER BY event_id""")),
+
+    Q("f9_thread_suppress",
+      // reference F9 (`slack/convert-to-markdown.js` top-level filter):
+      // replies (thread_ts set and != ts) drop; parents and singletons stay
+      (s, d) => {
+        val messages = events(s, d).select(
+          col("event_id"),
+          col("event_id").cast("long").as("ts"),
+          when(col("event_id") % 3 === 0, lit(null).cast("long"))
+            .when(col("event_id") % 3 === 1, col("event_id").cast("long"))
+            .otherwise((col("event_id") - 1).cast("long")).as("thread_ts"))
+        messages.filter(SlackOps.suppressThreadReplies(messages))
+          .select(col("event_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id FROM events
+              WHERE event_id % 3 IN (0, 1) ORDER BY event_id""")),
+
+    Q("x12_slugify",
+      // reference X12 (`output-filename.js:18-25`): NFKD slug — accents
+      // decompose and drop, runs of non-alphanumerics collapse to '_',
+      // edges trim, lowercase. Four fixture shapes cycle on c_custkey;
+      // the oracle reconstructs each expected slug directly.
+      (s, d) => {
+        val k = col("c_custkey").cast("string")
+        val name = when(col("c_custkey") % 4 === 0,
+            concat(lit("José García "), k))
+          .when(col("c_custkey") % 4 === 1, concat(lit("Ünïcödé-Wörks "), k))
+          .when(col("c_custkey") % 4 === 2, concat(lit("  Ada__Lovelace!! "), k))
+          .otherwise(concat(lit("Plain Name "), k))
+        t(s, d, "customer")
+          .select(col("c_custkey"), TextFns.slugify(name).as("slug"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                CASE c_custkey % 4
+                  WHEN 0 THEN 'jose_garcia_' || c_custkey
+                  WHEN 1 THEN 'unicode_works_' || c_custkey
+                  WHEN 2 THEN 'ada_lovelace_' || c_custkey
+                  ELSE 'plain_name_' || c_custkey END AS slug
+              FROM customer ORDER BY c_custkey""")),
+
     Q("k2_daily_render",
       // reference K2/A1 (`daily-reports/csv-to-markdown.js:51-227`): the
       // full per-employee markdown grammar — header context lines, dates

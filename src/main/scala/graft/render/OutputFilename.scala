@@ -1,0 +1,68 @@
+package graft.render
+
+/** Output-filename templating (reference X13,
+  * `datasource-generator/lib/output-filename.js:1-75`): `{token}`
+  * substitution over a config context, NFKD-slugged member names,
+  * filename sanitization, and per-report-type default templates.
+  * Driver-side, config-sized, pure — filenames are metadata for the K2/K3
+  * sinks, never row data.
+  */
+object OutputFilename {
+
+  /** `slugify` (`output-filename.js:18-25`): NFKD, strip combining marks,
+    * non-alphanumeric runs to `_`, trim `_`, lowercase.
+    * 'José García' → 'jose_garcia'.
+    */
+  def slugify(input: String): String =
+    java.text.Normalizer
+      .normalize(Option(input).getOrElse(""), java.text.Normalizer.Form.NFKD)
+      .replaceAll("[\\u0300-\\u036f]", "")
+      .replaceAll("[^a-zA-Z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+      .toLowerCase
+
+  /** `sanitizeFilename` (`output-filename.js:27-37`): path separators and
+    * reserved chars to `-`, control chars removed, trimmed; empty falls
+    * back to `datasource`.
+    */
+  def sanitizeFilename(name: String): String = {
+    val n = Option(name).getOrElse("")
+      .replaceAll("[\\\\/]", "-")
+      .replaceAll("[\\x00\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      .replaceAll("[:*?\"<>|]", "-")
+      .trim
+    if (n.isEmpty) "datasource" else n
+  }
+
+  /** Per-report-type default templates (`output-filename.js:39-45`). */
+  def defaultTemplateForType(reportType: String): String = reportType match {
+    case "weekly"    => "datasource_weekly_{project}.py"
+    case "team"      => "datasource_{project}_team.py"
+    case "1on1"      => "datasource_{memberShort}.py"
+    case "dashboard" => "datasource_dashboard_{project}.py"
+    case _           => "datasource.py"
+  }
+
+  /** `buildFilename` (`output-filename.js:47-69`). Unknown/missing tokens
+    * substitute as empty (JS `tokens[k] != null ? … : ''`); `memberSlug`
+    * falls back to `slugify(memberFull || memberShort)` on JS falsiness
+    * (absent OR empty). Timestamps are injected for determinism instead
+    * of `new Date()`.
+    */
+  def buildFilename(template: Option[String], context: Map[String, String],
+      today: String, timestamp: String): String = {
+    val memberSlug = context.get("memberSlug").filter(_.nonEmpty).getOrElse(
+      slugify(context.get("memberFull").filter(_.nonEmpty)
+        .orElse(context.get("memberShort").filter(_.nonEmpty))
+        .getOrElse("")))
+    val tokens = context ++
+      Map("memberSlug" -> memberSlug, "today" -> today, "timestamp" -> timestamp)
+    val tpl = template.filter(_.nonEmpty).getOrElse(
+      defaultTemplateForType(context.getOrElse("reportType", "")))
+    val substituted = "\\{(\\w+)\\}".r.replaceAllIn(tpl, m =>
+      java.util.regex.Matcher.quoteReplacement(tokens.getOrElse(m.group(1), "")))
+    var name = sanitizeFilename(substituted)
+    if (!name.toLowerCase.endsWith(".py")) name += ".py"
+    name.substring(name.lastIndexOf('/') + 1) // path.basename, for fidelity
+  }
+}
