@@ -42,7 +42,15 @@ object CatalogConnector {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_jira_stage_" +
       java.lang.Integer.toHexString(d.hashCode) + "/issues"
     val o = t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
-    val li = t(s, d, "lineitem")
+    // l_linenumber is NOT unique per order (and neither is any
+    // double-free column combo): history ids need a deterministic
+    // per-order sequence over a provably-unique total order, which the
+    // oracles replicate with the same ROW_NUMBER window
+    val li = t(s, d, "lineitem").withColumn("seq",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_shipdate"), col("l_extendedprice"))))
     val perOrder = li.groupBy("l_orderkey").agg(
       sort_array(collect_list(struct(
         col("l_linenumber").as("ln"),
@@ -51,7 +59,7 @@ object CatalogConnector {
         concat(lit("part "), col("l_partkey")).as("body")))).as("comments"),
       sort_array(collect_list(struct(
         col("l_linenumber").as("ln"),
-        concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("id"),
+        concat(col("l_orderkey"), lit("-"), col("seq")).as("id"),
         date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("created"),
         struct(concat(lit("supplier_"), col("l_suppkey")).as("displayName"))
           .as("author"),
@@ -201,7 +209,10 @@ object CatalogConnector {
       },
       Some("""WITH h AS (
                 SELECT 'ORD-' || o_orderkey AS key,
-                       o_orderkey || '-' || l_linenumber AS history_id,
+                       o_orderkey || '-' || row_number() OVER (
+                         PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                  l_shipdate, l_extendedprice) AS history_id,
                        'supplier_' || l_suppkey AS author,
                        l_linestatus, l_linenumber
                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -214,6 +225,56 @@ object CatalogConnector {
                        CASE WHEN l_linenumber % 2 = 0 THEN 'Rank: Ranked higher'
                             ELSE 'Rank: Ranked lower' END AS summary FROM h)
               ORDER BY key, history_id, i_pos""")),
+
+    Q("j7_changelog_attach",
+      // J7/A13 through the connector: flatten → per-history blocks →
+      // per-issue changelog markdown attached to the issue row. The
+      // oracle rebuilds the exact markdown (item order by position,
+      // histories chronological with deterministic tiebreaks) in SQL.
+      (s, d) => {
+        val pages = stageIssuePages(s, d)
+        val issues = readIssues(s, pages).filter(col("project") === "2-HIGH")
+        val blocks = Changelog.historyBlocks(
+          Changelog.flatten(issues.select("key", "histories")))
+        Changelog.attach(issues.select("key", "status"), blocks)
+          .select("key", "status", "changelog_md")
+          .orderBy("key")
+      },
+      Some("""WITH h AS (
+                SELECT 'ORD-' || o_orderkey AS key,
+                       o_orderkey || '-' || row_number() OVER (
+                         PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                  l_shipdate, l_extendedprice) AS history_id,
+                       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d %H:%M:%S')
+                         AS created,
+                       l_linestatus, l_linenumber
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_orderkey % 10 = 0 AND o_orderpriority = '2-HIGH'),
+              items AS (
+                SELECT key, history_id, created, 0 AS i_pos,
+                       'status: PENDING → ' || l_linestatus AS summary FROM h
+                UNION ALL
+                SELECT key, history_id, created, 1 AS i_pos,
+                       CASE WHEN l_linenumber % 2 = 0 THEN 'Rank: Ranked higher'
+                            ELSE 'Rank: Ranked lower' END AS summary FROM h),
+              blocks AS (
+                SELECT key, history_id, created,
+                       string_agg('- ' || summary, chr(10) ORDER BY i_pos)
+                         AS block
+                FROM items GROUP BY key, history_id, created),
+              per_issue AS (
+                SELECT key,
+                       string_agg(created || ' — ' || block,
+                         chr(10) || chr(10)
+                         ORDER BY created, history_id, block) AS changelog_md
+                FROM blocks GROUP BY key)
+              SELECT 'ORD-' || o_orderkey AS key, o_orderstatus AS status,
+                     coalesce(p.changelog_md, '') AS changelog_md
+              FROM orders o
+              LEFT JOIN per_issue p ON p.key = 'ORD-' || o_orderkey
+              WHERE o_orderkey % 10 = 0 AND o_orderpriority = '2-HIGH'
+              ORDER BY key""")),
 
     Q("s8_slack_connector",
       // S8/S9 through the Slack connector: channel equality prunes to
