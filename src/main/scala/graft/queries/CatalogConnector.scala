@@ -359,6 +359,48 @@ object CatalogConnector {
               WHERE doc_id % 5 = 0 AND doc_id % 30 >= 14
               ORDER BY name""")),
 
+    Q("s16_markdown_dir",
+      // S16 end to end: real .md files staged executor-side, scanned back
+      // through Sources.markdownDir (wholetext + *.md glob + recursive
+      // lookup); the oracle recomputes names and sizes from documents.
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_md_stage_" +
+          java.lang.Integer.toHexString(d.hashCode) + "/md"
+        val docs = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
+          .select(
+            concat(lit("doc_"), lpad(col("doc_id").cast("string"), 6, "0"),
+              lit(".md")).as("fname"),
+            col("text"))
+        graft.sources.drive.DriveSource.stageFiles(docs, out, "fname", "text")
+        graft.sources.Sources.markdownDir(s, out)
+          .select(
+            element_at(split(col("path"), "/"), -1).as("name"),
+            length(col("content")).cast("long").as("n_chars"))
+          .orderBy("name")
+      },
+      Some("""SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.md'
+                       AS name,
+                     CAST(length(text) AS BIGINT) AS n_chars
+              FROM documents WHERE doc_id % 20 = 0 ORDER BY name""")),
+
+    Q("s7_point_lookup",
+      // S7 through the connector: a key-equality predicate pushes down as
+      // the JQL point lookup (JiraSource plans exactly the matching page
+      // rows); orderkey 0 exists at every scale factor. Oracle reads the
+      // same issue straight from orders.
+      (s, d) => {
+        val pages = stageIssuePages(s, d)
+        readIssues(s, pages)
+          .filter(col("key") === "ORD-0")
+          .select("key", "project", "status", "assignee")
+          .orderBy("key")
+      },
+      Some("""SELECT 'ORD-' || o_orderkey AS key,
+                     o_orderpriority AS project,
+                     o_orderstatus AS status,
+                     'cust_' || o_custkey AS assignee
+              FROM orders WHERE o_orderkey = 0 ORDER BY key""")),
+
     Q("s14_csv_roundtrip",
       // S14 end to end: a distributed header-CSV stage (the analog of the
       // reference's db-query.js CSV export), read back through
