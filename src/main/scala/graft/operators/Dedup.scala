@@ -15,6 +15,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Intermediates persisted by the candidate generators (shingle and
+    * signature relations), tracked so callers can release them: the
+    * results are lazy, so the operators themselves can never know when
+    * the caller's terminal action has run. Evictable MEMORY_AND_DISK,
+    * so leaving them is safe (LRU reclaims under pressure) — calling
+    * [[releaseCaches]] after consuming a result is just tidier in a
+    * long-lived session.
+    */
+  private val tracked = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def trackedPersist(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist()
+    tracked += p
+    p
+  }
+
+  /** Unpersist every intermediate cached by dedup calls so far. */
+  def releaseCaches(): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking = false))
+    tracked.clear()
+  }
+
   /** Ensure at least default parallelism for compute-heavy per-row work.
     * Small single-file inputs (one parquet row group) otherwise pin an
     * entire shingle/hash pipeline to one task — the classic small-file
@@ -61,12 +83,10 @@ object Dedup {
     // join/shuffle on the shingle's 8-byte hash, not the ~k-word string:
     // same equality semantics (64-bit collision odds are ~1e-9 at 1e5
     // distinct shingles) at a fraction of the shuffle width.
-    // persist (evictable MEMORY_AND_DISK) is intentionally not unpersisted:
-    // the result is lazy, so release would have to happen after the
-    // caller's action; size is bounded by the shingle relation and LRU
-    // eviction reclaims it under pressure.
-    val sh = shingleRows(docs, idCol, textCol, k)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh")).persist()
+    // persisted via trackedPersist: release happens in the caller's
+    // hands ([[releaseCaches]]) after its action, or by LRU eviction.
+    val sh = trackedPersist(shingleRows(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh")))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("id_a"), col("shh"))
     val b = sh.select(col("doc_id").as("id_b"), col("shh"))
@@ -133,7 +153,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingleRows(docs, idCol, textCol, k).persist()
+    val sh = trackedPersist(shingleRows(docs, idCol, textCol, k))
     val sigs = minHashSignatures(sh, numHashes)
     val bandRows = sigs.select(
       col("doc_id"),
@@ -363,7 +383,8 @@ object Dedup {
       col(idCol).as("doc_id"),
       transform(array_distinct(shingles(words(col(textCol)), k)),
         w => hashFn(w)).as("wh"))
-    val sigs = hashes.select(col("doc_id"), simHash(col("wh")).as("sig")).persist()
+    val sigs = trackedPersist(
+      hashes.select(col("doc_id"), simHash(col("wh")).as("sig")))
     sigs.count() // materialize once; reused by blocks self-join below
     val blocks = sigs.select(
       col("doc_id"), col("sig"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,38 @@ object JiraOps {
             .between(lit(start + " 00:00:00").cast("timestamp"),
               lit(end + " 23:59:59").cast("timestamp"))))
       .filter(size(col("comments")) > 0)
+
+  private val fieldMapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, String])]()
+
+  /** S6: field-metadata `{id → name}` map (reference
+    * `jira/lib/field-map.js:110-221`). The staged `/field` page is read
+    * back as (id, name) JSON rows and collected to a driver map —
+    * constant-size metadata (a few hundred fields) that the rename
+    * projections embed as literals, the broadcast analog. Mirrors the
+    * reference's cache contract: 24 h TTL per path, `force` bypasses,
+    * rows missing id or name are skipped, and ANY failure degrades to an
+    * empty map so reports continue with raw field ids
+    * (`field-map.js:211-218` graceful fallback).
+    */
+  def loadFieldMap(spark: SparkSession, path: String,
+      ttlMs: Long = 24L * 3600 * 1000, force: Boolean = false): Map[String, String] = {
+    val now = System.currentTimeMillis()
+    if (!force) {
+      val hit = fieldMapCache.get(path)
+      if (hit != null && now - hit._1 < ttlMs) return hit._2
+    }
+    try {
+      val m = graft.sources.Sources.json(spark, path, multiLine = false)
+        .select(col("id").cast("string"), col("name").cast("string"))
+        .filter(col("id").isNotNull && col("name").isNotNull)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      fieldMapCache.put(path, (now, m))
+      m
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty
+    }
+  }
 
   /** X14: complex-field text extraction — `.name ?? .displayName ?? raw`
     * from a JSON-ish string column.

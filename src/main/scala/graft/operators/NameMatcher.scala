@@ -106,7 +106,9 @@ object NameMatcher {
         countDistinct(col("participant")).as("n_participants"),
         countDistinct(col("member")).as("n_matched"))
     val kept =
-      if (aliases.isEmpty) lit(true) // empty team fails OPEN
+      // empty team fails OPEN. `isEmpty` is a driver action per call:
+      // pass a cached (or in-memory) alias table when calling in a loop.
+      if (aliases.isEmpty) lit(true)
       else col("n_matched") >= minRequired ||
         (col("n_participants") > 2 && col("n_matched") > 0)
     grouped.withColumn("kept", kept)

@@ -359,6 +359,41 @@ object CatalogConnector {
               WHERE doc_id % 5 = 0 AND doc_id % 30 >= 14
               ORDER BY name""")),
 
+    Q("s6_field_map_rename",
+      // S6 end to end: the /field metadata page staged as JSON (id→name
+      // rows derived from region), loaded through JiraOps.loadFieldMap
+      // (driver map with the reference's 24h TTL cache), and broadcast
+      // into the J10 custom-field rename — ids resolve to display names,
+      // the `Custom field (X)` wrapper unwrapped. The oracle recomputes
+      // the rename as an orders×region join, so a stale/misparsed
+      // metadata page breaks the row.
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_field_stage_" +
+          java.lang.Integer.toHexString(d.hashCode) + "/fields"
+        t(s, d, "region").select(
+          concat(lit("cf_r_"), col("r_regionkey")).as("id"),
+          concat(lit("Custom field ("), col("r_name"), lit(")")).as("name"))
+          .coalesce(1).write.mode("overwrite").json(out)
+        // force: the stage above just rewrote the page
+        val nameMap = JiraOps.loadFieldMap(s, out, force = true)
+        t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+          .select(
+            concat(lit("ORD-"), col("o_orderkey")).as("key"),
+            map(
+              concat(lit("cf_r_"), col("o_orderkey") % 5), lit("y"),
+              lit("status"), col("o_orderstatus")).as("fields"))
+          .select(col("key"),
+            concat_ws(",", transform(
+              array_sort(JiraOps.customFields(col("fields"),
+                exclude = Seq("status"), nameMap = nameMap)),
+              e => concat(e.getField("name"), lit("="), e.getField("value"))))
+              .as("cf"))
+          .orderBy("key")
+      },
+      Some("""SELECT 'ORD-' || o_orderkey AS key, r_name || '=y' AS cf
+              FROM orders JOIN region ON r_regionkey = o_orderkey % 5
+              WHERE o_orderkey % 7 = 0 ORDER BY key""")),
+
     Q("s16_markdown_dir",
       // S16 end to end: real .md files staged executor-side, scanned back
       // through Sources.markdownDir (wholetext + *.md glob + recursive

@@ -32,6 +32,33 @@ class JiraOpsSpec extends AnyFunSuite {
     assert(got == Seq("High", "Jane", "plain", ""))
   }
 
+  test("loadFieldMap: id→name map, TTL cache, force refresh, fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fieldmap").toFile
+    val page = new java.io.File(dir, "fields.json")
+    def write(rows: String*): Unit = {
+      val w = new java.io.PrintWriter(page, "UTF-8")
+      try rows.foreach(w.println) finally w.close()
+    }
+    write(
+      """{"id":"customfield_10020","name":"Sprint"}""",
+      """{"id":"customfield_10016","name":"Story Points"}""",
+      """{"id":"orphan"}""") // no name → skipped, like the reference
+    val p = page.getAbsolutePath
+    val m1 = JiraOps.loadFieldMap(spark, p, force = true)
+    assert(m1 == Map(
+      "customfield_10020" -> "Sprint", "customfield_10016" -> "Story Points"))
+    // within TTL the stale cached map is served even after a rewrite
+    write("""{"id":"customfield_10020","name":"Renamed"}""")
+    assert(JiraOps.loadFieldMap(spark, p) == m1)
+    // force (or an expired TTL) re-reads the page
+    assert(JiraOps.loadFieldMap(spark, p, force = true) ==
+      Map("customfield_10020" -> "Renamed"))
+    assert(JiraOps.loadFieldMap(spark, p, ttlMs = 0L) ==
+      Map("customfield_10020" -> "Renamed"))
+    // any failure degrades to an empty map (reports keep raw ids)
+    assert(JiraOps.loadFieldMap(spark, s"$dir/nope.json", force = true).isEmpty)
+  }
+
   test("customFields: exclusion, empty-drop, rename, wrapper strip") {
     val df = Seq(1).toDF("x").select(map(
       lit("customfield_10020"), lit("Sprint 5"),

@@ -35,6 +35,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head._3 > 0.5)
   }
 
+  test("releaseCaches unpersists the dedup intermediates") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz")).toDF("doc_id", "text")
+    Dedup.releaseCaches() // drop anything earlier tests tracked
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, num = 1, den = 2).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "jaccardPairs should persist its shingle relation")
+    Dedup.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("minhash LSH agrees with exact jaccard on planted dups") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
