@@ -87,6 +87,34 @@ object SlackOps {
 
   private val mentionPattern = java.util.regex.Pattern.compile("<@([A-Za-z0-9]+)>")
 
+  /** S11: user map `{id → name}` from a staged `users.list` page
+    * (reference `slack/lib/api.js:337-380` fetchUserMap +
+    * `convert-to-markdown.js:120-133` file load). Name precedence is the
+    * reference's: trimmed non-empty `profile.real_name`, then trimmed
+    * non-empty `profile.display_name`, then `name`, then the id itself;
+    * rows without an id are skipped. Constant-size workspace metadata
+    * (one row per user), collected driver-side for [[resolveUsers]]'s
+    * broadcast; missing or unparsable pages degrade to an empty map so
+    * conversion falls back to raw ids, exactly like the reference.
+    */
+  def loadUserMap(spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] =
+    try {
+      def nonBlank(c: Column): Column =
+        when(trim(c) === "", lit(null).cast("string")).otherwise(trim(c))
+      graft.sources.Sources.json(spark, path, multiLine = false)
+        .select(
+          col("id").cast("string").as("id"),
+          coalesce(
+            nonBlank(col("profile.real_name").cast("string")),
+            nonBlank(col("profile.display_name").cast("string")),
+            col("name").cast("string"),
+            col("id").cast("string")).as("resolved"))
+        .filter(col("id").isNotNull)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty
+    }
+
   private def udfFreeMentionReplace(text: Column, userMap: Map[String, String]): Column =
     userMap.foldLeft(text) { case (acc, (id, name)) =>
       regexp_replace(acc, "<@" + id + ">", "@" + name)

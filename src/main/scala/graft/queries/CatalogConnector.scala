@@ -359,6 +359,53 @@ object CatalogConnector {
               WHERE doc_id % 5 = 0 AND doc_id % 30 >= 14
               ORDER BY name""")),
 
+    Q("s11_slack_users",
+      // S11 end to end: a users.list page staged as JSON (members derived
+      // from customer, exercising the real_name > display_name > name
+      // precedence), loaded through SlackOps.loadUserMap, and — at 120
+      // users, past the 64-user expression-folding threshold — resolved
+      // through the BROADCAST join + single-regex path that j8's literal
+      // form never reaches. Unknown mention ids keep the raw tag.
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_users_stage_" +
+          java.lang.Integer.toHexString(d.hashCode) + "/users"
+        t(s, d, "customer").filter(col("c_custkey") <= 120)
+          .select(
+            concat(lit("U"), col("c_custkey")).as("id"),
+            struct(
+              when(col("c_custkey") % 3 === 0, col("c_name")).as("real_name"),
+              when(col("c_custkey") % 3 <= 1, concat(lit("disp "), col("c_name")))
+                .as("display_name")).as("profile"),
+            concat(lit("nick_"), col("c_custkey")).as("name"))
+          .coalesce(1).write.mode("overwrite").json(out)
+        val userMap = graft.operators.SlackOps.loadUserMap(s, out)
+        val messages = events(s, d).select(
+          col("event_id"),
+          concat(lit("U"), (col("user_id") % 120 + 1).cast("string")).as("user"),
+          concat(lit("hi <@U"),
+            ((col("user_id") + col("event_id")) % 150 + 1).cast("string"),
+            lit(">")).as("text"))
+        graft.operators.SlackOps.resolveUsers(messages, userMap)
+          .select(col("event_id"), col("author"), col("text"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id,
+                CASE WHEN c1.c_custkey % 3 = 0 THEN c1.c_name
+                     WHEN c1.c_custkey % 3 = 1 THEN 'disp ' || c1.c_name
+                     ELSE 'nick_' || c1.c_custkey END AS author,
+                CASE WHEN (e.user_id + e.event_id) % 150 + 1 <= 120
+                     THEN 'hi @' ||
+                          CASE WHEN c2.c_custkey % 3 = 0 THEN c2.c_name
+                               WHEN c2.c_custkey % 3 = 1 THEN 'disp ' || c2.c_name
+                               ELSE 'nick_' || c2.c_custkey END
+                     ELSE 'hi <@U' || ((e.user_id + e.event_id) % 150 + 1) || '>'
+                END AS text
+              FROM events e
+              JOIN customer c1 ON c1.c_custkey = e.user_id % 120 + 1
+              LEFT JOIN customer c2
+                ON c2.c_custkey = (e.user_id + e.event_id) % 150 + 1
+              ORDER BY e.event_id""")),
+
     Q("s6_field_map_rename",
       // S6 end to end: the /field metadata page staged as JSON (id→name
       // rows derived from region), loaded through JiraOps.loadFieldMap

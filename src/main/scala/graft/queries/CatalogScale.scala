@@ -264,6 +264,35 @@ object CatalogScale {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY 1 ORDER BY 1""")),
 
+    Q("scale_salted_agg",
+      // pathological-skew aggregation: two-phase salted count over the
+      // low-cardinality event_type key (partials on (key, salt), merge
+      // per key) — the shape for one key ≫ one executor's hash-agg
+      // memory, where AQE splits can't help. Oracle: plain GROUP BY.
+      (s, d) => Scale.saltedCount(events(s, d), "event_type", 8)
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS cnt
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("scale_salted_join",
+      // salted skew join: the small side replicated saltBuckets x, the
+      // big side salted deterministically from row content, joined on
+      // (key, salt) — one hot event_type spreads across 8 tasks instead
+      // of pinning one. Re-aggregating per key proves inner-join
+      // semantics survived the salt round-trip.
+      (s, d) => {
+        val big = events(s, d).select(col("event_type"), col("event_id"))
+        val dim = big.groupBy("event_type")
+          .agg(count(lit(1)).as("type_total"))
+        Scale.saltedJoin(big, dim, "event_type", 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max("type_total").as("type_total"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                     count(*) AS type_total
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
     // ===================================================== similarity
     Q("sim_knn_cosine",
       (s, d) => {

@@ -33,6 +33,23 @@ class SlackOpsSpec extends AnyFunSuite {
     assert(got.getAs[String]("text") == "ping @Jane Smith and <@UNKNOWN>")
   }
 
+  test("loadUserMap: name precedence, blank-trim, id fallback, bad path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_usermap").toFile
+    val page = new java.io.File(dir, "users.json")
+    val w = new java.io.PrintWriter(page, "UTF-8")
+    try {
+      w.println("""{"id":"U1","profile":{"real_name":"Real One","display_name":"disp1"},"name":"n1"}""")
+      w.println("""{"id":"U2","profile":{"real_name":"  ","display_name":"Disp Two"},"name":"n2"}""")
+      w.println("""{"id":"U3","profile":{},"name":"nick3"}""")
+      w.println("""{"id":"U4","profile":{}}""")
+      w.println("""{"profile":{"real_name":"no id, skipped"},"name":"x"}""")
+    } finally w.close()
+    val m = SlackOps.loadUserMap(spark, page.getAbsolutePath)
+    assert(m == Map(
+      "U1" -> "Real One", "U2" -> "Disp Two", "U3" -> "nick3", "U4" -> "U4"))
+    assert(SlackOps.loadUserMap(spark, s"$dir/missing.json").isEmpty)
+  }
+
   test("resolveUsers: broadcast path (large map) matches the codegen path") {
     // 200 users forces the broadcast-join + single-regex path; output
     // must be identical to the small-map expression-fold path
