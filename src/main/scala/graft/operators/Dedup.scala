@@ -102,6 +102,33 @@ object Dedup {
         round(col("inter").cast("double") / col("union_sh"), 4).as("jaccard"))
   }
 
+  /** CCNet-style boilerplate-line removal: a line occurring in at least
+    * `minDocs` distinct documents is corpus boilerplate (headers,
+    * footers, nav chrome); every occurrence drops and the surviving
+    * lines reassemble in original order. Documents left with zero lines
+    * drop entirely (they were pure boilerplate). Shape: one explode +
+    * one partially-aggregated distinct-count on the line hash + one
+    * anti join on the hashed key + one reassembly agg — scales with
+    * corpus lines, never with document pairs.
+    */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    val lines = widen(docs).select(
+      col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines
+      .groupBy(xxhash64(col("line")).as("lh"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("lh")
+    lines.join(boiler, xxhash64(col("line")) === boiler("lh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Element-wise minimum of long arrays as a typed Aggregator: gives
     * map-side partial aggregation (each executor reduces its shingles
     * locally), so the signature shuffle carries one `numHashes`-long array

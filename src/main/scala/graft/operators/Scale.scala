@@ -66,6 +66,16 @@ object Scale {
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Date-partitioned ingest layout: one directory per day, so
+    * date-ranged reads prune whole partitions at planning time
+    * (PartitionFilters) — the first line of defense at 100 TB, cutting
+    * the scan before a single row is read. Pair with
+    * `spark.sql.files.maxPartitionBytes` so each day still splits into
+    * parallel tasks.
+    */
+  def writeDatePartitioned(df: DataFrame, dateCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(dateCol).parquet(path)
+
   /** Write both sides bucketed by the join key so the subsequent join is
     * co-located (no Exchange on either side). This is the engine's
     * canonical layout for repeated fact-fact joins at 100 TB: pay one

@@ -264,6 +264,36 @@ object CatalogScale {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY 1 ORDER BY 1""")),
 
+    Q("scale_partition_prune",
+      // the 100 TB ingest layout made executable: events land partitioned
+      // by day once, then the date-ranged read plans only the 5 matching
+      // partition directories out of 30 (PartitionFilters — asserted in
+      // ScaleSpec); the write is paid on first execution per session,
+      // like j1_bucketed's ingest shuffle. Oracle: same window over the
+      // raw parquet.
+      (s, d) => {
+        val sfx = java.lang.Integer.toHexString(d.hashCode)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_$sfx/events_by_date"
+        val hasData = Option(new java.io.File(base).listFiles()).toSeq.flatten
+          .exists(f => f.isDirectory && f.getName.startsWith("event_date="))
+        if (!hasData)
+          Scale.writeDatePartitioned(
+            events(s, d).withColumn("event_date", to_date(col("ts"))),
+            "event_date", base)
+        s.read.parquet(base)
+          .filter(col("event_date").between(
+            lit("2024-01-10").cast("date"), lit("2024-01-14").cast("date")))
+          .groupBy("event_date")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_date")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+                     count(DISTINCT user_id) AS n_users
+              FROM events
+              WHERE CAST(ts AS DATE) BETWEEN '2024-01-10' AND '2024-01-14'
+              GROUP BY 1 ORDER BY 1""")),
+
     Q("scale_salted_agg",
       // pathological-skew aggregation: two-phase salted count over the
       // low-cardinality event_type key (partials on (key, salt), merge

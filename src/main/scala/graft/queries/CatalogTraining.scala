@@ -173,6 +173,43 @@ object CatalogTraining {
               WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
               ORDER BY doc_id""")),
 
+    Q("td_boilerplate",
+      // CCNet-style boilerplate-line removal over staged multi-line docs
+      // (body + a footer shared by a third of the corpus + a unique
+      // signature): the footer lines cross the minDocs threshold and
+      // drop everywhere; unique lines survive in order. Oracle rebuilds
+      // lines with string_split WITH ORDINALITY and re-aggregates.
+      (s, d) => {
+        val docs2 = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit("\nfooter "), (col("doc_id") % 3).cast("string"),
+            lit("\nsig "), col("doc_id").cast("string")).as("text2"))
+        graft.operators.Dedup
+          .dropBoilerplateLines(docs2, "doc_id", "text2", minDocs = 10L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       string_split(text || chr(10) || 'footer ' || (doc_id % 3)
+                                    || chr(10) || 'sig ' || doc_id,
+                                    chr(10)) AS parts
+                FROM documents
+              ), lines AS (
+                -- parallel UNNESTs zip positionally in DuckDB
+                SELECT doc_id,
+                       UNNEST(generate_series(1, array_length(parts))) AS pos,
+                       UNNEST(parts) AS line
+                FROM d
+              ), boiler AS (
+                SELECT line FROM lines
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+              )
+              SELECT l.doc_id,
+                     string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text
+              FROM lines l
+              WHERE l.line NOT IN (SELECT line FROM boiler)
+              GROUP BY l.doc_id ORDER BY l.doc_id""")),
+
     Q("ta_unigram_logprob",
       // corpus-unigram mean log-prob (the cheap perplexity stand-in for
       // LM quality filtering): the oracle rebuilds frequencies and the

@@ -35,6 +35,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head._3 > 0.5)
   }
 
+  test("dropBoilerplateLines: shared lines drop, order survives, pure-boilerplate docs vanish") {
+    val docs = Seq(
+      (1L, "alpha\nshared footer\nbeta"),
+      (2L, "gamma\nshared footer"),
+      (3L, "shared footer\ndelta"),
+      (4L, "shared footer")).toDF("doc_id", "text")
+    val got = Dedup.dropBoilerplateLines(docs, "doc_id", "text", minDocs = 3L)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "alpha\nbeta", 2L -> "gamma", 3L -> "delta"),
+      "footer in 4/4 docs drops everywhere; doc 4 was pure boilerplate")
+  }
+
   test("releaseCaches unpersists the dedup intermediates") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
