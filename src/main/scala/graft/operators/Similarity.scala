@@ -339,4 +339,38 @@ object Similarity {
     }
     probeWithCentroids(corpus, queries, k, nProbe, cents)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer, run
+    * the pairwise cosine threshold only WITHIN each cell, then keep one
+    * representative (minimum id) per connected near-dup component.
+    * Quadratic work is confined to a cell (corpus/nCells rows), so the
+    * 100 TB plan is: one literal-projection cell assignment (no join),
+    * one equi-join on the cell id for candidate pairs, then the
+    * [[Dedup.connectedComponents]] label loop. Pairs straddling a cell
+    * boundary are not examined — the documented SemDeDup recall trade;
+    * shrink it with more Lloyd rounds or larger cells, not a wider join.
+    *
+    * Output: (vec_id, cluster, kept) — `cluster` is the component's
+    * minimum member id (singletons cluster with themselves), `kept` marks
+    * the one row per cluster a training pipeline would retain.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, nCells: Int): DataFrame = {
+    val cents = seedCentroids(emb, nCells)
+    val withCell = corpusCellsFor(emb, cents)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val a = withCell.select(
+      col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = withCell.select(
+      col("cell"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    // top-1 cell assignment ⇒ each pair can collide in at most one cell,
+    // so the equi-join needs no distinct afterwards
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select("id_a", "id_b")
+    Dedup.clusterAssign(emb, "vec_id", pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("kept"))
+  }
 }

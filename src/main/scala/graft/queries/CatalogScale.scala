@@ -207,6 +207,51 @@ object CatalogScale {
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
               ORDER BY id_a, id_b""")),
 
+    Q("dedup_semantic",
+      // SemDeDup: coarse-quantizer cells confine the pairwise cosine to
+      // within-cell candidates; keep one representative per component.
+      // The oracle replays the ENTIRE pipeline — seed centroids, literal
+      // argmax cell assignment (ties to the lowest centroid id), within-
+      // cell threshold pairs, recursive-CTE component closure — so a
+      // green hash pins both the quantizer and the decision step.
+      (s, d) => graft.operators.Similarity
+        .semanticDedup(t(s, d, "embeddings"), threshold = 0.30, nCells = 32)
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              cents AS (SELECT vec_id AS cent_id, v AS ce FROM e
+                        ORDER BY vec_id LIMIT 32),
+              sc AS (SELECT e.vec_id, c.cent_id,
+                       CASE WHEN list_dot_product(e.v, e.v) = 0
+                              OR list_dot_product(c.ce, c.ce) = 0 THEN 0.0
+                            ELSE list_dot_product(e.v, c.ce) /
+                              (sqrt(list_dot_product(e.v, e.v)) *
+                               sqrt(list_dot_product(c.ce, c.ce))) END AS cos
+                     FROM e, cents c),
+              asg AS (SELECT vec_id, cent_id AS cell FROM (
+                        SELECT vec_id, cent_id, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+                        FROM sc) WHERE rn = 1),
+              prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                      JOIN e ea ON ea.vec_id = a.vec_id
+                      JOIN e eb ON eb.vec_id = b.vec_id
+                      WHERE list_dot_product(ea.v, eb.v) /
+                        (sqrt(list_dot_product(ea.v, ea.v)) *
+                         sqrt(list_dot_product(eb.v, eb.v))) >= 0.30),
+              edges AS (SELECT id_a AS u, id_b AS v FROM prs
+                        UNION SELECT id_b, id_a FROM prs),
+              reach AS (SELECT u, v FROM edges
+                        UNION
+                        SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+              lab AS (SELECT emb.vec_id,
+                        CAST(least(emb.vec_id, coalesce(min(r.v), emb.vec_id))
+                          AS BIGINT) AS cluster
+                      FROM embeddings emb LEFT JOIN reach r ON emb.vec_id = r.u
+                      GROUP BY emb.vec_id)
+              SELECT vec_id, cluster, (cluster = vec_id) AS kept
+              FROM lab ORDER BY vec_id""")),
+
     Q("j1_bucketed",
       // the 100 TB fact-fact join story made executable: both facts are
       // written bucketed+sorted on the join key once (the ingest-time
