@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -100,6 +101,44 @@ object Dedup {
       .select(
         col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("union_sh"), 4).as("jaccard"))
+  }
+
+  /** Longest common token span per document pair (exact substring-level
+    * dedup, the "50-token verbatim overlap" check of published training
+    * pipelines): candidate coordinates come from an equi-join on
+    * positional k-gram hashes (inverted index — only docs sharing a
+    * k-gram ever pair), and a run of consecutive matches on one join
+    * diagonal (ga − gb constant) of length r is a common span of
+    * r + k − 1 tokens. Diagonal runs are islands under one window per
+    * (pair, diagonal) — no per-pair quadratic work.
+    *
+    * Docs shorter than k tokens are excluded (their truncated shingle
+    * would claim a k-token span that doesn't exist). Repeated shingles
+    * keep every position — a shingle occurring p× in one doc and q× in
+    * the other contributes p·q coordinates, so run
+    * [[dropBoilerplateLines]] first on boilerplate-heavy corpora (same
+    * mitigation as published suffix-array pipelines).
+    */
+  def longestCommonSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpanTokens: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(minSpanTokens >= k, "minSpanTokens must be >= k")
+    val w = words(col(textCol))
+    val sh = widen(docs)
+      .filter(size(w) >= k)
+      .select(col(idCol).as("doc_id"), posexplode(shingles(w, k)).as(Seq("g", "sh")))
+      .select(col("doc_id"), col("g"), xxhash64(col("sh")).as("h"))
+    val a = sh.select(col("doc_id").as("id_a"), col("g").as("ga"), col("h"))
+    val b = sh.select(col("doc_id").as("id_b"), col("g").as("gb"), col("h"))
+    val m = a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ga"), (col("ga") - col("gb")).as("diag"))
+    val win = Window.partitionBy("id_a", "id_b", "diag").orderBy("ga")
+    m.withColumn("grp", col("ga") - row_number().over(win))
+      .groupBy("id_a", "id_b", "diag", "grp")
+      .agg((count(lit(1)) + (k - 1)).as("span"))
+      .groupBy("id_a", "id_b")
+      .agg(max("span").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
   }
 
   /** CCNet-style boilerplate-line removal: a line occurring in at least

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Exact heavy hitters at stream scale: a Misra–Gries candidate pass
+  * followed by an exact recount of the survivors — the standard two-pass
+  * shape for "which tokens/URLs/users appear ≥ θ times in 100 TB"
+  * (mergeable-summaries family; same deployment slot as the HLL row
+  * `a20_hll_mergeable`).
+  *
+  * Pass 1 runs a capacity-m Misra–Gries summary INSIDE each partition
+  * (`mapPartitions` — per-partition imperative state is the licensed use,
+  * SURVEY §7.4): constant memory, no shuffle of raw items. Only the
+  * ≤ m survivors per partition are shuffled. Pass 2 recounts just the
+  * candidate set exactly (one semi-join + one partial-agg count), so the
+  * emitted counts are EXACT, not sketch estimates.
+  *
+  * Guarantee: an item absent from a partition's summary has local count
+  * ≤ N_p/(m+1); absent from all summaries, global count ≤ N/(m+1). So
+  * with minFreq > N/(m+1) the candidate set is recall-complete and the
+  * result equals the exact `GROUP BY … HAVING count ≥ minFreq` — which
+  * is precisely what the oracle recomputes.
+  */
+object HeavyHitters {
+
+  /** Capacity-m Misra–Gries over one iterator: returns the surviving
+    * (item, residual-count) pairs. The decrement-all sweep is O(m) but
+    * amortized O(1) per input item (each sweep cancels m+1 arrivals);
+    * at m ≤ a few thousand the explicit sweep is also obviously correct.
+    */
+  private[graft] def misraGries(
+      it: Iterator[String], m: Int): Iterator[(String, Long)] = {
+    val counters = mutable.Map.empty[String, Long]
+    it.foreach { x =>
+      if (counters.contains(x)) counters(x) += 1L
+      else if (counters.size < m) counters(x) = 1L
+      else {
+        // decrement every counter; evict zeros
+        val dead = mutable.ArrayBuffer.empty[String]
+        counters.keysIterator.foreach { k2 =>
+          val v = counters(k2) - 1L
+          if (v == 0L) dead += k2 else counters(k2) = v
+        }
+        dead.foreach(counters.remove)
+      }
+    }
+    counters.iterator.map { case (k2, v) => (k2, v) }
+  }
+
+  /** Exact items with frequency ≥ minFreq, provided minFreq > N/(m+1)
+    * where N is the total item count — `capacity` is m. Emits
+    * (item, cnt) with exact counts, ordered by cnt desc then item.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String,
+      minFreq: Long, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(minFreq > 0, "minFreq must be positive")
+
+    val flat = items.select(col(itemCol).cast("string").as("item"))
+    val candidates = flat
+      .select("item").as(Encoders.STRING)
+      .mapPartitions(it => misraGries(it, capacity).map(_._1))(Encoders.STRING)
+      .distinct()
+      .toDF("item")
+
+    flat.join(candidates, "item", "left_semi")
+      .groupBy("item")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minFreq)
+      .orderBy(col("cnt").desc, col("item"))
+  }
+}

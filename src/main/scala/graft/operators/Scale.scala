@@ -76,6 +76,31 @@ object Scale {
   def writeDatePartitioned(df: DataFrame, dateCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(dateCol).parquet(path)
 
+  /** Z-order (Morton) value interleaving the low `bits` bits of two
+    * non-negative keys — x on even bit positions, y on odd. Sorting or
+    * range-partitioning the write by this value co-clusters rows that
+    * are close in BOTH dimensions, so min/max parquet row-group stats
+    * prune 2-D predicates (date × customer, lat × lon) that a 1-D sort
+    * can only prune on its leading column. Pure integer codegen — no
+    * UDF, no shuffle; the layout pass pays one range partitioning at
+    * write time.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftright(x.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** The matching DuckDB/ANSI expression for [[zValue]], for oracle
+    * replays: a sum of shift-mask terms over the same bit positions.
+    */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
   /** Write both sides bucketed by the join key so the subsequent join is
     * co-located (no Exchange on either side). This is the engine's
     * canonical layout for repeated fact-fact joins at 100 TB: pay one

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword search over the document corpus: BM25 ranking on an inverted
+  * postings relation. Complements the embedding-space retrieval in
+  * [[Similarity]] — a training-data pipeline uses both (keyword probes
+  * for targeted corpus audits, ANN for semantic near-dup/retrieval).
+  *
+  * Reference context: the reference greps staged documents with literal
+  * regex scans (`slack/export-channels.js`-style content filters); at
+  * 100 TB a ranked inverted-index probe replaces "regex every byte".
+  *
+  * Scale shape: tokens are exploded ONCE and immediately filtered to the
+  * query terms — the postings relation entering any shuffle is
+  * O(matching tokens), never O(corpus tokens). Corpus statistics (N,
+  * avgdl) are a single-row aggregate broadcast into the scoring
+  * projection; per-term document frequencies are a tiny (≤ |terms|-row)
+  * broadcast. One shuffle total (the per-(doc,term) tf count); scoring
+  * itself is a codegen'd projection.
+  */
+object Search {
+
+  /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the Lucene/Robertson idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    * Deterministic: ties broken by doc id; score rounded to 4dp so the
+    * ranking is engine-portable. `dl` counts whitespace tokens of the
+    * FULL document (matching [[Dedup.words]]), not just matched terms.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k > 0, "k must be positive")
+
+    val lens = docs.select(col(idCol),
+      size(Dedup.words(col(textCol))).cast("double").as("dl"))
+    // single-row corpus stats — broadcast, never shuffled
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+
+    val postings = docs
+      .select(col(idCol), explode(Dedup.words(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*)) // prune BEFORE the shuffle
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    val df = postings.groupBy("term")
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+
+    postings
+      .join(broadcast(df), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")) * k1))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 4).as("score"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -87,6 +87,33 @@ object TextAnalysis {
   def scrubUrls(c: Column): Column =
     regexp_replace(c, "https?://\\S+", "[URL]")
 
+  /** URL canonicalization for corpus-level URL dedup (the CommonCrawl
+    * "same page, many spellings" problem): strip the fragment, drop
+    * tracking query params (utm_*, gclid, fbclid), remove the trailing
+    * path slash, and lowercase the scheme+host (path and query keep
+    * their case — they are case-sensitive on real servers). Pure
+    * codegen'd regexp chain, no UDF.
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    // drop tracking params, then heal separator artifacts: "?&"→"?",
+    // "&&"→"&", and a dangling "?"/"&"
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(noFrag, "([?&])(?:utm_[A-Za-z]+|gclid|fbclid)=[^&]*", "$1"),
+          "\\?&+", "?"),
+        "&&+", "&"),
+      "[?&]+$", "")
+    // trailing path slash: before the query string or at the very end
+    val noSlash = regexp_replace(
+      regexp_replace(noTrack, "/\\?", "?"), "/$", "")
+    // lowercase scheme://host only
+    val head = lower(regexp_extract(noSlash, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val tail = regexp_replace(noSlash, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    when(head === "", noSlash).otherwise(concat(head, tail))
+  }
+
   /** Repetition signal: frequency of the most common token over total
     * tokens — high values flag boilerplate/spam documents. Longest equal
     * run over the sorted token array (O(n log n)), not a per-distinct
@@ -110,14 +137,21 @@ object TextAnalysis {
   /** Corpus bigram counts (adjacent word pairs) — the n-gram statistics
     * pass of a training-data pipeline; explode + partial-agg count.
     */
-  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    bigramStream(docs, textCol)
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+
+  /** The raw (pre-aggregation) bigram stream — one row per adjacent word
+    * pair. Feeds [[bigramCounts]] and the sketch passes that consume the
+    * stream itself (e.g. [[HeavyHitters]]).
+    */
+  def bigramStream(docs: DataFrame, textCol: String): DataFrame = {
     val w = words(col(textCol))
     // widen first: a single-file input otherwise pins the whole
     // shingle/explode pipeline to one task (the explode's width is why
     // this one op dominated the text-analysis bench family)
     Dedup.widen(docs).select(explode(Dedup.shingles(w, 2)).as("bigram"))
       .filter(size(split(col("bigram"), " ")) === 2)
-      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
   }
 
   /** Content-defined fingerprint: sha-256 over the sorted distinct word

@@ -129,6 +129,53 @@ object TrainingData {
       .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Sliding-window chunking: split each document's token stream into
+    * windows of `window` tokens advancing by `stride` (overlap =
+    * window − stride), the shape context-window training and RAG
+    * indexing both consume. Emits (id, chunk_idx, start_tok, chunk_tok,
+    * chunk_text). Pure projection + partition-local `explode` — zero
+    * shuffle at any corpus size; a doc shorter than `window` yields one
+    * chunk. n_chunks = 1 + ceil((n − window)/stride) for n > window.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val lastIdx = when(col("n_tok") <= window, lit(0L))
+      .otherwise(expr(s"(n_tok - $window + $stride - 1) div $stride"))
+    df.withColumn("w", Dedup.words(col(textCol)))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), lastIdx, lit(1L))))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("chunk_tok",
+        least(lit(window.toLong), col("n_tok") - col("start_tok")))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        col("chunk_tok"),
+        array_join(slice(col("w"), (col("start_tok") + 1).cast("int"),
+          col("chunk_tok").cast("int")), " ").as("chunk_text"))
+  }
+
+  /** Temperature-scaled domain mixture (the multilingual-sampling
+    * `p_i ∝ share_i^(1/τ)` rule): per domain, raw token share and the
+    * τ-flattened sampling share. τ > 1 upweights low-resource domains,
+    * τ = 1 is proportional. Domain cardinality is small by definition,
+    * so the normalizing sums ride a single-partition window over the
+    * already-aggregated per-domain rows — no extra shuffle of raw data.
+    */
+  def temperatureMix(df: DataFrame, domainCol: String,
+      tokens: Column, temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val w = Window.partitionBy()
+    val g = df.groupBy(col(domainCol))
+      .agg(sum(tokens).cast("long").as("n_tokens"))
+    g.withColumn("raw_share", col("n_tokens") / sum("n_tokens").over(w))
+      .withColumn("p", pow(col("raw_share"), 1.0 / temperature))
+      .withColumn("temp_share", round(col("p") / sum("p").over(w), 4))
+      .withColumn("raw_share", round(col("raw_share"), 4))
+      .drop("p")
+  }
+
   /** Benchmark decontamination: count, per training document, the
     * distinct word k-grams it shares with an evaluation corpus. The
     * standard train/test-overlap check (k≈8 in published pipelines);

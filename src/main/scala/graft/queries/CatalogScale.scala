@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Scale, Sessions, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, HeavyHitters, Multimodal, RangeJoin, Scale, Search, Sessions, Similarity, TextAnalysis}
 
 /** Scale-extension catalog: dedup / similarity search / text analysis /
   * multimodal plumbing / sessionization — the training-data-pipeline
@@ -758,6 +758,145 @@ object CatalogScale {
       },
       Some("""SELECT event_id, user_id,
                 round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta
-              FROM events ORDER BY event_id"""))
+              FROM events ORDER BY event_id""")),
+
+    Q("search_bm25",
+      // ranked keyword retrieval: BM25 top-20 for a 3-term query. The
+      // oracle replays the whole scoring pipeline — postings, df, corpus
+      // stats, the Lucene idf, the length-normalized tf — in SQL, so the
+      // RANKING is what's hash-compared, not just a row count. Postings
+      // are term-filtered before the shuffle; corpus stats ride a
+      // single-row broadcast (allowlisted in PlanHygieneSpec).
+      (s, d) => Search.bm25(t(s, d, "documents"), "doc_id", "text",
+        Seq("join", "filter", "vector"), k = 20),
+      Some("""WITH lens AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dl
+              FROM documents),
+              stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                        FROM lens),
+              tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                      FROM documents),
+              p AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                    FROM tok WHERE term IN ('join', 'filter', 'vector')
+                    GROUP BY doc_id, term),
+              df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS ndf
+                     FROM p GROUP BY term),
+              sc AS (SELECT p.doc_id,
+                       ln(1 + (n_docs - ndf + 0.5) / (ndf + 0.5)) * tf * 2.2 /
+                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+                     FROM p JOIN df USING (term) JOIN lens USING (doc_id)
+                          CROSS JOIN stats)
+              SELECT doc_id, round(sum(w), 4) AS score,
+                     CAST(count(*) AS INTEGER) AS n_terms_hit
+              FROM sc GROUP BY doc_id
+              ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    Q("hh_bigram_phrases",
+      // exact heavy hitters over the raw bigram stream: Misra-Gries
+      // candidate pass (capacity 1024 > N/minFreq, so recall-complete by
+      // the MG bound) + exact recount of survivors — the two-pass shape
+      // for phrase/boilerplate mining at 100 TB. The oracle is the exact
+      // GROUP BY ... HAVING the sketch pass provably reproduces.
+      (s, d) => {
+        val stream = TextAnalysis
+          .bigramStream(t(s, d, "documents"), "text")
+        HeavyHitters.heavyHitters(stream, "bigram",
+            minFreq = 40L, capacity = 1024)
+          .orderBy(col("cnt").desc, col("item"))
+      },
+      Some("""WITH b AS (SELECT array_to_string(words[g:g+1], ' ') AS item
+              FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS words
+                    FROM documents),
+                   unnest(range(1, greatest(len(words), 1))) t(g))
+              SELECT item, count(*) AS cnt FROM b
+              GROUP BY item HAVING count(*) >= 40
+              ORDER BY cnt DESC, item""")),
+
+    Q("dedup_spans",
+      // exact substring-level dedup: longest common token span per doc
+      // pair from positional 8-gram coordinates (runs on a join
+      // diagonal). The oracle replays positions, diagonals, islands and
+      // the max-span reduction in SQL — the 25 planted near-dup pairs
+      // surface with their true span lengths.
+      (s, d) => Dedup.longestCommonSpans(
+          t(s, d, "documents"), "doc_id", "text", k = 8, minSpanTokens = 8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+                WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8),
+              sh AS (SELECT doc_id, g - 1 AS g, array_to_string(w[g:g+7], ' ') AS s
+                     FROM d, unnest(range(1, len(w) - 8 + 2)) t(g)),
+              m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS ga,
+                           a.g - b.g AS dd
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+              r AS (SELECT id_a, id_b, dd, ga,
+                      ga - row_number() OVER (PARTITION BY id_a, id_b, dd
+                        ORDER BY ga) AS grp
+                    FROM m),
+              runs AS (SELECT id_a, id_b, count(*) + 7 AS span_tokens
+                       FROM r GROUP BY id_a, id_b, dd, grp)
+              SELECT id_a, id_b, CAST(max(span_tokens) AS BIGINT) AS span_tokens
+              FROM runs GROUP BY id_a, id_b HAVING max(span_tokens) >= 8
+              ORDER BY id_a, id_b""")),
+
+    Q("dedup_url_canonical",
+      // URL canonicalization dedup: three spellings per page (tracking
+      // params, uppercase host, trailing slash, fragment) collapse to
+      // one canonical URL. The Spark side runs the regexp chain; the
+      // oracle states the expected canonical form directly from the
+      // structured key — any canonicalization drift breaks the hash.
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val variants = cust.select(col("c_custkey"),
+            explode(array(
+              concat(lit("HTTPS://Docs.Example.COM/p/"), col("c_custkey"),
+                lit("?utm_source=news&q=1#sec2")),
+              concat(lit("https://docs.example.com/p/"), col("c_custkey"),
+                lit("?q=1")),
+              concat(lit("https://docs.example.com/p/"), col("c_custkey"),
+                lit("/?q=1&utm_campaign=z")))).as("url"))
+        variants
+          .select(TextAnalysis.canonicalizeUrl(col("url")).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_variants"))
+          .orderBy("canonical_url")
+      },
+      Some("""SELECT 'https://docs.example.com/p/' || c_custkey || '?q=1' AS canonical_url,
+                     CAST(3 AS BIGINT) AS n_variants
+              FROM customer ORDER BY canonical_url""")),
+
+    Q("scale_zorder",
+      // Z-order layout pass: Morton-interleave (custkey, orderdate-day),
+      // range-bucket the file layout on the z-value (ntile = the range
+      // partitioner), and report each bucket's 2-D min/max envelope —
+      // the row-group stats that prune BOTH dimensions at read time.
+      // The oracle replays the bit interleaving term by term.
+      (s, d) => {
+        val z = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+          .withColumn("zval", Scale.zValue(col("o_custkey"), col("day"), 16))
+        z.withColumn("bucket",
+            ntile(64).over(Window.orderBy(col("zval"), col("o_orderkey"))))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+            min("day").as("min_day"), max("day").as("max_day"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH z AS (SELECT o_orderkey, o_custkey,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+                 ${Scale.zValueSql("o_custkey",
+                   "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))", 16)} AS zval
+               FROM orders),
+               b AS (SELECT o_custkey, day,
+                       ntile(64) OVER (ORDER BY zval, o_orderkey) AS bucket
+                     FROM z)
+               SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+                      min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+                      min(day) AS min_day, max(day) AS max_day
+               FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }

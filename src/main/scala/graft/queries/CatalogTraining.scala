@@ -260,6 +260,55 @@ object CatalogTraining {
                   (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM g), 4) AS token_share
               FROM g ORDER BY source""")),
 
+    Q("td_chunk_windows",
+      // sliding-window chunking (window 32, stride 24): every chunk's
+      // token span AND its text are hash-compared, so the oracle pins
+      // boundary arithmetic (ceil division, short-final-chunk) and the
+      // slice content. Zero-shuffle: projection + partition-local
+      // explode.
+      (s, d) => TrainingData.chunkWindows(
+          t(s, d, "documents"), "doc_id", "text", window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH d AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS w,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+              FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+              c AS (SELECT doc_id, w, n_tok,
+                      UNNEST(range(0, CASE WHEN n_tok <= 32 THEN 0
+                        ELSE (n_tok - 32 + 23) // 24 END + 1)) AS chunk_idx
+                    FROM d)
+              SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+                     least(CAST(32 AS BIGINT), n_tok - chunk_idx * 24) AS chunk_tok,
+                     array_to_string(
+                       w[chunk_idx * 24 + 1 :
+                         chunk_idx * 24 + least(CAST(32 AS BIGINT), n_tok - chunk_idx * 24)],
+                       ' ') AS chunk_text
+              FROM c ORDER BY doc_id, chunk_idx""")),
+
+    Q("td_temperature_mix",
+      // temperature-scaled domain mixture (tau = 2): per-source token
+      // volume, raw share, and the flattened sampling share the loader
+      // draws with. The oracle recomputes the power-law renormalization
+      // from the raw text.
+      (s, d) => TrainingData.temperatureMix(
+          t(s, d, "documents"), "source",
+          size(graft.operators.Dedup.words(col("text"))).cast("long"),
+          temperature = 2.0)
+        .orderBy("source"),
+      Some("""WITH w AS (SELECT source,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+              FROM documents),
+              g AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                    FROM w GROUP BY source),
+              r AS (SELECT source, n_tokens,
+                      CAST(n_tokens AS DOUBLE) / (SELECT sum(CAST(n_tokens AS DOUBLE)) FROM g) AS raw,
+                      pow(CAST(n_tokens AS DOUBLE) / (SELECT sum(CAST(n_tokens AS DOUBLE)) FROM g),
+                          0.5) AS p
+                    FROM g)
+              SELECT source, n_tokens, round(raw, 4) AS raw_share,
+                     round(p / (SELECT sum(p) FROM r), 4) AS temp_share
+              FROM r ORDER BY source""")),
+
     Q("sim_ann_ivf",
       // IVF probe path end to end: the oracle replays the coarse
       // quantizer (seed centroids, argmax-cosine cell assignment), the

@@ -232,4 +232,119 @@ class OperatorsSpec extends AnyFunSuite {
         s"one surviving checkpoint (the result), got: $remaining")
     } finally sc.setCheckpointDir(null)
   }
+
+  test("misraGries: heavy item survives eviction pressure, count lower-bounds") {
+    // 100 copies of "hot" interleaved with 300 singletons, capacity 10:
+    // worst-case MG bound guarantees survival for count > N/(m+1) = 400/11
+    val stream = (0 until 100).flatMap(i =>
+      "hot" +: (0 until 3).map(j => s"cold_${i}_$j"))
+    val got = graft.operators.HeavyHitters
+      .misraGries(stream.iterator, m = 10).toMap
+    assert(got.contains("hot"))
+    assert(got("hot") <= 100L) // residual counts never overestimate MG input
+  }
+
+  test("heavyHitters: exact counts back, sub-threshold items dropped") {
+    val items = ((1 to 50).map(_ => "a") ++ (1 to 30).map(_ => "b") ++
+      (1 to 9).map(i => s"rare$i")).toDF("item")
+    // repartition so several partitions run their own sketch and merge
+    val got = graft.operators.HeavyHitters
+      .heavyHitters(items.repartition(8), "item", minFreq = 10L, capacity = 4)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 50L), ("b", 30L)))
+  }
+
+  test("bm25: term-matching docs rank by coverage and rarity") {
+    val docs = Seq(
+      (1L, "spark join filter join"),        // both terms, join twice
+      (2L, "spark join scan scan"),          // one term
+      (3L, "scan scan scan scan"),           // no term
+      (4L, "join filter")).toDF("doc_id", "text") // both terms, shortest doc
+    val got = graft.operators.Search
+      .bm25(docs, "doc_id", "text", Seq("join", "filter"), k = 10)
+      .as[(Long, Double, Int)].collect()
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L)) // doc 3 never scores
+    assert(got.head._1 == 4L) // shortest both-term doc wins on length norm
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) == 2 && byId(2L) == 1 && byId(4L) == 2)
+  }
+
+  test("chunkWindows: stride arithmetic, short docs, final short chunk") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7"), (2L, "a b")).toDF("doc_id", "text")
+    val got = graft.operators.TrainingData
+      .chunkWindows(docs, "doc_id", "text", window = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 3L, "w1 w2 w3"),
+      (1L, 1L, 2L, 3L, "w3 w4 w5"),
+      (1L, 2L, 4L, 3L, "w5 w6 w7"),
+      (2L, 0L, 0L, 2L, "a b")))
+  }
+
+  test("temperatureMix: tau=1 is proportional, tau>1 flattens toward uniform") {
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("source")
+    val t1 = graft.operators.TrainingData
+      .temperatureMix(df, "source", lit(1L), temperature = 1.0)
+      .orderBy("source").as[(String, Long, Double, Double)].collect()
+    t1.foreach { case (_, _, raw, temp) => assert(math.abs(raw - temp) < 1e-9) }
+    val t4 = graft.operators.TrainingData
+      .temperatureMix(df, "source", lit(1L), temperature = 4.0)
+      .orderBy("source").as[(String, Long, Double, Double)].collect()
+    val smallShare = t4.find(_._1 == "small").get._4
+    assert(smallShare > 0.1 && smallShare < 0.5) // pulled toward, not past, uniform
+  }
+
+  test("longestCommonSpans: diagonal runs give exact span length") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),      // 12 tokens
+      (2L, "x y a b c d e f g h z w"),      // shares a..h (8 tokens)
+      (3L, "p q r s t u v w1 w2 w3"),       // no 3-gram overlap
+      (4L, "c d e")).toDF("doc_id", "text") // shares c d e with 1 and 2
+    val got = graft.operators.Dedup
+      .longestCommonSpans(docs, "doc_id", "text", k = 3, minSpanTokens = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 8L), (1L, 4L, 3L), (2L, 4L, 3L)))
+  }
+
+  test("longestCommonSpans: repeated shingle positions don't inflate the span") {
+    val docs = Seq(
+      (1L, "m n o p m n o q"),   // "m n o" twice in doc 1
+      (2L, "z m n o z")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .longestCommonSpans(docs, "doc_id", "text", k = 3, minSpanTokens = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L))) // two diagonals, each a 1-run → span 3
+  }
+
+  test("canonicalizeUrl: tracking params, fragments, case, trailing slash") {
+    val cases = Seq(
+      "HTTPS://Docs.Example.COM/p/9?utm_source=n&q=1#frag" ->
+        "https://docs.example.com/p/9?q=1",
+      "https://docs.example.com/p/9/?q=1&utm_campaign=z" ->
+        "https://docs.example.com/p/9?q=1",
+      "http://Host.io/A/B/" -> "http://host.io/A/B", // path case preserved
+      "https://h.io/x?utm_only=1" -> "https://h.io/x",
+      "https://h.io/x?gclid=abc&fbclid=def&keep=2" -> "https://h.io/x?keep=2",
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.operators.TextAnalysis.canonicalizeUrl($"u"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("zValue: exact interleaving on known bits, locality over a grid") {
+    val got = spark.range(1).select(
+      graft.operators.Scale.zValue(lit(3L), lit(1L), 2).as("a"),
+      graft.operators.Scale.zValue(lit(0L), lit(3L), 2).as("b"),
+      graft.operators.Scale.zValue(lit(5L), lit(0L), 3).as("c"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((7L, 10L, 17L))) // 3⋈1=0b0111, 0⋈3=0b1010, 5⋈0=0b010001
+    // Morton order visits a 2x2 block before leaving it: the 4 cells of
+    // block (0,0) hold z-values 0..3, block (1,0) holds 4..7
+    val z = (x: Long, y: Long) => spark.range(1)
+      .select(graft.operators.Scale.zValue(lit(x), lit(y), 2)).as[Long].head()
+    assert(Seq(z(0, 0), z(1, 0), z(0, 1), z(1, 1)).sorted == Seq(0L, 1L, 2L, 3L))
+    assert(Seq(z(2, 0), z(3, 0), z(2, 1), z(3, 1)).sorted == Seq(4L, 5L, 6L, 7L))
+  }
 }

@@ -31,7 +31,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_ann_ivf", "sim_ann_ivf_lloyd", "sim_ann_ivf_recall",
     // broadcasts the SINGLE-ROW corpus-total aggregate into the
     // per-token score projection
-    "ta_unigram_logprob")
+    "ta_unigram_logprob",
+    // BM25 broadcasts the SINGLE-ROW (N, avgdl) corpus-stats aggregate
+    // into the scoring projection (`Search.bm25`)
+    "search_bm25")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
