@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 119 catalog queries x whole-stage codegen in one JVM overflow the
+  // default 240m code cache; once it fills the JIT silently stops and
+  // later queries run interpreted (the r4 bench tail-regression).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -43,12 +43,32 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // the ContextCleaner reclaims dropped blocks/broadcasts only when a
+      // GC runs, and a mostly-idle multi-GiB heap can go many queries
+      // without one — by the f* queries in r4 the backlog was inflating
+      // min-of-2 times 6x. One explicit GC per query keeps each
+      // measurement starting from a clean block manager.
+      System.gc()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (millisecond) precision: full-double rendering made the
+    // contract line ~7 KB at 119 queries and the driver's stdout capture
+    // truncated it two rounds running — ms precision keeps it under 4 KB.
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces for the truncation: also persist the full line where
+    // a later reader can find it even if the stdout capture clips it
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

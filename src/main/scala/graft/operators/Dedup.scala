@@ -276,8 +276,21 @@ object Dedup {
     */
   @volatile var lastRounds: Int = 0
 
+  /** Below `collectThreshold` symmetric edges the component graph is
+    * solved with driver-side union-find instead of the iterative loop —
+    * the same size-gated decision AQE makes when it swaps a shuffle join
+    * for a broadcast: a dup-pair graph is SPARSE (edges ≈ duplicate
+    * pairs, not corpus rows), so even 100 TB corpora routinely produce
+    * edge sets that fit in driver memory, and the distributed loop's
+    * per-round fixed cost (2-3 shuffles + an eager checkpoint + an
+    * action) dwarfs a linear union-find at that size. The threshold
+    * bounds driver memory (1M edges ≈ tens of MB); above it the loop
+    * below runs unchanged, so the scale path is always available and is
+    * what a billion-edge graph gets. Pass 0 to force the distributed
+    * path (specs do, to exercise the loop's machinery on small fixtures).
+    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-      jumpAfter: Int = 3): DataFrame = {
+      jumpAfter: Int = 3, collectThreshold: Long = 1000000L): DataFrame = {
     // each round CHECKPOINTS (eager): caches the round's labels AND
     // truncates the logical plan — a plain persist leaves a plan tree
     // that references the previous round's plan on three sides and
@@ -314,6 +327,15 @@ object Dedup {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // size gate: count is against the persisted relation the loop would
+    // scan every round anyway, so the probe costs one cached pass
+    val keyLt = keyOrdering(sym.schema("src").dataType)
+    if (keyLt.isDefined && sym.count() <= collectThreshold) {
+      val out = unionFindLocal(sym, keyLt.get)
+      sym.unpersist()
+      lastRounds = 0
+      return out
+    }
     var labels = chk(sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var converged = false
@@ -366,6 +388,60 @@ object Dedup {
       s"connectedComponents did not converge within $maxIter rounds " +
         "(component diameter exceeds maxIter); raise maxIter")
     labels
+  }
+
+  /** "Less-than" for the node-id types CC supports on the driver path;
+    * None falls through to the distributed loop (exotic key types).
+    */
+  private def keyOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Boolean] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some((a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue)
+      case StringType =>
+        Some((a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0)
+      case _ => None
+    }
+  }
+
+  /** Driver union-find over a collected symmetric edge list. Union
+    * attaches the larger root under the smaller (per `lt`), so every
+    * root IS its component's minimum id — the same labeling the
+    * distributed min-propagation loop converges to, making the two paths
+    * interchangeable. Path compression keeps it near-linear.
+    */
+  private def unionFindLocal(sym: DataFrame,
+      lt: (Any, Any) => Boolean): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    val it = sym.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val (a, b) = (row.get(0), row.get(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val dt = sym.schema("src").dataType
+    val rows = parent.keySet().asScala.toSeq
+      .map(n => org.apache.spark.sql.Row(n, find(n)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("label", dt)))
+    val spark = sym.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** The dedup DECISION step: assign every document a cluster id (the

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge relations. Complements the
+  * label-propagation connected components in [[Dedup]]: PageRank-style
+  * centrality is the standard corpus-quality weight for web-scale
+  * training data (harmonic/PageRank centrality over the link graph
+  * decides which crawled pages are worth keeping).
+  *
+  * Reference context: the reference walks small in-memory graphs (the
+  * epic tree, `jira/build-epic-tree.js`); at 100 TB the same "score a
+  * node by its neighbourhood" need becomes distributed power iteration.
+  *
+  * Scale shape: one equi-join + one partial-agg shuffle per iteration,
+  * both keyed on the node id — with both sides hash-partitioned on the
+  * same key the join is co-located after the first round. Out-degrees
+  * are computed once and reused. Iteration count is a caller-fixed
+  * constant (power iteration converges geometrically; 10-20 rounds is
+  * production-typical), so lineage stays bounded; for high iteration
+  * counts pair with `localCheckpoint` every ~10 rounds exactly as
+  * [[Dedup.connectedComponents]] does.
+  */
+object Graph {
+
+  /** Power-iteration PageRank.
+    *
+    * `edges` is a directed edge relation `(srcCol, dstCol)`. Every node
+    * must appear at least once as a source (no dangling nodes) — callers
+    * with undirected semantics satisfy this by emitting both directions,
+    * which is also what makes the rank mass conserve without a separate
+    * dangling-mass redistribution term.
+    *
+    * Returns `(node, rank)` where ranks sum to ~1. Deterministic up to
+    * double reduction order; catalog consumers round before hashing.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+
+    // out-degree once; also the node universe (no-dangling contract)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val n = deg.count() // constant scalar: node count for the teleport term
+
+    var ranks = deg.select(col("src").as("node"), (lit(1.0) / n).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+      ranks = contrib
+        .groupBy(col("dst").as("node"))
+        .agg((lit((1.0 - damping) / n) + lit(damping) * sum("c")).as("rank"))
+    }
+    ranks
+  }
+}

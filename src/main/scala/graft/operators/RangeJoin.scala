@@ -40,4 +40,32 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("_bkt")
   }
+
+  /** Interval × interval overlap join, same bucketing idea. Each side
+    * explodes to the buckets its interval covers; candidates come from
+    * the bucket equi-join; the exact half-open overlap predicate
+    * (`a.start < b.end AND b.start < a.end`) filters them. Unlike the
+    * point form, a pair CAN collide in several shared buckets, so the
+    * pair is kept only in the FIRST shared bucket (greatest of the two
+    * start buckets) — an arithmetic guard, cheaper than a distinct over
+    * the candidate relation.
+    *
+    * Left/right columns must be disjoint (caller aliases). Returns all
+    * columns of both inputs per overlapping pair.
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketDays: Int): DataFrame = {
+    require(bucketDays > 0, "bucketDays must be positive")
+    val epoch = lit("1970-01-01")
+    def bucketOf(c: Column): Column = floor(datediff(c, epoch) / bucketDays)
+    val l = left.withColumn("_lb", bucketOf(col(lStart)))
+      .withColumn("_bkt", explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val r = right.withColumn("_rb", bucketOf(col(rStart)))
+      .withColumn("_bkt", explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    l.join(r, Seq("_bkt"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("_bkt") === greatest(col("_lb"), col("_rb")))
+      .drop("_bkt", "_lb", "_rb")
+  }
 }

@@ -101,6 +101,32 @@ object Scale {
       s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** Bloom-filter semi-join pruning: build a Bloom sketch of the small
+    * side's join keys, broadcast it, and drop big-side rows that cannot
+    * match BEFORE the join's shuffle. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling only the ~hit
+    * rows: the sketch is a few MB regardless of fact size, and false
+    * positives only cost wasted candidates — the join that follows stays
+    * exact. Spark's own runtime row-level filtering
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects the same
+    * shape automatically inside one query; this explicit form is for the
+    * two-pass case — a reusable filter built once (e.g. "active
+    * customers") and applied across many downstream jobs.
+    *
+    * The probe is a scala UDF over the broadcast sketch: sketch probes
+    * are not expressible in native column functions, and the UDF sits
+    * behind a codegen'd long column (same licence as SURVEY §7.4's
+    * hash-probe exceptions).
+    */
+  def bloomPrune(big: DataFrame, bigKey: String,
+      small: DataFrame, smallKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    big.filter(mightContain(col(bigKey).cast("long")))
+  }
+
   /** Write both sides bucketed by the join key so the subsequent join is
     * co-located (no Exchange on either side). This is the engine's
     * canonical layout for repeated fact-fact joins at 100 TB: pay one

@@ -355,7 +355,11 @@ object Similarity {
     * minimum member id (singletons cluster with themselves), `kept` marks
     * the one row per cluster a training pipeline would retain.
     */
-  def semanticDedup(emb: DataFrame, threshold: Double, nCells: Int): DataFrame = {
+  /** The candidate-pair half of [[semanticDedup]], exposed for stage
+    * profiling: cell-confined cosine-threshold pairs.
+    */
+  def semanticPairsForProfile(emb: DataFrame, threshold: Double,
+      nCells: Int): DataFrame = {
     val cents = seedCentroids(emb, nCells)
     val withCell = corpusCellsFor(emb, cents)
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
@@ -365,10 +369,14 @@ object Similarity {
       col("cell"), col("vec_id").as("id_b"), col("embedding").as("eb"))
     // top-1 cell assignment ⇒ each pair can collide in at most one cell,
     // so the equi-join needs no distinct afterwards
-    val pairs = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("ea"), col("eb")) >= threshold)
       .select("id_a", "id_b")
+  }
+
+  def semanticDedup(emb: DataFrame, threshold: Double, nCells: Int): DataFrame = {
+    val pairs = semanticPairsForProfile(emb, threshold, nCells)
     Dedup.clusterAssign(emb, "vec_id", pairs)
       .select(col("doc_id").as("vec_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("kept"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, HeavyHitters, Multimodal, RangeJoin, Scale, Search, Sessions, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Graph, HeavyHitters, Multimodal, RangeJoin, Scale, Search, Sessions, Similarity, TextAnalysis}
 
 /** Scale-extension catalog: dedup / similarity search / text analysis /
   * multimodal plumbing / sessionization — the training-data-pipeline
@@ -897,6 +897,183 @@ object CatalogScale {
                SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
                       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
                       min(day) AS min_day, max(day) AS max_day
-               FROM b GROUP BY bucket ORDER BY bucket"""))
+               FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ==================================== round-5 scale extensions
+    Q("g1_pagerank",
+      // corpus-quality centrality: PageRank over the undirected bipartite
+      // order↔part graph (the web-scale pattern: rank pages by link
+      // neighbourhood to weight training-corpus inclusion). 3 power
+      // iterations, each one equi-join + one partial-agg shuffle; the
+      // oracle replays every iteration as a chained CTE.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(concat(lit("o"), col("l_orderkey")).as("o"),
+            concat(lit("p"), col("l_partkey")).as("p"))
+          .distinct()
+        val edges = li.select(col("o").as("src"), col("p").as("dst"))
+          .unionAll(li.select(col("p").as("src"), col("o").as("dst")))
+        Graph.pageRank(edges, "src", "dst", iterations = 3)
+          .select(col("node"), round(col("rank") * 1000000, 2).as("rank_ppm"))
+          .orderBy("node")
+      },
+      Some("""WITH li AS (SELECT DISTINCT 'o' || l_orderkey AS o, 'p' || l_partkey AS p
+                          FROM lineitem),
+              e AS (SELECT o AS src, p AS dst FROM li
+                    UNION ALL SELECT p AS src, o AS dst FROM li),
+              deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+              nn AS (SELECT count(*) AS n FROM deg),
+              r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+              r1 AS (SELECT e.dst AS node,
+                       (1 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.outdeg) AS rank
+                     FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+                     GROUP BY e.dst),
+              r2 AS (SELECT e.dst AS node,
+                       (1 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.outdeg) AS rank
+                     FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+                     GROUP BY e.dst),
+              r3 AS (SELECT e.dst AS node,
+                       (1 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.outdeg) AS rank
+                     FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+                     GROUP BY e.dst)
+              SELECT node, round(rank * 1000000, 2) AS rank_ppm
+              FROM r3 ORDER BY node""")),
+
+    Q("u6_scd2_intervals",
+      // SCD2 interval build: compress each user's event stream into
+      // [valid_from, valid_to) state intervals — detect state changes
+      // with lag, close each interval with lead. The standard
+      // slowly-changing-dimension history layout; two windows, one
+      // shuffle (same partitioning reused).
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val changes = events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        changes
+          .withColumn("vt", lead("ts", 1).over(w))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+            coalesce(date_format(col("vt"), "yyyy-MM-dd HH:mm:ss"),
+              lit("9999-12-31 00:00:00")).as("valid_to"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, event_type, ts,
+                           lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+                         FROM events),
+              ch AS (SELECT user_id, event_id, event_type, ts FROM c
+                     WHERE prev IS NULL OR prev <> event_type),
+              iv AS (SELECT user_id, event_id, event_type, ts,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS vt
+                     FROM ch)
+              SELECT user_id, event_id, event_type,
+                strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS valid_from,
+                coalesce(strftime(date_trunc('second', vt), '%Y-%m-%d %H:%M:%S'),
+                         '9999-12-31 00:00:00') AS valid_to
+              FROM iv ORDER BY user_id, event_id""")),
+
+    Q("j15_interval_overlap",
+      // interval × interval overlap join via shared-bucket candidates —
+      // the keyless two-sided sibling of j14: each side explodes to its
+      // covering buckets, candidates come from the bucket equi-join, a
+      // first-shared-bucket guard dedupes, the exact predicate filters.
+      // Never intervals × intervals.
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val a = o.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("a_key"),
+            to_date(col("o_orderdate")).as("a_start"),
+            date_add(to_date(col("o_orderdate")), 14).as("a_end"))
+        val b = o.filter(col("o_orderkey") % 89 === 0)
+          .select(col("o_orderkey").as("b_key"),
+            to_date(col("o_orderdate")).as("b_start"),
+            date_add(to_date(col("o_orderdate")), 14).as("b_end"))
+        RangeJoin.intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end",
+          bucketDays = 14)
+          .select("a_key", "b_key")
+          .orderBy("a_key", "b_key")
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS a_key,
+                           CAST(o_orderdate AS DATE) AS a_start,
+                           CAST(o_orderdate AS DATE) + 14 AS a_end
+                         FROM orders WHERE o_orderkey % 97 = 0),
+              b AS (SELECT o_orderkey AS b_key,
+                      CAST(o_orderdate AS DATE) AS b_start,
+                      CAST(o_orderdate AS DATE) + 14 AS b_end
+                    FROM orders WHERE o_orderkey % 89 = 0)
+              SELECT a_key, b_key FROM a JOIN b
+                ON a_start < b_end AND b_start < a_end
+              ORDER BY a_key, b_key""")),
+
+    Q("inc_merge_daily",
+      // incremental materialized-view maintenance: a base aggregate over
+      // the pre-cutoff history merged with a delta aggregate over new
+      // rows, by re-aggregating the partials — the mergeable-state
+      // pattern that avoids recomputing the 100 TB history every day.
+      // The oracle recomputes from scratch; merged partials must equal it.
+      (s, d) => {
+        val ev = events(s, d)
+        val cutoff = lit("2024-01-16")
+        def partial(df: DataFrame) = df.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        val base = partial(ev.filter(to_date(col("ts")) < cutoff))
+        val delta = partial(ev.filter(to_date(col("ts")) >= cutoff))
+        base.unionAll(delta)
+          .groupBy("user_id")
+          .agg(sum("n").as("n_events"), round(sum("sv"), 2).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+                round(sum(value), 2) AS sum_value
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("a21_quantile_bound",
+      // mergeable quantile sketch with an oracle-checked error bound
+      // (the a20_hll pattern): approx_percentile's GK sketch at
+      // accuracy=100 guarantees 1% rank error; each estimate must land
+      // between the exact percentiles at p±0.02. The booleans are stable
+      // under any merge order, so the row is engine-portable even though
+      // the raw estimate is not.
+      (s, d) => {
+        val ev = events(s, d)
+        ev.groupBy("event_type")
+          .agg(
+            expr("approx_percentile(value, 0.5, 100)").as("ap50"),
+            expr("approx_percentile(value, 0.9, 100)").as("ap90"),
+            expr("percentile(value, 0.48)").as("lo50"),
+            expr("percentile(value, 0.52)").as("hi50"),
+            expr("percentile(value, 0.88)").as("lo90"),
+            expr("percentile(value, 0.92)").as("hi90"))
+          .select(col("event_type"),
+            (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("ok_p50"),
+            (col("ap90") >= col("lo90") && col("ap90") <= col("hi90")).as("ok_p90"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT DISTINCT event_type, true AS ok_p50, true AS ok_p90
+              FROM events ORDER BY event_type""")),
+
+    Q("scale_bloom_prune",
+      // bloom semi-join pruning: a few-MB sketch of the dimension keys
+      // drops fact rows BEFORE the join shuffle; the exact join after it
+      // keeps the answer exact (false positives only waste candidates).
+      // The oracle is the plain semi-join — any bloom false NEGATIVE
+      // (impossible by construction) would show as a row mismatch.
+      (s, d) => {
+        val small = t(s, d, "part").filter(col("p_size") <= 5)
+          .select("p_partkey")
+        val pruned = Scale.bloomPrune(t(s, d, "lineitem"), "l_partkey",
+          small, "p_partkey", expectedItems = 4096)
+        pruned.join(small, col("l_partkey") === col("p_partkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+                round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

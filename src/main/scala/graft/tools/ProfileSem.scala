@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for the semanticDedup stages (round-5 perf work). */
+object ProfileSem {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    println("n=" + emb.count())
+    val pairs = time("pairs-build+count") {
+      val p = graft.operators.Similarity.semanticPairsForProfile(emb, 0.30, 32)
+      println("pairs=" + p.count()); p
+    }
+    time("pairs-again") { pairs.count() }
+    time("clusterAssign") {
+      graft.operators.Dedup.clusterAssign(emb, "vec_id", pairs).count()
+    }
+    time("full") {
+      graft.operators.Similarity.semanticDedup(emb, 0.30, 32).count()
+    }
+    spark.stop()
+  }
+}

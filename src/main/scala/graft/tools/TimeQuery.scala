@@ -23,7 +23,8 @@ object TimeQuery {
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"TIMEQ $name rep=$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      println(f"TIMEQ $name rep=$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n" +
+        s" ccRounds=${graft.operators.Dedup.lastRounds}")
     }
     spark.stop()
   }

@@ -198,27 +198,53 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     val chain = (0 until 24).map(i => (i.toLong, i.toLong + 1))
       .toDF("src", "dst")
-    val labels = graft.operators.Dedup.connectedComponents(chain)
+    // collectThreshold = 0 forces the distributed loop — this test is
+    // about the loop's machinery (pointer jumping, loud non-convergence)
+    val labels = graft.operators.Dedup
+      .connectedComponents(chain, collectThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet == Set(0L), "one component, min label 0")
     assert(graft.operators.Dedup.lastRounds <= 10,
       s"pointer jumping should converge a 24-hop path in O(log d) rounds, " +
         s"took ${graft.operators.Dedup.lastRounds}")
     intercept[IllegalStateException] {
-      graft.operators.Dedup.connectedComponents(chain, maxIter = 2)
+      graft.operators.Dedup.connectedComponents(chain, maxIter = 2,
+        collectThreshold = 0)
     }
+  }
+
+  test("connectedComponents: driver union-find path matches the distributed loop") {
+    import spark.implicits._
+    // mixed shapes: a 10-hop path, a triangle, two singleton-pair islands
+    val edges = ((0 until 10).map(i => (i.toLong, i.toLong + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L), (40L, 41L)))
+      .toDF("src", "dst")
+    val viaLoop = graft.operators.Dedup
+      .connectedComponents(edges, collectThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val viaUnionFind = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(graft.operators.Dedup.lastRounds == 0, "small graph took the driver path")
+    assert(viaUnionFind == viaLoop)
+    // string keys take the driver path too
+    val sEdges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val sLabels = graft.operators.Dedup.connectedComponents(sEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sLabels == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("connectedComponents: reliable-checkpoint mode matches local mode") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
-    val local = graft.operators.Dedup.connectedComponents(edges)
+    val local = graft.operators.Dedup
+      .connectedComponents(edges, collectThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString
     val sc = spark.sparkContext
     sc.setCheckpointDir(dir)
     try {
-      val reliable = graft.operators.Dedup.connectedComponents(edges)
+      val reliable = graft.operators.Dedup
+        .connectedComponents(edges, collectThreshold = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
       assert(reliable == local)
       // superseded rounds' snapshots are deleted eagerly: only the FINAL
