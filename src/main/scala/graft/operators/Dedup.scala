@@ -421,7 +421,10 @@ object Dedup {
       while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    val it = sym.toLocalIterator()
+    // collect, not toLocalIterator: the latter runs one sequential job
+    // per partition (32 round trips for a relation the threshold already
+    // bounds to driver-safe size); one job fetches everything at once
+    val it = sym.collect().iterator
     while (it.hasNext) {
       val row = it.next()
       val (a, b) = (row.get(0), row.get(1))

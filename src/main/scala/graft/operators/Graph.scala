@@ -38,22 +38,34 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
+    // the edge relation (with out-degree pre-attached) is scanned once
+    // per iteration — persist it, or every round re-runs the upstream
+    // distinct/union/scan lineage
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-
-    // out-degree once; also the node universe (no-dangling contract)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.count() // constant scalar: node count for the teleport term
 
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / n).as("rank"))
     for (_ <- 1 to iterations) {
-      val contrib = e
-        .join(deg, "src")
+      val contrib = eDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
       ranks = contrib
         .groupBy(col("dst").as("node"))
         .agg((lit((1.0 - damping) / n) + lit(damping) * sum("c")).as("rank"))
     }
-    ranks
+    // materialize the final ranks before releasing the edge cache —
+    // callers get a plan whose reruns don't re-pay the scan chain.
+    // Same checkpoint policy as Dedup.connectedComponents: reliable FS
+    // snapshot when a checkpoint dir is configured (cluster), executor
+    // blocks otherwise (local/bench).
+    val out =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        ranks.checkpoint(true)
+      else ranks.localCheckpoint(true)
+    eDeg.unpersist(blocking = false)
+    out
   }
 }

@@ -1053,6 +1053,31 @@ object CatalogScale {
       Some("""SELECT DISTINCT event_type, true AS ok_p50, true AS ok_p90
               FROM events ORDER BY event_type""")),
 
+    Q("u7_cdc_apply",
+      // CDC changelog apply (MERGE semantics): replay an ordered
+      // insert/update/delete stream per key and keep only the final
+      // state — one window, one shuffle, no per-op driver loop. 'error'
+      // events act as deletes; anything else upserts its value. The SCD2
+      // sibling (u6) keeps history; this keeps the compacted head.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .filter(col("event_type") =!= "error") // last op delete ⇒ key gone
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_op"),
+            round(col("value"), 2).as("value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+                event_type AS last_op, round(value, 2) AS value
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1 AND event_type <> 'error'
+              ORDER BY user_id""")),
+
     Q("scale_bloom_prune",
       // bloom semi-join pruning: a few-MB sketch of the dimension keys
       // drops fact rows BEFORE the join shuffle; the exact join after it

@@ -431,6 +431,33 @@ object CatalogTraining {
       },
       Some("""SELECT count(*) AS n_queries, CAST(count(*) * 10 AS BIGINT) AS n_exact,
               true AS floor_met
-              FROM embeddings WHERE vec_id < 3"""))
+              FROM embeddings WHERE vec_id < 3""")),
+
+    Q("td_split_assign",
+      // deterministic train/val/test split: the content-hash bucket
+      // (md5 low bits, engine-portable — the td_shard_assign hash)
+      // routes each doc to a split, so the assignment is stable across
+      // runs, engines, and cluster sizes — no RNG, no global sort.
+      // 80/10/10 by bucket range; per-split volume report.
+      (s, d) => {
+        val docs = t(s, d, "documents").select(
+          col("doc_id"),
+          size(graft.operators.Dedup.words(col("text"))).cast("long").as("n_tok"))
+        val bucket = TrainingData.shardId(col("doc_id"), 100)
+        docs.withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .orderBy("split")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 AS INTEGER) AS b
+              FROM documents)
+              SELECT CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+                     count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              FROM w GROUP BY 1 ORDER BY 1"""))
   )
 }
