@@ -5,10 +5,11 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.plans.{MinHashArray, VectorDot}
+import graft.plans.{MinHashArray, PushFilterIntoCollectList, VectorDot}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * expressions as SQL functions, so a pure-SQL user gets them with
+  * expressions as SQL functions and its optimizer rules, so a pure-SQL
+  * user gets them with
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
@@ -20,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => PushFilterIntoCollectList)
     e.injectFunction((
       FunctionIdentifier("vector_dot"),
       info("vector_dot", "vector_dot(a, b) - double dot product of two numeric arrays"),

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: rewrite a post-aggregation array `filter()` over a
+  * `collect_list()` into the aggregate's own FILTER clause —
+  *
+  *   Project [filter(items, x -> p(x)) AS items]
+  *     Aggregate [k], [collect_list(e) AS items]
+  * ⇒
+  *   Project [items]
+  *     Aggregate [k], [collect_list(e) FILTER (WHERE p(e)) AS items]
+  *
+  * Semantics-preserving in ALL cases (unlike pushing a WHERE below the
+  * aggregate, which drops groups whose array filters to empty): the
+  * FILTER clause keeps every group, collecting an empty array when
+  * nothing qualifies, and element order — the scan order either way —
+  * is unchanged.
+  *
+  * Why it matters at 100 TB: `filter`-after-`collect_list` materializes
+  * EVERY row of a group in the aggregation buffer, carries it through
+  * the shuffle, then throws the losers away per output row. With the
+  * predicate in the FILTER clause the rejected rows never enter the
+  * buffer, so shuffle payload and peak aggregation memory scale with
+  * the rows KEPT (reference shape F2: a date-windowed slice of a years-
+  * deep history — often 100× smaller).
+  *
+  * Fires only when provably safe:
+  *  - the array argument is (a reference to) a `collect_list` with no
+  *    existing FILTER clause, not DISTINCT;
+  *  - the lambda has one argument, a deterministic body, and references
+  *    nothing but that argument (no outer columns, no other lambdas);
+  *  - every use of the collect_list attribute in the consuming Project
+  *    is the SAME filter expression (otherwise some consumer still
+  *    needs the unfiltered array).
+  *
+  * Registered by [[graft.GraftExtensions]] (`injectOptimizerRule`) and
+  * self-installed by catalog queries via
+  * `spark.experimental.extraOptimizations`.
+  */
+object PushFilterIntoCollectList extends Rule[LogicalPlan] {
+
+  /** Idempotently register this rule on a session that did not load
+    * [[graft.GraftExtensions]] (`spark.experimental.extraOptimizations`
+    * is the public runtime hook for exactly this).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  /** The lambda is self-contained: deterministic, no outer attribute
+    * references, and no lambda variables other than its own element.
+    */
+  private def safeLambda(f: LambdaFunction, elem: NamedLambdaVariable): Boolean =
+    f.function.deterministic &&
+      // the element variable itself IS a reference (NamedLambdaVariable
+      // is attribute-like in Spark 4); nothing else may be — an outer
+      // column or another lambda's variable would change meaning when
+      // evaluated against the aggregate's input row
+      f.function.references.subsetOf(AttributeSet(elem.toAttribute))
+
+  private case class Target(
+      attr: AttributeReference,
+      lambda: LambdaFunction,
+      elem: NamedLambdaVariable)
+
+  private def inlineRewrite(e: Expression): Expression = e.transform {
+    case ArrayFilter(ae @ AggregateExpression(cl: CollectList, _, false, None, _),
+        f @ LambdaFunction(_, Seq(elem: NamedLambdaVariable), _))
+        if safeLambda(f, elem) =>
+      val predicate = f.function.transform {
+        case v: NamedLambdaVariable if v.exprId == elem.exprId => cl.child
+      }
+      ae.copy(filter = Some(predicate))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // collapsed form (CollapseProject has merged the consumer into the
+    // aggregate): the ArrayFilter wraps the AggregateExpression inline —
+    // e.g. Aggregate [k], [size(filter(collect_list(e), λ)) AS n]
+    case agg: Aggregate if agg.aggregateExpressions.exists(ne =>
+        !inlineRewrite(ne).fastEquals(ne)) =>
+      agg.copy(aggregateExpressions = agg.aggregateExpressions
+        .map(ne => inlineRewrite(ne).asInstanceOf[NamedExpression]))
+
+    case p @ Project(projList, agg: Aggregate) =>
+      // collect_list aliases eligible for a pushed filter clause
+      val collectAliases: Map[ExprId, (Alias, AggregateExpression, CollectList)] =
+        agg.aggregateExpressions.collect {
+          case a @ Alias(ae @ AggregateExpression(cl: CollectList, _, false, None, _), _) =>
+            a.exprId -> (a, ae, cl)
+        }.toMap
+
+      // every ArrayFilter over one of those aliases, keyed by attribute
+      val uses: Seq[Target] = projList.flatMap(_.collect {
+        case ArrayFilter(attr: AttributeReference,
+            f @ LambdaFunction(_, Seq(elem: NamedLambdaVariable), _))
+            if collectAliases.contains(attr.exprId) && safeLambda(f, elem) =>
+          Target(attr, f, elem)
+      })
+
+      // an attribute is rewritable when all its filters agree AND it
+      // never escapes unfiltered: total reference count must equal its
+      // qualifying ArrayFilter count
+      val byAttr = uses.groupBy(_.attr.exprId)
+      val rewritable = byAttr.filter { case (id, ts) =>
+        val allSame = ts.forall(_.lambda.semanticEquals(ts.head.lambda))
+        val totalRefs = projList.map(e =>
+          e.collect { case a: AttributeReference if a.exprId == id => a }.size).sum
+        allSame && totalRefs == ts.size
+      }
+
+      if (rewritable.isEmpty) p
+      else {
+        val newAggExprs = agg.aggregateExpressions.map {
+          case a @ Alias(ae @ AggregateExpression(cl: CollectList, _, false, None, _), name)
+              if rewritable.contains(a.exprId) =>
+            val t = rewritable(a.exprId).head
+            // lambda body with the element variable replaced by the
+            // collected expression itself — evaluated on the aggregate's
+            // INPUT rows, which is exactly the FILTER clause's contract
+            val predicate = t.lambda.function.transform {
+              case v: NamedLambdaVariable if v.exprId == t.elem.exprId => cl.child
+            }
+            Alias(ae.copy(filter = Some(predicate)), name)(
+              exprId = a.exprId, qualifier = a.qualifier)
+          case other => other
+        }
+        val newProjList = projList.map(_.transform {
+          case af @ ArrayFilter(attr: AttributeReference, _)
+              if rewritable.contains(attr.exprId) => attr
+        }.asInstanceOf[NamedExpression])
+        Project(newProjList, agg.copy(aggregateExpressions = newAggExprs))
+      }
+  }
+}

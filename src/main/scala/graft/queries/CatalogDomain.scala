@@ -37,8 +37,13 @@ object CatalogDomain {
               FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     Q("f2_array_filter",
-      // reference F2: filter a nested array in place, drop empty parents
+      // reference F2: filter a nested array in place, drop empty parents.
+      // The declared plan filters AFTER collect_list; the
+      // PushFilterIntoCollectList rule (installed here for sessions that
+      // don't load GraftExtensions) rewrites it to a FILTER-clause
+      // aggregate, so rejected rows never enter the buffer or shuffle.
       (s, d) => {
+        graft.plans.PushFilterIntoCollectList.install(s)
         val items = t(s, d, "lineitem")
           .groupBy("l_orderkey")
           .agg(collect_list(struct(to_date(col("l_shipdate")).as("d"))).as("items"))

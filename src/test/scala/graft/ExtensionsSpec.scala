@@ -48,4 +48,55 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PushFilterIntoCollectList rewrites the F2 shape and preserves semantics") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.PushFilterIntoCollectList.install(spark)
+
+    val rows = Seq((1L, 5), (1L, 50), (2L, 7), (3L, 99)).toDF("k", "v")
+    def shape = rows.groupBy("k")
+      .agg(collect_list(struct(col("v"))).as("items"))
+      .withColumn("items", filter(col("items"), x => x.getField("v") < 10))
+    val df = shape.select(col("k"), size(col("items")).as("n"))
+
+    // the rewrite fired: the optimized plan carries a FILTER-clause
+    // aggregate and no post-aggregation ArrayFilter
+    val optimized = df.queryExecution.optimizedPlan
+    val aggFilters = optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+              if ae.filter.isDefined => ae
+        })
+    }.flatten
+    assert(aggFilters.nonEmpty, s"expected a FILTER-clause aggregate:\n$optimized")
+    assert(optimized.collectFirst {
+      case p if p.expressions.exists(_.collectFirst {
+        case _: org.apache.spark.sql.catalyst.expressions.ArrayFilter => ()
+      }.isDefined) => p
+    }.isEmpty, s"ArrayFilter should be gone:\n$optimized")
+
+    // semantics: empty groups KEPT with empty arrays (the case a naive
+    // WHERE-pushdown would break), values identical to the unoptimized run
+    val got = df.orderBy("k").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (2L, 1), (3L, 0)), s"got $got")
+
+    // negative case: the raw array also escapes → rule must NOT fire
+    val raw = rows.groupBy("k")
+      .agg(collect_list(struct(col("v"))).as("items"))
+    val both = raw.select(col("k"), size(col("items")).as("n_raw"),
+      size(filter(col("items"), x => x.getField("v") < 10)).as("n_kept"))
+    val negFilters = both.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+              if ae.filter.isDefined => ae
+        })
+    }.flatten
+    assert(negFilters.isEmpty, "raw escape must block the rewrite")
+    val gotBoth = both.orderBy("k").as[(Long, Int, Int)].collect().toSeq
+    assert(gotBoth == Seq((1L, 2, 1), (2L, 1, 1), (3L, 1, 0)), s"got $gotBoth")
+  }
 }
