@@ -460,6 +460,26 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster"))
   }
 
+  /** The quality-aware decision step: keep the HIGHEST-SCORING member of
+    * each near-dup cluster instead of the minimum id — what a production
+    * pipeline actually retains (the cleanest copy, not the earliest).
+    * Ties break on ascending id, so the choice is deterministic under
+    * any parallelism. One extra window over the clustered relation
+    * (cardinality = corpus, partitioned by cluster) on top of
+    * [[clusterAssign]].
+    */
+  def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val assigned = clusterAssign(docs, idCol, pairs)
+    val scored = docs.select(col(idCol).as("doc_id"), score.as("score"))
+      .join(assigned, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster"), (col("rn") === 1).as("kept"))
+  }
+
   /** 64-bit SimHash from a document's word hashes: majority vote per bit
     * (bit j of the simhash is 1 iff >= half the hashes have bit j set).
     * Tight single-pass JVM loop behind a UDF — the equivalent Catalyst

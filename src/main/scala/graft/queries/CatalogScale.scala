@@ -190,6 +190,47 @@ object CatalogScale {
               FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
               GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    Q("dedup_keep_best",
+      // the quality-aware decision: per near-dup cluster keep the
+      // highest-quality member (longest doc here), not the minimum id —
+      // the oracle replays closure + per-cluster argmax
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
+        Dedup.keepBest(docs, "doc_id", pairs, length(col("text")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+              w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                    FROM documents),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
+                     FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT id_a, id_b
+                        FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+                                   JOIN sz sb ON inter.id_b = sb.doc_id
+                        WHERE inter * 5 >= (sa.n + sb.n - inter) * 4),
+              edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (SELECT u, v FROM edges
+                        UNION
+                        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              clus AS (SELECT d.doc_id,
+                         CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
+                           AS cluster
+                       FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+                       GROUP BY d.doc_id),
+              ranked AS (SELECT c.doc_id, c.cluster,
+                           row_number() OVER (PARTITION BY c.cluster
+                             ORDER BY len(d.text) DESC, c.doc_id ASC) AS rn
+                         FROM clus c JOIN documents d ON c.doc_id = d.doc_id)
+              SELECT doc_id, cluster, rn = 1 AS kept
+              FROM ranked ORDER BY doc_id""")),
+
     Q("dedup_embedding",
       // production path: hyperplane-bucketed candidates + exact verify;
       // the oracle stays the all-pairs truth definition, so a green hash
