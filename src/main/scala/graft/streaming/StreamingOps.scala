@@ -95,6 +95,21 @@ object StreamingOps {
       .withColumn("content_hash", sha2(col(textCol), 256))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static dimension enrichment: join each micro-batch against a
+    * broadcast dimension table — the canonical streaming lookup shape
+    * (the reference resolves Slack user ids / Jira field names against
+    * cached dimension maps the same way, `slack/lib/format.js:84` /
+    * `jira/lib/field-map.js`). The static side re-resolves per batch, so
+    * a refreshed dimension snapshot (e.g. CacheTable's TTL reload)
+    * becomes visible without restarting the stream; `broadcast()` keeps
+    * the join shuffle-free — the only shape that scales on an unbounded
+    * stream, since the stream side can never be re-sorted or
+    * re-partitioned retroactively.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "left"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), joinType)
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

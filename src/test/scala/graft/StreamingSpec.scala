@@ -159,4 +159,24 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(got == Set(1L, 3L), "in-horizon duplicate dropped")
   }
+
+  test("enrichStream: micro-batches join the broadcast dimension, unmatched keys survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "alice"), (20L, "bob")).toDF("user_id", "name")
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("user_id", "value")
+    val q = StreamingOps.enrichStream(df, dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    mem.addData((10L, 1.0), (30L, 2.0))
+    q.processAllAvailable()
+    mem.addData((20L, 3.0))
+    q.processAllAvailable()
+    val got = spark.table("enrich_out")
+      .select("user_id", "name").as[(Long, Option[String])].collect().toSet
+    q.stop()
+    assert(got == Set((10L, Some("alice")), (30L, None), (20L, Some("bob"))),
+      s"left enrichment across batches: $got")
+  }
 }
