@@ -103,6 +103,29 @@ class SparkPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prop: bucketed interval-overlap join equals the naive theta join, no duplicate pairs") {
+    def gen(n: Int, seedOff: Int) =
+      samples(Gen.zip(Gen.choose(0L, 380L), Gen.choose(1L, 60L)), n)
+        .zipWithIndex.map { case ((s0, len), i) =>
+          val st = LocalDate.of(2024, 1, 1).plusDays(s0 + seedOff)
+          (i.toLong, java.sql.Date.valueOf(st), java.sql.Date.valueOf(st.plusDays(len)))
+        }
+    val a = gen(60, 0).toDF("a_key", "a_start", "a_end")
+    val b = gen(50, 7).toDF("b_key", "b_start", "b_end")
+    val naive = a.join(b, $"a_start" < $"b_end" && $"b_start" < $"a_end")
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bucket <- Seq(1, 7, 45)) {
+      val rows = graft.operators.RangeJoin
+        .intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end", bucket)
+        .select("a_key", "b_key").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.size == rows.toSet.size,
+        s"bucketDays=$bucket emitted duplicate pairs")
+      assert(rows.toSet == naive, s"bucketDays=$bucket")
+    }
+  }
+
   test("prop: forward as-of equals the naive earliest-at-or-after lookup") {
     val ptsRaw = samples(Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 100000L)), 200)
       .zipWithIndex.map { case ((u, t0), i) =>
