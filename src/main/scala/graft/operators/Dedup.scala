@@ -103,6 +103,35 @@ object Dedup {
         round(col("inter").cast("double") / col("union_sh"), 4).as("jaccard"))
   }
 
+  /** Containment near-dup pairs: `inter / min(|A|,|B|) >= num/den`.
+    * Catches what symmetric Jaccard structurally cannot — a short doc
+    * fully embedded in a much longer one (quoted replies, boilerplate
+    * wrappers, truncated copies) scores containment ≈ 1 while its
+    * Jaccard stays ≈ |A|/|B| (arbitrarily low). Same inverted-index
+    * plan as [[jaccardPairs]] (candidates = shared-shingle equi-join,
+    * integer threshold arithmetic), one extra `least()` in the
+    * projection.
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, num: Int, den: Int): DataFrame = {
+    val sh = trackedPersist(shingleRows(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh")))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("shh"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shh"))
+    val inter = a.join(b, a("shh") === b("shh") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+    val sb = sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+    inter.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("min_sh", least(col("n_a"), col("n_b")))
+      .filter(col("inter") * den >= col("min_sh") * num)
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("min_sh"), 4).as("containment"))
+  }
+
   /** Longest common token span per document pair (exact substring-level
     * dedup, the "50-token verbatim overlap" check of published training
     * pipelines): candidate coordinates come from an equi-join on

@@ -190,6 +190,29 @@ object CatalogScale {
               FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
               GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    Q("dedup_containment",
+      // asymmetric near-dup detection: inter / min(|A|,|B|) — a short
+      // doc embedded in a long one scores ~1 here while its Jaccard
+      // stays arbitrarily low. Same inverted-index plan as
+      // dedup_jaccard; the oracle recomputes containment exactly.
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 5, num = 3, den = 5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                         FROM documents),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
+                     FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                     round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+              FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+                         JOIN sz sb ON inter.id_b = sb.doc_id
+              WHERE inter * 5 >= least(sa.n, sb.n) * 3
+              ORDER BY id_a, id_b""")),
+
     Q("dedup_keep_best",
       // the quality-aware decision: per near-dup cluster keep the
       // highest-quality member (longest doc here), not the minimum id —

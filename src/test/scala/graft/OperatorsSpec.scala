@@ -35,6 +35,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head._3 > 0.5)
   }
 
+  test("containmentPairs flags the embedded short doc that Jaccard misses") {
+    // doc 2 is doc 1's first 6 words: containment = 1.0, but Jaccard is
+    // only 4/18 (4 shared 3-shingles of 18 distinct) — below any useful
+    // symmetric threshold
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 a b c d e f g h i j k l m n"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", k = 3, num = 9, den = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), cont.mkString(","))
+    assert(cont.head._3 == 1.0)
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, num = 1, den = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty, "symmetric Jaccard must NOT pair the embedded doc at 0.5")
+  }
+
   test("dropBoilerplateLines: shared lines drop, order survives, pure-boilerplate docs vanish") {
     val docs = Seq(
       (1L, "alpha\nshared footer\nbeta"),
