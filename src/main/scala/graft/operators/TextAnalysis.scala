@@ -187,4 +187,21 @@ object TextAnalysis {
         round(avg(log(col("c").cast("double") / col("n").cast("double"))), 4)
           .as("avg_logprob"))
   }
+
+  /** Shannon entropy of the per-document character distribution
+    * (bits/char) — the classic cheap gibberish detector: natural prose
+    * sits ~4-4.5 bits, base64/hex blobs and mojibake run high, repeated-
+    * char spam runs low. Pure projection (higher-order functions over
+    * the char array, O(distinct·len) per row, zero shuffles); rounding
+    * to 4dp absorbs engine summation-order noise.
+    */
+  def charEntropy(textCol: Column): Column = {
+    val chars = split(textCol, "")
+    val n = size(chars).cast("double")
+    val counts = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    when(n === 0, lit(0.0)).otherwise(
+      round(aggregate(counts, lit(0.0),
+        (acc, cnt) => acc - (cnt / n) * log2(cnt / n)), 4))
+  }
 }

@@ -516,6 +516,22 @@ object CatalogScale {
                      ELSE 'fr' END AS predicted
               FROM s ORDER BY doc_id""")),
 
+    Q("ta_entropy",
+      // character-entropy quality signal (bits/char): gibberish and
+      // base64 blobs run high, char-spam runs low, prose ~4-4.5. Pure
+      // projection; the oracle rebuilds the char distribution in SQL.
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                          FROM documents),
+              cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+              tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1)
+              SELECT cnt.doc_id,
+                round(-sum((n / t) * log2(n / t)), 4) AS entropy
+              FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+              GROUP BY cnt.doc_id ORDER BY cnt.doc_id""")),
+
     Q("ta_quality",
       (s, d) => TextAnalysis.qualityScore(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("n_chars"),
