@@ -987,17 +987,24 @@ object CatalogScale {
       // iterations, each one equi-join + one partial-agg shuffle; the
       // oracle replays every iteration as a chained CTE.
       (s, d) => {
+        // numeric node encoding (order → 2k, part → 2k+1): 8-byte join/
+        // shuffle keys through all six per-iteration exchanges instead
+        // of concatenated strings; the label is reattached only in the
+        // final projection
         val li = t(s, d, "lineitem")
-          .select(concat(lit("o"), col("l_orderkey")).as("o"),
-            concat(lit("p"), col("l_partkey")).as("p"))
+          .select((col("l_orderkey") * 2).as("o"),
+            (col("l_partkey") * 2 + 1).as("p"))
           .distinct()
         val edges = li.select(col("o").as("src"), col("p").as("dst"))
           .unionAll(li.select(col("p").as("src"), col("o").as("dst")))
         Graph.pageRank(edges, "src", "dst", iterations = 3)
-          .select(col("node"), round(col("rank") * 1000000, 2).as("rank_ppm"))
+          .select(
+            concat(when(col("node") % 2 === 0, "o").otherwise("p"),
+              (col("node") / 2).cast("long")).as("node"),
+            round(col("rank") * 1000000, 2).as("rank_ppm"))
           .orderBy("node")
       },
-      Some("""WITH li AS (SELECT DISTINCT 'o' || l_orderkey AS o, 'p' || l_partkey AS p
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey * 2 AS o, l_partkey * 2 + 1 AS p
                           FROM lineitem),
               e AS (SELECT o AS src, p AS dst FROM li
                     UNION ALL SELECT p AS src, o AS dst FROM li),
@@ -1016,7 +1023,9 @@ object CatalogScale {
                        (1 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.outdeg) AS rank
                      FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
                      GROUP BY e.dst)
-              SELECT node, round(rank * 1000000, 2) AS rank_ppm
+              SELECT (CASE WHEN node % 2 = 0 THEN 'o' ELSE 'p' END ||
+                      CAST(node // 2 AS BIGINT)) AS node,
+                     round(rank * 1000000, 2) AS rank_ppm
               FROM r3 ORDER BY node""")),
 
     Q("u6_scd2_intervals",
