@@ -43,6 +43,9 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // also drain Dedup's tracked-persist registry, or its buffer (and
+      // the plans it pins) grows for the life of the session
+      graft.operators.Dedup.releaseCaches()
       // the ContextCleaner reclaims dropped blocks/broadcasts only when a
       // GC runs, and a mostly-idle multi-GiB heap can go many queries
       // without one — by the f* queries in r4 the backlog was inflating
