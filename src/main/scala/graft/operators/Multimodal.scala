@@ -84,4 +84,27 @@ object Multimodal {
       .withColumn("out_w", greatest(lit(1), floor(col("width") * scale)).cast("int"))
       .withColumn("out_h", greatest(lit(1), floor(col("height") * scale)).cast("int"))
   }
+
+  /** ViT-style patch-grid planning over (out_w, out_h) images: the grid
+    * is ceil-division arithmetic (right/bottom edge patches padded), and
+    * one row per patch with its pixel box comes from a partition-local
+    * explode — vision-training's (image, patch_idx, box) work-list,
+    * planned entirely in metadata so the decoder touches each patch box
+    * once. Patch count per image is (⌈w/p⌉·⌈h/p⌉); the explode never
+    * shuffles.
+    */
+  def patchify(resized: DataFrame, patch: Int): DataFrame = {
+    require(patch >= 1, "patch must be >= 1")
+    val cols = ceil(col("out_w").cast("double") / patch).cast("int")
+    val rows = ceil(col("out_h").cast("double") / patch).cast("int")
+    resized
+      .withColumn("grid_cols", cols)
+      .withColumn("grid_rows", rows)
+      .withColumn("patch_idx",
+        explode(sequence(lit(0), col("grid_cols") * col("grid_rows") - 1)))
+      .withColumn("px", (col("patch_idx") % col("grid_cols")) * patch)
+      .withColumn("py", expr("patch_idx div grid_cols").cast("int") * patch)
+      .withColumn("pw", least(lit(patch), col("out_w") - col("px")))
+      .withColumn("ph", least(lit(patch), col("out_h") - col("py")))
+  }
 }

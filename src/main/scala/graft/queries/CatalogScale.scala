@@ -640,6 +640,39 @@ object CatalogScale {
                 CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
               FROM documents ORDER BY doc_id""")),
 
+    Q("mm_patchify",
+      // ViT patch-grid planning: resized dims → ceil-division grid →
+      // one (doc, patch_idx, box) row per patch, all in metadata before
+      // any decode; edge patches carry their clipped true size. The
+      // oracle replays stub metadata → resize → grid → box arithmetic.
+      (s, d) => {
+        val meta = Multimodal.documentBinaryMeta(s, t(s, d, "documents"))
+        Multimodal.patchify(
+          Multimodal.resizePlan(meta, maxW = 32, maxH = 32), patch = 8)
+          .filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "patch_idx", "px", "py", "pw", "ph")
+          .orderBy("doc_id", "patch_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                CAST(1 + octet_length(encode(text)) % 64 AS INT) AS w,
+                CAST(1 + octet_length(encode(text)) % 37 AS INT) AS h
+              FROM documents WHERE doc_id % 10 = 0),
+              r AS (SELECT doc_id,
+                CAST(greatest(1, floor(w * least(32.0 / w, 32.0 / h, 1.0))) AS INT) AS out_w,
+                CAST(greatest(1, floor(h * least(32.0 / w, 32.0 / h, 1.0))) AS INT) AS out_h
+              FROM m),
+              g AS (SELECT doc_id, out_w, out_h,
+                CAST(ceil(out_w / 8.0) AS INT) AS gc,
+                CAST(ceil(out_h / 8.0) AS INT) AS gr
+              FROM r)
+              SELECT doc_id, CAST(p AS INT) AS patch_idx,
+                CAST((p % gc) * 8 AS INT) AS px,
+                CAST((p // gc) * 8 AS INT) AS py,
+                CAST(least(8, out_w - (p % gc) * 8) AS INT) AS pw,
+                CAST(least(8, out_h - (p // gc) * 8) AS INT) AS ph
+              FROM g, unnest(range(0, gc * gr)) t(p)
+              ORDER BY doc_id, patch_idx""")),
+
     Q("mm_frame_resize",
       // the full pre-decode plan: metadata → aspect-preserving resize
       // dims → every-2nd-frame sample, one row per frame to decode; the
