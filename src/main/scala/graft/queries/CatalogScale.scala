@@ -1175,6 +1175,68 @@ object CatalogScale {
       Some("""SELECT DISTINCT event_type, true AS ok_p50, true AS ok_p90
               FROM events ORDER BY event_type""")),
 
+    Q("a23_zscore_outliers",
+      // per-group z-score outlier flagging: group stats via one
+      // partial+final agg, broadcast back into a projection — the
+      // standard anomaly screen for event streams. Population stddev
+      // (stddev_pop) so both engines compute the same denominator.
+      (s, d) => {
+        val ev = events(s, d)
+        val stats = ev.groupBy("event_type")
+          .agg(avg("value").as("mu"), stddev_pop(col("value")).as("sigma"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+          .filter(abs(col("z")) > 2.5)
+          .select(col("event_id"), col("event_type"), round(col("z"), 3).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (SELECT event_type, avg(value) AS mu,
+                           stddev_pop(value) AS sigma
+                         FROM events GROUP BY 1)
+              SELECT event_id, e.event_type, round((value - mu) / sigma, 3) AS z
+              FROM events e JOIN s ON e.event_type = s.event_type
+              WHERE abs((value - mu) / sigma) > 2.5
+              ORDER BY event_id""")),
+
+    Q("a24_funnel",
+      // ordered funnel: per user, stage k counts only if it happened
+      // AFTER stage k-1's first occurrence (view → click → purchase).
+      // One agg pass (min-ts per stage via conditional min), then the
+      // ordering constraint is a projection — no per-user sorting, no
+      // sequence explosion.
+      (s, d) => {
+        val ev = events(s, d)
+        val perUser = ev.groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+        val staged = perUser.select(
+          col("user_id"),
+          col("t_view").isNotNull.as("s1"),
+          (col("t_view").isNotNull && col("t_click") > col("t_view")).as("s2"),
+          (col("t_view").isNotNull && col("t_click") > col("t_view") &&
+            col("t_buy") > col("t_click")).as("s3"))
+        staged.agg(
+          count(lit(1)).as("n_users"),
+          sum(col("s1").cast("long")).as("reached_view"),
+          sum(col("s2").cast("long")).as("reached_click"),
+          sum(col("s3").cast("long")).as("reached_purchase"))
+      },
+      Some("""WITH p AS (SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+              FROM events GROUP BY 1)
+              SELECT count(*) AS n_users,
+                CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS reached_view,
+                CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+                CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                              AND t_buy > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+              FROM p""")),
+
     Q("u7_cdc_apply",
       // CDC changelog apply (MERGE semantics): replay an ordered
       // insert/update/delete stream per key and keep only the final
