@@ -2,17 +2,17 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: rewrite a post-aggregation array `filter()` over a
   * `collect_list()` into the aggregate's own FILTER clause —
   *
-  *   Project [filter(items, x -> p(x)) AS items]
-  *     Aggregate [k], [collect_list(e) AS items]
+  *   … Filter size(filter(items, x -> p(x))) > 0
+  *       … Aggregate [k], [collect_list(e) AS items]
   * ⇒
-  *   Project [items]
-  *     Aggregate [k], [collect_list(e) FILTER (WHERE p(e)) AS items]
+  *   … Filter size(items) > 0
+  *       … Aggregate [k], [collect_list(e) FILTER (WHERE p(e)) AS items]
   *
   * Semantics-preserving in ALL cases (unlike pushing a WHERE below the
   * aggregate, which drops groups whose array filters to empty): the
@@ -28,14 +28,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the rows KEPT (reference shape F2: a date-windowed slice of a years-
   * deep history — often 100× smaller).
   *
-  * Fires only when provably safe:
-  *  - the array argument is (a reference to) a `collect_list` with no
-  *    existing FILTER clause, not DISTINCT;
-  *  - the lambda has one argument, a deterministic body, and references
-  *    nothing but that argument (no outer columns, no other lambdas);
-  *  - every use of the collect_list attribute in the consuming Project
-  *    is the SAME filter expression (otherwise some consumer still
-  *    needs the unfiltered array).
+  * The rewrite is decided PLAN-GLOBALLY, not node-locally: an attribute
+  * is rewritable only when EVERY reference to it anywhere in the plan is
+  * the same `filter(attr, λ)` call — one raw escape (a consumer that
+  * needs the unfiltered array) vetoes it. λ must be deterministic, one-
+  * argument, and reference nothing but its element. The collapsed form
+  * (CollapseProject merged the consumer into the aggregate, so the
+  * ArrayFilter wraps the AggregateExpression inline) is handled too.
   *
   * Registered by [[graft.GraftExtensions]] (`injectOptimizerRule`) and
   * self-installed by catalog queries via
@@ -52,89 +51,111 @@ object PushFilterIntoCollectList extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
 
-  /** The lambda is self-contained: deterministic, no outer attribute
-    * references, and no lambda variables other than its own element.
+  /** The lambda is self-contained: deterministic, one argument, and the
+    * element variable (attribute-like in Spark 4) is its only reference
+    * — an outer column or another lambda's variable would change
+    * meaning when evaluated against the aggregate's input row.
     */
-  private def safeLambda(f: LambdaFunction, elem: NamedLambdaVariable): Boolean =
-    f.function.deterministic &&
-      // the element variable itself IS a reference (NamedLambdaVariable
-      // is attribute-like in Spark 4); nothing else may be — an outer
-      // column or another lambda's variable would change meaning when
-      // evaluated against the aggregate's input row
-      f.function.references.subsetOf(AttributeSet(elem.toAttribute))
-
-  private case class Target(
-      attr: AttributeReference,
-      lambda: LambdaFunction,
-      elem: NamedLambdaVariable)
-
-  private def inlineRewrite(e: Expression): Expression = e.transform {
-    case ArrayFilter(ae @ AggregateExpression(cl: CollectList, _, false, None, _),
-        f @ LambdaFunction(_, Seq(elem: NamedLambdaVariable), _))
-        if safeLambda(f, elem) =>
-      val predicate = f.function.transform {
-        case v: NamedLambdaVariable if v.exprId == elem.exprId => cl.child
-      }
-      ae.copy(filter = Some(predicate))
+  private def safeLambda(f: LambdaFunction): Boolean = f.arguments match {
+    case Seq(elem: NamedLambdaVariable) =>
+      f.function.deterministic &&
+        f.function.references.subsetOf(AttributeSet(elem.toAttribute))
+    case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    // collapsed form (CollapseProject has merged the consumer into the
-    // aggregate): the ArrayFilter wraps the AggregateExpression inline —
-    // e.g. Aggregate [k], [size(filter(collect_list(e), λ)) AS n]
-    case agg: Aggregate if agg.aggregateExpressions.exists(ne =>
-        !inlineRewrite(ne).fastEquals(ne)) =>
-      agg.copy(aggregateExpressions = agg.aggregateExpressions
-        .map(ne => inlineRewrite(ne).asInstanceOf[NamedExpression]))
+  /** λ body with the element variable replaced by the collected
+    * expression — evaluated against the aggregate's INPUT row, which is
+    * exactly the FILTER clause's contract.
+    */
+  private def pushedPredicate(f: LambdaFunction, collected: Expression): Expression = {
+    val elem = f.arguments.head.asInstanceOf[NamedLambdaVariable]
+    f.function.transform {
+      case v: NamedLambdaVariable if v.exprId == elem.exprId => collected
+    }
+  }
 
-    case p @ Project(projList, agg: Aggregate) =>
-      // collect_list aliases eligible for a pushed filter clause
-      val collectAliases: Map[ExprId, (Alias, AggregateExpression, CollectList)] =
-        agg.aggregateExpressions.collect {
-          case a @ Alias(ae @ AggregateExpression(cl: CollectList, _, false, None, _), _) =>
-            a.exprId -> (a, ae, cl)
-        }.toMap
+  /** Collapsed form: ArrayFilter directly over the AggregateExpression
+    * inside the aggregate's own expressions.
+    */
+  private def inlineRewrite(e: Expression): Expression = e.transform {
+    case ArrayFilter(ae @ AggregateExpression(cl: CollectList, _, false, None, _),
+        f: LambdaFunction) if safeLambda(f) =>
+      ae.copy(filter = Some(pushedPredicate(f, cl.child)))
+  }
 
-      // every ArrayFilter over one of those aliases, keyed by attribute
-      val uses: Seq[Target] = projList.flatMap(_.collect {
-        case ArrayFilter(attr: AttributeReference,
-            f @ LambdaFunction(_, Seq(elem: NamedLambdaVariable), _))
-            if collectAliases.contains(attr.exprId) && safeLambda(f, elem) =>
-          Target(attr, f, elem)
-      })
-
-      // an attribute is rewritable when all its filters agree AND it
-      // never escapes unfiltered: total reference count must equal its
-      // qualifying ArrayFilter count
-      val byAttr = uses.groupBy(_.attr.exprId)
-      val rewritable = byAttr.filter { case (id, ts) =>
-        val allSame = ts.forall(_.lambda.semanticEquals(ts.head.lambda))
-        val totalRefs = projList.map(e =>
-          e.collect { case a: AttributeReference if a.exprId == id => a }.size).sum
-        allSame && totalRefs == ts.size
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // ---- pass 1: gather candidates (collect_list aliases) plan-wide
+    val candidates = scala.collection.mutable.HashMap[ExprId, CollectList]()
+    plan.foreach {
+      case agg: Aggregate => agg.aggregateExpressions.foreach {
+        case a @ Alias(AggregateExpression(cl: CollectList, _, false, None, _), _) =>
+          candidates(a.exprId) = cl
+        case _ => ()
       }
+      case _ => ()
+    }
+    if (candidates.isEmpty) return plan.transformUp {
+      case agg: Aggregate if agg.aggregateExpressions.exists(ne =>
+          !inlineRewrite(ne).fastEquals(ne)) =>
+        agg.copy(aggregateExpressions = agg.aggregateExpressions
+          .map(ne => inlineRewrite(ne).asInstanceOf[NamedExpression]))
+    }
 
-      if (rewritable.isEmpty) p
-      else {
+    // ---- pass 2: classify every reference to a candidate attribute
+    val filters = scala.collection.mutable.HashMap[ExprId, LambdaFunction]()
+    val vetoed = scala.collection.mutable.HashSet[ExprId]()
+    def scan(e: Expression, insideDefiningAgg: Boolean): Unit = e match {
+      case ArrayFilter(attr: AttributeReference, f: LambdaFunction)
+          if candidates.contains(attr.exprId) && safeLambda(f) =>
+        filters.get(attr.exprId) match {
+          case Some(prev) if !prev.semanticEquals(f) => vetoed += attr.exprId
+          case _ => filters(attr.exprId) = f
+        }
+      // λ body can't reference the attr (safeLambda), so no recursion needed
+      case a: AttributeReference if candidates.contains(a.exprId) =>
+        vetoed += a.exprId // raw escape
+      case other => other.children.foreach(scan(_, insideDefiningAgg))
+    }
+    plan.foreach {
+      case agg: Aggregate =>
+        // the defining Alias itself is not a "use"; but candidate attrs
+        // from OTHER aggregates may appear here — scan everything except
+        // the defining aliases' own heads
+        agg.aggregateExpressions.foreach {
+          case Alias(ae @ AggregateExpression(_: CollectList, _, false, None, _), _) =>
+            ae.children.foreach(scan(_, insideDefiningAgg = true))
+          case ne => scan(ne, insideDefiningAgg = true)
+        }
+        (agg.groupingExpressions ++ Seq.empty).foreach(scan(_, true))
+      case node => node.expressions.foreach(scan(_, insideDefiningAgg = false))
+    }
+    val rewritable = candidates.keySet.filterNot(vetoed).filter(filters.contains)
+
+    if (rewritable.isEmpty) return plan.transformUp {
+      case agg: Aggregate if agg.aggregateExpressions.exists(ne =>
+          !inlineRewrite(ne).fastEquals(ne)) =>
+        agg.copy(aggregateExpressions = agg.aggregateExpressions
+          .map(ne => inlineRewrite(ne).asInstanceOf[NamedExpression]))
+    }
+
+    // ---- pass 3: rewrite — FILTER clause at the defining aggregate,
+    // every qualifying ArrayFilter collapses to the bare attribute
+    plan.transformUp {
+      case agg: Aggregate =>
         val newAggExprs = agg.aggregateExpressions.map {
           case a @ Alias(ae @ AggregateExpression(cl: CollectList, _, false, None, _), name)
               if rewritable.contains(a.exprId) =>
-            val t = rewritable(a.exprId).head
-            // lambda body with the element variable replaced by the
-            // collected expression itself — evaluated on the aggregate's
-            // INPUT rows, which is exactly the FILTER clause's contract
-            val predicate = t.lambda.function.transform {
-              case v: NamedLambdaVariable if v.exprId == t.elem.exprId => cl.child
-            }
-            Alias(ae.copy(filter = Some(predicate)), name)(
+            Alias(ae.copy(filter =
+              Some(pushedPredicate(filters(a.exprId), cl.child))), name)(
               exprId = a.exprId, qualifier = a.qualifier)
-          case other => other
+          case other => inlineRewrite(other).asInstanceOf[NamedExpression]
         }
-        val newProjList = projList.map(_.transform {
-          case af @ ArrayFilter(attr: AttributeReference, _)
+        agg.copy(aggregateExpressions = newAggExprs)
+      case node =>
+        node.mapExpressions(_.transform {
+          case ArrayFilter(attr: AttributeReference, _)
               if rewritable.contains(attr.exprId) => attr
-        }.asInstanceOf[NamedExpression])
-        Project(newProjList, agg.copy(aggregateExpressions = newAggExprs))
-      }
+        })
+    }
   }
 }

@@ -83,6 +83,26 @@ class ExtensionsSpec extends AnyFunSuite {
     val got = df.orderBy("k").as[(Long, Int)].collect().toSeq
     assert(got == Seq((1L, 1), (2L, 1), (3L, 0)), s"got $got")
 
+    // the real F2 catalog shape — Project over Filter(size>0) over
+    // Project over Aggregate — must ALSO rewrite (plan-global analysis,
+    // not node-local pattern matching)
+    val f2Shape = rows.groupBy("k")
+      .agg(collect_list(struct(col("v"))).as("items"))
+      .withColumn("items", filter(col("items"), x => x.getField("v") < 10))
+      .filter(size(col("items")) > 0)
+      .select(col("k"), size(col("items")).as("n"))
+    val f2Filters = f2Shape.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+              if ae.filter.isDefined => ae
+        })
+    }.flatten
+    assert(f2Filters.nonEmpty,
+      s"multi-level consumer chain must rewrite:\n${f2Shape.queryExecution.optimizedPlan}")
+    val f2Got = f2Shape.orderBy("k").as[(Long, Int)].collect().toSeq
+    assert(f2Got == Seq((1L, 1), (2L, 1)), s"empty group dropped by size>0: $f2Got")
+
     // negative case: the raw array also escapes → rule must NOT fire
     val raw = rows.groupBy("k")
       .agg(collect_list(struct(col("v"))).as("items"))
