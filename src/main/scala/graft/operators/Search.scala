@@ -65,4 +65,37 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Exact phrase search over a POSITIONAL inverted index: postings are
+    * (doc, term, pos); a phrase of n terms matches at start position p
+    * iff term_i sits at p + i for every i — i.e. all n (doc, pos − i)
+    * diagonals coincide. Postings are pruned to the phrase's terms
+    * BEFORE any shuffle (the relation entering the aggregation is
+    * O(matching tokens)); the phrase test is one partial-agg groupBy on
+    * (doc, diagonal) counting DISTINCT term slots. No regex ever scans
+    * the corpus — at 100 TB "grep every byte" is replaced by an
+    * index probe, and the same postings relation serves [[bm25]].
+    *
+    * Returns (doc, n_matches) for docs containing the phrase at least
+    * once. Repeated terms in the phrase are handled by counting
+    * distinct slot indexes, not distinct terms.
+    */
+  def phrase(docs: DataFrame, idCol: String, textCol: String,
+      phraseTerms: Seq[String]): DataFrame = {
+    require(phraseTerms.nonEmpty, "need a non-empty phrase")
+    val n = phraseTerms.size
+    val session = docs.sparkSession
+    import session.implicits._
+    val slots = phraseTerms.zipWithIndex.toDF("term", "slot")
+    val postings = docs
+      .select(col(idCol), posexplode(Dedup.words(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phraseTerms.distinct: _*)) // prune pre-shuffle
+    postings
+      .join(broadcast(slots), "term")
+      .groupBy(col(idCol), (col("pos") - col("slot")).as("start"))
+      .agg(countDistinct(col("slot")).as("n_slots"))
+      .filter(col("n_slots") === n && col("start") >= 0)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_matches"))
+  }
 }

@@ -516,6 +516,27 @@ object CatalogScale {
                      ELSE 'fr' END AS predicted
               FROM s ORDER BY doc_id""")),
 
+    Q("search_phrase",
+      // exact phrase search on the positional inverted index: postings
+      // pruned to the phrase terms pre-shuffle, all-slots-on-one-
+      // diagonal test as a partial-agg groupBy — an index probe, never
+      // a regex scan of the corpus. The oracle rebuilds positions and
+      // replays the diagonal coincidence test.
+      (s, d) => Search.phrase(t(s, d, "documents"), "doc_id", "text",
+        Seq("merge", "line"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                         FROM documents),
+              p AS (SELECT doc_id, g - 1 AS pos, words[g] AS term
+                    FROM w, unnest(range(1, len(words) + 1)) t(g)),
+              s AS (SELECT * FROM (VALUES ('merge', 0), ('line', 1)) v(term, slot)),
+              diag AS (SELECT doc_id, pos - slot AS start,
+                         count(DISTINCT slot) AS n_slots
+                       FROM p JOIN s USING (term) GROUP BY 1, 2)
+              SELECT doc_id, CAST(count(*) AS INT) AS n_matches
+              FROM diag WHERE n_slots = 2 AND start >= 0
+              GROUP BY 1 ORDER BY 1""")),
+
     Q("ta_entropy",
       // character-entropy quality signal (bits/char): gibberish and
       // base64 blobs run high, char-spam runs low, prose ~4-4.5. Pure

@@ -35,6 +35,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head._3 > 0.5)
   }
 
+  test("phrase search: positional diagonals, repeated terms, overlapping matches") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b" matches at 0 and 2 (overlap via position 2's a)
+      (2L, "b a b"),       // "a b" matches at 1
+      (3L, "a a a"),       // repeated-term phrase "a a" matches at 0 and 1
+      (4L, "b b")).toDF("doc_id", "text")
+    val ab = graft.operators.Search.phrase(docs, "doc_id", "text", Seq("a", "b"))
+      .as[(Long, Int)].collect().toMap
+    assert(ab == Map(1L -> 2, 2L -> 1), s"got $ab")
+    val aa = graft.operators.Search.phrase(docs, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Int)].collect().toMap
+    // repeated term: slot 0 and slot 1 both bind 'a'; diagonal needs
+    // BOTH slots at the same start = consecutive a's — only doc 3 has
+    // them (starts 0 and 1); doc 1's a's alternate with b's
+    assert(aa == Map(3L -> 2), s"got $aa")
+  }
+
   test("containmentPairs flags the embedded short doc that Jaccard misses") {
     // doc 2 is doc 1's first 6 words: containment = 1.0, but Jaccard is
     // only 4/18 (4 shared 3-shingles of 18 distinct) — below any useful
