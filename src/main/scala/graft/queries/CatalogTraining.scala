@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Similarity, TrainingData}
@@ -432,6 +433,35 @@ object CatalogTraining {
       Some("""SELECT count(*) AS n_queries, CAST(count(*) * 10 AS BIGINT) AS n_exact,
               true AS floor_met
               FROM embeddings WHERE vec_id < 3""")),
+
+    Q("td_epoch_plan",
+      // per-epoch data ordering: each epoch re-shuffles the corpus by
+      // hashing (doc_id, epoch) — deterministic on any cluster layout
+      // (same property as hashOrder), yet uncorrelated across epochs,
+      // which is what multi-epoch training needs instead of one frozen
+      // order or a nondeterministic random(). Emits each epoch's first
+      // 5 docs as the order fingerprint.
+      (s, d) => {
+        val w = Window.partitionBy("epoch")
+          .orderBy(col("ord"), col("doc_id"))
+        t(s, d, "documents").select(col("doc_id"))
+          .withColumn("epoch", explode(sequence(lit(0), lit(1))))
+          .withColumn("ord",
+            md5(concat(col("doc_id").cast("string"), lit(":"), col("epoch"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("epoch").cast("int").as("epoch"),
+            col("rn").cast("int").as("rn"), col("doc_id"))
+          .orderBy("epoch", "rn")
+      },
+      Some("""WITH e AS (SELECT doc_id, CAST(ep AS INTEGER) AS epoch,
+                           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(ep AS VARCHAR)) AS ord
+                         FROM documents, unnest([0, 1]) t(ep)),
+              r AS (SELECT doc_id, epoch,
+                      row_number() OVER (PARTITION BY epoch ORDER BY ord, doc_id) AS rn
+                    FROM e)
+              SELECT epoch, CAST(rn AS INTEGER) AS rn, doc_id
+              FROM r WHERE rn <= 5 ORDER BY epoch, rn""")),
 
     Q("td_split_assign",
       // deterministic train/val/test split: the content-hash bucket
