@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: when a `collect_list` is consumed ONLY through
+  * `size(...)`, replace it with `count(...)` —
+  *
+  *   Aggregate [k], [collect_list(e) AS items]; … size(items) …
+  * ⇒
+  *   Aggregate [k], [count(e) AS items_cnt]; … cast(items_cnt as int) …
+  *
+  * `size(collect_list(e))` counts e's non-null occurrences per group,
+  * which is exactly `count(e)` — but count keeps a single long of state
+  * where collect_list materializes every element in the aggregation
+  * buffer and ships the arrays through the shuffle. An existing FILTER
+  * clause (e.g. one installed by [[PushFilterIntoCollectList]]) carries
+  * over unchanged, so the two rules COMPOSE: the F2 shape
+  * `filter(collect_list(x), p)` consumed only via `size` ends as
+  * `count(x) FILTER (WHERE p)` — no array ever exists, state is one
+  * long per group, and the declared nested-array semantics are intact.
+  *
+  * Like [[PushFilterIntoCollectList]], the attribute form is decided
+  * plan-globally: one reference outside `size(attr)` vetoes the
+  * rewrite. The collapsed inline form (`size` directly over the
+  * AggregateExpression inside the aggregate) is a pure expression
+  * rewrite with no bookkeeping.
+  */
+object SizeOfCollectListToCount extends Rule[LogicalPlan] {
+
+  /** Idempotently register on a session that did not load
+    * [[graft.GraftExtensions]].
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  private def toCount(ae: AggregateExpression, cl: CollectList): AggregateExpression =
+    ae.copy(aggregateFunction = Count(Seq(cl.child)))
+
+  /** Collapsed form: size directly over the aggregate expression. */
+  private def inlineRewrite(e: Expression): Expression = e.transform {
+    case s @ Size(ae @ AggregateExpression(cl: CollectList, _, false, _, _), _) =>
+      Cast(toCount(ae, cl), IntegerType)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // candidates: collect_list aliases anywhere in the plan
+    val candidates = scala.collection.mutable.HashMap[ExprId, (Alias, AggregateExpression, CollectList)]()
+    plan.foreach {
+      case agg: Aggregate => agg.aggregateExpressions.foreach {
+        case a @ Alias(ae @ AggregateExpression(cl: CollectList, _, false, _, _), _) =>
+          candidates(a.exprId) = (a, ae, cl)
+        case _ => ()
+      }
+      case _ => ()
+    }
+
+    // classify every reference: only size(attr) is acceptable
+    val used = scala.collection.mutable.HashSet[ExprId]()
+    val vetoed = scala.collection.mutable.HashSet[ExprId]()
+    def scan(e: Expression): Unit = e match {
+      case Size(attr: AttributeReference, _) if candidates.contains(attr.exprId) =>
+        used += attr.exprId
+      case a: AttributeReference if candidates.contains(a.exprId) =>
+        vetoed += a.exprId
+      case other => other.children.foreach(scan)
+    }
+    plan.foreach {
+      case agg: Aggregate =>
+        agg.aggregateExpressions.foreach {
+          case Alias(ae @ AggregateExpression(_: CollectList, _, false, _, _), _) =>
+            ae.children.foreach(scan) // the defining head is not a use
+          case ne => scan(ne)
+        }
+        agg.groupingExpressions.foreach(scan)
+      case node => node.expressions.foreach(scan)
+    }
+    val rewritable = candidates.keySet.filterNot(vetoed).filter(used.contains)
+
+    if (rewritable.isEmpty) return plan.transformUp {
+      case n if n.expressions.exists(e => !inlineRewrite(e).fastEquals(e)) =>
+        n.mapExpressions(inlineRewrite)
+    }
+
+    // mint one long-typed replacement attribute per rewritten alias
+    val replacement: Map[ExprId, Alias] = rewritable.map { id =>
+      val (a, ae, cl) = candidates(id)
+      id -> Alias(toCount(ae, cl), a.name + "_cnt")()
+    }.toMap
+
+    plan.transformUp {
+      case agg: Aggregate =>
+        agg.copy(aggregateExpressions = agg.aggregateExpressions.map {
+          case a @ Alias(AggregateExpression(_: CollectList, _, false, _, _), _)
+              if replacement.contains(a.exprId) => replacement(a.exprId)
+          case other => inlineRewrite(other).asInstanceOf[NamedExpression]
+        })
+      case node =>
+        node.mapExpressions(_.transform {
+          case Size(attr: AttributeReference, _) if replacement.contains(attr.exprId) =>
+            Cast(replacement(attr.exprId).toAttribute, IntegerType)
+        })
+    }
+  }
+}

@@ -44,6 +44,7 @@ object CatalogDomain {
       // aggregate, so rejected rows never enter the buffer or shuffle.
       (s, d) => {
         graft.plans.PushFilterIntoCollectList.install(s)
+        graft.plans.SizeOfCollectListToCount.install(s)
         val items = t(s, d, "lineitem")
           .groupBy("l_orderkey")
           .agg(collect_list(struct(to_date(col("l_shipdate")).as("d"))).as("items"))

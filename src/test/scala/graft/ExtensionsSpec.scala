@@ -103,6 +103,29 @@ class ExtensionsSpec extends AnyFunSuite {
     val f2Got = f2Shape.orderBy("k").as[(Long, Int)].collect().toSeq
     assert(f2Got == Seq((1L, 1), (2L, 1)), s"empty group dropped by size>0: $f2Got")
 
+    // composed with SizeOfCollectListToCount: when the filtered array is
+    // consumed only via size(), the array disappears entirely — the
+    // aggregate runs count(e) FILTER (WHERE p) with one long of state
+    graft.plans.SizeOfCollectListToCount.install(spark)
+    val composed = rows.groupBy("k")
+      .agg(collect_list(struct(col("v"))).as("items"))
+      .withColumn("items", filter(col("items"), x => x.getField("v") < 10))
+      .filter(size(col("items")) > 0)
+      .select(col("k"), size(col("items")).as("n"))
+    val composedAggs = composed.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => ae
+        })
+    }.flatten
+    assert(composedAggs.nonEmpty)
+    assert(composedAggs.forall(ae => ae.aggregateFunction
+        .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Count]),
+      s"collect_list must be gone:\n${composed.queryExecution.optimizedPlan}")
+    assert(composedAggs.exists(_.filter.isDefined), "FILTER clause must survive")
+    val composedGot = composed.orderBy("k").as[(Long, Int)].collect().toSeq
+    assert(composedGot == Seq((1L, 1), (2L, 1)), s"got $composedGot")
+
     // negative case: the raw array also escapes → rule must NOT fire
     val raw = rows.groupBy("k")
       .agg(collect_list(struct(col("v"))).as("items"))
