@@ -190,6 +190,46 @@ object CatalogScale {
               FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
               GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    Q("g2_cluster_sizes",
+      // the dedup run's summary artifact: component-size histogram
+      // (how much of the corpus is duplicated, and how deep) — two
+      // partial-agg groupBys over the cluster assignment
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
+        Dedup.clusterAssign(docs, "doc_id", pairs)
+          .groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("sz")
+      },
+      Some("""WITH RECURSIVE
+              w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                    FROM documents),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
+                     FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT id_a, id_b
+                        FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+                                   JOIN sz sb ON inter.id_b = sb.doc_id
+                        WHERE inter * 5 >= (sa.n + sb.n - inter) * 4),
+              edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (SELECT u, v FROM edges
+                        UNION
+                        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              clus AS (SELECT d.doc_id,
+                         CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
+                           AS cluster
+                       FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+                       GROUP BY d.doc_id),
+              csz AS (SELECT cluster, count(*) AS sz FROM clus GROUP BY 1)
+              SELECT sz, count(*) AS n_clusters FROM csz
+              GROUP BY sz ORDER BY sz""")),
+
     Q("dedup_containment",
       // asymmetric near-dup detection: inter / min(|A|,|B|) — a short
       // doc embedded in a long one scores ~1 here while its Jaccard
