@@ -14,7 +14,10 @@ object ExplainAudit {
       else Seq("f1_date_range", "j1_multi_join", "j1_bucketed", "q1_agg",
         "o3_topk_per_group", "dedup_minhash_lsh", "dedup_embedding",
         "sim_knn_cosine", "sim_ann_multiprobe", "s12_drive_scan",
-        "f2_connector_comments")
+        "f2_connector_comments",
+        // round 5: optimizer-rule composition, graph, keyless joins
+        "f2_array_filter", "g1_pagerank", "j15_interval_overlap",
+        "scale_bloom_prune", "search_phrase")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
