@@ -72,4 +72,45 @@ object HeavyHitters {
       .filter(col("cnt") >= minFreq)
       .orderBy(col("cnt").desc, col("item"))
   }
+
+  /** Count-Min sketch AS A RELATION: rows (s, b, cnt) for `depth` seeded
+    * hash rows × `width` buckets. Because the sketch is just grouped
+    * counts, MERGING partial sketches (per-day, per-source, per-batch)
+    * is a plain `groupBy(s, b).sum(cnt)` — the mergeable-state pattern
+    * that lets a 100 TB corpus maintain frequency estimates
+    * incrementally without recounting raw history (the CMS analog of
+    * a20's HLL union). Hashing uses [[Dedup.portableHash64]] so a DuckDB
+    * oracle reproduces every bucket; `width` must be a power of two so
+    * the bucket mask reads the same low bits under signed (Spark) and
+    * unsigned (DuckDB) interpretations of the hash.
+    */
+  def cmsSketch(items: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    require(width >= 2 && (width & (width - 1)) == 0, "width must be a power of two")
+    items
+      .withColumn("s", explode(sequence(lit(0), lit(depth - 1))))
+      .groupBy(col("s"),
+        graft.operators.Dedup.portableHash64(
+          concat(col(itemCol), lit(":"), col("s")))
+          .bitwiseAND(lit(width - 1L)).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a (merged) CMS relation: est(item) = min over
+    * rows of its bucket's count — never under the true count; over by at
+    * most εN with high probability. A small probe set joins the sketch
+    * on (s, b): O(depth × probes) lookups, never a scan of the corpus.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame =
+    probes
+      .withColumn("s", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("b",
+        graft.operators.Dedup.portableHash64(
+          concat(col(itemCol), lit(":"), col("s")))
+          .bitwiseAND(lit(width - 1L)))
+      .join(sketch, Seq("s", "b"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

@@ -190,6 +190,57 @@ object CatalogScale {
               FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
               GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    Q("hh_cms_mergeable",
+      // mergeable frequency sketch: per-source CMS partials merged by a
+      // plain (s, b) re-aggregation — the recount-free incremental
+      // pattern (CMS analog of a20's HLL union). Probes are the top-5
+      // exact terms; estimates must never undercount and must sit
+      // within the 4N/width slack. The oracle replays sketch, merge,
+      // and probe bucket-for-bucket via the portable md5 hash.
+      (s, d) => {
+        val words = t(s, d, "documents").select(col("source"),
+          explode(Dedup.words(col("text"))).as("term"))
+        // per-source partials, then the relational merge
+        val partials = words
+          .withColumn("ss", explode(sequence(lit(0), lit(3))))
+          .groupBy(col("source"), col("ss").as("s"),
+            Dedup.portableHash64(concat(col("term"), lit(":"), col("ss")))
+              .bitwiseAND(lit(1023L)).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val merged = partials.groupBy("s", "b").agg(sum("cnt").as("cnt"))
+        val exact = words.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        val probes = exact.orderBy(col("n_exact").desc, col("term")).limit(5)
+        val total = words.agg(count(lit(1)).as("n_total"))
+        HeavyHitters.cmsEstimate(merged, probes, "term", depth = 4, width = 1024)
+          .join(exact, "term")
+          .crossJoin(broadcast(total))
+          .select(col("term"), col("n_exact"), col("est"),
+            (col("est") >= col("n_exact")).as("never_under"),
+            (col("est") - col("n_exact") <= col("n_total") * 4 / 1024)
+              .as("within_slack"))
+          .orderBy(col("n_exact").desc, col("term"))
+      },
+      Some("""WITH w AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                         FROM documents),
+              part AS (SELECT source, s,
+                         (('0x' || substr(md5(term || ':' || s), 1, 16))::UBIGINT & 1023) AS b,
+                         count(*) AS cnt
+                       FROM w, unnest([0, 1, 2, 3]) t(s) GROUP BY 1, 2, 3),
+              merged AS (SELECT s, b, sum(cnt) AS cnt FROM part GROUP BY 1, 2),
+              exact AS (SELECT term, count(*) AS n_exact FROM w GROUP BY 1),
+              tot AS (SELECT count(*) AS n FROM w),
+              probes AS (SELECT term, n_exact FROM exact
+                         ORDER BY n_exact DESC, term LIMIT 5),
+              est AS (SELECT p.term, p.n_exact, min(m.cnt) AS est
+                      FROM probes p, unnest([0, 1, 2, 3]) t(s)
+                      JOIN merged m ON m.s = t.s AND m.b =
+                        (('0x' || substr(md5(p.term || ':' || t.s), 1, 16))::UBIGINT & 1023)
+                      GROUP BY 1, 2)
+              SELECT term, n_exact, CAST(est AS BIGINT) AS est,
+                     est >= n_exact AS never_under,
+                     est - n_exact <= (SELECT n FROM tot) * 4 // 1024 AS within_slack
+              FROM est ORDER BY n_exact DESC, term""")),
+
     Q("g2_cluster_sizes",
       // the dedup run's summary artifact: component-size histogram
       // (how much of the corpus is duplicated, and how deep) — two
