@@ -190,6 +190,70 @@ object CatalogScale {
               FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
               GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    Q("prof_table_stats",
+      // one-pass column profiling (the ANALYZE TABLE layer): every
+      // metric for every profiled column computed in a SINGLE scan +
+      // aggregate, then unpivoted with stack() — never one scan per
+      // column, which is what makes profiling affordable at 100 TB
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        li.agg(
+            count(lit(1)).as("n"),
+            count(col("l_quantity")).as("nn_q"),
+            countDistinct(col("l_quantity")).as("nd_q"),
+            round(min("l_quantity"), 2).as("mn_q"),
+            round(max("l_quantity"), 2).as("mx_q"),
+            count(col("l_extendedprice")).as("nn_p"),
+            countDistinct(col("l_extendedprice")).as("nd_p"),
+            round(min("l_extendedprice"), 2).as("mn_p"),
+            round(max("l_extendedprice"), 2).as("mx_p"),
+            count(col("l_discount")).as("nn_d"),
+            countDistinct(col("l_discount")).as("nd_d"),
+            round(min("l_discount"), 2).as("mn_d"),
+            round(max("l_discount"), 2).as("mx_d"))
+          .select(expr("""stack(3,
+            'l_quantity',      n - nn_q, nd_q, mn_q, mx_q,
+            'l_extendedprice', n - nn_p, nd_p, mn_p, mx_p,
+            'l_discount',      n - nn_d, nd_d, mn_d, mx_d)
+            AS (column_name, n_nulls, n_distinct, min_v, max_v)"""))
+          .orderBy("column_name")
+      },
+      Some("""SELECT 'l_discount' AS column_name,
+                count(*) - count(l_discount) AS n_nulls,
+                count(DISTINCT l_discount) AS n_distinct,
+                round(min(l_discount), 2) AS min_v, round(max(l_discount), 2) AS max_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
+                count(DISTINCT l_extendedprice),
+                round(min(l_extendedprice), 2), round(max(l_extendedprice), 2)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', count(*) - count(l_quantity),
+                count(DISTINCT l_quantity),
+                round(min(l_quantity), 2), round(max(l_quantity), 2)
+              FROM lineitem
+              ORDER BY column_name""")),
+
+    Q("prof_histogram",
+      // equi-width histogram: bucket assignment is a pure projection
+      // (no width_bucket UDF, no per-bucket scans), one partial-agg
+      // shuffle for the counts — the distribution summary behind
+      // cost-based decisions and skew detection
+      (s, d) => t(s, d, "lineitem")
+        .withColumn("bucket",
+          least(floor(col("l_extendedprice") / 11000).cast("int"), lit(9)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("l_extendedprice"), 2).as("lo"),
+          round(max("l_extendedprice"), 2).as("hi"))
+        .orderBy("bucket"),
+      Some("""SELECT least(CAST(floor(l_extendedprice / 11000) AS INTEGER), 9) AS bucket,
+                count(*) AS n,
+                round(min(l_extendedprice), 2) AS lo,
+                round(max(l_extendedprice), 2) AS hi
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     Q("hh_cms_mergeable",
       // mergeable frequency sketch: per-source CMS partials merged by a
       // plain (s, b) re-aggregation — the recount-free incremental
