@@ -190,6 +190,58 @@ object CatalogScale {
               FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
               GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    Q("dq_constraints",
+      // the data-quality expectations layer: key uniqueness, referential
+      // integrity, completeness, and a range check — each constraint one
+      // aggregate or one anti-join, reported as (constraint, metric,
+      // passed) rows a pipeline gates on before promoting a snapshot
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        val uniq = orders.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("m"))
+          .select(lit("orders_key_unique").as("constraint_name"),
+            col("m"), (col("m") === 0).as("passed"))
+        val ri = li.join(orders, col("l_orderkey") === col("o_orderkey"),
+            "left_anti")
+          .agg(count(lit(1)).as("m"))
+          .select(lit("lineitem_orders_ri").as("constraint_name"),
+            col("m"), (col("m") === 0).as("passed"))
+        val complete = li.agg(
+          (count(lit(1)) - count(col("l_shipdate"))).as("m"))
+          .select(lit("lineitem_shipdate_complete").as("constraint_name"),
+            col("m"), (col("m") === 0).as("passed"))
+        val range = li.filter(col("l_quantity") < 0 || col("l_quantity") > 100)
+          .agg(count(lit(1)).as("m"))
+          .select(lit("lineitem_qty_range").as("constraint_name"),
+            col("m"), (col("m") === 0).as("passed"))
+        uniq.unionAll(ri).unionAll(complete).unionAll(range)
+          .orderBy("constraint_name")
+      },
+      Some("""SELECT * FROM (
+                SELECT 'orders_key_unique' AS constraint_name,
+                       count(*) - count(DISTINCT o_orderkey) AS m,
+                       count(*) - count(DISTINCT o_orderkey) = 0 AS passed
+                FROM orders
+                UNION ALL
+                SELECT 'lineitem_orders_ri',
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+                UNION ALL
+                SELECT 'lineitem_shipdate_complete',
+                       count(*) - count(l_shipdate),
+                       count(*) - count(l_shipdate) = 0
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem_qty_range',
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_quantity < 0 OR l_quantity > 100),
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_quantity < 0 OR l_quantity > 100) = 0)
+              ORDER BY constraint_name""")),
+
     Q("prof_table_stats",
       // one-pass column profiling (the ANALYZE TABLE layer): every
       // metric for every profiled column computed in a SINGLE scan +
