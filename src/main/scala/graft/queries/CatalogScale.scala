@@ -1490,6 +1490,58 @@ object CatalogScale {
               WHERE rn = 1 AND event_type <> 'error'
               ORDER BY user_id""")),
 
+    Q("u8_snapshot_diff",
+      // snapshot diff (table-versioning data diff): the per-key CDC
+      // state at two cutoffs, full-outer-joined on the key and
+      // classified added/removed/changed/unchanged — one join on the
+      // key, change detection by comparing the surviving event ids,
+      // never a row-by-row replay. This is the audit artifact behind
+      // incremental publication ("what changed since the last good
+      // snapshot").
+      (s, d) => {
+        val ev = events(s, d)
+        def snapshot(cutoff: String) = {
+          val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+          ev.filter(to_date(col("ts")) < lit(cutoff))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .filter(col("event_type") =!= "error")
+            .select(col("user_id"), col("event_id"))
+        }
+        val a = snapshot("2024-01-16").withColumnRenamed("event_id", "eid_a")
+        val b = snapshot("2024-01-31").withColumnRenamed("event_id", "eid_b")
+        a.join(b, Seq("user_id"), "full_outer")
+          .withColumn("change_type",
+            when(col("eid_a").isNull, "added")
+              .when(col("eid_b").isNull, "removed")
+              .when(col("eid_a") =!= col("eid_b"), "changed")
+              .otherwise("unchanged"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n_keys"))
+          .orderBy("change_type")
+      },
+      Some("""WITH snap_a AS (
+                SELECT user_id, event_id FROM (
+                  SELECT user_id, event_id, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY event_id DESC) AS rn
+                  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16')
+                WHERE rn = 1 AND event_type <> 'error'),
+              snap_b AS (
+                SELECT user_id, event_id FROM (
+                  SELECT user_id, event_id, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY event_id DESC) AS rn
+                  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-31')
+                WHERE rn = 1 AND event_type <> 'error')
+              SELECT CASE WHEN a.event_id IS NULL THEN 'added'
+                          WHEN b.event_id IS NULL THEN 'removed'
+                          WHEN a.event_id <> b.event_id THEN 'changed'
+                          ELSE 'unchanged' END AS change_type,
+                     count(*) AS n_keys
+              FROM snap_a a FULL OUTER JOIN snap_b b USING (user_id)
+              GROUP BY 1 ORDER BY 1""")),
+
     Q("scale_bloom_prune",
       // bloom semi-join pruning: a few-MB sketch of the dimension keys
       // drops fact rows BEFORE the join shuffle; the exact join after it
