@@ -1058,6 +1058,33 @@ object CatalogScale {
                 FROM events) WHERE rn <= 3
               ORDER BY event_type, value DESC, event_id ASC""")),
 
+    Q("w_retention_cohorts",
+      // cohort retention: users grouped by first-seen day, activity
+      // counted by day offset — computed as (first-day window over the
+      // distinct user-day relation) + one aggregation, never a
+      // users × days self-join. Offsets capped at 7 for a stable frame.
+      (s, d) => {
+        val ud = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id")
+        val cohorted = ud.withColumn("cohort", min("day").over(w))
+          .withColumn("offset", datediff(col("day"), col("cohort")))
+          .filter(col("offset") <= 7)
+        cohorted.groupBy("cohort", "offset")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort", "offset")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                          FROM events),
+              c AS (SELECT user_id, day,
+                      min(day) OVER (PARTITION BY user_id) AS cohort
+                    FROM ud)
+              SELECT cohort, CAST(date_diff('day', cohort, day) AS INTEGER) AS offset,
+                     count(DISTINCT user_id) AS n_active
+              FROM c WHERE date_diff('day', cohort, day) <= 7
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     Q("w_sessionize",
       (s, d) => Sessions.sessionize(events(s, d), "user_id", "ts", "event_id", 1800L)
         .groupBy("user_id")
