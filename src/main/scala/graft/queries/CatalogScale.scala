@@ -1160,6 +1160,83 @@ object CatalogScale {
               FROM sc GROUP BY doc_id
               ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    Q("search_hybrid_rrf",
+      // hybrid retrieval: BM25 keyword top-20 and embedding-cosine
+      // top-20 fused by reciprocal-rank fusion (1/(60+rank), the
+      // standard k=60 form). Ranks come from the 4dp/6dp-rounded scores
+      // so they're engine-portable; fusion is a full-outer join of two
+      // 20-row lists — the expensive parts (postings probe, vector
+      // scan) stay independent and each keeps its scale shape.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+        val lex = Search.bm25(docs, "doc_id", "text",
+          Seq("join", "filter", "vector"), k = 20)
+          .withColumn("r_lex", row_number().over(wLex))
+          .select("doc_id", "r_lex")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val wSem = Window.orderBy(col("cos").desc, col("doc_id"))
+        val sem = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"),
+            round(Similarity.cosine(col("embedding"), col("qe")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(20)
+          .withColumn("r_sem", row_number().over(wSem))
+          .select("doc_id", "r_sem")
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 6))
+          .select(col("doc_id"), col("rrf"),
+            col("r_lex").isNotNull.as("in_lex"),
+            col("r_sem").isNotNull.as("in_sem"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      },
+      Some("""WITH lens AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dl
+              FROM documents),
+              stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                        FROM lens),
+              tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                      FROM documents),
+              p AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                    FROM tok WHERE term IN ('join', 'filter', 'vector')
+                    GROUP BY doc_id, term),
+              df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS ndf
+                     FROM p GROUP BY term),
+              sc AS (SELECT p.doc_id,
+                       ln(1 + (n_docs - ndf + 0.5) / (ndf + 0.5)) * tf * 2.2 /
+                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+                     FROM p JOIN df USING (term) JOIN lens USING (doc_id)
+                          CROSS JOIN stats),
+              bm AS (SELECT doc_id, round(sum(w), 4) AS score
+                     FROM sc GROUP BY doc_id
+                     ORDER BY score DESC, doc_id LIMIT 20),
+              lex AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+                      FROM bm),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              qv AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+              cosr AS (SELECT e.vec_id AS doc_id,
+                         round(list_dot_product(e.v, qv.qe) /
+                           (sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(qv.qe, qv.qe))), 6) AS cos
+                       FROM e, qv WHERE e.vec_id <> 0
+                       ORDER BY cos DESC, doc_id LIMIT 20),
+              sem AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+                      FROM cosr)
+              SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                     round(coalesce(1.0 / (60 + r_lex), 0) +
+                           coalesce(1.0 / (60 + r_sem), 0), 6) AS rrf,
+                     r_lex IS NOT NULL AS in_lex,
+                     r_sem IS NOT NULL AS in_sem
+              FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+              ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
     Q("hh_bigram_phrases",
       // exact heavy hitters over the raw bigram stream: Misra-Gries
       // candidate pass (capacity 1024 > N/minFreq, so recall-complete by
