@@ -34,7 +34,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ta_unigram_logprob",
     // BM25 broadcasts the SINGLE-ROW (N, avgdl) corpus-stats aggregate
     // into the scoring projection (`Search.bm25`)
-    "search_bm25")
+    "search_bm25",
+    // hybrid RRF reuses the BM25 stats broadcast and additionally
+    // cross-joins the SINGLE-ROW broadcast query embedding into the
+    // cosine projection (`CatalogScale.search_hybrid_rrf`)
+    "search_hybrid_rrf",
+    // CMS summary cross-joins the SINGLE-ROW broadcast corpus total
+    // into the slack-bound projection (the a20 pattern)
+    "hh_cms_mergeable")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
