@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph analytics over edge relations. Complements the
   * label-propagation connected components in [[Dedup]]: PageRank-style
@@ -66,6 +67,104 @@ object Graph {
         ranks.checkpoint(true)
       else ranks.localCheckpoint(true)
     eDeg.unpersist(blocking = false)
+    out
+  }
+
+  /** Bounded-hop BFS: minimum hop count from a source set to every
+    * reachable node within `maxHops`.
+    *
+    * Frontier-style level-synchronous BFS — the distributed shape: each
+    * round expands ONLY the newly discovered frontier (never the full
+    * distance relation) with one equi-join on the node id, dedups it
+    * with a partial-agg distinct, and anti-joins the visited set. A
+    * node is therefore shuffled O(1) times after discovery, not once
+    * per round. Rounds are materialized (same checkpoint policy as
+    * [[pageRank]]) so lineage stays one level deep, and the loop exits
+    * as soon as a frontier comes back empty.
+    *
+    * `sources` is a one-column relation of start nodes. Returns
+    * `(node, hops)` for every node within `maxHops` of any source.
+    */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = materialize(
+      sources.toDF("node").distinct().withColumn("hops", lit(0)))
+    var dist = frontier
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+      frontier = materialize(next)
+      dist = dist.unionAll(frontier)
+      h += 1
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** Global triangle census over an undirected graph, via degree-ordered
+    * edge orientation (the standard O(m^1.5) bound: every edge points
+    * from its lower-(degree, id) endpoint to the higher, so wedge lists
+    * are enumerated only at each triangle's minimum-order apex and no
+    * high-degree hub ever fans out its full neighbourhood).
+    *
+    * `pairs` must be the undirected edge relation with one row per edge
+    * (canonical `u < v`, no duplicates). All three steps are equi-joins
+    * or partial aggregations — degree count, wedge self-join on the apex,
+    * closure semi-join on the (lo, hi) edge key; nothing is quadratic in
+    * the neighbourhood of a hub. Returns a single summary row
+    * `(n_nodes, n_edges, n_wedges, n_triangles)`.
+    */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from its lower (deg, id) endpoint: after the
+    // two degree joins the orientation itself is a pure projection
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("dv"))
+          .otherwise(col("du")).as("dd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at the apex: two out-edges, ordered by the same (deg, id)
+    // total order so each unordered {b, c} appears exactly once
+    val o1 = oriented.select(col("src").as("apex"), col("dst").as("b"),
+      col("dd").as("db"))
+    val o2 = oriented.select(col("src").as("apex"), col("dst").as("c"),
+      col("dd").as("dc"))
+    val wedges = o1.join(o2, "apex")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    // a wedge closes iff the oriented edge b -> c exists (orientation is
+    // a total order, so the closing edge can only point b -> c)
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nTris = wedges.join(closing, Seq("b", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val out = nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTris)
+    oriented.unpersist(blocking = false)
     out
   }
 }

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Scale, Search, TextAnalysis, TrainingData}
+
+/** Analytics-extension catalog (round 5): graph traversal and census,
+  * time-series repair, OLAP lattice completion, basket analysis,
+  * weighted sampling, corpus quality gates, keyword extraction, and
+  * layout compaction planning. Oracle conventions as in [[Catalog]].
+  */
+object CatalogAnalytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("g3_bfs_hops",
+      // bounded-hop BFS over the same bipartite order↔part graph as
+      // g1_pagerank, from the minimum order node: level-synchronous
+      // frontier expansion, one equi-join + distinct + anti-join per
+      // round, each round materialized so lineage stays one level deep.
+      // The oracle replays reachability with a recursive CTE and takes
+      // the per-node minimum hop count.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select((col("l_orderkey") * 2).as("o"),
+            (col("l_partkey") * 2 + 1).as("p"))
+          .distinct()
+        val edges = li.select(col("o").as("src"), col("p").as("dst"))
+          .unionAll(li.select(col("p").as("src"), col("o").as("dst")))
+        val sources = li.agg(min("o").as("node"))
+        Graph.shortestHops(edges, "src", "dst", sources, maxHops = 3)
+          .select(
+            concat(when(col("node") % 2 === 0, "o").otherwise("p"),
+              (col("node") / 2).cast("long")).as("node"),
+            col("hops").cast("int").as("hops"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+              li AS (SELECT DISTINCT l_orderkey * 2 AS o, l_partkey * 2 + 1 AS p
+                     FROM lineitem),
+              e AS (SELECT o AS src, p AS dst FROM li
+                    UNION ALL SELECT p AS src, o AS dst FROM li),
+              walk(node, hops) AS (
+                SELECT min(o), 0 FROM li
+                UNION
+                SELECT e.dst, w.hops + 1
+                FROM walk w JOIN e ON w.node = e.src WHERE w.hops < 3)
+              SELECT (CASE WHEN node % 2 = 0 THEN 'o' ELSE 'p' END ||
+                      CAST(node // 2 AS BIGINT)) AS node,
+                     CAST(min(hops) AS INTEGER) AS hops
+              FROM walk GROUP BY node ORDER BY node""")),
+
+    Q("g4_triangles",
+      // triangle census of the part co-purchase graph (parts sharing at
+      // least 2 orders — the support floor that tames hub parts BEFORE
+      // any pairwise step). Degree-ordered orientation bounds the wedge
+      // self-join at O(m^1.5) no matter how skewed the degree
+      // distribution; the oracle replays degrees, orientation, wedges,
+      // and closure in SQL.
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+          .distinct()
+        val pairs = items.select(col("oid"), col("item").as("u"))
+          .join(items.select(col("oid"), col("item").as("v")), "oid")
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+        Graph.triangleStats(pairs, "u", "v")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+                             FROM lineitem),
+              und AS (SELECT a.item AS u, b.item AS v
+                      FROM items a JOIN items b
+                        ON a.oid = b.oid AND a.item < b.item
+                      GROUP BY 1, 2 HAVING count(*) >= 2),
+              deg AS (SELECT node, count(*) AS deg FROM (
+                        SELECT u AS node FROM und
+                        UNION ALL SELECT v FROM und) GROUP BY 1),
+              ori AS (SELECT
+                        CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                             THEN u ELSE v END AS src,
+                        CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                             THEN v ELSE u END AS dst,
+                        CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                             THEN dv.deg ELSE du.deg END AS dd
+                      FROM und JOIN deg du ON und.u = du.node
+                               JOIN deg dv ON und.v = dv.node),
+              wedges AS (SELECT o1.dst AS b, o2.dst AS c
+                         FROM ori o1 JOIN ori o2 ON o1.src = o2.src
+                         WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+              closed AS (SELECT count(*) AS n_triangles FROM wedges w
+                         WHERE EXISTS (SELECT 1 FROM ori
+                                       WHERE ori.src = w.b AND ori.dst = w.c))
+              SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                     (SELECT count(*) FROM und) AS n_edges,
+                     (SELECT count(*) FROM wedges) AS n_wedges,
+                     (SELECT n_triangles FROM closed) AS n_triangles""")),
+
+    Q("a22_cube",
+      // the full grouping lattice (cube = rollup's missing quadrant):
+      // all four grouping sets of (status, priority) in one pass —
+      // Spark expands to a single Expand + partial-agg, never four scans
+      (s, d) =>
+        t(s, d, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    Q("a25_assoc_rules",
+      // market-basket association rules over order→part baskets:
+      // frequent-item pruning BEFORE the pair self-join (the apriori
+      // lever — at 100 TB the infrequent tail never reaches the
+      // quadratic step), pair support counted by partial agg, then
+      // confidence/lift from the item counts and the single-row basket
+      // total. Both rule directions emitted per surviving pair.
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+          .distinct()
+        val nOrders = items.agg(countDistinct("oid").as("n_orders"))
+        val freq = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+          .filter(col("n_item") >= 5)
+        val ii = items.join(freq.select("item"), Seq("item"), "left_semi")
+        val pairs = ii.select(col("oid"), col("item").as("ia"))
+          .join(ii.select(col("oid"), col("item").as("ib")), "oid")
+          .filter(col("ia") < col("ib"))
+          .groupBy("ia", "ib").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+        val rules = pairs.select(col("ia").as("antecedent"),
+            col("ib").as("consequent"), col("n_ab"))
+          .unionAll(pairs.select(col("ib").as("antecedent"),
+            col("ia").as("consequent"), col("n_ab")))
+        rules
+          .join(freq.select(col("item").as("antecedent"),
+            col("n_item").as("n_ante")), "antecedent")
+          .join(freq.select(col("item").as("consequent"),
+            col("n_item").as("n_cons")), "consequent")
+          .crossJoin(broadcast(nOrders))
+          .select(col("antecedent"), col("consequent"), col("n_ab"),
+            round(col("n_ab").cast("double") / col("n_ante"), 6).as("confidence"),
+            round(col("n_ab").cast("double") * col("n_orders") /
+              (col("n_ante").cast("double") * col("n_cons")), 6).as("lift"))
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+                             FROM lineitem),
+              n AS (SELECT count(DISTINCT oid) AS n_orders FROM items),
+              freq AS (SELECT item, count(*) AS n_item FROM items
+                       GROUP BY 1 HAVING count(*) >= 5),
+              ii AS (SELECT oid, item FROM items
+                     WHERE item IN (SELECT item FROM freq)),
+              pairs AS (SELECT a.item AS ia, b.item AS ib, count(*) AS n_ab
+                        FROM ii a JOIN ii b ON a.oid = b.oid AND a.item < b.item
+                        GROUP BY 1, 2 HAVING count(*) >= 3),
+              rules AS (SELECT ia AS antecedent, ib AS consequent, n_ab FROM pairs
+                        UNION ALL
+                        SELECT ib, ia, n_ab FROM pairs)
+              SELECT antecedent, consequent, n_ab,
+                     round(CAST(n_ab AS DOUBLE) / fa.n_item, 6) AS confidence,
+                     round(CAST(n_ab AS DOUBLE) * (SELECT n_orders FROM n) /
+                           (CAST(fa.n_item AS DOUBLE) * fc.n_item), 6) AS lift
+              FROM rules JOIN freq fa ON rules.antecedent = fa.item
+                         JOIN freq fc ON rules.consequent = fc.item
+              ORDER BY antecedent, consequent"""))
+  )
+
+  def byName(name: String): Q = all.find(_.name == name).get
+}

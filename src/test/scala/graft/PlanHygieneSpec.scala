@@ -41,13 +41,19 @@ class PlanHygieneSpec extends AnyFunSuite {
     "search_hybrid_rrf",
     // CMS summary cross-joins the SINGLE-ROW broadcast corpus total
     // into the slack-bound projection (the a20 pattern)
-    "hh_cms_mergeable")
+    "hh_cms_mergeable",
+    // triangle census combines four SINGLE-ROW count aggregates into
+    // the one summary row (`Graph.triangleStats`)
+    "g4_triangles",
+    // association rules cross-join the SINGLE-ROW broadcast basket
+    // total into the lift projection
+    "a25_assoc_rules")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     (graft.queries.Catalog.all ++ graft.queries.CatalogScale.all ++
       graft.queries.CatalogDomain.all ++ graft.queries.CatalogConnector.all ++
-      graft.queries.CatalogTraining.all)
+      graft.queries.CatalogTraining.all ++ graft.queries.CatalogAnalytics.all)
       .foreach { q =>
         val plan =
           try q.run(spark, sfDir).queryExecution.executedPlan.toString

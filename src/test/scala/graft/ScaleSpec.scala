@@ -138,6 +138,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(r(1L) - leaf) < 1e-12, s"leaf ${r(1L)} vs recurrence $leaf")
   }
 
+  test("shortestHops: path graph levels, bound respected, early exit on empty frontier") {
+    // undirected path 0-1-2-3-4-5 plus an isolated edge 10-11
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val e = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val src = Seq(Tuple1(0L)).toDF("node")
+    val got = graft.operators.Graph.shortestHops(e, "src", "dst", src, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3),
+      s"levels within the bound only: $got")
+    // maxHops far beyond the diameter: the loop must stop at the empty
+    // frontier and still report exact levels for the whole component
+    val full = graft.operators.Graph.shortestHops(e, "src", "dst", src, maxHops = 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5),
+      s"full component, isolated edge unreached: $full")
+  }
+
+  test("triangleStats: K4, square, and triangle-with-pendant censuses") {
+    def stats(edges: Seq[(Long, Long)]) = {
+      val df = edges.toDF("u", "v")
+      val r = graft.operators.Graph.triangleStats(df, "u", "v").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // K4: every wedge closes — 4 nodes, 6 edges, 4 triangles
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(stats(k4) == ((4L, 6L, 4L, 4L)), "K4: wedges = triangles = 4")
+    // 4-cycle: wedges exist but none close
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+    val (n, m, w, tr) = stats(square)
+    assert((n, m, tr) == ((4L, 4L, 0L)) && w > 0, s"square: no triangles, got $tr of $w wedges")
+    // triangle with a pendant node hanging off one corner
+    val pend = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    assert(stats(pend)._4 == 1L, "pendant edge must not create triangles")
+  }
+
   test("intervalOverlap emits each overlapping pair exactly once") {
     val a = Seq(
       (1L, "2024-01-01", "2024-01-20"), // long interval spans many buckets
