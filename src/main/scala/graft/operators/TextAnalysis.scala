@@ -59,6 +59,37 @@ object TextAnalysis {
           .otherwise("low"))
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1
+    * shape; thresholds adapted to the synthetic corpus): word-count
+    * bounds, mean-word-length bounds, a short-word-ratio cap, and a
+    * minimum distinct-stopword floor. Every signal is a pure array
+    * projection over one whitespace split — whole-stage codegen, no
+    * shuffle, embarrassingly parallel at any corpus size. Emits the
+    * per-rule flags alongside the final `keep` so a pipeline can audit
+    * WHICH rule dropped a document (the reason histogram is the
+    * standard corpus-curation artifact).
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nw = size(w)
+    val meanLen = round(
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") / nw, 4)
+    val shortRatio = round(
+      size(filter(w, x => length(x) <= 2)).cast("double") / nw, 4)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(w, x => lower(x))),
+      array(stopwords("en").map(lit): _*)))
+    docs.select(
+      col(idCol), nw.as("n_words"), meanLen.as("mean_word_len"),
+      shortRatio.as("short_ratio"), stopHits.as("stop_hits"),
+      (nw >= 20 && nw <= 5000).as("ok_words"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("ok_word_len"),
+      (shortRatio <= 0.1).as("ok_short"),
+      (stopHits >= 2).as("ok_stop"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_short") && col("ok_stop"))
+  }
+
   /** Whitespace tokens and BPE-ish regex tokens (letter runs / digit runs /
     * single other-symbols) — the two standard cheap token estimators.
     */

@@ -103,6 +103,32 @@ object TrainingData {
         expr(s"(cum - 1) div $budget").as("chunk_last"))
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each row gets priority `ln(u) / w` with `u` a
+    * uniform in (0,1) derived from the md5 of its id, and the top-k
+    * priorities are the sample. P(selected) is proportional to the
+    * weight, yet the draw is a pure projection — no RNG state, so
+    * re-runs, backfills, and different cluster layouts produce the
+    * SAME sample, and the oracle can replay it from the hash.
+    *
+    * Top-k is sort+limit, which Spark executes as TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k rows) — never a global
+    * single-partition window.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    // (hash32 + 1) / (2^32 + 1) ∈ (0, 1): never 0 or 1, so ln is finite
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + 1).cast("double") / 4294967297.0
+    val key = round(log(u) / col(weightCol), 10)
+    val top = df.select(col(idCol), col(weightCol), key.as("samp_key"))
+      .orderBy(col("samp_key").desc, col(idCol))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("samp_key").desc, col(idCol))))
+  }
+
   /** Deterministic shard id in [0, nShards): the low 32 bits of the
     * portable md5 hash, mod nShards. 32 bits on purpose — the value is
     * non-negative in every engine's integer model, so `% n` agrees

@@ -179,7 +179,124 @@ object CatalogAnalytics {
                            (CAST(fa.n_item AS DOUBLE) * fc.n_item), 6) AS lift
               FROM rules JOIN freq fa ON rules.antecedent = fa.item
                          JOIN freq fc ON rules.consequent = fc.item
-              ORDER BY antecedent, consequent"""))
+              ORDER BY antecedent, consequent""")),
+
+    Q("ts_gap_fill",
+      // time-series repair: a complete daily spine per event type with
+      // last-observation-carried-forward fill — the step before any
+      // window/trend computation on sparse telemetry. The spine is
+      // dimension-sized (types × days, never data-sized), the fill is
+      // one IGNORE NULLS window per type on a single shuffle. Only
+      // high-value events count as observations (the synthetic stream
+      // is otherwise dense, and a gap fill needs gaps to fill).
+      (s, d) => {
+        val ev = events(s, d)
+        val daily = ev.filter(col("value") >= 200)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(round(sum("value"), 2).as("day_value"))
+        val spine = ev
+          .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val grid = ev.select("event_type").distinct().crossJoin(broadcast(spine))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            col("day_value").isNotNull.as("observed"),
+            last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       round(sum(value), 2) AS day_value
+                     FROM events WHERE value >= 200 GROUP BY 1, 2),
+              spine AS (SELECT unnest(generate_series(
+                          (SELECT min(CAST(ts AS DATE)) FROM events),
+                          (SELECT max(CAST(ts AS DATE)) FROM events),
+                          INTERVAL 1 DAY))::DATE AS day),
+              grid AS (SELECT t.event_type, s.day
+                       FROM (SELECT DISTINCT event_type FROM events) t, spine s)
+              SELECT g.event_type, g.day,
+                     d.day_value IS NOT NULL AS observed,
+                     last_value(d.day_value IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS filled_value
+              FROM grid g LEFT JOIN daily d
+                ON g.event_type = d.event_type AND g.day = d.day
+              ORDER BY g.event_type, g.day""")),
+
+    Q("w_moving_window",
+      // trailing moving-window stats (3-order total / max / count per
+      // customer): one window frame on one shuffle partitioning — the
+      // running-health-metric shape. Moving total instead of moving
+      // average keeps the aggregate exact-decimal (no division, so no
+      // cross-engine reduction-order wobble).
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(-2, Window.currentRow)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(w), 2).as("mov_total"),
+            round(max("o_totalprice").over(w), 2).as("mov_max"),
+            count(lit(1)).over(w).as("mov_n"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER w, 2) AS mov_total,
+                round(max(o_totalprice) OVER w, 2) AS mov_max,
+                count(*) OVER w AS mov_n
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              ORDER BY o_custkey, o_orderkey""")),
+
+    Q("td_weighted_sample",
+      // deterministic weighted sampling (A-ES priorities from the md5
+      // hash): 50 docs drawn proportionally to length, as a pure
+      // projection + distributed top-k — the oracle replays priorities
+      // hash-for-hash, proving the sample is engine- and layout-stable
+      (s, d) => TrainingData.weightedSample(
+          t(s, d, "documents"), "doc_id", "n_chars", k = 50)
+        .select(col("rank"), col("doc_id"), col("n_chars"), col("samp_key"))
+        .orderBy("rank"),
+      Some("""WITH p AS (SELECT doc_id, n_chars,
+                round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::UBIGINT + 1) / 4294967297.0) / n_chars,
+                      10) AS samp_key
+              FROM documents)
+              SELECT CAST(row_number() OVER (ORDER BY samp_key DESC, doc_id)
+                       AS INTEGER) AS rank,
+                     doc_id, n_chars, samp_key
+              FROM p ORDER BY samp_key DESC, doc_id LIMIT 50""")),
+
+    Q("ta_gopher_rules",
+      // rule-based corpus gate (the Gopher-rules shape): word-count,
+      // mean-word-length, short-word-ratio, and stopword-floor flags
+      // plus the final keep decision — all pure array projections,
+      // auditable per rule
+      (s, d) => TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH m AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents),
+              sig AS (SELECT doc_id,
+                len(w) AS n_words,
+                round(CAST(list_sum(list_transform(w, x -> length(x)))
+                        AS DOUBLE) / len(w), 4) AS mean_word_len,
+                round(CAST(len(list_filter(w, x -> length(x) <= 2))
+                        AS DOUBLE) / len(w), 4) AS short_ratio,
+                len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                    ['the', 'a', 'of', 'to', 'and', 'in', 'is'])) AS stop_hits
+              FROM m)
+              SELECT doc_id, n_words, mean_word_len, short_ratio, stop_hits,
+                     n_words BETWEEN 20 AND 5000 AS ok_words,
+                     mean_word_len BETWEEN 3.0 AND 10.0 AS ok_word_len,
+                     short_ratio <= 0.1 AS ok_short,
+                     stop_hits >= 2 AS ok_stop,
+                     (n_words BETWEEN 20 AND 5000)
+                       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                       AND short_ratio <= 0.1 AND stop_hits >= 2 AS keep
+              FROM sig ORDER BY doc_id"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get

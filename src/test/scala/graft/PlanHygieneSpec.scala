@@ -47,7 +47,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "g4_triangles",
     // association rules cross-join the SINGLE-ROW broadcast basket
     // total into the lift projection
-    "a25_assoc_rules")
+    "a25_assoc_rules",
+    // gap fill builds the dimension-sized types × days spine by
+    // cross-joining the broadcast date range (never data-sized)
+    "ts_gap_fill")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]

@@ -139,6 +139,45 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample: deterministic, k-bounded, priorities favor weight") {
+    val docs = (1L to 100L).map(i => (i, i)).toDF("doc_id", "w")
+    val s1 = graft.operators.TrainingData.weightedSample(docs, "doc_id", "w", k = 10)
+      .collect().map(r => (r.getInt(3), r.getLong(0))).sorted.toSeq
+    val s2 = graft.operators.TrainingData.weightedSample(docs, "doc_id", "w", k = 10)
+      .collect().map(r => (r.getInt(3), r.getLong(0))).sorted.toSeq
+    assert(s1 == s2, "re-runs draw the identical sample")
+    assert(s1.size == 10 && s1.map(_._1) == (1 to 10), "ranks are 1..k")
+    // weights rise with id, so the weighted draw must skew heavy: the
+    // sample's mean id has to clearly exceed the uniform mean (~50.5)
+    val meanId = s1.map(_._2).sum.toDouble / s1.size
+    assert(meanId > 55, s"length-weighted draw skews heavy, mean id $meanId")
+    // k larger than the population: everything is sampled
+    val all = graft.operators.TrainingData.weightedSample(docs, "doc_id", "w", k = 500)
+    assert(all.count() == 100)
+  }
+
+  test("gopherRules: each rule flips on its own boundary fixture") {
+    val stop = "the of to and in is" // 6 distinct stopwords, all 2-3 chars
+    val docs = Seq(
+      // 20 words, mean len fine, short ratio 0 (no 1-2 char words), 2 stops
+      (1L, ("solid " * 18).trim + " the and"),
+      (2L, "tiny doc"),                                   // fails word count
+      (3L, ("abcdefghijklmnopq " * 25).trim),             // mean len 17: fails
+      (4L, ("a " * 30).trim + ("word " * 30).trim),       // short ratio 0.5: fails
+      (5L, ("solid " * 30).trim)                          // no stopwords: fails
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    assert(got(1L) == ((true, true, true, true, true)), s"doc 1 keeps: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._5, "short doc dropped on word count")
+    assert(!got(3L)._2 && !got(3L)._5, "long words dropped on mean length")
+    assert(!got(4L)._3 && !got(4L)._5, "short-word soup dropped on ratio")
+    assert(!got(5L)._4 && !got(5L)._5, "stopword-free text dropped on floor")
+    assert(stop.split(" ").distinct.length == 6)
+  }
+
   test("unigramLogProb: known frequencies give the exact mean log-prob") {
     // corpus: 4 tokens total — 'a' appears 3x (p=3/4), 'b' once (p=1/4)
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
