@@ -132,6 +132,28 @@ object Scale {
     * canonical layout for repeated fact-fact joins at 100 TB: pay one
     * shuffle at ingest, join shuffle-free forever after.
     */
+  /** Small-file compaction planner (the OPTIMIZE/bin-packing layer):
+    * given per-file (or per-partition) sizes, assign each input in
+    * layout order to an output bucket of ~`targetBytes` via a running
+    * cumulative sum — bucket = floor(bytes-before / target). Sequential
+    * packing (not best-fit) on purpose: it preserves the existing sort/
+    * date order, so downstream range pruning survives the rewrite.
+    *
+    * Operates on file METADATA (rows = files, not data), windowed per
+    * `groupCol` (table / date partition) — no global single-partition
+    * window. An input larger than `targetBytes` keeps its own bucket.
+    */
+  def compactionPlan(files: DataFrame, groupCol: String, orderCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+    files
+      .withColumn("cum_bytes", sum(col(bytesCol)).over(w))
+      // integer `div`, not double division: exact at any byte total
+      .withColumn("bucket", expr(s"(cum_bytes - $bytesCol) div $targetBytes"))
+  }
+
   def writeBucketed(df: DataFrame, key: String, buckets: Int,
       table: String, path: Option[String] = None): Unit = {
     val w = df.write.mode("overwrite")

@@ -66,6 +66,39 @@ object Search {
       .limit(k)
   }
 
+  /** Top-k characteristic terms per document by smoothed TF-IDF
+    * (idf = ln((N+1)/(df+1))) — the cheap keyword-extraction /
+    * corpus-labeling pass (doc tagging, topic drill-down, per-shard
+    * vocabulary audits).
+    *
+    * Scale shape: this is the full inverted-index build — the postings
+    * relation is O(corpus tokens) by definition, reduced by ONE
+    * partial-agg shuffle on (doc, term). Document frequencies are a
+    * vocab-sized relation equi-joined on the term key; the corpus size
+    * N is a single-row broadcast; the per-doc top-k window re-uses the
+    * (doc)-keyed partitioning the tf count already established.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs
+      .select(col(idCol), explode(Dedup.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term")
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
   /** Exact phrase search over a POSITIONAL inverted index: postings are
     * (doc, term, pos); a phrase of n terms matches at start position p
     * iff term_i sits at p + i for every i — i.e. all n (doc, pos − i)

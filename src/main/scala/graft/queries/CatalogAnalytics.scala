@@ -296,7 +296,60 @@ object CatalogAnalytics {
                      (n_words BETWEEN 20 AND 5000)
                        AND (mean_word_len BETWEEN 3.0 AND 10.0)
                        AND short_ratio <= 0.1 AND stop_hits >= 2 AS keep
-              FROM sig ORDER BY doc_id"""))
+              FROM sig ORDER BY doc_id""")),
+
+    Q("search_tfidf_keywords",
+      // per-doc keyword extraction: top-3 characteristic terms by
+      // smoothed TF-IDF — the full inverted-index build reduced by one
+      // (doc, term) partial-agg shuffle, df as a vocab-sized equi-join,
+      // N as a single-row broadcast, top-k on the already-established
+      // doc partitioning
+      (s, d) => Search.tfidfKeywords(t(s, d, "documents"), "doc_id", "text",
+          topK = 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                     FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                           FROM documents)
+                     GROUP BY 1, 2),
+              df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                     FROM tf GROUP BY 1),
+              n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+              sc AS (SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln(((SELECT n_docs FROM n) + 1.0)
+                                        / (df.df + 1.0)), 6) AS score
+                     FROM tf JOIN df USING (term)),
+              rk AS (SELECT doc_id, term, score,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, term) AS INTEGER) AS rank
+                     FROM sc)
+              SELECT doc_id, rank, term, score FROM rk
+              WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    Q("scale_compaction_plan",
+      // small-file compaction planning over file metadata: per event
+      // type, daily "files" packed into ~10 kB output buckets by a
+      // running cumulative sum in layout order (sequential, so date
+      // pruning survives the rewrite); all-integer arithmetic
+      (s, d) => {
+        val files = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(length(col("props"))).as("bytes"))
+        Scale.compactionPlan(files, "event_type", "day", "bytes",
+            targetBytes = 10000L)
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH files AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       sum(length(props)) AS bytes
+                     FROM events GROUP BY 1, 2)
+              SELECT event_type, day, bytes,
+                     sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_bytes,
+                     (sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - bytes) // 10000 AS bucket
+              FROM files ORDER BY event_type, day"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get

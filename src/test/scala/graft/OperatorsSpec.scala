@@ -35,6 +35,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head._3 > 0.5)
   }
 
+  test("tfidfKeywords: exact smoothed scores, rank order, term tie-break") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = graft.operators.Search.tfidfKeywords(docs, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    def s(tf: Double, df: Double) =
+      BigDecimal(tf * math.log((2 + 1.0) / (df + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: x (tf 2, df 1) beats y (tf 1, df 2, idf ln(1) = 0)
+    assert(got(0) == ((1L, 1, "x", s(2, 1))), s"got ${got(0)}")
+    assert(got(1) == ((1L, 2, "y", 0.0)))
+    // doc 2: z beats the zero-idf y
+    assert(got(2) == ((2L, 1, "z", s(1, 1))))
+    assert(got(3) == ((2L, 2, "y", 0.0)))
+  }
+
+  test("compactionPlan: sequential packing per group, oversized input isolated") {
+    val files = Seq(
+      ("t1", 1, 4L), ("t1", 2, 5L), ("t1", 3, 3L), ("t1", 4, 10L), ("t1", 5, 2L),
+      ("t2", 1, 1L)).toDF("grp", "ord", "bytes")
+    val got = graft.operators.Scale.compactionPlan(files, "grp", "ord", "bytes", 8L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // cum: 4, 9, 12, 22, 24 → buckets floor(before/8): 0, 0, 1, 1, 2
+    assert(got(("t1", 1)) == ((4L, 0L)))
+    assert(got(("t1", 2)) == ((9L, 0L)))
+    assert(got(("t1", 3)) == ((12L, 1L)))
+    assert(got(("t1", 4)) == ((22L, 1L)))
+    assert(got(("t1", 5)) == ((24L, 2L)))
+    assert(got(("t2", 1)) == ((1L, 0L)), "groups pack independently")
+  }
+
   test("phrase search: positional diagonals, repeated terms, overlapping matches") {
     val docs = Seq(
       (1L, "a b a b a"),   // "a b" matches at 0 and 2 (overlap via position 2's a)

@@ -50,7 +50,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "a25_assoc_rules",
     // gap fill builds the dimension-sized types × days spine by
     // cross-joining the broadcast date range (never data-sized)
-    "ts_gap_fill")
+    "ts_gap_fill",
+    // TF-IDF broadcasts the SINGLE-ROW corpus count into the idf
+    // projection (`Search.tfidfKeywords`)
+    "search_tfidf_keywords")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
