@@ -353,13 +353,24 @@ object Dedup {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     }
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // materialize the incoming edge relation ONCE before symmetrizing:
+    // the union below references it from both branches, and an
+    // unpersisted lineage (LSH candidate generation + exact verify for
+    // dup-pair graphs) would be fully re-executed per branch — measured
+    // 2x the whole pipeline on dedup_clusters
+    val e0 = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e0.count()
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     // size gate: count is against the persisted relation the loop would
-    // scan every round anyway, so the probe costs one cached pass
+    // scan every round anyway, so the probe costs one cached pass (and
+    // materializing sym makes the one-branch e0 cache releasable)
     val keyLt = keyOrdering(sym.schema("src").dataType)
-    if (keyLt.isDefined && sym.count() <= collectThreshold) {
+    val nSym = sym.count()
+    e0.unpersist(blocking = false)
+    if (keyLt.isDefined && nSym <= collectThreshold) {
       val out = unionFindLocal(sym, keyLt.get)
       sym.unpersist()
       lastRounds = 0

@@ -42,7 +42,12 @@ object Graph {
     // the edge relation (with out-degree pre-attached) is scanned once
     // per iteration — persist it, or every round re-runs the upstream
     // distinct/union/scan lineage
+    // persist the edge relation itself, not just the degree-attached
+    // join: `e` is referenced twice (degree aggregation + the join), and
+    // callers routinely hand in a union-of-both-directions plan whose
+    // branches would each re-run the upstream distinct/scan otherwise
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -67,6 +72,7 @@ object Graph {
         ranks.checkpoint(true)
       else ranks.localCheckpoint(true)
     eDeg.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     out
   }
 
