@@ -185,6 +185,42 @@ object TextAnalysis {
       .filter(size(split(col("bigram"), " ")) === 2)
   }
 
+  /** PMI collocation mining: adjacent word pairs scored by pointwise
+    * mutual information, `pmi = ln(p(ab) / (p(a)·p(b)))` — the standard
+    * phrase-mining / multi-word-expression signal (a high-PMI pair
+    * co-occurs far more than its parts' frequencies predict).
+    *
+    * Scale shape: one token explode → unigram partial agg, one bigram
+    * explode → pair partial agg; both aggregated relations are
+    * vocab-sized, persisted so their corpus totals come from the cache
+    * instead of re-running the explode, and the scoring join runs on
+    * the term keys. The support floor prunes the long tail before the
+    * two unigram joins.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    val uni = Dedup.widen(docs)
+      .select(explode(words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_t"))
+      .persist()
+    val nTok = uni.agg(sum("n_t").cast("double").as("n_tok"))
+    val biAll = bigramStream(docs, textCol)
+      .select(split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .persist()
+    val nBig = biAll.agg(sum("n_ab").cast("double").as("n_big"))
+    biAll.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("term").as("w1"), col("n_t").as("n_w1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("n_t").as("n_w2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log((col("n_ab") / col("n_big")) /
+          ((col("n_w1") / col("n_tok")) * (col("n_w2") / col("n_tok")))), 6)
+          .as("pmi"))
+  }
+
   /** Content-defined fingerprint: sha-256 over the sorted distinct word
     * set — robust to word order and repetition, cheap to group on.
     */

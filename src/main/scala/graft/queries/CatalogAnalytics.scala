@@ -349,7 +349,75 @@ object CatalogAnalytics {
                      (sum(bytes) OVER (PARTITION BY event_type ORDER BY day
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       - bytes) // 10000 AS bucket
-              FROM files ORDER BY event_type, day"""))
+              FROM files ORDER BY event_type, day""")),
+
+    Q("ta_pmi_collocations",
+      // phrase mining: adjacent word pairs scored by pointwise mutual
+      // information over unigram/bigram corpus statistics — support
+      // floor prunes the tail BEFORE the unigram joins; totals ride as
+      // single-row broadcasts off the cached vocab-sized aggregates
+      (s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"), "text",
+          minCount = 5)
+        .orderBy("w1", "w2"),
+      Some("""WITH w AS (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                     FROM documents),
+              toks AS (SELECT unnest(ws) AS term FROM w),
+              uni AS (SELECT term, count(*) AS n_t FROM toks GROUP BY 1),
+              nt AS (SELECT CAST(sum(n_t) AS DOUBLE) AS n_tok FROM uni),
+              bi AS (SELECT ws[g] AS w1, ws[g + 1] AS w2, count(*) AS n_ab
+                     FROM w, unnest(range(1, len(ws))) t(g)
+                     WHERE len(ws) >= 2 GROUP BY 1, 2),
+              nb AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS n_big FROM bi)
+              SELECT b.w1, b.w2, b.n_ab,
+                     round(ln((b.n_ab / (SELECT n_big FROM nb)) /
+                       ((u1.n_t / (SELECT n_tok FROM nt)) *
+                        (u2.n_t / (SELECT n_tok FROM nt)))), 6) AS pmi
+              FROM bi b JOIN uni u1 ON b.w1 = u1.term
+                        JOIN uni u2 ON b.w2 = u2.term
+              WHERE b.n_ab >= 5
+              ORDER BY w1, w2""")),
+
+    Q("ts_rolling_anomaly",
+      // rolling z-score anomaly screen on the daily series: each day
+      // scored against its own trailing-7-day window (explicit
+      // sum/sumsq moments — engine-identical population std, the a23
+      // convention), needing >= 4 prior days and non-degenerate
+      // variance; one window frame on one shuffle partitioning
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(round(sum("value"), 2).as("v"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        val n = count(col("v")).over(w)
+        val m = sum(col("v")).over(w) / n
+        val varPop = sum(col("v") * col("v")).over(w) / n - m * m
+        val z = when(n >= 4 && varPop > 1e-9,
+          round((col("v") - m) / sqrt(varPop), 4))
+        daily.select(col("event_type"), col("day"), col("v"),
+            z.as("z"), coalesce(abs(z) > 2.0, lit(false)).as("anomaly"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       round(sum(value), 2) AS v
+                     FROM events GROUP BY 1, 2),
+              sc AS (SELECT event_type, day, v,
+                       count(v) OVER w AS n,
+                       sum(v) OVER w AS s,
+                       sum(v * v) OVER w AS ss
+                     FROM daily
+                     WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+              zz AS (SELECT event_type, day, v,
+                       CASE WHEN n >= 4 AND ss / n - (s / n) * (s / n) > 1e-9
+                            THEN round((v - s / n) /
+                                   sqrt(ss / n - (s / n) * (s / n)), 4)
+                       END AS z
+                     FROM sc)
+              SELECT event_type, day, v, z,
+                     coalesce(abs(z) > 2.0, false) AS anomaly
+              FROM zz ORDER BY event_type, day"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get

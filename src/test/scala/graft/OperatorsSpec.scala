@@ -35,6 +35,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head._3 > 0.5)
   }
 
+  test("pmiCollocations: exact PMI on a known corpus, support floor applied") {
+    // one doc "x y x y x y": bigrams (x,y)x3 + (y,x)x2, unigrams x:3 y:3
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.pmiCollocations(docs, "text", minCount = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // support floor 3 keeps only (x, y); pmi = ln((3/5) / ((3/6)*(3/6)))
+    val exp = BigDecimal(math.log((3.0 / 5.0) / ((3.0 / 6.0) * (3.0 / 6.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("x", "y", 3L, exp)), s"got ${got.toSeq}")
+  }
+
   test("tfidfKeywords: exact smoothed scores, rank order, term tie-break") {
     val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
     val got = graft.operators.Search.tfidfKeywords(docs, "doc_id", "text", topK = 2)

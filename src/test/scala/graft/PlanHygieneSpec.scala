@@ -53,7 +53,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ts_gap_fill",
     // TF-IDF broadcasts the SINGLE-ROW corpus count into the idf
     // projection (`Search.tfidfKeywords`)
-    "search_tfidf_keywords")
+    "search_tfidf_keywords",
+    // PMI broadcasts the two SINGLE-ROW corpus totals into the score
+    // projection (`TextAnalysis.pmiCollocations`)
+    "ta_pmi_collocations")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]

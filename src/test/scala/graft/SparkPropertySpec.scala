@@ -24,6 +24,80 @@ class SparkPropertySpec extends AnyFunSuite {
     samples(Gen.choose(0L, 365L * 80), 300)
       .map(d => LocalDate.of(1970, 1, 1).plusDays(d))
 
+  test("prop: triangleStats matches the naive triple-loop census on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 8 + trial
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.toSet
+        def conn(x: Long, y: Long) = adj.contains((x min y, x max y))
+        val naive = (for {
+          a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+          if conn(a, b) && conn(b, c) && conn(a, c)
+        } yield 1).size.toLong
+        val got = graft.operators.Graph.triangleStats(
+          edges.toDF("u", "v"), "u", "v").collect().head
+        assert(got.getLong(3) == naive,
+          s"trial $trial: oriented census ${got.getLong(3)} vs naive $naive")
+        assert(got.getLong(1) == edges.size.toLong)
+      }
+    }
+  }
+
+  test("prop: shortestHops matches naive BFS levels on random graphs") {
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { trial =>
+      val n = 10 + trial
+      val und = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.2
+      } yield (a.toLong, b.toLong)).toSeq
+      if (und.nonEmpty) {
+        val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        // naive BFS from node 0 in plain Scala
+        val distN = scala.collection.mutable.Map(0L -> 0)
+        var frontier = Seq(0L); var h = 1
+        while (frontier.nonEmpty && h <= 4) {
+          frontier = frontier.flatMap(x => adj.getOrElse(x, Nil))
+            .distinct.filterNot(distN.contains)
+          frontier.foreach(x => distN(x) = h)
+          h += 1
+        }
+        val got = graft.operators.Graph.shortestHops(
+          sym.toDF("src", "dst"), "src", "dst",
+          Seq(Tuple1(0L)).toDF("node"), maxHops = 4)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == distN.toMap, s"trial $trial: $got vs $distN")
+      }
+    }
+  }
+
+  test("prop: compactionPlan conserves bytes, never splits, packs contiguously") {
+    val rnd = new scala.util.Random(13)
+    val files = (1 to 60).map(i =>
+      ("g" + (i % 3), i, 1L + rnd.nextInt(9000)))
+    val got = graft.operators.Scale.compactionPlan(
+      files.toDF("grp", "ord", "bytes"), "grp", "ord", "bytes", 10000L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // cumulative sum conserves bytes in order
+      assert(sorted.map(_._3).sum == sorted.last._4, s"$g: bytes conserved")
+      // bucket ids are non-decreasing and start at 0 (contiguous packing)
+      val buckets = sorted.map(_._5)
+      assert(buckets.head == 0L && buckets.zip(buckets.tail).forall { case (a, b) => b >= a },
+        s"$g: buckets monotone from 0: ${buckets.mkString(",")}")
+      // no bucket exceeds target unless it holds a single oversized file
+      sorted.groupBy(_._5).values.foreach { bkt =>
+        assert(bkt.map(_._3).sum < 10000L + bkt.map(_._3).max,
+          s"$g: bucket ${bkt.head._5} only exceeds target by less than its last member")
+      }
+    }
+  }
+
   test("prop: filename-date cascade round-trips all three render formats") {
     val fmt1 = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
     val fmt2 = java.time.format.DateTimeFormatter.ofPattern("MM_dd_yyyy")
