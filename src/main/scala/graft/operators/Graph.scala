@@ -132,7 +132,14 @@ object Graph {
     * `(n_nodes, n_edges, n_wedges, n_triangles)`.
     */
   def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the edge relation feeds four plan branches (two degree endpoints,
+    // the orientation join, the edge count) — materialize it once, or
+    // the caller's pair-generation lineage re-runs per branch (the
+    // connectedComponents lesson; co-occurrence pair generation is a
+    // self-join and cost 4x without this)
     val und = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -170,7 +177,9 @@ object Graph {
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
     val out = nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTris)
+      .localCheckpoint(true)
     oriented.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     out
   }
 }

@@ -82,10 +82,13 @@ object Search {
       topK: Int): DataFrame = {
     require(topK > 0, "topK must be positive")
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    // the tf relation feeds both the df aggregation and the scoring
+    // join — persist it so the token explode runs once, not per branch
     val tf = docs
       .select(col(idCol), explode(Dedup.words(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term")
       .agg(countDistinct(col(idCol)).cast("double").as("df"))
     val w = org.apache.spark.sql.expressions.Window

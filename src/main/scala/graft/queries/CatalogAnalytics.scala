@@ -132,9 +132,14 @@ object CatalogAnalytics {
       // confidence/lift from the item counts and the single-row basket
       // total. Both rule directions emitted per surviving pair.
       (s, d) => {
+        // the distinct basket relation feeds the basket total, the item
+        // supports, and both sides of the pair self-join — materialize
+        // it once (the triangleStats/connectedComponents lesson)
         val items = t(s, d, "lineitem")
           .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        items.count()
         val nOrders = items.agg(countDistinct("oid").as("n_orders"))
         val freq = items.groupBy("item").agg(count(lit(1)).as("n_item"))
           .filter(col("n_item") >= 5)
