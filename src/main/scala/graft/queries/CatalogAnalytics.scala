@@ -422,7 +422,40 @@ object CatalogAnalytics {
                      FROM sc)
               SELECT event_type, day, v, z,
                      coalesce(abs(z) > 2.0, false) AS anomaly
-              FROM zz ORDER BY event_type, day"""))
+              FROM zz ORDER BY event_type, day""")),
+
+    Q("a26_skyline",
+      // 2D Pareto frontier (skyline) per brand: the parts no other
+      // same-brand part weakly dominates on (size, price), both
+      // minimized. NOT a pairwise dominance join — one partial agg
+      // (best price per size) + one partitioned window (strict-prefix
+      // running min along the size order): O(n log n) per group, the
+      // sort-based skyline that scales to any group cardinality
+      (s, d) => {
+        val perSize = t(s, d, "part")
+          .groupBy("p_brand", "p_size")
+          .agg(round(min("p_retailprice"), 2).as("best_price"))
+        val w = Window.partitionBy("p_brand").orderBy("p_size")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perSize
+          .withColumn("prefix_min", min("best_price").over(w))
+          .filter(col("prefix_min").isNull ||
+            col("best_price") < col("prefix_min"))
+          .select(col("p_brand"), col("p_size"), col("best_price"))
+          .orderBy("p_brand", "p_size")
+      },
+      Some("""WITH per_size AS (SELECT p_brand, p_size,
+                       round(min(p_retailprice), 2) AS best_price
+                     FROM part GROUP BY 1, 2),
+              sky AS (SELECT p_brand, p_size, best_price,
+                       min(best_price) OVER (PARTITION BY p_brand
+                         ORDER BY p_size
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prefix_min
+                     FROM per_size)
+              SELECT p_brand, p_size, best_price FROM sky
+              WHERE prefix_min IS NULL OR best_price < prefix_min
+              ORDER BY p_brand, p_size"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get
