@@ -455,7 +455,38 @@ object CatalogAnalytics {
                      FROM per_size)
               SELECT p_brand, p_size, best_price FROM sky
               WHERE prefix_min IS NULL OR best_price < prefix_min
-              ORDER BY p_brand, p_size"""))
+              ORDER BY p_brand, p_size""")),
+
+    Q("a27_attribution",
+      // last-touch conversion attribution: each purchase credits the
+      // user's most recent preceding touch event (click/view) — one
+      // IGNORE NULLS window on the user partitioning (the same shuffle
+      // sessionization uses), then a tiny channel rollup; no as-of
+      // self-join, no per-user driver logic
+      (s, d) => {
+        val ev = events(s, d)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = last(
+          when(col("event_type").isin("click", "view"), col("event_type")),
+          ignoreNulls = true).over(w)
+        ev.withColumn("channel", touch)
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("conversions"))
+          .orderBy("channel")
+      },
+      Some("""WITH attr AS (SELECT event_type,
+                       last_value(CASE WHEN event_type IN ('click', 'view')
+                                       THEN event_type END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS channel
+                     FROM events)
+              SELECT coalesce(channel, 'none') AS channel,
+                     count(*) AS conversions
+              FROM attr WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY channel"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get

@@ -141,10 +141,17 @@ object CatalogScale {
       // output pair-sets = the banding dropped nothing
       (s, d) => {
         val docs = t(s, d, "documents")
+        // each pair set feeds a count AND both sides of the symmetric
+        // difference — materialize once per decomposition, or each
+        // simhash pipeline runs ~3x (the connectedComponents lesson)
         val p4 = Dedup.simHashPairs(docs, "doc_id", "text", k = 5, maxHamming = 3)
           .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p4.count()
         val p8 = Dedup.simHashPairsBlocks(docs, "doc_id", "text", k = 5,
           maxHamming = 3, numBlocks = 8).select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p8.count()
         val n4 = p4.agg(count(lit(1)).as("n_blocks4"))
         val n8 = p8.agg(count(lit(1)).as("n_blocks8"))
         val diff = p4.except(p8).union(p8.except(p4))
