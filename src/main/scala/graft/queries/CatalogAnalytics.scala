@@ -486,7 +486,35 @@ object CatalogAnalytics {
               SELECT coalesce(channel, 'none') AS channel,
                      count(*) AS conversions
               FROM attr WHERE event_type = 'purchase'
-              GROUP BY 1 ORDER BY channel"""))
+              GROUP BY 1 ORDER BY channel""")),
+
+    Q("td_winsorize",
+      // per-source feature winsorization (the outlier-clipping step
+      // before scale-sensitive training signals): discrete p05/p95
+      // bounds per stratum (actual data values — engine-exact, the a19
+      // convention) computed in one partial agg, broadcast back as a
+      // group-count-sized dimension, clip as a pure projection
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bounds = docs.groupBy("source").agg(
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").as("lo"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("hi"))
+        docs.join(broadcast(bounds), "source")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            greatest(least(col("n_chars"), col("hi")), col("lo")).as("clipped"),
+            (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+              .as("was_clipped"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT source,
+                       quantile_disc(n_chars, 0.05) AS lo,
+                       quantile_disc(n_chars, 0.95) AS hi
+                     FROM documents GROUP BY 1)
+              SELECT doc_id, d.source, n_chars,
+                     greatest(least(n_chars, hi), lo) AS clipped,
+                     n_chars < lo OR n_chars > hi AS was_clipped
+              FROM documents d JOIN b ON d.source = b.source
+              ORDER BY doc_id"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get
