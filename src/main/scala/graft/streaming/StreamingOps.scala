@@ -131,4 +131,40 @@ object StreamingOps {
           next
       }
   }
+
+  case class SeriesPoint(series: String, ts: java.sql.Timestamp,
+      value: Option[Double])
+  case class FilledPoint(series: String, ts: java.sql.Timestamp,
+      value: Option[Double], observed: Boolean)
+
+  /** Streaming last-observation-carried-forward: the incremental form of
+    * the batch gap-fill query (`ts_gap_fill`) — each series carries its
+    * last observed value as keyed state, and null readings are emitted
+    * filled from it. State is one value per series key (bounded by
+    * series cardinality, not stream length). Within a micro-batch,
+    * points are applied in event-time order so late-arriving sorts
+    * inside the batch don't fill from a newer reading.
+    */
+  def locfStream(points: Dataset[SeriesPoint]): Dataset[FilledPoint] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, batch: Iterator[SeriesPoint],
+            state: GroupState[Double]) =>
+          val ordered = batch.toSeq.sortBy(_.ts.getTime)
+          var last: Option[Double] = state.getOption
+          val out = ordered.map { p =>
+            p.value match {
+              case Some(v) =>
+                last = Some(v)
+                FilledPoint(series, p.ts, Some(v), observed = true)
+              case None =>
+                FilledPoint(series, p.ts, last, observed = false)
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 }

@@ -123,6 +123,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(r => r.user_id == 1L && r.n_events == 2L && r.total_value == 3.0))
   }
 
+  test("locfStream: gaps fill from state across micro-batches, in-batch event order") {
+    import spark.implicits._
+    import StreamingOps.{SeriesPoint, FilledPoint}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val mem = MemoryStream[SeriesPoint]
+    val q = StreamingOps.locfStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("locf_out").start()
+    // batch 1: observation then a gap — and a gap-only series B;
+    // t=2 arrives BEFORE t=1 in the batch to exercise the in-batch sort
+    mem.addData(
+      SeriesPoint("a", ts(2), None),
+      SeriesPoint("a", ts(1), Some(10.0)),
+      SeriesPoint("b", ts(1), None))
+    q.processAllAvailable()
+    // batch 2: the state crosses the batch boundary, then updates
+    mem.addData(
+      SeriesPoint("a", ts(3), None),
+      SeriesPoint("a", ts(4), Some(20.0)),
+      SeriesPoint("a", ts(5), None))
+    q.processAllAvailable()
+    val got = spark.table("locf_out").as[FilledPoint].collect()
+      .map(p => (p.series, p.ts.getTime / 60000 % 60, p.value, p.observed)).toSet
+    q.stop()
+    assert(got == Set(
+      ("a", 1L, Some(10.0), true),
+      ("a", 2L, Some(10.0), false),  // filled within the batch, sorted order
+      ("b", 1L, None, false),        // no prior observation: stays null
+      ("a", 3L, Some(10.0), false),  // filled from the PREVIOUS batch's state
+      ("a", 4L, Some(20.0), true),
+      ("a", 5L, Some(20.0), false)), s"got $got")
+  }
+
   test("dedupStreamGlobal: duplicates dropped across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
