@@ -514,7 +514,47 @@ object CatalogAnalytics {
                      greatest(least(n_chars, hi), lo) AS clipped,
                      n_chars < lo OR n_chars > hi AS was_clipped
               FROM documents d JOIN b ON d.source = b.source
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    Q("a28_mad_outliers",
+      // robust outlier screen: median absolute deviation per group
+      // (unlike mean/std, one wild day can't mask itself by inflating
+      // the threshold). Two partial aggs — group median, then median
+      // of |x − med| — each a discrete percentile (actual data values,
+      // engine-exact), broadcast back group-count-sized; the flag is a
+      // pure projection
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(round(sum("value"), 2).as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        daily.count()
+        val med = daily.groupBy("event_type").agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("med"))
+        val dev = daily.join(broadcast(med), "event_type")
+          .withColumn("dev", round(abs(col("v") - col("med")), 2))
+        val mad = dev.groupBy("event_type").agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .select(col("event_type"), col("day"), col("v"), col("med"),
+            col("dev"), col("mad"),
+            (col("dev") > col("mad") * 3).as("outlier"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       round(sum(value), 2) AS v
+                     FROM events GROUP BY 1, 2),
+              med AS (SELECT event_type, quantile_disc(v, 0.5) AS med
+                      FROM daily GROUP BY 1),
+              dev AS (SELECT d.event_type, d.day, d.v, m.med,
+                        round(abs(d.v - m.med), 2) AS dev
+                      FROM daily d JOIN med m ON d.event_type = m.event_type),
+              mad AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                      FROM dev GROUP BY 1)
+              SELECT dev.event_type, day, v, med, dev, mad.mad,
+                     dev > mad.mad * 3 AS outlier
+              FROM dev JOIN mad ON dev.event_type = mad.event_type
+              ORDER BY dev.event_type, day"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get
