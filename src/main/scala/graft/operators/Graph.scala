@@ -76,6 +76,58 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank: power iteration whose teleport mass returns
+    * to a SOURCE SET instead of the whole graph — influence/relevance
+    * relative to a seed (the "more like these" corpus-expansion signal;
+    * at 100 TB, seed-relative relevance decides which crawl regions are
+    * worth keeping for a targeted domain mix).
+    *
+    * Same per-iteration shape as [[pageRank]] (one equi-join + one
+    * partial-agg shuffle). The rank relation stays SPARSE: only nodes
+    * actually touched by mass from the seed ever appear, so early
+    * iterations move frontier-sized relations, not graph-sized ones.
+    * The teleport re-injection is a full-outer join with the
+    * seed-set-sized restart relation.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = sources.toDF("node").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, "need at least one source node")
+    val restart = seeds.withColumn("tele", lit((1.0 - damping) / nSeeds))
+    var ranks = seeds.withColumn("rank", lit(1.0 / nSeeds))
+    for (_ <- 1 to iterations) {
+      val flowed = eDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("outdeg") * damping).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("m"))
+      // the seed may not receive flow in early rounds (no self-loop), so
+      // the teleport re-injection must be a full outer join
+      ranks = flowed
+        .join(restart, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("m"), lit(0.0)) + coalesce(col("tele"), lit(0.0)))
+            .as("rank"))
+    }
+    val out =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        ranks.checkpoint(true)
+      else ranks.localCheckpoint(true)
+    eDeg.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    seeds.unpersist(blocking = false)
+    out
+  }
+
   /** Bounded-hop BFS: minimum hop count from a source set to every
     * reachable node within `maxHops`.
     *

@@ -554,7 +554,148 @@ object CatalogAnalytics {
               SELECT dev.event_type, day, v, med, dev, mad.mad,
                      dev > mad.mad * 3 AS outlier
               FROM dev JOIN mad ON dev.event_type = mad.event_type
-              ORDER BY dev.event_type, day"""))
+              ORDER BY dev.event_type, day""")),
+
+    Q("w_streaks",
+      // gaps-and-islands: each user's longest run of consecutive active
+      // days via the row_number difference trick (day − rank is
+      // constant within an island) — two windows and one partial agg,
+      // all on the user partitioning; no self-join, no recursion
+      (s, d) => {
+        val days = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val islands = days
+          .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        islands.groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+          .groupBy("user_id")
+          .agg(max("len").as("longest_streak"),
+            min("start_day").as("first_active"),
+            count(lit(1)).as("n_islands"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+              isl AS (SELECT user_id, day,
+                        day - CAST(row_number() OVER (PARTITION BY user_id
+                          ORDER BY day) AS INTEGER) AS grp
+                      FROM days),
+              runs AS (SELECT user_id, grp, count(*) AS len,
+                         min(day) AS start_day
+                       FROM isl GROUP BY 1, 2)
+              SELECT user_id, max(len) AS longest_streak,
+                     min(start_day) AS first_active,
+                     count(*) AS n_islands
+              FROM runs GROUP BY 1 ORDER BY user_id""")),
+
+    Q("w_journey_trigrams",
+      // sequence mining over user journeys: the most common 3-step
+      // event-type paths — two leads on the user/time window (the
+      // sessionize partitioning), then one partial-agg count; no
+      // sequence explosion, no per-user driver logic
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tri = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("s1"))
+          .withColumn("s2", lead("s1", 1).over(w))
+          .withColumn("s3", lead("s1", 2).over(w))
+          .filter(col("s3").isNotNull)
+        tri.groupBy("s1", "s2", "s3").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 5)
+          .orderBy("s1", "s2", "s3")
+      },
+      Some("""WITH tri AS (SELECT event_type AS s1,
+                       lead(event_type, 1) OVER w AS s2,
+                       lead(event_type, 2) OVER w AS s3
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT s1, s2, s3, count(*) AS n
+              FROM tri WHERE s3 IS NOT NULL
+              GROUP BY 1, 2, 3 HAVING count(*) >= 5
+              ORDER BY s1, s2, s3""")),
+
+    Q("o4_large_orders",
+      // the aggregation-gated semi-join shape (TPC-H Q18 family):
+      // orders whose total line quantity clears a threshold — the gate
+      // is ONE partial-agg relation semi-joined back on the order key,
+      // never a correlated per-row subquery
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("total_qty"))
+          .filter(col("total_qty") > 150)
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            col("total_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                round(o_totalprice, 2) AS price, total_qty
+              FROM orders JOIN (SELECT l_orderkey,
+                                  sum(l_quantity) AS total_qty
+                                FROM lineitem GROUP BY 1
+                                HAVING sum(l_quantity) > 150) b
+                ON o_orderkey = b.l_orderkey
+              ORDER BY o_orderkey""")),
+
+    Q("g5_ppr",
+      // personalized PageRank from the minimum order node: teleport
+      // mass restarts at the SEED, so ranks measure influence relative
+      // to it ("more like these" corpus expansion). Rank relation stays
+      // sparse — only seed-reachable nodes appear; the oracle replays
+      // all three rounds including the full-outer teleport re-injection.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select((col("l_orderkey") * 2).as("o"),
+            (col("l_partkey") * 2 + 1).as("p"))
+          .distinct()
+        val edges = li.select(col("o").as("src"), col("p").as("dst"))
+          .unionAll(li.select(col("p").as("src"), col("o").as("dst")))
+        val seed = li.agg(min("o").as("node"))
+        Graph.personalizedPageRank(edges, "src", "dst", seed, iterations = 3)
+          .select(
+            concat(when(col("node") % 2 === 0, "o").otherwise("p"),
+              (col("node") / 2).cast("long")).as("node"),
+            round(col("rank") * 1000000, 2).as("rank_ppm"))
+          .orderBy("node")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey * 2 AS o, l_partkey * 2 + 1 AS p
+                          FROM lineitem),
+              e AS (SELECT o AS src, p AS dst FROM li
+                    UNION ALL SELECT p AS src, o AS dst FROM li),
+              deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+              seed AS (SELECT min(o) AS node FROM li),
+              r0 AS (SELECT node, 1.0 AS rank FROM seed),
+              f1 AS (SELECT e.dst AS node, 0.85 * sum(r.rank / d.outdeg) AS m
+                     FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+                     GROUP BY 1),
+              r1 AS (SELECT coalesce(f.node, s.node) AS node,
+                       coalesce(f.m, 0) +
+                         CASE WHEN s.node IS NOT NULL THEN 0.15 ELSE 0 END AS rank
+                     FROM f1 f FULL OUTER JOIN seed s ON f.node = s.node),
+              f2 AS (SELECT e.dst AS node, 0.85 * sum(r.rank / d.outdeg) AS m
+                     FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+                     GROUP BY 1),
+              r2 AS (SELECT coalesce(f.node, s.node) AS node,
+                       coalesce(f.m, 0) +
+                         CASE WHEN s.node IS NOT NULL THEN 0.15 ELSE 0 END AS rank
+                     FROM f2 f FULL OUTER JOIN seed s ON f.node = s.node),
+              f3 AS (SELECT e.dst AS node, 0.85 * sum(r.rank / d.outdeg) AS m
+                     FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+                     GROUP BY 1),
+              r3 AS (SELECT coalesce(f.node, s.node) AS node,
+                       coalesce(f.m, 0) +
+                         CASE WHEN s.node IS NOT NULL THEN 0.15 ELSE 0 END AS rank
+                     FROM f3 f FULL OUTER JOIN seed s ON f.node = s.node)
+              SELECT (CASE WHEN node % 2 = 0 THEN 'o' ELSE 'p' END ||
+                      CAST(node // 2 AS BIGINT)) AS node,
+                     round(rank * 1000000, 2) AS rank_ppm
+              FROM r3 ORDER BY node"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get

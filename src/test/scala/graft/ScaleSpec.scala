@@ -138,6 +138,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(r(1L) - leaf) < 1e-12, s"leaf ${r(1L)} vs recurrence $leaf")
   }
 
+  test("personalizedPageRank: star-graph scalar recurrence, sparse rank support") {
+    // undirected star, seed = hub 0; replay the exact scalar recurrence
+    // hub' = 0.15 + d·(n−1)·leaf, leaf' = d·hub/(n−1) for 3 rounds
+    val e = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val seed = Seq(Tuple1(0L)).toDF("node")
+    val r = graft.operators.Graph.personalizedPageRank(e, "src", "dst", seed, 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val d = 0.85
+    var (hub, leaf) = (1.0, 0.0)
+    for (_ <- 1 to 3) {
+      val (h2, l2) = (0.15 + d * 4 * leaf, d * hub / 4)
+      hub = h2; leaf = l2
+    }
+    assert(math.abs(r(0L) - hub) < 1e-12, s"hub ${r(0L)} vs recurrence $hub")
+    assert(math.abs(r(1L) - leaf) < 1e-12, s"leaf ${r(1L)} vs recurrence $leaf")
+    // a node disconnected from the seed must NOT appear in the ranks
+    val e2 = e.unionAll(Seq((10L, 11L), (11L, 10L)).toDF("src", "dst"))
+    val r2 = graft.operators.Graph.personalizedPageRank(e2, "src", "dst", seed, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(!r2.contains(10L) && !r2.contains(11L), "rank support stays seed-reachable")
+  }
+
   test("shortestHops: path graph levels, bound respected, early exit on empty frontier") {
     // undirected path 0-1-2-3-4-5 plus an isolated edge 10-11
     val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
