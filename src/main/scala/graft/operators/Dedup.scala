@@ -26,7 +26,12 @@ object Dedup {
     */
   private val tracked = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
-  private def trackedPersist(df: DataFrame): DataFrame = synchronized {
+  /** Shared with the other operator objects (Search/TextAnalysis/
+    * Similarity persist reused intermediates too) so ONE release call
+    * drains every operator-level cache — Bench/Verify already call
+    * [[releaseCaches]] between queries.
+    */
+  private[operators] def trackedPersist(df: DataFrame): DataFrame = synchronized {
     val p = df.persist()
     tracked += p
     p

@@ -95,6 +95,7 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize before the degree-agg/join fan-out
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -146,12 +146,20 @@ object Scale {
   def compactionPlan(files: DataFrame, groupCol: String, orderCol: String,
       bytesCol: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
+    // explicit ROWS frame: the default RANGE frame sums all PEERS of a
+    // tied order key at once, which breaks sequential packing on ties
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     files
-      .withColumn("cum_bytes", sum(col(bytesCol)).over(w))
-      // integer `div`, not double division: exact at any byte total
-      .withColumn("bucket", expr(s"(cum_bytes - $bytesCol) div $targetBytes"))
+      .withColumn("_cp_bytes", col(bytesCol))
+      .withColumn("cum_bytes", sum(col("_cp_bytes")).over(w))
+      // integer `div`, not double division: exact at any byte total;
+      // the fixed internal alias keeps arbitrary caller column names
+      // out of the SQL fragment (only the Long literal is spliced)
+      .withColumn("bucket", expr(s"(cum_bytes - _cp_bytes) div $targetBytes"))
+      .drop("_cp_bytes")
   }
 
   def writeBucketed(df: DataFrame, key: String, buckets: Int,

@@ -84,13 +84,14 @@ object Search {
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     // the tf relation feeds both the df aggregation and the scoring
     // join — persist it so the token explode runs once, not per branch
-    val tf = docs
+    val tf = Dedup.trackedPersist(docs
       .select(col(idCol), explode(Dedup.words(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).cast("double").as("tf")))
+    // tf is already one row per (doc, term), so a plain count IS the
+    // distinct doc count — countDistinct would add an Expand pass
     val df = tf.groupBy("term")
-      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+      .agg(count(lit(1)).cast("double").as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
     tf.join(df, "term")

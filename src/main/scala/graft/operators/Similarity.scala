@@ -363,9 +363,8 @@ object Similarity {
     val cents = seedCentroids(emb, nCells)
     // both self-join sides read the cell assignment — materialize it
     // once, or the argmax-over-centroids projection runs per side
-    val withCell = corpusCellsFor(emb, cents)
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withCell = Dedup.trackedPersist(corpusCellsFor(emb, cents)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id"))
     withCell.count()
     val a = withCell.select(
       col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))

@@ -199,16 +199,14 @@ object TextAnalysis {
     */
   def pmiCollocations(docs: DataFrame, textCol: String,
       minCount: Long): DataFrame = {
-    val uni = Dedup.widen(docs)
+    val uni = Dedup.trackedPersist(Dedup.widen(docs)
       .select(explode(words(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("n_t"))
-      .persist()
+      .groupBy("term").agg(count(lit(1)).as("n_t")))
     val nTok = uni.agg(sum("n_t").cast("double").as("n_tok"))
-    val biAll = bigramStream(docs, textCol)
+    val biAll = Dedup.trackedPersist(bigramStream(docs, textCol)
       .select(split(col("bigram"), " ").getItem(0).as("w1"),
         split(col("bigram"), " ").getItem(1).as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
-      .persist()
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")))
     val nBig = biAll.agg(sum("n_ab").cast("double").as("n_big"))
     biAll.filter(col("n_ab") >= minCount)
       .join(uni.select(col("term").as("w1"), col("n_t").as("n_w1")), "w1")

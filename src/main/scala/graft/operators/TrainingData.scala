@@ -122,7 +122,11 @@ object TrainingData {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") + 1).cast("double") / 4294967297.0
     val key = round(log(u) / col(weightCol), 10)
-    val top = df.select(col(idCol), col(weightCol), key.as("samp_key"))
+    // A-ES is defined only for positive weights: weight 0 would yield a
+    // -Infinity priority and a NEGATIVE weight a positive one that
+    // outranks every legitimate row — drop both rather than mis-rank
+    val top = df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), key.as("samp_key"))
       .orderBy(col("samp_key").desc, col(idCol))
       .limit(k)
     top.withColumn("rank",

@@ -25,17 +25,8 @@ final case class Q(
 
 object Catalog {
 
-  /** Table loader. `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark
-    * only reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set by Verify/Bench/tests); convert to µs TimestampType here using
-    * integer `div` (a double division would lose precision above 2^53 ns).
-    */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
 
   // ---------------------------------------------------------------- helpers
   private val normSql = TextFns.normalizeNameSql _

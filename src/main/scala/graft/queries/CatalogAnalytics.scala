@@ -14,14 +14,10 @@ import graft.operators.{Graph, Scale, Search, TextAnalysis, TrainingData}
 object CatalogAnalytics {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.t(s, dir, name)
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = t(s, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
 
   val all: Seq[Q] = Seq(
 

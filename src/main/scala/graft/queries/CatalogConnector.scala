@@ -22,17 +22,10 @@ import graft.operators.{Changelog, JiraOps}
 object CatalogConnector {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.t(s, dir, name)
 
-  /** `events.ts` arrives as raw nanos (nanosAsLong) — same conversion as
-    * [[Catalog]].
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = t(s, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
 
   /** Staged pages live under tmp, keyed by sf-dir so scale factors don't
     * collide. Re-written (overwrite) on every call: the stage IS part of

@@ -15,14 +15,10 @@ import graft.operators.{AsOf, Dedup, Graph, HeavyHitters, Multimodal, RangeJoin,
 object CatalogScale {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.t(s, dir, name)
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = t(s, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
 
   /** Shared with [[CatalogTraining]] so every recall gate (LSH, IVF)
     * compares against the SAME query set as the exact-kNN oracle.

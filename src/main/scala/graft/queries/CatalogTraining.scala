@@ -17,7 +17,7 @@ import graft.operators.{Similarity, TrainingData}
 object CatalogTraining {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.t(s, dir, name)
 
   private def knnQueries(emb: DataFrame): DataFrame =
     CatalogScale.knnQueries(emb)

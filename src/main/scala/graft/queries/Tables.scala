@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** THE shared table loader for every catalog file — the events
+  * timestamp shim lives here exactly once.
+  *
+  * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark only reads
+  * as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+  * Verify/Bench/tests); convert to µs TimestampType using integer
+  * `div` (a double division would lose precision above 2^53 ns).
+  */
+private[queries] object Tables {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
+}
