@@ -17,7 +17,12 @@ object ExplainAudit {
         "f2_connector_comments",
         // round 5: optimizer-rule composition, graph, keyless joins
         "f2_array_filter", "g1_pagerank", "j15_interval_overlap",
-        "scale_bloom_prune", "search_phrase")
+        "scale_bloom_prune", "search_phrase",
+        // round 5 (cont.): analytics layer — graph census, basket rules,
+        // spine gap fill, weighted top-k, skyline windows
+        "g3_bfs_hops", "g4_triangles", "g5_ppr", "a25_assoc_rules",
+        "ts_gap_fill", "td_weighted_sample", "a26_skyline",
+        "search_tfidf_keywords", "scale_compaction_plan")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
