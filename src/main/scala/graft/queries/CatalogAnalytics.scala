@@ -691,7 +691,98 @@ object CatalogAnalytics {
               SELECT (CASE WHEN node % 2 = 0 THEN 'o' ELSE 'p' END ||
                       CAST(node // 2 AS BIGINT)) AS node,
                      round(rank * 1000000, 2) AS rank_ppm
-              FROM r3 ORDER BY node"""))
+              FROM r3 ORDER BY node""")),
+
+    Q("a29_triple_itemsets",
+      // cascaded apriori: frequent items (support ≥ 5) → frequent pairs
+      // (≥ 2) → triples, with the (a, b) prefix semi-joined against the
+      // frequent-pair set BEFORE the third basket join — support
+      // monotonicity makes the cascade lossless (a triple at ≥ 3 has
+      // every sub-pair at ≥ 3), so the pruning only sheds work, never
+      // answers. The quadratic-then-cubic candidate space never
+      // materializes beyond what the previous level licensed.
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        items.count()
+        val freq = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+          .filter(col("n_item") >= 5)
+        val ii = items.join(freq.select("item"), Seq("item"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ii.count()
+        val t1 = ii.select(col("oid"), col("item").as("ia"))
+          .join(ii.select(col("oid"), col("item").as("ib")), "oid")
+          .filter(col("ia") < col("ib"))
+        val pairs3 = t1.groupBy("ia", "ib").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val t2 = t1.join(pairs3.select("ia", "ib"), Seq("ia", "ib"), "left_semi")
+          .join(ii.select(col("oid"), col("item").as("ic")), "oid")
+          .filter(col("ic") > col("ib"))
+        t2.groupBy("ia", "ib", "ic").agg(count(lit(1)).as("n_abc"))
+          .filter(col("n_abc") >= 2)
+          .orderBy("ia", "ib", "ic")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+                             FROM lineitem),
+              freq AS (SELECT item FROM items GROUP BY 1 HAVING count(*) >= 5),
+              ii AS (SELECT oid, item FROM items
+                     WHERE item IN (SELECT item FROM freq))
+              SELECT a.item AS ia, b.item AS ib, c.item AS ic,
+                     count(*) AS n_abc
+              FROM ii a JOIN ii b ON a.oid = b.oid AND a.item < b.item
+                        JOIN ii c ON a.oid = c.oid AND b.item < c.item
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2
+              ORDER BY ia, ib, ic""")),
+
+    Q("a30_sliding_distinct",
+      // trailing-7-day distinct users per event type from MERGEABLE
+      // daily HLL sketches — the pre-aggregated form that never
+      // recounts raw rows (each day's sketch is built once, the window
+      // merges 7 sketches); the exact side is the contribution-explode
+      // (each (day, user) row feeds the ≤7 windows it belongs to —
+      // linear ×7, never a range join), and the estimate must land
+      // within 5% of it, per row
+      (s, d) => {
+        val du = events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("du_day"),
+            col("user_id"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        du.count()
+        val sk = du
+          .groupBy(col("event_type"), col("du_day").as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, Window.currentRow)
+        val est = sk.select(col("event_type"), col("day"),
+          hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("est"))
+        val exact = du
+          .withColumn("day",
+            explode(sequence(col("du_day"), date_add(col("du_day"), 6))))
+          .groupBy("event_type", "day")
+          .agg(countDistinct("user_id").as("n_exact"))
+        est.join(exact, Seq("event_type", "day"))
+          .select(col("event_type"), col("day"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 5)
+              .as("within_5pct"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS du_day,
+                       user_id
+                     FROM events),
+              sk_days AS (SELECT DISTINCT event_type, du_day AS day FROM du),
+              contrib AS (SELECT event_type,
+                       (du_day + CAST(g AS INTEGER))::DATE AS day, user_id
+                     FROM du, unnest(range(0, 7)) t(g)),
+              exact AS (SELECT event_type, day,
+                       count(DISTINCT user_id) AS n_exact
+                     FROM contrib GROUP BY 1, 2)
+              SELECT e.event_type, e.day, e.n_exact, true AS within_5pct
+              FROM exact e JOIN sk_days s
+                ON e.event_type = s.event_type AND e.day = s.day
+              ORDER BY e.event_type, e.day"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get
