@@ -657,7 +657,12 @@ object CatalogAnalytics {
           .select(
             concat(when(col("node") % 2 === 0, "o").otherwise("p"),
               (col("node") / 2).cast("long")).as("node"),
-            round(col("rank") * 1000000, 2).as("rank_ppm"))
+            // floor-quantize, don't round: single-seed PPR produces many
+            // EXACT dyadic ranks (e.g. 903.125 ppm), and on an exact
+            // half the engines' rounding rules split (HALF_UP vs
+            // half-to-even — seen at sf0.1); floor of the identical
+            // exact double is unambiguous in both
+            (floor(col("rank") * 100000000) / 100).as("rank_ppm"))
           .orderBy("node")
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey * 2 AS o, l_partkey * 2 + 1 AS p
@@ -690,7 +695,7 @@ object CatalogAnalytics {
                      FROM f3 f FULL OUTER JOIN seed s ON f.node = s.node)
               SELECT (CASE WHEN node % 2 = 0 THEN 'o' ELSE 'p' END ||
                       CAST(node // 2 AS BIGINT)) AS node,
-                     round(rank * 1000000, 2) AS rank_ppm
+                     floor(rank * 100000000) / 100 AS rank_ppm
               FROM r3 ORDER BY node""")),
 
     Q("a29_triple_itemsets",
