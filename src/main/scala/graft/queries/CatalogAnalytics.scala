@@ -787,7 +787,48 @@ object CatalogAnalytics {
               SELECT e.event_type, e.day, e.n_exact, true AS within_5pct
               FROM exact e JOIN sk_days s
                 ON e.event_type = s.event_type AND e.day = s.day
-              ORDER BY e.event_type, e.day"""))
+              ORDER BY e.event_type, e.day""")),
+
+    Q("w_running_distinct",
+      // EXACT cumulative distinct users per type by day — window
+      // count(DISTINCT) doesn't exist in either engine, so this is the
+      // first-occurrence-flag form: row_number marks each user's first
+      // day per type (one shuffle), daily sums of flags then cumulate
+      // under a running window (second shuffle, group-sized). Linear in
+      // events, state never exceeds the daily aggregate.
+      (s, d) => {
+        val du = events(s, d)
+          .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val wFirst = Window.partitionBy("event_type", "user_id").orderBy("day")
+        val firsts = du
+          .withColumn("is_first",
+            when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          .groupBy("event_type", "day")
+          .agg(sum("is_first").as("new_users"), count(lit(1)).as("active_users"))
+        val wRun = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firsts
+          .select(col("event_type"), col("day"), col("new_users"),
+            col("active_users"),
+            sum("new_users").over(wRun).as("cum_distinct_users"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT event_type, user_id,
+                       CAST(ts AS DATE) AS day
+                     FROM events),
+              f AS (SELECT event_type, user_id, day,
+                      CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                             ORDER BY day) = 1 THEN 1 ELSE 0 END AS is_first
+                    FROM du),
+              daily AS (SELECT event_type, day, sum(is_first) AS new_users,
+                          count(*) AS active_users
+                        FROM f GROUP BY 1, 2)
+              SELECT event_type, day, new_users, active_users,
+                     sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_distinct_users
+              FROM daily ORDER BY event_type, day"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get
