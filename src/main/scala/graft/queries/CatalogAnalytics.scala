@@ -828,7 +828,117 @@ object CatalogAnalytics {
                      sum(new_users) OVER (PARTITION BY event_type ORDER BY day
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS cum_distinct_users
-              FROM daily ORDER BY event_type, day"""))
+              FROM daily ORDER BY event_type, day""")),
+
+    Q("prof_eqdepth",
+      // equi-DEPTH histogram (complement of prof_histogram's equi-width):
+      // quartile cutpoints as DISCRETE percentiles (actual data values,
+      // engine-exact) in one single-row aggregate, broadcast into a
+      // pure bucket projection — never a global sort or ntile window
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val cuts = li.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("c1"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("c2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("c3"))
+        li.crossJoin(broadcast(cuts))
+          .withColumn("bucket",
+            (when(col("l_extendedprice") > col("c1"), 1).otherwise(0) +
+              when(col("l_extendedprice") > col("c2"), 1).otherwise(0) +
+              when(col("l_extendedprice") > col("c3"), 1).otherwise(0)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min("l_extendedprice"), 2).as("lo"),
+            round(max("l_extendedprice"), 2).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH cuts AS (SELECT quantile_disc(l_extendedprice, 0.25) AS c1,
+                       quantile_disc(l_extendedprice, 0.5) AS c2,
+                       quantile_disc(l_extendedprice, 0.75) AS c3
+                     FROM lineitem)
+              SELECT (CASE WHEN l_extendedprice > c1 THEN 1 ELSE 0 END +
+                      CASE WHEN l_extendedprice > c2 THEN 1 ELSE 0 END +
+                      CASE WHEN l_extendedprice > c3 THEN 1 ELSE 0 END) AS bucket,
+                     count(*) AS n,
+                     round(min(l_extendedprice), 2) AS lo,
+                     round(max(l_extendedprice), 2) AS hi
+              FROM lineitem CROSS JOIN cuts
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("j16_star_flake",
+      // the snowflaked star: fact ⋈ supplier ⋈ nation ⋈ region (dim
+      // filter) ⋈ part (dim filter) ⋈ orders (date filter) — six
+      // relations, selective predicates on three arms. Catalyst prunes
+      // and reorders; every dim side lands as a broadcast hash join, so
+      // the fact table is scanned once and never shuffled on a join key
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val sup = t(s, d, "supplier")
+        val nat = t(s, d, "nation")
+        val reg = t(s, d, "region").filter(col("r_name") === "ASIA")
+        val part = t(s, d, "part").filter(col("p_type") === "PROMO")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= "1995-01-01")
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .join(part, col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+              FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+              WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("a31_fulfillment_latency",
+      // accumulating-snapshot latency: order date → FIRST ship date per
+      // order (one partial-agg min over the fact), day-bucketed into
+      // the latency histogram BI dashboards plot; integer datediff all
+      // the way
+      (s, d) => {
+        val firstShip = t(s, d, "lineitem")
+          .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
+        t(s, d, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .withColumn("lat_days",
+            datediff(to_date(col("first_ship")), to_date(col("o_orderdate"))))
+          // the synthetic data contains ship-before-order rows: clamp
+          // all of them into one underflow bucket (-1, the data-quality
+          // bin a real dashboard would alert on) and cap the top at 4
+          .withColumn("lat_bucket",
+            greatest(least(floor(col("lat_days") / 30).cast("int"), lit(4)),
+              lit(-1)))
+          .groupBy("lat_bucket")
+          .agg(count(lit(1)).as("n_orders"),
+            min("lat_days").as("min_days"), max("lat_days").as("max_days"))
+          .orderBy("lat_bucket")
+      },
+      Some("""WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
+                     FROM lineitem GROUP BY 1)
+              SELECT greatest(least(CAST(floor(date_diff('day',
+                       CAST(o_orderdate AS DATE),
+                       CAST(first_ship AS DATE)) / 30.0) AS INTEGER), 4), -1)
+                       AS lat_bucket,
+                     count(*) AS n_orders,
+                     min(date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(first_ship AS DATE))) AS min_days,
+                     max(date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(first_ship AS DATE))) AS max_days
+              FROM orders JOIN fs ON o_orderkey = fs.l_orderkey
+              GROUP BY 1 ORDER BY lat_bucket"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get

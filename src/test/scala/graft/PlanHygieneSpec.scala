@@ -56,7 +56,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "search_tfidf_keywords",
     // PMI broadcasts the two SINGLE-ROW corpus totals into the score
     // projection (`TextAnalysis.pmiCollocations`)
-    "ta_pmi_collocations")
+    "ta_pmi_collocations",
+    // equi-depth histogram broadcasts the SINGLE-ROW quartile-cutpoint
+    // aggregate into the bucket projection
+    "prof_eqdepth")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
