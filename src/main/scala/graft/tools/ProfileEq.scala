@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for the equi-depth cutpoint stages (round-5 perf
+  * work): is the global percentile_disc, the second scan, or the
+  * broadcast the cost?
+  */
+object ProfileEq {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    time("scan-count")(li.count())
+    time("one-global-percentile") {
+      li.agg(expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"))
+        .collect()
+    }
+    time("three-global-percentiles") {
+      li.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"))
+        .collect()
+    }
+    time("grouped-percentile-a19-form") {
+      li.groupBy("l_returnflag").agg(expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"))
+        .collect()
+    }
+    time("array-percentile-one-pass") {
+      li.agg(expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.75))")).collect()
+    }
+    spark.stop()
+  }
+}
