@@ -945,7 +945,26 @@ object CatalogAnalytics {
                      max(date_diff('day', CAST(o_orderdate AS DATE),
                        CAST(first_ship AS DATE))) AS max_days
               FROM orders JOIN fs ON o_orderkey = fs.l_orderkey
-              GROUP BY 1 ORDER BY lat_bucket"""))
+              GROUP BY 1 ORDER BY lat_bucket""")),
+
+    Q("x26_props_extract",
+      // semi-structured analytics over the REAL fact-table JSON column
+      // (not a staged fixture): path-extract the payload field in the
+      // projection, aggregate per type — the scan stays columnar, the
+      // parse is row-local codegen, nothing is exploded or staged
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), min("k").as("k_min"),
+          max("k").as("k_max"), sum("k").as("k_sum"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+                count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n,
+                min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max,
+                sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum
+              FROM events GROUP BY 1 ORDER BY 1"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get
