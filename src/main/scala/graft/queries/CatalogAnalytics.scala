@@ -964,7 +964,72 @@ object CatalogAnalytics {
                 min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
                 max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max,
                 sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum
-              FROM events GROUP BY 1 ORDER BY 1"""))
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("a32_contribution",
+      // ratio-to-report: each (status, priority) cell's revenue share
+      // within its status (one partitioned window — never a global
+      // single-partition frame) and of the grand total (single-row
+      // broadcast); ratios of identical rounded doubles, so the shares
+      // are engine-exact before their own rounding
+      (s, d) => {
+        val cells = t(s, d, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val grand = cells.agg(round(sum("rev"), 2).as("grand"))
+        val w = Window.partitionBy("o_orderstatus")
+        cells.crossJoin(broadcast(grand))
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("rev"),
+            round(col("rev") / sum("rev").over(w), 6).as("share_in_status"),
+            round(col("rev") / col("grand"), 6).as("share_of_total"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""WITH cells AS (SELECT o_orderstatus, o_orderpriority,
+                       round(sum(o_totalprice), 2) AS rev
+                     FROM orders GROUP BY 1, 2),
+              g AS (SELECT round(sum(rev), 2) AS grand FROM cells)
+              SELECT o_orderstatus, o_orderpriority, rev,
+                     round(rev / sum(rev) OVER (PARTITION BY o_orderstatus), 6)
+                       AS share_in_status,
+                     round(rev / (SELECT grand FROM g), 6) AS share_of_total
+              FROM cells ORDER BY o_orderstatus, o_orderpriority""")),
+
+    Q("w_day_overlap",
+      // day-over-day user overlap (the churn micro-metric under the
+      // weekly cohort matrix): actives per day, and the subset also
+      // active the NEXT day via one (user, day+1) equi-join — never a
+      // cross of day sets
+      (s, d) => {
+        val du = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        du.count()
+        val active = du.groupBy("day").agg(count(lit(1)).as("active"))
+        val retained = du
+          .join(du.select(col("user_id"),
+            date_sub(col("day"), 1).as("day")), Seq("user_id", "day"))
+          .groupBy("day").agg(count(lit(1)).as("retained_next"))
+        active.join(retained, Seq("day"), "left")
+          .select(col("day"), col("active"),
+            coalesce(col("retained_next"), lit(0L)).as("retained_next"),
+            round(coalesce(col("retained_next"), lit(0L)).cast("double") /
+              col("active"), 4).as("rate"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+              act AS (SELECT day, count(*) AS active FROM du GROUP BY 1),
+              ret AS (SELECT a.day, count(*) AS retained_next
+                      FROM du a JOIN du b
+                        ON a.user_id = b.user_id AND b.day = a.day + 1
+                      GROUP BY 1)
+              SELECT a.day, a.active,
+                     coalesce(r.retained_next, 0) AS retained_next,
+                     round(CAST(coalesce(r.retained_next, 0) AS DOUBLE)
+                       / a.active, 4) AS rate
+              FROM act a LEFT JOIN ret r ON a.day = r.day
+              ORDER BY a.day"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get

@@ -59,7 +59,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ta_pmi_collocations",
     // equi-depth histogram broadcasts the SINGLE-ROW quartile-cutpoint
     // aggregate into the bucket projection
-    "prof_eqdepth")
+    "prof_eqdepth",
+    // contribution shares broadcast the SINGLE-ROW grand total into
+    // the ratio projection
+    "a32_contribution")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
