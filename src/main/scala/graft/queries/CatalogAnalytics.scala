@@ -341,15 +341,15 @@ object CatalogAnalytics {
           .orderBy("event_type", "day")
       },
       Some("""WITH files AS (SELECT event_type, CAST(ts AS DATE) AS day,
-                       sum(length(props)) AS bytes
+                       CAST(sum(length(props)) AS BIGINT) AS bytes
                      FROM events GROUP BY 1, 2)
               SELECT event_type, day, bytes,
-                     sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+                     CAST(sum(bytes) OVER (PARTITION BY event_type ORDER BY day
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS cum_bytes,
-                     (sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+                       AS BIGINT) AS cum_bytes,
+                     CAST((sum(bytes) OVER (PARTITION BY event_type ORDER BY day
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      - bytes) // 10000 AS bucket
+                      - bytes) // 10000 AS BIGINT) AS bucket
               FROM files ORDER BY event_type, day""")),
 
     Q("ta_pmi_collocations",
@@ -497,7 +497,8 @@ object CatalogAnalytics {
           expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("hi"))
         docs.join(broadcast(bounds), "source")
           .select(col("doc_id"), col("source"), col("n_chars"),
-            greatest(least(col("n_chars"), col("hi")), col("lo")).as("clipped"),
+            greatest(least(col("n_chars"), col("hi")), col("lo"))
+              .cast("long").as("clipped"),
             (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
               .as("was_clipped"))
           .orderBy("doc_id")
@@ -821,13 +822,14 @@ object CatalogAnalytics {
                       CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
                              ORDER BY day) = 1 THEN 1 ELSE 0 END AS is_first
                     FROM du),
-              daily AS (SELECT event_type, day, sum(is_first) AS new_users,
+              daily AS (SELECT event_type, day,
+                          CAST(sum(is_first) AS BIGINT) AS new_users,
                           count(*) AS active_users
                         FROM f GROUP BY 1, 2)
               SELECT event_type, day, new_users, active_users,
-                     sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                     CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS cum_distinct_users
+                       AS BIGINT) AS cum_distinct_users
               FROM daily ORDER BY event_type, day""")),
 
     Q("prof_eqdepth",
@@ -921,13 +923,14 @@ object CatalogAnalytics {
         t(s, d, "orders")
           .join(firstShip, col("o_orderkey") === col("l_orderkey"))
           .withColumn("lat_days",
-            datediff(to_date(col("first_ship")), to_date(col("o_orderdate"))))
+            datediff(to_date(col("first_ship")), to_date(col("o_orderdate")))
+              .cast("long"))
           // the synthetic data contains ship-before-order rows: clamp
           // all of them into one underflow bucket (-1, the data-quality
           // bin a real dashboard would alert on) and cap the top at 4
           .withColumn("lat_bucket",
-            greatest(least(floor(col("lat_days") / 30).cast("int"), lit(4)),
-              lit(-1)))
+            greatest(least(floor(col("lat_days") / 30), lit(4L)),
+              lit(-1L)))
           .groupBy("lat_bucket")
           .agg(count(lit(1)).as("n_orders"),
             min("lat_days").as("min_days"), max("lat_days").as("max_days"))
@@ -963,7 +966,8 @@ object CatalogAnalytics {
                 count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n,
                 min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
                 max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max,
-                sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                  AS BIGINT) AS k_sum
               FROM events GROUP BY 1 ORDER BY 1""")),
 
     Q("a32_contribution",

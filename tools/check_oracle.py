@@ -48,6 +48,22 @@ def main():
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1
             continue
+        # the driver's hash is type-sensitive (r5: HUGEINT-vs-BIGINT and
+        # DOUBLE-vs-BIGINT skew arrived driver-red while values matched),
+        # so compare DESCRIBE-level types too — strictly, no widenings
+        g_desc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({spark_files!r})").fetchall()
+        e_desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        g_types = {r[0]: r[1] for r in g_desc}
+        e_types = {r[0]: r[1] for r in e_desc}
+        type_skew = [(c, g_types[c], e_types[c]) for c in sorted(g_types)
+                     if g_types[c] != e_types[c]]
+        if type_skew:
+            print(f"FAIL {name}: type skew " +
+                  "; ".join(f"{c}: spark={a} oracle={b}"
+                            for c, a, b in type_skew))
+            n_fail += 1
+            continue
         key = lambda row: tuple((v is None, str(type(v)), v) for v in row)
         g = sorted((tuple(norm(r[i]) for i in gi) for r in got), key=key)
         e = sorted((tuple(norm(r[i]) for i in ei) for r in exp), key=key)
