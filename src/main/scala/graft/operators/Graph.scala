@@ -27,11 +27,14 @@ object Graph {
 
   /** Power-iteration PageRank.
     *
-    * `edges` is a directed edge relation `(srcCol, dstCol)`. Every node
-    * must appear at least once as a source (no dangling nodes) — callers
-    * with undirected semantics satisfy this by emitting both directions,
-    * which is also what makes the rank mass conserve without a separate
-    * dangling-mass redistribution term.
+    * `edges` is a directed edge relation `(srcCol, dstCol)`. Genuinely
+    * directed graphs are supported: nodes with out-edges but no in-edges
+    * keep their teleport mass and keep contributing every round (the
+    * per-round join back to the node universe below). For the ranks to
+    * SUM to ~1, every node must still appear at least once as a source
+    * (a sink-only node absorbs mass with nowhere to send it — the
+    * classic dangling-node leak); callers with undirected semantics get
+    * this for free by emitting both directions.
     *
     * Returns `(node, rank)` where ranks sum to ~1. Deterministic up to
     * double reduction order; catalog consumers round before hashing.
@@ -52,15 +55,28 @@ object Graph {
     val eDeg = e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.count() // constant scalar: node count for the teleport term
+    // the node universe. Rebuilding `ranks` from groupBy(dst) alone would
+    // silently drop nodes with out-edges but no in-edges after round 1
+    // (their teleport mass and all later contributions lost — ADVICE r5);
+    // instead every round's contributions are joined back to this
+    // relation, with the bare teleport term for nodes receiving no flow.
+    val nodes = deg.select(col("src").as("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = deg.select(col("src").as("node"), (lit(1.0) / n).as("rank"))
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       val contrib = eDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
-      ranks = contrib
         .groupBy(col("dst").as("node"))
-        .agg((lit((1.0 - damping) / n) + lit(damping) * sum("c")).as("rank"))
+        .agg(sum("c").as("m"))
+      // full outer: keeps source-only nodes (left side null m → teleport
+      // only) AND, for precondition-violating inputs with sink-only dst
+      // nodes, still ranks them instead of silently conjuring/losing rows
+      ranks = nodes.join(contrib, Seq("node"), "full_outer")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
     }
     // materialize the final ranks before releasing the edge cache —
     // callers get a plan whose reruns don't re-pay the scan chain.
@@ -71,6 +87,7 @@ object Graph {
       if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
         ranks.checkpoint(true)
       else ranks.localCheckpoint(true)
+    nodes.unpersist(blocking = false)
     eDeg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     out

@@ -66,6 +66,24 @@ object Scale {
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** [[saltedJoin]] with the salt machinery left visible for
+    * diagnostics: keeps `_salt` on the output and attaches `_partial`,
+    * the (key, salt) bucket's row count — i.e. the number of rows the
+    * largest salted join task actually carries. Lets a query (or an ops
+    * dashboard) PROVE the spread — `max(_partial)` vs the unsalted
+    * per-key total — instead of inferring it from task-time skew.
+    */
+  def saltedJoinDiag(big: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt", contentSalt(big, saltBuckets))
+    val partials = saltedBig
+      .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
+    val saltedSmall = small
+      .withColumn("_salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    saltedBig.join(saltedSmall, Seq(key, "_salt"))
+      .join(partials, Seq(key, "_salt"))
+  }
+
   /** Date-partitioned ingest layout: one directory per day, so
     * date-ranged reads prune whole partitions at planning time
     * (PartitionFilters) — the first line of defense at 100 TB, cutting
@@ -117,14 +135,42 @@ object Scale {
     * are not expressible in native column functions, and the UDF sits
     * behind a codegen'd long column (same licence as SURVEY §7.4's
     * hash-probe exceptions).
+    *
+    * Build and probe MUST hash the same representation (ADVICE r5: a
+    * string-built sketch probed with `cast("long")` turns every probe
+    * into null → silently drops the whole big side). Integral keys are
+    * cast to long on BOTH sides; string keys build and probe as strings;
+    * any other key type is rejected loudly. Null-keyed big rows PASS
+    * through un-pruned — pruning is an optimization, and the join that
+    * follows owns null semantics.
     */
   def bloomPrune(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    big.filter(mightContain(col(bigKey).cast("long")))
+    import org.apache.spark.sql.types._
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    (bigType, smallType) match {
+      case (bt, st) if integral(bt) && integral(st) =>
+        val bf = small.select(col(smallKey).cast("long").as(smallKey))
+          .stat.bloomFilter(smallKey, expectedItems, fpp)
+        val bc = big.sparkSession.sparkContext.broadcast(bf)
+        val mightContain =
+          udf((k: java.lang.Long) => k == null || bc.value.mightContainLong(k))
+        big.filter(mightContain(col(bigKey).cast("long")))
+      case (StringType, StringType) =>
+        val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+        val bc = big.sparkSession.sparkContext.broadcast(bf)
+        val mightContain =
+          udf((k: String) => k == null || bc.value.mightContainString(k))
+        big.filter(mightContain(col(bigKey)))
+      case (bt, st) => throw new IllegalArgumentException(
+        s"bloomPrune needs both keys integral or both string, got $bt vs $st")
+    }
   }
 
   /** Write both sides bucketed by the join key so the subsequent join is

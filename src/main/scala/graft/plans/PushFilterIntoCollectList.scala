@@ -104,6 +104,20 @@ object PushFilterIntoCollectList extends Rule[LogicalPlan] {
     // ---- pass 2: classify every reference to a candidate attribute
     val filters = scala.collection.mutable.HashMap[ExprId, LambdaFunction]()
     val vetoed = scala.collection.mutable.HashSet[ExprId]()
+    // a candidate whose attribute IS the plan output escapes raw without
+    // any expression referencing it (e.g. `Filter(size(filter(items,p))>0,
+    // Aggregate)` at the root once RemoveNoopOperators stripped the
+    // identity Project: the user still gets the `items` column). Same for
+    // attributes a Union forwards — Union re-ids columns positionally, so
+    // downstream references use the Union's ExprIds and the scan below
+    // cannot connect them back to the candidate.
+    plan.output.foreach(a => if (candidates.contains(a.exprId)) vetoed += a.exprId)
+    plan.foreach {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        u.children.foreach(_.output.foreach(a =>
+          if (candidates.contains(a.exprId)) vetoed += a.exprId))
+      case _ => ()
+    }
     def scan(e: Expression, insideDefiningAgg: Boolean): Unit = e match {
       case ArrayFilter(attr: AttributeReference, f: LambdaFunction)
           if candidates.contains(attr.exprId) && safeLambda(f) =>

@@ -63,6 +63,19 @@ object SizeOfCollectListToCount extends Rule[LogicalPlan] {
     // classify every reference: only size(attr) is acceptable
     val used = scala.collection.mutable.HashSet[ExprId]()
     val vetoed = scala.collection.mutable.HashSet[ExprId]()
+    // output-escape veto (same analysis as PushFilterIntoCollectList):
+    // an attribute that reaches plan.output is user-visible even if no
+    // expression references it — renaming it to `<name>_cnt` and turning
+    // the array into a long would silently change the result schema.
+    // Union children likewise escape raw: Union re-ids columns, so
+    // downstream Size(unionAttr) never matches the candidate's ExprId.
+    plan.output.foreach(a => if (candidates.contains(a.exprId)) vetoed += a.exprId)
+    plan.foreach {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        u.children.foreach(_.output.foreach(a =>
+          if (candidates.contains(a.exprId)) vetoed += a.exprId))
+      case _ => ()
+    }
     def scan(e: Expression): Unit = e match {
       case Size(attr: AttributeReference, _) if candidates.contains(attr.exprId) =>
         used += attr.exprId
@@ -93,18 +106,23 @@ object SizeOfCollectListToCount extends Rule[LogicalPlan] {
       id -> Alias(toCount(ae, cl), a.name + "_cnt")()
     }.toMap
 
+    val substitute: Expression => Expression = _.transform {
+      case Size(attr: AttributeReference, _) if replacement.contains(attr.exprId) =>
+        Cast(replacement(attr.exprId).toAttribute, IntegerType)
+    }
     plan.transformUp {
       case agg: Aggregate =>
-        agg.copy(aggregateExpressions = agg.aggregateExpressions.map {
+        // Size(attr) references can sit INSIDE a downstream Aggregate —
+        // `max(size(items))` in aggregateExpressions or `GROUP BY
+        // size(items)` — so the substitution must run on every node's
+        // expressions, not only non-Aggregate consumers (ADVICE r5).
+        val sub = agg.mapExpressions(substitute).asInstanceOf[Aggregate]
+        sub.copy(aggregateExpressions = sub.aggregateExpressions.map {
           case a @ Alias(AggregateExpression(_: CollectList, _, false, _, _), _)
               if replacement.contains(a.exprId) => replacement(a.exprId)
           case other => inlineRewrite(other).asInstanceOf[NamedExpression]
         })
-      case node =>
-        node.mapExpressions(_.transform {
-          case Size(attr: AttributeReference, _) if replacement.contains(attr.exprId) =>
-            Cast(replacement(attr.exprId).toAttribute, IntegerType)
-        })
+      case node => node.mapExpressions(substitute)
     }
   }
 }

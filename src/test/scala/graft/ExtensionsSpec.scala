@@ -142,4 +142,119 @@ class ExtensionsSpec extends AnyFunSuite {
     val gotBoth = both.orderBy("k").as[(Long, Int, Int)].collect().toSeq
     assert(gotBoth == Seq((1L, 2, 1), (2L, 1, 1), (3L, 1, 0)), s"got $gotBoth")
   }
+
+  test("PushFilterIntoCollectList vetoes candidates escaping via plan output") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.PushFilterIntoCollectList.install(spark)
+
+    val rows = Seq((1L, 5), (1L, 50), (2L, 7), (3L, 99)).toDF("k", "v")
+    // HAVING-style query that also SELECTS the raw array: after
+    // RemoveNoopOperators the root is Filter(size(filter(items,p))>0,
+    // Aggregate) and `items` reaches plan.output with no expression
+    // referencing it raw (ADVICE r5). The rewrite must NOT fire — the
+    // user expects the UNFILTERED array back.
+    val having = rows.groupBy("k")
+      .agg(collect_list(col("v")).as("items"))
+      .filter(size(filter(col("items"), x => x < 10)) > 0)
+    val optimized = having.queryExecution.optimizedPlan
+    val aggFilters = optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+              if ae.filter.isDefined => ae
+        })
+    }.flatten
+    assert(aggFilters.isEmpty, s"output escape must veto the rewrite:\n$optimized")
+    val got = having.orderBy("k").as[(Long, Seq[Int])].collect().toSeq
+    assert(got == Seq((1L, Seq(5, 50)), (2L, Seq(7))),
+      s"raw arrays must survive in the output: $got")
+
+    // Union over two collect_list aggregates with a downstream
+    // filter(items,p): Catalyst's PushProjectionThroughUnion runs BEFORE
+    // the user batch and clones the projection into each branch with
+    // per-branch ExprIds, so by the time this rule sees the plan each
+    // branch is self-contained and the rewrite may fire in BOTH — each
+    // branch must carry its own FILTER (one branch rewritten while the
+    // other sails through raw is the ADVICE-r5 hazard the Union veto
+    // guards against; it only arises when the raw array itself escapes,
+    // which the output-escape veto already catches).
+    val b1 = rows.groupBy("k").agg(collect_list(col("v")).as("items"))
+    val b2 = Seq((10L, 3), (10L, 30)).toDF("k", "v")
+      .groupBy("k").agg(collect_list(col("v")).as("items"))
+    val unioned = b1.union(b2)
+      .select(col("k"), filter(col("items"), x => x < 10).as("kept"))
+    val uAggs = unioned.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+              if ae.aggregateFunction
+                .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectList] => ae
+        })
+    }.flatten
+    assert(uAggs.size == 2 && uAggs.forall(_.filter.isDefined),
+      s"every branch rewritten or none — no half-filtered union: $uAggs")
+    val uGot = unioned.orderBy("k").as[(Long, Seq[Int])].collect().toSeq
+    assert(uGot == Seq((1L, Seq(5)), (2L, Seq(7)), (3L, Nil), (10L, Seq(3))),
+      s"both branches must be filtered row-side: $uGot")
+  }
+
+  test("SizeOfCollectListToCount handles downstream aggregates and output escapes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.SizeOfCollectListToCount.install(spark)
+
+    val rows = Seq(("u1", 1, 5), ("u1", 1, 6), ("u1", 2, 7), ("u2", 1, 8))
+      .toDF("user", "day", "v")
+    // nested aggregation: size(items) consumed INSIDE a downstream
+    // Aggregate's aggregateExpressions — pass 3 must substitute there
+    // too or the plan is left with a dangling attribute (ADVICE r5)
+    val nested = rows.groupBy("user", "day")
+      .agg(collect_list(col("v")).as("items"))
+      .groupBy("user")
+      .agg(max(size(col("items"))).as("max_n"))
+    val optimized = nested.queryExecution.optimizedPlan
+    val collects = optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+              if ae.aggregateFunction
+                .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectList] => ae
+        })
+    }.flatten
+    assert(collects.isEmpty, s"collect_list must become count:\n$optimized")
+    val got = nested.orderBy("user").as[(String, Int)].collect().toSeq
+    assert(got == Seq(("u1", 2), ("u2", 1)), s"got $got")
+
+    // grouping-expression consumer: GROUP BY size(items)
+    val grouped = rows.groupBy("user", "day")
+      .agg(collect_list(col("v")).as("items"))
+      .groupBy(size(col("items")).as("n"))
+      .agg(count(lit(1)).as("groups"))
+    val gGot = grouped.orderBy("n").as[(Int, Long)].collect().toSeq
+    assert(gGot == Seq((1, 2), (2, 1)), s"got $gGot")
+
+    // output escape: the array column itself is returned while the plan
+    // filters on its size — renaming items→items_cnt would be a silent
+    // schema change. Must NOT fire.
+    val escaped = rows.groupBy("user", "day")
+      .agg(collect_list(col("v")).as("items"))
+      .filter(size(col("items")) > 1)
+    val eCollects = escaped.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+              if ae.aggregateFunction
+                .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectList] => ae
+        })
+    }.flatten
+    assert(eCollects.nonEmpty, "output escape must keep the collect_list")
+    assert(escaped.schema("items").dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val eGot = escaped.select("user", "day", "items")
+      .as[(String, Int, Seq[Int])].collect().toSeq
+    assert(eGot == Seq(("u1", 1, Seq(5, 6))), s"got $eGot")
+  }
 }

@@ -117,6 +117,50 @@ class ScaleSpec extends AnyFunSuite {
     assert(kept.size < 100, s"bloom should prune, kept ${kept.size}")
   }
 
+  test("bloomPrune string keys build and probe the same representation") {
+    // pre-fix this dropped EVERY row: the sketch was built from native
+    // strings but probed via cast("long") → null (ADVICE r5)
+    val big = (1L to 500L).map(k => (s"key-$k", k)).toDF("k", "v")
+    val small = Seq("key-3", "key-400").toDF("sk")
+    val pruned = Scale.bloomPrune(big, "k", small, "sk", expectedItems = 16)
+    val kept = pruned.select("k").as[String].collect().toSet
+    assert(Set("key-3", "key-400").subsetOf(kept), "no false negatives")
+    assert(kept.size < 50, s"bloom should prune, kept ${kept.size}")
+    // null-keyed rows pass through un-pruned — the join owns null semantics
+    val withNull = big.union(Seq((null.asInstanceOf[String], 0L)).toDF("k", "v"))
+    val keptNull = Scale.bloomPrune(withNull, "k", small, "sk", 16)
+      .filter(col("k").isNull).count()
+    assert(keptNull == 1L, "null keys must pass through")
+    // mixed type families are a loud error, not a silent empty result
+    intercept[IllegalArgumentException] {
+      Scale.bloomPrune(big, "k", Seq(1L).toDF("sk"), "sk", 16)
+    }
+  }
+
+  test("pageRank keeps source-only nodes on genuinely directed graphs") {
+    // cycle 1→2→3→1 plus 4→1: node 4 has out-edges but NO in-edges.
+    // Pre-fix it vanished from the rank relation after round 1, losing
+    // its teleport mass and the 4→1 contribution (ADVICE r5).
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val r = graft.operators.Graph.pageRank(e, "src", "dst", iterations = 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 4, s"all 4 nodes ranked: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass conserved: ${r.values.sum}")
+    // replay the exact scalar recurrence for the same 20 rounds
+    val d = 0.85; val t = (1 - d) / 4.0
+    var (r1, r2, r3, r4) = (0.25, 0.25, 0.25, 0.25)
+    for (_ <- 1 to 20) {
+      val n1 = t + d * (r3 + r4)
+      val n2 = t + d * r1
+      val n3 = t + d * r2
+      val n4 = t
+      r1 = n1; r2 = n2; r3 = n3; r4 = n4
+    }
+    assert(math.abs(r(4L) - r4) < 1e-12, s"source-only node ${r(4L)} vs $r4")
+    assert(math.abs(r(1L) - r1) < 1e-12, s"node 1 ${r(1L)} vs $r1")
+    assert(math.abs(r(2L) - r2) < 1e-12, s"node 2 ${r(2L)} vs $r2")
+  }
+
   test("pageRank: ranks sum to 1, hub outranks leaves, star matches closed form") {
     // undirected star: hub 0 connected to leaves 1..4 (both directions)
     val e = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
