@@ -1,37 +1,65 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO}
+import javax.imageio.stream.MemoryCacheImageOutputStream
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The decode step is a DETERMINISTIC STUB (no image/audio libs in this
-  * container): it derives metadata arithmetically from the payload bytes.
-  * Everything around it — binary schema, typed Dataset, partition-batched
-  * decode via mapPartitions, pushdown-friendly projections — is the real
-  * plumbing a codec-backed decoder would drop into (swap `decodeStub` for
-  * a JNI/ffmpeg/ImageIO call; the batch shape stays identical).
+  * The decode step is REAL: `decodeImage` runs the JDK's `javax.imageio`
+  * codecs (PNG/GIF/BMP/JPEG ship with every JVM — no external libs) to
+  * sniff the container, read true dimensions and the frame count, and
+  * sample the top-left pixel of frame 0. The pipeline shape — binary
+  * schema, typed Dataset, partition-batched decode via `mapPartitions`,
+  * pushdown-friendly projections, sample-before-decode planning — is
+  * exactly what a ffmpeg/JNI-backed video decoder would drop into.
   */
 object Multimodal {
 
   case class BinDoc(doc_id: Long, payload: Array[Byte])
 
-  case class MediaMeta(
-      doc_id: Long, byte_len: Long, width: Int, height: Int, n_frames: Int)
-
-  /** STUB decode: metadata derived deterministically from byte length.
-    * Replace with a real codec; the signature (one payload in, typed
-    * metadata out, no per-row session state) is the contract.
+  /** `rgb0` is frame 0's top-left pixel packed as 0xRRGGBB — decoding a
+    * pixel value (not just the header) is what proves the codec actually
+    * ran; catalog oracles recompute it arithmetically from the synthetic
+    * image recipe.
     */
-  def decodeStub(doc: BinDoc): MediaMeta = {
-    val len = doc.payload.length.toLong
-    MediaMeta(
-      doc.doc_id,
-      len,
-      width = 1 + (len % 64).toInt,
-      height = 1 + (len % 37).toInt,
-      n_frames = 1 + (len % 7).toInt)
+  case class MediaMeta(
+      doc_id: Long, byte_len: Long, width: Int, height: Int, n_frames: Int,
+      rgb0: Int)
+
+  /** Real JDK image decode: container sniffed from the bytes (PNG, GIF,
+    * BMP, JPEG — whatever `ImageIO` has a reader for), dimensions from
+    * the decoded header, frame count by walking the stream (animated GIF
+    * returns its true frame count; single-image formats return 1), and
+    * one decoded pixel as proof the raster was actually materialized.
+    * One payload in, typed metadata out, no per-row session state — the
+    * same contract a JNI/ffmpeg decoder would satisfy.
+    */
+  def decodeImage(doc: BinDoc): MediaMeta = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(doc.payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) throw new IllegalArgumentException(
+        s"doc ${doc.doc_id}: no ImageIO codec recognizes the payload")
+      val r = readers.next()
+      try {
+        // seekForwardOnly=false so getNumImages(true) may walk the stream
+        r.setInput(iis, false, true)
+        val frame0 = r.read(0)
+        MediaMeta(
+          doc.doc_id,
+          doc.payload.length.toLong,
+          width = r.getWidth(0),
+          height = r.getHeight(0),
+          n_frames = r.getNumImages(true),
+          rgb0 = frame0.getRGB(0, 0) & 0xffffff)
+      } finally r.dispose()
+    } finally iis.close()
   }
 
   /** Binary-column decode pipeline: projects (id, payload), decodes
@@ -44,17 +72,76 @@ object Multimodal {
     docs
       .select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
       .as[BinDoc]
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(decodeImage))
   }
 
-  /** Demo pipeline over the documents table: utf-8 bytes stand in for an
-    * encoded image payload.
+  /** Deterministic synthetic image recipe, shared by the encoder below
+    * and the catalog oracles: dimensions and fill color are pure
+    * arithmetic on the id, so DuckDB can predict every decoded value
+    * without ever seeing the bytes.
     */
-  def documentBinaryMeta(spark: SparkSession, docs: DataFrame): DataFrame =
-    decodeMeta(
-      spark,
-      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-      "doc_id", "payload").toDF()
+  def recipeWidth(id: Long): Int = 1 + (id % 64).toInt
+  def recipeHeight(id: Long): Int = 1 + (id % 37).toInt
+  def recipeFrames(id: Long): Int =
+    if (id % 3 == 0) 1 else 1 + (id % 7).toInt
+  def recipeRgb(id: Long): Int = {
+    val r = (id % 256).toInt; val g = (id * 7 % 256).toInt
+    val b = (id * 13 % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Executor-side synthetic image encoder: every 3rd doc a PNG, the
+    * rest animated GIFs with 2–7 frames — two genuinely different
+    * containers, so the decode path must sniff the format instead of
+    * assuming one. Solid-color frames round-trip exactly through GIF's
+    * palette (≤256 colors), keeping the pixel proof deterministic.
+    */
+  def encodeSyntheticImage(id: Long): BinDoc = {
+    val w = recipeWidth(id); val h = recipeHeight(id)
+    val rgb = recipeRgb(id); val frames = recipeFrames(id)
+    def frame(c: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(c))
+      g2.fillRect(0, 0, w, h)
+      g2.dispose()
+      img
+    }
+    val baos = new ByteArrayOutputStream()
+    if (frames == 1) {
+      ImageIO.write(frame(rgb), "png", baos)
+    } else {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = new MemoryCacheImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        // frame 0 carries the recipe color (the pixel the decode
+        // samples); later frames vary so the GIF is a real animation
+        var i = 0
+        while (i < frames) {
+          val c = if (i == 0) rgb else (rgb ^ (i * 0x010101)) & 0xffffff
+          writer.writeToSequence(new IIOImage(frame(c), null, null), null)
+          i += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+    }
+    BinDoc(id, baos.toByteArray)
+  }
+
+  /** Demo pipeline over the documents table: stage a real encoded image
+    * per doc (executor-side, partition-local), then run the real decode.
+    * The encode→decode round trip is the point: the metadata the
+    * catalog oracles check comes OUT of `javax.imageio`, not out of the
+    * recipe arithmetic — a broken codec path fails the hash.
+    */
+  def documentImageMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val staged = docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(encodeSyntheticImage))
+    decodeMeta(spark, staged.toDF(), "doc_id", "payload").toDF()
+  }
 
   /** Frame sampling plan: one row per kept frame (`every`-th frame of
     * each clip, frame 0 always kept) — the explode is partition-local,
@@ -72,9 +159,8 @@ object Multimodal {
 
   /** Resize planning: target dimensions fitting (maxW, maxH) with
     * aspect preserved, never upscaled, floor(≥1). Pure arithmetic on
-    * the metadata — the stub-vs-real boundary is BELOW this (a codec
-    * consumes these dims); deterministic IEEE ops, so the same plan
-    * falls out of any engine.
+    * the decoded metadata — a codec consumes these dims; deterministic
+    * IEEE ops, so the same plan falls out of any engine.
     */
   def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(

@@ -92,6 +92,72 @@ object CatalogDomain {
                   '') AS doc
               FROM daily GROUP BY user_id ORDER BY user_id""")),
 
+    Q("a1_employee_grouping",
+      // reference A1 (group reports per employee) + X4 + K2 end-to-end:
+      // a daily-report relation synthesized from events (HTML content
+      // with <p>/<b>/<li> markup), rendered one markdown doc per
+      // employee — sections per date NEWEST FIRST, html→md cleanup,
+      // "- (none)" backfill exercised via the real renderMarkdown path.
+      // The oracle rebuilds the exact document with string_agg DESC.
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            col("user_id").as("employee_id"),
+            col("day").as("report_date"),
+            concat(lit("<p>Did <b>"), col("n").cast("string"),
+              lit("</b> things</p>")).as("content"),
+            lit("<li>follow up</li>").as("todo"),
+            concat(lit("U"), col("user_id").cast("string"))
+              .as("employee_first_name"),
+            concat(lit("X"), col("user_id").cast("string"))
+              .as("employee_last_name"))
+        DailyReports.renderMarkdown(daily).orderBy("employee_id")
+      },
+      Some("""WITH daily AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+                FROM events GROUP BY 1, 2),
+              sec AS (
+                SELECT user_id, day,
+                  '## ' || strftime(day, '%Y-%m-%d') || chr(10) || chr(10) ||
+                  '### Content' || chr(10) ||
+                  'Did **' || n || '** things' || chr(10) || chr(10) ||
+                  '### To Do' || chr(10) || '- follow up' AS section
+                FROM daily)
+              SELECT user_id AS employee_id,
+                '# Daily Report: U' || user_id || ' X' || user_id ||
+                chr(10) || chr(10) ||
+                string_agg(section, chr(10) || chr(10) ORDER BY day DESC)
+                  AS doc
+              FROM sec GROUP BY user_id ORDER BY employee_id""")),
+
+    Q("x22_escape_roundtrip",
+      // reference X22/X23 (triple-quote escape for Python-blob embedding)
+      // as a distributed projection: stage strings that CONTAIN `"""`,
+      // escape with the column form of the K3 escape, and prove the
+      // round trip (unescape restores the original) row by row.
+      (s, d) => {
+        val payload = concat(lit("pre\"\"\""), col("source"),
+          lit("\"\"\"['\"]post"))
+        val escaped = graft.render.Renderers.escapeTripleQuotesCol(payload)
+        t(s, d, "documents")
+          .select(col("doc_id"), payload.as("payload"), escaped.as("escaped"),
+            (replace(escaped, lit("\\\"\"\""), lit("\"\"\"")) === payload)
+              .as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val tq = "\"\"\"" // a literal """ for the SQL text
+        s"""WITH p AS (SELECT doc_id,
+                'pre$tq' || source || '$tq[''"]post' AS payload
+              FROM documents)
+            SELECT doc_id, payload,
+              replace(payload, '$tq', '\\$tq') AS escaped,
+              true AS roundtrip_ok
+            FROM p ORDER BY doc_id"""
+      }),
+
     Q("j11_regex_content_join",
       // reference J11: theta/regex join of documents vs a small variant
       // table (broadcast), word-boundary matching
@@ -276,7 +342,7 @@ object CatalogDomain {
       },
       Some("""SELECT user_id, count(*) AS n_utterances,
                 count(*) FILTER (WHERE event_id % 5 <> 4) AS n_with_time,
-                1 AS n_speakers
+                CAST(1 AS BIGINT) AS n_speakers
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
     Q("x18_redact_code",

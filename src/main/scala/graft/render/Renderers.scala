@@ -29,6 +29,14 @@ object Renderers {
   /** X22: escape triple quotes for embedding in a Python string blob. */
   def escapeTripleQuotes(s: String): String = s.replace("\"\"\"", "\\\"\"\"")
 
+  /** X22, column form: same escape as a codegen'd Column expression, for
+    * escaping at scale inside a distributed projection (the driver-side
+    * K3 assembly uses the String form; the two are property-tested to
+    * agree on every input).
+    */
+  def escapeTripleQuotesCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(c, lit("\"\"\""), lit("\\\"\"\""))
+
   /** K3: assemble a Python datasource module from named sections
     * (reference `templates/datasource_template.py` +
     * `generate_weekly_digest.js:529-549`).

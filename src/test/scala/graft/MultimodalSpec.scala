@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** Real-codec multimodal decode: the executor-staged PNG / animated-GIF
+  * payloads must round-trip through `javax.imageio` with the recipe's
+  * dimensions, true frame counts, and the exact frame-0 pixel — proving
+  * the decode reads the raster, not just our own arithmetic back.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("PNG round-trip decodes true dims, 1 frame, exact pixel") {
+    val id = 9L // id % 3 == 0 → PNG path
+    val doc = Multimodal.encodeSyntheticImage(id)
+    // PNG magic: the encoder really produced a PNG container
+    assert((doc.payload(0) & 0xff) == 0x89 &&
+      doc.payload(1) == 'P' && doc.payload(2) == 'N' && doc.payload(3) == 'G')
+    val m = Multimodal.decodeImage(doc)
+    assert(m.width == Multimodal.recipeWidth(id))
+    assert(m.height == Multimodal.recipeHeight(id))
+    assert(m.n_frames == 1)
+    assert(m.rgb0 == Multimodal.recipeRgb(id))
+    assert(m.byte_len == doc.payload.length.toLong)
+  }
+
+  test("animated GIF round-trip decodes the true frame count") {
+    val id = 11L // id % 3 != 0 → GIF path, 1 + 11 % 7 = 5 frames
+    val doc = Multimodal.encodeSyntheticImage(id)
+    assert(doc.payload(0) == 'G' && doc.payload(1) == 'I' && doc.payload(2) == 'F')
+    val m = Multimodal.decodeImage(doc)
+    assert(m.width == Multimodal.recipeWidth(id))
+    assert(m.height == Multimodal.recipeHeight(id))
+    assert(m.n_frames == 5, s"true animated frame count, got ${m.n_frames}")
+    assert(m.rgb0 == Multimodal.recipeRgb(id))
+  }
+
+  test("unrecognized payload fails loudly, not with fabricated metadata") {
+    val junk = Multimodal.BinDoc(1L, Array[Byte](1, 2, 3, 4, 5))
+    val e = intercept[IllegalArgumentException](Multimodal.decodeImage(junk))
+    assert(e.getMessage.contains("no ImageIO codec"))
+  }
+
+  test("distributed decode pipeline matches the recipe for mixed formats") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L to 40L).toDF("doc_id")
+    val got = Multimodal.documentImageMeta(s, docs)
+      .orderBy("doc_id")
+      .select("doc_id", "width", "height", "n_frames", "rgb0")
+      .as[(Long, Int, Int, Int, Int)].collect().toSeq
+    val want = (0L to 40L).map(id => (id, Multimodal.recipeWidth(id),
+      Multimodal.recipeHeight(id), Multimodal.recipeFrames(id),
+      Multimodal.recipeRgb(id)))
+    assert(got == want)
+  }
+}
