@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.operators.Dedup.words
 
@@ -19,8 +20,14 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"))
 
+  /** Occurrence count of a language's stopwords — the codegen'd
+    * [[graft.plans.CountInSet]] form: `size(filter(w, isin(...)))` is a
+    * higher-order function and would drop the whole scoring projection
+    * out of whole-stage codegen (caught by the PlanHygieneSpec audit).
+    */
   private def hits(wordsCol: Column, lang: String): Column =
-    size(filter(wordsCol, w => w.isin(stopwords(lang): _*)))
+    ColumnBridge.column(graft.plans.CountInSet(
+      ColumnBridge.expression(wordsCol), stopwords(lang)))
 
   /** Language-ID heuristic: stopword hit counts per language, argmax with
     * deterministic priority order en > es > de > fr > unknown.
@@ -71,14 +78,17 @@ object TextAnalysis {
     */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
-    val nw = size(w)
+    val we = ColumnBridge.expression(w)
+    val nw = size(w).cast("long")
+    // every aggregate/filter/transform here is the codegen'd native
+    // expression, not the CodegenFallback higher-order form — one HOF in
+    // this projection would interpret the whole scoring stage
     val meanLen = round(
-      aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") / nw, 4)
+      ColumnBridge.column(graft.plans.SumElemLength(we)).cast("double") / nw, 4)
     val shortRatio = round(
-      size(filter(w, x => length(x) <= 2)).cast("double") / nw, 4)
-    val stopHits = size(array_intersect(
-      array_distinct(transform(w, x => lower(x))),
-      array(stopwords("en").map(lit): _*)))
+      ColumnBridge.column(graft.plans.CountMaxLen(we, 2)).cast("double") / nw, 4)
+    val stopHits = ColumnBridge.column(
+      graft.plans.CountDistinctInSetLower(we, stopwords("en"))).cast("long")
     docs.select(
       col(idCol), nw.as("n_words"), meanLen.as("mean_word_len"),
       shortRatio.as("short_ratio"), stopHits.as("stop_hits"),

@@ -1,0 +1,202 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd scalar statistics over `array<string>` word columns.
+  *
+  * The composed forms — `size(filter(w, p))`, `aggregate(w, 0L, acc +
+  * length(x))` — are higher-order functions, which Catalyst marks
+  * CodegenFallback: ONE of them in a projection drops the whole stage
+  * out of whole-stage codegen into interpreted row-at-a-time eval (the
+  * PlanHygieneSpec codegen audit catches exactly this). These
+  * expressions keep the hot text-analysis scoring projections
+  * (`ta_quality`, `ta_langid`, `ta_gopher_rules`) inside one codegen
+  * span: a tight primitive loop per row, no lambda dispatch, no boxing.
+  * Same semantics as the higher-order forms, including skipping null
+  * elements (a null lambda result drops the element in `filter`).
+  */
+private[graft] trait WordArrayExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got $other")
+  }
+  override def nullIntolerant: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression): Expression
+}
+
+/** `count_in_set(words)` — number of elements (occurrences, not
+  * distinct) contained in a fixed string set. Replaces
+  * `size(filter(w, x => x.isin(set)))`.
+  */
+case class CountInSet(child: Expression, set: Seq[String])
+    extends WordArrayExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val utf8Set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var n = 0; var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) && utf8Set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val setRef = ctx.addReferenceObj("wordSet", utf8Set, "java.util.HashSet")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = 0;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i) && $setRef.contains($c.getUTF8String($i))) $n++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `sum_elem_length(words)` — total character length of all elements.
+  * Replaces `aggregate(w, 0L, (acc, x) => acc + length(x))`.
+  */
+case class SumElemLength(child: Expression) extends WordArrayExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sum_elem_length"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var s = 0L; var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i)) s += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |long $s = 0L;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) $s += $c.getUTF8String($i).numChars();
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `count_distinct_in_set_lower(words)` — number of DISTINCT set members
+  * present among the lowercased elements. Replaces
+  * `size(array_intersect(array_distinct(transform(w, lower)), set))`.
+  * Single pass with a ≤64-bit presence mask — no per-row allocation
+  * beyond the lowercase copies the composed form also pays.
+  */
+case class CountDistinctInSetLower(child: Expression, set: Seq[String])
+    extends WordArrayExpression {
+  require(set.size <= 64, "presence mask is a single long")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_distinct_in_set_lower"
+
+  @transient private lazy val idx: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](set.size * 2)
+    set.zipWithIndex.foreach { case (w, i) =>
+      m.put(UTF8String.fromString(w.toLowerCase), Integer.valueOf(i))
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var mask = 0L; var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val j = idx.get(arr.getUTF8String(i).toLowerCase)
+        if (j != null) mask |= 1L << j.intValue()
+      }
+      i += 1
+    }
+    java.lang.Long.bitCount(mask)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val mapRef = ctx.addReferenceObj("wordIdx", idx, "java.util.HashMap")
+      val i = ctx.freshName("i")
+      val mask = ctx.freshName("mask")
+      val j = ctx.freshName("j")
+      s"""
+         |long $mask = 0L;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    Object $j = $mapRef.get($c.getUTF8String($i).toLowerCase());
+         |    if ($j != null) $mask |= 1L << ((Integer) $j).intValue();
+         |  }
+         |}
+         |${ev.value} = java.lang.Long.bitCount($mask);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `count_max_len(words, maxLen)` — number of elements with character
+  * length ≤ `maxLen`. Replaces `size(filter(w, x => length(x) <= n))`.
+  */
+case class CountMaxLen(child: Expression, maxLen: Int)
+    extends WordArrayExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_max_len"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var n = 0; var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) && arr.getUTF8String(i).numChars() <= maxLen) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = 0;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i) && $c.getUTF8String($i).numChars() <= $maxLen) $n++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -96,4 +96,60 @@ class PlanHygieneSpec extends AnyFunSuite {
       .run(spark, sfDir).queryExecution.executedPlan.toString
     assert(x21.contains("ReadSchema: struct<doc_id:bigint,text:string>"), x21)
   }
+
+  /** Codegen audit (VERDICT r5 #7): the scoring projections of the hot
+    * text/similarity queries must sit INSIDE WholeStageCodegen — a
+    * non-codegen Expression or an oversized when-chain silently drops
+    * the whole stage to interpreted row-at-a-time eval (the
+    * `LiteralCentroidMax` boundary in Similarity is exactly such a
+    * cliff), a >2× regression the bench would blur into host variance.
+    * The check walks the EXECUTED plan: every ProjectExec/FilterExec
+    * must be inside a WholeStageCodegenExec span, except directly
+    * object-serde-adjacent ones (typed mapPartitions boundaries cannot
+    * codegen by design).
+    */
+  test("hot-path projections stay inside WholeStageCodegen") {
+    import org.apache.spark.sql.execution._
+    val hot = Seq(
+      "ta_quality", "ta_gopher_rules", "ta_langid", "search_bm25",
+      "search_tfidf_keywords", "sim_knn_cosine", "sim_ann_lsh",
+      "sim_ann_ivf", "dedup_minhash_lsh", "dedup_simhash",
+      "hh_bigram_phrases", "x21_sha256")
+    val catalog = (graft.queries.Catalog.all ++ graft.queries.CatalogScale.all ++
+      graft.queries.CatalogDomain.all ++ graft.queries.CatalogTraining.all ++
+      graft.queries.CatalogAnalytics.all).map(q => q.name -> q).toMap
+    // AQE defers CollapseCodegenStages to per-stage creation at RUN time,
+    // so an unexecuted adaptive plan shows no WholeStageCodegen at all —
+    // audit on a non-AQE session clone, where the static physical plan
+    // carries the exact codegen spans AQE will produce per stage
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    hot.foreach { name =>
+      val plan = catalog(name).run(s2, sfDir).queryExecution.executedPlan
+      def unwrap(p: SparkPlan): SparkPlan = p
+      def objectAdjacent(p: SparkPlan): Boolean = p.children.exists {
+        case _: DeserializeToObjectExec | _: SerializeFromObjectExec |
+            _: MapPartitionsExec => true
+        case _ => false
+      }
+      def walk(p: SparkPlan, inside: Boolean): Unit = {
+        val nowInside = inside || p.isInstanceOf[WholeStageCodegenExec]
+        p match {
+          case proj: ProjectExec if !nowInside && !objectAdjacent(proj) =>
+            offenders += s"$name: interpreted Project outside codegen: " +
+              proj.projectList.map(_.name).mkString(",")
+          case f: FilterExec if !nowInside && !objectAdjacent(f) =>
+            offenders += s"$name: interpreted Filter outside codegen"
+          case _ => ()
+        }
+        // a codegen span's inputs (InputAdapter children) leave the span
+        val childInside = nowInside && !p.isInstanceOf[InputAdapter]
+        p.children.foreach(walk(_, childInside))
+        p.subqueries.foreach(walk(_, false))
+      }
+      walk(unwrap(plan), inside = false)
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
