@@ -310,6 +310,17 @@ object Dedup {
     */
   @volatile var lastRounds: Int = 0
 
+  /** Round-6 profiling note (tools/ClusterProfile, sf0.1): the bench's
+    * cluster-family cost is NOT the label loop — the LSH edge set is 255
+    * pairs there, far under `collectThreshold`, so the union-find path
+    * runs and `lastRounds`=0; the fresh pipeline is ~5 s JIT-warm, split
+    * evenly across shingling, signatures, band join and verify (fixed
+    * shuffle costs at tiny data). The r5 bench's 10-16 s readings were
+    * first-run JIT + host variance. A large-star/small-star rewrite of
+    * the loop would therefore change nothing measurable at bench scale;
+    * the loop already pointer-jumps (O(log diameter)) for the
+    * billion-edge case where it IS the path taken.
+    */
   /** Below `collectThreshold` symmetric edges the component graph is
     * solved with driver-side union-find instead of the iterative loop —
     * the same size-gated decision AQE makes when it swaps a shuffle join

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Stage-level profile of the MinHash-LSH → connected-components
+  * pipeline (the bench's most expensive query family), so optimization
+  * effort goes where the time actually is instead of where it's
+  * presumed to be. Usage: runMain graft.tools.ClusterProfile [sfDir]
+  */
+object ClusterProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFILE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count() // warm the scan
+
+    // stage decomposition (mirrors Dedup.minHashLshPairs internals)
+    val sh = time("shingleRows+persist") {
+      val s = Dedup.shingleRows(docs, "doc_id", "text", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      s.count(); s
+    }
+    val sigs = time("minHashSignatures") {
+      val s = Dedup.minHashSignatures(sh, 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      s.count(); s
+    }
+    val bands = 16; val rowsPerBand = 64 / bands
+    val bandRows = sigs.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            h => h.cast("string")))))).as(Seq("band", "bkey")))
+    val candidates = time("band join candidates") {
+      val l = bandRows.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+      val r = bandRows.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
+      val c = l.join(r, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"PROFILE n_candidates = ${c.count()}")
+      c
+    }
+    val pairs = time("verifyJaccard") {
+      val p = Dedup.verifyJaccard(candidates, sh, 4, 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"PROFILE n_pairs = ${p.count()}")
+      p
+    }
+    time("connectedComponents") {
+      val cc = Dedup.connectedComponents(pairs.select(
+        col("id_a").as("src"), col("id_b").as("dst")))
+      println(s"PROFILE n_labeled = ${cc.count()}, rounds = ${Dedup.lastRounds}")
+    }
+    time("clusterAssign (full, fresh)") {
+      val p2 = Dedup.minHashLshPairs(docs, "doc_id", "text", 5, 64, 16, 4, 5)
+      println("PROFILE assign rows = " +
+        Dedup.clusterAssign(docs, "doc_id", p2).count())
+    }
+    spark.stop()
+  }
+}
