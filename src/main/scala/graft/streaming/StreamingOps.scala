@@ -70,6 +70,28 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming Slack ingest (SURVEY §7.3(10)): tumbling DAILY windows
+    * per channel over the message stream, watermark on `ts` bounding
+    * state; thread replies (`thread_ts` set and ≠ `ts`) are suppressed —
+    * the streaming restatement of F9 — so the digest counts top-level
+    * traffic only, like the batch daily rollup. Append mode emits each
+    * (day, channel) row EXACTLY ONCE, when the watermark passes the
+    * day's end: late messages inside the watermark still count; later
+    * ones are dropped by contract (the spec pins both behaviors).
+    * `collect_set` keeps the distinct-user count exact — streaming
+    * windows can't run COUNT(DISTINCT), and the per-day per-channel
+    * author set is small, bounded state.
+    */
+  def slackDailyDigest(messages: DataFrame, watermark: String): DataFrame =
+    messages
+      .filter(col("thread_ts").isNull || col("thread_ts") === col("ts"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("channel_id"))
+      .agg(count(lit(1)).as("n_messages"),
+        size(collect_set(col("user_id"))).as("n_users"))
+      .select(col("window.start").as("day_start"), col("channel_id"),
+        col("n_messages"), col("n_users"))
+
   /** Streaming exact dedup, global: first occurrence of each content
     * hash wins, every later duplicate is dropped — the incremental form
     * of [[graft.operators.Dedup.exactDedup]] for a continuously

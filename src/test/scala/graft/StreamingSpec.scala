@@ -213,4 +213,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((10L, Some("alice")), (30L, None), (20L, Some("bob"))),
       s"left enrichment across batches: $got")
   }
+
+  test("slackDailyDigest: daily windows close on watermark; late-in-horizon counts, too-late drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Option[Timestamp], String, String)]
+    val df = mem.toDF().toDF("ts", "thread_ts", "channel_id", "user_id")
+    val q = StreamingOps.slackDailyDigest(df, "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("slack_daily_out").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // day 1: two top-level messages + one thread reply (suppressed, F9)
+    mem.addData(
+      (t("2024-01-01 10:00:00"), None, "C1", "u1"),
+      (t("2024-01-01 11:00:00"), Some(t("2024-01-01 10:00:00")), "C1", "u9"),
+      (t("2024-01-01 12:00:00"), Some(t("2024-01-01 12:00:00")), "C1", "u2"))
+    q.processAllAvailable()
+    // a LATE day-1 message, still inside the watermark horizon: counts
+    mem.addData((t("2024-01-01 23:30:00"), None, "C1", "u1"))
+    q.processAllAvailable()
+    // day 2 traffic advances the watermark past day 1's end → day 1's
+    // (day, channel) row is finalized and emitted exactly once
+    mem.addData((t("2024-01-02 02:00:00"), None, "C1", "u3"))
+    q.processAllAvailable()
+    // a TOO-late day-1 message (watermark already past day 1): dropped
+    mem.addData((t("2024-01-01 13:00:00"), None, "C1", "u7"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-02 03:00:00"), None, "C1", "u3"))
+    q.processAllAvailable()
+    val got = spark.table("slack_daily_out")
+      .select("day_start", "channel_id", "n_messages", "n_users")
+      .as[(Timestamp, String, Long, Int)].collect().toSet
+    q.stop()
+    // thread_ts == ts is a top-level message (Slack parents carry their
+    // own ts): u2's row counts; u9's true reply does not; the 23:30
+    // late row counts; u7's too-late row does not appear anywhere
+    assert(got == Set(
+      (t("2024-01-01 00:00:00"), "C1", 3L, 2)),
+      s"exactly day 1 finalized, late-in-horizon counted, too-late dropped: $got")
+  }
 }
