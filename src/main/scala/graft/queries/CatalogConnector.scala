@@ -485,9 +485,12 @@ object CatalogConnector {
       (s, d) => {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage_" +
           java.lang.Integer.toHexString(d.hashCode)
-        t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-          .write.mode("overwrite").option("header", "true").csv(out)
+        // the stage write IS the K1 sink: routing through Renderers
+        // puts the CSV write half inside this oracle row too
+        graft.render.Renderers.writeCsv(
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+          out)
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
         graft.sources.Sources.csv(s, out, Some(schema))
