@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** `minhash_signature(shingles)` — the full `numHashes`-wide MinHash
+  * signature of ONE row's shingle array, in one codegen'd pass
+  * (elements × seeds, running minima, no allocation beyond the result).
+  *
+  * The batch pipeline computes signatures with [[MinHashArray]] per
+  * exploded shingle row + a partially-aggregated `ElemMin` shuffle —
+  * right when a single document's shingles can exceed one task's memory.
+  * This per-row form is the NARROW alternative: no explode, no shuffle,
+  * signature bounded by one row's text. It is what the STREAMING LSH
+  * path requires — a signature `groupBy` would be a second stateful
+  * operator in the same query — and a cheaper batch path for
+  * typical-sized documents.
+  */
+case class MinHashSignatureArray(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var e = 0
+    val n = arr.numElements()
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        val s = arr.getUTF8String(e)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      e += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val e = ctx.freshName("e")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $e = 0; $e < $c.numElements(); $e++) {
+         |  if (!$c.isNullAt($e)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($e);
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |        $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), (long) $i);
+         |      if ($h < $sig[$i]) $sig[$i] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -117,6 +117,107 @@ object StreamingOps {
       .withColumn("content_hash", sha2(col(textCol), 256))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  case class LshMember(doc_id: Long, sig: Seq[Long])
+  case class LshBucketState(members: List[LshMember])
+  case class LshBandRow(ts: java.sql.Timestamp, doc_id: Long,
+      sig: Seq[Long], band: Int, bkey: Long)
+  case class LshCandidate(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)
+
+  /** Streaming NEAR-dup candidate generation: the incremental half of
+    * the batch MinHash-LSH pipeline
+    * ([[graft.operators.Dedup.minHashLshPairs]]), for a continuously
+    * ingesting corpus.
+    *
+    * Per row (no shuffle): shingle → full signature via the codegen'd
+    * [[graft.plans.MinHashSignatureArray]] — the narrow per-row form is
+    * REQUIRED here, because the batch path's signature `groupBy` would
+    * be a second stateful operator in the same streaming query. Band
+    * keys are built exactly as the batch pipeline builds them, so a
+    * stream-surfaced candidate pair is the same pair batch LSH would
+    * surface. Then one stateful operator: `flatMapGroupsWithState`
+    * keyed by (band, bandKey) holds each bucket's member list and emits
+    * a candidate against every existing member the first time a doc
+    * enters the bucket — append mode, each (pair, band) at most once.
+    *
+    * `est_jaccard` is the signature-agreement estimate; candidates are
+    * NOT verified here. The contract mirrors the batch/stream dedup
+    * split documented on [[dedupStreamWithinWatermark]]: the stream
+    * surfaces candidates promptly with state bounded by `stateTtlMs`
+    * past the watermark (buckets idle longer are evicted — a dup
+    * arriving after eviction is left for the periodic batch sweep), and
+    * the periodic batch [[graft.operators.Dedup.verifyJaccard]] pass
+    * owns exactness. Multi-band collisions emit one row per band;
+    * downstream dedups on (id_a, id_b) — distinct-ing here would need a
+    * second stateful operator.
+    */
+  def lshCandidateStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, k: Int, numHashes: Int, bands: Int,
+      watermark: String, stateTtlMs: Long): Dataset[LshCandidate] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fname = s"graft_minhash_sig_$numHashes"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      exprs => graft.plans.MinHashSignatureArray(exprs.head, numHashes),
+      "scala_udf")
+    import graft.operators.Dedup.{shingles, words}
+    val bandRows = docs
+      .withColumn("_sh", array_distinct(shingles(words(col(textCol)), k)))
+      .withColumn("_sig", expr(s"$fname(_sh)"))
+      .select(col(tsCol).as("ts"), col(idCol).cast("long").as("doc_id"),
+        col("_sig").as("sig"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              h => h.cast("string")))))).as(Seq("band", "bkey")))
+      .withWatermark("ts", watermark)
+      .as[LshBandRow]
+    bandRows
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), rows: Iterator[LshBandRow],
+            state: GroupState[LshBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer.empty[LshCandidate]
+            val batch = rows.toSeq
+            // doc-id order within the batch: deterministic emission
+            batch.sortBy(_.doc_id).foreach { r =>
+              if (!members.exists(_.doc_id == r.doc_id)) {
+                members.foreach { m =>
+                  var agree = 0; var i = 0
+                  while (i < numHashes) {
+                    if (m.sig(i) == r.sig(i)) agree += 1
+                    i += 1
+                  }
+                  out += LshCandidate(
+                    math.min(m.doc_id, r.doc_id), math.max(m.doc_id, r.doc_id),
+                    key._1, agree.toDouble / numHashes)
+                }
+                members = LshMember(r.doc_id, r.sig) :: members
+              }
+            }
+            state.update(LshBucketState(members))
+            // evict the bucket once it has been idle past the horizon:
+            // timeout fires when the WATERMARK passes this, so state is
+            // bounded by stream progress, not wall clock. Anchor to the
+            // batch's max EVENT time, not the current watermark — the
+            // first batch runs with watermark 0 (epoch), and a
+            // watermark-anchored timeout would expire every bucket in
+            // the no-data micro-batch that follows the watermark bump
+            val maxTs = batch.map(_.ts.getTime)
+              .foldLeft(state.getCurrentWatermarkMs())(math.max)
+            state.setTimeoutTimestamp(maxTs + stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-static dimension enrichment: join each micro-batch against a
     * broadcast dimension table — the canonical streaming lookup shape
     * (the reference resolves Slack user ids / Jira field names against

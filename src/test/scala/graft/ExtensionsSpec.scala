@@ -257,4 +257,35 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[(String, Int, Seq[Int])].collect().toSeq
     assert(eGot == Seq(("u1", 1, Seq(5, 6))), s"got $eGot")
   }
+
+  test("MinHashSignatureArray matches the batch ElemMin signature path") {
+    // the streaming LSH path computes per-row signatures with the
+    // narrow codegen expression; batch computes them via exploded
+    // shingle rows + partial-agg ElemMin. They MUST agree bit-for-bit,
+    // or stream-surfaced candidates diverge from batch LSH.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "short doc"))
+      .toDF("doc_id", "text")
+    val fname = "graft_minhash_sig_test16"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      exprs => graft.plans.MinHashSignatureArray(exprs.head, 16), "scala_udf")
+    val narrow = docs
+      .withColumn("_sh", array_distinct(
+        graft.operators.Dedup.shingles(graft.operators.Dedup.words(col("text")), 3)))
+      .select(col("doc_id"), expr(s"$fname(_sh)").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val wide = graft.operators.Dedup.minHashSignatures(
+      graft.operators.Dedup.shingleRows(docs, "doc_id", "text", 3), 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(narrow == wide, s"narrow $narrow\nwide $wide")
+    assert(narrow(1L) == narrow(3L), "identical docs share a signature")
+    assert(narrow(1L) != narrow(2L), "distinct docs differ")
+  }
 }

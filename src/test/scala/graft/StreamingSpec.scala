@@ -252,4 +252,49 @@ class StreamingSpec extends AnyFunSuite {
       (t("2024-01-01 00:00:00"), "C1", 3L, 2)),
       s"exactly day 1 finalized, late-in-horizon counted, too-late dropped: $got")
   }
+
+  test("lshCandidateStream: cross-batch near-dup candidates, horizon-bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingOps.lshCandidateStream(df, "doc_id", "text", "ts",
+      k = 3, numHashes = 16, bands = 4, watermark = "1 hour",
+      stateTtlMs = 2 * 3600 * 1000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lsh_cand_out").start()
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    // batch 1: two unrelated docs — no candidates
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), textA),
+      (2L, t("2024-01-01 10:05:00"), "one two three four five six seven eight"))
+    q.processAllAvailable()
+    assert(spark.table("lsh_cand_out").count() == 0, "unrelated docs never pair")
+    // batch 2: an exact dup of doc 1 arrives A BATCH LATER — identical
+    // signature collides in all 4 bands against the STORED bucket state
+    mem.addData((3L, t("2024-01-01 10:30:00"), textA))
+    q.processAllAvailable()
+    val cands = spark.table("lsh_cand_out")
+      .select("id_a", "id_b", "band", "est_jaccard")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(cands.map(c => (c._1, c._2)).toSet == Set((1L, 3L)),
+      s"exactly the dup pair, surfaced cross-batch: $cands")
+    assert(cands.size == 4 && cands.map(_._3).toSet == Set(0, 1, 2, 3),
+      s"one row per colliding band: $cands")
+    assert(cands.forall(_._4 == 1.0), s"identical signatures estimate 1.0: $cands")
+    // advance the watermark far past the horizon, then replay doc 1's
+    // text with a pre-horizon timestamp: the row is older than the
+    // watermark (dropped) and the bucket is evicted — the stream misses
+    // it BY CONTRACT; the periodic batch sweep owns beyond-horizon dups
+    mem.addData((4L, t("2024-01-01 20:00:00"), "nine ten eleven twelve thirteen fourteen"))
+    q.processAllAvailable()
+    mem.addData((5L, t("2024-01-01 10:31:00"), textA))
+    q.processAllAvailable()
+    val after = spark.table("lsh_cand_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(after == Set((1L, 3L)),
+      s"beyond-horizon dup left for the batch sweep: $after")
+  }
 }
