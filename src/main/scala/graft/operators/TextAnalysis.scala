@@ -162,16 +162,13 @@ object TextAnalysis {
     */
   def repetitionRatio(textCol: Column): Column = {
     val w = words(textCol)
-    val best = aggregate(
-      array_sort(w),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    // codegen'd max-run loop over the natively sorted word array —
+    // sort_array, not array_sort: the latter carries a comparator
+    // LAMBDA and is itself CodegenFallback; the aggregate-fold form
+    // this replaces allocated an interpreted 3-field struct per element
+    // (see plans/WordStatsExprs). No-null input → identical ordering.
+    val best = ColumnBridge.column(graft.plans.MaxSortedRun(
+      ColumnBridge.expression(sort_array(w))))
     round(best.cast("double") / size(w), 4)
   }
 
@@ -270,13 +267,10 @@ object TextAnalysis {
     * the char array, O(distinct·len) per row, zero shuffles); rounding
     * to 4dp absorbs engine summation-order noise.
     */
-  def charEntropy(textCol: Column): Column = {
-    val chars = split(textCol, "")
-    val n = size(chars).cast("double")
-    val counts = transform(array_distinct(chars),
-      c => size(filter(chars, x => x === c)).cast("double"))
-    when(n === 0, lit(0.0)).otherwise(
-      round(aggregate(counts, lit(0.0),
-        (acc, cnt) => acc - (cnt / n) * log2(cnt / n)), 4))
-  }
+  def charEntropy(textCol: Column): Column =
+    // one codegen'd O(len) counting pass (plans/WordStatsExprs) — the
+    // composed HOF form was interpreted AND O(distinct·len) per row;
+    // Spark-native round keeps the rounding semantics unchanged
+    round(ColumnBridge.column(
+      graft.plans.CharEntropy(ColumnBridge.expression(textCol))), 4)
 }

@@ -165,6 +165,116 @@ case class CountDistinctInSetLower(child: Expression, set: Seq[String])
     copy(child = newChild)
 }
 
+/** `max_sorted_run(words)` — longest run of EQUAL ADJACENT elements in
+  * the array as given (callers pre-sort with the codegen'd
+  * `array_sort`). Replaces the struct-accumulator `aggregate` fold in
+  * `TextAnalysis.repetitionRatio`, which allocated a 3-field struct per
+  * element, interpreted.
+  */
+case class MaxSortedRun(child: Expression) extends WordArrayExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "max_sorted_run"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    var best = 0; var run = 0; var i = 0
+    var prev: UTF8String = null
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val cur = arr.getUTF8String(i)
+        run = if (prev != null && cur.equals(prev)) run + 1 else 1
+        if (run > best) best = run
+        prev = cur
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val run = ctx.freshName("run")
+      val prev = ctx.freshName("prev")
+      val cur = ctx.freshName("cur")
+      s"""
+         |int $best = 0; int $run = 0;
+         |org.apache.spark.unsafe.types.UTF8String $prev = null;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $cur = $c.getUTF8String($i);
+         |    $run = ($prev != null && $cur.equals($prev)) ? $run + 1 : 1;
+         |    if ($run > $best) $best = $run;
+         |    $prev = $cur;
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `char_entropy(text)` — RAW Shannon entropy (bits/char) of the
+  * character distribution; callers apply Spark's native `round(_, 4)`
+  * (same rounding the old composed form used). Replaces
+  * `transform(array_distinct(chars), c -> size(filter(chars, ...)))` +
+  * `aggregate`, which was BOTH interpreted (every piece a higher-order
+  * function) and O(distinct·len) per row; this is one O(len) counting
+  * pass + an O(distinct) entropy loop in first-occurrence order, so
+  * the float summation order is deterministic.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy needs a string, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  /** public: the generated code calls this — the stage stays inside
+    * WholeStageCodegen and the heavy loop runs as this compiled method
+    */
+  def compute(u: UTF8String): Double = {
+    val s = u.toString
+    val n = s.length
+    if (n == 0) return 0.0
+    val counts = new java.util.LinkedHashMap[Character, Integer]()
+    var i = 0
+    while (i < n) {
+      val c = Character.valueOf(s.charAt(i))
+      val prev = counts.get(c)
+      counts.put(c, if (prev == null) Integer.valueOf(1)
+        else Integer.valueOf(prev.intValue() + 1))
+      i += 1
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    val nd = n.toDouble
+    while (it.hasNext) {
+      val p = it.next().intValue() / nd
+      acc -= p * (Math.log(p) / Math.log(2.0))
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("charEntropyExpr", this, classOf[CharEntropy].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `count_max_len(words, maxLen)` — number of elements with character
   * length ≤ `maxLen`. Replaces `size(filter(w, x => length(x) <= n))`.
   */

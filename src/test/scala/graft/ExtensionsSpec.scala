@@ -288,4 +288,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(narrow(1L) == narrow(3L), "identical docs share a signature")
     assert(narrow(1L) != narrow(2L), "distinct docs differ")
   }
+
+  test("CharEntropy and MaxSortedRun boundary semantics") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, ""),                      // empty → 0.0 entropy
+      (2L, "aaaa"),                  // one symbol → 0.0
+      (3L, "abab"),                  // two equiprobable symbols → 1.0
+      (4L, "spam spam spam unique"), // repetition: run of 3 over 4 words
+      (5L, "all words differ here")) // no repeats: run 1 over 4
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.charEntropy(col("text")).as("h"),
+      graft.operators.TextAnalysis.repetitionRatio(col("text")).as("rep"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 0.0)
+    assert(got(2L)._1 == 0.0)
+    assert(got(3L)._1 == 1.0)
+    assert(got(4L)._2 == 0.75, s"run 3 of 4 words: ${got(4L)}")
+    assert(got(5L)._2 == 0.25, s"no repeated word: ${got(5L)}")
+    // 'spam spam spam unique' entropy: 21 chars, distribution known —
+    // recompute in scala as the independent check
+    val s = "spam spam spam unique"
+    val counts = s.groupBy(identity).view.mapValues(_.length.toDouble)
+    val h = -counts.values.map(c => (c / s.length) *
+      (math.log(c / s.length) / math.log(2.0))).sum
+    assert(math.abs(got(4L)._1 - (math.rint(h * 10000) / 10000)) <= 0.0001,
+      s"entropy ${got(4L)._1} vs recomputed $h")
+  }
 }

@@ -114,7 +114,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "ta_quality", "ta_gopher_rules", "ta_langid", "search_bm25",
       "search_tfidf_keywords", "sim_knn_cosine", "sim_ann_lsh",
       "sim_ann_ivf", "dedup_minhash_lsh", "dedup_simhash",
-      "hh_bigram_phrases", "x21_sha256")
+      "hh_bigram_phrases", "x21_sha256",
+      // round 6: entropy + repetition moved to native expressions
+      "ta_entropy", "ta_repetition")
     val catalog = (graft.queries.Catalog.all ++ graft.queries.CatalogScale.all ++
       graft.queries.CatalogDomain.all ++ graft.queries.CatalogTraining.all ++
       graft.queries.CatalogAnalytics.all).map(q => q.name -> q).toMap
