@@ -22,7 +22,11 @@ object ExplainAudit {
         // spine gap fill, weighted top-k, skyline windows
         "g3_bfs_hops", "g4_triangles", "g5_ppr", "a25_assoc_rules",
         "ts_gap_fill", "td_weighted_sample", "a26_skyline",
-        "search_tfidf_keywords", "scale_compaction_plan")
+        "search_tfidf_keywords", "scale_compaction_plan",
+        // round 6: real-codec multimodal decode, skewed salted join,
+        // A1 render grouping, nativized text-scoring projections
+        "mm_binary_meta", "scale_skew_salted_spread",
+        "a1_employee_grouping", "ta_entropy", "ta_repetition")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -235,4 +235,52 @@ class SparkPropertySpec extends AnyFunSuite {
       assert(got(s) == want, s"input: $s")
     }
   }
+
+  test("prop: native word-stat expressions equal their higher-order forms") {
+    // the round-6 codegen expressions replaced CodegenFallback HOFs in
+    // the hot text projections; this pins row-for-row equality against
+    // the composed forms on generated word arrays (dups, stopword
+    // mixes, empties, 1-2 char words)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val stop = graft.operators.TextAnalysis.stopwords("en")
+    val word = Gen.frequency(
+      (3, Gen.oneOf(stop)),
+      (2, Gen.oneOf(stop).map(_.toUpperCase)),
+      (2, Gen.alphaLowerStr.map(_.take(6))),
+      (1, Gen.oneOf("a", "xy", "z")))
+    val arrays = samples(Gen.listOf(word).map(_.take(40)), 200)
+    val df = arrays.map(a => Tuple1(a)).toDF("w")
+    val we = ColumnBridge.expression(col("w"))
+    val got = df.select(
+      ColumnBridge.column(graft.plans.CountInSet(we, stop)).as("cis"),
+      size(filter(col("w"), x => x.isin(stop: _*))).as("cis0"),
+      ColumnBridge.column(graft.plans.SumElemLength(we)).as("sel"),
+      aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).as("sel0"),
+      ColumnBridge.column(graft.plans.CountMaxLen(we, 2)).as("cml"),
+      size(filter(col("w"), x => length(x) <= 2)).as("cml0"),
+      ColumnBridge.column(graft.plans.CountDistinctInSetLower(we, stop)).as("cdl"),
+      size(array_intersect(
+        array_distinct(transform(col("w"), x => lower(x))),
+        array(stop.map(lit): _*))).as("cdl0"),
+      ColumnBridge.column(graft.plans.MaxSortedRun(
+        ColumnBridge.expression(sort_array(col("w"))))).as("msr"),
+      aggregate(
+        sort_array(col("w")),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best")).as("msr0"))
+      .collect()
+    got.zip(arrays).foreach { case (r, a) =>
+      assert(r.getInt(0) == r.getInt(1), s"CountInSet on $a")
+      assert(r.getLong(2) == r.getLong(3), s"SumElemLength on $a")
+      assert(r.getInt(4) == r.getInt(5), s"CountMaxLen on $a")
+      assert(r.getInt(6) == r.getInt(7), s"CountDistinctInSetLower on $a")
+      assert(r.getInt(8) == r.getInt(9), s"MaxSortedRun on $a")
+    }
+  }
 }
