@@ -50,6 +50,72 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Int8-quantized kNN: score against 4×-compressed codes, rerank the
+    * shortlist at full precision. Phase 1 touches ONLY the quantized
+    * index — `struct(scale, codes array<tinyint>)` per vector, a quarter
+    * of the float bytes, scored with the codegen'd integer dot
+    * ([[graft.plans.VectorDotInt8]]) times the two scales. Phase 2
+    * fetches full-precision vectors for the top `rerankFactor × k`
+    * candidates ONLY (an equi-join back by id — at 100 TB this is the
+    * point: the big scan reads codes, the float fetch is
+    * shortlist-sized) and reranks by exact cosine, so a quantization
+    * error can demote a true neighbor only past the rerank horizon —
+    * the standard recall-vs-cushion trade, same contract as the LSH
+    * path's table count. Composes with IVF bucketing (quantize within
+    * cells) to also drop the O(corpus × queries) candidate scan.
+    */
+  private def quant(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.QuantizeInt8(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  private def dotInt8(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.VectorDotInt8(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** The shared int8 tail: keep the top `rerankFactor × k` per query by
+    * approximate score, fetch full-precision vectors for that shortlist
+    * ONLY (equi-join by id — at 100 TB the big scan reads codes, the
+    * float fetch is shortlist-sized), rerank by exact cosine.
+    * `approx` columns: (query_id, vec_id, approx).
+    */
+  private def rerankShortlist(approx: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, rerankFactor: Int): DataFrame = {
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val shortlist = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerankFactor)
+      .select("query_id", "vec_id")
+    // full-precision fetch is shortlist-sized, never corpus-sized
+    val rerank = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("embedding"), col("qe")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rerank.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  def int8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    // the quantized index: id + scale + codes, no float column
+    val codes = corpus.select(col("vec_id"), quant(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.scale").as("cscale"), col("q.codes").as("ccodes"))
+    val qcodes = queries.select(col("query_id"), quant(col("qe")).as("q"))
+      .select(col("query_id"), col("q.scale").as("qscale"), col("q.codes").as("qcodes"))
+    val approx = codes.join(broadcast(qcodes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotInt8(col("ccodes"), col("qcodes")).cast("double") *
+          col("cscale") * col("qscale")).as("approx"))
+    rerankShortlist(approx, corpus, queries, k, rerankFactor)
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs baseline): every
     * id_a < id_b pair with cosine >= threshold. O(n²) — kept only as the
     * truth definition for the oracle; the production path is
@@ -338,6 +404,47 @@ object Similarity {
       cents = cents.map { case (cid, ce) => (cid, byCell.getOrElse(cid, ce)) }
     }
     probeWithCentroids(corpus, queries, k, nProbe, cents)
+  }
+
+  /** IVF × int8: the full corpus-scale ANN composition. The coarse
+    * quantizer prunes WHICH vectors are scored (~nProbe/nCells of the
+    * corpus, same routing as [[ivfKnn]]); int8 codes shrink the BYTES
+    * read per scored vector 4×; the float fetch afterwards is
+    * shortlist-sized. At 100 TB the stored index is
+    * `(vec_id, cell, scale, codes)` partitioned by cell — the probe is
+    * an equi-join on the cell id against broadcast query cells, the
+    * approximate scores come from the codegen'd integer dot
+    * ([[graft.plans.VectorDotInt8]]), and full-precision vectors are
+    * touched only for `rerankFactor × k` rows per query. Exactness
+    * contract: identical to [[ivfKnn]] whenever the int8 shortlist
+    * covers the probed candidates' true top-k (quantization error per
+    * element ≤ scale/2), which the shared IVF oracle verifies.
+    */
+  def ivfInt8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nProbe: Int, rerankFactor: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
+    import corpus.sparkSession.implicits._
+    val cents = seedCentroids(corpus, nCells)
+    // the stored index: cell routing + 4×-compressed codes, no floats
+    val index = corpus
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.scale").as("cscale"),
+        col("q.codes").as("ccodes"))
+      .join(corpusCellsFor(corpus, cents), "vec_id")
+    val queryCells = assignCells(queries, "query_id", "qe",
+      cents.toDF("cent_id", "ce"), takeN = nProbe)
+    val qcodes = queries.select(col("query_id"), quant(col("qe")).as("q"))
+      .select(col("query_id"), col("q.scale").as("qscale"),
+        col("q.codes").as("qcodes"))
+      .join(queryCells, "query_id")
+    // corpus side files under ONE cell, queries probe nProbe cells →
+    // at most one (query, vec) pair per join row; no distinct needed
+    val approx = index.join(broadcast(qcodes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotInt8(col("ccodes"), col("qcodes")).cast("double") *
+          col("cscale") * col("qscale")).as("approx"))
+    rerankShortlist(approx, corpus, queries, k, rerankFactor)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

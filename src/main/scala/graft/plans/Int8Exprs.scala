@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Int8 scalar quantization for embedding columns — the standard 4×
+  * index-compression lever for vector search at corpus scale: a 100 TB
+  * float index becomes 25 TB of codes + one scale per vector, and the
+  * approximate scan reads a quarter of the bytes. Asymmetric-distance
+  * refinement and IVF bucketing compose on top; exactness comes from
+  * reranking the shortlist against the full-precision vectors
+  * ([[graft.operators.Similarity.int8Knn]]).
+  */
+
+/** `quantize_int8(vec)` — symmetric per-vector quantization:
+  * `scale = max|x| / 127`, `code_i = round(x_i / scale)` ∈ [-127, 127].
+  * Returns `struct(scale double, codes array<tinyint>)`. Zero vectors
+  * quantize to scale 0 + zero codes (their approximate score is 0, the
+  * same guard the exact cosine applies).
+  */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_int8 needs array<float|double>, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false),
+      nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  /** public for the generated code — the projection stays inside
+    * WholeStageCodegen and the loop runs as this compiled method
+    */
+  def compute(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    val isF = elemIsFloat
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (isF) a.getFloat(i).toDouble else a.getDouble(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val codes = new Array[Byte](n)
+    val scale = maxAbs / 127.0
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        val v = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        codes(i) = Math.round(v / scale).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new GenericArrayData(codes)))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("quantExpr", this, classOf[QuantizeInt8].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `vector_dot_int8(a, b)` — integer dot product of two code arrays,
+  * accumulated in a long (no overflow: 127² × dims ≪ 2⁶³). Null on
+  * length mismatch, same contract as [[VectorDot]]. The approximate
+  * inner product is `dot × scale_a × scale_b`.
+  */
+case class VectorDotInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_dot_int8 needs array<tinyint>, got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_dot_int8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if ($a.numElements() != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  long $acc = 0L;
+      |  for (int $i = 0; $i < $a.numElements(); $i++) {
+      |    $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+      |  }
+      |  ${ev.value} = $acc;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

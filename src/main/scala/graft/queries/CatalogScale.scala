@@ -718,6 +718,19 @@ object CatalogScale {
       },
       Some(knnOracle)),
 
+    Q("sim_ann_int8",
+      // int8-quantized scan (4× smaller index; codegen'd integer dot ×
+      // scales) + full-precision rerank of the 4k shortlist — reaches
+      // the SAME exact-truth oracle as the float baseline: green hash =
+      // quantization error never pushed a true top-10 neighbor past the
+      // rerank horizon on this corpus
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.int8Knn(emb, knnQueries(emb), k = 10, rerankFactor = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(knnOracle)),
+
     Q("sim_ann_recall",
       // quantitative recall floor: |ANN top-10 ∩ exact top-10| / |exact|,
       // asserted >= 0.9; n_queries and n_exact are genuinely computed by

@@ -28,6 +28,45 @@ object CatalogTraining {
   private val IvfCells = 16
   private val IvfProbe = 4
 
+  /** Seed-quantizer IVF truth: replays centroid selection, argmax-cosine
+    * cell assignment, the 4-cell probe, and the exact re-rank. Shared by
+    * `sim_ann_ivf` (float scoring) and `sim_ann_ivf_int8` (quantized
+    * scoring + exact rerank) — a green hash on the int8 row proves the
+    * 4× compression changed NOTHING the probe could observe.
+    */
+  private val ivfOracle =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       c AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+       asgc AS (SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           list_dot_product(e, ce) /
+           (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+           cent_id) AS rn
+       FROM v, c),
+       cell AS (SELECT vec_id, cent_id AS cell FROM asgc WHERE rn = 1),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+       qa AS (SELECT query_id, cent_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           list_dot_product(qe, ce) /
+           (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) DESC,
+           cent_id) AS rn
+       FROM q, c),
+       qcell AS (SELECT query_id, cent_id AS cell FROM qa WHERE rn <= 4),
+       cand AS (SELECT DISTINCT query_id, vec_id
+                FROM qcell JOIN cell USING (cell)
+                WHERE vec_id <> query_id),
+       s AS (SELECT query_id, vec_id AS neighbor_id,
+               list_dot_product(e, qe) /
+               (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos
+             FROM cand JOIN v USING (vec_id) JOIN q USING (query_id)),
+       r AS (SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+             FROM s)
+       SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+              round(cos, 6) AS cosine
+       FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
   val all: Seq[Q] = Seq(
 
     Q("td_sample_stratified",
@@ -321,37 +360,21 @@ object CatalogTraining {
           nCells = IvfCells, nProbe = IvfProbe)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-              c AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT 16),
-              asgc AS (SELECT vec_id, cent_id,
-                row_number() OVER (PARTITION BY vec_id ORDER BY
-                  list_dot_product(e, ce) /
-                  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
-                  cent_id) AS rn
-              FROM v, c),
-              cell AS (SELECT vec_id, cent_id AS cell FROM asgc WHERE rn = 1),
-              q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
-              qa AS (SELECT query_id, cent_id,
-                row_number() OVER (PARTITION BY query_id ORDER BY
-                  list_dot_product(qe, ce) /
-                  (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) DESC,
-                  cent_id) AS rn
-              FROM q, c),
-              qcell AS (SELECT query_id, cent_id AS cell FROM qa WHERE rn <= 4),
-              cand AS (SELECT DISTINCT query_id, vec_id
-                       FROM qcell JOIN cell USING (cell)
-                       WHERE vec_id <> query_id),
-              s AS (SELECT query_id, vec_id AS neighbor_id,
-                      list_dot_product(e, qe) /
-                      (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos
-                    FROM cand JOIN v USING (vec_id) JOIN q USING (query_id)),
-              r AS (SELECT query_id, neighbor_id, cos,
-                      row_number() OVER (PARTITION BY query_id
-                        ORDER BY cos DESC, neighbor_id) AS rank
-                    FROM s)
-              SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
-                     round(cos, 6) AS cosine
-              FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
+      Some(ivfOracle)),
+
+    Q("sim_ann_ivf_int8",
+      // the full corpus-scale composition: IVF prunes WHICH vectors are
+      // scored, int8 codes shrink the bytes per scored vector 4×, floats
+      // are fetched only for the rerank shortlist — and the SAME IVF
+      // oracle stays green, so the compression provably cost nothing on
+      // this corpus
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfInt8Knn(emb, knnQueries(emb), k = 10,
+          nCells = IvfCells, nProbe = IvfProbe, rerankFactor = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfOracle)),
 
     Q("sim_ann_ivf_lloyd",
       // one k-means round on top of the seed quantizer; means rounded

@@ -49,6 +49,51 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("QuantizeInt8 + VectorDotInt8 approximate the float dot within scale error") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def quant(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.plans.QuantizeInt8(ColumnBridge.expression(c)))
+    def dot8(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.plans.VectorDotInt8(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+    val df = Seq(
+      (1L, Array(0.5f, -1.5f, 3.0f), Array(2.0f, 0.25f, -0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+      .withColumn("qa", quant(col("a"))).withColumn("qb", quant(col("b")))
+      .withColumn("approx",
+        dot8(col("qa.codes"), col("qb.codes")).cast("double") *
+          col("qa.scale") * col("qb.scale"))
+      .withColumn("exact", expr(
+        "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)"))
+
+    val rows = df.orderBy("id").collect()
+    // per-element error ≤ scale/2, so |approx - exact| is bounded far
+    // below the values here; zero vectors quantize to scale 0 → approx 0
+    val r1 = rows(0)
+    assert(math.abs(r1.getAs[Double]("approx") - r1.getAs[Double]("exact")) < 0.05,
+      s"approx ${r1.getAs[Double]("approx")} vs exact ${r1.getAs[Double]("exact")}")
+    assert(rows(1).getAs[Double]("approx") == 0.0)
+
+    // max-magnitude element always maps to ±127 (full code range used)
+    val codes = rows(0).getAs[org.apache.spark.sql.Row]("qa")
+      .getAs[scala.collection.Seq[Byte]]("codes")
+    assert(codes.max == 127 || codes.min == -127, s"codes $codes")
+
+    // interpreted path agrees: length mismatch → null, not a truncated dot
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = graft.plans.VectorDotInt8(
+      Literal.create(Seq[Byte](1, 2, 3)), Literal.create(Seq[Byte](1, 2)))
+    assert(interp.eval(null) == null)
+    val interpDot = graft.plans.VectorDotInt8(
+      Literal.create(Seq[Byte](10, -20)), Literal.create(Seq[Byte](3, 4)))
+    assert(interpDot.eval(null) == (10 * 3 + -20 * 4).toLong)
+  }
+
   test("PushFilterIntoCollectList rewrites the F2 shape and preserves semantics") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -29,6 +29,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     // is a literal projection — no join at all); the recall row also
     // cross-joins single-row aggregates
     "sim_ann_ivf", "sim_ann_ivf_lloyd", "sim_ann_ivf_recall",
+    // int8 path: the approximate scan scores the broadcast query codes
+    // against the quantized index (the sim_knn_cosine shape over 4×
+    // fewer bytes); the float fetch afterwards is an equi-join
+    "sim_ann_int8",
+    // IVF × int8: inherits sim_ann_ivf's query-side centroid scoring
+    // cross join (a handful of query rows × broadcast centroids); the
+    // probe itself is an equi-join on the cell id
+    "sim_ann_ivf_int8",
     // broadcasts the SINGLE-ROW corpus-total aggregate into the
     // per-token score projection
     "ta_unigram_logprob",
@@ -115,8 +123,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "search_tfidf_keywords", "sim_knn_cosine", "sim_ann_lsh",
       "sim_ann_ivf", "dedup_minhash_lsh", "dedup_simhash",
       "hh_bigram_phrases", "x21_sha256",
-      // round 6: entropy + repetition moved to native expressions
-      "ta_entropy", "ta_repetition")
+      // round 6: entropy + repetition moved to native expressions;
+      // int8 ANN's quantize/integer-dot scoring projections (flat and
+      // IVF-composed)
+      "ta_entropy", "ta_repetition", "sim_ann_int8", "sim_ann_ivf_int8")
     val catalog = (graft.queries.Catalog.all ++ graft.queries.CatalogScale.all ++
       graft.queries.CatalogDomain.all ++ graft.queries.CatalogTraining.all ++
       graft.queries.CatalogAnalytics.all).map(q => q.name -> q).toMap
