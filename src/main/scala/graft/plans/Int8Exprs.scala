@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
 
-  private def elemIsFloat: Boolean = child.dataType match {
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }

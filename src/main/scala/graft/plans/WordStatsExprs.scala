@@ -244,18 +244,24 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     val s = u.toString
     val n = s.length
     if (n == 0) return 0.0
-    val counts = new java.util.LinkedHashMap[Character, Integer]()
+    // Iterate Unicode code points, not UTF-16 code units: supplementary
+    // characters (emoji, rare CJK) are one symbol, matching the
+    // codepoint-wise HOF form this expression replaced and the oracle.
+    val counts = new java.util.LinkedHashMap[Integer, Integer]()
     var i = 0
+    var total = 0
     while (i < n) {
-      val c = Character.valueOf(s.charAt(i))
-      val prev = counts.get(c)
-      counts.put(c, if (prev == null) Integer.valueOf(1)
+      val cp = s.codePointAt(i)
+      val key = Integer.valueOf(cp)
+      val prev = counts.get(key)
+      counts.put(key, if (prev == null) Integer.valueOf(1)
         else Integer.valueOf(prev.intValue() + 1))
-      i += 1
+      total += 1
+      i += Character.charCount(cp)
     }
     var acc = 0.0
     val it = counts.values().iterator()
-    val nd = n.toDouble
+    val nd = total.toDouble
     while (it.hasNext) {
       val p = it.next().intValue() / nd
       acc -= p * (Math.log(p) / Math.log(2.0))

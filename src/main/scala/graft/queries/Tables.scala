@@ -15,10 +15,16 @@ private[queries] object Tables {
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // some generator scale factors write TIMESTAMP(MICROS) NTZ;
+        // sessions pin UTC, so the NTZ→LTZ cast is micros-exact and
+        // matches DuckDB's naive reading of the same parquet
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    } else df
   }
 
   def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")

@@ -157,15 +157,12 @@ object StreamingOps {
     val rowsPerBand = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
-    val fname = s"graft_minhash_sig_$numHashes"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname,
-      exprs => graft.plans.MinHashSignatureArray(exprs.head, numHashes),
-      "scala_udf")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     import graft.operators.Dedup.{shingles, words}
     val bandRows = docs
       .withColumn("_sh", array_distinct(shingles(words(col(textCol)), k)))
-      .withColumn("_sig", expr(s"$fname(_sh)"))
+      .withColumn("_sig", ColumnBridge.column(graft.plans.MinHashSignatureArray(
+        ColumnBridge.expression(col("_sh")), numHashes)))
       .select(col(tsCol).as("ts"), col(idCol).cast("long").as("doc_id"),
         col("_sig").as("sig"),
         posexplode(transform(

@@ -364,4 +364,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(got(4L)._1 - (math.rint(h * 10000) / 10000)) <= 0.0001,
       s"entropy ${got(4L)._1} vs recomputed $h")
   }
+
+  test("CharEntropy counts code points, not UTF-16 units (ADVICE r6)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // U+1F600 is a surrogate pair in UTF-16. Codepoint-wise,
+    // "😀😀aa" is two symbols at p=1/2 each → entropy exactly 1.0;
+    // the old charAt loop saw three symbols (high, low, 'a') →
+    // -(1/3·lg(1/3)·2 + ... ) ≈ 1.918 and would fail this pin.
+    val emoji = new String(Character.toChars(0x1F600))
+    val got = Seq((1L, emoji + emoji + "aa")).toDF("doc_id", "text")
+      .select(graft.operators.TextAnalysis.charEntropy(col("text")))
+      .as[Double].head()
+    assert(got == 1.0, s"codepoint entropy of 2x emoji + 2x 'a' is 1.0, got $got")
+  }
 }
