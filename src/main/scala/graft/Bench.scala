@@ -1,5 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Per-query executor-metric accumulator. Wall clock on this host swings
+  * >2x under external load (identical code measured 59.7s and 123.4s in
+  * one afternoon), so the regression gate runs on executor CPU time,
+  * which only counts cycles our tasks actually burned. Shuffle bytes are
+  * recorded too — a plan regression that adds a shuffle shows up there
+  * even if CPU absorbs it.
+  */
+private final class BenchMetricsListener extends SparkListener {
+  val cpuNs = new AtomicLong
+  val runMs = new AtomicLong
+  val shuffleReadB = new AtomicLong
+  val shuffleWriteB = new AtomicLong
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      cpuNs.addAndGet(m.executorCpuTime)
+      runMs.addAndGet(m.executorRunTime)
+      shuffleReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+  def snapshot: (Long, Long, Long, Long) =
+    (cpuNs.get, runMs.get, shuffleReadB.get, shuffleWriteB.get)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,6 +40,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     // uncounted warmup: exercises parquet scan, shuffle/agg, join and
     // text-heavy paths so JIT/codegen cost doesn't land on whichever
     // measured query happens to run first
@@ -22,15 +52,42 @@ object Bench {
     // two passes per query, report the faster (steady-state): first
     // execution of a query shape pays JIT + codegen compilation that a
     // long-running job never sees again, and the host shows bursty
-    // external load — min-of-2 measures the engine, not the warmup
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // external load — min-of-2 measures the engine, not the warmup.
+    // Each rep also snapshots the listener counters; the task-end events
+    // ride the async listener bus, so drain it before reading deltas.
+    case class Rep(wall: Double, cpuS: Double, runS: Double,
+        shReadB: Long, shWriteB: Long)
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
+      val pre = {
+        org.apache.spark.graftbridge.ListenerBridge
+          .waitUntilEmpty(spark.sparkContext, 10000L)
+        metrics.snapshot
+      }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => return Rep(-1.0, -1.0, -1.0, -1L, -1L) }
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 10000L)
+      val post = metrics.snapshot
+      Rep(wall, (post._1 - pre._1) / 1e9, (post._2 - pre._2) / 1e3,
+        post._3 - pre._3, post._4 - pre._4)
+    }
+    // a rep's CPU can legitimately swing ~2× on heavy shuffle queries
+    // (spill pressure, JIT tiers, scheduling) — adaptive reps: keep
+    // re-running until the two best CPU readings agree within 1.25×
+    // (or 4 reps), then report the min. Most queries stop at 2 reps;
+    // only the noisy tail pays for extra ones.
+    def cpuStable(reps: Seq[Rep]): Boolean = {
+      val cs = reps.map(_.cpuS).filter(_ >= 0).sorted
+      cs.size >= 2 && (cs(0) <= 0.1 || cs(1) / math.max(cs(0), 1e-9) <= 1.25)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = once(fn)
-      val b = once(fn)
+      var reps = Seq(once(fn), once(fn))
+      while (reps.forall(_.wall >= 0) && !cpuStable(reps) && reps.size < 4)
+        reps = reps :+ once(fn)
+      val a = reps.minBy(r => if (r.wall < 0) Double.MaxValue else r.wall)
+      val b = reps.minBy(r => if (r.cpuS < 0) Double.MaxValue else r.cpuS)
       // drop blocks persisted INSIDE the finished query (dedup shingle /
       // signature caches): they are dead after the action, but the
       // ContextCleaner only reclaims them on a JVM GC, which a 100-GiB
@@ -52,25 +109,45 @@ object Bench {
       // min-of-2 times 6x. One explicit GC per query keeps each
       // measurement starting from a clean block manager.
       System.gc()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val bad = reps.exists(_.wall < 0)
+      // min over reps for wall AND cpu: the first rep's CPU carries JIT
+      // + codegen compilation, which is warmup, not plan cost
+      name -> (if (bad) Rep(-1.0, -1.0, -1.0, -1L, -1L)
+        else Rep(a.wall, b.cpuS,
+          reps.map(_.runS).min,
+          reps.map(_.shReadB).min, reps.map(_.shWriteB).min))
     }.toMap
     // 3-decimal (millisecond) precision: full-double rendering made the
     // contract line ~7 KB at 119 queries and the driver's stdout capture
     // truncated it two rounds running — ms precision keeps it under 4 KB.
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    def jmap(f: Rep => String): String = results.toSeq.sortBy(_._1)
+      .map { case (k, r) => "\"" + k + "\":" + f(r) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = jmap(r => ms(r.wall))
+    val total = results.values.map(r => math.max(r.wall, 0.0)).sum
+    val cpuTotal = results.values.map(r => math.max(r.cpuS, 0.0)).sum
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout keeps the compact driver contract line (the capture clips
+    // past ~4 KB); the extended record below carries the gate metrics
     println(line)
-    // belt-and-braces for the truncation: also persist the full line where
-    // a later reader can find it even if the stdout capture clips it
+    val extended =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+      s""""cpu_total":${ms(cpuTotal)},"cpu":${jmap(r => ms(r.cpuS))},""" +
+      s""""run":${jmap(r => ms(r.runS))},""" +
+      s""""shuffle_read":${jmap(r => r.shReadB.toString)},""" +
+      s""""shuffle_write":${jmap(r => r.shWriteB.toString)},""" +
+      s""""sf":"$sfDir"}"""
+    // the committed baseline is the sf0.1 run; other scale factors write
+    // a suffixed file so an iteration run can't silently replace the
+    // baseline with incomparable numbers
+    val sfName = new java.io.File(sfDir).getName
+    val outName =
+      if (sfName == "sf0.1") "BENCH_LOCAL.json" else s"BENCH_LOCAL_$sfName.json"
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        line.getBytes("UTF-8"))
+        java.nio.file.Paths.get(outName), extended.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
   }

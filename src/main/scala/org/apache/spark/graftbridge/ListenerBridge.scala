@@ -1,0 +1,18 @@
+package org.apache.spark.graftbridge
+
+import org.apache.spark.SparkContext
+
+/** Listener-bus bridge. `SparkContext.listenerBus` is `private[spark]`,
+  * but a metrics-reading benchmark must drain the async bus before
+  * snapshotting task-end counters, or a query's last task-end events
+  * land in the NEXT query's delta. Same one-hop-shim pattern as
+  * [[org.apache.spark.sql.graftbridge.ColumnBridge]].
+  */
+object ListenerBridge {
+  /** Block until all posted listener events are delivered (or timeout —
+    * swallowed: a late event only blurs attribution, never correctness).
+    */
+  def waitUntilEmpty(sc: SparkContext, timeoutMs: Long): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+}
