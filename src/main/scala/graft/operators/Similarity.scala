@@ -447,6 +447,180 @@ object Similarity {
     rerankShortlist(approx, corpus, queries, k, rerankFactor)
   }
 
+  // ------------------------------------------------------------ PQ ANN
+
+  private def pqEncodeCol(c: Column, cb: Array[Double], m: Int, ksub: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.PqEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), cb, m, ksub))
+
+  private def pqLutCol(c: Column, cb: Array[Double], m: Int, ksub: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.PqLut(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), cb, m, ksub))
+
+  private def pqAdcCol(codes: Column, lut: Column, ksub: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.PqAdcScore(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lut), ksub))
+
+  /** Train per-subspace PQ codebooks (Jégou et al. 2011): dimension D
+    * splits into `m` contiguous subspaces; each gets `ksub` centroids
+    * refined by `rounds` Lloyd iterations. Deterministic end to end —
+    * seeds are the first `ksub` corpus vectors' subslices in id order
+    * (the [[seedCentroids]] convention), assignment ties break to the
+    * lowest code, and per-element means round to 6 dp (the
+    * [[ivfKnnLloyd]] cross-engine-stability license). The returned flat
+    * array is `[(sub, code, d)]`-major, m × ksub × dsub doubles —
+    * bounded driver metadata, shipped to executors inside the
+    * serialized encode/LUT expressions, never joined.
+    *
+    * Each round is ONE distributed pass: encode is a projection (the
+    * codegen'd [[graft.plans.PqEncode]]), the mean recompute is one
+    * partial-agg shuffle of at most m × ksub × dsub groups. No
+    * per-round driver iteration over rows — only over the constant-size
+    * mean table. Empty cells keep their previous centroid.
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+      rounds: Int): Array[Double] = {
+    val seeds = seedCentroids(corpus, ksub).map(_._2)
+    require(seeds.nonEmpty, "corpus smaller than ksub")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val cb = new Array[Double](m * ksub * dsub)
+    for (c <- seeds.indices; s <- 0 until m; d <- 0 until dsub)
+      cb((s * ksub + c) * dsub + d) = seeds(c)(s * dsub + d)
+    (1 to rounds).foreach { _ =>
+      val means = corpus
+        .select(posexplode(pqEncodeCol(col("embedding"), cb, m, ksub))
+          .as(Seq("sub", "code")), col("embedding"))
+        .select(col("sub"), col("code"),
+          posexplode(slice(col("embedding"),
+            col("sub") * dsub + 1, lit(dsub))).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("mean"))
+        .collect()
+      means.foreach { r =>
+        cb((r.getInt(0) * ksub + r.getByte(1)) * dsub + r.getInt(2)) =
+          r.getDouble(3)
+      }
+    }
+    cb
+  }
+
+  /** The codebook's own entry-norm table: `normLut[s*ksub + c] =
+    * |cent(s,c)|²`, so [[graft.plans.PqAdcScore]] over it reconstructs a
+    * coded vector's approximate squared norm with the same m lookups
+    * as the dot product.
+    */
+  private def pqNormLut(cb: Array[Double], m: Int, ksub: Int): Array[Double] = {
+    val dsub = cb.length / (m * ksub)
+    Array.tabulate(m * ksub) { i =>
+      var acc = 0.0
+      var d = 0
+      while (d < dsub) { val v = cb(i * dsub + d); acc += v * v; d += 1 }
+      acc
+    }
+  }
+
+  /** The shared ADC scoring stage: corpus codes × broadcast query LUTs →
+    * `(query_id, vec_id, approx)` where `approx` is the reconstruction
+    * cosine against the query direction (query norm omitted — constant
+    * within a query's ranking). Input `codes` needs (vec_id, ccodes);
+    * `qluts` needs (query_id, lut) and is broadcast.
+    */
+  private def pqApprox(codes: DataFrame, qluts: DataFrame,
+      cb: Array[Double], m: Int, ksub: Int): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    val normLut = typedLit(pqNormLut(cb, m, ksub).toSeq)
+    codes.join(broadcast(qluts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        {
+          val dot = pqAdcCol(col("ccodes"), col("lut"), ksub)
+          val rsq = pqAdcCol(col("ccodes"), normLut, ksub)
+          when(rsq <= 0.0, lit(0.0)).otherwise(dot / sqrt(rsq)).as("approx")
+        })
+  }
+
+  /** PQ-compressed kNN: phase 1 scans only the `m`-byte codes per vector
+    * (here 8 bytes vs 256 float bytes — 32×) scored via the asymmetric
+    * distance table, phase 2 reranks the `rerankFactor × k` shortlist at
+    * full precision, so the exact-kNN oracle stays green whenever
+    * quantization never pushes a true top-k neighbor past the rerank
+    * horizon. At 100 TB this is the memory-resident-index regime int8
+    * can't reach: codes are m bytes regardless of D.
+    */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rounds: Int = 1,
+      rerankFactor: Int = 10): DataFrame = {
+    val cb = trainPqCodebooks(corpus, m, ksub, rounds)
+    val codes = corpus.select(col("vec_id"),
+      pqEncodeCol(col("embedding"), cb, m, ksub).as("ccodes"))
+    val qluts = queries.select(col("query_id"),
+      pqLutCol(col("qe"), cb, m, ksub).as("lut"))
+    rerankShortlist(pqApprox(codes, qluts, cb, m, ksub),
+      corpus, queries, k, rerankFactor)
+  }
+
+  /** Phase-1-only PQ ranking (no rerank) — the quantizer-quality probe
+    * behind the recall-floor row: how much of the exact top-k does pure
+    * ADC ranking already recover.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rounds: Int = 1): DataFrame = {
+    val cb = trainPqCodebooks(corpus, m, ksub, rounds)
+    val codes = corpus.select(col("vec_id"),
+      pqEncodeCol(col("embedding"), cb, m, ksub).as("ccodes"))
+    val qluts = queries.select(col("query_id"),
+      pqLutCol(col("qe"), cb, m, ksub).as("lut"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    pqApprox(codes, qluts, cb, m, ksub)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** IVF × PQ — the standard billion-scale composition (FAISS's
+    * IVFADC): the coarse quantizer routes queries to `nProbe` of
+    * `nCells` cells so only ~nProbe/nCells of the corpus is scored at
+    * all; PQ codes make each scored row `m` bytes; the float fetch is
+    * shortlist-sized. The stored 100 TB index is
+    * `(vec_id, cell, ccodes)` partitioned by cell — smaller than the
+    * int8 variant by dsub × 4 bytes per vector and pruned identically.
+    */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nProbe: Int, m: Int = 8, ksub: Int = 16,
+      rounds: Int = 1, rerankFactor: Int = 10): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.functions.typedLit
+    val cents = seedCentroids(corpus, nCells)
+    val cb = trainPqCodebooks(corpus, m, ksub, rounds)
+    val index = corpus
+      .select(col("vec_id"), pqEncodeCol(col("embedding"), cb, m, ksub).as("ccodes"))
+      .join(corpusCellsFor(corpus, cents), "vec_id")
+    val queryCells = assignCells(queries, "query_id", "qe",
+      cents.toDF("cent_id", "ce"), takeN = nProbe)
+    val qluts = queries.select(col("query_id"),
+      pqLutCol(col("qe"), cb, m, ksub).as("lut"))
+      .join(queryCells, "query_id")
+    val normLut = typedLit(pqNormLut(cb, m, ksub).toSeq)
+    // corpus side files under ONE cell, queries probe nProbe cells →
+    // at most one (query, vec) pair per join row; no distinct needed
+    val approx = index.join(broadcast(qluts), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        {
+          val dot = pqAdcCol(col("ccodes"), col("lut"), ksub)
+          val rsq = pqAdcCol(col("ccodes"), normLut, ksub)
+          when(rsq <= 0.0, lit(0.0)).otherwise(dot / sqrt(rsq)).as("approx")
+        })
+    rerankShortlist(approx, corpus, queries, k, rerankFactor)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with a coarse quantizer, run
     * the pairwise cosine threshold only WITHIN each cell, then keep one

@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) as native codegen expressions —
+  * the corpus-side encode and the query-side ADC scoring both run inside
+  * WholeStageCodegen, so the 100 TB scan is a tight compiled loop over
+  * `array<tinyint>` codes, never an interpreted lambda over floats.
+  *
+  * Conventions shared by all three expressions: the vector dimension D
+  * splits into `m` contiguous subspaces of `dsub = D / m` elements; the
+  * codebook is a flat `Array[Double]` laid out `[(sub, code, d)]` —
+  * entry `(s, c)` starts at `(s * ksub + c) * dsub`. The codebook is
+  * bounded driver metadata (m × ksub × dsub doubles — same license as
+  * the IVF centroid set), embedded as a literal so executors get it via
+  * the serialized expression, not a join.
+  */
+private[graft] trait PqCodebook {
+  def codebook: Array[Double]
+  def m: Int
+  def ksub: Int
+  @transient protected lazy val dsub: Int = codebook.length / (m * ksub)
+}
+
+/** `pq_encode(vec)` → `array<tinyint>` of length `m`: per subspace, the
+  * index of the squared-L2-nearest codebook entry (ties → lowest code,
+  * making the encoding deterministic and oracle-replayable).
+  */
+case class PqEncode(child: Expression, codebook: Array[Double],
+    m: Int, ksub: Int) extends UnaryExpression with PqCodebook {
+
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (codebook.length == m * ksub * (codebook.length / (m * ksub)) &&
+          codebook.length > 0) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("codebook length must be m*ksub*dsub")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  /** public for the generated code — stays inside WholeStageCodegen */
+  def compute(a: ArrayData): ArrayData = {
+    val codes = new Array[Byte](m)
+    val isF = elemIsFloat
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val cb = (s * ksub + c) * dsub
+        var d2 = 0.0
+        var d = 0
+        while (d < dsub) {
+          val x = if (isF) a.getFloat(base + d).toDouble
+            else a.getDouble(base + d)
+          val diff = x - codebook(cb + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncodeExpr", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pq_lut(query_vec)` → `array<double>` of length `m * ksub`: the
+  * query's asymmetric-distance lookup table, `lut[s*ksub + c] =
+  * dot(q_sub(s), codebook(s, c))`. Built once per QUERY row (queries
+  * ≪ corpus, broadcast), then every corpus code array is scored by
+  * `m` table lookups in [[PqAdcScore]] — the whole point of ADC: the
+  * per-corpus-row cost is m adds, independent of D.
+  */
+case class PqLut(child: Expression, codebook: Array[Double],
+    m: Int, ksub: Int) extends UnaryExpression with PqCodebook {
+
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut needs array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_lut"
+
+  def compute(a: ArrayData): ArrayData = {
+    val lut = new Array[Double](m * ksub)
+    val isF = elemIsFloat
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var c = 0
+      while (c < ksub) {
+        val cb = (s * ksub + c) * dsub
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          val q = if (isF) a.getFloat(base + d).toDouble
+            else a.getDouble(base + d)
+          acc += q * codebook(cb + d)
+          d += 1
+        }
+        lut(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqLutExpr", this, classOf[PqLut].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pq_adc(codes, lut)` → double: `Σ_s lut[s * ksub + codes[s]]` — the
+  * asymmetric-distance accumulation, m array reads per corpus row. The
+  * same kernel also reconstructs a vector's approximate squared norm
+  * when `lut` is the codebook's own entry-norm table — one expression,
+  * two LUTs.
+  */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc needs (array<tinyint>, array<double>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  def compute(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getDouble(s * ksub + (codes.getByte(s) & 0xff))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdcExpr", this, classOf[PqAdcScore].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $self.compute($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

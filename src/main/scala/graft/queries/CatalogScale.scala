@@ -731,6 +731,45 @@ object CatalogScale {
       },
       Some(knnOracle)),
 
+    Q("sim_ann_pq",
+      // product-quantized scan (8 one-byte codes per 64-dim vector, 32×
+      // smaller than floats; Lloyd-trained per-subspace codebooks;
+      // codegen'd ADC table lookups) + full-precision rerank — reaches
+      // the SAME exact-truth oracle as the float baseline: green hash =
+      // PQ reconstruction error never pushed a true top-10 neighbor
+      // past the rerank horizon on this corpus
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqKnn(emb, knnQueries(emb), k = 10,
+          m = 16, ksub = 64, rounds = 3, rerankFactor = 20)
+          .orderBy("query_id", "rank")
+      },
+      Some(knnOracle)),
+
+    Q("sim_ann_pq_recall",
+      // quantizer-quality floor for the PHASE-1 ADC ranking alone (no
+      // rerank): |ADC top-10 ∩ exact top-10| / |exact| — this is what
+      // bounds how much rerank cushion the composition needs;
+      // n_queries/n_exact are genuinely computed by the oracle, the
+      // floor is the invariant under test
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = knnQueries(emb)
+        val exact = Similarity.bruteForceKnn(emb, q, k = 10)
+          .select("query_id", "neighbor_id")
+        val adc = Similarity.pqAdcTopK(emb, q, k = 10,
+          m = 16, ksub = 64, rounds = 3)
+        val e = exact.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        val h = exact.intersect(adc).agg(count(lit(1)).as("n_hit"))
+        e.crossJoin(h).select(
+          col("n_queries"), col("n_exact"),
+          (col("n_hit") * 2 >= col("n_exact")).as("floor_met"))
+      },
+      Some("""SELECT count(*) AS n_queries, CAST(count(*) * 10 AS BIGINT) AS n_exact,
+              true AS floor_met
+              FROM embeddings WHERE vec_id < 3""")),
+
     Q("sim_ann_recall",
       // quantitative recall floor: |ANN top-10 ∩ exact top-10| / |exact|,
       // asserted >= 0.9; n_queries and n_exact are genuinely computed by
@@ -933,6 +972,50 @@ object CatalogScale {
                      ELSE 1 + doc_id % 7 END AS INT) AS n_frames,
                 CAST((doc_id % 256) * 65536 + (doc_id * 7 % 256) * 256
                      + (doc_id * 13 % 256) AS INT) AS rgb0
+              FROM documents ORDER BY doc_id""")),
+
+    Q("mm_jpeg_meta",
+      // the JDK's third image codec, JPEG, staged and decoded for real.
+      // Dims and frame count are codec-exact; the decoded pixel is
+      // lossy (DCT + YCbCr rounding), so the row asserts a small
+      // per-channel error bound against the recipe color — the
+      // recall-floor pattern: DuckDB can't run a JPEG codec, the bound
+      // is the invariant under test, and everything exactly predictable
+      // IS predicted
+      (s, d) => Multimodal.documentJpegMeta(s, t(s, d, "documents"))
+        .select(col("doc_id"), (col("byte_len") > 0).as("payload_ok"),
+          col("width"), col("height"), col("n_frames"),
+          (col("max_chan_err") <= 8).as("pixel_close"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, true AS payload_ok,
+                CAST(1 + doc_id % 64 AS INT) AS width,
+                CAST(1 + doc_id % 37 AS INT) AS height,
+                CAST(1 AS INT) AS n_frames,
+                true AS pixel_close
+              FROM documents ORDER BY doc_id""")),
+
+    Q("mm_audio_meta",
+      // audio container plumbing over real bytes: each doc staged as a
+      // genuine 16-bit PCM WAV (AudioSystem writes the RIFF chunks),
+      // decoded back through javax.sound.sampled — rate, channels, bit
+      // depth, frame count, floored duration, and the first decoded
+      // PCM sample all come OUT of the codec; the oracle predicts them
+      // from the recipe arithmetic. A broken RIFF parse fails the hash.
+      (s, d) => Multimodal.documentAudioMeta(s, t(s, d, "documents"))
+        .select(col("doc_id"), (col("byte_len") > 44).as("payload_ok"),
+          col("sample_rate"), col("channels"), col("bits"),
+          col("n_samples"), col("duration_ms"), col("first_sample"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, true AS payload_ok,
+                CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+                CAST(1 + doc_id % 2 AS INT) AS channels,
+                CAST(16 AS INT) AS bits,
+                CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+                CAST((100 + doc_id % 400) * 1000 //
+                     (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms,
+                CAST((doc_id * 773) % 32768 AS INT) AS first_sample
               FROM documents ORDER BY doc_id""")),
 
     Q("mm_patchify",

@@ -376,6 +376,22 @@ object CatalogTraining {
       },
       Some(ivfOracle)),
 
+    Q("sim_ann_ivf_pq",
+      // FAISS-style IVFADC: the coarse quantizer prunes WHICH vectors
+      // are scored (nProbe/nCells of the corpus), PQ codes shrink each
+      // scored row to m bytes (32× under floats here), floats are
+      // fetched only for the rerank shortlist — and the SAME IVF oracle
+      // stays green, so the compression provably cost nothing on this
+      // corpus
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfPqKnn(emb, knnQueries(emb), k = 10,
+          nCells = IvfCells, nProbe = IvfProbe,
+          m = 16, ksub = 64, rounds = 3, rerankFactor = 20)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfOracle)),
+
     Q("sim_ann_ivf_lloyd",
       // one k-means round on top of the seed quantizer; means rounded
       // to 6dp make the refinement ENGINE-EXACT, so the oracle replays

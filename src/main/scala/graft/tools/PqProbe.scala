@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off PQ quantizer-quality probe: ADC recall@10 vs exact for a few
+  * (m, ksub, rounds) configs. Usage: runMain graft.tools.PqProbe <sfDir>
+  */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = graft.operators.Similarity.bruteForceKnn(emb, q, k = 10)
+      .select("query_id", "neighbor_id")
+    exact.persist(); val nExact = exact.count()
+    for ((m, ksub, rounds) <- Seq((8, 16, 1), (8, 16, 3), (16, 16, 1),
+        (16, 16, 3), (16, 64, 3), (32, 16, 3), (16, 32, 3))) {
+      val adc = graft.operators.Similarity.pqAdcTopK(emb, q, k = 10,
+        m = m, ksub = ksub, rounds = rounds)
+      val hit = exact.intersect(adc).count()
+      println(f"PQPROBE m=$m ksub=$ksub rounds=$rounds recall=${hit.toDouble / nExact}%.3f")
+    }
+    // end-to-end exactness: PQ + rerank must EQUAL brute force
+    val exactFull = graft.operators.Similarity.bruteForceKnn(emb, q, k = 10)
+    val pq = graft.operators.Similarity.pqKnn(emb, q, k = 10,
+      m = 16, ksub = 64, rounds = 3, rerankFactor = 20)
+    val diff = exactFull.exceptAll(pq).count() + pq.exceptAll(exactFull).count()
+    println(s"PQPROBE pqKnn-vs-exact diff_rows=$diff")
+    spark.stop()
+  }
+}
