@@ -171,6 +171,139 @@ object Multimodal {
       .withColumn("out_h", greatest(lit(1), floor(col("height") * scale)).cast("int"))
   }
 
+  /** JPEG staging + decode. JPEG's DCT + YCbCr round trip is lossy, so
+    * unlike the PNG/GIF path the decoded pixel can't be hash-compared
+    * to the recipe exactly; instead the decode emits the per-channel
+    * error of frame 0's top-left pixel against the recipe color, and
+    * the catalog row asserts a small bound (the recall-floor pattern:
+    * the bound is the invariant, dims/frame-count stay exact).
+    */
+  case class JpegMeta(doc_id: Long, byte_len: Long, width: Int, height: Int,
+      n_frames: Int, max_chan_err: Int)
+
+  /** Executor-side synthetic JPEG encoder: solid recipe color, default
+    * quality — a genuinely different (lossy) container than the PNG/GIF
+    * pair, so the sniffing decode path sees all three JDK codecs.
+    */
+  def encodeSyntheticJpeg(id: Long): BinDoc = {
+    val w = recipeWidth(id); val h = recipeHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(recipeRgb(id)))
+    g2.fillRect(0, 0, w, h)
+    g2.dispose()
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", baos)
+    BinDoc(id, baos.toByteArray)
+  }
+
+  /** Stage every doc as a real JPEG, decode through the shared
+    * `decodeImage` codec path, and score the lossy pixel error against
+    * the recipe. Dims and frame count come out of the codec exactly.
+    */
+  def documentJpegMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val m = decodeImage(encodeSyntheticJpeg(id))
+        val want = recipeRgb(id)
+        val err = Seq(16, 8, 0).map { sh =>
+          math.abs(((m.rgb0 >> sh) & 0xff) - ((want >> sh) & 0xff))
+        }.max
+        JpegMeta(id, m.byte_len, m.width, m.height, m.n_frames, err)
+      }).toDF()
+  }
+
+  // ------------------------------------------------------------ audio
+
+  /** WAV metadata decoded through the JDK's real audio codec
+    * (`javax.sound.sampled.AudioSystem`), plus the first PCM sample as
+    * the decoded-content proof — same contract as the image path's
+    * decoded pixel: a broken parse fails the hash.
+    */
+  case class AudioMeta(doc_id: Long, byte_len: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_samples: Long, duration_ms: Long,
+      first_sample: Int)
+
+  /** Deterministic synthetic audio recipe (id arithmetic, shared with
+    * the catalog oracle): sample rate from a small standard set, mono or
+    * stereo, 16-bit PCM, a few hundred samples, first sample value
+    * derived from the id.
+    */
+  def recipeSampleRate(id: Long): Int =
+    Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
+  def recipeChannels(id: Long): Int = 1 + (id % 2).toInt
+  def recipeSamples(id: Long): Int = 100 + (id % 400).toInt
+  def recipeFirstSample(id: Long): Int = ((id * 773) % 32768).toInt
+
+  /** Executor-side synthetic WAV encoder via `AudioSystem.write` — the
+    * JDK writes the RIFF/fmt/data chunks; samples are a deterministic
+    * ramp from the recipe's first sample (little-endian 16-bit PCM).
+    */
+  def encodeSyntheticWav(id: Long): BinDoc = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rate = recipeSampleRate(id); val chans = recipeChannels(id)
+    val n = recipeSamples(id); val first = recipeFirstSample(id)
+    val pcm = new Array[Byte](n * chans * 2)
+    var i = 0
+    while (i < n * chans) {
+      // ramp wraps in signed-16 space; every channel carries the ramp
+      val v = ((first + i / chans) % 32768).toShort
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, chans, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    BinDoc(id, baos.toByteArray)
+  }
+
+  /** Real WAV decode: `AudioSystem` parses the RIFF container (format,
+    * rate, channels, bit depth, frame count) and the stream yields the
+    * PCM payload; the first decoded sample proves content, duration is
+    * frames/rate floored to ms.
+    */
+  def decodeWav(doc: BinDoc): AudioMeta = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(doc.payload))
+    try {
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val frame0 = new Array[Byte](fmt.getFrameSize)
+      var read = 0
+      while (read < frame0.length) {
+        val k = ais.read(frame0, read, frame0.length - read)
+        require(k > 0, s"doc ${doc.doc_id}: truncated WAV payload")
+        read += k
+      }
+      val first = ((frame0(1) & 0xff) << 8) | (frame0(0) & 0xff)
+      AudioMeta(
+        doc.doc_id,
+        doc.payload.length.toLong,
+        sample_rate = fmt.getSampleRate.toInt,
+        channels = fmt.getChannels,
+        bits = fmt.getSampleSizeInBits,
+        n_samples = frames,
+        duration_ms = frames * 1000L / fmt.getSampleRate.toInt,
+        first_sample = first.toShort.toInt)
+    } finally ais.close()
+  }
+
+  /** Stage a real WAV per doc (executor-side), decode it back through
+    * `javax.sound.sampled` — encode→decode round trip like
+    * [[documentImageMeta]], so the oracle checks codec output, not
+    * recipe arithmetic echoed back.
+    */
+  def documentAudioMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => decodeWav(encodeSyntheticWav(id)))).toDF()
+  }
+
   /** ViT-style patch-grid planning over (out_w, out_h) images: the grid
     * is ceil-division arithmetic (right/bottom edge patches padded), and
     * one row per patch with its pixel box comes from a partition-local
