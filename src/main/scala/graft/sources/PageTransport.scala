@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** The live-transport half of the connector adapter seam (reference
+  * `jira/lib/changelog-client.js` / `slack/lib/api.js`: every page fetch
+  * runs under a 429/Retry-After + transient-error retry loop). Staged
+  * page files keep reading straight off disk; an `http(s)://` page
+  * location goes through a bounded retry loop honoring `Retry-After`,
+  * with linear backoff when the server doesn't say. Executor-side, one
+  * client per JVM (connection reuse across a partition's pages —
+  * the same reuse the reference gets from its shared axios instance).
+  */
+object PageTransport {
+
+  private lazy val client: HttpClient = HttpClient.newHttpClient()
+
+  /** Cap on a single Retry-After-directed sleep: a throttling server
+    * can ask for minutes; a batch reader should fail the task and let
+    * Spark's task retry (with its own backoff) own long waits instead
+    * of pinning an executor thread.
+    */
+  private val MaxSleepMs = 5000L
+
+  def isHttp(location: String): Boolean =
+    location.startsWith("http://") || location.startsWith("https://")
+
+  /** Read one page body. Local path → file read (staged form, zero
+    * egress). URL → GET with `maxAttempts` tries: 2xx returns the body;
+    * 429 and 5xx sleep (Retry-After seconds if sent, else linear
+    * backoff) and retry; other 4xx fail immediately (the reference
+    * treats auth/404 as page-fatal, not retryable); exhausted retries
+    * throw so the task fails loudly rather than silently dropping rows.
+    */
+  def readPage(location: String, maxAttempts: Int = 4,
+      sleep: Long => Unit = Thread.sleep): String = {
+    if (!isHttp(location))
+      return java.nio.file.Files.readString(java.nio.file.Path.of(location))
+    var attempt = 0
+    var lastStatus = -1
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val resp: Either[Exception, HttpResponse[String]] =
+        try Right(client.send(
+          HttpRequest.newBuilder(URI.create(location)).GET().build(),
+          HttpResponse.BodyHandlers.ofString()))
+        catch { case e: java.io.IOException => Left(e) }
+      resp match {
+        case Right(r) if r.statusCode() / 100 == 2 => return r.body()
+        case Right(r) if r.statusCode() == 429 || r.statusCode() >= 500 =>
+          lastStatus = r.statusCode()
+          if (attempt < maxAttempts) {
+            val retryAfterMs = r.headers().firstValue("Retry-After")
+              .map[Long](s => try s.trim.toLong * 1000L
+                catch { case _: NumberFormatException => 100L * attempt })
+              .orElse(100L * attempt)
+            sleep(math.min(math.max(retryAfterMs, 0L), MaxSleepMs))
+          }
+        case Right(r) =>
+          throw new java.io.IOException(
+            s"page fetch $location failed: HTTP ${r.statusCode()} (not retryable)")
+        case Left(e) =>
+          lastStatus = -1
+          if (attempt < maxAttempts) sleep(100L * attempt) else throw e
+      }
+    }
+    throw new java.io.IOException(
+      s"page fetch $location failed after $maxAttempts attempts" +
+        (if (lastStatus > 0) s" (last HTTP $lastStatus)" else ""))
+  }
+
+  /** Partition locations for a source `path`: an `http(s)://` path is a
+    * comma-separated page-URL list (the paginated fetch's work list —
+    * cursor pagination would discover these from the first response);
+    * anything else is a staged directory listed for `.json` pages.
+    */
+  def pageLocations(path: String): Seq[String] =
+    if (isHttp(path)) path.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    else Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .map(_.getAbsolutePath).toSeq
+}

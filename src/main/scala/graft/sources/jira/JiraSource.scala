@@ -137,12 +137,12 @@ case class JiraScan(path: String, required: StructType, pushed: Array[Filter])
     s"JiraScan path=$path, jql=[$jql], fields=[${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val pages = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
     // one partition per API page — the connector-side analog of the
-    // reference's pagination (page size bounds partition size)
-    pages.map(f => JiraPagePartition(f.getAbsolutePath): InputPartition)
+    // reference's pagination (page size bounds partition size). An
+    // http(s) path lists page URLs instead of staged files; the reader
+    // then fetches through the retrying transport.
+    graft.sources.PageTransport.pageLocations(path)
+      .map(l => JiraPagePartition(l): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -173,7 +173,10 @@ class JiraPartitionReader(file: String, required: StructType,
     // bound must fail the task loudly, not silently empty the partition.
     val parsed: Option[List[JsonNode]] =
       try {
-        val text = java.nio.file.Files.readString(java.nio.file.Path.of(file))
+        // staged file or live URL — the transport owns 429/Retry-After
+        // and transient-5xx retries; a still-failing fetch lands in the
+        // fail-open catch below exactly like an unreadable page file
+        val text = graft.sources.PageTransport.readPage(file)
         val root = mapper.readTree(text)
         if (root == null) Some(Nil)
         else if (root.isArray) Some(root.elements().asScala.toList)

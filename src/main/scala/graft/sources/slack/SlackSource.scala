@@ -93,6 +93,13 @@ case class SlackScan(path: String, required: StructType, pushed: Array[Filter])
 
   override def planInputPartitions(): Array[InputPartition] = {
     val channelFilter = pushed.collectFirst { case EqualTo("channel", v) => v.toString }
+    // http(s) path = page-URL list fetched via the retrying transport;
+    // planning-time channel pruning is a staged-file optimization (the
+    // HTTP form prunes from conversations.list instead), so URL pages
+    // rely on the reader's channel filter
+    if (graft.sources.PageTransport.isHttp(path))
+      return graft.sources.PageTransport.pageLocations(path)
+        .map(l => SlackChannelPartition(l): InputPartition).toArray
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".json")).sortBy(_.getName)
       // channel pruning at PLANNING time: skip whole channels (the
@@ -158,7 +165,8 @@ class SlackPartitionReader(file: String, required: StructType,
 
   private val mapper = new ObjectMapper()
   private val (channelName, messages) = {
-    val root = mapper.readTree(new java.io.File(file))
+    // staged file or live URL — the transport owns 429/Retry-After
+    val root = mapper.readTree(graft.sources.PageTransport.readPage(file))
     val name = root.path("channel").path("name").asText()
     (name, root.path("messages").elements().asScala.filter(keep(name)))
   }
