@@ -74,8 +74,22 @@ object Scale {
     * per-key total — instead of inferring it from task-time skew.
     */
   def saltedJoinDiag(big: DataFrame, small: DataFrame, key: String,
-      saltBuckets: Int): DataFrame = {
-    val saltedBig = big.withColumn("_salt", contentSalt(big, saltBuckets))
+      saltBuckets: Int): DataFrame =
+    saltedJoinDiagWith(big, small, key,
+      contentSalt(big, saltBuckets), saltBuckets)
+
+  /** [[saltedJoinDiag]] with a caller-supplied salt column. The default
+    * content salt is xxhash64 (fastest, codegen'd); pass an
+    * engine-portable salt (e.g. `Dedup.portableHash64(...) & (buckets-1)`)
+    * when the spread diagnostics must be replayable outside Spark — the
+    * correctness harness uses this so DuckDB can re-derive the
+    * per-bucket partials instead of trusting the Spark side's booleans.
+    * The salt must be deterministic from row content (see
+    * [[saltedJoin]]'s retry note) and land in [0, saltBuckets).
+    */
+  def saltedJoinDiagWith(big: DataFrame, small: DataFrame, key: String,
+      salt: Column, saltBuckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt", salt)
     val partials = saltedBig
       .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
     val saltedSmall = small

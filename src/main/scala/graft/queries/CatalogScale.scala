@@ -649,10 +649,12 @@ object CatalogScale {
       // The win is reported structurally, not by wall clock: unsalted,
       // the hot key's rows all land in ONE join task (`total` rows);
       // salted, the largest (key, salt) task carries `max_partial` ≈
-      // total/8. `n_salts`=8 and the 4× headroom bound are deterministic
-      // for this data (content-hash salt over fixed rows) and verified
-      // at all three SFs; keys too small to spread (< 64 rows) are
-      // filtered — salting only exists for keys that dwarf a task.
+      // total/8. The salt here is the engine-portable md5 hash (the
+      // hh_cms_mergeable pattern) so the oracle RE-DERIVES every
+      // boolean — n_salts, the 4× spread bound, join exactness — from
+      // the staged relation instead of pinning literals (VERDICT r6 #6).
+      // Keys too small to spread (< 64 rows) are filtered — salting
+      // only exists for keys that dwarf a task.
       (s, d) => {
         val skewed = events(s, d)
           .select(
@@ -660,7 +662,10 @@ object CatalogScale {
               .otherwise(col("event_type")).as("k"),
             col("event_id"))
         val dim = skewed.groupBy("k").agg(count(lit(1)).as("dim_total"))
-        val joined = Scale.saltedJoinDiag(skewed, dim, "k", 8)
+        val salt = Dedup.portableHash64(
+            concat(col("k"), lit(":"), col("event_id").cast("string")))
+          .bitwiseAND(lit(7L))
+        val joined = Scale.saltedJoinDiagWith(skewed, dim, "k", salt, 8)
         joined
           .groupBy("k")
           .agg(count(lit(1)).as("total"),
@@ -676,13 +681,28 @@ object CatalogScale {
       },
       Some("""WITH skewed AS (
                 SELECT CASE WHEN event_id % 10 < 8 THEN 'hot'
-                       ELSE event_type END AS k
-                FROM events)
-              SELECT k, count(*) AS total,
-                     true AS join_exact,
-                     true AS all_salts_used,
-                     true AS spread_won
-              FROM skewed GROUP BY k HAVING count(*) >= 64 ORDER BY k""")),
+                       ELSE event_type END AS k,
+                       event_id
+                FROM events),
+              salted AS (
+                SELECT k,
+                       (('0x' || substr(md5(k || ':' || event_id), 1, 16))
+                         ::UBIGINT & 7) AS salt
+                FROM skewed),
+              partials AS (
+                SELECT k, salt, count(*) AS partial
+                FROM salted GROUP BY 1, 2),
+              agg AS (
+                SELECT k, sum(partial)::BIGINT AS total, count(*) AS n_salts,
+                       max(partial) AS max_partial
+                FROM partials GROUP BY 1),
+              dim AS (SELECT k, count(*) AS dim_total FROM skewed GROUP BY 1)
+              SELECT a.k, a.total,
+                     d.dim_total = a.total AS join_exact,
+                     a.n_salts = 8 AS all_salts_used,
+                     a.max_partial * 4 <= a.total AS spread_won
+              FROM agg a JOIN dim d ON a.k = d.k
+              WHERE a.total >= 64 ORDER BY a.k""")),
 
     // ===================================================== similarity
     Q("sim_knn_cosine",
