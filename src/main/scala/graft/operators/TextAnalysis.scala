@@ -260,6 +260,58 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Stupid-backoff bigram mean log-prob — the cheap-perplexity LM
+    * quality filter most pipelines actually run (one step up from
+    * [[unigramLogProb]]). Score of token i given i-1:
+    * `ln(c(prev,cur)/c(prev))` when the bigram survives the min-count
+    * prune, else the backoff `ln(alpha * c(cur)/N)` (Brants et al.'s
+    * "stupid backoff", alpha=0.4). Pruning singleton bigrams
+    * (`minBigramCount`=2) is what makes the backoff path real when the
+    * model is estimated on the corpus being scored. Also reports
+    * `backoff_rate` — the fraction of a doc's bigrams that fell back,
+    * itself a strong OOV/gibberish signal.
+    *
+    * Shape at 100 TB: bigram extraction is a pure array projection (no
+    * per-doc window shuffle); the model tables are (vocab)- and
+    * (pruned-bigram)-sized partial aggs; scoring re-joins the token
+    * stream against those tables on word keys — AQE broadcasts them
+    * while they fit, and the final per-doc stats are one partial agg.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      minBigramCount: Int = 2, alpha: Double = 0.4): DataFrame = {
+    val base = Dedup.widen(docs)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+    val tok = base.select(col("doc_id"), explode(col("ws")).as("w"))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").cast("long").as("n"))
+    // Spark's sequence(1, 0) counts DOWN — guard docs with < 2 tokens
+    // to an empty index array instead
+    val idx = when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bg = base
+      .select(col("doc_id"), explode(transform(idx,
+        i => struct(element_at(col("ws"), i).as("prev"),
+          element_at(col("ws"), i + 1).as("cur")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bgf = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cbg"))
+      .filter(col("cbg") >= minBigramCount)
+    val scored = bg
+      .join(uni.select(col("w").as("prev"), col("c").as("cprev")), Seq("prev"))
+      .join(uni.select(col("w").as("cur"), col("c").as("ccur")), Seq("cur"))
+      .join(bgf, Seq("prev", "cur"), "left")
+      .join(broadcast(total))
+      .select(col("doc_id"),
+        when(col("cbg").isNotNull,
+          log(col("cbg").cast("double") / col("cprev").cast("double")))
+          .otherwise(log(lit(alpha) * col("ccur").cast("double") /
+            col("n").cast("double"))).as("lp"),
+        when(col("cbg").isNull, lit(1.0)).otherwise(lit(0.0)).as("bo"))
+    scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      round(avg("lp"), 4).as("avg_logprob"),
+      round(avg("bo"), 4).as("backoff_rate"))
+  }
+
   /** Shannon entropy of the per-document character distribution
     * (bits/char) — the classic cheap gibberish detector: natural prose
     * sits ~4-4.5 bits, base64/hex blobs and mojibake run high, repeated-

@@ -267,6 +267,43 @@ object CatalogTraining {
               FROM tok JOIN freq USING (w) CROSS JOIN tot
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("ta_bigram_logprob",
+      // stupid-backoff bigram mean log-prob (VERDICT r6 #7): singleton
+      // bigrams are pruned from the model so the backoff branch really
+      // fires; the oracle rebuilds both model tables and the per-doc
+      // mean + backoff_rate from the raw text
+      (s, d) => graft.operators.TextAnalysis
+        .bigramLogProb(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents),
+              uni AS (SELECT w, count(*) AS c
+                      FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+              bg AS (SELECT doc_id, ws[pos] AS prev, ws[pos + 1] AS cur
+                     FROM (SELECT doc_id, ws,
+                             UNNEST(generate_series(1, len(ws) - 1)) AS pos
+                           FROM d)),
+              bgf AS (SELECT prev, cur, count(*) AS cbg FROM bg
+                      GROUP BY 1, 2 HAVING count(*) >= 2),
+              scored AS (
+                SELECT b.doc_id,
+                       CASE WHEN f.cbg IS NOT NULL
+                            THEN ln(CAST(f.cbg AS DOUBLE) / CAST(up.c AS DOUBLE))
+                            ELSE ln(0.4 * CAST(uc.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       END AS lp,
+                       CASE WHEN f.cbg IS NULL THEN 1.0 ELSE 0.0 END AS bo
+                FROM bg b
+                JOIN uni up ON up.w = b.prev
+                JOIN uni uc ON uc.w = b.cur
+                LEFT JOIN bgf f ON f.prev = b.prev AND f.cur = b.cur
+                CROSS JOIN tot t)
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(avg(lp), 4) AS avg_logprob,
+                     round(avg(bo), 4) AS backoff_rate
+              FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("td_mix_report",
       // final mixture composition after domain weighting: replicas,
       // tokens, and each source's token share of the training mix —

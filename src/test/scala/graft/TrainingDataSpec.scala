@@ -190,6 +190,28 @@ class TrainingDataSpec extends AnyFunSuite {
       BigDecimal(math.log(0.25)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("bigramLogProb: backoff fires on pruned bigrams, hand-checked") {
+    // corpus: doc1 "a b a b", doc2 "a b c". Bigram counts: (a,b)=3 kept;
+    // (b,a)=1 and (b,c)=1 pruned (minBigramCount=2) -> backoff.
+    // Unigrams: a=3, b=3, c=1, N=7.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpAB = math.log(3.0 / 3.0)                 // kept bigram
+    val lpBA = math.log(0.4 * 3.0 / 7.0)           // backoff via c(a)
+    val lpBC = math.log(0.4 * 1.0 / 7.0)           // backoff via c(c)
+    assert(got(1L) == ((3L, r4((lpAB + lpBA + lpAB) / 3), r4(1.0 / 3))))
+    assert(got(2L) == ((2L, r4((lpAB + lpBC) / 2), r4(1.0 / 2))))
+    // a single-token doc has no bigrams and must not crash or appear
+    val single = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis
+      .bigramLogProb(single, "doc_id", "text").count() == 0)
+  }
+
   test("ivfKnn: probing all cells equals brute force") {
     val vecs = (0L until 20L).map { i =>
       (i, Seq.tabulate(4)(j => (math.sin(i * 7 + j) * 10).toFloat))
