@@ -249,25 +249,92 @@ object Dedup {
     * shingle Jaccard at `num/den`. This is the 100 TB path: candidate
     * generation is an equi-join on (band, bandHash), never all-pairs.
     */
-  def minHashLshPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sh = trackedPersist(shingleRows(docs, idCol, textCol, k))
-    val sigs = minHashSignatures(sh, numHashes)
-    val bandRows = sigs.select(
+  /** (doc_id, band, bkey) rows from a signature relation: the LSH
+    * banding projection shared by the from-scratch, incremental, and
+    * streaming candidate paths.
+    */
+  private def lshBandRows(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs.select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             h => h.cast("string")))))).as(Seq("band", "bkey")))
+
+  def minHashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = trackedPersist(shingleRows(docs, idCol, textCol, k))
+    val sigs = minHashSignatures(sh, numHashes)
+    val bandRows = lshBandRows(sigs, bands, rowsPerBand)
     val l = bandRows.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
     val r = bandRows.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
     val candidates = l.join(r, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     verifyJaccard(candidates, sh, num, den)
+  }
+
+  /** Incremental MinHash-LSH near-dup pairs (batch analog of
+    * `streaming.StreamingOps.lshCandidateStream`): the already-ingested
+    * corpus's signature relation and verified pair set are persisted
+    * once as a `core.CacheTable` snapshot under `indexDir`; a new
+    * ingest batch (rows where `isNew`) signs ONLY its own docs and
+    * band-joins them against the cached signatures plus itself, so
+    * re-runs never re-shingle, re-sign, or re-pair the existing corpus.
+    * Exact-Jaccard verification recomputes shingles only for docs that
+    * appear in a candidate pair (a semi-join that prunes the text scan),
+    * making the per-batch cost O(batch + candidates), not O(corpus).
+    * The union with the snapshot's pair set equals the from-scratch
+    * [[minHashLshPairs]] answer on the whole corpus — oracled as
+    * `inc_dedup_pairs`.
+    */
+  def incrementalLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      isNew: Column, k: Int, numHashes: Int, bands: Int, num: Int, den: Int,
+      indexDir: String): DataFrame = {
+    import graft.core.CacheTable
+    val spark = docs.sparkSession
+    val rowsPerBand = numHashes / bands
+    // snapshot timestamps are fixed literals: the index content is a
+    // pure function of the base corpus, so re-runs stay deterministic
+    val (ttlMs, nowMs) = (86400000L, 1L)
+    val named = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text_c"), isNew.as("_new"))
+    val sigPath = s"$indexDir/sigs"
+    val pairPath = s"$indexDir/pairs"
+    if (CacheTable.loadFresh(spark, sigPath, "doc_id", ttlMs, nowMs).isEmpty) {
+      val base = named.filter(!col("_new"))
+      val shB = trackedPersist(shingleRows(base, "doc_id", "text_c", k))
+      CacheTable.put(minHashSignatures(shB, numHashes), sigPath, nowMs)
+      CacheTable.put(
+        minHashLshPairs(base, "doc_id", "text_c", k, numHashes, bands, num, den)
+          .withColumn("_pk", concat_ws(",", col("id_a"), col("id_b"))),
+        pairPath, nowMs)
+    }
+    val cachedSigs = CacheTable.loadFresh(spark, sigPath, "doc_id", ttlMs, nowMs).get
+    val cachedPairs = CacheTable.loadFresh(spark, pairPath, "_pk", ttlMs, nowMs)
+      .get.drop("_pk")
+    val shD = trackedPersist(
+      shingleRows(named.filter(col("_new")), "doc_id", "text_c", k))
+    val deltaBands = trackedPersist(
+      lshBandRows(minHashSignatures(shD, numHashes), bands, rowsPerBand))
+    val allBands = lshBandRows(cachedSigs, bands, rowsPerBand)
+      .unionByName(deltaBands)
+    val cand = deltaBands
+      .select(col("band"), col("bkey"), col("doc_id").as("id_x"))
+      .join(allBands.select(col("band"), col("bkey"), col("doc_id").as("id_y")),
+        Seq("band", "bkey"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b"))).distinct()
+    val shCand = shingleRows(named.join(candIds, "doc_id"), "doc_id", "text_c", k)
+    verifyJaccard(cand, shCand, num, den).unionByName(cachedPairs)
   }
 
   /** Exact Jaccard for an explicit candidate-pair set (post-LSH verify).

@@ -101,6 +101,23 @@ object CatalogScale {
         .orderBy("id_a", "id_b"),
       Some(jaccardOracle)),
 
+    Q("inc_dedup_pairs",
+      // incremental dedup index (VERDICT r6 #8): 20% of docs
+      // (doc_id % 5 = 0) arrive as a "new batch"; the base corpus's
+      // signatures + verified pairs are staged once as a CacheTable
+      // snapshot, and only the batch is signed and band-joined against
+      // it. Carrying dedup_jaccard's exact oracle proves the
+      // incremental union equals the from-scratch answer.
+      (s, d) => {
+        val sfx = java.lang.Integer.toHexString(d.hashCode)
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_$sfx"
+        Dedup.incrementalLshPairs(t(s, d, "documents"), "doc_id", "text",
+          col("doc_id") % 5 === 0, k = 5, numHashes = 64, bands = 16,
+          num = 4, den = 5, idx)
+          .orderBy("id_a", "id_b")
+      },
+      Some(jaccardOracle)),
+
     Q("dedup_simhash",
       // the checked path runs on the engine-portable md5 shingle hash so
       // DuckDB can rebuild the ENTIRE simhash — shingles, bit votes,

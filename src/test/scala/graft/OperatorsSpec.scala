@@ -148,6 +148,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
   }
 
+  test("incrementalLshPairs: equals from-scratch; snapshot built once") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"),   // near-dup of 1 (base)
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // new batch, dup of 1
+      (15L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")  // new batch, unique
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_spec").toString
+    def run() = Dedup.incrementalLshPairs(docs, "doc_id", "text",
+      isNew = $"doc_id" >= 10L, k = 3, numHashes = 64, bands = 16,
+      num = 1, den = 2, idx).as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    val scratch = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, num = 1, den = 2)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val first = run()
+    assert(first == scratch, s"incremental $first vs from-scratch $scratch")
+    assert(first.contains((1L, 10L)), "cross base/batch dup found")
+    assert(first.contains((1L, 2L)), "base-base pair carried from snapshot")
+    // the bootstrap wrote exactly one snapshot generation; a re-run
+    // reuses it (no second _fetched_at batch appended)
+    def gens(p: String) = spark.read.parquet(p)
+      .select("_fetched_at").distinct().count()
+    assert(gens(s"$idx/sigs") == 1 && gens(s"$idx/pairs") == 1)
+    assert(run() == scratch, "re-run against the existing snapshot")
+    assert(gens(s"$idx/sigs") == 1, "re-run did not rebuild the index")
+  }
+
   test("simhash: identical docs at hamming 0, disjoint docs apart") {
     val docs = Seq(
       (1L, "p q r s t u v w"),

@@ -37,6 +37,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     // cross join (a handful of query rows × broadcast centroids); the
     // probe itself is an equi-join on the cell id
     "sim_ann_ivf_int8",
+    // flat PQ: the asymmetric-distance scan scores the broadcast
+    // per-query lookup tables against the code index (the
+    // sim_knn_cosine shape over m-byte codes); rerank fetch is an
+    // equi-join. The recall row adds single-row aggregate cross joins
+    "sim_ann_pq", "sim_ann_pq_recall",
+    // IVF × PQ: sim_ann_ivf's query-side centroid cross join plus the
+    // broadcast LUT probe confined to the routed cells (equi-join on
+    // cell id)
+    "sim_ann_ivf_pq",
+    // bigram LM broadcasts the SINGLE-ROW corpus-total aggregate into
+    // the backoff projection (the ta_unigram_logprob pattern)
+    "ta_bigram_logprob",
     // broadcasts the SINGLE-ROW corpus-total aggregate into the
     // per-token score projection
     "ta_unigram_logprob",
