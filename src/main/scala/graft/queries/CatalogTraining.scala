@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, TrainingData}
+import graft.operators.{Bpe, Similarity, TrainingData}
 
 /** Training-data assembly catalog: stratified sampling, domain-mix
   * upsampling, sequence packing, benchmark decontamination, IVF ANN —
@@ -21,6 +21,12 @@ object CatalogTraining {
 
   private def knnQueries(emb: DataFrame): DataFrame =
     CatalogScale.knnQueries(emb)
+
+  /** Merge-table size for the BPE rows: 20 rounds keeps the generated
+    * oracle chain tractable while producing multi-char merged tokens
+    * (the interesting regime); the library API itself is uncapped.
+    */
+  private val BpeMerges = 20
 
   /** IVF params: 16 cells (seed centroids = first 16 vectors), probe 4.
     * The recall row quantifies what that probe width buys on this data.
@@ -303,6 +309,84 @@ object CatalogTraining {
                      round(avg(lp), 4) AS avg_logprob,
                      round(avg(bo), 4) AS backoff_rate
               FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q("ta_bpe_merges",
+      // the learned BPE merge table itself (VERDICT r6 #3): 20 ranked
+      // merges trained distributed (one corpus shuffle, then vocab-sized
+      // rounds). The oracle RETRAINS in SQL — pair counts, the
+      // count-desc/pair-asc arg-max, and the list_reduce greedy fold per
+      // round — so a wrong tie-break or fold breaks the hash.
+      (s, d) => {
+        val merges = Bpe.trainCached(t(s, d, "documents"), "text",
+          BpeMerges, d)
+        import s.implicits._
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, s"$a $b") }
+          .toDF("rank", "pair").orderBy("rank")
+      },
+      Some(Bpe.oracleChainSql(BpeMerges) + s"""
+              SELECT rank, pair FROM (${
+        (1 to BpeMerges).map(i =>
+          s"SELECT $i AS rank, pr AS pair FROM b$i").mkString("\n                UNION ALL ")
+      }) u ORDER BY rank""")),
+
+    Q("ta_bpe_tokens",
+      // trainer-accurate per-doc token counts: pre-tokenize, broadcast-
+      // join the trained vocab's per-word symbol counts, re-agg to doc
+      // grain. The oracle replays training AND application end-to-end.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Bpe.tokenCounts(docs, "doc_id", "text",
+            Bpe.trainCached(docs, "text", BpeMerges, d))
+          .orderBy("doc_id")
+      },
+      Some(Bpe.oracleChainSql(BpeMerges) + s""",
+              vfinal AS (SELECT word, len(string_split(sym, ' ')) AS n_tok
+                         FROM s$BpeMerges),
+              dw AS (SELECT doc_id, w AS word FROM (
+                       SELECT doc_id, unnest(string_split_regex(lower(text),
+                         '[^a-z]+')) AS w
+                       FROM documents)
+                     WHERE w <> '')
+              SELECT doc_id, count(*) AS n_words,
+                     sum(v.n_tok)::BIGINT AS bpe_tokens
+              FROM dw JOIN vfinal v USING (word)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q("td_pack_bpe",
+      // td_pack_sequences on REAL BPE counts instead of whitespace
+      // estimates — the packing a trainer would actually see at a
+      // 256-token budget per language stream
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = Bpe.tokenCounts(docs, "doc_id", "text",
+          Bpe.trainCached(docs, "text", BpeMerges, d))
+        val df = docs.select(col("lang"), col("doc_id"))
+          .join(counts.select(col("doc_id"), col("bpe_tokens")), "doc_id")
+        TrainingData.packSequences(df, "lang", "doc_id",
+            col("bpe_tokens"), budget = 256)
+          .orderBy("lang", "doc_id")
+      },
+      Some(Bpe.oracleChainSql(BpeMerges) + s""",
+              vfinal AS (SELECT word, len(string_split(sym, ' ')) AS n_tok
+                         FROM s$BpeMerges),
+              dw AS (SELECT doc_id, w AS word FROM (
+                       SELECT doc_id, unnest(string_split_regex(lower(text),
+                         '[^a-z]+')) AS w
+                       FROM documents)
+                     WHERE w <> ''),
+              cnts AS (SELECT doc_id, sum(v.n_tok)::BIGINT AS bpe
+                       FROM dw JOIN vfinal v USING (word) GROUP BY doc_id),
+              packed AS (SELECT d.lang, d.doc_id, c.bpe AS n_tok,
+                       CAST(sum(c.bpe) OVER (PARTITION BY d.lang
+                         ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                     FROM documents d JOIN cnts c USING (doc_id)
+                     WHERE c.bpe >= 1)
+              SELECT lang, doc_id, n_tok,
+                     (cum - n_tok) // 256 AS chunk_first,
+                     (cum - 1) // 256 AS chunk_last
+              FROM packed ORDER BY lang, doc_id""")),
 
     Q("td_mix_report",
       // final mixture composition after domain weighting: replicas,

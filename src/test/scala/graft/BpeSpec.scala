@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+/** Pins Bpe against an independent SEQUENTIAL reference implementation
+  * (the subword-nmt textbook algorithm, driver-side lists): same merge
+  * choices, same tie-breaks, same greedy left-aligned application —
+  * a third code path next to the Spark fold and the DuckDB replay.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refApplyOne(syms: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var rest = syms
+    while (rest.nonEmpty) rest match {
+      case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+      case x :: tail => out += x; rest = tail
+      case Nil => ()
+    }
+    out.toList
+  }
+
+  private def refTrain(words: Map[String, Long],
+      n: Int): List[(String, String)] = {
+    var vocab = words.map { case (w, f) =>
+      (w.map(_.toString).toList :+ Bpe.Marker, f)
+    }.toList
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    for (_ <- 1 to n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      val (a, b) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, x + " " + y) }._1
+      out += ((a, b))
+      vocab = vocab.map { case (syms, f) => (refApplyOne(syms, a, b), f) }
+    }
+    out.toList
+  }
+
+  test("train matches the sequential reference, incl. ties and runs") {
+    // 'aaaa' forces the left-aligned-run case: merge (a,a) must yield
+    // 'aa aa _', never 'aa a a _'
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cats sat there"),
+      (3L, "aaaa aaaa baaa the then"))
+    val docs = corpus.toDF("doc_id", "text")
+    val wordFreq = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val got = Bpe.train(docs, "text", 10)
+    val ref = refTrain(wordFreq, 10)
+    assert(got == ref, s"spark $got vs reference $ref")
+  }
+
+  test("fold application is canonical greedy (left-aligned on runs)") {
+    assert(Bpe.applyMergesScala("aaaa", Seq(("a", "a")))
+      == List("aa", "aa", Bpe.Marker))
+    assert(Bpe.applyMergesScala("aaaaa", Seq(("a", "a")))
+      == List("aa", "aa", "a", Bpe.Marker))
+    // merged symbols don't re-match as left operands in the same pass
+    assert(Bpe.applyMergesScala("aaa", Seq(("a", "a"), ("aa", "a")))
+      == List("aaa", Bpe.Marker))
+  }
+
+  test("tokenCounts equals per-word scala application of the merges") {
+    val docs = Seq(
+      (1L, "The cat, the CAT—and a mat!"),
+      (2L, "aaaa and then the cat sat")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 6)
+    val got = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = Seq(
+      (1L, "The cat, the CAT—and a mat!"),
+      (2L, "aaaa and then the cat sat")).map { case (id, text) =>
+      val ws = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      id -> ((ws.length.toLong,
+        ws.map(w => Bpe.applyMergesScala(w, merges).length.toLong).sum))
+    }.toMap
+    assert(got == expected)
+  }
+}
