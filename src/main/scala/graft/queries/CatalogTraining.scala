@@ -388,6 +388,44 @@ object CatalogTraining {
                      (cum - 1) // 256 AS chunk_last
               FROM packed ORDER BY lang, doc_id""")),
 
+    Q("td_temp_mix_bpe",
+      // td_temperature_mix on REAL BPE counts (tau = 2): domain shares
+      // a loader would draw with under the trained tokenizer; the
+      // oracle retrains the tokenizer and renormalizes from scratch
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = Bpe.tokenCounts(docs, "doc_id", "text",
+          Bpe.trainCached(docs, "text", BpeMerges, d))
+        val df = docs.select(col("source"), col("doc_id"))
+          .join(counts.select(col("doc_id"), col("bpe_tokens")), "doc_id")
+        TrainingData.temperatureMix(df, "source", col("bpe_tokens"),
+            temperature = 2.0)
+          .orderBy("source")
+      },
+      Some(Bpe.oracleChainSql(BpeMerges) + s""",
+              vfinal AS (SELECT word, len(string_split(sym, ' ')) AS n_tok
+                         FROM s$BpeMerges),
+              dw AS (SELECT doc_id, w AS word FROM (
+                       SELECT doc_id, unnest(string_split_regex(lower(text),
+                         '[^a-z]+')) AS w
+                       FROM documents)
+                     WHERE w <> ''),
+              cnts AS (SELECT doc_id, sum(v.n_tok)::BIGINT AS bpe
+                       FROM dw JOIN vfinal v USING (word) GROUP BY doc_id),
+              g AS (SELECT d.source, CAST(sum(c.bpe) AS BIGINT) AS n_tokens
+                    FROM documents d JOIN cnts c USING (doc_id)
+                    GROUP BY d.source),
+              r AS (SELECT source, n_tokens,
+                      CAST(n_tokens AS DOUBLE) /
+                        (SELECT sum(CAST(n_tokens AS DOUBLE)) FROM g) AS raw,
+                      pow(CAST(n_tokens AS DOUBLE) /
+                        (SELECT sum(CAST(n_tokens AS DOUBLE)) FROM g),
+                          0.5) AS p
+                    FROM g)
+              SELECT source, n_tokens, round(raw, 4) AS raw_share,
+                     round(p / (SELECT sum(p) FROM r), 4) AS temp_share
+              FROM r ORDER BY source""")),
+
     Q("td_mix_report",
       // final mixture composition after domain weighting: replicas,
       // tokens, and each source's token share of the training mix —

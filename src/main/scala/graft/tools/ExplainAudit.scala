@@ -26,7 +26,11 @@ object ExplainAudit {
         // round 6: real-codec multimodal decode, skewed salted join,
         // A1 render grouping, nativized text-scoring projections
         "mm_binary_meta", "scale_skew_salted_spread",
-        "a1_employee_grouping", "ta_entropy", "ta_repetition")
+        "a1_employee_grouping", "ta_entropy", "ta_repetition",
+        // round 7: BPE application join, incremental LSH, PQ probe,
+        // bigram LM model joins
+        "ta_bpe_tokens", "inc_dedup_pairs", "sim_ann_ivf_pq",
+        "ta_bigram_logprob")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
