@@ -221,7 +221,9 @@ object Bpe {
   /** Per-doc trainer-accurate token counts: explode the pre-tokenizer,
     * broadcast-join the vocab's per-word token counts, one partial agg
     * back to doc grain. At 100 TB the join side is vocab-sized —
-    * broadcast while it fits, plain equi-join beyond.
+    * broadcast while it fits, plain equi-join beyond. Only valid when
+    * `docs` IS the training corpus (every word has a vocab row);
+    * tokenizing unseen text goes through [[tokenCountsApply]].
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
@@ -229,4 +231,30 @@ object Bpe {
       .join(broadcast(vocab(docs, textCol, merges).select("word", "n_tok")), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_tok").cast("long").as("bpe_tokens"))
+
+  /** Tokenize ARBITRARY text with a trained model — the inference path
+    * for data the model never saw (new ingest batches, eval sets). The
+    * merge table rides a broadcast; each partition folds its words
+    * through [[applyMergesScala]] with a per-partition word->count memo
+    * (Zipf makes the hit rate high), so cost is O(distinct words per
+    * partition × merges), no join, no shuffle beyond the final per-doc
+    * partial agg. Matches [[tokenCounts]] exactly on in-corpus text.
+    */
+  def tokenCountsApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(preTokens(col(textCol))).as("word"))
+    import spark.implicits._
+    toks.as[(Long, String)].mapPartitions { it =>
+      val m = bc.value
+      val memo = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (id, w) =>
+        (id, memo.getOrElseUpdate(w, applyMergesScala(w, m).length.toLong))
+      }
+    }.toDF("doc_id", "n_tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").cast("long").as("bpe_tokens"))
+  }
 }

@@ -66,6 +66,26 @@ class BpeSpec extends AnyFunSuite {
       == List("aaa", Bpe.Marker))
   }
 
+  test("tokenCountsApply tokenizes unseen text and matches the join path") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cats sat there then")).toDF("doc_id", "text")
+    val merges = Bpe.train(train, "text", 8)
+    // in-corpus: the vocab-join path and the broadcast-apply path agree
+    val joinPath = Bpe.tokenCounts(train, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val applyPath = Bpe.tokenCountsApply(train, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(joinPath == applyPath)
+    // out-of-corpus words tokenize via the merge fold, not a vocab row
+    val unseen = Seq((9L, "thematic catastrophe")).toDF("doc_id", "text")
+    val got = Bpe.tokenCountsApply(unseen, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expTok = Seq("thematic", "catastrophe")
+      .map(w => Bpe.applyMergesScala(w, merges).length.toLong).sum
+    assert(got.toSeq == Seq((9L, 2L, expTok)))
+  }
+
   test("tokenCounts equals per-word scala application of the merges") {
     val docs = Seq(
       (1L, "The cat, the CAT—and a mat!"),
