@@ -304,6 +304,167 @@ object Multimodal {
       .mapPartitions(_.map(id => decodeWav(encodeSyntheticWav(id)))).toDF()
   }
 
+  // ------------------------------------------------------------ video
+
+  /** MP4/ISO-BMFF metadata parsed from a REAL box tree: `ftyp` brand,
+    * `mvhd` timescale + duration, one `trak` per media track with
+    * `tkhd` dims (16.16 fixed point) and `hdlr` handler type. The walk
+    * is a genuine recursive binary parse — big-endian u32 sizes, fourcc
+    * types, 64-bit `largesize` escape, unknown boxes skipped by size —
+    * over bytes the synthetic writer laid out box by box; a broken
+    * parser (wrong offset, wrong fixed-point shift, missed nesting)
+    * fails the hash.
+    */
+  case class VideoMeta(doc_id: Long, byte_len: Long, major_brand: String,
+      timescale: Long, duration_units: Long, duration_ms: Long,
+      n_tracks: Int, n_video: Int, n_audio: Int, width: Int, height: Int)
+
+  /** Deterministic synthetic clip recipe (id arithmetic, shared with the
+    * catalog oracle): movie timescale from the standard set, duration in
+    * timescale units, an audio track on odd ids, video dims from the
+    * image recipe.
+    */
+  def recipeTimescale(id: Long): Long =
+    Seq(600L, 1000L, 90000L, 48000L)((id % 4).toInt)
+  def recipeDurationUnits(id: Long): Long = 300 + id % 5000
+  def recipeHasAudio(id: Long): Boolean = id % 2 == 1
+
+  private def u32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def u16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+
+  private def box(fourcc: String, body: Array[Byte]*): Array[Byte] = {
+    val len = 8L + body.map(_.length.toLong).sum
+    u32(len) ++ fourcc.getBytes("US-ASCII") ++ body.flatten
+  }
+
+  /** Executor-side synthetic MP4 writer: a structurally real ISO-BMFF
+    * file — `ftyp`, a `free` box (so the parser must skip by size, not
+    * assume layout), `moov{mvhd, trak{tkhd, mdia{mdhd, hdlr}}}…`, and an
+    * `mdat` with an id-sized payload. Identity matrix, v0 boxes, widths
+    * as 16.16 fixed point — the same fields a camera file carries.
+    */
+  def encodeSyntheticMp4(id: Long): BinDoc = {
+    val ts = recipeTimescale(id); val dur = recipeDurationUnits(id)
+    val zeros = (n: Int) => new Array[Byte](n)
+    val identityMatrix =
+      u32(0x10000) ++ zeros(12) ++ u32(0x10000) ++ zeros(12) ++ u32(0x40000000)
+    def mvhd = box("mvhd",
+      zeros(4),                    // version 0 + flags
+      u32(0), u32(0),              // ctime, mtime
+      u32(ts), u32(dur),           // timescale, duration
+      u32(0x10000), u16(0x0100),   // rate 1.0, volume 1.0
+      zeros(2), zeros(8),          // reserved
+      identityMatrix, zeros(24),   // matrix, pre_defined
+      u32(3))                      // next_track_id
+    def tkhd(trackId: Int, w: Int, h: Int) = box("tkhd",
+      u32(7),                      // version 0, flags: enabled|in-movie|in-preview
+      u32(0), u32(0),              // ctime, mtime
+      u32(trackId), zeros(4),      // track_id, reserved
+      u32(dur), zeros(8),          // duration, reserved
+      u16(0), u16(0),              // layer, alternate_group
+      u16(if (w == 0) 0x0100 else 0), // volume: audio 1.0, video 0
+      zeros(2),                    // reserved
+      identityMatrix,
+      u32(w.toLong << 16), u32(h.toLong << 16)) // 16.16 fixed
+    def mdhd = box("mdhd",
+      zeros(4), u32(0), u32(0),    // version/flags, ctime, mtime
+      u32(ts), u32(dur),           // timescale, duration
+      u16(0x55c4), u16(0))         // language 'und', pre_defined
+    def hdlr(kind: String) = box("hdlr",
+      zeros(4), zeros(4),          // version/flags, pre_defined
+      kind.getBytes("US-ASCII"),   // handler_type: vide / soun
+      zeros(12), zeros(1))         // reserved, empty name (NUL)
+    def trak(trackId: Int, w: Int, h: Int, kind: String) =
+      box("trak", tkhd(trackId, w, h), box("mdia", mdhd, hdlr(kind)))
+    val traks =
+      trak(1, recipeWidth(id), recipeHeight(id), "vide") +:
+        (if (recipeHasAudio(id)) Seq(trak(2, 0, 0, "soun")) else Seq.empty)
+    val bytes =
+      box("ftyp", "isom".getBytes("US-ASCII"), u32(0x200),
+        "isommp42".getBytes("US-ASCII")) ++
+      box("free", zeros(8)) ++
+      box("moov", (mvhd +: traks): _*) ++
+      box("mdat", Array.tabulate((16 + id % 32).toInt)(i => (id + i).toByte))
+    BinDoc(id, bytes)
+  }
+
+  /** Recursive ISO-BMFF box walk: big-endian u32 size + fourcc, the
+    * `size == 1` 64-bit `largesize` escape, containers (`moov`, `trak`,
+    * `mdia`) descended into, leaves (`mvhd`, `tkhd`, `hdlr`) field-
+    * parsed at their spec offsets, everything else skipped by size.
+    * Malformed sizes (running past the enclosing box, size < header)
+    * fail loudly — truncated media files should surface, not parse as
+    * zero-duration clips.
+    */
+  def parseMp4(doc: BinDoc): VideoMeta = {
+    val p = doc.payload
+    def u32At(off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    def u64At(off: Int): Long = (u32At(off) << 32) | u32At(off + 4)
+    def fourcc(off: Int): String = new String(p, off, 4, "US-ASCII")
+
+    var brand = ""
+    var timescale = 0L; var duration = 0L
+    var nTracks = 0; var nVideo = 0; var nAudio = 0
+    var width = 0; var height = 0
+
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size32 = u32At(off.toInt)
+        val tag = fourcc(off.toInt + 4)
+        val (hdr, size) =
+          if (size32 == 1) (16L, u64At(off.toInt + 8))
+          else if (size32 == 0) (8L, end - off) // box extends to EOF
+          else (8L, size32)
+        require(size >= hdr && off + size <= end,
+          s"doc ${doc.doc_id}: malformed '$tag' box at $off (size $size)")
+        val body = (off + hdr).toInt
+        tag match {
+          case "ftyp" => brand = fourcc(body)
+          case "moov" | "mdia" => walk(off + hdr, off + size)
+          case "trak" => nTracks += 1; walk(off + hdr, off + size)
+          case "mvhd" =>
+            require(p(body) == 0, s"doc ${doc.doc_id}: mvhd v${p(body)} unsupported")
+            timescale = u32At(body + 12); duration = u32At(body + 16)
+          case "tkhd" =>
+            require(p(body) == 0, s"doc ${doc.doc_id}: tkhd v${p(body)} unsupported")
+            // v0 body: flags..duration (24) + reserved(8) + layer/group/
+            // volume/reserved (8) + matrix (36) = 76 → width, 80 → height
+            val w = (u32At(body + 76) >> 16).toInt
+            val h = (u32At(body + 80) >> 16).toInt
+            if (w > width) width = w
+            if (h > height) height = h
+          case "hdlr" => fourcc(body + 8) match {
+            case "vide" => nVideo += 1
+            case "soun" => nAudio += 1
+            case _ => ()
+          }
+          case _ => () // free/mdat/unknown: skip by size
+        }
+        off += size
+      }
+      require(off == end, s"doc ${doc.doc_id}: trailing ${end - off} bytes")
+    }
+    walk(0, p.length.toLong)
+    require(timescale > 0, s"doc ${doc.doc_id}: no mvhd box found")
+    VideoMeta(doc.doc_id, p.length.toLong, brand, timescale, duration,
+      duration * 1000L / timescale, nTracks, nVideo, nAudio, width, height)
+  }
+
+  /** Stage a real MP4 box tree per doc (executor-side), parse it back
+    * through the recursive walker — encode→parse round trip like the
+    * image/audio paths, so the oracle checks parser output against the
+    * recipe, and a broken offset anywhere in the chain fails the hash.
+    */
+  def documentVideoMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => parseMp4(encodeSyntheticMp4(id)))).toDF()
+  }
+
   /** ViT-style patch-grid planning over (out_w, out_h) images: the grid
     * is ceil-division arithmetic (right/bottom edge patches padded), and
     * one row per patch with its pixel box comes from a partition-local

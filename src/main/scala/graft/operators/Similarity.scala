@@ -88,7 +88,16 @@ object Similarity {
     val shortlist = approx.withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= k * rerankFactor)
       .select("query_id", "vec_id")
-    // full-precision fetch is shortlist-sized, never corpus-sized
+    exactRerank(shortlist, corpus, queries, k)
+  }
+
+  /** Phase 2 shared by every quantized path: fetch full-precision vectors
+    * for the `(query_id, vec_id)` shortlist ONLY (equi-join by id — at
+    * 100 TB the big scan reads codes, the float fetch is
+    * shortlist-sized), rerank by exact cosine, keep the top `k`.
+    */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val rerank = shortlist
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(queries), "query_id")
@@ -114,6 +123,98 @@ object Similarity {
         (dotInt8(col("ccodes"), col("qcodes")).cast("double") *
           col("cscale") * col("qscale")).as("approx"))
     rerankShortlist(approx, corpus, queries, k, rerankFactor)
+  }
+
+  // ------------------------------------------------- 1-bit (sign) BQ
+
+  private def signPack(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SignPackBits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  private def hammingBits(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.HammingBits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** All (query, corpus) Hamming distances over 1-bit sign signatures —
+    * the phase-1 scan of [[bqKnn]], exposed for the recall gate. The
+    * corpus side carries only ⌈D/32⌉ longs per vector (a 32× compression
+    * over float32); the distance is XOR + POPCNT in generated code.
+    */
+  def bqHammingAll(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val sigs = corpus.select(col("vec_id"), signPack(col("embedding")).as("sig"))
+    val qsigs = queries.select(col("query_id"), signPack(col("qe")).as("qsig"))
+    sigs.join(broadcast(qsigs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        hammingBits(col("sig"), col("qsig")).as("hamming"))
+  }
+
+  /** Phase-1 Hamming top-`k` alone (no rerank) — what the recall gate
+    * measures; ties broken by id so the ranking is oracle-replayable.
+    */
+  def bqHammingTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    bqHammingAll(corpus, queries)
+      .withColumn("hrank", row_number().over(w))
+      .filter(col("hrank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Binary-quantized kNN: Hamming scan over 1-bit sign signatures,
+    * exact-cosine rerank of the shortlist. The shortlist is
+    * TIE-INCLUSIVE (`rank()`, not `row_number()`): Hamming over D bits
+    * takes only D+1 distinct values, so ties at the horizon are the norm
+    * rather than the edge case, and cutting a tie group arbitrarily
+    * would make recall depend on physical row order. The full tie group
+    * at the cut rank rides along — bounded extra rerank work, order-
+    * independent recall. Composes with IVF exactly like int8/PQ (sign
+    * signatures within cells).
+    */
+  def bqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerankFactor: Int = 20): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("hamming").asc)
+    val shortlist = bqHammingAll(corpus, queries)
+      .withColumn("hrank", rank().over(w))
+      .filter(col("hrank") <= k * rerankFactor)
+      .select("query_id", "vec_id")
+    exactRerank(shortlist, corpus, queries, k)
+  }
+
+  /** IVF × binary quantization — the 100 TB endgame composition: the
+    * stored index is `(vec_id, cell, sig array<bigint>)` partitioned by
+    * cell (~3 TB of sign bits for a 100 TB float corpus), the probe is
+    * an equi-join on the cell id against broadcast query signatures, the
+    * in-cell scan is XOR+POPCNT, and full-precision vectors are touched
+    * only for the tie-inclusive shortlist. Same exactness contract as
+    * [[ivfInt8Knn]]: identical to [[ivfKnn]] whenever the Hamming
+    * shortlist covers the probed candidates' true top-k, which the
+    * shared IVF oracle verifies.
+    */
+  def ivfBqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nProbe: Int, rerankFactor: Int = 20): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
+    import corpus.sparkSession.implicits._
+    val cents = seedCentroids(corpus, nCells)
+    // the stored index: cell routing + 32×-compressed sign bits, no floats
+    val index = corpus
+      .select(col("vec_id"), signPack(col("embedding")).as("sig"))
+      .join(corpusCellsFor(corpus, cents), "vec_id")
+    val queryCells = assignCells(queries, "query_id", "qe",
+      cents.toDF("cent_id", "ce"), takeN = nProbe)
+    val qsigs = queries.select(col("query_id"), signPack(col("qe")).as("qsig"))
+      .join(queryCells, "query_id")
+    val ham = index.join(broadcast(qsigs), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        hammingBits(col("sig"), col("qsig")).as("hamming"))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming").asc)
+    val shortlist = ham.withColumn("hrank", rank().over(w))
+      .filter(col("hrank") <= k * rerankFactor)
+      .select("query_id", "vec_id")
+    exactRerank(shortlist, corpus, queries, k)
   }
 
   /** Embedding-cosine near-dup pairs (exact all-pairs baseline): every

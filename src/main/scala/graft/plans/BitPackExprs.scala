@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** 1-bit (sign) binary quantization for embedding columns — the deepest
+  * rung of the compression ladder (float32 → int8 → PQ → 1 bit): a
+  * 100 TB float index becomes ~3 TB of sign bits, and the approximate
+  * scan is XOR + POPCNT per vector pair, the cheapest distance any
+  * hardware computes. For mean-centered embeddings the Hamming distance
+  * between sign signatures is a monotone estimator of angular distance
+  * (Goemans–Williamson hyperplane rounding / Charikar's SimHash bound:
+  * P[sign differs in dim d] = θ/π per random projection — here the
+  * natural basis plays the projections, which is exactly the
+  * "binary quantization" used by production vector stores). Exactness
+  * comes from reranking the Hamming shortlist against full-precision
+  * vectors, same contract as the int8/PQ paths.
+  *
+  * Limb layout (shared with the DuckDB oracle replay): 32 sign bits per
+  * `bigint` limb, limb `l` bit `b` (little-endian within the limb) set
+  * iff `vec[32·l + b] >= 0`. 32-bit limbs keep every shift inside
+  * non-negative signed-64 range, so the oracle can rebuild signatures
+  * with plain `<<` arithmetic — no unsigned/overflow edge at bit 63.
+  */
+
+/** `sign_pack_bits(vec)` → `array<bigint>` of ⌈D/32⌉ limbs. */
+case class SignPackBits(child: Expression) extends UnaryExpression {
+
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_pack_bits needs array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_pack_bits"
+
+  /** public for the generated code — stays inside WholeStageCodegen */
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val isF = elemIsFloat
+    val limbs = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      val v = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      if (v >= 0.0) limbs(i >> 5) |= 1L << (i & 31)
+      i += 1
+    }
+    new GenericArrayData(limbs)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signPackExpr", this, classOf[SignPackBits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hamming_bits(a, b)` → int: Σ_l popcount(a_l XOR b_l) — the number of
+  * differing sign bits. Null on limb-count mismatch (same contract as
+  * [[VectorDotInt8]]). Pure XOR + `Long.bitCount` (an intrinsic → POPCNT
+  * on every modern JVM/CPU), generated inline so the 100 TB scan's inner
+  * loop is branch-free integer ops with no method-call overhead.
+  */
+case class HammingBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming_bits needs array<bigint>, got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_bits"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if ($a.numElements() != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  int $acc = 0;
+      |  for (int $i = 0; $i < $a.numElements(); $i++) {
+      |    $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+      |  }
+      |  ${ev.value} = $acc;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

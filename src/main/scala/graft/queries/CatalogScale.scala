@@ -807,6 +807,80 @@ object CatalogScale {
               true AS floor_met
               FROM embeddings WHERE vec_id < 3""")),
 
+    Q("sim_ann_bq",
+      // 1-bit binary quantization (32× smaller than floats: one sign bit
+      // per dim, packed 32 to a bigint limb; codegen'd XOR+POPCNT
+      // Hamming) + full-precision rerank of the tie-inclusive shortlist
+      // — reaches the SAME exact-truth oracle as the float baseline:
+      // green hash = the Hamming ranking never pushed a true top-10
+      // neighbor past the rerank horizon on this corpus
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bqKnn(emb, knnQueries(emb), k = 10, rerankFactor = 20)
+          .orderBy("query_id", "rank")
+      },
+      Some(knnOracle)),
+
+    Q("sim_ann_bq_recall",
+      // quantizer-quality floor for the PHASE-1 Hamming ranking alone
+      // (no rerank): |Hamming top-10 ∩ exact top-10| / |exact|. Unlike
+      // the pq_recall row, this oracle DERIVES the floor boolean — DuckDB
+      // replays the 32-bit limb sign-pack, the XOR+bit_count Hamming
+      // ranking, and the intersection with exact top-10, so n_hit and
+      // floor_met are independent computations, not pins
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = knnQueries(emb)
+        val exact = Similarity.bruteForceKnn(emb, q, k = 10)
+          .select("query_id", "neighbor_id")
+        val bq = Similarity.bqHammingTopK(emb, q, k = 10)
+        val e = exact.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        val h = exact.intersect(bq).agg(count(lit(1)).as("n_hit"))
+        e.crossJoin(h).select(
+          col("n_queries"), col("n_exact"), col("n_hit"),
+          (col("n_hit") * 10 >= col("n_exact") * 3).as("floor_met"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+              exact AS (
+                SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY
+                      list_dot_product(e, qe) /
+                      (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) DESC,
+                      vec_id) AS rnk
+                  FROM v, q WHERE vec_id <> query_id)
+                WHERE rnk <= 10),
+              sig AS (
+                SELECT vec_id,
+                  list_transform(range((len(e) + 31) // 32), l ->
+                    CAST(list_sum(list_transform(range(32), b ->
+                      CASE WHEN 32 * l + b < len(e)
+                                AND e[CAST(32 * l + b + 1 AS INT)] >= 0
+                           THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END))
+                      AS BIGINT)) AS s
+                FROM v),
+              bq AS (
+                SELECT query_id, neighbor_id FROM (
+                  SELECT q.query_id, c.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.query_id ORDER BY
+                      CAST(list_sum(list_transform(range(len(c.s)), i ->
+                        bit_count(xor(c.s[CAST(i + 1 AS INT)],
+                                      sq.s[CAST(i + 1 AS INT)])))) AS INT) ASC,
+                      c.vec_id ASC) AS hrank
+                  FROM q JOIN sig sq ON sq.vec_id = q.query_id,
+                       sig c
+                  WHERE c.vec_id <> q.query_id)
+                WHERE hrank <= 10),
+              e AS (SELECT count(DISTINCT query_id) AS n_queries,
+                           count(*) AS n_exact FROM exact),
+              h AS (SELECT count(*) AS n_hit FROM
+                      (SELECT * FROM exact INTERSECT SELECT * FROM bq))
+              SELECT e.n_queries, e.n_exact, h.n_hit,
+                     h.n_hit * 10 >= e.n_exact * 3 AS floor_met
+              FROM e, h""")),
+
     Q("sim_ann_recall",
       // quantitative recall floor: |ANN top-10 ∩ exact top-10| / |exact|,
       // asserted >= 0.9; n_queries and n_exact are genuinely computed by
@@ -1054,6 +1128,36 @@ object CatalogScale {
                       WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms,
                 CAST((doc_id * 773) % 32768 AS INT) AS first_sample
               FROM documents ORDER BY doc_id""")),
+
+    Q("mm_video_meta",
+      // video container plumbing over real bytes: each doc staged as a
+      // structurally genuine MP4/ISO-BMFF box tree (ftyp + free + moov
+      // with mvhd and per-track trak{tkhd, mdia{mdhd, hdlr}} + mdat),
+      // then parsed back by a recursive big-endian box walker — brand,
+      // timescale, duration, track census, and 16.16 fixed-point dims
+      // all come OUT of the binary parse; byte_len is exact because the
+      // writer's box sizes are deterministic. A wrong offset, a missed
+      // nesting level, or a bad fixed-point shift fails the hash.
+      (s, d) => Multimodal.documentVideoMeta(s, t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (
+                SELECT doc_id,
+                  CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                       WHEN 2 THEN 90000 ELSE 48000 END AS BIGINT) AS ts,
+                  CAST(300 + doc_id % 5000 AS BIGINT) AS dur
+                FROM documents)
+              SELECT doc_id,
+                CAST(353 + 173 * (doc_id % 2) + doc_id % 32 AS BIGINT) AS byte_len,
+                'isom' AS major_brand,
+                ts AS timescale,
+                dur AS duration_units,
+                CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+                CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+                CAST(1 AS INT) AS n_video,
+                CAST(doc_id % 2 AS INT) AS n_audio,
+                CAST(1 + doc_id % 64 AS INT) AS width,
+                CAST(1 + doc_id % 37 AS INT) AS height
+              FROM r ORDER BY doc_id""")),
 
     Q("mm_patchify",
       // ViT patch-grid planning: REAL decoded dims → ceil-division grid

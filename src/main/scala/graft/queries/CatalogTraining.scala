@@ -551,6 +551,21 @@ object CatalogTraining {
       },
       Some(ivfOracle)),
 
+    Q("sim_ann_ivf_bq",
+      // the deepest-compression composition: IVF prunes WHICH vectors
+      // are scored, 1-bit sign signatures shrink each scored row to
+      // D/8 bytes (32× under floats), the in-cell scan is XOR+POPCNT,
+      // floats are fetched only for the tie-inclusive rerank shortlist
+      // — and the SAME IVF oracle stays green, so even one bit per
+      // dimension provably cost nothing on this corpus
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfBqKnn(emb, knnQueries(emb), k = 10,
+          nCells = IvfCells, nProbe = IvfProbe, rerankFactor = 20)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfOracle)),
+
     Q("sim_ann_ivf_lloyd",
       // one k-means round on top of the seed quantizer; means rounded
       // to 6dp make the refinement ENGINE-EXACT, so the oracle replays

@@ -94,6 +94,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(interpDot.eval(null) == (10 * 3 + -20 * 4).toLong)
   }
 
+  test("SignPackBits + HammingBits: limb layout, parity, and null contract") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def pack(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.plans.SignPackBits(ColumnBridge.expression(c)))
+    def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.plans.HammingBits(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+    // 34 dims -> two limbs; limb 0 bit b = sign(v[b]), limb 1 holds
+    // bits 32..33 only. Vector a: all non-negative; vector b: dim 0 and
+    // dim 33 negative -> limbs differ in exactly those two bits.
+    val a = Seq.tabulate(34)(_ => 1.0f)
+    val b = Seq.tabulate(34)(i => if (i == 0 || i == 33) -1.0f else 1.0f)
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(pack(col("a")).as("sa"), pack(col("b")).as("sb"),
+        ham(pack(col("a")), pack(col("b"))).as("h"))
+      .head
+    val sa = row.getSeq[Long](0); val sb = row.getSeq[Long](1)
+    assert(sa == Seq(0xffffffffL, 0x3L), s"sa $sa")
+    assert(sb == Seq(0xfffffffeL, 0x1L), s"sb $sb")
+    assert(row.getInt(2) == 2)
+
+    // zero counts as non-negative (matches the oracle's `>= 0`)
+    val z = Seq(Seq(0.0f, -0.0f)).toDF("v").select(pack(col("v"))).head.getSeq[Long](0)
+    assert(z == Seq(0x3L), s"zero-sign limbs $z")
+
+    // interpreted path agrees; limb-count mismatch -> null, not garbage
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = graft.plans.HammingBits(
+      Literal.create(Seq(5L)), Literal.create(Seq(6L)))
+    assert(interp.eval(null) == 2) // 101 xor 110 = 011
+    val mismatch = graft.plans.HammingBits(
+      Literal.create(Seq(1L, 2L)), Literal.create(Seq(1L)))
+    assert(mismatch.eval(null) == null)
+  }
+
   test("PushFilterIntoCollectList rewrites the F2 shape and preserves semantics") {
     val spark = TestSpark.spark
     import spark.implicits._

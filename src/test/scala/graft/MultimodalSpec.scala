@@ -42,6 +42,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no ImageIO codec"))
   }
 
+  test("MP4 box tree round-trips through the recursive walker") {
+    val id = 7L // odd → audio track present, timescale 48000
+    val doc = Multimodal.encodeSyntheticMp4(id)
+    // the writer produced a real ftyp header up front
+    assert(new String(doc.payload, 4, 4, "US-ASCII") == "ftyp")
+    val m = Multimodal.parseMp4(doc)
+    assert(m.major_brand == "isom")
+    assert(m.timescale == Multimodal.recipeTimescale(id))
+    assert(m.duration_units == Multimodal.recipeDurationUnits(id))
+    assert(m.duration_ms ==
+      m.duration_units * 1000L / m.timescale)
+    assert(m.n_tracks == 2 && m.n_video == 1 && m.n_audio == 1)
+    assert(m.width == Multimodal.recipeWidth(id))
+    assert(m.height == Multimodal.recipeHeight(id))
+    assert(m.byte_len == doc.payload.length.toLong)
+    // even id: single video track, no audio
+    val m2 = Multimodal.parseMp4(Multimodal.encodeSyntheticMp4(8L))
+    assert(m2.n_tracks == 1 && m2.n_video == 1 && m2.n_audio == 0)
+  }
+
+  test("MP4 walker honors the 64-bit largesize escape and rejects bad sizes") {
+    val base = Multimodal.encodeSyntheticMp4(3L)
+    // rewrite the leading ftyp box to size==1 + largesize: same bytes,
+    // 8 extra header bytes — a correct walker parses identically
+    val ftypLen = ((base.payload(0) & 0xff) << 24) |
+      ((base.payload(1) & 0xff) << 16) | ((base.payload(2) & 0xff) << 8) |
+      (base.payload(3) & 0xff)
+    val bb = java.nio.ByteBuffer.allocate(base.payload.length + 8)
+    bb.putInt(1).put("ftyp".getBytes("US-ASCII")).putLong(ftypLen + 8L)
+      .put(base.payload, 8, ftypLen - 8)
+      .put(base.payload, ftypLen, base.payload.length - ftypLen)
+    val m = Multimodal.parseMp4(Multimodal.BinDoc(3L, bb.array()))
+    assert(m.major_brand == "isom" &&
+      m.timescale == Multimodal.recipeTimescale(3L))
+
+    // a box whose size runs past its container must fail loudly
+    val broken = base.payload.clone()
+    broken(0) = 0x7f.toByte // ftyp size becomes absurdly large
+    val e = intercept[IllegalArgumentException](
+      Multimodal.parseMp4(Multimodal.BinDoc(3L, broken)))
+    assert(e.getMessage.contains("malformed"))
+  }
+
+  test("distributed video pipeline matches the recipe") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L to 20L).toDF("doc_id")
+    val got = Multimodal.documentVideoMeta(s, docs).orderBy("doc_id")
+      .select("doc_id", "timescale", "duration_units", "n_tracks", "width")
+      .as[(Long, Long, Long, Int, Int)].collect().toSeq
+    val want = (0L to 20L).map(id => (id, Multimodal.recipeTimescale(id),
+      Multimodal.recipeDurationUnits(id), 1 + (id % 2).toInt,
+      Multimodal.recipeWidth(id)))
+    assert(got == want)
+  }
+
   test("distributed decode pipeline matches the recipe for mixed formats") {
     val s = spark
     import s.implicits._

@@ -46,6 +46,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     // broadcast LUT probe confined to the routed cells (equi-join on
     // cell id)
     "sim_ann_ivf_pq",
+    // binary quantization: the Hamming scan scores the broadcast query
+    // signatures against the 32×-compressed sign-bit index (the
+    // sim_knn_cosine shape over D/8 bytes); the recall row adds the
+    // single-row aggregate cross joins
+    "sim_ann_bq", "sim_ann_bq_recall",
+    // IVF × BQ: sim_ann_ivf's query-side centroid cross join; the
+    // Hamming probe itself is an equi-join on the cell id
+    "sim_ann_ivf_bq",
     // bigram LM broadcasts the SINGLE-ROW corpus-total aggregate into
     // the backoff projection (the ta_unigram_logprob pattern)
     "ta_bigram_logprob",

@@ -254,6 +254,50 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  test("bqKnn: generous rerank horizon equals brute force") {
+    // 40-dim vectors span two signature limbs; with the shortlist wide
+    // enough to cover the corpus, the exact rerank MUST reproduce the
+    // brute-force answer whatever the Hamming ordering did
+    val vecs = (0L until 20L).map { i =>
+      (i, Seq.tabulate(40)(j => (math.sin(i * 7 + j) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val exact = Similarity.bruteForceKnn(vecs, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bq = Similarity.bqKnn(vecs, q, k = 5, rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bq == exact)
+  }
+
+  test("ivfBqKnn: full probe + generous rerank equals brute force") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Seq.tabulate(40)(j => (math.sin(i * 7 + j) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val exact = Similarity.bruteForceKnn(vecs, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivfbq = Similarity.ivfBqKnn(vecs, q, k = 5, nCells = 4, nProbe = 4,
+      rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivfbq == exact)
+  }
+
+  test("bqHammingTopK ranks by true Hamming distance of sign signatures") {
+    // hand-built 3-dim vectors: signs chosen so Hamming distances to the
+    // query (+,+,+) are 0, 1, 2, 3 for ids 1..4
+    val vecs = Seq(
+      (1L, Seq(1f, 1f, 1f)), (2L, Seq(1f, 1f, -1f)),
+      (3L, Seq(1f, -1f, -1f)), (4L, Seq(-1f, -1f, -1f)),
+      (9L, Seq(1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 9L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val got = Similarity.bqHammingTopK(vecs, q, k = 3)
+      .orderBy("neighbor_id").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 2L, 3L), s"got $got")
+  }
+
   test("ivfKnn: sparse/shifted id space still gets a full centroid set") {
     // ids start at 1000 — `vec_id < nCells` would select ZERO centroids
     val vecs = (1000L until 1020L).map { i =>
