@@ -202,6 +202,45 @@ object Dedup {
           s => s.getField("line")), "\n").as("clean_text"))
   }
 
+  /** C4-style global keep-first line dedup: every line that occurs more
+    * than once in the CORPUS keeps only its first occurrence (ordered by
+    * doc id, then position within the doc); later occurrences drop and
+    * the surviving lines reassemble in original order. The complement of
+    * [[dropBoilerplateLines]]: that removes EVERY occurrence of frequent
+    * lines, this keeps exactly one canonical copy of each distinct line
+    * — the published C4 rule ("discard all but one of any duplicated
+    * span"), at line granularity.
+    *
+    * Scale shape: the first-occurrence lookup is `min(struct(doc, pos))`
+    * grouped by line hash — a PARTIAL aggregation (map-side combine), so
+    * a line duplicated a billion times shuffles one candidate row per
+    * map partition, never a billion rows into one task. A window over
+    * the line hash would put exactly that hot key in one partition; the
+    * agg + semi-join-by-equality shape is how the op survives skew.
+    * Docs whose every line was a later duplicate drop entirely.
+    */
+  def dedupLinesKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = widen(docs).select(
+      col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val firsts = lines
+      .groupBy("lh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    lines
+      .join(firsts,
+        lines("lh") === firsts("lh") &&
+          struct(col("doc_id"), col("pos")) === col("first"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Element-wise minimum of long arrays as a typed Aggregator: gives
     * map-side partial aggregation (each executor reduces its shingles
     * locally), so the signature shuffle carries one `numHashes`-long array

@@ -256,6 +256,46 @@ object CatalogTraining {
               WHERE l.line NOT IN (SELECT line FROM boiler)
               GROUP BY l.doc_id ORDER BY l.doc_id""")),
 
+    Q("dedup_lines_keep_first",
+      // C4-rule global dedup over staged multi-line docs: each doc gets
+      // a 'promo' line shared by a fifth of the corpus and a unique
+      // 'sig' line. Keep-first means promo k survives ONLY in doc k
+      // (the lowest doc_id carrying it), duplicated base texts survive
+      // only in their first doc, and every unique sig line survives —
+      // the complement of td_boilerplate's remove-every-occurrence
+      // semantics, which the oracle replays with a window over the line
+      (s, d) => {
+        val docs2 = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit("\npromo "), (col("doc_id") % 5).cast("string"),
+            lit("\nsig "), col("doc_id").cast("string")).as("text2"))
+        graft.operators.Dedup
+          .dedupLinesKeepFirst(docs2, "doc_id", "text2")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       string_split(text || chr(10) || 'promo ' || (doc_id % 5)
+                                    || chr(10) || 'sig ' || doc_id,
+                                    chr(10)) AS parts
+                FROM documents
+              ), lines AS (
+                SELECT doc_id,
+                       UNNEST(generate_series(1, array_length(parts))) AS pos,
+                       UNNEST(parts) AS line
+                FROM d
+              ), ranked AS (
+                SELECT doc_id, pos, line,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) AS rn
+                FROM lines
+              )
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM ranked WHERE rn = 1
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("ta_unigram_logprob",
       // corpus-unigram mean log-prob (the cheap perplexity stand-in for
       // LM quality filtering): the oracle rebuilds frequencies and the

@@ -124,6 +124,27 @@ class OperatorsSpec extends AnyFunSuite {
       "footer in 4/4 docs drops everywhere; doc 4 was pure boilerplate")
   }
 
+  test("dedupLinesKeepFirst: first occurrence survives, later copies drop") {
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "gamma\nshared"),
+      (3L, "shared\ndelta"),
+      (4L, "shared")).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesKeepFirst(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 'shared' survives ONLY in doc 1 (lowest doc_id, first position
+    // among its occurrences there); doc 4 had only the duplicate → gone
+    assert(got == Map(
+      1L -> (("alpha\nshared\nbeta", 3L)),
+      2L -> (("gamma", 1L)),
+      3L -> (("delta", 1L))), s"got $got")
+    // a line duplicated WITHIN one doc also keeps only its first copy
+    val within = Seq((7L, "x\nx\ny")).toDF("doc_id", "text")
+    val g2 = Dedup.dedupLinesKeepFirst(within, "doc_id", "text")
+      .as[(Long, String, Long)].head()
+    assert(g2 == ((7L, "x\ny", 2L)), s"got $g2")
+  }
+
   test("releaseCaches unpersists the dedup intermediates") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
