@@ -202,6 +202,67 @@ object Dedup {
           s => s.getField("line")), "\n").as("clean_text"))
   }
 
+  /** Exact duplicated-span REMOVAL (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" rule): any verbatim
+    * token span of at least `minSpanTokens` that also occurs earlier in
+    * the corpus (earlier = lower (doc, position) of its first k-gram) is
+    * cut from the later document; the first occurrence survives intact.
+    * [[longestCommonSpans]] DETECTS such spans pairwise; this op removes
+    * them corpus-globally and reassembles the surviving tokens.
+    *
+    * Plan shape (corpus-linear, never pairwise): positional k-grams →
+    * first-occurrence lookup by `min(struct(doc, pos))` partial agg on
+    * the k-gram hash (skew-safe: a k-gram duplicated a billion times
+    * shuffles one candidate per map partition) → later-duplicate starts
+    * → gaps-and-islands runs per doc (a run of r consecutive duplicate
+    * starts covers r + k − 1 tokens) → per-doc removal intervals
+    * (collected per doc — interval count per doc is small by
+    * construction) → token filter + reassembly.
+    *
+    * Docs shorter than `k` tokens carry no k-grams and survive intact.
+    * A doc whose every token is covered returns an empty string (kept as
+    * a row — the caller decides whether empty docs drop).
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpanTokens: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(minSpanTokens >= k, "minSpanTokens must be >= k")
+    val base = widen(docs).select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val grams = base
+      .filter(size(words(col("text"))) >= k)
+      .select(col("doc_id"),
+        posexplode(shingles(words(col("text")), k)).as(Seq("g", "sh")))
+      .select(col("doc_id"), col("g"), xxhash64(col("sh")).as("h"))
+    val firsts = grams.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("g"))).as("first"))
+    val dupStarts = grams.join(firsts, "h")
+      .filter(struct(col("doc_id"), col("g")) =!= col("first"))
+      .select("doc_id", "g")
+    val win = Window.partitionBy("doc_id").orderBy("g")
+    val ivals = dupStarts
+      .withColumn("grp", col("g") - row_number().over(win))
+      .groupBy("doc_id", "grp")
+      .agg(min("g").as("s"), (max("g") + (k - 1)).as("e"))
+      .filter(col("e") - col("s") + 1 >= minSpanTokens)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    base.join(ivals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("spans"), array()).as("spans"),
+        words(col("text")).as("ws"))
+      .withColumn("kept",
+        filter(
+          zip_with(col("ws"), sequence(lit(0), size(col("ws")) - 1),
+            (w, p) => struct(w.as("w"), p.as("p"))),
+          t => !exists(col("spans"), s =>
+            t.getField("p") >= s.getField("s") &&
+              t.getField("p") <= s.getField("e"))))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"), t => t.getField("w")), " ")
+          .as("clean_text"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** C4-style global keep-first line dedup: every line that occurs more
     * than once in the CORPUS keeps only its first occurrence (ordered by
     * doc id, then position within the doc); later occurrences drop and

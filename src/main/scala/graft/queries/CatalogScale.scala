@@ -1553,6 +1553,47 @@ object CatalogScale {
               GROUP BY item HAVING count(*) >= 40
               ORDER BY cnt DESC, item""")),
 
+    Q("dedup_span_removal",
+      // Lee-et-al exact duplicated-span REMOVAL (the op dedup_spans only
+      // detects): verbatim ≥10-token spans whose 5-gram first occurrence
+      // is earlier in the corpus are cut from the later doc; first
+      // copies survive intact. The oracle replays positional 5-grams,
+      // the keep-first ranking, gaps-and-islands runs, the interval
+      // filter, and token reassembly entirely in SQL.
+      (s, d) => Dedup.removeDuplicateSpans(
+          t(s, d, "documents"), "doc_id", "text", k = 5, minSpanTokens = 10)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents),
+              grams AS (SELECT doc_id, g - 1 AS g,
+                               array_to_string(ws[g:g+4], ' ') AS sh
+                        FROM w, unnest(range(1, len(ws) - 5 + 2)) t(g)
+                        WHERE len(ws) >= 5),
+              ranked AS (SELECT doc_id, g,
+                           row_number() OVER (PARTITION BY sh
+                                              ORDER BY doc_id, g) AS rn
+                         FROM grams),
+              dup AS (SELECT doc_id, g FROM ranked WHERE rn > 1),
+              runs AS (SELECT doc_id, g,
+                         g - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY g) AS grp
+                       FROM dup),
+              iv AS (SELECT doc_id, min(g) AS s, max(g) + 4 AS e
+                     FROM runs GROUP BY doc_id, grp
+                     HAVING max(g) + 4 - min(g) + 1 >= 10),
+              toks AS (SELECT doc_id, p - 1 AS p, ws[p] AS tok
+                       FROM w, unnest(range(1, len(ws) + 1)) t(p)),
+              flag AS (SELECT t.doc_id, t.p, t.tok,
+                         EXISTS(SELECT 1 FROM iv
+                                WHERE iv.doc_id = t.doc_id
+                                  AND t.p BETWEEN iv.s AND iv.e) AS rm
+                       FROM toks t)
+              SELECT doc_id,
+                coalesce(string_agg(tok, ' ' ORDER BY p)
+                           FILTER (WHERE NOT rm), '') AS clean_text,
+                count(*) FILTER (WHERE rm) AS n_removed
+              FROM flag GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("dedup_spans",
       // exact substring-level dedup: longest common token span per doc
       // pair from positional 8-gram coordinates (runs on a join

@@ -124,6 +124,38 @@ class OperatorsSpec extends AnyFunSuite {
       "footer in 4/4 docs drops everywhere; doc 4 was pure boilerplate")
   }
 
+  test("removeDuplicateSpans: later verbatim spans cut, first copy intact") {
+    // doc 2 embeds doc 1's 6-token phrase verbatim inside fresh text;
+    // k=3, minSpan=6 → the 6 shared tokens are cut from doc 2 only.
+    // doc 3 repeats a phrase but below the span floor → untouched.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x1 x2 a b c d e f y1 y2"),
+      (3L, "p q r s t a b c u v")). // only 3 dup-gram tokens span < 6
+      toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text",
+        k = 3, minSpanTokens = 6)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("a b c d e f", 0L)), "first occurrence intact")
+    assert(got(2L) == (("x1 x2 y1 y2", 6L)), s"got ${got(2L)}")
+    assert(got(3L) == (("p q r s t a b c u v", 0L)),
+      "a 5-token overlap stays below the 6-token removal floor")
+
+    // a doc that is entirely a later duplicate empties but keeps its row
+    val dup = Seq((1L, "a b c d e f"), (9L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val g2 = Dedup.removeDuplicateSpans(dup, "doc_id", "text",
+        k = 3, minSpanTokens = 6)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(g2(9L) == "")
+    // a doc shorter than k carries no k-grams and survives intact
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val g3 = Dedup.removeDuplicateSpans(short, "doc_id", "text",
+        k = 3, minSpanTokens = 6).count()
+    assert(g3 == 2)
+  }
+
   test("dedupLinesKeepFirst: first occurrence survives, later copies drop") {
     val docs = Seq(
       (1L, "alpha\nshared\nbeta"),
