@@ -260,6 +260,66 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Multinomial Naive Bayes classifier, trained and applied as one
+    * distributed job — the machinery behind fastText-style quality and
+    * language filters in published pipelines (a linear classifier over
+    * token counts). Training is PURE aggregation: class priors from doc
+    * counts, add-one-smoothed token likelihoods from per-(label, token)
+    * counts — so the "model" is two small relations, never driver
+    * state. Scoring joins each doc token against the likelihood table
+    * for every candidate label (labels are a broadcast-sized dim) and
+    * sums log-probs per (doc, label); argmax with a deterministic label
+    * tie-break is the prediction.
+    *
+    * Scores are rounded to 6dp BEFORE the argmax ranking (the IVF
+    * centroid convention): double summation order differs between
+    * engines, and ranking on rounded values keeps the prediction
+    * engine-exact instead of 1-ulp-flippable.
+    *
+    * Shape at 100 TB: tokens × nLabels rows (a small constant fan-out),
+    * vocab-sized model joins, one per-doc partial agg, one per-doc
+    * window over nLabels rows. Tokens absent from a label's training
+    * slice hit the smoothing floor `1 / (classTokens + V)` via the left
+    * join's coalesce.
+    */
+  def nbClassify(docs: DataFrame, idCol: String, labelCol: String,
+      textCol: String): DataFrame = {
+    val tok = Dedup.widen(docs).select(
+      col(idCol).as("doc_id"), col(labelCol).as("label"),
+      explode(words(col(textCol))).as("w"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val priors = docs.groupBy(col(labelCol).as("cand"))
+      .agg(count(lit(1)).as("class_docs"))
+    val wordCounts = tok.groupBy(col("label").as("cand"), col("w"))
+      .agg(count(lit(1)).as("cw"))
+    val classTokens = wordCounts.groupBy("cand")
+      .agg(sum("cw").as("class_toks"))
+    val vocab = wordCounts.select("w").distinct()
+      .agg(count(lit(1)).as("v"))
+    // every doc token scored under every candidate label: the label dim
+    // (priors ⋈ class totals ⋈ vocab size) is broadcast-sized
+    val labelDim = broadcast(
+      priors.join(classTokens, "cand").crossJoin(vocab)
+        .join(broadcast(nDocs)))
+    val scored = tok.select("doc_id", "w")
+      .join(labelDim)
+      .join(wordCounts, Seq("cand", "w"), "left")
+      .select(col("doc_id"), col("cand"),
+        col("class_docs"), col("n_docs"),
+        log((coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+          (col("class_toks") + col("v")).cast("double")).as("lp"))
+      .groupBy("doc_id", "cand")
+      .agg(
+        round(
+          first(log(col("class_docs").cast("double") / col("n_docs"))) +
+            sum(col("lp")), 6).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("cand").as("predicted"), col("score"))
+  }
+
   /** Stupid-backoff bigram mean log-prob — the cheap-perplexity LM
     * quality filter most pipelines actually run (one step up from
     * [[unigramLogProb]]). Score of token i given i-1:

@@ -350,6 +350,45 @@ object CatalogTraining {
                      round(avg(bo), 4) AS backoff_rate
               FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("ta_nb_classify",
+      // trained-classifier filtering (the fastText-style linear filter
+      // of published pipelines): multinomial NB trained on (lang, text)
+      // by pure aggregation, applied corpus-wide in the same job. The
+      // oracle retrains the whole model in SQL — priors, add-one token
+      // likelihoods, per-(doc, label) log-prob sums rounded at 6dp
+      // BEFORE the argmax (the centroid-rounding convention), so the
+      // prediction itself is engine-exact
+      (s, d) => graft.operators.TextAnalysis
+        .nbClassify(t(s, d, "documents"), "doc_id", "lang", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, lang,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents),
+              nd AS (SELECT count(*) AS n_docs FROM documents),
+              pri AS (SELECT lang AS cand, count(*) AS class_docs
+                      FROM documents GROUP BY 1),
+              wc AS (SELECT lang AS cand, w, count(*) AS cw
+                     FROM tok GROUP BY 1, 2),
+              ct AS (SELECT cand, CAST(sum(cw) AS BIGINT) AS class_toks
+                     FROM wc GROUP BY 1),
+              vb AS (SELECT count(DISTINCT w) AS v FROM wc),
+              dim AS (SELECT * FROM pri JOIN ct USING (cand)
+                      CROSS JOIN vb CROSS JOIN nd),
+              sc AS (SELECT t.doc_id, d.cand,
+                       round(ln(CAST(d.class_docs AS DOUBLE) / d.n_docs) +
+                         sum(ln(CAST(coalesce(w2.cw, 0) + 1 AS DOUBLE) /
+                                (d.class_toks + d.v))), 6) AS score
+                     FROM tok t
+                     CROSS JOIN dim d
+                     LEFT JOIN wc w2 ON w2.cand = d.cand AND w2.w = t.w
+                     GROUP BY t.doc_id, d.cand, d.class_docs, d.n_docs),
+              r AS (SELECT doc_id, cand, score,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, cand ASC) AS rnk
+                    FROM sc)
+              SELECT doc_id, cand AS predicted, score
+              FROM r WHERE rnk = 1 ORDER BY doc_id""")),
+
     Q("ta_bpe_merges",
       // the learned BPE merge table itself (VERDICT r6 #3): 20 ranked
       // merges trained distributed (one corpus shuffle, then vocab-sized

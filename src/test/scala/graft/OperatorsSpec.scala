@@ -124,6 +124,44 @@ class OperatorsSpec extends AnyFunSuite {
       "footer in 4/4 docs drops everywhere; doc 4 was pure boilerplate")
   }
 
+  test("nbClassify: hand-computed NB scores, smoothing floor, tie-break") {
+    // two labels, tiny corpus — expected scores computed by a plain
+    // Scala reference below, so the distributed job is checked against
+    // independent arithmetic, not itself
+    val docs = Seq(
+      (1L, "en", "the cat sat"),
+      (2L, "en", "the dog sat"),
+      (3L, "fr", "le chat assis")).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextAnalysis
+      .nbClassify(docs, "doc_id", "lang", "text")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val corpus = Map(
+      1L -> ("en", Seq("the", "cat", "sat")),
+      2L -> ("en", Seq("the", "dog", "sat")),
+      3L -> ("fr", Seq("le", "chat", "assis")))
+    val labels = Seq("en", "fr")
+    val wc = corpus.values.toSeq
+      .flatMap { case (l, ws) => ws.map(l -> _) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val classToks = labels.map(l => l -> wc.filter(_._1._1 == l).values.sum).toMap
+    val vocabN = wc.keys.map(_._2).toSet.size
+    def score(ws: Seq[String], l: String): Double = {
+      val prior = math.log(corpus.values.count(_._1 == l) / 3.0)
+      val s = prior + ws.map(w => math.log(
+        (wc.getOrElse(l -> w, 0L) + 1).toDouble / (classToks(l) + vocabN))).sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    corpus.foreach { case (id, (_, ws)) =>
+      val want = labels.map(l => (score(ws, l), l))
+        .sortBy { case (sc, l) => (-sc, l) }.head
+      assert(got(id) == ((want._2, want._1)), s"doc $id: ${got(id)} vs $want")
+    }
+    // sanity on the semantics, not just self-consistency
+    assert(got(1L)._1 == "en" && got(3L)._1 == "fr")
+  }
+
   test("removeDuplicateSpans: later verbatim spans cut, first copy intact") {
     // doc 2 embeds doc 1's 6-token phrase verbatim inside fresh text;
     // k=3, minSpan=6 → the 6 shared tokens are cut from doc 2 only.

@@ -57,6 +57,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // bigram LM broadcasts the SINGLE-ROW corpus-total aggregate into
     // the backoff projection (the ta_unigram_logprob pattern)
     "ta_bigram_logprob",
+    // NB classifier fans each doc token out to the BROADCAST label
+    // dimension (nLabels rows: priors ⋈ class totals ⋈ vocab size) —
+    // the ts_gap_fill spine pattern, never data-sized
+    "ta_nb_classify",
     // broadcasts the SINGLE-ROW corpus-total aggregate into the
     // per-token score projection
     "ta_unigram_logprob",
