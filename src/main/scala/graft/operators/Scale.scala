@@ -133,6 +133,49 @@ object Scale {
       s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** Hilbert-curve value of two non-negative keys (order-`bits` curve,
+    * inputs masked to the grid) — the layout key whose consecutive
+    * values are ALWAYS grid neighbors, unlike [[zValue]]'s Morton order
+    * which jumps across the plane at power-of-two boundaries; under the
+    * same range bucketing the file envelopes come out tighter. Native
+    * codegen loop ([[graft.plans.HilbertValue]]), no UDF, no shuffle.
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.HilbertValue(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(x.cast("long")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(y.cast("long")),
+        bits))
+
+  /** DuckDB replay of [[hilbertValue]] as a RECURSIVE-CTE fragment: one
+    * UNION-ALL level per curve order, carrying (hx, hy, s, d) through
+    * the same flip-and-swap walk. `src` must expose `hil_x`/`hil_y` and
+    * a row key `keyCols`; the fragment yields `keyCols, hval` — join it
+    * back to the data. (The oracle side may be loopy; the ENGINE side is
+    * one codegen expression.)
+    */
+  def hilbertValueSqlCte(srcCte: String, keyCols: String, bits: Int): String = {
+    val mask = (1L << bits) - 1
+    s"""hk(k1, hx, hy, s, d) AS (
+       |  SELECT $keyCols, CAST(hil_x & $mask AS BIGINT),
+       |         CAST(hil_y & $mask AS BIGINT),
+       |         CAST(${1L << (bits - 1)} AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM $srcCte
+       |  UNION ALL
+       |  SELECT k1,
+       |    CASE WHEN (hy & s) = 0 THEN
+       |      CASE WHEN (hx & s) > 0 THEN s - 1 - hy ELSE hy END
+       |    ELSE hx END,
+       |    CASE WHEN (hy & s) = 0 THEN
+       |      CASE WHEN (hx & s) > 0 THEN s - 1 - hx ELSE hx END
+       |    ELSE hy END,
+       |    s // 2,
+       |    d + s * s * xor(3 * (CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END),
+       |                    CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END)
+       |  FROM hk WHERE s > 0),
+       |hval AS (SELECT k1, d AS hval FROM hk WHERE s = 0)""".stripMargin
+  }
+
   /** Bloom-filter semi-join pruning: build a Bloom sketch of the small
     * side's join keys, broadcast it, and drop big-side rows that cannot
     * match BEFORE the join's shuffle. At 100 TB this is the difference

@@ -1647,6 +1647,41 @@ object CatalogScale {
                      CAST(3 AS BIGINT) AS n_variants
               FROM customer ORDER BY canonical_url""")),
 
+    Q("scale_hilbert",
+      // Hilbert layout pass — scale_zorder's shape on the strictly
+      // better curve: consecutive keys are always grid neighbors, so
+      // the same 64-way range bucketing yields tighter 2-D envelopes.
+      // The engine side is ONE codegen expression; the oracle replays
+      // the rotate-flip walk level by level in a recursive CTE.
+      (s, d) => {
+        val z = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+          .withColumn("hval",
+            Scale.hilbertValue(col("o_custkey"), col("day"), 16))
+        z.withColumn("bucket",
+            ntile(64).over(Window.orderBy(col("hval"), col("o_orderkey"))))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+            min("day").as("min_day"), max("day").as("max_day"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH RECURSIVE z AS (SELECT o_orderkey, o_custkey,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+                 CAST(o_custkey AS BIGINT) AS hil_x,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS hil_y
+               FROM orders),
+               ${Scale.hilbertValueSqlCte("z", "o_orderkey", 16)},
+               b AS (SELECT z.o_custkey, z.day,
+                       ntile(64) OVER (ORDER BY hval, z.o_orderkey) AS bucket
+                     FROM z JOIN hval ON hval.k1 = z.o_orderkey)
+               SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+                      min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+                      min(day) AS min_day, max(day) AS max_day
+               FROM b GROUP BY bucket ORDER BY bucket""")),
+
     Q("scale_zorder",
       // Z-order layout pass: Morton-interleave (custkey, orderdate-day),
       // range-bucket the file layout on the z-value (ntile = the range

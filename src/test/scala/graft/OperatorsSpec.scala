@@ -571,4 +571,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Seq(z(0, 0), z(1, 0), z(0, 1), z(1, 1)).sorted == Seq(0L, 1L, 2L, 3L))
     assert(Seq(z(2, 0), z(3, 0), z(2, 1), z(3, 1)).sorted == Seq(4L, 5L, 6L, 7L))
   }
+
+  test("hilbertValue: known order-1 cells and the neighbor-walk property") {
+    // order-1 curve: (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3 (hand trace of
+    // the rotate-flip walk)
+    val h1 = (x: Long, y: Long) => spark.range(1)
+      .select(graft.operators.Scale.hilbertValue(lit(x), lit(y), 1)).as[Long].head()
+    assert((h1(0, 0), h1(0, 1), h1(1, 1), h1(1, 0)) == ((0L, 1L, 2L, 3L)))
+
+    // the defining property Z-order LACKS: consecutive curve positions
+    // are always Manhattan-distance-1 grid neighbors — checked over the
+    // whole 8×8 grid via the interpreted eval path (also exercising
+    // parity with the codegen path above)
+    val expr = (x: Long, y: Long) => graft.plans.HilbertValue(
+      org.apache.spark.sql.catalyst.expressions.Literal(x),
+      org.apache.spark.sql.catalyst.expressions.Literal(y), 3)
+      .eval(null).asInstanceOf[Long]
+    val cells = for { x <- 0L until 8L; y <- 0L until 8L }
+      yield (expr(x, y), (x, y))
+    assert(cells.map(_._1).sorted == (0L until 64L),
+      "a bijection onto 0..63")
+    val byD = cells.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump between d-neighbors ($x1,$y1)->($x2,$y2)")
+    }
+    // codegen path agrees with the interpreted walk on the same grid
+    val cg = (x: Long, y: Long) => spark.range(1)
+      .select(graft.operators.Scale.hilbertValue(lit(x), lit(y), 3)).as[Long].head()
+    assert(cg(5, 6) == expr(5, 6) && cg(7, 0) == expr(7, 0))
+    // inputs mask to the grid (the documented domain convention)
+    assert(cg(8 + 5, 6) == expr(5, 6))
+  }
 }
