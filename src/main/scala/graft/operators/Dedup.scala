@@ -263,6 +263,54 @@ object Dedup {
         (size(col("ws")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
+  /** Content-defined chunking (CDC — the Rabin/rolling-hash boundary
+    * trick of LBFS/restic/borg, at token granularity): a chunk boundary
+    * falls after token `p` whenever the k-gram ENDING at `p` hashes to
+    * `0 mod avgChunkTokens`, so boundaries are decided by local CONTENT,
+    * not position. That's what fixed windows can't do: insert one token
+    * at the front of a document and every fixed window shifts, but all
+    * CDC boundaries after the first re-align — downstream chunk-level
+    * dedup still matches everything past the edit. Expected chunk length
+    * is `avgChunkTokens` (power of two, so the Spark signed-long and
+    * DuckDB unsigned modulo agree on the zero set).
+    *
+    * Returns one row per chunk with its corpus occurrence count —
+    * `occ > 1` chunks are the shift-robust dedup candidates. Shapes:
+    * gram projection, per-doc boundary window (bounded by doc length),
+    * one partial-agg for occurrence counts. Corpus-linear.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, avgChunkTokens: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(avgChunkTokens >= 2 && (avgChunkTokens & (avgChunkTokens - 1)) == 0,
+      "avgChunkTokens must be a power of two (keeps the modulo zero set " +
+        "identical between signed and unsigned 64-bit replays)")
+    val base = widen(docs).select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val toks = base.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("p", "tok")))
+    val bnd = base
+      .filter(size(words(col("text"))) >= k)
+      .select(col("doc_id"),
+        posexplode(shingles(words(col("text")), k)).as(Seq("g", "sh")))
+      .filter(portableHash64(col("sh")) % avgChunkTokens === 0)
+      .select(col("doc_id"), (col("g") + (k - 1)).as("p"),
+        lit(1).as("is_boundary"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks.join(bnd, Seq("doc_id", "p"), "left")
+      .withColumn("chunk_id",
+        coalesce(sum(col("is_boundary")).over(win), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s.getField("tok")), " ").as("chunk_text"))
+    val occ = chunks.groupBy(col("chunk_text").as("ct"))
+      .agg(count(lit(1)).as("occ"))
+    chunks.join(occ, chunks("chunk_text") === occ("ct"))
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_text", "occ")
+  }
+
   /** C4-style global keep-first line dedup: every line that occurs more
     * than once in the CORPUS keeps only its first occurrence (ordered by
     * doc id, then position within the doc); later occurrences drop and

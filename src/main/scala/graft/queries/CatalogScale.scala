@@ -1553,6 +1553,45 @@ object CatalogScale {
               GROUP BY item HAVING count(*) >= 40
               ORDER BY cnt DESC, item""")),
 
+    Q("dedup_cdc_chunks",
+      // content-defined chunking: boundaries fall where the 5-gram
+      // ending at a token hashes ≡ 0 mod 16 (portable md5 hash, power-
+      // of-two modulus so signed/unsigned replays agree) — chunk edges
+      // decided by content, so a one-token insertion re-aligns every
+      // boundary after the first; occ > 1 chunks are the shift-robust
+      // dedup candidates. Oracle replays grams, boundary flags, the
+      // exclusive running boundary count, reassembly, and occurrence
+      // counts.
+      (s, d) => Dedup.cdcChunks(t(s, d, "documents"), "doc_id", "text",
+          k = 5, avgChunkTokens = 16)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents),
+              toks AS (SELECT doc_id, p - 1 AS p, ws[p] AS tok
+                       FROM w, unnest(range(1, len(ws) + 1)) t(p)),
+              grams AS (SELECT doc_id, g - 1 AS g,
+                               array_to_string(ws[g:g+4], ' ') AS sh
+                        FROM w, unnest(range(1, len(ws) - 5 + 2)) t(g)
+                        WHERE len(ws) >= 5),
+              bnd AS (SELECT doc_id, g + 4 AS p, 1 AS f
+                      FROM grams
+                      WHERE ('0x' || substr(md5(sh), 1, 16))::UBIGINT % 16 = 0),
+              ch AS (SELECT t.doc_id, t.p, t.tok,
+                       coalesce(sum(b.f) OVER (PARTITION BY t.doc_id
+                         ORDER BY t.p ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk_id
+                     FROM toks t LEFT JOIN bnd b
+                       ON b.doc_id = t.doc_id AND b.p = t.p),
+              chunks AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                           count(*) AS n_tokens,
+                           string_agg(tok, ' ' ORDER BY p) AS chunk_text
+                         FROM ch GROUP BY 1, 2),
+              occ AS (SELECT chunk_text, count(*) AS occ
+                      FROM chunks GROUP BY 1)
+              SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_text, o.occ
+              FROM chunks c JOIN occ o USING (chunk_text)
+              ORDER BY c.doc_id, c.chunk_id""")),
+
     Q("dedup_span_removal",
       // Lee-et-al exact duplicated-span REMOVAL (the op dedup_spans only
       // detects): verbatim ≥10-token spans whose 5-gram first occurrence

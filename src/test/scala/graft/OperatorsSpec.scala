@@ -124,6 +124,38 @@ class OperatorsSpec extends AnyFunSuite {
       "footer in 4/4 docs drops everywhere; doc 4 was pure boilerplate")
   }
 
+  test("cdcChunks: chunks reassemble the doc; boundaries survive a prefix shift") {
+    val words40 = (1 to 40).map(i => s"w${i * 7 % 19}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, words40),
+      (2L, "zzz " + words40)). // one-token front insertion
+      toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(docs, "doc_id", "text", k = 3, avgChunkTokens = 4)
+      .as[(Long, Long, Long, String, Long)].collect()
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // chunks partition each doc: concatenating in chunk order gives the
+    // normalized text back, token counts sum to the doc length
+    assert(byDoc(1L).map(_._4).mkString(" ") == words40)
+    assert(byDoc(1L).map(_._3).sum == 40L)
+    assert(byDoc(2L).map(_._4).mkString(" ") == "zzz " + words40)
+
+    // the CDC property: content decides boundaries, so once doc 2
+    // passes the first boundary it SHARES with (shifted) doc 1, every
+    // later chunk matches a doc-1 chunk verbatim — a fixed-window
+    // chunker would misalign all of them after the insert. Two leading
+    // chunks differ at most: the prefix chunk (may end at a new
+    // zzz-gram boundary) and the partial chunk reaching the first
+    // re-aligned boundary.
+    val c1 = byDoc(1L).map(_._4).toSet
+    val tail2 = byDoc(2L).map(_._4).drop(2)
+    assert(byDoc(1L).size > 2, s"want several chunks, got ${byDoc(1L).size}")
+    assert(tail2.nonEmpty && tail2.forall(c1.contains),
+      s"shifted doc's post-boundary chunks must re-align: ${tail2.toSeq}")
+    // and those re-aligned chunks carry occ = 2 (found in both docs)
+    assert(got.filter(r => r._1 == 2L && tail2.contains(r._4)).forall(_._5 == 2L))
+  }
+
   test("nbClassify: hand-computed NB scores, smoothing floor, tie-break") {
     // two labels, tiny corpus — expected scores computed by a plain
     // Scala reference below, so the distributed job is checked against
