@@ -150,7 +150,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       // round 6: entropy + repetition moved to native expressions;
       // int8 ANN's quantize/integer-dot scoring projections (flat and
       // IVF-composed)
-      "ta_entropy", "ta_repetition", "sim_ann_int8", "sim_ann_ivf_int8")
+      "ta_entropy", "ta_repetition", "sim_ann_int8", "sim_ann_ivf_int8",
+      // round 7: PQ's encode/ADC projections, the BQ sign-pack/Hamming
+      // scan (flat and IVF-composed), and the Hilbert layout projection
+      "sim_ann_pq", "sim_ann_bq", "sim_ann_ivf_bq", "scale_hilbert")
     val catalog = (graft.queries.Catalog.all ++ graft.queries.CatalogScale.all ++
       graft.queries.CatalogDomain.all ++ graft.queries.CatalogTraining.all ++
       graft.queries.CatalogAnalytics.all).map(q => q.name -> q).toMap
