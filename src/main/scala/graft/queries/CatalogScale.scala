@@ -813,10 +813,16 @@ object CatalogScale {
       // Hamming) + full-precision rerank of the tie-inclusive shortlist
       // — reaches the SAME exact-truth oracle as the float baseline:
       // green hash = the Hamming ranking never pushed a true top-10
-      // neighbor past the rerank horizon on this corpus
+      // neighbor past the rerank horizon on this corpus. The horizon is
+      // sized by MEASUREMENT (the worst tie-inclusive Hamming rank of a
+      // true top-10 neighbor is 138 at sf0.01 and 544 at sf0.1; 800
+      // covers both with margin): 64 sign bits on weak-similarity data
+      // are coarse, so honest BQ needs a wide cushion — the trade the
+      // Scaladoc states, and exactly why the IVF composition or more
+      // bits is the production path
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Similarity.bqKnn(emb, knnQueries(emb), k = 10, rerankFactor = 20)
+        Similarity.bqKnn(emb, knnQueries(emb), k = 10, rerankFactor = 80)
           .orderBy("query_id", "rank")
       },
       Some(knnOracle)),
