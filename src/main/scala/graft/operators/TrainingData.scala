@@ -214,6 +214,56 @@ object TrainingData {
     * with |train| × |eval|. Only contaminated documents are returned;
     * anti-join against this output to clean the corpus.
     */
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more likely its hashed-bigram features
+    * are under a TARGET distribution than under the raw corpus — the
+    * published recipe for selecting pretraining data that "looks like"
+    * a high-quality target set, at corpus scale. Features are bigrams
+    * hashed into `buckets` (power of two, so the signed-Spark /
+    * unsigned-DuckDB modulo agree); both distributions are add-one
+    * smoothed bucket frequencies; the weight is the mean per-feature
+    * log-likelihood ratio `ln p̂_target(b) − ln q̂_raw(b)`, rounded 6dp.
+    *
+    * Shape at 100 TB: one feature projection (array bigrams, no window),
+    * two bucket-sized partial aggs, a broadcast model join (`buckets`
+    * rows), one per-doc agg. Docs with fewer than 2 tokens carry no
+    * features and drop from the output (no bigram evidence either way).
+    * Sampling by these weights composes with [[weightedSample]] /
+    * [[quantileFilter]].
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (keeps the hashed-feature modulo " +
+        "identical between signed and unsigned 64-bit replays)")
+    val base = Dedup.widen(docs).select(col(idCol).as("doc_id"),
+      Dedup.words(col(textCol)).as("ws"), isTarget.as("is_target"))
+    val idx = when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val feats = base.select(col("doc_id"), col("is_target"),
+        explode(transform(idx, i => concat(
+          element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1)))).as("bgram"))
+      .withColumn("b",
+        pmod(Dedup.portableHash64(col("bgram")), lit(buckets.toLong)))
+    val qc = feats.groupBy("b").agg(count(lit(1)).as("cq"))
+    val pc = feats.filter(col("is_target"))
+      .groupBy("b").agg(count(lit(1)).as("cp"))
+    val nQ = broadcast(qc.agg(sum("cq").cast("long").as("nq")))
+    val nP = broadcast(pc.agg(sum("cp").cast("long").as("np")))
+    val model = broadcast(
+      qc.join(pc, Seq("b"), "left").na.fill(0L, Seq("cp")))
+    feats.join(model, "b").join(nQ).join(nP)
+      .select(col("doc_id"),
+        (log((col("cp") + 1).cast("double") / (col("np") + buckets)) -
+          log((col("cq") + 1).cast("double") / (col("nq") + buckets)))
+          .as("llr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        round(avg(col("llr")), 6).as("dsir_weight"))
+  }
+
   def decontaminate(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, k: Int): DataFrame = {
     val trainSh = Dedup.shingleRows(train, idCol, textCol, k)

@@ -350,6 +350,37 @@ object CatalogTraining {
                      round(avg(bo), 4) AS backoff_rate
               FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("td_dsir_weights",
+      // DSIR importance weights with lang='en' as the target set: every
+      // doc scored by mean hashed-bigram log-likelihood ratio between
+      // the target and raw distributions (1024 power-of-two buckets,
+      // portable md5 hash). The oracle rebuilds both smoothed bucket
+      // models and the per-doc mean from the raw text
+      (s, d) => TrainingData.dsirWeights(t(s, d, "documents"),
+          "doc_id", "text", col("lang") === "en", buckets = 1024)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, lang,
+                regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents),
+              bg AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS bgram
+                     FROM w, unnest(range(1, len(ws))) t(i)
+                     WHERE len(ws) >= 2),
+              f AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(bgram), 1, 16))::UBIGINT % 1024 AS b
+                    FROM bg),
+              qc AS (SELECT b, count(*) AS cq FROM f GROUP BY 1),
+              pc AS (SELECT b, count(*) AS cp FROM f
+                     WHERE lang = 'en' GROUP BY 1),
+              nq AS (SELECT CAST(sum(cq) AS BIGINT) AS nq FROM qc),
+              np AS (SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) AS np FROM pc)
+              SELECT doc_id, count(*) AS n_feats,
+                round(avg(ln(CAST(coalesce(cp, 0) + 1 AS DOUBLE) / (np + 1024))
+                        - ln(CAST(cq + 1 AS DOUBLE) / (nq + 1024))), 6)
+                  AS dsir_weight
+              FROM f LEFT JOIN pc USING (b) JOIN qc USING (b)
+              CROSS JOIN nq CROSS JOIN np
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("ta_nb_classify",
       // trained-classifier filtering (the fastText-style linear filter
       // of published pipelines): multinomial NB trained on (lang, text)

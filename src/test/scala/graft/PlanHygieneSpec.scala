@@ -61,6 +61,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // dimension (nLabels rows: priors ⋈ class totals ⋈ vocab size) —
     // the ts_gap_fill spine pattern, never data-sized
     "ta_nb_classify",
+    // DSIR broadcasts the two SINGLE-ROW feature-total aggregates into
+    // the log-likelihood-ratio projection (the ta_unigram pattern)
+    "td_dsir_weights",
     // broadcasts the SINGLE-ROW corpus-total aggregate into the
     // per-token score projection
     "ta_unigram_logprob",

@@ -212,6 +212,48 @@ class TrainingDataSpec extends AnyFunSuite {
       .bigramLogProb(single, "doc_id", "text").count() == 0)
   }
 
+  test("dsirWeights: hand-computed LLR, target doc outranks off-target") {
+    // target docs share bigram 'good text'; the off-target doc has its
+    // own vocabulary — its features are common in q but absent in p, so
+    // its mean LLR must come out below the target-like doc's
+    val docs = Seq(
+      (1L, "en", "good text good text"),
+      (2L, "en", "good text here"),
+      (3L, "xx", "weird stuff weird stuff")).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TrainingData
+      .dsirWeights(docs, "doc_id", "text", col("lang") === "en", buckets = 16)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // independent reference: bucket = big-endian md5-prefix hash mod 16
+    def bucket(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val h = new java.math.BigInteger(1, md.slice(0, 8)).longValue()
+      java.lang.Long.remainderUnsigned(h, 16L)
+    }
+    def bigrams(t: String) = t.split("\\s+").sliding(2)
+      .map(_.mkString(" ")).toSeq
+    val all = Seq("good text good text", "good text here",
+      "weird stuff weird stuff").flatMap(bigrams).map(bucket)
+    val tgt = Seq("good text good text", "good text here")
+      .flatMap(bigrams).map(bucket)
+    val cq = all.groupBy(identity).view.mapValues(_.size).toMap
+    val cp = tgt.groupBy(identity).view.mapValues(_.size).toMap
+    def llr(b: Long): Double =
+      math.log((cp.getOrElse(b, 0) + 1).toDouble / (tgt.size + 16)) -
+        math.log((cq(b) + 1).toDouble / (all.size + 16))
+    def want(t: String): (Long, Double) = {
+      val bs = bigrams(t).map(bucket)
+      (bs.size.toLong, BigDecimal(bs.map(llr).sum / bs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got(1L) == want("good text good text"), s"got ${got(1L)}")
+    assert(got(2L) == want("good text here"))
+    assert(got(3L) == want("weird stuff weird stuff"))
+    assert(got(1L)._2 > got(3L)._2, "target-like doc must outrank off-target")
+  }
+
   test("ivfKnn: probing all cells equals brute force") {
     val vecs = (0L until 20L).map { i =>
       (i, Seq.tabulate(4)(j => (math.sin(i * 7 + j) * 10).toFloat))
