@@ -304,6 +304,96 @@ object Multimodal {
       .mapPartitions(_.map(id => decodeWav(encodeSyntheticWav(id)))).toDF()
   }
 
+  // ----------------------------------------------- perceptual hashing
+
+  /** Average-hash (aHash) perceptual fingerprint computed from REAL
+    * decoded pixels: the 32×32 raster partitions into an 8×8 grid of
+    * 4×4 blocks, each block's mean gray compares against the global
+    * mean, and the 64 resulting bits pack into two 32-bit limbs (the
+    * [[graft.plans.SignPackBits]] layout, so [[graft.plans.HammingBits]]
+    * pairs near-duplicates directly). Staged images are LINEAR GRADIENTS
+    * `gray(x, y) = a·x + b·y + c` — chosen so block means have a closed
+    * form and the catalog oracle can derive every bit from the recipe
+    * (`bit(bx, by) ⇔ 2a·bx + 2b·by ≥ 7(a+b)`), while the engine side
+    * must still decode the PNG and average actual pixels to agree.
+    */
+  case class PHash(doc_id: Long, phash: String)
+
+  def recipeGradA(id: Long): Int = 1 + (id % 3).toInt
+  def recipeGradB(id: Long): Int = 1 + ((id / 3) % 3).toInt
+  def recipeGradC(id: Long): Int = ((id * 7) % 60).toInt
+
+  /** 32×32 gradient PNG: gray = a·x + b·y + c (max 3·31+3·31+59 = 245,
+    * no wrap), identical in all three channels.
+    */
+  def encodeGradientPng(id: Long): BinDoc = {
+    val a = recipeGradA(id); val b = recipeGradB(id); val c = recipeGradC(id)
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val g = a * x + b * y + c
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    BinDoc(id, baos.toByteArray)
+  }
+
+  /** Decode the raster and compute the 64-bit aHash from actual pixel
+    * averages; returns the hash as a fixed-width hex string (two 32-bit
+    * limbs, high limb first) so cross-engine comparison never touches
+    * signedness. Fails loudly on unexpected dimensions.
+    */
+  def decodeAHash(doc: BinDoc): PHash = {
+    val img = ImageIO.read(new ByteArrayInputStream(doc.payload))
+    require(img != null && img.getWidth == 32 && img.getHeight == 32,
+      s"doc ${doc.doc_id}: expected a decodable 32x32 raster")
+    // block sums over 4x4 cells of the red channel (all channels equal)
+    val blockSum = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val g = (img.getRGB(x, y) >> 16) & 0xff
+        blockSum((y / 4) * 8 + (x / 4)) += g
+        total += g
+        x += 1
+      }
+      y += 1
+    }
+    // bit set iff 64 * blockSum >= total * (64/64 blocks · 16 px): block
+    // mean (sum/16) >= global mean (total/1024) ⇔ 64·blockSum >= total
+    val limbs = new Array[Long](2)
+    var i = 0
+    while (i < 64) {
+      if (64L * blockSum(i) >= total) limbs(i >> 5) |= 1L << (i & 31)
+      i += 1
+    }
+    PHash(doc.doc_id, f"${limbs(1)}%08x${limbs(0)}%08x")
+  }
+
+  /** Stage a gradient PNG per doc, decode, hash, and report how many
+    * docs in the corpus share each fingerprint — exact perceptual dedup
+    * (near-dup pairing at Hamming ≤ t uses [[graft.plans.HammingBits]]
+    * on the same limbs). The occurrence count is a partial agg on the
+    * hash key, corpus-linear.
+    */
+  def documentPHashDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hashes = docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => decodeAHash(encodeGradientPng(id)))).toDF()
+    val occ = hashes.groupBy(col("phash").as("ph"))
+      .agg(count(lit(1)).as("n_same"))
+    hashes.join(occ, hashes("phash") === occ("ph"))
+      .select("doc_id", "phash", "n_same")
+  }
+
   // ------------------------------------------------------------ video
 
   /** MP4/ISO-BMFF metadata parsed from a REAL box tree: `ftyp` brand,

@@ -1165,6 +1165,37 @@ object CatalogScale {
                 CAST(1 + doc_id % 37 AS INT) AS height
               FROM r ORDER BY doc_id""")),
 
+    Q("mm_phash_dedup",
+      // perceptual image dedup over REAL decoded pixels: each doc staged
+      // as a 32×32 gradient PNG, decoded back through javax.imageio, and
+      // aHash'd (8×8 block means vs global mean → 64 bits in two 32-bit
+      // limbs). The oracle derives every bit from the gradient recipe's
+      // closed form (2a·bx + 2b·by ≥ 7(a+b)) — brightness offset c
+      // cancels, so docs differing only in brightness hash identically,
+      // which is exactly aHash's invariance; the engine must average
+      // actual pixels to agree. n_same groups perceptual duplicates.
+      (s, d) => Multimodal.documentPHashDedup(s, t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id,
+                 CAST(1 + doc_id % 3 AS BIGINT) AS a,
+                 CAST(1 + (doc_id // 3) % 3 AS BIGINT) AS b
+               FROM documents),
+              h AS (SELECT doc_id,
+                 printf('%08x',
+                   CAST(list_sum(list_transform(range(32), i ->
+                     CASE WHEN 2*a*((i+32) % 8) + 2*b*((i+32) // 8) >= 7*(a+b)
+                          THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END))
+                     AS BIGINT)) ||
+                 printf('%08x',
+                   CAST(list_sum(list_transform(range(32), i ->
+                     CASE WHEN 2*a*(i % 8) + 2*b*(i // 8) >= 7*(a+b)
+                          THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END))
+                     AS BIGINT)) AS phash
+               FROM r),
+              occ AS (SELECT phash, count(*) AS n_same FROM h GROUP BY 1)
+              SELECT doc_id, phash, n_same
+              FROM h JOIN occ USING (phash) ORDER BY doc_id""")),
+
     Q("mm_patchify",
       // ViT patch-grid planning: REAL decoded dims → ceil-division grid
       // → one (doc, patch_idx, box) row per patch; edge patches carry

@@ -85,6 +85,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("malformed"))
   }
 
+  test("aHash: decoded-pixel hash matches the gradient closed form") {
+    def refHash(id: Long): String = {
+      val a = Multimodal.recipeGradA(id); val b = Multimodal.recipeGradB(id)
+      val limbs = new Array[Long](2)
+      for (i <- 0 until 64)
+        if (2 * a * (i % 8) + 2 * b * (i / 8) >= 7 * (a + b))
+          limbs(i >> 5) |= 1L << (i & 31)
+      f"${limbs(1)}%08x${limbs(0)}%08x"
+    }
+    for (id <- Seq(0L, 5L, 11L, 17L)) {
+      val got = Multimodal.decodeAHash(Multimodal.encodeGradientPng(id))
+      assert(got.phash == refHash(id), s"id $id")
+    }
+    // brightness invariance: ids 1 and 10 share (a, b) but differ in c
+    assert(Multimodal.recipeGradA(1L) == Multimodal.recipeGradA(10L) &&
+      Multimodal.recipeGradB(1L) == Multimodal.recipeGradB(10L) &&
+      Multimodal.recipeGradC(1L) != Multimodal.recipeGradC(10L))
+    assert(Multimodal.decodeAHash(Multimodal.encodeGradientPng(1L)).phash ==
+      Multimodal.decodeAHash(Multimodal.encodeGradientPng(10L)).phash)
+    // different gradient DIRECTION ratios hash apart
+    val h10 = Multimodal.decodeAHash(Multimodal.encodeGradientPng(0L)).phash // a1 b1
+    val h12 = Multimodal.decodeAHash(Multimodal.encodeGradientPng(3L)).phash // a1 b2
+    assert(h10 != h12)
+  }
+
   test("distributed video pipeline matches the recipe") {
     val s = spark
     import s.implicits._
