@@ -1758,6 +1758,60 @@ object CatalogScale {
                       min(day) AS min_day, max(day) AS max_day
                FROM b GROUP BY bucket ORDER BY bucket""")),
 
+    Q("scale_layout_compare",
+      // the layout bake-off as an ORACLE-CHECKED row: same data, same
+      // 64-way range bucketing, the only variable is the curve. Both
+      // curves' average 2-D bucket envelope areas are derived
+      // independently by both engines, and the hilbert_tighter boolean
+      // is a computed comparison, not a pin (measured: ~102k vs ~150k
+      // at sf0.01 — the locality claim, substantiated)
+      (s, d) => {
+        val keyed = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+          .withColumn("hval",
+            Scale.hilbertValue(col("o_custkey"), col("day"), 16))
+          .withColumn("zval", Scale.zValue(col("o_custkey"), col("day"), 16))
+        def envAvg(keyCol: String, out: String) = keyed
+          .withColumn("bucket",
+            ntile(64).over(Window.orderBy(col(keyCol), col("o_orderkey"))))
+          .groupBy("bucket")
+          .agg(((max("o_custkey") - min("o_custkey") + 1) *
+            (max("day") - min("day") + 1)).as("area"))
+          .agg(round(avg("area"), 4).as(out))
+        envAvg("hval", "hilbert_avg_area")
+          .crossJoin(envAvg("zval", "zorder_avg_area"))
+          .select(col("hilbert_avg_area"), col("zorder_avg_area"),
+            (col("hilbert_avg_area") < col("zorder_avg_area"))
+              .as("hilbert_tighter"))
+      },
+      Some(s"""WITH RECURSIVE z AS (SELECT o_orderkey, o_custkey,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+                 CAST(o_custkey AS BIGINT) AS hil_x,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS hil_y,
+                 ${Scale.zValueSql("o_custkey",
+                   "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))", 16)} AS zval
+               FROM orders),
+               ${Scale.hilbertValueSqlCte("z", "o_orderkey", 16)},
+               hb AS (SELECT z.o_custkey, z.day,
+                        ntile(64) OVER (ORDER BY hval, z.o_orderkey) AS bucket
+                      FROM z JOIN hval ON hval.k1 = z.o_orderkey),
+               zb AS (SELECT o_custkey, day,
+                        ntile(64) OVER (ORDER BY zval, o_orderkey) AS bucket
+                      FROM z),
+               ha AS (SELECT round(avg((max_c - min_c + 1) * (max_d - min_d + 1)), 4) AS hilbert_avg_area
+                      FROM (SELECT min(o_custkey) AS min_c, max(o_custkey) AS max_c,
+                                   min(day) AS min_d, max(day) AS max_d
+                            FROM hb GROUP BY bucket)),
+               za AS (SELECT round(avg((max_c - min_c + 1) * (max_d - min_d + 1)), 4) AS zorder_avg_area
+                      FROM (SELECT min(o_custkey) AS min_c, max(o_custkey) AS max_c,
+                                   min(day) AS min_d, max(day) AS max_d
+                            FROM zb GROUP BY bucket))
+               SELECT hilbert_avg_area, zorder_avg_area,
+                      hilbert_avg_area < zorder_avg_area AS hilbert_tighter
+               FROM ha, za""")),
+
     Q("scale_zorder",
       // Z-order layout pass: Morton-interleave (custkey, orderdate-day),
       // range-bucket the file layout on the z-value (ntile = the range

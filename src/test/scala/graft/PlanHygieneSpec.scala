@@ -64,6 +64,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // DSIR broadcasts the two SINGLE-ROW feature-total aggregates into
     // the log-likelihood-ratio projection (the ta_unigram pattern)
     "td_dsir_weights",
+    // layout bake-off cross-joins two SINGLE-ROW average-area
+    // aggregates into the comparison row (the a20 pattern)
+    "scale_layout_compare",
     // broadcasts the SINGLE-ROW corpus-total aggregate into the
     // per-token score projection
     "ta_unigram_logprob",
