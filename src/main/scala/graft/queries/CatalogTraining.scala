@@ -350,6 +350,92 @@ object CatalogTraining {
                      round(avg(bo), 4) AS backoff_rate
               FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("td_pipeline_e2e",
+      // the whole training-data pipeline as ONE composed query — the
+      // integration proof that the stages a real corpus run chains
+      // actually compose: quality filter (ttr top 3/4 per lang) →
+      // exact dedup (keep-min per content hash, skew-safe agg + semi-
+      // join) → duplicated-span removal (k=5, ≥10 tokens) → per-shard
+      // doc/token/removed volumes. The oracle replays EVERY stage in
+      // one SQL chain, so a semantic drift anywhere in the composition
+      // (not just in a stage tested alone) breaks the hash
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = graft.operators.TextAnalysis.qualityScore(docs, "text")
+        val kept = TrainingData.quantileFilter(scored, "lang", "doc_id",
+            col("ttr"), num = 3, den = 4)
+          .select("doc_id", "lang", "text")
+        val firsts = kept.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("keep_id"))
+        val deduped = kept.join(firsts,
+            sha2(col("text"), 256) === col("h") &&
+              col("doc_id") === col("keep_id"))
+          .select("doc_id", "text")
+        val cleaned = graft.operators.Dedup.removeDuplicateSpans(
+          deduped, "doc_id", "text", k = 5, minSpanTokens = 10)
+        deduped
+          .select(col("doc_id"),
+            size(graft.operators.Dedup.words(col("text"))).cast("long")
+              .as("orig_tok"))
+          .join(cleaned.select("doc_id", "n_removed"), "doc_id")
+          .withColumn("shard", TrainingData.shardId(col("doc_id"), 8))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("orig_tok") - col("n_removed")).as("n_tokens"),
+            sum("n_removed").as("n_removed"))
+          .orderBy("shard")
+      },
+      Some("""WITH q0 AS (SELECT doc_id, lang, text,
+                round(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\s+')), 4) AS ttr
+              FROM documents),
+              q1 AS (SELECT doc_id, lang, text FROM (
+                      SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY ttr DESC, doc_id) AS rn,
+                             count(*) OVER (PARTITION BY lang) AS n
+                      FROM q0) WHERE rn * 4 <= n * 3),
+              d1 AS (SELECT doc_id, text FROM (
+                      SELECT doc_id, text, row_number() OVER (
+                               PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+                      FROM q1) WHERE rn = 1),
+              w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM d1),
+              grams AS (SELECT doc_id, g - 1 AS g,
+                               array_to_string(ws[g:g+4], ' ') AS sh
+                        FROM w, unnest(range(1, len(ws) - 5 + 2)) t(g)
+                        WHERE len(ws) >= 5),
+              ranked AS (SELECT doc_id, g,
+                           row_number() OVER (PARTITION BY sh
+                                              ORDER BY doc_id, g) AS rn
+                         FROM grams),
+              dup AS (SELECT doc_id, g FROM ranked WHERE rn > 1),
+              runs AS (SELECT doc_id, g,
+                         g - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY g) AS grp
+                       FROM dup),
+              iv AS (SELECT doc_id, min(g) AS s, max(g) + 4 AS e
+                     FROM runs GROUP BY doc_id, grp
+                     HAVING max(g) + 4 - min(g) + 1 >= 10),
+              toks AS (SELECT doc_id, p - 1 AS p
+                       FROM w, unnest(range(1, len(ws) + 1)) t(p)),
+              flag AS (SELECT t.doc_id, t.p,
+                         EXISTS(SELECT 1 FROM iv
+                                WHERE iv.doc_id = t.doc_id
+                                  AND t.p BETWEEN iv.s AND iv.e) AS rm
+                       FROM toks t),
+              cleaned AS (SELECT doc_id,
+                            count(*) FILTER (WHERE NOT rm) AS n_tok,
+                            count(*) FILTER (WHERE rm) AS n_removed
+                          FROM flag GROUP BY doc_id),
+              sh AS (SELECT doc_id, n_tok, n_removed,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 8 AS INTEGER) AS shard
+                     FROM cleaned)
+              SELECT shard, count(*) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                     CAST(sum(n_removed) AS BIGINT) AS n_removed
+              FROM sh GROUP BY shard ORDER BY shard""")),
+
     Q("td_dsir_weights",
       // DSIR importance weights with lang='en' as the target set: every
       // doc scored by mean hashed-bigram log-likelihood ratio between
