@@ -117,6 +117,57 @@ object StreamingOps {
       .withColumn("content_hash", sha2(col(textCol), 256))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming content-defined chunking: the incremental form of
+    * [[graft.operators.Dedup.cdcChunks]]. CDC boundaries are a pure
+    * function of the DOCUMENT'S OWN tokens (the k-gram hash ending at a
+    * position), so chunking needs NO state at all — this is a stateless
+    * projection (boundary positions → slice between consecutive
+    * boundaries → explode), safe in append mode with no watermark.
+    * Composing with [[dedupStreamWithinWatermark]] on `chunk_text` gives
+    * shift-robust streaming chunk dedup: a doc re-ingested with a
+    * prepended edit still collides on every re-aligned chunk. The batch
+    * operator owns corpus-wide occurrence counts; a spec pins this
+    * projection to the batch chunker's exact output.
+    */
+  def cdcChunkStream(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, avgChunkTokens: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(avgChunkTokens >= 2 && (avgChunkTokens & (avgChunkTokens - 1)) == 0,
+      "avgChunkTokens must be a power of two")
+    val ws = graft.operators.Dedup.words(col(textCol))
+    val n = size(ws)
+    // boundary AFTER the last token of any k-gram hashing ≡ 0 (mod avg);
+    // guard docs shorter than k (sequence(0, negative) counts DOWN)
+    val gidx = when(n >= k, sequence(lit(0), n - k))
+      .otherwise(array().cast("array<int>"))
+    val bpos = transform(
+      filter(gidx, g => graft.operators.Dedup.portableHash64(
+        array_join(slice(ws, g + 1, lit(k)), " ")) % avgChunkTokens === 0),
+      g => g + (k - 1))
+    // chunk cid spans (starts(cid), ends(cid)]; a boundary on the final
+    // token would open an EMPTY trailing chunk — filtered out, so ids
+    // match the batch operator's running-count assignment exactly
+    docs
+      .withColumn("_ws", ws)
+      .withColumn("_starts", concat(array(lit(-1)), bpos))
+      .withColumn("_ends", concat(bpos, array(size(col("_ws")) - 1)))
+      .withColumn("_chunks",
+        filter(
+          transform(sequence(lit(0), size(col("_starts")) - 1),
+            cid => struct(
+              cid.cast("long").as("chunk_id"),
+              (element_at(col("_ends"), cid + 1) -
+                element_at(col("_starts"), cid + 1)).cast("long").as("n_tokens"),
+              array_join(
+                slice(col("_ws"), element_at(col("_starts"), cid + 1) + 2,
+                  element_at(col("_ends"), cid + 1) -
+                    element_at(col("_starts"), cid + 1)), " ").as("chunk_text"))),
+          c => c.getField("n_tokens") > 0))
+      .select(col(idCol).as("doc_id"), explode(col("_chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+  }
+
   case class LshMember(doc_id: Long, sig: Seq[Long])
   case class LshBucketState(members: List[LshMember])
   case class LshBandRow(ts: java.sql.Timestamp, doc_id: Long,

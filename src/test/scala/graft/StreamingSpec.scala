@@ -194,6 +194,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L), "in-horizon duplicate dropped")
   }
 
+  test("cdcChunkStream: stateless chunks equal the batch chunker; chunk dedup composes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val words40 = (1 to 40).map(i => s"w${i * 7 % 19}_$i").mkString(" ")
+    val rows = Seq((1L, words40), (2L, "zzz " + words40), (3L, "a b"))
+
+    // parity: the stateless projection must produce EXACTLY the batch
+    // chunker's (doc, chunk, tokens, text) rows on the same input
+    val batchDf = rows.toDF("doc_id", "text")
+    val batch = graft.operators.Dedup
+      .cdcChunks(batchDf, "doc_id", "text", k = 3, avgChunkTokens = 4)
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val proj = StreamingOps
+      .cdcChunkStream(batchDf, "doc_id", "text", k = 3, avgChunkTokens = 4)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(proj == batch, "stream projection diverges from the batch chunker")
+
+    // streamed across micro-batches + global chunk dedup: doc 2 arrives
+    // a batch later, its re-aligned chunks collide with doc 1's
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.cdcChunkStream(df, "doc_id", "text", 3, 4)
+      .dropDuplicates("chunk_text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_out").start()
+    mem.addData(rows.head)
+    q.processAllAvailable()
+    mem.addData(rows(1))
+    q.processAllAvailable()
+    val kept = spark.table("cdc_out")
+      .as[(Long, Long, Long, String)].collect()
+    q.stop()
+    val keptByDoc = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    val doc1Chunks = batch.count(_._1 == 1L)
+    assert(keptByDoc(1L) == doc1Chunks, "doc 1 chunks all first-seen")
+    assert(keptByDoc(2L) <= 2,
+      s"doc 2 may keep only its prefix-side chunks, kept ${keptByDoc.get(2L)}")
+  }
+
   test("enrichStream: micro-batches join the broadcast dimension, unmatched keys survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
