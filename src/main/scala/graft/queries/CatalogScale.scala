@@ -262,6 +262,51 @@ object CatalogScale {
                         WHERE l_quantity < 0 OR l_quantity > 100) = 0)
               ORDER BY constraint_name""")),
 
+    Q("dq_quarantine",
+      // the valid/quarantine ROUTING half of the DQ layer (what
+      // dq_constraints only reports): a staged dirty string column —
+      // valid ints, garbage, empties, whitespace-padded, negatives, and
+      // out-of-range magnitudes — parses via try_cast (ANSI-safe, null
+      // on failure, never a job abort) and every row routes to exactly
+      // one bucket with a reason; per-reason counts + id envelopes are
+      // what a pipeline alerts on while the 'ok' stream promotes
+      (s, d) => {
+        val staged = t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 6 === 0, col("doc_id").cast("string"))
+            .when(col("doc_id") % 6 === 1,
+              concat(lit("x"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 6 === 2, lit(""))
+            .when(col("doc_id") % 6 === 3, (-col("doc_id")).cast("string"))
+            .when(col("doc_id") % 6 === 4,
+              concat(lit(" "), col("doc_id").cast("string"), lit(" ")))
+            .otherwise((col("doc_id") * 1000000L).cast("string")).as("raw"))
+        staged
+          .withColumn("v", expr("try_cast(raw AS BIGINT)"))
+          .withColumn("reason",
+            when(col("v").isNull, "parse_fail")
+              .when(col("v") < 0 || col("v") > 99999, "out_of_range")
+              .otherwise("ok"))
+          .groupBy("reason")
+          .agg(count(lit(1)).as("n"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("reason")
+      },
+      Some("""WITH staged AS (SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN CAST(doc_id AS VARCHAR)
+                  WHEN 1 THEN 'x' || doc_id
+                  WHEN 2 THEN ''
+                  WHEN 3 THEN CAST(-doc_id AS VARCHAR)
+                  WHEN 4 THEN ' ' || doc_id || ' '
+                  ELSE CAST(doc_id * 1000000 AS VARCHAR) END AS raw
+              FROM documents),
+              r AS (SELECT doc_id, try_cast(raw AS BIGINT) AS v FROM staged)
+              SELECT CASE WHEN v IS NULL THEN 'parse_fail'
+                          WHEN v < 0 OR v > 99999 THEN 'out_of_range'
+                          ELSE 'ok' END AS reason,
+                     count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+              FROM r GROUP BY 1 ORDER BY 1""")),
+
     Q("prof_table_stats",
       // one-pass column profiling (the ANALYZE TABLE layer): every
       // metric for every profiled column computed in a SINGLE scan +
