@@ -260,6 +260,14 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Unicode fold as a Column — see [[graft.plans.UnicodeFold]]: NFD,
+    * strip combining marks, root-locale lowercase, NFC. The key
+    * normalization applied before hashing/dedup on multilingual
+    * corpora, as a single codegen expression.
+    */
+  def unicodeFold(c: Column): Column =
+    ColumnBridge.column(graft.plans.UnicodeFold(ColumnBridge.expression(c)))
+
   /** Multinomial Naive Bayes classifier, trained and applied as one
     * distributed job — the machinery behind fastText-style quality and
     * language filters in published pipelines (a linear classifier over

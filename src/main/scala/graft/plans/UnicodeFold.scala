@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `unicode_fold(s)` — the canonical multilingual text-normalization
+  * fold for dedup/tokenization keys: NFD-decompose, strip combining
+  * marks (`\p{Mn}`: accents, diaereses, tildes), lowercase in the root
+  * locale, NFC-recompose. 'Café' / 'CAFE' / 'café' all fold to 'cafe',
+  * so accent and case variants of the same surface form dedup and count
+  * together — the normalization CCNet-class pipelines apply before
+  * hashing. Matches DuckDB's `strip_accents(lower(nfc_normalize(s)))`
+  * on Latin-script diacritics (the oracle pins the agreement on staged
+  * accented vocabulary). Mark-stripping runs BEFORE lowercasing so
+  * decomposed capitals fold cleanly; locale-sensitive edge letters
+  * (e.g. Turkish dotted İ) are outside the pinned contract.
+  */
+case class UnicodeFold(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unicode_fold needs string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unicode_fold"
+
+  /** public for the generated code */
+  def compute(s: UTF8String): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString.toLowerCase(java.util.Locale.ROOT),
+      java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("unicodeFoldExpr", this, classOf[UnicodeFold].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -350,6 +350,37 @@ object CatalogTraining {
                      round(avg(bo), 4) AS backoff_rate
               FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("ta_unicode_fold",
+      // multilingual normalization over staged accented text: each doc
+      // gets a diacritic-bearing phrase appended (Café / naïve / MÜLLER
+      // / Ñoño / Škoda / crème brûlée), and the native codegen fold
+      // (NFD → strip marks → lower → NFC) must agree byte-for-byte with
+      // DuckDB's independent strip_accents(lower(nfc_normalize(·)))
+      // chain — two different normalizer implementations pinned to the
+      // same answer on real non-ASCII input
+      (s, d) => {
+        val phrase = element_at(
+          array(lit("Café"), lit("naïve"), lit("MÜLLER"), lit("Ñoño"),
+            lit("Škoda"), lit("crème brûlée")),
+          (col("doc_id") % 6 + 1).cast("int"))
+        t(s, d, "documents").select(col("doc_id"),
+          phrase.as("raw"),
+          graft.operators.TextAnalysis.unicodeFold(
+            concat(col("text"), lit(" "), phrase)).as("folded_tail"))
+          .withColumn("folded_tail",
+            element_at(split(col("folded_tail"), " "), -1))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                CASE doc_id % 6 WHEN 0 THEN 'Café' WHEN 1 THEN 'naïve'
+                  WHEN 2 THEN 'MÜLLER' WHEN 3 THEN 'Ñoño'
+                  WHEN 4 THEN 'Škoda' ELSE 'crème brûlée' END AS raw,
+                strip_accents(lower(nfc_normalize(
+                  CASE doc_id % 6 WHEN 0 THEN 'Café' WHEN 1 THEN 'naïve'
+                    WHEN 2 THEN 'MÜLLER' WHEN 3 THEN 'Ñoño'
+                    WHEN 4 THEN 'Škoda' ELSE 'brûlée' END))) AS folded_tail
+              FROM documents ORDER BY doc_id""")),
+
     Q("td_pipeline_e2e",
       // the whole training-data pipeline as ONE composed query — the
       // integration proof that the stages a real corpus run chains

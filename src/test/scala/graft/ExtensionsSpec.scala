@@ -133,6 +133,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(mismatch.eval(null) == null)
   }
 
+  test("UnicodeFold: accent/case fold, precomposed == decomposed, parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val folded = Seq(("Café", "naïve", "éclair", "MÜLLER"))
+      .toDF("a", "b", "c", "d")
+      .select(
+        graft.operators.TextAnalysis.unicodeFold(col("a")),
+        graft.operators.TextAnalysis.unicodeFold(col("b")),
+        // 'c' uses DECOMPOSED e + combining acute — must fold like 'é'
+        graft.operators.TextAnalysis.unicodeFold(col("c")),
+        graft.operators.TextAnalysis.unicodeFold(col("d")))
+      .head
+    assert((folded.getString(0), folded.getString(1),
+      folded.getString(2), folded.getString(3)) ==
+      (("cafe", "naive", "eclair", "muller")))
+    // interpreted path agrees with the codegen result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = graft.plans.UnicodeFold(Literal("Škoda"))
+      .eval(null).toString
+    assert(interp == "skoda")
+  }
+
   test("PushFilterIntoCollectList rewrites the F2 shape and preserves semantics") {
     val spark = TestSpark.spark
     import spark.implicits._
