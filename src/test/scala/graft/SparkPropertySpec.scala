@@ -24,6 +24,59 @@ class SparkPropertySpec extends AnyFunSuite {
     samples(Gen.choose(0L, 365L * 80), 300)
       .map(d => LocalDate.of(1970, 1, 1).plusDays(d))
 
+  test("prop: cdcChunks partitions any doc — reassembly and token conservation") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 30L).map { id =>
+      val n = 1 + rnd.nextInt(60)
+      (id, (0 until n).map(_ => s"t${rnd.nextInt(12)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .cdcChunks(df, "doc_id", "text", k = 3, avgChunkTokens = 4)
+      .as[(Long, Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, text) =>
+      val chunks = got(id)
+      // chunk ids are a contiguous 0..n-1 range, texts reassemble the
+      // doc, token counts conserve — for EVERY random doc
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong), s"doc $id ids")
+      assert(chunks.map(_._4).mkString(" ") == text, s"doc $id reassembly")
+      assert(chunks.map(_._3).sum == text.split(" ").length.toLong, s"doc $id tokens")
+    }
+  }
+
+  test("prop: removeDuplicateSpans is the identity on a dup-free corpus") {
+    // every doc gets a disjoint token alphabet — no k-gram can repeat,
+    // so nothing may be removed, whatever the parameters
+    val docs = (1L to 10L).map { id =>
+      (id, (0 until 20).map(j => s"d${id}_w$j").mkString(" "))
+    }
+    val got = graft.operators.Dedup
+      .removeDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, minSpanTokens = 6)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == ((text, 0L)), s"doc $id must be untouched")
+    }
+  }
+
+  test("prop: unicodeFold is idempotent and case/composition invariant") {
+    val accented = Seq("Café", "NAÏVE", "Ñoño", "Škoda", "crème BRÛLÉE",
+      "über", "Ångström", "façade", "plain ascii", "MiXeD Case")
+    val df = accented.toDF("s")
+      .select(col("s"),
+        graft.operators.TextAnalysis.unicodeFold(col("s")).as("f1"))
+      .select(col("s"), col("f1"),
+        graft.operators.TextAnalysis.unicodeFold(col("f1")).as("f2"),
+        graft.operators.TextAnalysis.unicodeFold(lower(col("s"))).as("fl"))
+    df.collect().foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"fold not idempotent on '${r.getString(0)}'")
+      assert(r.getString(3) == r.getString(1),
+        s"fold not case-path invariant on '${r.getString(0)}'")
+    }
+  }
+
   test("prop: triangleStats matches the naive triple-loop census on random graphs") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { trial =>
