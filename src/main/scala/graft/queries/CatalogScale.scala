@@ -932,6 +932,22 @@ object CatalogScale {
                      h.n_hit * 10 >= e.n_exact * 3 AS floor_met
               FROM e, h""")),
 
+    Q("inc_ann_topk",
+      // incremental ANN serving: the 32×-compressed sign index persists
+      // once as a CacheTable snapshot; the query batch packs only its
+      // own signatures and scans the snapshot — and the SAME exact-kNN
+      // oracle stays green, so serving from the persisted index equals
+      // the from-scratch answer
+      (s, d) => {
+        val sfx = java.lang.Integer.toHexString(d.hashCode)
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bqidx_$sfx"
+        val emb = t(s, d, "embeddings")
+        Similarity.incrementalBqKnn(emb, knnQueries(emb), k = 10,
+          rerankFactor = 80, indexDir = idx)
+          .orderBy("query_id", "rank")
+      },
+      Some(knnOracle)),
+
     Q("sim_ann_recall",
       // quantitative recall floor: |ANN top-10 ∩ exact top-10| / |exact|,
       // asserted >= 0.9; n_queries and n_exact are genuinely computed by

@@ -54,6 +54,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // IVF × BQ: sim_ann_ivf's query-side centroid cross join; the
     // Hamming probe itself is an equi-join on the cell id
     "sim_ann_ivf_bq",
+    // incremental ANN serving: the sim_ann_bq Hamming scan over the
+    // persisted snapshot (broadcast query signatures)
+    "inc_ann_topk",
     // bigram LM broadcasts the SINGLE-ROW corpus-total aggregate into
     // the backoff projection (the ta_unigram_logprob pattern)
     "ta_bigram_logprob",

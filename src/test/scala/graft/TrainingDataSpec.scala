@@ -326,6 +326,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(ivfbq == exact)
   }
 
+  test("incrementalBqKnn: serves from the snapshot, equals from-scratch bqKnn") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Seq.tabulate(40)(j => (math.sin(i * 7 + j) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bqidx_spec").toString
+    def run() = Similarity.incrementalBqKnn(vecs, q, k = 5,
+        rerankFactor = 4, indexDir = idx)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val scratch = Similarity.bqKnn(vecs, q, k = 5, rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run() == scratch, "first run bootstraps the index")
+    def gens = spark.read.parquet(s"$idx/bq_sigs")
+      .select("_fetched_at").distinct().count()
+    assert(gens == 1)
+    assert(run() == scratch, "re-run serves from the snapshot")
+    assert(gens == 1, "re-run did not re-encode the corpus")
+  }
+
   test("bqHammingTopK ranks by true Hamming distance of sign signatures") {
     // hand-built 3-dim vectors: signs chosen so Hamming distances to the
     // query (+,+,+) are 0, 1, 2, 3 for ids 1..4
