@@ -305,9 +305,11 @@ object Dedup {
         array_join(
           transform(array_sort(collect_list(struct(col("p"), col("tok")))),
             s => s.getField("tok")), " ").as("chunk_text"))
-    val occ = chunks.groupBy(col("chunk_text").as("ct"))
+    // occurrence counts keyed by the chunk HASH, not the chunk text —
+    // the count shuffle carries 8 bytes per chunk instead of the text
+    val occ = chunks.groupBy(xxhash64(col("chunk_text")).as("ct"))
       .agg(count(lit(1)).as("occ"))
-    chunks.join(occ, chunks("chunk_text") === occ("ct"))
+    chunks.join(occ, xxhash64(col("chunk_text")) === occ("ct"))
       .select("doc_id", "chunk_id", "n_tokens", "chunk_text", "occ")
   }
 
