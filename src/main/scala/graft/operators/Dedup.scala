@@ -841,4 +841,91 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Edit-distance similarity self-join: every pair within Levenshtein
+    * distance `tau`, EXACTLY, with no all-pairs pass — the typo-level
+    * near-dup family the token-set operators (Jaccard/MinHash/SimHash)
+    * structurally miss, since a handful of character edits can rewrite
+    * every word shingle they key on.
+    *
+    * Candidate generation is q-gram prefix filtering (published as
+    * Ed-Join, Xiao/Wang/Lin VLDB'08, on Gravano et al.'s VLDB'01 q-gram
+    * count bound): one edit destroys at most `q` distinct character
+    * q-grams, so two strings within `tau` edits must share a gram among
+    * their `q*tau + 1` RAREST distinct grams (rarity by global corpus
+    * frequency — any shared total order works; rarest-first minimizes
+    * join fan-out, which is what tames the frequent-gram skew of
+    * repetitive corpora). Candidates are an equi-join on those prefix
+    * grams plus the `|len(a)-len(b)| <= tau` necessary condition;
+    * verification is Spark's built-in banded `levenshtein(a, b, tau)`
+    * (O(tau·n) per pair, codegen).
+    *
+    * Strings with at most `q*tau` distinct grams fall outside the
+    * count-bound's validity, so they route through a short-string
+    * bucket joined (length-windowed) against the WHOLE corpus — rare by
+    * construction (len <~ q*(tau+1)) and broadcast. Together the two
+    * routes are recall-complete, so the result equals the brute-force
+    * answer — which is exactly what the catalog oracle checks.
+    *
+    * 100 TB shape: gram hashing is projection-only; the frequency table
+    * is a partial agg on an 8-byte key; prefix selection is one window
+    * per doc; candidates scale with shared-rare-grams, not pairs; and
+    * verification touches candidates only, at O(tau·n) each.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Int, q: Int = 5): DataFrame = {
+    require(tau >= 1, s"tau must be positive, got $tau")
+    require(q >= 2, s"q-gram length must be >= 2, got $q")
+    val prefixLen = q * tau + 1
+    val base = trackedPersist(widen(docs.select(
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .withColumn("l", length(col("text")))))
+    // distinct char q-grams, hashed to 8 bytes (a collision only merges
+    // two gram keys: extra candidates, never lost ones — and a doc's
+    // hashed-distinct count <= its true count, so the short-bucket test
+    // below only gets MORE conservative)
+    val grams = trackedPersist(base.filter(col("l") >= q)
+      .select(col("doc_id"), col("l"),
+        explode(array_distinct(transform(
+          sequence(lit(1), col("l") - (q - 1)),
+          i => xxhash64(col("text").substr(i, lit(q)))))).as("gh")))
+    val nDistinct = grams.groupBy("doc_id").agg(count(lit(1)).as("n_gh"))
+    val flagged = base.join(nDistinct, Seq("doc_id"), "left")
+      .withColumn("n_gh", coalesce(col("n_gh"), lit(0L)))
+    val shortDocs = flagged.filter(col("n_gh") <= q.toLong * tau)
+    val longDocs = flagged.filter(col("n_gh") > q.toLong * tau)
+    // rarest prefixLen grams per long doc, under the global
+    // (frequency, gram) total order
+    val freq = grams.groupBy("gh").agg(count(lit(1)).as("gfreq"))
+    val prefixes = grams
+      .join(longDocs.select("doc_id"), "doc_id")
+      .join(freq, "gh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("gfreq"), col("gh"))))
+      .filter(col("rn") <= prefixLen)
+      .select(col("doc_id"), col("l"), col("gh"))
+    val pa = prefixes.select(
+      col("doc_id").as("id_a"), col("l").as("l_a"), col("gh"))
+    val pb = prefixes.select(
+      col("doc_id").as("id_b"), col("l").as("l_b"), col("gh"))
+    val candLong = pa.join(pb, Seq("gh"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("l_a") - col("l_b")) <= tau)
+      .select("id_a", "id_b")
+    // short bucket vs the whole corpus (length-windowed): covers
+    // short-short AND short-long pairs the count bound can't
+    val candShort = broadcast(
+      shortDocs.select(col("doc_id").as("sid"), col("l").as("sl")))
+      .join(base.select(col("doc_id").as("oid"), col("l").as("ol")),
+        abs(col("sl") - col("ol")) <= tau && col("sid") =!= col("oid"))
+      .select(least(col("sid"), col("oid")).as("id_a"),
+        greatest(col("sid"), col("oid")).as("id_b"))
+    val ta = base.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val tb = base.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    candLong.unionAll(candShort).distinct()
+      .join(ta, "id_a").join(tb, "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), tau))
+      .filter(col("dist") >= 0 && col("dist") <= tau)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

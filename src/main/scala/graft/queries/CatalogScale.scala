@@ -175,6 +175,38 @@ object CatalogScale {
       },
       Some("SELECT true AS counts_match, true AS identical")),
 
+    Q("dedup_edit_distance",
+      // typo-level near-dup: EVERY pair within Levenshtein distance 8,
+      // exactly, via Ed-Join q-gram prefix filtering (rarest q·tau+1
+      // grams per doc → equi-join → banded levenshtein verify) plus the
+      // short-string completeness bucket. The oracle takes a fully
+      // independent recall-complete route — tau+1-segment pigeonhole
+      // (>= 1 of a's 9 contiguous segments must survive verbatim in b)
+      // over the length-windowed pairs, then exact levenshtein — so a
+      // green hash proves BOTH routes found exactly the brute-force
+      // answer. AS MATERIALIZED fences keep DuckDB from hoisting the
+      // O(n·m) levenshtein ahead of the cheap containment filter.
+      (s, d) => Dedup.editDistancePairs(t(s, d, "documents"),
+        "doc_id", "text", tau = 8, q = 5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents),
+              segs AS (
+                SELECT doc_id, text, l,
+                       list_transform(range(0, 9),
+                         i -> text[CAST(i*l/9 AS BIGINT)+1 : CAST((i+1)*l/9 AS BIGINT)]) AS seg
+                FROM d),
+              cand AS MATERIALIZED (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.text AS ta, b.text AS tb
+                FROM segs a JOIN d b
+                  ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 8
+                 AND len(list_filter(a.seg, s -> contains(b.text, s))) > 0),
+              scored AS MATERIALIZED (
+                SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS dist
+                FROM cand)
+              SELECT id_a, id_b, dist FROM scored
+              WHERE dist <= 8 ORDER BY id_a, id_b""")),
+
     Q("dedup_clusters",
       // the dedup decision step: LSH-banded candidate pairs → connected
       // components → one cluster id (min member) per document; the

@@ -60,6 +60,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // bigram LM broadcasts the SINGLE-ROW corpus-total aggregate into
     // the backoff projection (the ta_unigram_logprob pattern)
     "ta_bigram_logprob",
+    // Ed-Join's short-string completeness bucket: docs with <= q·tau
+    // distinct grams (len <~ q·(tau+1) chars — rare by construction,
+    // zero in this corpus above sf0.001) broadcast against the
+    // length-windowed corpus; the main candidate route is an equi-join
+    // on prefix grams
+    "dedup_edit_distance",
     // NB classifier fans each doc token out to the BROADCAST label
     // dimension (nLabels rows: priors ⋈ class totals ⋈ vocab size) —
     // the ts_gap_fill spine pattern, never data-sized

@@ -336,4 +336,60 @@ class SparkPropertySpec extends AnyFunSuite {
       assert(r.getInt(8) == r.getInt(9), s"MaxSortedRun on $a")
     }
   }
+
+  test("prop: editDistancePairs equals brute-force Levenshtein, incl. short strings") {
+    // random corpus over a tiny alphabet (maximal q-gram collisions —
+    // the prefix filter's worst case) with planted <=tau mutants, plus
+    // deliberately SHORT strings exercising the completeness bucket
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd"
+    def randStr(n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (0 until edits).foreach { _ =>
+        val i = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur.substring(0, i) + cur.substring(i + 1)
+          case 1 => cur.substring(0, math.min(i, cur.length)) +
+            alpha(rnd.nextInt(alpha.length)) + cur.substring(math.min(i, cur.length))
+          case _ if cur.nonEmpty =>
+            cur.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + cur.substring(i + 1)
+          case _ => cur
+        }
+      }
+      cur
+    }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val tau = 3
+    val bases = (0 until 20).map(i => randStr(8 + rnd.nextInt(60))) ++
+      (0 until 8).map(_ => randStr(1 + rnd.nextInt(6))) // short bucket
+    val corpus = bases.zipWithIndex.flatMap { case (s, i) =>
+      Seq((i * 2L, s), (i * 2L + 1, mutate(s, rnd.nextInt(tau + 1))))
+    }
+    val got = graft.operators.Dedup
+      .editDistancePairs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        tau = tau, q = 3)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val want = (for {
+      (ia, sa) <- corpus; (ib, sb) <- corpus if ia < ib
+      d = lev(sa, sb) if d <= tau
+    } yield (ia, ib) -> d).toMap
+    assert(got == want,
+      s"missed=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    assert(want.nonEmpty, "degenerate corpus: no close pairs planted")
+  }
 }
