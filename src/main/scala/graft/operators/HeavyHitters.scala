@@ -34,6 +34,19 @@ object HeavyHitters {
   private[graft] def misraGries(
       it: Iterator[String], m: Int): Iterator[(String, Long)] = {
     val counters = mutable.Map.empty[String, Long]
+    misraGriesInto(counters, it, m)
+    counters.iterator.map { case (k2, v) => (k2, v) }
+  }
+
+  /** The same capacity-m update rule folded INTO existing counters —
+    * MG is a one-pass algorithm, so resuming from carried state over a
+    * stream of arrivals is exactly the batch pass over the
+    * concatenation; this is what lets [[graft.streaming.StreamingOps
+    * .heavyHitterStream]] keep the summary as keyed state across
+    * micro-batches without ever replaying history.
+    */
+  private[graft] def misraGriesInto(counters: mutable.Map[String, Long],
+      it: Iterator[String], m: Int): Unit = {
     it.foreach { x =>
       if (counters.contains(x)) counters(x) += 1L
       else if (counters.size < m) counters(x) = 1L
@@ -47,7 +60,6 @@ object HeavyHitters {
         dead.foreach(counters.remove)
       }
     }
-    counters.iterator.map { case (k2, v) => (k2, v) }
   }
 
   /** Exact items with frequency ≥ minFreq, provided minFreq > N/(m+1)

@@ -303,6 +303,48 @@ object StreamingOps {
       }
   }
 
+  case class MgShardSummary(shard: Int, shard_total: Long,
+      counters: Map[String, Long])
+
+  /** Streaming heavy-hitter summaries: items hash-shard across
+    * `nShards` keys and each shard folds its arrivals into a
+    * capacity-m Misra–Gries counter map held as keyed state — the
+    * incremental form of [[graft.operators.HeavyHitters.heavyHitters]]'
+    * pass 1. MG is one-pass, so resuming from state over micro-batches
+    * IS the batch pass over the concatenated stream; the batch
+    * guarantee carries over verbatim: after any prefix, an item absent
+    * from its shard's summary has true count ≤ shard_total/(m+1), and
+    * every surviving counter lower-bounds its item's true count. Each
+    * trigger emits one summary row per updated shard (Update mode);
+    * the exact-recount pass 2 stays a batch join over the candidate
+    * set, exactly as in the batch operator.
+    *
+    * State is nShards × m counters — bounded by configuration, not
+    * stream length; shard count is the parallelism knob (items hash to
+    * ONE shard, so summaries never double-count).
+    */
+  def heavyHitterStream(items: Dataset[String], capacity: Int,
+      nShards: Int): Dataset[MgShardSummary] = {
+    require(capacity > 0 && nShards > 0)
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(s => math.floorMod(s.##, nShards))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[String],
+            state: GroupState[MgShardSummary]) =>
+          val prev = state.getOption.getOrElse(
+            MgShardSummary(shard, 0L, Map.empty))
+          val counters = scala.collection.mutable.Map[String, Long]() ++=
+            prev.counters
+          var n = prev.shard_total
+          graft.operators.HeavyHitters.misraGriesInto(
+            counters, batch.map { x => n += 1; x }, capacity)
+          val next = MgShardSummary(shard, n, counters.toMap)
+          state.update(next)
+          next
+      }
+  }
+
   case class SeriesPoint(series: String, ts: java.sql.Timestamp,
       value: Option[Double])
   case class FilledPoint(series: String, ts: java.sql.Timestamp,

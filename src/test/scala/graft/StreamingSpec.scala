@@ -337,4 +337,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == Set((1L, 3L)),
       s"beyond-horizon dup left for the batch sweep: $after")
   }
+
+  test("heavyHitterStream: MG invariants hold across micro-batches, hot items survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val capacity = 4
+    val nShards = 3
+    // skewed stream: two hot items (~60%) + a rotating long tail,
+    // delivered across three micro-batches
+    val rnd = new scala.util.Random(13)
+    val batches: Seq[Seq[String]] = (0 until 3).map { b =>
+      (0 until 400).map { _ =>
+        val r = rnd.nextInt(10)
+        if (r < 4) "hot_a" else if (r < 6) "hot_b"
+        else s"tail_${rnd.nextInt(50)}"
+      }
+    }
+    val mem = MemoryStream[String]
+    val q = StreamingOps.heavyHitterStream(mem.toDS(), capacity, nShards)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hh_out").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    val finalRows = spark.table("hh_out")
+      .select("shard", "shard_total", "counters")
+      .as[(Int, Long, Map[String, Long])].collect()
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSeq
+    q.stop()
+    val all = batches.flatten
+    val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byShard = all.groupBy(x => math.floorMod(x.##, nShards))
+    assert(finalRows.map(_._1).toSet == byShard.keySet, "every shard reported")
+    finalRows.foreach { case (shard, total, counters) =>
+      val shardTruth = byShard(shard).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      assert(total == byShard(shard).size.toLong, s"shard $shard total")
+      assert(counters.size <= capacity, s"shard $shard capacity")
+      counters.foreach { case (item, lb) =>
+        assert(lb <= shardTruth(item),
+          s"shard $shard: $item lower bound $lb > true ${shardTruth(item)}")
+      }
+      // completeness: anything exceeding N_shard/(m+1) must be present
+      shardTruth.foreach { case (item, cnt) =>
+        if (cnt > total / (capacity + 1))
+          assert(counters.contains(item),
+            s"shard $shard: frequent $item (cnt=$cnt, floor=${total / (capacity + 1)}) evicted")
+      }
+    }
+    // the two globally hot items must be present in their shards
+    Seq("hot_a", "hot_b").foreach { hot =>
+      val shard = math.floorMod(hot.##, nShards)
+      val counters = finalRows.find(_._1 == shard).get._3
+      assert(counters.contains(hot), s"$hot missing from shard $shard")
+      assert(truth(hot) >= counters(hot), s"$hot bound sanity")
+    }
+  }
 }
