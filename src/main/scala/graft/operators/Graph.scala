@@ -252,4 +252,59 @@ object Graph {
     und.unpersist(blocking = false)
     out
   }
+
+  /** k-core decomposition (fixed k): iteratively peel nodes of degree
+    * < k until fixpoint — the standard graph-cleaning step before
+    * corpus-quality centrality (a node's k-core membership is a
+    * robustness signal PageRank alone can't give: it survives only if
+    * k neighbours ALSO survive, recursively).
+    *
+    * `edges` must be the SYMMETRIC relation (both directions present).
+    * Each round is one semi-join per endpoint + one partial-agg degree
+    * count — no neighbourhood materialization — and rounds localCheckpoint
+    * so lineage stays one round deep (the [[shortestHops]] discipline).
+    * Early-exits the moment a round removes nothing. At 100 TB the
+    * peel converges in few rounds on power-law graphs (each round
+    * strips the current degeneracy shell); every shuffle is keyed on
+    * the node id, so AQE coalesces as survivors shrink.
+    *
+    * Returns `(node, core_deg, converged)`: surviving nodes, their
+    * degree inside the final core, and whether fixpoint was reached
+    * within `maxRounds` (false = the result is the maxRounds-th peel,
+    * not yet the core — callers treat it like the CC iteration cap).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var survivors = materialize(
+      e.select(col("u").as("node")).distinct())
+    var nSurv = survivors.count()
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      val next = materialize(e
+        .join(survivors.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(survivors.select(col("node").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k))
+      val n = next.count()
+      if (n == nSurv) converged = true
+      else { survivors = next.select("node"); nSurv = n }
+      round += 1
+      if (converged || round == maxRounds) {
+        e.unpersist(blocking = false)
+        return next.withColumn("converged", lit(converged))
+      }
+    }
+    // maxRounds == 0 is excluded by require; unreachable
+    throw new IllegalStateException("kCore loop exited abnormally")
+  }
 }

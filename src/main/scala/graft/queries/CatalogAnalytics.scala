@@ -19,6 +19,37 @@ object CatalogAnalytics {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
+  /** Chained-CTE replay of `rounds` k-core peel rounds (the g1/g5
+    * fixed-iteration oracle pattern): s_i keeps s_{i-1}'s nodes whose
+    * degree INSIDE s_{i-1} is >= k, carrying that degree — identical to
+    * one [[Graph.kCore]] round. The converged flag is derived from the
+    * last two rounds' survivor counts (peeling is monotone, so count
+    * equality is set equality), never pinned.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED throughout: each round references the previous
+    // twice, so CTE inlining would expand 3^rounds scans of lineitem
+    // (observed as an fd exhaustion, not just slowness)
+    val peels = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT u AS node, count(*) AS core_deg FROM e
+         WHERE u IN (SELECT node FROM s${i - 1})
+           AND v IN (SELECT node FROM s${i - 1})
+         GROUP BY u HAVING count(*) >= $k)"""
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+                       FROM lineitem),
+       und AS MATERIALIZED (SELECT a.item AS u, b.item AS v
+               FROM items a JOIN items b ON a.oid = b.oid AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+       e AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+       $peels
+       SELECT node, core_deg,
+              ((SELECT count(*) FROM s$rounds) =
+               (SELECT count(*) FROM s${rounds - 1})) AS converged
+       FROM s$rounds ORDER BY node"""
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("g3_bfs_hops",
@@ -698,6 +729,32 @@ object CatalogAnalytics {
                       CAST(node // 2 AS BIGINT)) AS node,
                      floor(rank * 100000000) / 100 AS rank_ppm
               FROM r3 ORDER BY node""")),
+
+    Q("g6_kcore",
+      // k-core decomposition of the part co-purchase graph (g4's edge
+      // relation): iterative peel of degree<k nodes until fixpoint —
+      // the graph-cleaning robustness signal (membership requires k
+      // neighbours that THEMSELVES survive). Spark early-exits at the
+      // first no-op round; the oracle unrolls 10 peel rounds as chained
+      // CTEs (fixpoint measured <= 7 across all SFs) and DERIVES the
+      // converged flag from the last two rounds' survivor counts
+      // instead of pinning it.
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+          .distinct()
+        val und = items.select(col("oid"), col("item").as("u"))
+          .join(items.select(col("oid"), col("item").as("v")), "oid")
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+        val sym = und.select(col("u"), col("v"))
+          .unionAll(und.select(col("v"), col("u")))
+        Graph.kCore(sym, "u", "v", k = 2, maxRounds = 10)
+          .select(col("node"), col("core_deg"), col("converged"))
+          .orderBy("node")
+      },
+      Some(kCoreOracleSql(k = 2, rounds = 10))),
 
     Q("a29_triple_itemsets",
       // cascaded apriori: frequent items (support ≥ 5) → frequent pairs

@@ -257,4 +257,22 @@ class ScaleSpec extends AnyFunSuite {
       .select("a_key", "b_key").as[(Long, Long)].collect().sorted.toSeq
     assert(got == Seq((1L, 10L), (1L, 11L)), s"got $got")
   }
+
+  test("kCore: cascading chain peels fully, triangle survives, round cap flags") {
+    // triangle 1-2-3 plus a pendant chain 3-4-5-6: the 2-core is the
+    // triangle; the chain peels one node per round (6, then 5, then 4 —
+    // each becomes degree-1 only after its outer neighbour went), so
+    // convergence needs 4 rounds and a 2-round cap must flag false
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val sym = (und ++ und.map(_.swap)).toDF("u", "v")
+    val done = graft.operators.Graph.kCore(sym, "u", "v", k = 2, maxRounds = 10)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(done == Seq((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)),
+      s"2-core must be exactly the triangle with in-core degree 2: $done")
+    val capped = graft.operators.Graph.kCore(sym, "u", "v", k = 2, maxRounds = 2)
+      .as[(Long, Long, Boolean)].collect()
+    assert(capped.forall(!_._3), s"2 rounds cannot converge here: ${capped.toSeq}")
+    assert(capped.map(_._1).toSet == Set(1L, 2L, 3L, 4L),
+      s"after exactly 2 peels only node 4's tail half is gone: ${capped.toSeq}")
+  }
 }
