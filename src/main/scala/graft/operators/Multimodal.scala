@@ -394,6 +394,98 @@ object Multimodal {
       .select("doc_id", "phash", "n_same")
   }
 
+  /** Quadratic-texture recipe for the DCT hash: the cross term x·y puts
+    * energy at every (u>0, v>0) frequency (a pure gradient would leave
+    * the off-axis spectrum identically zero), while the additive
+    * brightness c touches ONLY the DC coefficient — which pHash
+    * discards, so ids sharing (a, b) must collide whatever their c.
+    */
+  def recipeTexturePixel(id: Long, x: Int, y: Int): Int = {
+    val a = recipeGradA(id); val b = recipeGradB(id)
+    val c = recipeGradC(id)
+    (a * x * x + b * y * y + 2 * x * y) / 40 + c // <= 192 + 59
+  }
+
+  def encodeTexturePng(id: Long): BinDoc = {
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val g = recipeTexturePixel(id, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    BinDoc(id, baos.toByteArray)
+  }
+
+  /** Fixed-point DCT basis: Q(k, u) = round(1e6 · cos(π(2k+1)u/64)),
+    * HALF_UP (= DuckDB's half-away-from-zero on these values). Working
+    * in scaled integers makes every downstream coefficient EXACT in
+    * both engines — no summation-order or libm-ulp drift can flip a
+    * median-threshold bit; the only cross-engine float op left is the
+    * cosine itself, rounded at 1e-6 where the engines agree.
+    */
+  private lazy val dctQ: Array[Array[Long]] = Array.tabulate(32, 8) {
+    (k, u) =>
+      BigDecimal(1000000.0 * math.cos(math.Pi * (2 * k + 1) * u / 64.0))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+  }
+
+  /** pHash (DCT variant) over REAL decoded pixels: 32×32 raster →
+    * integer 2-D DCT (separable, fixed-point basis) → top-left 8×8
+    * coefficient block → drop DC → bit i set iff coefficient i exceeds
+    * the median of the 63 AC coefficients. Same two-limb hex encoding
+    * as [[decodeAHash]] so `HammingBits` pairs near-duplicates
+    * identically. Unlike aHash (block means — a local-brightness
+    * summary), the DCT hash keys on the image's low-frequency STRUCTURE
+    * and is the published perceptual fingerprint for web-scale image
+    * dedup.
+    */
+  def decodePHashDct(doc: BinDoc): PHash = {
+    val img = ImageIO.read(new ByteArrayInputStream(doc.payload))
+    require(img != null && img.getWidth == 32 && img.getHeight == 32,
+      s"doc ${doc.doc_id}: expected a decodable 32x32 raster")
+    val px = Array.tabulate(32, 32)((x, y) => ((img.getRGB(x, y) >> 16) & 0xff).toLong)
+    // separable: S(x, v) = Σ_y px(x,y)·Q(y,v); C(u,v) = Σ_x Q(x,u)·S(x,v)
+    val s = Array.tabulate(32, 8) { (x, v) =>
+      var acc = 0L; var y = 0
+      while (y < 32) { acc += px(x)(y) * dctQ(y)(v); y += 1 }
+      acc
+    }
+    val coef = Array.tabulate(8, 8) { (u, v) =>
+      var acc = 0L; var x = 0
+      while (x < 32) { acc += dctQ(x)(u) * s(x)(v); x += 1 }
+      acc
+    }
+    val ac = (for (v <- 0 until 8; u <- 0 until 8 if u != 0 || v != 0)
+      yield (v * 8 + u, coef(u)(v))).toArray
+    val median = ac.map(_._2).sorted.apply(31) // lower median of 63
+    val limbs = new Array[Long](2)
+    ac.foreach { case (bit, c) =>
+      if (c > median) limbs(bit >> 5) |= 1L << (bit & 31)
+    }
+    PHash(doc.doc_id, f"${limbs(1)}%08x${limbs(0)}%08x")
+  }
+
+  /** Stage a texture PNG per doc, decode, DCT-hash, and group identical
+    * fingerprints — the [[documentPHashDedup]] pipeline with the DCT
+    * hash; the occurrence count stays a partial agg on the hash key.
+    */
+  def documentPHashDctDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hashes = docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => decodePHashDct(encodeTexturePng(id)))).toDF()
+    val occ = hashes.groupBy(col("phash").as("ph"))
+      .agg(count(lit(1)).as("n_same"))
+    hashes.join(occ, hashes("phash") === occ("ph"))
+      .select("doc_id", "phash", "n_same")
+  }
+
   // ------------------------------------------------------------ video
 
   /** MP4/ISO-BMFF metadata parsed from a REAL box tree: `ftyp` brand,

@@ -1289,6 +1289,56 @@ object CatalogScale {
               SELECT doc_id, phash, n_same
               FROM h JOIN occ USING (phash) ORDER BY doc_id""")),
 
+    Q("mm_phash_dct",
+      // DCT perceptual hash over REAL decoded pixels: each doc staged as
+      // a 32×32 quadratic-texture PNG (cross term → energy at every
+      // off-axis frequency), decoded through javax.imageio, integer
+      // 2-D DCT with a fixed-point cosine basis (round(1e6·cos), so
+      // every coefficient is EXACT in both engines), top-left 8×8 block
+      // minus DC, median-thresholded to 64 bits. Brightness offset c
+      // moves only the DC coefficient, so ids sharing (a, b) must
+      // collide — the pHash invariance, derived not pinned. The oracle
+      // rebuilds pixels from the recipe and replays the separable DCT
+      // relationally.
+      (s, d) => Multimodal.documentPHashDctDedup(s, t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id,
+                 CAST(1 + doc_id % 3 AS BIGINT) AS a,
+                 CAST(1 + (doc_id // 3) % 3 AS BIGINT) AS b,
+                 CAST((doc_id * 7) % 60 AS BIGINT) AS c
+               FROM documents),
+              px AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(tx.x AS BIGINT) AS x, CAST(ty.y AS BIGINT) AS y,
+                       (a*tx.x*tx.x + b*ty.y*ty.y + 2*tx.x*ty.y) // 40 + c AS g
+                FROM r, range(32) tx(x), range(32) ty(y)),
+              qt AS MATERIALIZED (
+                SELECT CAST(t1.k AS BIGINT) AS k, CAST(t2.u AS BIGINT) AS u,
+                       CAST(round(1000000 * cos(pi()*(2*t1.k+1)*t2.u/64), 0) AS BIGINT) AS q
+                FROM range(32) t1(k), range(8) t2(u)),
+              s AS MATERIALIZED (
+                SELECT doc_id, x, qt.u AS v, sum(g * qt.q) AS sv
+                FROM px JOIN qt ON px.y = qt.k GROUP BY 1, 2, 3),
+              co AS MATERIALIZED (
+                SELECT doc_id, qt.u AS u, s.v AS v, sum(qt.q * s.sv) AS coef
+                FROM s JOIN qt ON s.x = qt.k GROUP BY 1, 2, 3),
+              ac AS MATERIALIZED (
+                SELECT doc_id, v*8 + u AS bit, coef FROM co
+                WHERE NOT (u = 0 AND v = 0)),
+              med AS (SELECT doc_id, (list_sort(list(coef)))[32] AS m
+                      FROM ac GROUP BY 1),
+              h AS (SELECT ac.doc_id,
+                      CAST(sum(CASE WHEN coef > m AND bit >= 32
+                               THEN (1::BIGINT << CAST(bit - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+                      CAST(sum(CASE WHEN coef > m AND bit < 32
+                               THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS lo
+                    FROM ac JOIN med USING (doc_id) GROUP BY 1),
+              hx AS (SELECT doc_id, printf('%08x', hi) || printf('%08x', lo) AS phash
+                     FROM h),
+              occ AS (SELECT phash, count(*) AS n_same FROM hx GROUP BY 1)
+              SELECT doc_id, phash, n_same
+              FROM hx JOIN occ USING (phash) ORDER BY doc_id""")),
+
     Q("mm_patchify",
       // ViT patch-grid planning: REAL decoded dims → ceil-division grid
       // → one (doc, patch_idx, box) row per patch; edge patches carry

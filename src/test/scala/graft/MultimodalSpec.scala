@@ -137,4 +137,23 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.recipeRgb(id)))
     assert(got == want)
   }
+
+  test("DCT pHash: brightness-only variants collide, texture changes do not") {
+    // ids 0 and 9 share (a, b) = (1, 1) but differ in brightness c
+    // (0 vs 63·7%60): DC-only difference → identical DCT hash
+    assert(Multimodal.recipeGradA(0) == Multimodal.recipeGradA(9) &&
+      Multimodal.recipeGradB(0) == Multimodal.recipeGradB(9))
+    assert(Multimodal.recipeGradC(0) != Multimodal.recipeGradC(9),
+      "ids must differ in brightness for the test to mean anything")
+    val h0 = Multimodal.decodePHashDct(Multimodal.encodeTexturePng(0))
+    val h9 = Multimodal.decodePHashDct(Multimodal.encodeTexturePng(9))
+    assert(h0.phash == h9.phash, s"brightness must cancel: $h0 vs $h9")
+    // id 1 has a different a: spectrum shifts, hash must differ
+    val h1 = Multimodal.decodePHashDct(Multimodal.encodeTexturePng(1))
+    assert(h1.phash != h0.phash, "texture change must move the hash")
+    // structural sanity: 16 hex chars, not degenerate all-zero/all-one
+    assert(h0.phash.length == 16 && h0.phash.matches("[0-9a-f]{16}"))
+    val ones = java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(h0.phash, 16))
+    assert(ones > 0 && ones < 64, s"degenerate hash: ${h0.phash}")
+  }
 }
