@@ -125,4 +125,37 @@ object HeavyHitters {
       .join(sketch, Seq("s", "b"), "left")
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Equi-join cardinality pre-flight from CMS sketches (the AMS/F2
+    * inner-product estimator): |A ⋈ B| = Σ_k cntA(k)·cntB(k), and the
+    * CMS row estimate Σ_b cntA(s,b)·cntB(s,b) NEVER undercounts it
+    * (bucket collisions only add non-negative cross terms), so
+    * min-over-rows is a one-sided estimate with expected slack
+    * |A||B|/width. This is the skew-planning probe a 100 TB pipeline
+    * runs BEFORE committing to a join strategy: two sketch passes
+    * (depth×width cells each, mergeable across sources exactly like
+    * [[cmsSketch]] partials), never a trial join. The exact count is
+    * computed alongside here only because the catalog row proves the
+    * bound; production callers drop it.
+    *
+    * Returns one row: (exact_card, est_card, never_under).
+    */
+  def joinCardinalityEstimate(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String, depth: Int, width: Int): DataFrame = {
+    val ka = a.select(col(aKey).cast("string").as("jk"))
+    val kb = b.select(col(bKey).cast("string").as("jk"))
+    val sa = cmsSketch(ka, "jk", depth, width)
+      .withColumnRenamed("cnt", "cnt_a")
+    val sb = cmsSketch(kb, "jk", depth, width)
+      .withColumnRenamed("cnt", "cnt_b")
+    val est = sa.join(sb, Seq("s", "b"))
+      .groupBy("s").agg(sum(col("cnt_a") * col("cnt_b")).as("row_est"))
+      .agg(min("row_est").as("est_card"))
+    val exact = ka.groupBy("jk").agg(count(lit(1)).as("ca"))
+      .join(kb.groupBy("jk").agg(count(lit(1)).as("cb")), "jk")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_card"))
+    est.crossJoin(exact)
+      .select(col("exact_card"), col("est_card"),
+        (col("est_card") >= col("exact_card")).as("never_under"))
+  }
 }

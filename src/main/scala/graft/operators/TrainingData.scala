@@ -274,4 +274,27 @@ object TrainingData {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate CLUSTERS route
+    * as a unit, so no eval doc ever has a near-copy in train — the
+    * failure mode a per-doc hash split ([[shardId]] on doc id) cannot
+    * prevent, and the one that silently inflates eval scores at corpus
+    * scale. Composition: candidate pairs → connected components
+    * ([[Dedup.clusterAssign]]) → the SAME portable md5 bucket, keyed on
+    * the cluster id instead of the doc id. Singleton docs are their own
+    * cluster, so the split fractions still land near the requested
+    * percentages; duplicate-heavy corpora shift mass in cluster-sized
+    * steps (the price of zero leakage).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"bad split percentages: $trainPct/$valPct")
+    val bucket = shardId(col("cluster"), 100)
+    Dedup.clusterAssign(docs, idCol, pairs)
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

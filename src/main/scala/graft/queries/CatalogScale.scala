@@ -455,6 +455,40 @@ object CatalogScale {
                      est - n_exact <= (SELECT n FROM tot) * 4 // 1024 AS within_slack
               FROM est ORDER BY n_exact DESC, term""")),
 
+    Q("scale_join_card_est",
+      // join-cardinality pre-flight (AMS/F2 inner product over CMS
+      // sketches): events.user_id ⋈ orders.o_custkey expands ~10× over
+      // its inputs (95k rows from 10k × 15k at sf0.01) — exactly the
+      // case where a planner wants the estimate BEFORE the shuffle. The
+      // sketch inner product never undercounts (collisions only add
+      // non-negative cross terms, derived not pinned); the oracle
+      // replays both sketches bucket-for-bucket via the portable hash.
+      (s, d) => HeavyHitters.joinCardinalityEstimate(
+        events(s, d), "user_id", t(s, d, "orders"), "o_custkey",
+        depth = 4, width = 1024),
+      Some("""WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS jk FROM events),
+              kb AS (SELECT CAST(o_custkey AS VARCHAR) AS jk FROM orders),
+              sa AS (SELECT t.s,
+                       (('0x' || substr(md5(jk || ':' || t.s), 1, 16))::UBIGINT & 1023) AS b,
+                       count(*) AS cnt_a
+                     FROM ka, unnest([0, 1, 2, 3]) t(s) GROUP BY 1, 2),
+              sb AS (SELECT t.s,
+                       (('0x' || substr(md5(jk || ':' || t.s), 1, 16))::UBIGINT & 1023) AS b,
+                       count(*) AS cnt_b
+                     FROM kb, unnest([0, 1, 2, 3]) t(s) GROUP BY 1, 2),
+              rows_est AS (SELECT sa.s, sum(cnt_a * cnt_b) AS row_est
+                           FROM sa JOIN sb ON sa.s = sb.s AND sa.b = sb.b
+                           GROUP BY 1),
+              est AS (SELECT min(row_est) AS est_card FROM rows_est),
+              ex AS (SELECT coalesce(sum(ca * cb), 0) AS exact_card FROM
+                       (SELECT jk, count(*) AS ca FROM ka GROUP BY 1) x
+                       JOIN (SELECT jk, count(*) AS cb FROM kb GROUP BY 1) y
+                       USING (jk))
+              SELECT CAST(exact_card AS BIGINT) AS exact_card,
+                     CAST(est_card AS BIGINT) AS est_card,
+                     est_card >= exact_card AS never_under
+              FROM est, ex""")),
+
     Q("g2_cluster_sizes",
       // the dedup run's summary artifact: component-size histogram
       // (how much of the corpus is duplicated, and how deep) — two

@@ -928,6 +928,56 @@ object CatalogTraining {
               SELECT CASE WHEN b < 80 THEN 'train'
                           WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
                      count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-              FROM w GROUP BY 1 ORDER BY 1"""))
+              FROM w GROUP BY 1 ORDER BY 1""")),
+
+    Q("td_leakage_split",
+      // leakage-safe split: near-dup CLUSTERS (LSH pairs → connected
+      // components) route to train/val/test as a unit via the portable
+      // md5 bucket on the CLUSTER id — per-doc hash splits let a near-
+      // copy of an eval doc sit in train and quietly inflate scores.
+      // The oracle replays the whole composition: exact-Jaccard pair
+      // truth, recursive-CTE transitive closure, same bucket arithmetic
+      // — so a green hash proves both the clustering and the no-straddle
+      // routing (same cluster ⇒ same bucket ⇒ same split, in both
+      // engines, by construction the hash verifies).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.minHashLshPairs(docs, "doc_id",
+          "text", k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
+        TrainingData.leakageSafeSplit(docs, "doc_id", pairs,
+          trainPct = 80, valPct = 10)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+              w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                    FROM documents),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
+                     FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT id_a, id_b
+                        FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+                                   JOIN sz sb ON inter.id_b = sb.doc_id
+                        WHERE inter * 5 >= (sa.n + sb.n - inter) * 4),
+              edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (SELECT u, v FROM edges
+                        UNION
+                        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              cl AS (SELECT d.doc_id,
+                       CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
+                         AS cluster
+                     FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+                     GROUP BY d.doc_id),
+              b AS (SELECT doc_id, cluster,
+                      CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT
+                        % 100 AS INTEGER) AS bk
+                    FROM cl)
+              SELECT doc_id, cluster,
+                     CASE WHEN bk < 80 THEN 'train'
+                          WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+              FROM b ORDER BY doc_id"""))
   )
 }

@@ -89,6 +89,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // CMS summary cross-joins the SINGLE-ROW broadcast corpus total
     // into the slack-bound projection (the a20 pattern)
     "hh_cms_mergeable",
+    // join-cardinality pre-flight combines two SINGLE-ROW aggregates
+    // (sketch estimate, exact inner product) into the summary row
+    "scale_join_card_est",
     // triangle census combines four SINGLE-ROW count aggregates into
     // the one summary row (`Graph.triangleStats`)
     "g4_triangles",
