@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `luhn_mask(text)` — checksum-VALIDATED payment-card scrubbing.
+  *
+  * The regex PII pass (`TextAnalysis.scrubPii`) can only pattern-match;
+  * any 16-digit id (order numbers, tracking ids, hashes rendered in
+  * decimal) would be scrubbed along with real cards, which destroys
+  * exactly the structured identifiers a training corpus needs intact.
+  * This expression masks a digit span ONLY when it Luhn-checks: a
+  * candidate is a maximal run of 13-19 digits, optionally separated by
+  * single spaces or dashes between digit groups, with non-digit
+  * boundaries; candidates failing the checksum pass through untouched.
+  * (Luhn is the ISO/IEC 7812 check digit — public knowledge; a random
+  * digit string passes with probability 1/10, so validation cuts false
+  * scrubs by 90% while never missing a real card number.)
+  *
+  * Single linear scan per row, no regex backtracking; codegen calls
+  * [[compute]] directly so the projection stays inside one whole-stage
+  * span (the UnicodeFold pattern).
+  */
+case class LuhnMask(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "luhn_mask"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got $other")
+  }
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      if (Character.isDigit(s.charAt(i)) &&
+        (i == 0 || !Character.isDigit(s.charAt(i - 1)))) {
+        // candidate start: walk digit groups joined by single ' ' or '-'
+        var j = i
+        var nDigits = 0
+        var lastDigitEnd = i
+        var continue = true
+        while (continue && j < n) {
+          if (Character.isDigit(s.charAt(j))) {
+            nDigits += 1; j += 1; lastDigitEnd = j
+          } else if ((s.charAt(j) == ' ' || s.charAt(j) == '-') &&
+            j + 1 < n && Character.isDigit(s.charAt(j + 1))) {
+            j += 1
+          } else continue = false
+        }
+        // span = [i, lastDigitEnd): trailing separator never included
+        if (nDigits >= 13 && nDigits <= 19 &&
+          luhnValid(s, i, lastDigitEnd)) {
+          out.append("[CC]")
+        } else {
+          out.append(s, i, lastDigitEnd)
+        }
+        i = lastDigitEnd
+      } else {
+        out.append(s.charAt(i))
+        i += 1
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** Luhn checksum over the digits in s[from, until): doubling every
+    * second digit from the RIGHT, subtracting 9 on overflow; valid iff
+    * the sum is ≡ 0 (mod 10).
+    */
+  private def luhnValid(s: String, from: Int, until: Int): Boolean = {
+    var sum = 0
+    var parity = 0 // 0 = rightmost digit (not doubled)
+    var i = until - 1
+    while (i >= from) {
+      val ch = s.charAt(i)
+      if (ch >= '0' && ch <= '9') {
+        var d = ch - '0'
+        if (parity == 1) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        parity ^= 1
+      }
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("luhnMaskExpr", this, classOf[LuhnMask].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LuhnMask {
+  /** Column-level constructor (classic API bridge). */
+  def mask(c: Column): Column =
+    ColumnBridge.column(LuhnMask(ColumnBridge.expression(c)))
+}

@@ -1151,6 +1151,57 @@ object CatalogScale {
                 'contact ' || c_name || ' at [EMAIL] or [PHONE] today' AS text
               FROM customer ORDER BY c_custkey""")),
 
+    Q("ta_luhn_scrub",
+      // checksum-VALIDATED card scrubbing (native codegen LuhnMask):
+      // each row stages one Luhn-valid 16-digit number (check digit
+      // DERIVED from the customer key by both engines), the same digits
+      // with a broken check digit, and the valid number dash-formatted.
+      // Valid spans → [CC]; the invalid one must survive untouched —
+      // regex-only scrubbing cannot make that distinction, and it's
+      // exactly what keeps benign 16-digit ids intact in a corpus.
+      (s, d) => {
+        val prefix = concat(lit("4"),
+          lpad(pmod(col("c_custkey"), lit(100000000000000L)).cast("string"),
+            14, "0"))
+        val terms = (0 until 15).map { i =>
+          val dd = substring(prefix, i + 1, 1).cast("int")
+          if (i % 2 == 0) when(dd > 4, dd * 2 - 9).otherwise(dd * 2) else dd
+        }
+        val check = pmod(lit(10) - pmod(terms.reduce(_ + _), lit(10)), lit(10))
+        val valid = concat(prefix, check.cast("string"))
+        val invalid = concat(prefix, pmod(check + 5, lit(10)).cast("string"))
+        val dashed = concat_ws("-", substring(valid, 1, 4),
+          substring(valid, 5, 4), substring(valid, 9, 4),
+          substring(valid, 13, 4))
+        val text = concat(lit("pay "), valid, lit(" or "), invalid,
+          lit(" and "), dashed, lit(" ref"))
+        t(s, d, "customer")
+          .select(col("c_custkey"),
+            graft.plans.LuhnMask.mask(text).as("text"))
+          .orderBy("c_custkey")
+      },
+      Some {
+        val terms = (0 until 15).map { i =>
+          val dd = s"CAST(substr(prefix, ${i + 1}, 1) AS INTEGER)"
+          if (i % 2 == 0) s"(CASE WHEN $dd > 4 THEN $dd * 2 - 9 ELSE $dd * 2 END)"
+          else dd
+        }.mkString(" + ")
+        s"""WITH p AS (SELECT c_custkey,
+                '4' || lpad(CAST(c_custkey % 100000000000000 AS VARCHAR), 14, '0')
+                  AS prefix
+              FROM customer),
+            t AS (SELECT c_custkey, prefix, ($terms) AS csum FROM p),
+            v AS (SELECT c_custkey,
+                    prefix || CAST((10 - csum % 10) % 10 AS VARCHAR) AS invalid_base,
+                    ((10 - csum % 10) % 10 + 5) % 10 AS broken
+                  FROM t)
+            SELECT c_custkey,
+                   'pay [CC] or ' ||
+                   substr(invalid_base, 1, 15) || CAST(broken AS VARCHAR) ||
+                   ' and [CC] ref' AS text
+            FROM v ORDER BY c_custkey"""
+      }),
+
     Q("ta_url_scrub",
       // synthesized links from structured cols; oracle reconstructs the
       // scrubbed form (URL regex \S+ greediness matches on both engines)

@@ -441,4 +441,40 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[Double].head()
     assert(got == 1.0, s"codepoint entropy of 2x emoji + 2x 'a' is 1.0, got $got")
   }
+
+  test("LuhnMask: validated spans masked, invalid/short/long pass through") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      // the canonical test PAN (4111...11 Luhn-checks) in plain, dashed,
+      // and spaced forms
+      ("a 4111111111111111 b", "a [CC] b"),
+      ("a 4111-1111-1111-1111 b", "a [CC] b"),
+      ("a 4111 1111 1111 1111 b", "a [CC] b"),
+      // off-by-one check digit survives
+      ("a 4111111111111112 b", "a 4111111111111112 b"),
+      // 13-digit (old Visa shape: 4222222222222 checks) and 12-digit
+      ("a 4222222222222 b", "a [CC] b"),
+      ("a 422222222222 b", "a 422222222222 b"),
+      // 20 digits = too long, even though a prefix would check
+      ("a 41111111111111111111 b", "a 41111111111111111111 b"),
+      // double separator splits the candidate
+      ("a 4111--1111 b", "a 4111--1111 b"),
+      // adjacent to letters still bounded by non-digits
+      ("x4111111111111111y", "x[CC]y"),
+      // masking at string edges
+      ("4111111111111111", "[CC]"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.plans.LuhnMask.mask(col("t")).as("m"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // interpreted eval parity with the codegen path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    cases.foreach { case (in, want) =>
+      val e = graft.plans.LuhnMask(Literal(in))
+      assert(e.eval(null).toString == want, s"interpreted eval on '$in'")
+    }
+  }
 }

@@ -171,7 +171,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "ta_entropy", "ta_repetition", "sim_ann_int8", "sim_ann_ivf_int8",
       // round 7: PQ's encode/ADC projections, the BQ sign-pack/Hamming
       // scan (flat and IVF-composed), and the Hilbert layout projection
-      "sim_ann_pq", "sim_ann_bq", "sim_ann_ivf_bq", "scale_hilbert")
+      "sim_ann_pq", "sim_ann_bq", "sim_ann_ivf_bq", "scale_hilbert",
+      // round 7 cont.: the Luhn-validated scrub projection (native
+      // LuhnMask), the edit-distance join's gram/verify projections
+      "ta_luhn_scrub", "dedup_edit_distance")
     val catalog = (graft.queries.Catalog.all ++ graft.queries.CatalogScale.all ++
       graft.queries.CatalogDomain.all ++ graft.queries.CatalogTraining.all ++
       graft.queries.CatalogAnalytics.all).map(q => q.name -> q).toMap
