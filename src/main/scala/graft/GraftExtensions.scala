@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.plans.{MinHashArray, PushFilterIntoCollectList, SizeOfCollectListToCount, VectorDot}
+import graft.plans.{BandedLevenshtein, MinHashArray, PushFilterIntoCollectList, SizeOfCollectListToCount, VectorDot}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions and its optimizer rules, so a pure-SQL
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushFilterIntoCollectList)
     e.injectOptimizerRule(_ => SizeOfCollectListToCount)
+    e.injectOptimizerRule(_ => BandedLevenshtein)
     e.injectFunction((
       FunctionIdentifier("vector_dot"),
       info("vector_dot", "vector_dot(a, b) - double dot product of two numeric arrays"),

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Rewrite unbounded `levenshtein(a, b)` COMPARISONS against an integer
+  * literal into the banded threshold form: Spark's 3-arg levenshtein
+  * runs Ukkonen's O(τ·n) band and answers the comparison exactly
+  * (returning -1 past the band), while the 2-arg form fills the full
+  * O(n·m) DP matrix whatever the threshold. A user writing the natural
+  * predicate `levenshtein(a, b) <= 3` on 1 KB strings pays ~170× the
+  * cells the band needs; in a similarity join's verification stage that
+  * factor lands on every candidate pair. Same rewrite families as the
+  * engine's own [[graft.operators.Dedup.editDistancePairs]] verify step
+  * uses by hand.
+  *
+  * Soundness per form (banded b(τ) := levenshtein(a, b, τ); b(τ) = the
+  * exact distance when it is <= τ, else -1; null inputs propagate null
+  * through BOTH forms, so three-valued logic is preserved):
+  *   lev <= t  ⟺  b(t)   >= 0          (t >= 0)
+  *   lev <  t  ⟺  b(t-1) >= 0          (t >= 1)
+  *   lev >  t  ⟺  b(t)   <  0          (t >= 0)
+  *   lev >= t  ⟺  b(t-1) <  0          (t >= 1)
+  *   lev == t  ⟺  b(t)   == t          (t >= 0)
+  * Reversed operand orders are normalized to the same five. Comparisons
+  * against non-literal thresholds, bare projections of the distance,
+  * and already-banded calls are left untouched; the rewrite target has
+  * `threshold = Some(_)`, so the rule is idempotent across optimizer
+  * runs.
+  */
+object BandedLevenshtein extends Rule[LogicalPlan] {
+
+  private def banded(l: Expression, r: Expression, t: Int): Expression =
+    Levenshtein(l, r, Some(Literal(t)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // lev <= t / t >= lev
+      case LessThanOrEqual(Levenshtein(l, r, None), Literal(t: Int, IntegerType))
+          if t >= 0 => GreaterThanOrEqual(banded(l, r, t), Literal(0))
+      case GreaterThanOrEqual(Literal(t: Int, IntegerType), Levenshtein(l, r, None))
+          if t >= 0 => GreaterThanOrEqual(banded(l, r, t), Literal(0))
+      // lev < t / t > lev
+      case LessThan(Levenshtein(l, r, None), Literal(t: Int, IntegerType))
+          if t >= 1 => GreaterThanOrEqual(banded(l, r, t - 1), Literal(0))
+      case GreaterThan(Literal(t: Int, IntegerType), Levenshtein(l, r, None))
+          if t >= 1 => GreaterThanOrEqual(banded(l, r, t - 1), Literal(0))
+      // lev > t / t < lev
+      case GreaterThan(Levenshtein(l, r, None), Literal(t: Int, IntegerType))
+          if t >= 0 => LessThan(banded(l, r, t), Literal(0))
+      case LessThan(Literal(t: Int, IntegerType), Levenshtein(l, r, None))
+          if t >= 0 => LessThan(banded(l, r, t), Literal(0))
+      // lev >= t / t <= lev
+      case GreaterThanOrEqual(Levenshtein(l, r, None), Literal(t: Int, IntegerType))
+          if t >= 1 => LessThan(banded(l, r, t - 1), Literal(0))
+      case LessThanOrEqual(Literal(t: Int, IntegerType), Levenshtein(l, r, None))
+          if t >= 1 => LessThan(banded(l, r, t - 1), Literal(0))
+      // lev == t (either order)
+      case EqualTo(Levenshtein(l, r, None), Literal(t: Int, IntegerType))
+          if t >= 0 => EqualTo(banded(l, r, t), Literal(t))
+      case EqualTo(Literal(t: Int, IntegerType), Levenshtein(l, r, None))
+          if t >= 0 => EqualTo(banded(l, r, t), Literal(t))
+    }
+}

@@ -442,6 +442,86 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == 1.0, s"codepoint entropy of 2x emoji + 2x 'a' is 1.0, got $got")
   }
 
+  test("BandedLevenshtein bands literal comparisons, leaves the rest alone") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]").appName("graft-lev-test")
+      .withExtensions(new GraftExtensions().apply(_))
+      .config("spark.ui.enabled", "false")
+      // keep the local-relation filters as real plan nodes — otherwise
+      // ConvertToLocalRelation eagerly evaluates them and there is no
+      // expression tree left to assert on (file-backed plans, the real
+      // target, never hit that rule)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.catalyst.expressions.{Levenshtein => CatLev}
+      def lev(a: String, b: String): Int = {
+        val dp = Array.tabulate(b.length + 1)(identity)
+        for (i <- 1 to a.length) {
+          var prev = dp(0); dp(0) = i
+          for (j <- 1 to b.length) {
+            val t = dp(j)
+            dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+              prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+            prev = t
+          }
+        }
+        dp(b.length)
+      }
+      val pairs = Seq(("kitten", "sitting"), ("abc", "abc"), ("", "ab"),
+        ("abcd", "dcba"), ("aaaa", "aaab"), (null, "x"))
+      val df = pairs.toDF("a", "b")
+      // every comparison family, both operand orders, incl. a null row
+      val forms: Seq[(String, (Int, Int) => Boolean)] = Seq(
+        ("levenshtein(a, b) <= 2", (d, _) => d <= 2),
+        ("2 >= levenshtein(a, b)", (d, _) => d <= 2),
+        ("levenshtein(a, b) < 3", (d, _) => d < 3),
+        ("3 > levenshtein(a, b)", (d, _) => d < 3),
+        ("levenshtein(a, b) > 1", (d, _) => d > 1),
+        ("1 < levenshtein(a, b)", (d, _) => d > 1),
+        ("levenshtein(a, b) >= 4", (d, _) => d >= 4),
+        ("4 <= levenshtein(a, b)", (d, _) => d >= 4),
+        ("levenshtein(a, b) = 3", (d, _) => d == 3),
+        ("3 = levenshtein(a, b)", (d, _) => d == 3))
+      forms.foreach { case (sql, pred) =>
+        val q = df.filter(expr(sql))
+        val bandedCalls = q.queryExecution.optimizedPlan
+          .flatMap(_.expressions.flatMap(_.collect { case l: CatLev => l }))
+        assert(bandedCalls.nonEmpty && bandedCalls.forall(_.threshold.isDefined),
+          s"'$sql' must be rewritten to the banded form: $bandedCalls")
+        val got = q.as[(String, String)].collect().toSet
+        val want = pairs.filter { case (a, b) =>
+          a != null && b != null && pred(lev(a, b), 0)
+        }.toSet
+        assert(got == want, s"'$sql': got $got want $want")
+      }
+      // negatives: bare projection and non-literal threshold stay 2-arg
+      val proj = df.select(expr("levenshtein(a, b)").as("d"))
+      val projLev = proj.queryExecution.optimizedPlan
+        .flatMap(_.expressions.flatMap(_.collect { case l: CatLev => l }))
+      assert(projLev.nonEmpty && projLev.forall(_.threshold.isEmpty),
+        "projection must keep the exact distance")
+      val dyn = df.filter(expr("levenshtein(a, b) <= length(a)"))
+      val dynLev = dyn.queryExecution.optimizedPlan
+        .flatMap(_.expressions.flatMap(_.collect { case l: CatLev => l }))
+      assert(dynLev.nonEmpty && dynLev.forall(_.threshold.isEmpty),
+        "non-literal threshold must not band")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
   test("LuhnMask: validated spans masked, invalid/short/long pass through") {
     val spark = TestSpark.spark
     import spark.implicits._
