@@ -756,6 +756,80 @@ object CatalogAnalytics {
       },
       Some(kCoreOracleSql(k = 2, rounds = 10))),
 
+    Q("ta_corpus_laws",
+      // corpus power-law diagnostics: Zipf slope (log-log regression of
+      // term frequency on rank — natural text sits near -1; a corpus
+      // drifting toward 0 is template/boilerplate-heavy, a cliff means
+      // dedup failure) and the Heaps/Herdan vocabulary-growth exponent
+      // (V ~ K·n^β, β from regressing ln cumulative vocab on ln
+      // cumulative tokens at 64-bucket granularity — bucketed so the
+      // cumulative window runs over 64 rows, never corpus-sized).
+      // regr_slope aggregates exist in both engines; 6dp rounding
+      // absorbs reduction-order float drift.
+      (s, d) => {
+        val words = t(s, d, "documents").select(col("doc_id"),
+          explode(graft.operators.Dedup.words(col("text"))).as("term"))
+        val tf = words.groupBy("term").agg(count(lit(1)).as("f"))
+        val ranked = tf.withColumn("r", row_number().over(
+          Window.orderBy(col("f").desc, col("term"))))
+        val zipf = ranked.agg(
+          expr("regr_slope(ln(f), ln(r))").as("zs"))
+        val maxId = t(s, d, "documents")
+          .agg((max("doc_id") + 1).as("n_ids"))
+        // Heaps on word BIGRAMS: the unigram vocabulary of any corpus
+        // saturates early (β→0 is a true but uninformative reading);
+        // the bigram space keeps growing, which is what the exponent
+        // is meant to measure
+        val bigrams = t(s, d, "documents").select(col("doc_id"),
+          explode(graft.operators.Dedup.shingles(
+            graft.operators.Dedup.words(col("text")), 2)).as("term"))
+        val bucketed = bigrams.crossJoin(broadcast(maxId))
+          .withColumn("bk", floor(col("doc_id") * 64 / col("n_ids")))
+        val toks = bucketed.groupBy("bk").agg(count(lit(1)).as("n_tok"))
+        val firstBk = bucketed.groupBy("term").agg(min("bk").as("fb"))
+        val newTerms = firstBk.groupBy(col("fb").as("bk"))
+          .agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = toks.join(newTerms, Seq("bk"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("cum_tok", sum("n_tok").over(w))
+          .withColumn("cum_voc", sum("n_new").over(w))
+        val heaps = cum.agg(
+          expr("regr_slope(ln(cum_voc), ln(cum_tok))").as("hb"))
+        zipf.crossJoin(heaps).select(
+          round(col("zs"), 6).as("zipf_slope"),
+          round(col("hb"), 6).as("heaps_beta"))
+      },
+      Some("""WITH words AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+               FROM documents),
+              tf AS (SELECT term, count(*) AS f FROM words GROUP BY 1),
+              ranked AS (SELECT f,
+                 row_number() OVER (ORDER BY f DESC, term) AS r FROM tf),
+              zipf AS (SELECT regr_slope(ln(f), ln(r)) AS zs FROM ranked),
+              mx AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+              warr AS (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\s+') AS ws
+                       FROM documents),
+              bg AS (SELECT doc_id, array_to_string(ws[g:g+1], ' ') AS term
+                     FROM warr,
+                          unnest(range(1, greatest(len(ws)-1, 1)+1)) t(g)),
+              bw AS (SELECT doc_id, term,
+                       (doc_id * 64) // (SELECT n_ids FROM mx) AS bk
+                     FROM bg),
+              toks AS (SELECT bk, count(*) AS n_tok FROM bw GROUP BY 1),
+              fb AS (SELECT term, min(bk) AS bk FROM bw GROUP BY 1),
+              nt AS (SELECT bk, count(*) AS n_new FROM fb GROUP BY 1),
+              cum AS (SELECT toks.bk, n_tok, coalesce(n_new, 0) AS n_new,
+                        sum(n_tok) OVER (ORDER BY toks.bk) AS cum_tok,
+                        sum(coalesce(n_new, 0)) OVER (ORDER BY toks.bk) AS cum_voc
+                      FROM toks LEFT JOIN nt ON toks.bk = nt.bk),
+              heaps AS (SELECT regr_slope(ln(cum_voc), ln(cum_tok)) AS hb
+                        FROM cum)
+              SELECT round(zs, 6) AS zipf_slope, round(hb, 6) AS heaps_beta
+              FROM zipf, heaps""")),
+
     Q("a29_triple_itemsets",
       // cascaded apriori: frequent items (support ≥ 5) → frequent pairs
       // (≥ 2) → triples, with the (a, b) prefix semi-joined against the

@@ -92,6 +92,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // join-cardinality pre-flight combines two SINGLE-ROW aggregates
     // (sketch estimate, exact inner product) into the summary row
     "scale_join_card_est",
+    // corpus-law diagnostics combine two SINGLE-ROW regression
+    // aggregates into the summary row; the max-id broadcast is the
+    // single-row bucket-width dimension
+    "ta_corpus_laws",
     // triangle census combines four SINGLE-ROW count aggregates into
     // the one summary row (`Graph.triangleStats`)
     "g4_triangles",
