@@ -303,6 +303,56 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream event-time interval join: purchases join the clicks
+    * that preceded them within `horizon`, per user — the attribution
+    * join (batch form: `a27_attribution`) run continuously. Both sides
+    * carry watermarks and the join condition bounds click_ts to
+    * [purchase_ts − horizon, purchase_ts], so Spark can size per-key
+    * state from the watermarks and EVICT rows once no future match can
+    * arrive — without the time bounds a stream-stream join would buffer
+    * both streams forever. Inner join: emitted exactly when both sides
+    * are present; results are append-mode and each (click, purchase)
+    * pair surfaces once.
+    */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame,
+      watermark: String, horizon: String): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("channel"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("amount"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("channel"), col("amount"))
+  }
+
+  /** Exactly-once-effect streaming sink: each micro-batch lands through
+    * the K5 keyed upsert ([[graft.sources.PostgresUpsertSink]]), so a
+    * REPLAYED batch (restart from checkpoint re-delivers the last
+    * uncommitted batch — Structured Streaming's contract is
+    * at-least-once delivery to foreachBatch) overwrites the same keys
+    * instead of duplicating rows: idempotence at the sink turns
+    * at-least-once delivery into exactly-once EFFECT, which is the
+    * published recipe for JDBC sinks.
+    */
+  def upsertSink(stream: DataFrame, jdbcUrl: String, table: String,
+      keys: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.PostgresUpsertSink.writePortable(
+          batch, jdbcUrl, table, keys)
+      }
+      .start()
+
   case class MgShardSummary(shard: Int, shard_total: Long,
       counters: Map[String, Long])
 
