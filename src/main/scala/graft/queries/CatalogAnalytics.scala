@@ -484,6 +484,40 @@ object CatalogAnalytics {
               WHERE prefix_min IS NULL OR best_price < prefix_min
               ORDER BY p_brand, p_size""")),
 
+    Q("a33_cohort_retention",
+      // weekly cohort retention matrix: users grouped by first-seen
+      // week, counted distinct in each later week at its offset — the
+      // standard product-analytics triangle, and for corpus work the
+      // contributor-retention view of a source. Two partial-agg passes
+      // + one broadcast-sized first-seen join; week truncation is
+      // Monday-anchored in both engines, and offsets are exact
+      // multiples of 7 days so the division is lossless.
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("dt"))
+        val first = ev.groupBy("user_id").agg(min("dt").as("first_dt"))
+        ev.join(broadcast(first), "user_id")
+          .select(col("user_id"),
+            date_trunc("week", col("first_dt")).cast("date").as("cohort_week"),
+            (datediff(date_trunc("week", col("dt")).cast("date"),
+              date_trunc("week", col("first_dt")).cast("date")) / 7)
+              .cast("int").as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+              f AS (SELECT user_id, min(dt) AS first_dt FROM ev GROUP BY 1),
+              j AS (SELECT ev.user_id,
+                      CAST(date_trunc('week', first_dt) AS DATE) AS cohort_week,
+                      CAST(date_diff('day', date_trunc('week', first_dt),
+                                     date_trunc('week', dt)) // 7 AS INTEGER)
+                        AS week_offset
+                    FROM ev JOIN f ON ev.user_id = f.user_id)
+              SELECT cohort_week, week_offset,
+                     count(DISTINCT user_id) AS n_users
+              FROM j GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     Q("a27_attribution",
       // last-touch conversion attribution: each purchase credits the
       // user's most recent preceding touch event (click/view) — one

@@ -1720,6 +1720,86 @@ object CatalogScale {
               FROM sc GROUP BY doc_id
               ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    Q("search_ir_metrics",
+      // IR evaluation over the BM25 ranking: MRR and NDCG@10 against a
+      // graded term-overlap relevance truth (rel = how many of the 3
+      // query terms the doc contains — fully replayable, unlike human
+      // judgments). Ranks come from the 4dp-rounded scores with doc_id
+      // tie-breaks, so they're engine-portable; DCG uses the standard
+      // (2^rel − 1)/log2(rank+1) gain and IDCG re-ranks the corpus by
+      // relevance itself. The metrics layer is what makes retrieval
+      // changes (ANN compression, hybrid fusion) measurable instead of
+      // anecdotal.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qterms = Seq("join", "filter", "vector")
+        // graded relevance = total query-term OCCURRENCES, capped at 8:
+        // binary presence grades collapse to ties (NDCG degenerates to
+        // 1.0 on a corpus where every top doc contains all 3 terms)
+        val rel = docs.select(col("doc_id"),
+          least(qterms.map(term => size(filter(
+            Dedup.words(col("text")), x => x === term)))
+            .reduce(_ + _), lit(8)).as("rel"))
+        val ranked = Search.bm25(docs, "doc_id", "text", qterms, k = 10)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+        val j = ranked.join(rel, "doc_id")
+        val mrr = j.filter(col("rel") > 0)
+          .agg(round(lit(1.0) / min("rnk"), 6).as("mrr"))
+        val dcg = j.agg(sum((pow(lit(2.0), col("rel")) - 1) /
+          log(2.0, col("rnk") + 1)).as("dcg"))
+        val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("rel").desc, col("doc_id"))))
+        val idcg = ideal.agg(sum((pow(lit(2.0), col("rel")) - 1) /
+          log(2.0, col("rnk") + 1)).as("idcg"))
+        mrr.crossJoin(dcg).crossJoin(idcg)
+          .select(col("mrr"),
+            round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+      },
+      Some("""WITH lens AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dl
+              FROM documents),
+              stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                        FROM lens),
+              tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                      FROM documents),
+              p AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                    FROM tok WHERE term IN ('join', 'filter', 'vector')
+                    GROUP BY doc_id, term),
+              df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS ndf
+                     FROM p GROUP BY term),
+              sc AS (SELECT p.doc_id,
+                       ln(1 + (n_docs - ndf + 0.5) / (ndf + 0.5)) * tf * 2.2 /
+                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+                     FROM p JOIN df USING (term) JOIN lens USING (doc_id)
+                          CROSS JOIN stats),
+              top AS (SELECT doc_id, round(sum(w), 4) AS score
+                      FROM sc GROUP BY doc_id
+                      ORDER BY score DESC, doc_id LIMIT 10),
+              ranked AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                         FROM top),
+              rel AS (SELECT doc_id,
+                        least(
+                          len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x = 'join')) +
+                          len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x = 'filter')) +
+                          len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x = 'vector')),
+                          8) AS rel
+                      FROM documents),
+              j AS (SELECT ranked.doc_id, rnk, rel
+                    FROM ranked JOIN rel ON ranked.doc_id = rel.doc_id),
+              mrr AS (SELECT round(1.0 / min(rnk), 6) AS mrr FROM j WHERE rel > 0),
+              dcg AS (SELECT sum((pow(2.0, rel) - 1) / log2(rnk + 1)) AS dcg FROM j),
+              ideal AS (SELECT rel,
+                          row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+                        FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+              idcg AS (SELECT sum((pow(2.0, rel) - 1) / log2(rnk + 1)) AS idcg
+                       FROM ideal)
+              SELECT mrr, round(dcg / idcg, 6) AS ndcg10
+              FROM mrr, dcg, idcg""")),
+
     Q("search_hybrid_rrf",
       // hybrid retrieval: BM25 keyword top-20 and embedding-cosine
       // top-20 fused by reciprocal-rank fusion (1/(60+rank), the

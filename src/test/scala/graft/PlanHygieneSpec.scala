@@ -82,6 +82,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // BM25 broadcasts the SINGLE-ROW (N, avgdl) corpus-stats aggregate
     // into the scoring projection (`Search.bm25`)
     "search_bm25",
+    // IR metrics reuse the BM25 stats broadcast and combine three
+    // SINGLE-ROW aggregates (mrr, dcg, idcg) into the summary row
+    "search_ir_metrics",
     // hybrid RRF reuses the BM25 stats broadcast and additionally
     // cross-joins the SINGLE-ROW broadcast query embedding into the
     // cosine projection (`CatalogScale.search_hybrid_rrf`)
