@@ -455,6 +455,63 @@ object CatalogScale {
                      est - n_exact <= (SELECT n FROM tot) * 4 // 1024 AS within_slack
               FROM est ORDER BY n_exact DESC, term""")),
 
+    Q("j12_jaro_entity_join",
+      // entity resolution with an INDEPENDENT-implementation oracle:
+      // one char deleted from each part name at a key-derived position
+      // (past the blocking prefix), then variants re-matched to the
+      // catalog by 4-char-prefix + length-window blocking and verified
+      // with the native `jaro_winkler` codegen expression (Spark has no
+      // built-in JW). DuckDB replays the staging and scores with ITS
+      // OWN jaro_winkler_similarity — two implementations of the
+      // published algorithm agreeing at 6dp on every candidate pair,
+      // the UnicodeFold cross-validation pattern. Best match per
+      // variant by (score, key) — deterministic under duplicate names.
+      (s, d) => {
+        val parts = t(s, d, "part")
+          .select(col("p_partkey"), col("p_name"))
+          .filter(length(col("p_name")) > lit(8))
+        val pos = lit(6) + pmod(col("p_partkey"),
+          length(col("p_name")) - lit(6))
+        val variants = parts.select(col("p_partkey").as("v_id"),
+          concat(col("p_name").substr(lit(1), pos - 1),
+            col("p_name").substr(pos + 1, length(col("p_name"))))
+            .as("v_name"))
+        val cands = variants
+          .withColumn("bk", substring(col("v_name"), 1, 4))
+          .join(parts.withColumn("bk", substring(col("p_name"), 1, 4)), "bk")
+          .filter(abs(length(col("v_name")) - length(col("p_name"))) <= 1)
+          .withColumn("jw", round(graft.plans.JaroWinkler.sim(
+            col("v_name"), col("p_name")), 6))
+          .filter(col("jw") >= 0.93)
+        cands.withColumn("rn", row_number().over(
+            Window.partitionBy("v_id")
+              .orderBy(col("jw").desc, col("p_partkey"))))
+          .filter(col("rn") === 1)
+          .select(col("v_id"), col("p_partkey").as("matched_key"), col("jw"))
+          .orderBy("v_id")
+      },
+      Some("""WITH parts AS (SELECT p_partkey, p_name FROM part
+                             WHERE length(p_name) > 8),
+              v AS (SELECT p_partkey AS v_id,
+                      substr(p_name, 1,
+                        CAST(5 + (p_partkey % (length(p_name) - 6)) AS INT)) ||
+                      substr(p_name,
+                        CAST(7 + (p_partkey % (length(p_name) - 6)) AS INT))
+                        AS v_name
+                    FROM parts),
+              c AS MATERIALIZED (
+                SELECT v.v_id, p.p_partkey,
+                       round(jaro_winkler_similarity(v.v_name, p.p_name), 6) AS jw
+                FROM v JOIN parts p
+                  ON substr(v.v_name, 1, 4) = substr(p.p_name, 1, 4)
+                 AND abs(length(v.v_name) - length(p.p_name)) <= 1),
+              b AS (SELECT v_id, p_partkey AS matched_key, jw,
+                      row_number() OVER (PARTITION BY v_id
+                        ORDER BY jw DESC, p_partkey) AS rn
+                    FROM c WHERE jw >= 0.93)
+              SELECT v_id, matched_key, jw FROM b WHERE rn = 1
+              ORDER BY v_id""")),
+
     Q("scale_join_card_est",
       // join-cardinality pre-flight (AMS/F2 inner product over CMS
       // sketches): events.user_id ⋈ orders.o_custkey expands ~10× over

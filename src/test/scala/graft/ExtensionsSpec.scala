@@ -522,6 +522,39 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("JaroWinkler: textbook values, boost gating, codepoints, null/empty contract") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def jw(a: String, b: String): Double =
+      graft.plans.JaroWinkler(Literal(a), Literal(b))
+        .eval(null).asInstanceOf[Double]
+    // published textbook pairs
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-12)
+    // symmetry, identity, disjoint
+    assert(jw("abcde", "abcde") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    assert(jw("CRATE", "TRACE") == jw("TRACE", "CRATE"))
+    // boost only above 0.7: jaro("AB","CB") = (1/2+1/2+1)/3 = 2/3 < 0.7,
+    // shared prefix 0 anyway; construct a sub-threshold shared-prefix
+    // pair and check no boost applied
+    val j = jw("aXXXXX", "aYYYYY") // jaro = (1/6+1/6+1)/3 = 0.444..., prefix 1
+    assert(math.abs(j - (1.0 / 6 + 1.0 / 6 + 1.0) / 3) < 1e-12,
+      s"no Winkler boost below 0.7: $j")
+    // empty semantics pinned to the DuckDB oracle implementation
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0 && jw("", "a") == 0.0)
+    // code points: a supplementary char is ONE symbol on both sides
+    assert(jw("😀ab", "😀ab") == 1.0)
+    // codegen path agrees with interpreted
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viaDf = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .select(graft.plans.JaroWinkler.sim(col("a"), col("b")))
+      .as[Double].head()
+    assert(math.abs(viaDf - 0.9611111111111111) < 1e-12)
+  }
+
   test("LuhnMask: validated spans masked, invalid/short/long pass through") {
     val spark = TestSpark.spark
     import spark.implicits._
