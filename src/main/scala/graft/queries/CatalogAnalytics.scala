@@ -484,6 +484,71 @@ object CatalogAnalytics {
               WHERE prefix_min IS NULL OR best_price < prefix_min
               ORDER BY p_brand, p_size""")),
 
+    Q("ts_changepoint",
+      // single-breakpoint changepoint over the daily event-count series
+      // (least-squares: the split minimizing two-segment SSE). Because
+      // total Σy² is constant, argmin SSE = argmax S₁²/n₁ + S₂²/n₂ —
+      // computed from INTEGER day sums with one add and two divides, so
+      // both engines produce the bit-identical double and the argmax is
+      // engine-stable without rounding games. Candidate × day pairing
+      // is calendar-sized (days²), never data-sized.
+      (s, d) => {
+        val days = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val idx = days.select(col("day"), col("y"),
+          row_number().over(Window.orderBy("day")).as("i"))
+        val n = idx.agg(max("i").as("n"))
+        val cands = idx.select(col("i").as("b")).crossJoin(broadcast(n))
+          .filter(col("b") >= 2 && col("b") <= col("n") - 1)
+          .select("b")
+        val scored = cands.join(idx, idx("i") >= lit(1))
+          .groupBy("b")
+          .agg(
+            sum(when(col("i") < col("b"), col("y"))).as("s1"),
+            count(when(col("i") < col("b"), lit(1))).as("n1"),
+            sum(when(col("i") >= col("b"), col("y"))).as("s2"),
+            count(when(col("i") >= col("b"), lit(1))).as("n2"))
+          .withColumn("gain",
+            (col("s1") * col("s1")).cast("double") / col("n1") +
+              (col("s2") * col("s2")).cast("double") / col("n2"))
+        val best = scored
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("gain").desc, col("b"))))
+          .filter(col("rn") === 1)
+        best.join(idx.select(col("i").as("b"), col("day").as("break_day")), "b")
+          .select(col("break_day"),
+            round(col("s1").cast("double") / col("n1"), 4).as("mean_before"),
+            round(col("s2").cast("double") / col("n2"), 4).as("mean_after"),
+            col("n1"), col("n2"))
+      },
+      Some("""WITH days AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                            FROM events GROUP BY 1),
+              idx AS (SELECT day, y,
+                        row_number() OVER (ORDER BY day) AS i FROM days),
+              n AS (SELECT max(i) AS n FROM idx),
+              cands AS (SELECT i AS b FROM idx
+                        WHERE i >= 2 AND i <= (SELECT n FROM n) - 1),
+              scored AS (SELECT b,
+                           sum(CASE WHEN i < b THEN y END) AS s1,
+                           count(CASE WHEN i < b THEN 1 END) AS n1,
+                           sum(CASE WHEN i >= b THEN y END) AS s2,
+                           count(CASE WHEN i >= b THEN 1 END) AS n2
+                         FROM cands JOIN idx ON i >= 1 GROUP BY b),
+              g AS (SELECT b, s1, n1, s2, n2,
+                      CAST(s1 * s1 AS DOUBLE) / n1 +
+                      CAST(s2 * s2 AS DOUBLE) / n2 AS gain
+                    FROM scored),
+              best AS (SELECT b, s1, n1, s2, n2,
+                         row_number() OVER (ORDER BY gain DESC, b) AS rn
+                       FROM g)
+              SELECT idx.day AS break_day,
+                     round(CAST(s1 AS DOUBLE) / n1, 4) AS mean_before,
+                     round(CAST(s2 AS DOUBLE) / n2, 4) AS mean_after,
+                     n1, n2
+              FROM best JOIN idx ON best.b = idx.i
+              WHERE rn = 1""")),
+
     Q("a33_cohort_retention",
       // weekly cohort retention matrix: users grouped by first-seen
       // week, counted distinct in each later week at its offset — the

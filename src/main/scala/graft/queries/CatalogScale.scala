@@ -242,6 +242,46 @@ object CatalogScale {
               FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
               GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    Q("dq_benford",
+      // Benford first-digit conformity for numeric columns — the
+      // forensic data-quality screen (fabricated or capped numeric
+      // data drifts from log10(1+1/d); a synthetic price column is
+      // EXPECTED to fail, and the per-digit chi-square contributions
+      // show where). First digit comes from exact cents arithmetic
+      // (round(x·100) → leading decimal char), never floor(log10) —
+      // float-free digit extraction is what keeps both engines
+      // bit-identical.
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
+        val digits = t(s, d, "orders")
+          .filter(col("o_totalprice") > 0)
+          .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        val total = digits.agg(count(lit(1)).as("n_total"))
+        digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+          .crossJoin(broadcast(total))
+          .select(col("digit"), col("n_obs"),
+            round(col("n_obs").cast("double") / col("n_total"), 4).as("p_obs"),
+            round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("p_benford"),
+            round(
+              pow(col("n_obs").cast("double") -
+                col("n_total") * log10(lit(1.0) + lit(1.0) / col("digit")), 2) /
+                (col("n_total") * log10(lit(1.0) + lit(1.0) / col("digit"))),
+              4).as("chi2_part"))
+          .orderBy("digit")
+      },
+      Some("""WITH dg AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+                            AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+                          FROM orders WHERE o_totalprice > 0),
+              tot AS (SELECT count(*) AS n_total FROM dg)
+              SELECT digit, count(*) AS n_obs,
+                     round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot), 4) AS p_obs,
+                     round(log10(1.0 + 1.0 / digit), 4) AS p_benford,
+                     round(pow(CAST(count(*) AS DOUBLE) -
+                             (SELECT n_total FROM tot) * log10(1.0 + 1.0 / digit), 2) /
+                           ((SELECT n_total FROM tot) * log10(1.0 + 1.0 / digit)),
+                       4) AS chi2_part
+              FROM dg GROUP BY digit ORDER BY digit""")),
+
     Q("dq_constraints",
       // the data-quality expectations layer: key uniqueness, referential
       // integrity, completeness, and a range check — each constraint one

@@ -99,6 +99,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // aggregates into the summary row; the max-id broadcast is the
     // single-row bucket-width dimension
     "ta_corpus_laws",
+    // changepoint scan pairs calendar DAYS with candidate breakpoints
+    // (days² rows — calendar-sized, never data-sized) plus the
+    // single-row n broadcast
+    "ts_changepoint",
     // triangle census combines four SINGLE-ROW count aggregates into
     // the one summary row (`Graph.triangleStats`)
     "g4_triangles",
