@@ -99,6 +99,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // aggregates into the summary row; the max-id broadcast is the
     // single-row bucket-width dimension
     "ta_corpus_laws",
+    // Benford broadcasts the SINGLE-ROW corpus total into the per-digit
+    // proportion projection (the a20 pattern)
+    "dq_benford",
     // changepoint scan pairs calendar DAYS with candidate breakpoints
     // (days² rows — calendar-sized, never data-sized) plus the
     // single-row n broadcast
