@@ -380,6 +380,62 @@ object TextAnalysis {
       round(avg("bo"), 4).as("backoff_rate"))
   }
 
+  /** Interpolated Kneser-Ney bigram log-prob per document — the
+    * published standard for count-based LM smoothing (stupid backoff
+    * trades accuracy for simplicity; KN's continuation probability
+    * P_cont(w) = distinct-left-context count / bigram-type count is
+    * what stops high-frequency-but-contextually-rigid tokens ("Francisco")
+    * from inflating unseen-bigram scores). Absolute discount D with
+    * the pruned count table as the model: bigrams below
+    * `minBigramCount` score through the continuation term alone, so
+    * the smoothing path is exercised corpus-on-itself. Same relational
+    * shape as [[bigramLogProb]]: model = three aggregations (bigram
+    * counts, prefix totals + distinct-continuation counts, suffix
+    * type counts), scoring = equi-joins against vocab-sized relations.
+    */
+  def knBigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      minBigramCount: Int = 2, discount: Double = 0.75): DataFrame = {
+    val base = Dedup.widen(docs)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+    val idx = when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bg = base
+      .select(col("doc_id"), explode(transform(idx,
+        i => struct(element_at(col("ws"), i).as("prev"),
+          element_at(col("ws"), i + 1).as("cur")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    // the MODEL: pruned bigram table and its marginals
+    val bgf = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cbg"))
+      .filter(col("cbg") >= minBigramCount)
+    val prevStats = bgf.groupBy("prev").agg(
+      sum("cbg").as("cprev"), count(lit(1)).as("n1p_prev"))
+    val contStats = bgf.groupBy("cur").agg(count(lit(1)).as("n1p_suf"))
+    val nTypes = bgf.agg(count(lit(1)).as("n_types"))
+    val scored = bg
+      .join(bgf, Seq("prev", "cur"), "left")
+      .join(prevStats, Seq("prev"), "left")
+      .join(contStats, Seq("cur"), "left")
+      .join(broadcast(nTypes))
+      .select(col("doc_id"),
+        // OOV floor at half a type: a cur never seen as a pruned
+        // suffix would otherwise drive ln(0) = -Inf through the doc avg
+        greatest(coalesce(col("n1p_suf"), lit(0L)).cast("double"),
+          lit(0.5)).divide(col("n_types").cast("double")).as("pcont"),
+        coalesce(col("cbg"), lit(0L)).cast("double").as("c"),
+        coalesce(col("cprev"), lit(0L)).cast("double").as("cp"),
+        coalesce(col("n1p_prev"), lit(0L)).cast("double").as("n1p"))
+      .select(col("doc_id"),
+        when(col("cp") > 0,
+          log(greatest(col("c") - discount, lit(0.0)) / col("cp") +
+            lit(discount) * col("n1p") / col("cp") * col("pcont")))
+          .otherwise(log(col("pcont"))).as("lp"),
+        when(col("c") === 0, lit(1.0)).otherwise(lit(0.0)).as("sm"))
+    scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      round(avg("lp"), 4).as("avg_kn_logprob"),
+      round(avg("sm"), 4).as("smoothed_rate"))
+  }
+
   /** Shannon entropy of the per-document character distribution
     * (bits/char) — the classic cheap gibberish detector: natural prose
     * sits ~4-4.5 bits, base64/hex blobs and mojibake run high, repeated-

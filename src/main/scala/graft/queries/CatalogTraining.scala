@@ -350,6 +350,54 @@ object CatalogTraining {
                      round(avg(bo), 4) AS backoff_rate
               FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("ta_kn_logprob",
+      // interpolated Kneser-Ney bigram mean log-prob: the published LM
+      // smoothing (continuation probability from distinct-left-context
+      // counts, absolute discount D=0.75), with singleton bigrams
+      // pruned from the model so the continuation-only path really
+      // fires. The oracle rebuilds all three model relations (pruned
+      // bigram counts, prefix totals + distinct continuations, suffix
+      // type counts) and the per-doc mean from raw text.
+      (s, d) => graft.operators.TextAnalysis
+        .knBigramLogProb(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents),
+              bg AS (SELECT doc_id, ws[pos] AS prev, ws[pos + 1] AS cur
+                     FROM (SELECT doc_id, ws,
+                             UNNEST(generate_series(1, len(ws) - 1)) AS pos
+                           FROM d)),
+              bgf AS (SELECT prev, cur, count(*) AS cbg FROM bg
+                      GROUP BY 1, 2 HAVING count(*) >= 2),
+              ps AS (SELECT prev, sum(cbg) AS cprev, count(*) AS n1p_prev
+                     FROM bgf GROUP BY 1),
+              cs AS (SELECT cur, count(*) AS n1p_suf FROM bgf GROUP BY 1),
+              nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bgf),
+              scored AS (
+                SELECT b.doc_id,
+                       CASE WHEN coalesce(ps.cprev, 0) > 0 THEN
+                         ln(greatest(CAST(coalesce(f.cbg, 0) AS DOUBLE) - 0.75, 0.0)
+                              / CAST(ps.cprev AS DOUBLE) +
+                            0.75 * CAST(ps.n1p_prev AS DOUBLE)
+                              / CAST(ps.cprev AS DOUBLE) *
+                            (greatest(CAST(coalesce(cs.n1p_suf, 0) AS DOUBLE), 0.5)
+                               / t.n_types))
+                       ELSE
+                         ln(greatest(CAST(coalesce(cs.n1p_suf, 0) AS DOUBLE), 0.5)
+                              / t.n_types)
+                       END AS lp,
+                       CASE WHEN f.cbg IS NULL THEN 1.0 ELSE 0.0 END AS sm
+                FROM bg b
+                LEFT JOIN bgf f ON f.prev = b.prev AND f.cur = b.cur
+                LEFT JOIN ps ON ps.prev = b.prev
+                LEFT JOIN cs ON cs.cur = b.cur
+                CROSS JOIN nt t)
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(avg(lp), 4) AS avg_kn_logprob,
+                     round(avg(sm), 4) AS smoothed_rate
+              FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("ta_unicode_fold",
       // multilingual normalization over staged accented text: each doc
       // gets a diacritic-bearing phrase appended (Café / naïve / MÜLLER
