@@ -253,6 +253,50 @@ object Graph {
     out
   }
 
+  /** Synchronous label-propagation communities, DETERMINISTIC variant:
+    * every node starts as its own label; each round every node adopts
+    * the most frequent label among its neighbours, ties broken by
+    * minimum label — the tie rule plus synchronous rounds is what
+    * makes the result a pure function of the graph (stock async LPA is
+    * run-order dependent and would be un-oracleable). Communities
+    * after a fixed round count; unlike [[Dedup.connectedComponents]]
+    * this splits a connected graph along dense regions rather than
+    * labeling reachability.
+    *
+    * Each round is one equi-join (edge × label), one partial-agg count
+    * and one per-node window — all keyed on node id; rounds
+    * checkpoint so lineage stays flat. `edges` must be symmetric.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = materialize(
+      e.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+    var r = 0
+    while (r < rounds) {
+      val counted = e
+        .join(labels.select(col("node").as("u"), col("lbl")), Seq("u"))
+        .groupBy(col("v").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("lbl"))
+      labels = materialize(counted
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lbl"))
+      r += 1
+    }
+    e.unpersist(blocking = false)
+    labels
+  }
+
   /** k-core decomposition (fixed k): iteratively peel nodes of degree
     * < k until fixpoint — the standard graph-cleaning step before
     * corpus-quality centrality (a node's k-core membership is a

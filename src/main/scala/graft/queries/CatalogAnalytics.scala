@@ -484,6 +484,60 @@ object CatalogAnalytics {
               WHERE prefix_min IS NULL OR best_price < prefix_min
               ORDER BY p_brand, p_size""")),
 
+    Q("g7_label_prop",
+      // deterministic synchronous label propagation (4 rounds, min-label
+      // tie-break) over the g4/g6 co-purchase graph, rolled up to
+      // community sizes. The tie rule + synchronous rounds make the
+      // labeling a pure function of the graph, so the oracle can unroll
+      // all four rounds as chained MATERIALIZED CTEs (count → rank →
+      // adopt per round). Communities split the graph along dense
+      // regions — complementary to connected components (reachability)
+      // and k-core (robustness).
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+          .distinct()
+        val und = items.select(col("oid"), col("item").as("u"))
+          .join(items.select(col("oid"), col("item").as("v")), "oid")
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+        val sym = und.select(col("u"), col("v"))
+          .unionAll(und.select(col("v"), col("u")))
+        Graph.labelPropagation(sym, "u", "v", rounds = 4)
+          .groupBy("lbl").agg(count(lit(1)).as("n_members"))
+          .select(col("lbl").as("community"), col("n_members"))
+          .orderBy(col("n_members").desc, col("community"))
+          .limit(20)
+      },
+      Some {
+        val roundCte = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (
+                SELECT e.v AS node, l.lbl, count(*) AS c
+                FROM e JOIN l${i - 1} l ON e.u = l.node GROUP BY 1, 2),
+              l$i AS MATERIALIZED (
+                SELECT node, lbl FROM (
+                  SELECT node, lbl,
+                         row_number() OVER (PARTITION BY node
+                           ORDER BY c DESC, lbl) AS rn
+                  FROM c$i) WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH items AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+              FROM lineitem),
+            und AS MATERIALIZED (
+              SELECT a.item AS u, b.item AS v
+              FROM items a JOIN items b ON a.oid = b.oid AND a.item < b.item
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            e AS MATERIALIZED (SELECT u, v FROM und
+                               UNION ALL SELECT v, u FROM und),
+            l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e),
+            $roundCte
+            SELECT lbl AS community, count(*) AS n_members
+            FROM l4 GROUP BY 1
+            ORDER BY n_members DESC, community LIMIT 20"""
+      }),
+
     Q("ts_changepoint",
       // single-breakpoint changepoint over the daily event-count series
       // (least-squares: the split minimizing two-segment SSE). Because
