@@ -538,6 +538,40 @@ object CatalogAnalytics {
             ORDER BY n_members DESC, community LIMIT 20"""
       }),
 
+    Q("ts_burst_terms",
+      // burst detection: weekly counts per JSON property value, scored
+      // against the running mean of the PRIOR weeks (add-one smoothed,
+      // so a first appearance isn't an infinite burst) — the trending-
+      // terms monitor every ingest pipeline runs to catch topic spikes
+      // and scraper loops. Per-key window over its own weekly series:
+      // partitioned by the key, never a global sort.
+      (s, d) => {
+        val wk = events(s, d).select(
+          date_trunc("week", to_date(col("ts"))).cast("date").as("wk"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy("wk", "k").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("k").orderBy("wk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        wk.withColumn("baseline", coalesce(avg("n").over(w), lit(0.0)))
+          .withColumn("burst",
+            round(col("n") / (col("baseline") + 1), 4))
+          .select(col("wk"), col("k"), col("n"),
+            round(col("baseline"), 4).as("baseline"), col("burst"))
+          .orderBy(col("burst").desc, col("wk"), col("k"))
+          .limit(15)
+      },
+      Some("""WITH wk AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+                            CAST(props->>'k' AS INTEGER) AS k, count(*) AS n
+                          FROM events GROUP BY 1, 2),
+              b AS (SELECT wk, k, n,
+                      coalesce(avg(n) OVER (PARTITION BY k ORDER BY wk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0.0) AS baseline
+                    FROM wk)
+              SELECT wk, k, n, round(baseline, 4) AS baseline,
+                     round(n / (baseline + 1), 4) AS burst
+              FROM b ORDER BY burst DESC, wk, k LIMIT 15""")),
+
     Q("ts_changepoint",
       // single-breakpoint changepoint over the daily event-count series
       // (least-squares: the split minimizing two-segment SSE). Because
