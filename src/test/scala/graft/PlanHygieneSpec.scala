@@ -60,6 +60,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // bigram LM broadcasts the SINGLE-ROW corpus-total aggregate into
     // the backoff projection (the ta_unigram_logprob pattern)
     "ta_bigram_logprob",
+    // Kneser-Ney inherits the bigram-LM shape: the SINGLE-ROW bigram
+    // type total broadcast into the continuation-probability projection
+    "ta_kn_logprob",
     // Ed-Join's short-string completeness bucket: docs with <= q·tau
     // distinct grams (len <~ q·(tau+1) chars — rare by construction,
     // zero in this corpus above sf0.001) broadcast against the
