@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerGroup
+
+/** KMV (k-minimum-values) distinct sketches with set algebra — the
+  * mergeable distinct-count summary that, unlike HLL, supports
+  * INTERSECTION estimates (Beyer et al., "On synopses for distinct-value
+  * estimation under multiset operations", SIGMOD'07). Deployment slot at
+  * 100 TB: per-partition/per-day distinct summaries of k 64-bit hashes
+  * each, merged relationally (union = k smallest of the concatenation),
+  * with cross-source overlap estimated WITHOUT re-scanning either source
+  * — the question HLL union alone cannot answer ("how many of source A's
+  * users also appear in source B?").
+  *
+  * Everything is built on the engine-portable md5 hash
+  * ([[Dedup.portableHash64]]) masked to 60 bits, so a DuckDB oracle can
+  * replay sketch construction, merge, and every estimate bit-for-bit —
+  * the `hh_cms_mergeable` pattern. The 60-bit mask keeps values positive
+  * in both engines' signed comparisons.
+  *
+  * Construction never sorts a whole group: after the map-side-combined
+  * `distinct`, the k smallest hashes per group come from the bounded-heap
+  * [[TopKPerGroup]] operator (O(n log k) per partition, k rows shuffled
+  * per group — the same reason the sketch itself is O(k) memory).
+  */
+object Sketches {
+
+  /** 60-bit hash space: positive in a signed 64-bit long on both engines. */
+  val HashMask: Long = 0x0FFFFFFFFFFFFFFFL
+  /** |space| as an exactly-representable double (2^60). */
+  val HashSpace: Double = 1152921504606846976.0d
+
+  /** The k smallest distinct 60-bit portable hashes of `valueCol` per
+    * `groupCol`: rows `(g, h)`, ≤ k per group. This IS the KMV sketch —
+    * a relation, so "store the sketch" is a plain parquet write and
+    * "merge sketches" is re-aggregation over the union of such relations.
+    */
+  def kmv(df: DataFrame, groupCol: Column, valueCol: Column,
+      k: Int): DataFrame = {
+    val hashed = df
+      .select(groupCol.as("g"),
+        Dedup.portableHash64(valueCol.cast("string"))
+          .bitwiseAND(lit(HashMask)).as("h"))
+      .distinct()
+    TopKPerGroup.perGroup(hashed, Seq(col("g")), Seq(col("h").asc), k)
+  }
+
+  /** Distinct-count estimate per group from a KMV relation: exact when
+    * the group has fewer than k distinct values (the sketch holds them
+    * all), else the standard unbiased (k-1)·M/h_(k). Both branches are
+    * pure arithmetic over the sketch, so merged sketches estimate their
+    * union with no access to the raw data.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy("g")
+      .agg(max("h").as("kth"), count(lit(1)).as("m"))
+      .withColumn("est",
+        when(col("m") < k, col("m").cast("double"))
+          .otherwise(lit((k - 1).toDouble * HashSpace) /
+            col("kth").cast("double")))
+
+  /** Pairwise union/intersection estimates between every pair of groups
+    * in a KMV relation, entirely from the sketches (Beyer et al. §4):
+    * the merged pair sketch is the k smallest of S_A ∪ S_B; union size
+    * comes from its k-th value; the intersection uses the fraction of
+    * merged-sketch members present in BOTH input sketches
+    * (est_int = |X ∩ A ∩ B| / |X| · est_union).
+    *
+    * Sketch relations are O(groups·k) rows, so the pair expansion and
+    * the per-pair window both run over sketch-sized — never data-sized —
+    * input; at 100 TB this is the whole point.
+    */
+  def kmvPairOps(sketch: DataFrame, k: Int): DataFrame = {
+    val groups = sketch.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("ga"))
+      .join(groups.select(col("g").as("gb")), col("ga") < col("gb"))
+    // membership of each pair's candidate values in either input sketch
+    val fromA = pairs.join(sketch, col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(true).as("in_a"), lit(false).as("in_b"))
+    val fromB = pairs.join(sketch, col("g") === col("gb"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(false).as("in_a"), lit(true).as("in_b"))
+    val members = fromA.unionByName(fromB)
+      .groupBy("ga", "gb", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    // trim the merged sketch back to its k smallest values
+    val w = Window.partitionBy("ga", "gb").orderBy("h")
+    val merged = members.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    merged.groupBy("ga", "gb")
+      .agg(max("h").as("kth"), count(lit(1)).as("m"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_both"))
+      .withColumn("est_union",
+        when(col("m") < k, col("m").cast("double"))
+          .otherwise(lit((k - 1).toDouble * HashSpace) /
+            col("kth").cast("double")))
+      .withColumn("est_intersect",
+        col("n_both").cast("double") / col("m").cast("double") *
+          col("est_union"))
+  }
+}

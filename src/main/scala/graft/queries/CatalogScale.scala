@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Graph, HeavyHitters, Multimodal, RangeJoin, Scale, Search, Sessions, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Graph, HeavyHitters, Multimodal, RangeJoin, Scale, Search, Sessions, Similarity, Sketches, TextAnalysis}
 
 /** Scale-extension catalog: dedup / similarity search / text analysis /
   * multimodal plumbing / sessionization — the training-data-pipeline
@@ -2573,6 +2573,131 @@ object CatalogScale {
                 round(sum(l_quantity), 2) AS sum_qty
               FROM lineitem
               WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("sketch_kmv_distinct",
+      // KMV distinct sketch (k = 256 minimum portable hashes per group,
+      // built via the bounded-heap TopKPerGroup — no per-group sort):
+      // the estimate must land within 20% of the exact distinct count
+      // (3σ for k=256 is ~19%). The oracle replays sketch construction
+      // AND the estimator hash-for-hash via the portable md5, so the
+      // green row proves the sketch, not just the arithmetic.
+      (s, d) => {
+        val k = 256
+        val li = t(s, d, "lineitem")
+        val sk = Sketches.kmv(li, col("l_returnflag"), col("l_orderkey"), k)
+        val exact = li.groupBy(col("l_returnflag").as("g"))
+          .agg(countDistinct("l_orderkey").as("n_exact"))
+        Sketches.kmvEstimate(sk, k).join(exact, "g")
+          .select(col("g").as("l_returnflag"), col("n_exact"),
+            round(col("est"), 2).as("est"),
+            (abs(col("est") - col("n_exact")) / col("n_exact") <= lit(0.2))
+              .as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+                (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 16))::UBIGINT
+                 & 1152921504606846975)::BIGINT AS h
+              FROM lineitem),
+              r AS (SELECT g, h,
+                      row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                    FROM h),
+              sk AS (SELECT g, max(h) AS kth, count(*) AS m
+                     FROM r WHERE rn <= 256 GROUP BY 1),
+              ex AS (SELECT l_returnflag AS g,
+                       count(DISTINCT l_orderkey) AS n_exact
+                     FROM lineitem GROUP BY 1),
+              e AS (SELECT sk.g, ex.n_exact,
+                      CASE WHEN sk.m < 256 THEN CAST(sk.m AS DOUBLE)
+                           ELSE 255.0 * 1152921504606846976
+                                / CAST(sk.kth AS DOUBLE) END AS est
+                    FROM sk JOIN ex USING (g))
+              SELECT g AS l_returnflag, n_exact, round(est, 2) AS est,
+                     abs(est - n_exact) / n_exact <= 0.2 AS within_bound
+              FROM e ORDER BY 1""")),
+
+    Q("sketch_kmv_setops",
+      // the KMV capability HLL lacks: set algebra over merged sketches.
+      // Pairwise union (k smallest of the merged value set) and
+      // intersection (merged-sketch members present in BOTH inputs,
+      // scaled by the union estimate) for every pair of groups, checked
+      // against the exact pairwise overlap — all from two O(groups·k)
+      // sketch relations, never re-scanning the fact table. The oracle
+      // replays merge, trim, and both estimators on the same hashes.
+      (s, d) => {
+        val k = 256
+        val li = t(s, d, "lineitem")
+        val sk = Sketches.kmv(li, col("l_returnflag"), col("l_orderkey"), k)
+        val dk = li.select(col("l_returnflag").as("g"),
+          col("l_orderkey").as("v")).distinct()
+        val nPer = dk.groupBy("g").agg(count(lit(1)).as("n"))
+        val exInt = dk.select(col("g").as("ga"), col("v"))
+          .join(dk.select(col("g").as("gb"), col("v")), Seq("v"))
+          .filter(col("ga") < col("gb"))
+          .groupBy("ga", "gb").agg(count(lit(1)).as("n_int_exact"))
+        Sketches.kmvPairOps(sk, k)
+          .join(exInt, Seq("ga", "gb"))
+          .join(nPer.select(col("g").as("ga"), col("n").as("na")), "ga")
+          .join(nPer.select(col("g").as("gb"), col("n").as("nb")), "gb")
+          .select(col("ga"), col("gb"),
+            (col("na") + col("nb") - col("n_int_exact")).as("n_union_exact"),
+            col("n_int_exact"),
+            round(col("est_union"), 2).as("est_union"),
+            round(col("est_intersect"), 2).as("est_intersect"),
+            (abs(col("est_union") - (col("na") + col("nb") - col("n_int_exact")))
+              / (col("na") + col("nb") - col("n_int_exact")) <= lit(0.2))
+              .as("union_ok"),
+            (abs(col("est_intersect") - col("n_int_exact"))
+              / col("n_int_exact") <= lit(0.25)).as("int_ok"))
+          .orderBy("ga", "gb")
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+                (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 16))::UBIGINT
+                 & 1152921504606846975)::BIGINT AS h
+              FROM lineitem),
+              r AS (SELECT g, h,
+                      row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                    FROM h),
+              sk AS (SELECT g, h FROM r WHERE rn <= 256),
+              gs AS (SELECT DISTINCT g FROM sk),
+              pr AS (SELECT a.g AS ga, b.g AS gb
+                     FROM gs a JOIN gs b ON a.g < b.g),
+              mem AS (SELECT pr.ga, pr.gb, s.h,
+                        max(CASE WHEN s.g = pr.ga THEN 1 ELSE 0 END) AS in_a,
+                        max(CASE WHEN s.g = pr.gb THEN 1 ELSE 0 END) AS in_b
+                      FROM pr JOIN sk s ON s.g = pr.ga OR s.g = pr.gb
+                      GROUP BY 1, 2, 3),
+              mr AS (SELECT ga, gb, h, in_a, in_b,
+                       row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+                     FROM mem),
+              ms AS (SELECT ga, gb, max(h) AS kth, count(*) AS m,
+                       sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                         AS n_both
+                     FROM mr WHERE rn <= 256 GROUP BY 1, 2),
+              dk AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS v
+                     FROM lineitem),
+              np AS (SELECT g, count(*) AS n FROM dk GROUP BY 1),
+              xi AS (SELECT a.g AS ga, b.g AS gb, count(*) AS n_int_exact
+                     FROM dk a JOIN dk b ON a.v = b.v AND a.g < b.g
+                     GROUP BY 1, 2),
+              e AS (SELECT ms.ga, ms.gb,
+                      na.n + nb.n - xi.n_int_exact AS n_union_exact,
+                      xi.n_int_exact,
+                      CASE WHEN ms.m < 256 THEN CAST(ms.m AS DOUBLE)
+                           ELSE 255.0 * 1152921504606846976
+                                / CAST(ms.kth AS DOUBLE) END AS est_union,
+                      CAST(ms.n_both AS DOUBLE) / CAST(ms.m AS DOUBLE)
+                        AS frac_both
+                    FROM ms JOIN xi ON xi.ga = ms.ga AND xi.gb = ms.gb
+                    JOIN np na ON na.g = ms.ga
+                    JOIN np nb ON nb.g = ms.gb)
+              SELECT ga, gb, n_union_exact, n_int_exact,
+                     round(est_union, 2) AS est_union,
+                     round(frac_both * est_union, 2) AS est_intersect,
+                     abs(est_union - n_union_exact) / n_union_exact <= 0.2
+                       AS union_ok,
+                     abs(frac_both * est_union - n_int_exact) / n_int_exact
+                       <= 0.25 AS int_ok
+              FROM e ORDER BY 1, 2"""))
   )
 }

@@ -63,6 +63,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // Kneser-Ney inherits the bigram-LM shape: the SINGLE-ROW bigram
     // type total broadcast into the continuation-probability projection
     "ta_kn_logprob",
+    // KMV set ops expand GROUP pairs (a dimension-sized ga < gb
+    // self-join over the handful of sketch groups, never data-sized);
+    // the sketches themselves merge by equi-join
+    "sketch_kmv_setops",
     // Ed-Join's short-string completeness bucket: docs with <= q·tau
     // distinct grams (len <~ q·(tau+1) chars — rare by construction,
     // zero in this corpus above sf0.001) broadcast against the
