@@ -799,4 +799,67 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("kept"))
   }
+
+  // ------------------------------------------------- random projection (JL)
+
+  /** ±1 entry (j, i) of the deterministic Achlioptas projection matrix:
+    * the low bit of the engine-portable md5 hash of "rp:j:i" — the same
+    * bit DuckDB reads with `('0x'||substr(md5(s),1,16))::UBIGINT & 1`,
+    * so an oracle can rebuild the matrix without any RNG-state exchange.
+    */
+  private[graft] def rpSign(j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if ((Integer.parseInt(hex.substring(15, 16), 16) & 1) == 1) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dims (±1
+    * Achlioptas basis, scaled by 1/√outDim) — distance-preserving
+    * dimensionality compression for downstream clustering / dedup /
+    * distance screens at corpus scale: 64→16 dims is 4× less memory and
+    * 4× fewer multiplies per distance, at a pairwise-distance distortion
+    * the JL lemma bounds. It is deliberately NOT offered as a top-k
+    * candidate generator: on this weak-similarity corpus the measured
+    * worst projected rank of a true top-10 neighbor is 397/500 — cosine
+    * GAPS between near-uniform similarities don't survive a 4× cut even
+    * though DISTANCES do. Candidate generation stays with the LSH / IVF
+    * / BQ rows, which carry exact-kNN oracles.
+    *
+    * The arithmetic is exact-by-construction: inputs are quantized to
+    * integer 2^-20 units, the ±1 accumulation stays in Long (order-free,
+    * no float-summation nondeterminism), and the single final division
+    * by 2^22 is exact in binary — every projected value is bit-identical
+    * to a SQL oracle's replay with NO rounding step anywhere (the
+    * DCT-phash integer-basis pattern; a 1e6 quantizer instead lands
+    * `oi ≡ 2 mod 4` cases exactly on .5×10^-6 round boundaries, where
+    * engines legitimately disagree).
+    * The projection is a pure per-row map — no join, no shuffle,
+    * whole-stage codegen'd; the matrix rides in the plan as literals
+    * (outDim×inDim ints — constant metadata, like centroids).
+    */
+  def randomProject(df: DataFrame, vecCol: String, outDim: Int,
+      inDim: Int, projCol: String = "proj"): DataFrame = {
+    val sqrtOut = math.sqrt(outDim.toDouble).toInt
+    require(sqrtOut * sqrtOut == outDim && (sqrtOut & (sqrtOut - 1)) == 0,
+      s"outDim must be a power-of-4 square (4/16/64) so the 1/sqrt scale " +
+        s"divides exactly in binary, got $outDim")
+    val invScale = (1L << 20).toDouble * sqrtOut
+    val scaled = transform(col(vecCol),
+      x => round(x.cast("double") * lit((1L << 20).toDouble), 0).cast("long"))
+    val outs = (0 until outDim).map { j =>
+      val w = typedLit((0 until inDim).map(i => rpSign(j, i)))
+      aggregate(zip_with(scaled, w, (x, s) => x * s), lit(0L), (a, x) => a + x)
+    }
+    df.withColumn(projCol,
+      array(outs.map(o => o.cast("double") / lit(invScale)): _*))
+  }
+
+  /** Squared L2 distance, accumulated in index order over the
+    * element-wise difference — the JL-distortion measurand.
+    */
+  def distSq(a: Column, b: Column): Column = {
+    val diff = zip_with(a, b, (x, y) => x - y)
+    dotD(diff, diff)
+  }
 }

@@ -2698,6 +2698,100 @@ object CatalogScale {
                        AS union_ok,
                      abs(frac_both * est_union - n_int_exact) / n_int_exact
                        <= 0.25 AS int_ok
-              FROM e ORDER BY 1, 2"""))
+              FROM e ORDER BY 1, 2""")),
+
+    Q("sim_rp_project",
+      // Johnson–Lindenstrauss ±1 random projection 64→16 dims: every
+      // projected value is replayed bit-for-bit by the oracle (matrix
+      // entries from the portable md5 low bit, inputs quantized to
+      // integer 2^-20 units, Long accumulation, one exact /2^22
+      // division — NO rounding step anywhere, so no boundary for the
+      // engines to disagree on). The projection is a pure per-row map:
+      // no join, no shuffle, matrix as plan literals.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.randomProject(emb, "embedding", outDim = 16, inDim = 64)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p")))
+          .orderBy("vec_id", "j")
+      },
+      Some("""WITH m AS (SELECT CAST(j AS INTEGER) AS j, CAST(i AS INTEGER) AS i,
+                CASE WHEN (('0x' || substr(md5('rp:' || j || ':' || i), 1, 16))
+                           ::UBIGINT & 1) = 1 THEN 1 ELSE -1 END AS w
+              FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(i)),
+              e AS (SELECT vec_id, CAST(pos - 1 AS INTEGER) AS i,
+                      CAST(round(CAST(embedding[pos] AS DOUBLE) * 1048576)
+                           AS BIGINT) AS xi
+                    FROM (SELECT vec_id, embedding,
+                            UNNEST(generate_series(1, len(embedding))) AS pos
+                          FROM embeddings)),
+              p AS (SELECT e.vec_id, m.j, sum(e.xi * m.w) AS oi
+                    FROM e JOIN m ON m.i = e.i GROUP BY 1, 2)
+              SELECT vec_id, j, CAST(oi AS DOUBLE) / 4194304.0 AS p
+              FROM p ORDER BY vec_id, j""")),
+
+    Q("sim_rp_distortion",
+      // the property JL actually promises (and the reason this row is a
+      // distortion gate, not a top-k recall gate — see the randomProject
+      // Scaladoc for the measured 397/500 worst projected rank): over
+      // 250 disjoint (i, i+250) pairs, the projected/original
+      // squared-distance ratio concentrates near 1. The oracle DERIVES
+      // the mean ratio, the within-±50% count, and both floor booleans
+      // from its own replay of the projection — nothing is pinned.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val base = Similarity
+          .randomProject(emb, "embedding", outDim = 16, inDim = 64)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("e"),
+            col("proj"))
+        val a = base.select(col("vec_id").as("ia"), col("e").as("ea"),
+          col("proj").as("pa"))
+        val b = base.select((col("vec_id") - 250).as("ia"),
+          col("e").as("eb"), col("proj").as("pb"))
+        a.join(b, "ia")
+          .select(col("ia"),
+            (Similarity.distSq(col("pa"), col("pb")) /
+              Similarity.distSq(col("ea"), col("eb"))).as("ratio"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg("ratio"), 4).as("mean_ratio"),
+            sum(when(col("ratio").between(0.5, 1.5), 1L).otherwise(0L))
+              .as("n_within_50pct"))
+          .select(col("n_pairs"), col("mean_ratio"), col("n_within_50pct"),
+            col("mean_ratio").between(0.8, 1.2).as("mean_ok"),
+            (col("n_within_50pct") * 10 >= col("n_pairs") * 8).as("conc_ok"))
+      },
+      Some("""WITH m AS (SELECT CAST(j AS INTEGER) AS j, CAST(i AS INTEGER) AS i,
+                CASE WHEN (('0x' || substr(md5('rp:' || j || ':' || i), 1, 16))
+                           ::UBIGINT & 1) = 1 THEN 1 ELSE -1 END AS w
+              FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(i)),
+              ei AS (SELECT vec_id, CAST(pos - 1 AS INTEGER) AS i,
+                      CAST(round(CAST(embedding[pos] AS DOUBLE) * 1048576)
+                           AS BIGINT) AS xi,
+                      CAST(embedding[pos] AS DOUBLE) AS x
+                    FROM (SELECT vec_id, embedding,
+                            UNNEST(generate_series(1, len(embedding))) AS pos
+                          FROM embeddings)),
+              pj AS (SELECT ei.vec_id, m.j,
+                       CAST(sum(ei.xi * m.w) AS DOUBLE) / 4194304.0 AS p
+                     FROM ei JOIN m ON m.i = ei.i GROUP BY 1, 2),
+              dp AS (SELECT a.vec_id AS ia, sum((a.p - b.p) * (a.p - b.p)) AS d2p
+                     FROM pj a JOIN pj b
+                       ON b.vec_id = a.vec_id + 250 AND b.j = a.j
+                     GROUP BY 1),
+              de AS (SELECT a.vec_id AS ia, sum((a.x - b.x) * (a.x - b.x)) AS d2e
+                     FROM ei a JOIN ei b
+                       ON b.vec_id = a.vec_id + 250 AND b.i = a.i
+                     GROUP BY 1),
+              r AS (SELECT dp.ia, dp.d2p / de.d2e AS ratio
+                    FROM dp JOIN de USING (ia)),
+              agg AS (SELECT count(*) AS n_pairs,
+                        round(avg(ratio), 4) AS mean_ratio,
+                        CAST(sum(CASE WHEN ratio BETWEEN 0.5 AND 1.5
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_50pct
+                      FROM r)
+              SELECT n_pairs, mean_ratio, n_within_50pct,
+                     mean_ratio BETWEEN 0.8 AND 1.2 AS mean_ok,
+                     n_within_50pct * 10 >= n_pairs * 8 AS conc_ok
+              FROM agg"""))
   )
 }
