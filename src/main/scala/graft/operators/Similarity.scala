@@ -807,11 +807,18 @@ object Similarity {
     * bit DuckDB reads with `('0x'||substr(md5(s),1,16))::UBIGINT & 1`,
     * so an oracle can rebuild the matrix without any RNG-state exchange.
     */
+  private val rpDigest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private[graft] def rpSign(j: Int, i: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    if ((Integer.parseInt(hex.substring(15, 16), 16) & 1) == 1) 1L else -1L
+    // hex char 16 of the md5 = low nibble of digest byte 7, so the
+    // oracle's `& 1` is the low bit of that byte — read it directly
+    // instead of formatting all 16 bytes (outDim×inDim driver calls)
+    val md = rpDigest.get()
+    md.reset()
+    if ((md.digest(s"rp:$j:$i".getBytes("UTF-8"))(7) & 1) == 1) 1L else -1L
   }
 
   /** Johnson–Lindenstrauss random projection to `outDim` dims (±1

@@ -497,15 +497,27 @@ object CatalogScale {
 
     Q("j12_jaro_entity_join",
       // entity resolution with an INDEPENDENT-implementation oracle:
-      // one char deleted from each part name at a key-derived position
-      // (past the blocking prefix), then variants re-matched to the
-      // catalog by 4-char-prefix + length-window blocking and verified
-      // with the native `jaro_winkler` codegen expression (Spark has no
-      // built-in JW). DuckDB replays the staging and scores with ITS
-      // OWN jaro_winkler_similarity — two implementations of the
-      // published algorithm agreeing at 6dp on every candidate pair,
-      // the UnicodeFold cross-validation pattern. Best match per
-      // variant by (score, key) — deterministic under duplicate names.
+      // one char deleted from each part name at a key-derived position,
+      // then variants re-matched to the catalog and verified with the
+      // native `jaro_winkler` codegen expression (Spark has no built-in
+      // JW). DuckDB scores with ITS OWN jaro_winkler_similarity — two
+      // implementations of the published algorithm agreeing at 6dp on
+      // every candidate pair, the UnicodeFold cross-validation pattern.
+      //
+      // Candidates (VERDICT r7 #1 fix): the 4-char-prefix blocking was
+      // quadratic at scale (p_name draws from a FIXED prefix alphabet,
+      // so block count is a data-independent constant while block sizes
+      // grow linearly). Now matching runs via
+      // [[EntityResolution.bestJaroWinklerMatch]]: DISTINCT variant
+      // names × DISTINCT catalog names (vocabulary-sized — candidate
+      // pairs grow sublinearly with rows, asserted in ScaleSpec), pairs
+      // generated by the bipartite Ed-Join rarest-gram prefix filter,
+      // recall-complete for lev <= 2. The oracle takes the INDEPENDENT
+      // route — brute-force cross product of the distinct names — so a
+      // green hash is also a recall proof for the Ed-Join candidates.
+      // Best match per variant by (score, key), duplicate catalog names
+      // pre-collapsed to min key (order-preserving) — deterministic
+      // under duplicate names.
       (s, d) => {
         val parts = t(s, d, "part")
           .select(col("p_partkey"), col("p_name"))
@@ -516,18 +528,10 @@ object CatalogScale {
           concat(col("p_name").substr(lit(1), pos - 1),
             col("p_name").substr(pos + 1, length(col("p_name"))))
             .as("v_name"))
-        val cands = variants
-          .withColumn("bk", substring(col("v_name"), 1, 4))
-          .join(parts.withColumn("bk", substring(col("p_name"), 1, 4)), "bk")
-          .filter(abs(length(col("v_name")) - length(col("p_name"))) <= 1)
-          .withColumn("jw", round(graft.plans.JaroWinkler.sim(
-            col("v_name"), col("p_name")), 6))
-          .filter(col("jw") >= 0.93)
-        cands.withColumn("rn", row_number().over(
-            Window.partitionBy("v_id")
-              .orderBy(col("jw").desc, col("p_partkey"))))
-          .filter(col("rn") === 1)
-          .select(col("v_id"), col("p_partkey").as("matched_key"), col("jw"))
+        graft.operators.EntityResolution.bestJaroWinklerMatch(
+            variants, "v_id", "v_name", parts, "p_partkey", "p_name",
+            minJw = 0.93, tau = 2, q = 2)
+          .select(col("v_id"), col("matched_key"), col("jw"))
           .orderBy("v_id")
       },
       Some("""WITH parts AS (SELECT p_partkey, p_name FROM part
@@ -539,17 +543,22 @@ object CatalogScale {
                         CAST(7 + (p_partkey % (length(p_name) - 6)) AS INT))
                         AS v_name
                     FROM parts),
+              qn AS (SELECT DISTINCT v_name FROM v),
+              cn AS (SELECT p_name, min(p_partkey) AS mk
+                     FROM parts GROUP BY 1),
               c AS MATERIALIZED (
-                SELECT v.v_id, p.p_partkey,
-                       round(jaro_winkler_similarity(v.v_name, p.p_name), 6) AS jw
-                FROM v JOIN parts p
-                  ON substr(v.v_name, 1, 4) = substr(p.p_name, 1, 4)
-                 AND abs(length(v.v_name) - length(p.p_name)) <= 1),
-              b AS (SELECT v_id, p_partkey AS matched_key, jw,
-                      row_number() OVER (PARTITION BY v_id
-                        ORDER BY jw DESC, p_partkey) AS rn
+                SELECT q.v_name, p.mk,
+                       round(jaro_winkler_similarity(q.v_name, p.p_name), 6)
+                         AS jw
+                FROM qn q JOIN cn p
+                  ON abs(length(q.v_name) - length(p.p_name)) <= 2
+                 AND levenshtein(q.v_name, p.p_name) <= 2),
+              b AS (SELECT v_name, mk AS matched_key, jw,
+                      row_number() OVER (PARTITION BY v_name
+                        ORDER BY jw DESC, mk) AS rn
                     FROM c WHERE jw >= 0.93)
-              SELECT v_id, matched_key, jw FROM b WHERE rn = 1
+              SELECT v.v_id, b.matched_key, b.jw
+              FROM v JOIN b ON v.v_name = b.v_name AND b.rn = 1
               ORDER BY v_id""")),
 
     Q("scale_join_card_est",
@@ -2749,6 +2758,10 @@ object CatalogScale {
         val b = base.select((col("vec_id") - 250).as("ia"),
           col("e").as("eb"), col("proj").as("pb"))
         a.join(b, "ia")
+          // identical vectors have nothing to distort: drop zero-distance
+          // pairs before the ratio so a coincidental duplicate can't
+          // poison the mean with NaN (the cosine zero-norm guard pattern)
+          .filter(Similarity.distSq(col("ea"), col("eb")) =!= 0.0)
           .select(col("ia"),
             (Similarity.distSq(col("pa"), col("pb")) /
               Similarity.distSq(col("ea"), col("eb"))).as("ratio"))
@@ -2783,7 +2796,7 @@ object CatalogScale {
                        ON b.vec_id = a.vec_id + 250 AND b.i = a.i
                      GROUP BY 1),
               r AS (SELECT dp.ia, dp.d2p / de.d2e AS ratio
-                    FROM dp JOIN de USING (ia)),
+                    FROM dp JOIN de USING (ia) WHERE de.d2e <> 0),
               agg AS (SELECT count(*) AS n_pairs,
                         round(avg(ratio), 4) AS mean_ratio,
                         CAST(sum(CASE WHEN ratio BETWEEN 0.5 AND 1.5

@@ -27,6 +27,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("quality-gate booleans are actually TRUE at sf0.001 (ADVICE r7)") {
+    // the driver's oracle compare only proves Spark == DuckDB — if an
+    // estimator violated its bound, BOTH sides would emit false and the
+    // row would still read green. Assert here that every derived gate
+    // column really holds, so a bound violation fails red somewhere.
+    val gates = Map(
+      "sketch_kmv_distinct" -> Seq("within_bound"),
+      "sketch_kmv_setops" -> Seq("union_ok", "int_ok"),
+      "sim_rp_distortion" -> Seq("mean_ok", "conc_ok"),
+      "scale_skew_salted_spread" ->
+        Seq("join_exact", "all_salts_used", "spread_won"))
+    val bad = gates.toSeq.sortBy(_._1).flatMap { case (q, cols) =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      cols.flatMap { c =>
+        val n = df.filter(!org.apache.spark.sql.functions.col(c)).count()
+        if (n > 0) Some(s"$q.$c false on $n rows") else None
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("postgres upsert sql shape") {
     val sql = PostgresUpsertSink.upsertSql(
       "daily_reports",

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{DailyReports, Dedup, Sessions, Similarity}
+import graft.operators.{DailyReports, Dedup, EntityResolution, Sessions, Similarity, Sketches}
 
 class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -634,5 +634,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cg(5, 6) == expr(5, 6) && cg(7, 0) == expr(7, 0))
     // inputs mask to the grid (the documented domain convention)
     assert(cg(8 + 5, 6) == expr(5, 6))
+  }
+
+  test("kmvEstimate: group with < k distinct values hits the exact branch") {
+    val df = (1 to 500).map(i => ("big", s"v$i")) ++
+      (1 to 7).map(i => ("tiny", s"t${i % 3}")) // 3 distinct under k
+    val sk = Sketches.kmv(df.toDF("g", "v"), col("g"), col("v"), k = 16)
+    val est = Sketches.kmvEstimate(sk, 16)
+      .select("g", "est").as[(String, Double)].collect().toMap
+    assert(est("tiny") == 3.0, "m < k must return the exact count")
+    assert(math.abs(est("big") - 500.0) / 500.0 <= 0.5,
+      s"k=16 estimate should land within 2sig-ish of 500: ${est("big")}")
+  }
+
+  test("kmvPairOps: known-overlap pair, exact regime") {
+    // A = 1..40, B = 21..60: union 60, intersection 20 — with k=64 every
+    // sketch holds its whole set, so both estimates must be EXACT
+    val df = ((1 to 40).map(i => ("A", i)) ++ (21 to 60).map(i => ("B", i)))
+      .toDF("g", "v")
+    val sk = Sketches.kmv(df, col("g"), col("v"), k = 64)
+    val r = Sketches.kmvPairOps(sk, 64)
+      .select("ga", "gb", "est_union", "est_intersect")
+      .as[(String, String, Double, Double)].head()
+    assert(r == (("A", "B", 60.0, 20.0)), s"got $r")
+  }
+
+  test("randomProject rejects a non-power-of-4 outDim") {
+    val emb = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.randomProject(emb, "embedding", outDim = 8, inDim = 8)
+    }
+  }
+
+  test("entity resolution: Ed-Join candidates equal brute force, both routes") {
+    // catalog vocabulary + noisy queries; 'ab' (1 distinct bigram) and
+    // 'xy' route through the short bucket, the rest through the
+    // rarest-gram prefix route — together they must equal the
+    // brute-force lev<=2 cross product exactly (recall completeness)
+    val catalog = Seq("small ring", "small rings", "red widget",
+      "blue bolt", "ab", "zz").toDF("c_name")
+    val queries = Seq("smal ring", "red widgt", "blue bol", "xy",
+      "totally different").toDF("q_name")
+    val got = EntityResolution
+      .nameMatchCandidates(queries, "q_name", catalog, "c_name", tau = 2, q = 2)
+      .select("q_name", "c_name").as[(String, String)].collect().toSet
+    val brute = (for {
+      q <- Seq("smal ring", "red widgt", "blue bol", "xy", "totally different")
+      c <- Seq("small ring", "small rings", "red widget", "blue bolt", "ab", "zz")
+      if levDist(q, c) <= 2
+    } yield (q, c)).toSet
+    assert(got == brute, s"got $got expected $brute")
+    assert(brute.contains(("smal ring", "small rings")), "lev-2 pair present")
+    assert(brute.exists(_._1 == "xy"), "short-bucket query matched")
+  }
+
+  test("bestJaroWinklerMatch: duplicate catalog names collapse to min key") {
+    val catalog = Seq((7L, "small ring"), (3L, "small ring"), (9L, "red bolt"))
+      .toDF("key", "name")
+    val queries = Seq((100L, "smal ring"), (101L, "red blt"),
+      (102L, "no match here")).toDF("id", "name")
+    val got = EntityResolution.bestJaroWinklerMatch(
+      queries, "id", "name", catalog, "key", "name",
+      minJw = 0.8, tau = 2, q = 2)
+      .select("id", "matched_key").as[(Long, Long)].collect().toMap
+    assert(got == Map(100L -> 3L, 101L -> 9L),
+      s"tie on duplicate names must resolve to the min key: $got")
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
   }
 }

@@ -73,6 +73,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // length-windowed corpus; the main candidate route is an equi-join
     // on prefix grams
     "dedup_edit_distance",
+    // the bipartite Ed-Join short buckets of EntityResolution: names
+    // with <= q·tau distinct grams on EITHER side (length-bounded, rare
+    // by construction) broadcast length-windowed against the other
+    // side's DISTINCT names — vocabulary-sized, never row-sized; the
+    // main candidate route is an equi-join on prefix grams
+    "j12_jaro_entity_join",
     // NB classifier fans each doc token out to the BROADCAST label
     // dimension (nLabels rows: priors ⋈ class totals ⋈ vocab size) —
     // the ts_gap_fill spine pattern, never data-sized

@@ -275,4 +275,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(capped.map(_._1).toSet == Set(1L, 2L, 3L, 4L),
       s"after exactly 2 peels only node 4's tail half is gone: ${capped.toSeq}")
   }
+
+  test("entity-resolution candidate pairs grow sublinearly with rows (r7 #1)") {
+    // VERDICT r7: the old 4-char-prefix blocking produced candidate
+    // pairs quadratic in row count (constant block cardinality). The
+    // distinct-name Ed-Join route must NOT: the j12 staging at 10x the
+    // rows (sf0.01 -> sf0.1) may grow the distinct-name candidate set
+    // only with vocabulary, far below linear. Assert the mechanical
+    // bound the verdict asked for: ratio <= 2 when rows grow 10x.
+    def cands(sf: String): Long = {
+      val parts = spark.read.parquet(s"/root/testdata/$sf/part.parquet")
+        .select(col("p_partkey"), col("p_name"))
+        .filter(length(col("p_name")) > lit(8))
+      val pos = lit(6) + pmod(col("p_partkey"), length(col("p_name")) - lit(6))
+      val variants = parts.select(
+        concat(col("p_name").substr(lit(1), pos - 1),
+          col("p_name").substr(pos + 1, length(col("p_name")))).as("v_name"))
+      graft.operators.EntityResolution
+        .nameMatchCandidates(variants, "v_name", parts, "p_name", tau = 2, q = 2)
+        .count()
+    }
+    val small = cands("sf0.01")
+    val big = cands("sf0.1")
+    assert(small > 0, "staging must produce candidates")
+    assert(big <= 2 * small,
+      s"candidate growth must be vocabulary-bound, not row-bound: " +
+        s"sf0.01=$small sf0.1=$big")
+  }
 }
