@@ -82,10 +82,12 @@ object Bench {
       val cs = reps.map(_.cpuS).filter(_ >= 0).sorted
       cs.size >= 2 && (cs(0) <= 0.1 || cs(1) / math.max(cs(0), 1e-9) <= 1.25)
     }
+    val repCounts = scala.collection.mutable.Map[String, Int]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var reps = Seq(once(fn), once(fn))
       while (reps.forall(_.wall >= 0) && !cpuStable(reps) && reps.size < 4)
         reps = reps :+ once(fn)
+      repCounts(name) = reps.size
       val a = reps.minBy(r => if (r.wall < 0) Double.MaxValue else r.wall)
       val b = reps.minBy(r => if (r.cpuS < 0) Double.MaxValue else r.cpuS)
       // drop blocks persisted INSIDE the finished query (dedup shingle /
@@ -132,17 +134,32 @@ object Bench {
     // stdout keeps the compact driver contract line (the capture clips
     // past ~4 KB); the extended record below carries the gate metrics
     println(line)
+    // environment stamp (VERDICT r7 #2): identical code measured 142.7 s
+    // vs 790.3 s cpu_total in different envs — per-query ratios showed
+    // the swing was environmental, so a regression rule is only sound
+    // between runs whose env blocks MATCH. tools/bench_gate.py refuses
+    // the comparison otherwise.
+    val sfName = new java.io.File(sfDir).getName
+    val repsJson = repCounts.toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val envJson =
+      s"""{"cpus":$cpus,""" +
+      s""""shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",""" +
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024L * 1024L)},""" +
+      s""""jvm":"${System.getProperty("java.version")}",""" +
+      s""""sf_name":"$sfName",""" +
+      s""""rep_policy":"min2_max4_agree1.25"}"""
     val extended =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""cpu_total":${ms(cpuTotal)},"cpu":${jmap(r => ms(r.cpuS))},""" +
       s""""run":${jmap(r => ms(r.runS))},""" +
       s""""shuffle_read":${jmap(r => r.shReadB.toString)},""" +
       s""""shuffle_write":${jmap(r => r.shWriteB.toString)},""" +
+      s""""reps":$repsJson,"env":$envJson,""" +
       s""""sf":"$sfDir"}"""
     // the committed baseline is the sf0.1 run; other scale factors write
     // a suffixed file so an iteration run can't silently replace the
     // baseline with incomparable numbers
-    val sfName = new java.io.File(sfDir).getName
     val outName =
       if (sfName == "sf0.1") "BENCH_LOCAL.json" else s"BENCH_LOCAL_$sfName.json"
     try {

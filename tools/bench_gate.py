@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Perf regression gate over two extended bench records (BENCH_LOCAL.json
+shape, written by graft.Bench).
+
+Usage: python3 tools/bench_gate.py <baseline.json> <candidate.json>
+
+Refuses the comparison outright when the environment stamps differ
+(cpus, shuffle partitions, heap, JVM, scale factor, rep policy): round 7
+showed identical code measuring 142.7 s vs 790.3 s cpu_total across
+environments, with per-query ratios proving the swing was environmental
+-- a threshold rule over cross-env numbers is noise, not a gate.
+
+Regression rules (BENCH.md):
+  1. cpu_total grows > 1.15x (common queries only, so new queries
+     don't read as a regression);
+  2. any common query's cpu grows > 2x with candidate cpu >= 0.5 s;
+  3. any common query's shuffle_read + shuffle_write grows > 1.5x
+     (with > 1 MiB in the candidate, so constant-byte jitter is ignored).
+
+Exit codes: 0 pass, 1 regression, 2 refused/invalid.
+"""
+import sys, json
+
+ENV_KEYS = ["cpus", "shuffle_partitions", "heap_max_mb", "jvm",
+            "sf_name", "rep_policy"]
+
+
+def main():
+    base = json.load(open(sys.argv[1]))
+    cand = json.load(open(sys.argv[2]))
+    be, ce = base.get("env"), cand.get("env")
+    if not be or not ce:
+        which = [n for n, e in (("baseline", be), ("candidate", ce)) if not e]
+        print(f"REFUSED: no env stamp in {', '.join(which)} "
+              f"(re-run graft.Bench to regenerate)")
+        return 2
+    skew = [(k, be.get(k), ce.get(k)) for k in ENV_KEYS
+            if be.get(k) != ce.get(k)]
+    if skew:
+        print("REFUSED: environment mismatch -- numbers are not comparable:")
+        for k, b, c in skew:
+            print(f"  {k}: baseline={b} candidate={c}")
+        return 2
+
+    bc, cc = base["cpu"], cand["cpu"]
+    common = sorted(set(bc) & set(cc))
+    dropped = sorted(set(bc) - set(cc))
+    added = sorted(set(cc) - set(bc))
+    if added:
+        print(f"note: {len(added)} new queries not gated: "
+              f"{', '.join(added[:8])}{'...' if len(added) > 8 else ''}")
+    if dropped:
+        print(f"note: {len(dropped)} baseline queries missing from candidate: "
+              f"{', '.join(dropped[:8])}{'...' if len(dropped) > 8 else ''}")
+
+    fails = []
+    b_tot = sum(max(bc[q], 0.0) for q in common)
+    c_tot = sum(max(cc[q], 0.0) for q in common)
+    if b_tot > 0 and c_tot / b_tot > 1.15:
+        fails.append(f"cpu_total {b_tot:.1f}s -> {c_tot:.1f}s "
+                     f"({c_tot / b_tot:.2f}x > 1.15x) over {len(common)} common queries")
+    for q in common:
+        b, c = bc[q], cc[q]
+        if c >= 0.5 and b > 0 and c / b > 2.0:
+            fails.append(f"{q}: cpu {b:.2f}s -> {c:.2f}s ({c / b:.1f}x > 2x)")
+        sb = base["shuffle_read"].get(q, 0) + base["shuffle_write"].get(q, 0)
+        sc = cand["shuffle_read"].get(q, 0) + cand["shuffle_write"].get(q, 0)
+        if sc > 1 << 20 and sb > 0 and sc / sb > 1.5:
+            fails.append(f"{q}: shuffle {sb} -> {sc} bytes ({sc / sb:.1f}x > 1.5x)")
+    if fails:
+        print("REGRESSION:")
+        for f in fails:
+            print(f"  {f}")
+        return 1
+    print(f"PASS: cpu_total {b_tot:.1f}s -> {c_tot:.1f}s "
+          f"({(c_tot / b_tot if b_tot else 1):.2f}x), "
+          f"{len(common)} common queries, no per-query cpu/shuffle regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
