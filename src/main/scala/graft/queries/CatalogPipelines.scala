@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.NameMatcher
+import graft.pipelines.WeeklyPipeline
+
+/** Composed end-to-end pipeline queries: the reference's full report DAGs
+  * driven as ONE Catalyst plan over fixtures derived deterministically
+  * from the parquet tables, with the oracle replaying EVERY stage in a
+  * single SQL chain (the `td_pipeline_e2e` pattern applied to the
+  * reference-parity side). A semantic drift anywhere in the composition —
+  * not just inside a stage tested alone — breaks the driver hash.
+  */
+object CatalogPipelines {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  val all: Seq[Q] = Seq(
+
+    Q("ep1_weekly_e2e",
+      // reference EP1 (`generate_weekly_digest.js:297-772`, SURVEY §3):
+      // daily reports + Jira(+changelog) + transcripts + Slack → the five
+      // section documents, composed through the REAL pipeline arms
+      // (WeeklyPipeline.{summary,daily,jira,transcript,slack}Section),
+      // identical to WeeklyPipeline.run minus the driver-side K3
+      // assemble (a licensed collect, byte-pinned by GoldenRenderSpec).
+      // Fixtures are derived from events/orders/lineitem/documents, so
+      // DuckDB rebuilds each section string from the raw tables:
+      //   - daily:      per user-day bullet counts → markdown render
+      //   - jira:       orders %10 → issues; lineitems → changelog
+      //                 histories (3 orders have none → the left-join
+      //                 empty-changelog branch is live)
+      //   - transcript: per-document 3-line transcript; participation
+      //                 filter keeps files where a "User <k<10>" member
+      //                 speaks (header + speaker-only parse forms)
+      //   - slack:      one message per event; %4∈{1,2} are thread
+      //                 replies to the preceding %4==0 parent; U4 is
+      //                 unmapped (author fallback branch is live)
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            col("user_id").as("employee_id"),
+            lit("User").as("employee_first_name"),
+            col("user_id").cast("string").as("employee_last_name"),
+            col("day").as("report_date"),
+            concat(lit("<ul><li>did "), col("n"), lit(" things</li></ul>"))
+              .as("content"),
+            when(col("day") < lit("2024-01-15").cast("date"),
+              lit("<ul><li>follow up</li></ul>")).otherwise(lit("")).as("todo"))
+
+        val orders = t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+        val issues = orders.select(
+          concat(lit("ORD-"), col("o_orderkey")).as("key"),
+          concat(lit("order "), col("o_orderkey")).as("summary"),
+          when(col("o_orderstatus") === "F", "Done")
+            .when(col("o_orderstatus") === "O", "In Progress")
+            .otherwise("To Do").as("status"),
+          when(col("o_orderpriority").startsWith("1"),
+            lit(null).cast("string"))
+            .otherwise(concat(lit("cust_"), col("o_custkey"))).as("assignee"),
+          lit(null).cast("string").as("parent_key"),
+          lit("Task").as("issuetype"))
+        // one history per lineitem; l_linenumber is not unique per order,
+        // so the history id is a row_number over a provably-total order
+        // (the CatalogConnector staging convention) — zero-padded so the
+        // (created, id) string sort in historyBlocks is scale-stable
+        val li = t(s, d, "lineitem")
+          .join(orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("seq", row_number().over(
+            Window.partitionBy("l_orderkey")
+              .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+                col("l_shipdate"), col("l_extendedprice"))))
+        val changelog = li.groupBy("l_orderkey").agg(
+          sort_array(collect_list(struct(
+            col("seq").as("s"),
+            struct(
+              lpad(col("seq").cast("string"), 3, "0").as("id"),
+              date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+                .as("created"),
+              struct(concat(lit("supplier_"), col("l_suppkey"))
+                .as("displayName")).as("author"),
+              array(struct(
+                lit("status").as("field"),
+                lit("PENDING").as("fromString"),
+                col("l_linestatus").as("toString"))).as("items"))
+              .as("h")))).as("hs"))
+          .select(concat(lit("ORD-"), col("l_orderkey")).as("key"),
+            expr("transform(hs, x -> x.h)").as("histories"))
+
+        val transcripts = t(s, d, "documents").select(
+          concat(lit("doc_"), col("doc_id"), lit(".txt")).as("file"),
+          array(
+            concat(lit("0:00 - User "), col("doc_id") % 30),
+            lit("hello"),
+            concat(lit("User "), (col("doc_id") * 7 + 3) % 30, lit(": hi")))
+            .as("lines"))
+        val members =
+          (0 until 10).map(k => NameMatcher.Member(s"User $k", s"u$k", Seq()))
+
+        val slack = events(s, d)
+          .select((lit(1700000000L) + col("event_id")).as("epoch"),
+            col("event_id"), col("user_id"), col("event_type"))
+          .select(
+            concat(col("epoch"), lit(".000100")).as("ts"),
+            concat(lit("U"), col("user_id") % 5).as("user"),
+            concat(lit("msg "), col("event_id"), lit(" "), col("event_type"))
+              .as("text"),
+            when(col("event_id") % 4 === 1 || col("event_id") % 4 === 2,
+              concat(col("epoch") - (col("event_id") % 4), lit(".000100")))
+              .otherwise(lit(null).cast("string")).as("thread_ts"))
+        val userMap =
+          Map("U0" -> "Ada", "U1" -> "Bob", "U2" -> "Cara", "U3" -> "Dan")
+
+        def named(n: String, df: DataFrame): DataFrame =
+          df.select(lit(n).as("name"), col("content"))
+        named("SUMMARY",
+          WeeklyPipeline.summarySection(daily, issues, transcripts))
+          .unionByName(named("DAILY_DATA", WeeklyPipeline.dailySection(daily)))
+          .unionByName(named("JIRA_DATA",
+            WeeklyPipeline.jiraSection(issues, changelog)))
+          .unionByName(named("MEETING_TRANSCRIPTS",
+            WeeklyPipeline.transcriptSection(transcripts, members, 1)))
+          .unionByName(named("SLACK_DATA",
+            WeeklyPipeline.slackSection(slack, userMap, Nil)))
+          .orderBy("name")
+      },
+      Some("""WITH daily AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+                FROM events GROUP BY 1, 2),
+              dsec AS (
+                SELECT user_id, day,
+                  '## ' || strftime(day, '%Y-%m-%d') || chr(10) || chr(10) ||
+                  '### Content' || chr(10) ||
+                  '- did ' || n || ' things' || chr(10) || chr(10) ||
+                  '### To Do' || chr(10) ||
+                  CASE WHEN day < DATE '2024-01-15' THEN '- follow up'
+                       ELSE '- (none)' END AS section
+                FROM daily),
+              ddoc AS (
+                SELECT user_id,
+                  '# Daily Report: User ' || user_id || chr(10) || chr(10) ||
+                  string_agg(section, chr(10) || chr(10) ORDER BY day DESC)
+                    AS doc
+                FROM dsec GROUP BY user_id),
+              daily_content AS (
+                SELECT string_agg(doc,
+                    chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                    ORDER BY user_id) AS content
+                FROM ddoc),
+              iss AS (
+                SELECT 'ORD-' || o_orderkey AS key,
+                  'order ' || o_orderkey AS summary,
+                  CASE o_orderstatus WHEN 'F' THEN 'Done'
+                    WHEN 'O' THEN 'In Progress' ELSE 'To Do' END AS status,
+                  CASE o_orderstatus WHEN 'F' THEN 4 WHEN 'O' THEN 3
+                    ELSE 0 END AS rnk,
+                  CASE WHEN o_orderpriority LIKE '1%' THEN NULL
+                       ELSE 'cust_' || o_custkey END AS assignee
+                FROM orders WHERE o_orderkey % 10 = 0),
+              lis AS (
+                SELECT l_orderkey,
+                  lpad(CAST(row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey, l_shipdate,
+                             l_extendedprice) AS VARCHAR), 3, '0') AS id,
+                  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS created,
+                  l_linestatus
+                FROM lineitem WHERE l_orderkey % 10 = 0),
+              chl AS (
+                SELECT 'ORD-' || l_orderkey AS key,
+                  string_agg('- status: PENDING → ' || l_linestatus,
+                    chr(10) ORDER BY created, id) AS changelog_md
+                FROM lis GROUP BY l_orderkey),
+              tick AS (
+                SELECT i.key, i.status, i.rnk,
+                  '### [' || i.key || '] ' || i.summary || chr(10) ||
+                  '**Assignee**: ' || coalesce(i.assignee, 'Unassigned') ||
+                  CASE WHEN c.changelog_md IS NOT NULL
+                            AND len(c.changelog_md) > 0
+                       THEN chr(10) || '**Changelog**:' || chr(10) ||
+                            c.changelog_md
+                       ELSE '' END AS ticket_md
+                FROM iss i LEFT JOIN chl c ON i.key = c.key),
+              bystatus AS (
+                SELECT rnk, status, count(*) AS n,
+                  string_agg(ticket_md, chr(10) || chr(10)
+                    ORDER BY key, ticket_md) AS tickets
+                FROM tick GROUP BY rnk, status),
+              jira_content AS (
+                SELECT string_agg(
+                    '## ' || status || ' (' || n || ')' || chr(10) || chr(10)
+                      || tickets,
+                    chr(10) || chr(10) ORDER BY rnk, status) AS content
+                FROM bystatus),
+              tf AS (
+                SELECT 'doc_' || doc_id || '.txt' AS file,
+                  doc_id % 30 AS s1, (doc_id * 7 + 3) % 30 AS s2
+                FROM documents),
+              tdoc AS (
+                SELECT file,
+                  '# Transcript: ' || file || chr(10) || chr(10) ||
+                  '- 0:00 User ' || s1 || ': hello' || chr(10) ||
+                  '-  User ' || s2 || ': hi' AS doc
+                FROM tf WHERE s1 < 10 OR s2 < 10),
+              trans_content AS (
+                SELECT string_agg(doc,
+                    chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                    ORDER BY file) AS content
+                FROM tdoc),
+              sm AS (
+                SELECT event_id, 1700000000 + event_id AS epoch,
+                  CAST(1700000000 + event_id AS VARCHAR) || '.000100' AS ts,
+                  'U' || (user_id % 5) AS usr,
+                  'msg ' || event_id || ' ' || event_type AS txt,
+                  CASE WHEN event_id % 4 IN (1, 2)
+                       THEN CAST(1700000000 + event_id - (event_id % 4)
+                              AS VARCHAR) || '.000100' END AS thread_ts
+                FROM events),
+              resolved AS (
+                SELECT *, CASE usr WHEN 'U0' THEN 'Ada' WHEN 'U1' THEN 'Bob'
+                    WHEN 'U2' THEN 'Cara' WHEN 'U3' THEN 'Dan'
+                    ELSE usr END AS author
+                FROM sm),
+              rep AS (
+                SELECT thread_ts AS parent_ts,
+                  string_agg('  > ' || author || ': ' || txt,
+                    chr(10) ORDER BY ts) AS rtxt
+                FROM resolved WHERE thread_ts IS NOT NULL
+                GROUP BY thread_ts),
+              slines AS (
+                SELECT p.ts,
+                  strftime(make_timestamp(p.epoch * 1000000),
+                    '%Y-%m-%d') AS day,
+                  strftime(make_timestamp(p.epoch * 1000000), '%H:%M') ||
+                  ' **' || p.author || '**: ' || p.txt ||
+                  CASE WHEN r.rtxt IS NOT NULL
+                       THEN chr(10) || r.rtxt ELSE '' END AS line
+                FROM resolved p LEFT JOIN rep r ON p.ts = r.parent_ts
+                WHERE p.thread_ts IS NULL),
+              sday AS (
+                SELECT day, string_agg(line, chr(10) ORDER BY ts) AS msgs
+                FROM slines GROUP BY day),
+              slack_content AS (
+                SELECT string_agg(
+                    '## ' || day || chr(10) || chr(10) || msgs,
+                    chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                    ORDER BY day) AS content
+                FROM sday),
+              summary_content AS (
+                SELECT '- Daily reports: ' || (SELECT count(*) FROM daily) ||
+                  ' from ' || (SELECT count(DISTINCT user_id) FROM daily) ||
+                  ' employees (' ||
+                  (SELECT strftime(min(day), '%Y-%m-%d') FROM daily) ||
+                  ' to ' ||
+                  (SELECT strftime(max(day), '%Y-%m-%d') FROM daily) ||
+                  ')' || chr(10) ||
+                  '- Jira tickets: ' || (SELECT count(*) FROM iss) ||
+                  chr(10) ||
+                  '- Transcripts: ' || (SELECT count(*) FROM tf) AS content)
+              SELECT name, content FROM (
+                SELECT 'SUMMARY' AS name, content FROM summary_content
+                UNION ALL SELECT 'DAILY_DATA', content FROM daily_content
+                UNION ALL SELECT 'JIRA_DATA', content FROM jira_content
+                UNION ALL
+                  SELECT 'MEETING_TRANSCRIPTS', content FROM trans_content
+                UNION ALL SELECT 'SLACK_DATA', content FROM slack_content)
+              ORDER BY name"""))
+  )
+}
