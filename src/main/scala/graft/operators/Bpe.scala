@@ -90,13 +90,59 @@ object Bpe {
             .otherwise(concat(acc, array(x)))),
       " ")
 
+  // ------------------------------------------------- byte-level grammar
+
+  /** Byte-level pre-tokenizer (GPT-2 family, Radford et al. 2019 —
+    * lookahead-free restatement so DuckDB's RE2 can replay it): a token
+    * is an optional leading space plus a letter run, digit run, or
+    * non-alphanumeric-non-space run. Case is PRESERVED (byte-level
+    * models see raw bytes); whitespace other than the single attached
+    * leading space is dropped.
+    */
+  val BytePreToken = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def preTokensBytes(text: Column): Column =
+    regexp_extract_all(text, lit(BytePreToken), lit(0))
+
+  /** pre-token -> corpus frequency (the one corpus-scale shuffle). */
+  def byteFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(preTokensBytes(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol string of a pre-token: one symbol per UTF-8 BYTE,
+    * rendered as an uppercase hex pair ("he" -> "68 65"); merged
+    * symbols concatenate their hex ("6865"). The 256-entry base
+    * alphabet is implicit — hex pairs are the printable byte alias, the
+    * role GPT-2's bytes_to_unicode table plays. No end-of-word marker:
+    * the leading-space byte (20) carries the word boundary, as in
+    * byte-level BPE.
+    */
+  private def initialByteSym(tok: Column): Column = {
+    val h = hex(encode(tok, "UTF-8"))
+    array_join(transform(sequence(lit(1), (length(h) / 2).cast("int")),
+      i => h.substr(i * 2 - 1, lit(2))), " ")
+  }
+
   /** Train `nMerges` BPE merges on the corpus. Returns the ranked merge
     * table — driver-side literals, `nMerges` pairs, constant metadata
     * (the centroid-table pattern, never corpus-sized).
     */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] =
+    trainOn(wordFrequencies(docs, textCol)
+      .select(col("word"), col("freq"), initialSym(col("word")).as("sym")),
+      nMerges)
+
+  /** Byte-level [[train]]: same round loop over the byte-hex symbol
+    * alphabet. Merge pairs are hex-pair strings ("68 65").
+    */
+  def trainBytes(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] =
+    trainOn(byteFrequencies(docs, textCol)
+      .select(col("word"), col("freq"), initialByteSym(col("word")).as("sym")),
+      nMerges)
+
+  private def trainOn(base: DataFrame, nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 1, "nMerges must be positive")
-    val spark = docs.sparkSession
+    val spark = base.sparkSession
     // Lineage MUST be truncated every round, not just persisted: with
     // persist the round-N plan still embeds all N-1 predecessors, and
     // the per-action plan-string generation (SQL listener + AQE) goes
@@ -109,8 +155,7 @@ object Bpe {
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def chk(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    var vocab = chk(wordFrequencies(docs, textCol)
-      .select(col("word"), col("freq"), initialSym(col("word")).as("sym")))
+    var vocab = chk(base)
     val merges = Seq.newBuilder[(String, String)]
     for (_ <- 1 to nMerges) {
       val top = vocab
@@ -131,10 +176,17 @@ object Bpe {
     * (corpus, grammar, nMerges), so catalog queries sharing a dataset
     * dir train once per JVM. Values are tiny driver literals.
     */
-  private val modelCache = TrieMap.empty[(String, Int), Seq[(String, String)]]
+  private val modelCache = TrieMap.empty[(String, String, Int), Seq[(String, String)]]
   def trainCached(docs: DataFrame, textCol: String, nMerges: Int,
       cacheKey: String): Seq[(String, String)] =
-    modelCache.getOrElseUpdate((cacheKey, nMerges), train(docs, textCol, nMerges))
+    modelCache.getOrElseUpdate(("word", cacheKey, nMerges),
+      train(docs, textCol, nMerges))
+
+  /** Memoized [[trainBytes]] (separate keyspace from the word model). */
+  def trainBytesCached(docs: DataFrame, textCol: String, nMerges: Int,
+      cacheKey: String): Seq[(String, String)] =
+    modelCache.getOrElseUpdate(("byte", cacheKey, nMerges),
+      trainBytes(docs, textCol, nMerges))
 
   /** The trained vocabulary relation: (word, freq, sym, n_tok) after
     * applying `merges` in rank order. Pure lineage — wordFreq plus one
@@ -149,6 +201,32 @@ object Bpe {
     }
     folded.withColumn("n_tok", size(split(col("sym"), " ")))
   }
+
+  /** Byte-level [[vocab]]: (word, freq, sym, n_tok) over the byte-hex
+    * alphabet after applying `merges` in rank order.
+    */
+  def vocabBytes(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val base = byteFrequencies(docs, textCol)
+      .select(col("word"), col("freq"), initialByteSym(col("word")).as("sym"))
+    val folded = merges.foldLeft(base) { case (v, (a, b)) =>
+      v.withColumn("sym", applyMerge(col("sym"), a, b))
+    }
+    folded.withColumn("n_tok", size(split(col("sym"), " ")))
+  }
+
+  /** Byte-level [[tokenCounts]]: per-doc token counts under the trained
+    * byte model — same broadcast-join + partial-agg shape.
+    */
+  def tokenCountsBytes(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(preTokensBytes(col(textCol))).as("word"))
+      .join(broadcast(vocabBytes(docs, textCol, merges)
+        .select("word", "n_tok")), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_tok").cast("long").as("bpe_tokens"))
 
   /** Reference merge application for a single word (driver-side): the
     * exact sequential subword-nmt scan. Used by specs to pin the fold
@@ -182,12 +260,8 @@ object Bpe {
     * a wrong pair choice, tie-break, or fold on the Spark side breaks
     * every downstream hash.
     */
-  def oracleChainSql(nMerges: Int): String = {
-    val sb = new StringBuilder
-    // every s_i (and b_i) is referenced TWICE downstream; DuckDB inlines
-    // CTEs by default, which makes the chain 2^nMerges scans — the
-    // MATERIALIZED hint keeps the replay linear like the Spark side
-    sb ++= """WITH w0 AS (
+  def oracleChainSql(nMerges: Int): String =
+    """WITH w0 AS (
                 SELECT w AS word, count(*) AS freq FROM (
                   SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
                   FROM documents) t
@@ -195,7 +269,33 @@ object Bpe {
               s0 AS MATERIALIZED (SELECT word, freq,
                 array_to_string(list_transform(range(1, len(word) + 1),
                   i -> word[i:i]), ' ') || ' _' AS sym
-              FROM w0)"""
+              FROM w0)""" + chainRoundsSql(nMerges)
+
+  /** Byte-level [[oracleChainSql]]: same round replay (pair counts,
+    * arg-max, greedy fold) over the byte-hex alphabet — s0 maps each
+    * pre-token to its UTF-8 bytes as hex pairs, matching
+    * [[initialByteSym]] (`hex(encode(...))` is uppercase in BOTH
+    * engines). The pre-tokenizer regex is lookahead-free by design so
+    * RE2 extracts the identical token stream.
+    */
+  def oracleChainSqlBytes(nMerges: Int): String =
+    s"""WITH w0 AS (
+                SELECT tok AS word, count(*) AS freq FROM (
+                  SELECT unnest(regexp_extract_all(text,
+                    '$BytePreToken')) AS tok
+                  FROM documents) t
+                GROUP BY tok),
+              s0 AS MATERIALIZED (SELECT word, freq,
+                array_to_string(list_transform(
+                  range(1, len(hex(encode(word))) // 2 + 1),
+                  i -> hex(encode(word))[2*i-1:2*i]), ' ') AS sym
+              FROM w0)""" + chainRoundsSql(nMerges)
+
+  private def chainRoundsSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    // every s_i (and b_i) is referenced TWICE downstream; DuckDB inlines
+    // CTEs by default, which makes the chain 2^nMerges scans — the
+    // MATERIALIZED hint keeps the replay linear like the Spark side
     for (i <- 1 to nMerges) {
       val p = i - 1
       sb ++= s""",

@@ -27,6 +27,7 @@ object CatalogTraining {
     * (the interesting regime); the library API itself is uncapped.
     */
   private val BpeMerges = 20
+  private val ByteBpeMerges = 16
 
   /** IVF params: 16 cells (seed centroids = first 16 vectors), probe 4.
     * The recall row quantifies what that probe width buys on this data.
@@ -700,6 +701,62 @@ object CatalogTraining {
               SELECT source, n_tokens, round(raw, 4) AS raw_share,
                      round(p / (SELECT sum(p) FROM r), 4) AS temp_share
               FROM r ORDER BY source""")),
+
+    Q("ta_bpe_bytes",
+      // byte-level BPE (VERDICT r7 #4, GPT-2 family): case-preserving
+      // regex pre-tokenizer with the leading space attached, 256-byte
+      // base alphabet (symbols = UTF-8 bytes as hex pairs), no
+      // end-of-word marker. The oracle RETRAINS over byte sequences —
+      // hex(encode(tok)) pair counts, the same arg-max tie-break, the
+      // same greedy fold — so punctuation/case/multi-byte handling that
+      // word-level BPE never sees is pinned by the driver hash.
+      (s, d) => {
+        val merges = Bpe.trainBytesCached(t(s, d, "documents"), "text",
+          ByteBpeMerges, d)
+        import s.implicits._
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, s"$a $b") }
+          .toDF("rank", "pair").orderBy("rank")
+      },
+      Some(Bpe.oracleChainSqlBytes(ByteBpeMerges) + s"""
+              SELECT rank, pair FROM (${
+        (1 to ByteBpeMerges).map(i =>
+          s"SELECT $i AS rank, pr AS pair FROM b$i").mkString("\n                UNION ALL ")
+      }) u ORDER BY rank""")),
+
+    Q("td_pack_bytes",
+      // sequence packing on BYTE-LEVEL token counts: what a GPT-2-style
+      // trainer's loader would pack, where punctuation and casing cost
+      // real tokens (the word-level model undercounts them). Oracle
+      // retrains the byte model and replays count + packing end to end.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = Bpe.tokenCountsBytes(docs, "doc_id", "text",
+          Bpe.trainBytesCached(docs, "text", ByteBpeMerges, d))
+        val df = docs.select(col("lang"), col("doc_id"))
+          .join(counts.select(col("doc_id"), col("bpe_tokens")), "doc_id")
+        TrainingData.packSequences(df, "lang", "doc_id",
+            col("bpe_tokens"), budget = 512)
+          .orderBy("lang", "doc_id")
+      },
+      Some(Bpe.oracleChainSqlBytes(ByteBpeMerges) + s""",
+              vfinal AS (SELECT word, len(string_split(sym, ' ')) AS n_tok
+                         FROM s$ByteBpeMerges),
+              dw AS (SELECT doc_id, unnest(regexp_extract_all(text,
+                       '${Bpe.BytePreToken}')) AS word
+                     FROM documents),
+              cnts AS (SELECT doc_id, sum(v.n_tok)::BIGINT AS bpe
+                       FROM dw JOIN vfinal v USING (word) GROUP BY doc_id),
+              packed AS (SELECT d.lang, d.doc_id, c.bpe AS n_tok,
+                       CAST(sum(c.bpe) OVER (PARTITION BY d.lang
+                         ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                     FROM documents d JOIN cnts c USING (doc_id)
+                     WHERE c.bpe >= 1)
+              SELECT lang, doc_id, n_tok,
+                     (cum - n_tok) // 512 AS chunk_first,
+                     (cum - 1) // 512 AS chunk_last
+              FROM packed ORDER BY lang, doc_id""")),
 
     Q("td_mix_report",
       // final mixture composition after domain weighting: replicas,

@@ -86,6 +86,60 @@ class BpeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((9L, 2L, expTok)))
   }
 
+  private def refTrainBytes(toks: Map[String, Long],
+      n: Int): List[(String, String)] = {
+    def hexSyms(t: String): List[String] =
+      t.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toList
+    var vocab = toks.map { case (t, f) => (hexSyms(t), f) }.toList
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    for (_ <- 1 to n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      val (a, b) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, x + " " + y) }._1
+      out += ((a, b))
+      vocab = vocab.map { case (syms, f) => (refApplyOne(syms, a, b), f) }
+    }
+    out.toList
+  }
+
+  test("trainBytes matches a sequential byte-level reference") {
+    // case preserved, leading space attached, punctuation its own token,
+    // multi-byte UTF-8 (é = C3 A9) split into byte symbols
+    val corpus = Seq(
+      (1L, "The cat sat, the cat sat."),
+      (2L, "café the Cat—the cat"))
+    val docs = corpus.toDF("doc_id", "text")
+    val pat = Bpe.BytePreToken.r
+    val tokFreq = corpus.flatMap(c => pat.findAllIn(c._2))
+      .groupBy(identity).map { case (t, ts) => t -> ts.size.toLong }
+    val got = Bpe.trainBytes(docs, "text", 8)
+    val ref = refTrainBytes(tokFreq, 8)
+    assert(got == ref, s"spark $got vs reference $ref")
+  }
+
+  test("tokenCountsBytes counts bytes-level tokens per doc") {
+    val corpus = Seq((1L, "The cat."), (2L, "the café"))
+    val docs = corpus.toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(docs, "text", 4)
+    val pat = Bpe.BytePreToken.r
+    def hexSyms(t: String): List[String] =
+      t.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toList
+    def applied(t: String): Long = {
+      var syms = hexSyms(t)
+      for ((a, b) <- merges) syms = refApplyOne(syms, a, b)
+      syms.length.toLong
+    }
+    val expected = corpus.map { case (id, text) =>
+      val ts = pat.findAllIn(text).toSeq
+      id -> ((ts.length.toLong, ts.map(applied).sum))
+    }.toMap
+    val got = Bpe.tokenCountsBytes(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("tokenCounts equals per-word scala application of the merges") {
     val docs = Seq(
       (1L, "The cat, the CAT—and a mat!"),
