@@ -82,8 +82,14 @@ object Bench {
       val cs = reps.map(_.cpuS).filter(_ >= 0).sorted
       cs.size >= 2 && (cs(0) <= 0.1 || cs(1) / math.max(cs(0), 1e-9) <= 1.25)
     }
+    // optional comma-separated query filter (scaling-ladder runs over
+    // the heavy subset); filtered runs write a _partial file, never the
+    // baseline
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val repCounts = scala.collection.mutable.Map[String, Int]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       var reps = Seq(once(fn), once(fn))
       while (reps.forall(_.wall >= 0) && !cpuStable(reps) && reps.size < 4)
         reps = reps :+ once(fn)
@@ -161,7 +167,9 @@ object Bench {
     // a suffixed file so an iteration run can't silently replace the
     // baseline with incomparable numbers
     val outName =
-      if (sfName == "sf0.1") "BENCH_LOCAL.json" else s"BENCH_LOCAL_$sfName.json"
+      if (only.isDefined) s"BENCH_LOCAL_${sfName}_partial.json"
+      else if (sfName == "sf0.1") "BENCH_LOCAL.json"
+      else s"BENCH_LOCAL_$sfName.json"
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outName), extended.getBytes("UTF-8"))

@@ -568,22 +568,29 @@ object CatalogDomain {
       // decompose and drop, runs of non-alphanumerics collapse to '_',
       // edges trim, lowercase. Four fixture shapes cycle on c_custkey;
       // the oracle reconstructs each expected slug directly.
+      // round 8: a fifth shape with supplementary-plane emoji + CJK —
+      // NFKD leaves both intact (no decomposition), the non-alphanumeric
+      // collapse then folds "ō" (decomposed to o + macron, mark
+      // stripped) while 東京 and the emoji become one '_' run — so the
+      // driver hash pins non-BMP traversal inside the slug UDF
       (s, d) => {
         val k = col("c_custkey").cast("string")
-        val name = when(col("c_custkey") % 4 === 0,
+        val name = when(col("c_custkey") % 5 === 0,
             concat(lit("José García "), k))
-          .when(col("c_custkey") % 4 === 1, concat(lit("Ünïcödé-Wörks "), k))
-          .when(col("c_custkey") % 4 === 2, concat(lit("  Ada__Lovelace!! "), k))
+          .when(col("c_custkey") % 5 === 1, concat(lit("Ünïcödé-Wörks "), k))
+          .when(col("c_custkey") % 5 === 2, concat(lit("  Ada__Lovelace!! "), k))
+          .when(col("c_custkey") % 5 === 3, concat(lit("Tōkyō 東京 😀 "), k))
           .otherwise(concat(lit("Plain Name "), k))
         t(s, d, "customer")
           .select(col("c_custkey"), TextFns.slugify(name).as("slug"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey,
-                CASE c_custkey % 4
+                CASE c_custkey % 5
                   WHEN 0 THEN 'jose_garcia_' || c_custkey
                   WHEN 1 THEN 'unicode_works_' || c_custkey
                   WHEN 2 THEN 'ada_lovelace_' || c_custkey
+                  WHEN 3 THEN 'tokyo_' || c_custkey
                   ELSE 'plain_name_' || c_custkey END AS slug
               FROM customer ORDER BY c_custkey""")),
 

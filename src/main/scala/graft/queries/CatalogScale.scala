@@ -1195,11 +1195,34 @@ object CatalogScale {
       // character-entropy quality signal (bits/char): gibberish and
       // base64 blobs run high, char-spam runs low, prose ~4-4.5. Pure
       // projection; the oracle rebuilds the char distribution in SQL.
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("entropy"))
-        .orderBy("doc_id"),
-      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
-                          FROM documents),
+      // Each doc gets a doc_id-cycled NON-BMP suffix — emoji
+      // (supplementary plane, U+1F600/U+1F680), CJK, and a DECOMPOSED
+      // e+U+0301 — so the driver hash (not just ScalaTest) pins the
+      // codePointAt iteration: DuckDB's empty-separator split is
+      // code-point-based too (verified: the combining mark is its own
+      // element, the emoji is one), so a UTF-16-unit counter on the
+      // Spark side breaks the hash.
+      (s, d) => {
+        val suffix = element_at(array(
+          lit(" 😀😀🚀"),
+          lit(" 日本語テキスト"),
+          lit(" éé"),
+          lit(" plain tail")), (col("doc_id") % 4 + 1).cast("int"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.charEntropy(concat(col("text"), suffix))
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id, text || CASE doc_id % 4
+                WHEN 0 THEN ' ' || chr(128512) || chr(128512) || chr(128640)
+                WHEN 1 THEN ' ' || chr(26085) || chr(26412) || chr(35486)
+                  || chr(12486) || chr(12461) || chr(12473) || chr(12488)
+                WHEN 2 THEN ' e' || chr(769) || 'e' || chr(769)
+                ELSE ' plain tail' END AS text
+              FROM documents),
+              ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                          FROM aug),
               cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
               tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1)
               SELECT cnt.doc_id,

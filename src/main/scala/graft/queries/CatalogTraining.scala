@@ -407,11 +407,19 @@ object CatalogTraining {
       // DuckDB's independent strip_accents(lower(nfc_normalize(·)))
       // chain — two different normalizer implementations pinned to the
       // same answer on real non-ASCII input
+      // round 8: three non-BMP/decomposed entries — a supplementary-
+      // plane emoji (fold = identity, breaks UTF-16-unit iteration), a
+      // CJK token (identity under both chains), and a DECOMPOSED
+      // "Cafe"+U+0301 (NFD-first Spark fold and NFC-first DuckDB chain
+      // must converge on 'cafe') — so the DRIVER hash pins
+      // normalization-form and supplementary-plane semantics, not just
+      // ScalaTest
       (s, d) => {
         val phrase = element_at(
           array(lit("Café"), lit("naïve"), lit("MÜLLER"), lit("Ñoño"),
-            lit("Škoda"), lit("crème brûlée")),
-          (col("doc_id") % 6 + 1).cast("int"))
+            lit("Škoda"), lit("crème brûlée"),
+            lit("😀smile"), lit("日本語"), lit("Café")),
+          (col("doc_id") % 9 + 1).cast("int"))
         t(s, d, "documents").select(col("doc_id"),
           phrase.as("raw"),
           graft.operators.TextAnalysis.unicodeFold(
@@ -421,13 +429,19 @@ object CatalogTraining {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-                CASE doc_id % 6 WHEN 0 THEN 'Café' WHEN 1 THEN 'naïve'
+                CASE doc_id % 9 WHEN 0 THEN 'Café' WHEN 1 THEN 'naïve'
                   WHEN 2 THEN 'MÜLLER' WHEN 3 THEN 'Ñoño'
-                  WHEN 4 THEN 'Škoda' ELSE 'crème brûlée' END AS raw,
+                  WHEN 4 THEN 'Škoda' WHEN 5 THEN 'crème brûlée'
+                  WHEN 6 THEN chr(128512) || 'smile'
+                  WHEN 7 THEN chr(26085) || chr(26412) || chr(35486)
+                  ELSE 'Cafe' || chr(769) END AS raw,
                 strip_accents(lower(nfc_normalize(
-                  CASE doc_id % 6 WHEN 0 THEN 'Café' WHEN 1 THEN 'naïve'
+                  CASE doc_id % 9 WHEN 0 THEN 'Café' WHEN 1 THEN 'naïve'
                     WHEN 2 THEN 'MÜLLER' WHEN 3 THEN 'Ñoño'
-                    WHEN 4 THEN 'Škoda' ELSE 'brûlée' END))) AS folded_tail
+                    WHEN 4 THEN 'Škoda' WHEN 5 THEN 'brûlée'
+                    WHEN 6 THEN chr(128512) || 'smile'
+                    WHEN 7 THEN chr(26085) || chr(26412) || chr(35486)
+                    ELSE 'Cafe' || chr(769) END))) AS folded_tail
               FROM documents ORDER BY doc_id""")),
 
     Q("td_pipeline_e2e",
