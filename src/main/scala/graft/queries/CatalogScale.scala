@@ -1442,6 +1442,43 @@ object CatalogScale {
                 CAST((doc_id * 773) % 32768 AS INT) AS first_sample
               FROM documents ORDER BY doc_id""")),
 
+    Q("mm_mp3_meta",
+      // lossy-audio container plumbing over real bytes (VERDICT r7 #7):
+      // each doc staged as a genuine ID3v2.3 + MPEG-1 Layer III byte
+      // stream, parsed back by a pure-JVM walker that validates every
+      // frame's sync word and steps by the computed frame length
+      // (alternating padding bits make a wrong length formula desync).
+      // The oracle derives tag text, stream parameters, frame count,
+      // floored duration, AND the exact byte length from the recipe —
+      // the byte-length closed form (46 + digits + n·base + ⌊n/2⌋
+      // padding bytes) only matches if the encoder wrote and the parser
+      // consumed every byte.
+      (s, d) => Multimodal.documentMp3Meta(s, t(s, d, "documents"))
+        .select(col("doc_id"), col("byte_len"), col("title"), col("artist"),
+          col("bitrate_kbps"), col("sample_rate"), col("channel_mode"),
+          col("n_frames"), col("duration_ms"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id,
+                CASE doc_id % 4 WHEN 0 THEN 128 WHEN 1 THEN 192
+                     WHEN 2 THEN 256 ELSE 320 END AS kbps,
+                CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     ELSE 32000 END AS rate,
+                5 + doc_id % 20 AS nf
+              FROM documents)
+              SELECT doc_id,
+                CAST(46 + len(CAST(doc_id AS VARCHAR))
+                  + nf * ((144000 * kbps) // rate) + nf // 2
+                  AS BIGINT) AS byte_len,
+                'Track ' || doc_id AS title,
+                'Artist ' || (doc_id % 7) AS artist,
+                CAST(kbps AS INT) AS bitrate_kbps,
+                CAST(rate AS INT) AS sample_rate,
+                CASE WHEN doc_id % 2 = 0 THEN 'stereo' ELSE 'mono' END
+                  AS channel_mode,
+                CAST(nf AS INT) AS n_frames,
+                CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms
+              FROM p ORDER BY doc_id""")),
+
     Q("mm_video_meta",
       // video container plumbing over real bytes: each doc staged as a
       // structurally genuine MP4/ISO-BMFF box tree (ftyp + free + moov

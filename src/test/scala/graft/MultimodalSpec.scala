@@ -138,6 +138,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("MP3: ID3v2.3 tag + frame walk round-trips; corruption desyncs loudly") {
+    for (id <- 0L to 25L) {
+      val m = Multimodal.decodeMp3(Multimodal.encodeSyntheticMp3(id))
+      assert(m.title == s"Track $id" && m.artist == s"Artist ${id % 7}")
+      assert(m.bitrate_kbps == Multimodal.recipeMp3Bitrate(id))
+      assert(m.sample_rate == Multimodal.recipeMp3Rate(id))
+      assert(m.n_frames == Multimodal.recipeMp3Frames(id))
+      assert(m.channel_mode ==
+        (if (Multimodal.recipeMp3Stereo(id)) "stereo" else "mono"))
+      assert(m.duration_ms ==
+        m.n_frames.toLong * 1152L * 1000L / m.sample_rate)
+    }
+    // flipping the padding bit of frame 0 desyncs the walk: the parser
+    // must fail, not return wrong frame counts
+    val doc = Multimodal.encodeSyntheticMp3(7L)
+    val b = doc.payload.clone()
+    val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+      ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+    val h = 10 + tagSize
+    b(h + 2) = (b(h + 2) ^ 0x02).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMp3(Multimodal.BinDoc(7L, b))
+    }
+  }
+
   test("DCT pHash: brightness-only variants collide, texture changes do not") {
     // ids 0 and 9 share (a, b) = (1, 1) but differ in brightness c
     // (0 vs 63·7%60): DC-only difference → identical DCT hash
