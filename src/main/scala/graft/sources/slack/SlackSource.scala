@@ -165,12 +165,41 @@ class SlackPartitionReader(file: String, required: StructType,
 
   private val mapper = new ObjectMapper()
   private val (channelName, messages) = {
-    // staged file or live URL — the transport owns 429/Retry-After
-    val root = mapper.readTree(graft.sources.PageTransport.readPage(file))
-    val name = root.path("channel").path("name").asText()
-    (name, root.path("messages").elements().asScala.filter(keep(name)))
+    // staged file or live URL — the transport owns 429/Retry-After.
+    // Cursor pagination (reference `slack/lib/api.js:153-168`): follow
+    // `response_metadata.next_cursor` until it comes back empty, each
+    // page's messages appended exactly once. A retryable failure on
+    // page N is retried by the transport AT page N's cursor URL —
+    // resume, not restart: pages 1..N-1 are never refetched, so no
+    // duplicates and no drops across the retry (ConnectorRetrySpec
+    // pins this with per-page hit counts). Staged files never carry a
+    // cursor, so the chain is a single page there.
+    val first = mapper.readTree(graft.sources.PageTransport.readPage(file))
+    val name = first.path("channel").path("name").asText()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+    var root = first
+    var pages = 1
+    while (root != null) {
+      root.path("messages").elements().asScala.foreach(buf += _)
+      val cursor =
+        root.path("response_metadata").path("next_cursor").asText("")
+      root =
+        if (cursor.isEmpty) null
+        else {
+          pages += 1
+          require(pages <= 100000, s"cursor chain too long at $file")
+          mapper.readTree(
+            graft.sources.PageTransport.readPage(cursorUrl(file, cursor)))
+        }
+    }
+    (name, buf.iterator.filter(keep(name)))
   }
   private var cur: InternalRow = _
+
+  private def cursorUrl(base: String, cursor: String): String = {
+    val enc = java.net.URLEncoder.encode(cursor, "UTF-8")
+    if (base.contains("?")) s"$base&cursor=$enc" else s"$base?cursor=$enc"
+  }
 
   private def keep(channel: String)(m: JsonNode): Boolean = pushed.forall {
     case EqualTo("channel", v) => channel == v.toString

@@ -21,7 +21,9 @@ class ConnectorRetrySpec extends AnyFunSuite {
     val attempts = new ConcurrentHashMap[String, AtomicInteger]()
     val server: HttpServer = HttpServer.create(new InetSocketAddress(0), 0)
     server.createContext("/", (x: HttpExchange) => {
-      val path = x.getRequestURI.getPath
+      // key on path+query so cursor pages (?cursor=...) are distinct
+      val path = x.getRequestURI.getPath +
+        Option(x.getRequestURI.getQuery).map("?" + _).getOrElse("")
       val n = attempts.computeIfAbsent(path, _ => new AtomicInteger())
         .incrementAndGet()
       pages.get(path) match {
@@ -80,6 +82,46 @@ class ConnectorRetrySpec extends AnyFunSuite {
       assert(rows == Seq(("general", "U1"), ("general", "U2")),
         s"expected the 2 staged messages exactly once, got $rows")
       assert(stub.hits("/channels/general") == 2, "one 429 + one success")
+    } finally stub.stop()
+  }
+
+  test("mid-pagination 429: cursor replay resumes at the failing page, " +
+      "no duplicate and no missing rows") {
+    // 3-page cursor chain (reference slack/lib/api.js:153-168): every
+    // page answers 429 on its first hit, so the retry fires mid-chain
+    // at every cursor. The resume must re-request ONLY the failing
+    // cursor URL — each page stays at exactly 2 hits (a restart-from-
+    // scratch design would drive page 1 to 3+ hits and duplicate rows).
+    val p1 = """{"channel":{"name":"eng"},"messages":[
+      {"ts":"100.000001","user":"U1","text":"a"},
+      {"ts":"200.000002","user":"U2","text":"b"}],
+      "response_metadata":{"next_cursor":"c2"}}"""
+    val p2 = """{"messages":[
+      {"ts":"300.000003","user":"U3","text":"c"},
+      {"ts":"400.000004","user":"U4","text":"d"}],
+      "response_metadata":{"next_cursor":"c3"}}"""
+    val p3 = """{"messages":[
+      {"ts":"500.000005","user":"U5","text":"e"}],
+      "response_metadata":{"next_cursor":""}}"""
+    val stub = new Stub(Map(
+      "/channels/eng" -> p1,
+      "/channels/eng?cursor=c2" -> p2,
+      "/channels/eng?cursor=c3" -> p3))
+    try {
+      val df = spark.read.format("graft.sources.slack.SlackSource")
+        .option("path", stub.url("/channels/eng"))
+        .load()
+      val rows = df.select("user", "text").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(rows == Seq(("U1", "a"), ("U2", "b"), ("U3", "c"),
+        ("U4", "d"), ("U5", "e")),
+        s"expected all 5 rows across 3 pages exactly once, got $rows")
+      assert(stub.hits("/channels/eng") == 2,
+        "page 1: one 429 + one success, NOT refetched after page 2's 429")
+      assert(stub.hits("/channels/eng?cursor=c2") == 2,
+        "page 2: one 429 + one success")
+      assert(stub.hits("/channels/eng?cursor=c3") == 2,
+        "page 3: one 429 + one success")
     } finally stub.stop()
   }
 
