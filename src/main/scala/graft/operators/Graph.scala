@@ -25,6 +25,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Per-round relations (BFS frontiers, PPR rank vectors) whose row
+    * count is at most this broadcast map-side instead of shuffling the
+    * edge relation: a seed-anchored frontier is usually orders of
+    * magnitude smaller than the graph, and without the hint every round
+    * re-shuffles ALL edges to meet a few hundred frontier rows (the
+    * round-8 ladder measured g3_bfs_hops at cost exponent 1.5 from
+    * exactly this). Counts come free from the per-round materialization
+    * action. 1M rows ≈ tens of MB hashed — safely inside executor
+    * budgets; beyond it the plan falls back to the shuffle join, which
+    * is then the right plan anyway.
+    */
+  private val BroadcastRowBound = 1L << 20
+
+  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastRowBound) broadcast(df) else df
+
   /** Power-iteration PageRank.
     *
     * `edges` is a directed edge relation `(srcCol, dstCol)`. Genuinely
@@ -121,25 +137,31 @@ object Graph {
     val nSeeds = seeds.count()
     require(nSeeds > 0, "need at least one source node")
     val restart = seeds.withColumn("tele", lit((1.0 - damping) / nSeeds))
+    def materialize(df: DataFrame): DataFrame =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
     var ranks = seeds.withColumn("rank", lit(1.0 / nSeeds))
+    // the rank relation only covers seed-REACHABLE nodes (that's what
+    // makes PPR sparse); broadcast it while small so the edge relation
+    // never shuffles — see BroadcastRowBound
+    var rankRows = nSeeds
     for (_ <- 1 to iterations) {
       val flowed = eDeg
-        .join(ranks, col("src") === col("node"))
+        .join(maybeBroadcast(ranks, rankRows), col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("outdeg") * damping).as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("m"))
       // the seed may not receive flow in early rounds (no self-loop), so
       // the teleport re-injection must be a full outer join
-      ranks = flowed
+      ranks = materialize(flowed
         .join(restart, Seq("node"), "full_outer")
         .select(col("node"),
           (coalesce(col("m"), lit(0.0)) + coalesce(col("tele"), lit(0.0)))
-            .as("rank"))
+            .as("rank")))
+      rankRows = ranks.count()
     }
-    val out =
-      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        ranks.checkpoint(true)
-      else ranks.localCheckpoint(true)
+    val out = ranks
     eDeg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     seeds.unpersist(blocking = false)
@@ -173,14 +195,24 @@ object Graph {
     var frontier = materialize(
       sources.toDF("node").distinct().withColumn("hops", lit(0)))
     var dist = frontier
+    // frontier/visited sizes are known from the materialization action;
+    // while under BroadcastRowBound both ride broadcasts, so a round
+    // costs one map-side scan of the edges plus a frontier-sized
+    // distinct — the edge relation itself never shuffles (the round-8
+    // ladder caught the shuffle-join plan at cost exponent 1.5)
+    var frontierRows = frontier.count()
+    var distRows = frontierRows
     var h = 1
-    while (h <= maxHops && !frontier.isEmpty) {
-      val next = frontier
+    while (h <= maxHops && frontierRows > 0) {
+      val next = maybeBroadcast(frontier.drop("hops"), frontierRows)
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(maybeBroadcast(dist.select("node"), distRows),
+          Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
       frontier = materialize(next)
+      frontierRows = frontier.count()
+      distRows += frontierRows
       dist = dist.unionAll(frontier)
       h += 1
     }
