@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
 import graft.operators.NameMatcher
 import graft.pipelines.WeeklyPipeline
 
@@ -273,6 +274,174 @@ object CatalogPipelines {
                 UNION ALL
                   SELECT 'MEETING_TRANSCRIPTS', content FROM trans_content
                 UNION ALL SELECT 'SLACK_DATA', content FROM slack_content)
-              ORDER BY name"""))
+              ORDER BY name""")),
+
+    Q("ep2_jira_e2e",
+      // reference EP2 (`jira/run-all.js:35-60`, SURVEY §3): the jira-only
+      // pipeline as one composed plan — comment-window filter (F2, with
+      // the `updated ?? created` coalesce live through null updated),
+      // assignee-variant cleanup + canonical-name grouping (J5: three
+      // spelling variants per customer all normalize to one canonical
+      // key, including the `(...)` qualifier strip), changelog attach
+      // (J7 via Changelog.attach, with half the issues changelog-less so
+      // the empty coalesce branch is live), and the per-assignee
+      // markdown render (A2-ordered tickets). The oracle replays the
+      // whole chain: array filtering, the exact normalize regex chain,
+      // per-history blocks, and every rendered string.
+      (s, d) => {
+        import graft.functions.TextFns
+        import graft.operators.{Changelog, JiraOps}
+        val orders = t(s, d, "orders").filter(col("o_orderkey") % 8 === 0)
+        val li = t(s, d, "lineitem")
+          .join(orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+        // comment struct field order IS the sort order the oracle must
+        // replay (updated last; DuckDB needs NULLS FIRST to match
+        // Spark's null-first struct compare)
+        val withComments = li.groupBy("l_orderkey").agg(
+          sort_array(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            concat(lit("supplier_"), col("l_suppkey")).as("author"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+              .as("created"),
+            concat(lit("part "), col("l_partkey")).as("body"),
+            when(col("l_linenumber") % 2 === 0,
+              date_format(date_add(col("l_shipdate"), col("l_linenumber")),
+                "yyyy-MM-dd HH:mm:ss"))
+              .as("updated")))).as("comments"))
+        val issues = orders
+          .join(withComments, col("o_orderkey") === col("l_orderkey"))
+          .select(
+            concat(lit("ORD-"), col("o_orderkey")).as("key"),
+            concat(lit("order "), col("o_orderkey")).as("summary"),
+            when(col("o_orderkey") % 3 === 0,
+              concat(lit("CUST_"), col("o_custkey")))
+              .when(col("o_orderkey") % 3 === 1,
+                concat(lit("cust-"), col("o_custkey")))
+              .otherwise(concat(lit(" Cust "), col("o_custkey"),
+                lit(" (ext)"))).as("raw_assignee"),
+            col("comments"))
+        val filtered = JiraOps.filterCommentsInRange(
+          issues, "1995-01-01", "1996-12-31")
+        // changelog only for %16 orders: the attach left-join's empty
+        // branch stays live for the other half
+        val histOrders = li.filter(col("l_orderkey") % 16 === 0)
+          .withColumn("seq", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy("l_orderkey")
+              .orderBy(col("l_linenumber"), col("l_partkey"),
+                col("l_suppkey"), col("l_shipdate"),
+                col("l_extendedprice"))))
+        val histories = histOrders.groupBy("l_orderkey").agg(
+          sort_array(collect_list(struct(
+            col("seq").as("s"),
+            struct(
+              lpad(col("seq").cast("string"), 3, "0").as("id"),
+              date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+                .as("created"),
+              struct(concat(lit("supplier_"), col("l_suppkey"))
+                .as("displayName")).as("author"),
+              array(struct(
+                lit("status").as("field"),
+                lit("PENDING").as("fromString"),
+                col("l_linestatus").as("toString"))).as("items"))
+              .as("h")))).as("hs"))
+          .select(concat(lit("ORD-"), col("l_orderkey")).as("key"),
+            expr("transform(hs, x -> x.h)").as("histories"))
+        val blocks = Changelog.historyBlocks(Changelog.flatten(histories))
+        val attached = Changelog.attach(filtered, blocks)
+        val ticket = concat(
+          lit("### ["), col("key"), lit("] "), col("summary"),
+          lit("\n**Assignee**: "),
+          TextFns.normalizeName(col("raw_assignee")),
+          lit("\n**Comments** ("), size(col("comments")), lit("):\n"),
+          concat_ws("\n", transform(col("comments"), c =>
+            concat(lit("- "),
+              coalesce(c.getField("updated"), c.getField("created")),
+              lit(" "), c.getField("author"), lit(": "),
+              c.getField("body")))),
+          when(length(col("changelog_md")) > 0,
+            concat(lit("\n**Changelog**:\n"), col("changelog_md")))
+            .otherwise(lit("")))
+        attached
+          .withColumn("assignee", TextFns.normalizeName(col("raw_assignee")))
+          .withColumn("ticket_md", ticket)
+          .groupBy("assignee")
+          .agg(count(lit(1)).as("n_issues"),
+            sum(size(col("comments"))).as("n_comments"),
+            concat_ws("\n\n", expr(
+              "transform(array_sort(collect_list(struct(key, ticket_md))), s -> s.ticket_md)"))
+              .as("doc"))
+          .orderBy("assignee")
+      },
+      Some(s"""WITH li AS (
+                SELECT l.* FROM lineitem l
+                WHERE l.l_orderkey % 8 = 0),
+              cmts AS (
+                SELECT l_orderkey, l_linenumber AS ln,
+                  'supplier_' || l_suppkey AS author,
+                  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS created,
+                  'part ' || l_partkey AS body,
+                  CASE WHEN l_linenumber % 2 = 0
+                    THEN strftime(l_shipdate +
+                      to_days(CAST(l_linenumber AS INTEGER)),
+                      '%Y-%m-%d %H:%M:%S')
+                  END AS updated
+                FROM li),
+              kept AS (
+                SELECT * FROM cmts
+                WHERE coalesce(updated, created) >= '1995-01-01 00:00:00'
+                  AND coalesce(updated, created) <= '1996-12-31 23:59:59'),
+              iss0 AS (
+                SELECT o_orderkey, 'ORD-' || o_orderkey AS key,
+                  'order ' || o_orderkey AS summary,
+                  CASE WHEN o_orderkey % 3 = 0 THEN 'CUST_' || o_custkey
+                       WHEN o_orderkey % 3 = 1 THEN 'cust-' || o_custkey
+                       ELSE ' Cust ' || o_custkey || ' (ext)'
+                  END AS raw_assignee
+                FROM orders WHERE o_orderkey % 8 = 0),
+              rendered AS (
+                SELECT k.l_orderkey, count(*) AS n_comments,
+                  string_agg('- ' || coalesce(k.updated, k.created) || ' '
+                      || k.author || ': ' || k.body, chr(10)
+                    ORDER BY k.ln, k.author, k.created, k.body,
+                             k.updated NULLS FIRST) AS comments_md
+                FROM kept k GROUP BY k.l_orderkey),
+              hist AS (
+                SELECT l_orderkey,
+                  lpad(CAST(row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey, l_shipdate,
+                             l_extendedprice) AS VARCHAR), 3, '0') AS id,
+                  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS created,
+                  l_linestatus
+                FROM li WHERE l_orderkey % 16 = 0),
+              chl AS (
+                SELECT 'ORD-' || l_orderkey AS key,
+                  string_agg(created || ' — - status: PENDING → '
+                      || l_linestatus,
+                    chr(10) || chr(10) ORDER BY created, id)
+                    AS changelog_md
+                FROM hist GROUP BY l_orderkey),
+              tick AS (
+                SELECT ${TextFns.normalizeNameSql("i.raw_assignee")}
+                    AS assignee,
+                  i.key, r.n_comments,
+                  '### [' || i.key || '] ' || i.summary || chr(10) ||
+                  '**Assignee**: ' ||
+                    ${TextFns.normalizeNameSql("i.raw_assignee")} ||
+                  chr(10) || '**Comments** (' || r.n_comments || '):' ||
+                  chr(10) || r.comments_md ||
+                  CASE WHEN c.changelog_md IS NOT NULL
+                       THEN chr(10) || '**Changelog**:' || chr(10) ||
+                            c.changelog_md
+                       ELSE '' END AS ticket_md
+                FROM iss0 i
+                JOIN rendered r ON i.o_orderkey = r.l_orderkey
+                LEFT JOIN chl c ON i.key = c.key)
+              SELECT assignee, count(*) AS n_issues,
+                CAST(sum(n_comments) AS BIGINT) AS n_comments,
+                string_agg(ticket_md, chr(10) || chr(10)
+                  ORDER BY key, ticket_md) AS doc
+              FROM tick GROUP BY assignee ORDER BY assignee"""))
   )
 }
