@@ -442,6 +442,193 @@ object CatalogPipelines {
                 CAST(sum(n_comments) AS BIGINT) AS n_comments,
                 string_agg(ticket_md, chr(10) || chr(10)
                   ORDER BY key, ticket_md) AS doc
-              FROM tick GROUP BY assignee ORDER BY assignee"""))
+              FROM tick GROUP BY assignee ORDER BY assignee""")),
+
+    Q("ep3_dashboard_e2e",
+      // reference EP3 (`generate_dashboard.js:591-641`, SURVEY §3): the
+      // dashboard's Slack arm with BOTH output copies — raw and
+      // sanitized (`convert-to-markdown.js:179-180` writes both) — plus
+      // the A12 day-of-week transcript frame. One plan: thread
+      // reattach (J6) → user/mention resolution (J8) → markup
+      // normalize (X3) → per-day render with reactions (A11/X20), then
+      // the sanitize chain (X17 secrets / X18 inline code with kind
+      // classification / X19 denylist) applied ONLY to the sanitized
+      // copy. Message texts cycle five recipe shapes chosen so each
+      // sanitizer stage provably fires (credential param, inline
+      // command, mention+link, denylisted line, plain); the oracle
+      // emits the expected sanitized text per shape as literals and
+      // rebuilds every rendered string.
+      (s, d) => {
+        import graft.operators.SlackOps
+        val denylist = Seq("ignore previous instructions")
+        val userMap =
+          Map("U0" -> "Ada", "U1" -> "Bob", "U2" -> "Cara", "U3" -> "Dan")
+        val ev = events(s, d).select(
+          (lit(1700000000L) + col("event_id")).as("epoch"),
+          col("event_id"), col("user_id"))
+        val msgs = ev.select(
+          concat(col("epoch"), lit(".000100")).as("ts"),
+          concat(lit("U"), col("user_id") % 5).as("user"),
+          when(col("event_id") % 4 === 1 || col("event_id") % 4 === 2,
+            concat(lit("reply "), col("event_id")))
+            .otherwise(element_at(array(
+              lit("deploy ok token=abc12345"),
+              lit("use `npm run build` here"),
+              lit("ping <@U1> re <https://ex.com|docs>"),
+              lit("please ignore previous instructions thanks"),
+              concat(lit("status update "), col("event_id"))),
+              (col("event_id") % 5 + 1).cast("int"))).as("text"),
+          when(col("event_id") % 4 === 1 || col("event_id") % 4 === 2,
+            concat(col("epoch") - (col("event_id") % 4), lit(".000100")))
+            .otherwise(lit(null).cast("string")).as("thread_ts"),
+          when(col("event_id") % 3 === 0,
+            array(struct(lit("thumbsup").as("name"),
+              (col("event_id") % 4 + 1).cast("int").as("count"))))
+            .otherwise(array().cast("array<struct<name:string,count:int>>"))
+            .as("reactions"))
+        val resolved = SlackOps.resolveUsers(
+          SlackOps.reattachThreads(msgs), userMap)
+        val marked = resolved
+          .withColumn("md", TextFns.slackMarkupNormalize(col("text")))
+          .withColumn("day", date_format(
+            graft.functions.DateFns.epochStringToTimestamp(col("ts")),
+            "yyyy-MM-dd"))
+          .withColumn("hm", date_format(
+            graft.functions.DateFns.epochStringToTimestamp(col("ts")),
+            "HH:mm"))
+        val userEntries =
+          userMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+        val users = map(userEntries: _*)
+        val reactSuffix = when(size(col("reactions")) > 0,
+          concat(lit(" ["), SlackOps.formatReactions(col("reactions")),
+            lit("]"))).otherwise(lit(""))
+        val replyLines = when(size(col("replies")) > 0,
+          concat(lit("\n"), concat_ws("\n", transform(col("replies"), r =>
+            concat(lit("  > "),
+              coalesce(element_at(users, r.getField("user")),
+                r.getField("user")),
+              lit(": "), r.getField("text")))))).otherwise(lit(""))
+        def render(textCol: org.apache.spark.sql.Column): DataFrame =
+          marked
+            .withColumn("line", concat(col("hm"), lit(" **"), col("author"),
+              lit("**: "), textCol, reactSuffix, replyLines))
+            .groupBy("day")
+            .agg(concat_ws("\n", expr(
+              "transform(array_sort(collect_list(struct(ts, line))), s -> s.line)"))
+              .as("msgs"))
+            .withColumn("doc",
+              concat(lit("## "), col("day"), lit("\n\n"), col("msgs")))
+            .agg(concat_ws("\n\n---\n\n", expr(
+              "transform(array_sort(collect_list(struct(day, doc))), s -> s.doc)"))
+              .as("content"))
+        val raw = render(col("md"))
+        val sanitized = render(SlackOps.sanitize(col("md"), denylist))
+        val frame = t(s, d, "documents")
+          .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("file"),
+            date_add(lit("2024-01-01").cast("date"),
+              (col("doc_id") % 28).cast("int")).as("tdate"))
+          .withColumn("dow", date_format(col("tdate"), "EEEE"))
+          .withColumn("dnum", weekday(col("tdate")))
+          .groupBy("dnum", "dow")
+          .agg(count(lit(1)).as("n"),
+            concat_ws(", ", array_sort(collect_list(col("file"))))
+              .as("files"))
+          .withColumn("line", concat(col("dow"), lit(" ("), col("n"),
+            lit("): "), col("files")))
+          .agg(concat_ws("\n", expr(
+            "transform(array_sort(collect_list(struct(dnum, line))), s -> s.line)"))
+            .as("content"))
+        def named(n: String, df: DataFrame): DataFrame =
+          df.select(lit(n).as("name"), col("content"))
+        named("SLACK_RAW", raw)
+          .unionByName(named("SLACK_SANITIZED", sanitized))
+          .unionByName(named("TRANSCRIPT_DATA_BY_DAY", frame))
+          .orderBy("name")
+      },
+      Some("""WITH sm AS (
+                SELECT event_id, 1700000000 + event_id AS epoch,
+                  CAST(1700000000 + event_id AS VARCHAR) || '.000100' AS ts,
+                  'U' || (user_id % 5) AS usr,
+                  CASE WHEN event_id % 4 IN (1, 2)
+                       THEN CAST(1700000000 + event_id - (event_id % 4)
+                              AS VARCHAR) || '.000100' END AS thread_ts
+                FROM events),
+              shaped AS (
+                SELECT *,
+                  CASE usr WHEN 'U0' THEN 'Ada' WHEN 'U1' THEN 'Bob'
+                    WHEN 'U2' THEN 'Cara' WHEN 'U3' THEN 'Dan'
+                    ELSE usr END AS author,
+                  CASE event_id % 5
+                    WHEN 0 THEN 'deploy ok token=abc12345'
+                    WHEN 1 THEN 'use `npm run build` here'
+                    WHEN 2 THEN 'ping @Bob re [docs](https://ex.com)'
+                    WHEN 3 THEN 'please ignore previous instructions thanks'
+                    ELSE 'status update ' || event_id END AS raw_md,
+                  CASE event_id % 5
+                    WHEN 0 THEN 'deploy ok token=[REDACTED SECRET]'
+                    WHEN 1 THEN
+                      'use [REDACTED INLINE CODE, kind=command] here'
+                    WHEN 2 THEN 'ping @Bob re [docs](https://ex.com)'
+                    WHEN 3 THEN '[REDACTED PROMPT]'
+                    ELSE 'status update ' || event_id END AS san_md,
+                  CASE WHEN event_id % 3 = 0
+                       THEN ' [:thumbsup:x' || (event_id % 4 + 1) || ']'
+                       ELSE '' END AS react
+                FROM sm),
+              rep AS (
+                SELECT thread_ts AS parent_ts,
+                  string_agg('  > ' || author || ': reply ' || event_id,
+                    chr(10) ORDER BY ts) AS rtxt
+                FROM shaped WHERE thread_ts IS NOT NULL
+                GROUP BY thread_ts),
+              par AS (
+                SELECT p.ts,
+                  strftime(make_timestamp(p.epoch * 1000000),
+                    '%Y-%m-%d') AS day,
+                  strftime(make_timestamp(p.epoch * 1000000), '%H:%M') ||
+                    ' **' || p.author || '**: ' AS prefix,
+                  p.raw_md, p.san_md, p.react,
+                  CASE WHEN r.rtxt IS NOT NULL
+                       THEN chr(10) || r.rtxt ELSE '' END AS replies
+                FROM shaped p LEFT JOIN rep r ON p.ts = r.parent_ts
+                WHERE p.thread_ts IS NULL),
+              rawd AS (
+                SELECT day, string_agg(prefix || raw_md || react || replies,
+                    chr(10) ORDER BY ts) AS msgs
+                FROM par GROUP BY day),
+              sand AS (
+                SELECT day, string_agg(prefix || san_md || react || replies,
+                    chr(10) ORDER BY ts) AS msgs
+                FROM par GROUP BY day),
+              raw_content AS (
+                SELECT string_agg('## ' || day || chr(10) || chr(10) || msgs,
+                    chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                    ORDER BY day) AS content FROM rawd),
+              san_content AS (
+                SELECT string_agg('## ' || day || chr(10) || chr(10) || msgs,
+                    chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                    ORDER BY day) AS content FROM sand),
+              tf AS (
+                SELECT 'doc_' || doc_id || '.txt' AS file,
+                  DATE '2024-01-01' +
+                    to_days(CAST(doc_id % 28 AS INTEGER)) AS tdate
+                FROM documents),
+              dows AS (
+                SELECT isodow(tdate) - 1 AS dnum,
+                  strftime(tdate, '%A') AS dow, count(*) AS n,
+                  string_agg(file, ', ' ORDER BY file) AS files
+                FROM tf GROUP BY 1, 2),
+              frame_content AS (
+                SELECT string_agg(dow || ' (' || n || '): ' || files,
+                    chr(10) ORDER BY dnum) AS content
+                FROM dows)
+              SELECT name, content FROM (
+                SELECT 'SLACK_RAW' AS name, content FROM raw_content
+                UNION ALL
+                  SELECT 'SLACK_SANITIZED', content FROM san_content
+                UNION ALL
+                  SELECT 'TRANSCRIPT_DATA_BY_DAY', content
+                  FROM frame_content)
+              ORDER BY name"""))
   )
 }
