@@ -204,13 +204,8 @@ object Graph {
     var distRows = frontierRows
     var h = 1
     while (h <= maxHops && frontierRows > 0) {
-      val next = maybeBroadcast(frontier.drop("hops"), frontierRows)
-        .join(e, col("node") === col("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(maybeBroadcast(dist.select("node"), distRows),
-          Seq("node"), "left_anti")
-        .withColumn("hops", lit(h))
-      frontier = materialize(next)
+      frontier = materialize(
+        expandFrontier(frontier, e, dist, frontierRows, distRows, h))
       frontierRows = frontier.count()
       distRows += frontierRows
       dist = dist.unionAll(frontier)
@@ -219,6 +214,22 @@ object Graph {
     e.unpersist(blocking = false)
     dist
   }
+
+  /** One BFS expansion round — package-visible so the plan shape is
+    * spec-pinned: under [[BroadcastRowBound]] both the frontier join and
+    * the visited anti-join must plan as BroadcastHashJoin (the edge
+    * relation never shuffles); above it they fall back to shuffle
+    * joins. `frontier` carries (node, hops); `dist` the visited set.
+    */
+  private[graft] def expandFrontier(frontier: DataFrame, e: DataFrame,
+      dist: DataFrame, frontierRows: Long, distRows: Long,
+      h: Int): DataFrame =
+    maybeBroadcast(frontier.drop("hops"), frontierRows)
+      .join(e, col("node") === col("src"))
+      .select(col("dst").as("node")).distinct()
+      .join(maybeBroadcast(dist.select("node"), distRows),
+        Seq("node"), "left_anti")
+      .withColumn("hops", lit(h))
 
   /** Global triangle census over an undirected graph, via degree-ordered
     * edge orientation (the standard O(m^1.5) bound: every edge points

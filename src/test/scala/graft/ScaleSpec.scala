@@ -221,6 +221,31 @@ class ScaleSpec extends AnyFunSuite {
       s"full component, isolated edge unreached: $full")
   }
 
+  test("BFS round plans broadcast joins for small frontiers, shuffle beyond the bound") {
+    // the round-8 ladder caught the shuffle-join plan at cost exponent
+    // 1.5 (full edge relation reshuffled per round to meet a ~100-row
+    // frontier); this pins the fix at PLAN level so it can't silently
+    // regress
+    import org.apache.spark.sql.functions._
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val frontier = Seq((0L, 0)).toDF("node", "hops")
+    val dist = frontier
+    val small = graft.operators.Graph
+      .expandFrontier(frontier, e, dist, frontierRows = 1L, distRows = 1L, h = 1)
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(smallPlan).length >= 2,
+      s"frontier join AND visited anti-join must broadcast:\n$smallPlan")
+    // above the bound: no broadcast hint — the planner may still choose
+    // one from stats, so assert only that OUR hint is absent from the
+    // logical plan (ResolvedHint), not the physical choice
+    val big = graft.operators.Graph
+      .expandFrontier(frontier, e, dist,
+        frontierRows = (1L << 20) + 1, distRows = (1L << 20) + 1, h = 1)
+    val logical = big.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("broadcast"),
+      s"no broadcast hint above the row bound:\n$logical")
+  }
+
   test("triangleStats: K4, square, and triangle-with-pendant censuses") {
     def stats(edges: Seq[(Long, Long)]) = {
       val df = edges.toDF("u", "v")
