@@ -261,15 +261,22 @@ object Bpe {
     * every downstream hash.
     */
   def oracleChainSql(nMerges: Int): String =
-    """WITH w0 AS (
+    "WITH " + oracleChainBodySql(nMerges, "")
+
+  /** Chain body WITHOUT the leading `WITH`, CTE names prefixed — lets a
+    * caller compose the word and byte chains in ONE query (fertility
+    * row) without name collisions.
+    */
+  def oracleChainBodySql(nMerges: Int, p: String): String =
+    s"""${p}w0 AS (
                 SELECT w AS word, count(*) AS freq FROM (
                   SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
                   FROM documents) t
                 WHERE w <> '' GROUP BY w),
-              s0 AS MATERIALIZED (SELECT word, freq,
+              ${p}s0 AS MATERIALIZED (SELECT word, freq,
                 array_to_string(list_transform(range(1, len(word) + 1),
                   i -> word[i:i]), ' ') || ' _' AS sym
-              FROM w0)""" + chainRoundsSql(nMerges)
+              FROM ${p}w0)""" + chainRoundsSql(nMerges, p)
 
   /** Byte-level [[oracleChainSql]]: same round replay (pair counts,
     * arg-max, greedy fold) over the byte-hex alphabet — s0 maps each
@@ -279,19 +286,23 @@ object Bpe {
     * RE2 extracts the identical token stream.
     */
   def oracleChainSqlBytes(nMerges: Int): String =
-    s"""WITH w0 AS (
+    "WITH " + oracleChainBodySqlBytes(nMerges, "")
+
+  /** Byte-level [[oracleChainBodySql]]. */
+  def oracleChainBodySqlBytes(nMerges: Int, p: String): String =
+    s"""${p}w0 AS (
                 SELECT tok AS word, count(*) AS freq FROM (
                   SELECT unnest(regexp_extract_all(text,
                     '$BytePreToken')) AS tok
                   FROM documents) t
                 GROUP BY tok),
-              s0 AS MATERIALIZED (SELECT word, freq,
+              ${p}s0 AS MATERIALIZED (SELECT word, freq,
                 array_to_string(list_transform(
                   range(1, len(hex(encode(word))) // 2 + 1),
                   i -> hex(encode(word))[2*i-1:2*i]), ' ') AS sym
-              FROM w0)""" + chainRoundsSql(nMerges)
+              FROM ${p}w0)""" + chainRoundsSql(nMerges, p)
 
-  private def chainRoundsSql(nMerges: Int): String = {
+  private def chainRoundsSql(nMerges: Int, pf: String): String = {
     val sb = new StringBuilder
     // every s_i (and b_i) is referenced TWICE downstream; DuckDB inlines
     // CTEs by default, which makes the chain 2^nMerges scans — the
@@ -299,21 +310,21 @@ object Bpe {
     for (i <- 1 to nMerges) {
       val p = i - 1
       sb ++= s""",
-              p$i AS (SELECT t.pr AS pr, sum(freq) AS cnt
-                FROM (SELECT freq, string_split(sym, ' ') AS l FROM s$p) s,
+              $pf${"p"}$i AS (SELECT t.pr AS pr, sum(freq) AS cnt
+                FROM (SELECT freq, string_split(sym, ' ') AS l FROM $pf${"s"}$p) s,
                   unnest(list_transform(range(1, len(s.l)),
                     j -> s.l[j] || ' ' || s.l[j + 1])) AS t(pr)
                 GROUP BY t.pr),
-              b$i AS MATERIALIZED (SELECT pr, string_split(pr, ' ')[1] AS la,
+              $pf${"b"}$i AS MATERIALIZED (SELECT pr, string_split(pr, ' ')[1] AS la,
                   string_split(pr, ' ')[2] AS lb, replace(pr, ' ', '') AS m
-                FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
-              s$i AS MATERIALIZED (SELECT word, freq,
+                FROM $pf${"p"}$i ORDER BY cnt DESC, pr LIMIT 1),
+              $pf${"s"}$i AS MATERIALIZED (SELECT word, freq,
                 list_reduce(string_split(sym, ' '), (acc, x) -> CASE
                   WHEN x = mg.lb AND acc = mg.la THEN mg.m
                   WHEN x = mg.lb AND ends_with(acc, ' ' || mg.la)
                     THEN left(acc, len(acc) - len(mg.la)) || mg.m
                   ELSE acc || ' ' || x END) AS sym
-                FROM s$p, b$i mg)"""
+                FROM $pf${"s"}$p, $pf${"b"}$i mg)"""
     }
     sb.toString
   }

@@ -772,6 +772,72 @@ object CatalogTraining {
                      (cum - 1) // 512 AS chunk_last
               FROM packed ORDER BY lang, doc_id""")),
 
+    Q("ta_bpe_fertility",
+      // tokenizer-eval metrics per language: fertility (byte-BPE tokens
+      // per whitespace-ish word) and compression (bytes per byte-BPE
+      // token) — the two numbers a tokenizer report leads with — plus
+      // the word-BPE token count for comparison. The oracle retrains
+      // BOTH models in one query (prefixed CTE chains) and re-derives
+      // every count from raw text, so the fertility hash pins both
+      // tokenizers AND the per-language aggregation.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val wc = Bpe.tokenCounts(docs, "doc_id", "text",
+            Bpe.trainCached(docs, "text", BpeMerges, d))
+          .select(col("doc_id"), col("n_words"),
+            col("bpe_tokens").as("word_bpe"))
+        val bc = Bpe.tokenCountsBytes(docs, "doc_id", "text",
+            Bpe.trainBytesCached(docs, "text", ByteBpeMerges, d))
+          .select(col("doc_id"), col("bpe_tokens").as("byte_bpe"))
+        docs.select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("chars"),
+            octet_length(col("text")).cast("long").as("bytes"))
+          .join(wc, "doc_id").join(bc, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("chars").as("chars"), sum("bytes").as("bytes"),
+            sum("n_words").as("words"),
+            sum("word_bpe").as("word_bpe"),
+            sum("byte_bpe").as("byte_bpe"))
+          .withColumn("fertility",
+            round(col("byte_bpe") / col("words"), 4))
+          .withColumn("compression",
+            round(col("bytes") / col("byte_bpe"), 4))
+          .orderBy("lang")
+      },
+      Some("WITH " + Bpe.oracleChainBodySql(BpeMerges, "w_") + ",\n" +
+        Bpe.oracleChainBodySqlBytes(ByteBpeMerges, "b_") + s""",
+              wv AS (SELECT word, len(string_split(sym, ' ')) AS n_tok
+                     FROM w_s$BpeMerges),
+              bv AS (SELECT word, len(string_split(sym, ' ')) AS n_tok
+                     FROM b_s$ByteBpeMerges),
+              wdw AS (SELECT doc_id, w AS word FROM (
+                       SELECT doc_id, unnest(string_split_regex(lower(text),
+                         '[^a-z]+')) AS w
+                       FROM documents)
+                     WHERE w <> ''),
+              bdw AS (SELECT doc_id, unnest(regexp_extract_all(text,
+                       '${Bpe.BytePreToken}')) AS word
+                     FROM documents),
+              wcnt AS (SELECT doc_id, count(*) AS n_words,
+                        sum(v.n_tok)::BIGINT AS word_bpe
+                       FROM wdw JOIN wv v USING (word) GROUP BY doc_id),
+              bcnt AS (SELECT doc_id, sum(v.n_tok)::BIGINT AS byte_bpe
+                       FROM bdw JOIN bv v USING (word) GROUP BY doc_id),
+              g AS (SELECT d.lang, count(*) AS n_docs,
+                      CAST(sum(length(d.text)) AS BIGINT) AS chars,
+                      CAST(sum(strlen(d.text)) AS BIGINT) AS bytes,
+                      CAST(sum(w.n_words) AS BIGINT) AS words,
+                      CAST(sum(w.word_bpe) AS BIGINT) AS word_bpe,
+                      CAST(sum(b.byte_bpe) AS BIGINT) AS byte_bpe
+                    FROM documents d
+                    JOIN wcnt w USING (doc_id) JOIN bcnt b USING (doc_id)
+                    GROUP BY d.lang)
+              SELECT lang, n_docs, chars, bytes, words, word_bpe, byte_bpe,
+                round(CAST(byte_bpe AS DOUBLE) / words, 4) AS fertility,
+                round(CAST(bytes AS DOUBLE) / byte_bpe, 4) AS compression
+              FROM g ORDER BY lang""")),
+
     Q("td_mix_report",
       // final mixture composition after domain weighting: replicas,
       // tokens, and each source's token share of the training mix —
