@@ -314,6 +314,57 @@ object CatalogTraining {
               FROM tok JOIN freq USING (w) CROSS JOIN tot
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("td_curriculum",
+      // curriculum-learning order: per-language difficulty quartiles by
+      // unigram mean log-prob (lower = rarer words = harder), assigned
+      // with the scale-safe rank arithmetic of quantileFilter (lang-
+      // partitioned windows, no global sort, no float-boundary
+      // percentile cuts). A loader reads tiers in order; the row
+      // publishes what each tier contains. The oracle rebuilds the LM,
+      // the ranks, and the tier aggregates from raw text.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = graft.operators.TextAnalysis
+          .unigramLogProb(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        val w = Window.partitionBy("lang")
+          .orderBy(col("avg_logprob"), col("doc_id"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+          .withColumn("tier", expr("CAST(((rn - 1) * 4) div n AS INT)"))
+          .groupBy("lang", "tier")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            round(avg("avg_logprob"), 4).as("mean_logprob"),
+            round(min("avg_logprob"), 4).as("min_lp"),
+            round(max("avg_logprob"), 4).as("max_lp"))
+          .orderBy("lang", "tier")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents),
+              freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+              sc AS (SELECT doc_id, count(*) AS n_tokens,
+                round(avg(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 4)
+                  AS lp
+              FROM tok JOIN freq USING (w) CROSS JOIN tot
+              GROUP BY doc_id),
+              j AS (SELECT d.lang, s.doc_id, s.n_tokens, s.lp
+                    FROM documents d JOIN sc s USING (doc_id)),
+              r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY lp, doc_id) AS rn,
+                    count(*) OVER (PARTITION BY lang) AS n FROM j),
+              tiers AS (SELECT lang,
+                CAST(((rn - 1) * 4) // n AS INT) AS tier, n_tokens, lp
+              FROM r)
+              SELECT lang, tier, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                round(avg(lp), 4) AS mean_logprob,
+                round(min(lp), 4) AS min_lp, round(max(lp), 4) AS max_lp
+              FROM tiers GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     Q("ta_bigram_logprob",
       // stupid-backoff bigram mean log-prob (VERDICT r6 #7): singleton
       // bigrams are pruned from the model so the backoff branch really
