@@ -336,7 +336,13 @@ object CatalogTraining {
           .groupBy("lang", "tier")
           .agg(count(lit(1)).as("n_docs"),
             sum("n_tokens").as("n_tokens"),
-            round(avg("avg_logprob"), 4).as("mean_logprob"),
+            // integer-exact mean: scores are 4dp-rounded, so summing
+            // their 1e4-scaled integers and dividing once gives BOTH
+            // engines the identical double to round — a float avg() of
+            // 4dp values can land a half-ulp either side of a .00005
+            // boundary depending on summation order (seen at sf0.01)
+            round(sum(round(col("avg_logprob") * 10000).cast("long")) /
+              (count(lit(1)) * 10000), 4).as("mean_logprob"),
             round(min("avg_logprob"), 4).as("min_lp"),
             round(max("avg_logprob"), 4).as("max_lp"))
           .orderBy("lang", "tier")
@@ -361,7 +367,8 @@ object CatalogTraining {
               FROM r)
               SELECT lang, tier, count(*) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-                round(avg(lp), 4) AS mean_logprob,
+                round(sum(CAST(round(lp * 10000) AS BIGINT)) /
+                  (count(*) * 10000.0), 4) AS mean_logprob,
                 round(min(lp), 4) AS min_lp, round(max(lp), 4) AS max_lp
               FROM tiers GROUP BY 1, 2 ORDER BY 1, 2""")),
 
