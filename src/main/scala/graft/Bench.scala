@@ -135,8 +135,13 @@ object Bench {
     val qs = jmap(r => ms(r.wall))
     val total = results.values.map(r => math.max(r.wall, 0.0)).sum
     val cpuTotal = results.values.map(r => math.max(r.cpuS, 0.0)).sum
+    // headline metrics are REPEATED at the end of the line: the driver's
+    // stdout capture keeps only a ~2KB TAIL at this catalog size
+    // (BENCH_r07.json carries tail-only), so anything that must survive
+    // clipping has to sit after the queries map
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","total_wall":${ms(total)},"cpu_total_tail":${ms(cpuTotal)},"n_queries":${results.size}}"""
     // stdout keeps the compact driver contract line (the capture clips
     // past ~4 KB); the extended record below carries the gate metrics
     println(line)
