@@ -46,6 +46,17 @@ DRIVERS = {
     "td_leakage_split": "documents",
     "dedup_embedding": "embeddings",
     "j12_jaro_entity_join": "part",
+    # round-8 extension: composed pipelines + remaining heavy families
+    "ep1_weekly_e2e": "events",
+    "ep2_jira_e2e": "lineitem",
+    "ep3_dashboard_e2e": "events",
+    "td_pipeline_e2e": "documents",
+    "dedup_spans": "documents",
+    "mm_phash_dct": "documents",
+    "search_bm25": "documents",
+    "sim_ann_ivf_pq": "embeddings",
+    "g7_label_prop": "lineitem",
+    "ta_bpe_tokens": "documents",
 }
 
 MAX_EXPONENT = 1.3
