@@ -87,6 +87,11 @@ object Bench {
     // baseline
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the catalog (typo?): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val repCounts = scala.collection.mutable.Map[String, Int]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>

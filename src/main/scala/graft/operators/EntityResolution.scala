@@ -120,10 +120,10 @@ object EntityResolution {
         abs(col("ql") - col("cl")) <= tau)
       .select("q_name", "c_name")
 
-    val qt = qNames.select(col("name").as("q_name"))
-    val ct = cNames.select(col("name").as("c_name"))
+    // every candidate pair is already drawn from qNames x cNames (the
+    // long/short splits are projections of those relations), so no
+    // membership re-join is needed before the verify step
     candLong.unionAll(shortQ).unionAll(shortC).distinct()
-      .join(qt, "q_name").join(ct, "c_name")
       .withColumn("lev", levenshtein(col("q_name"), col("c_name"), tau))
       .filter(col("lev") >= 0 && col("lev") <= tau)
       .select(col("q_name"), col("c_name"), col("lev"))

@@ -769,6 +769,11 @@ object Multimodal {
       val fid = new String(b, p, 4, "ISO-8859-1")
       val sz = ((b(p + 4) & 0xff) << 24) | ((b(p + 5) & 0xff) << 16) |
         ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
+      // the declared size is untrusted: sz = 0 (legal-but-empty ID3v2.3
+      // frame) or a size spanning past the tag must fail the documented
+      // loud require, not underflow String() or read audio bytes as tag
+      require(sz >= 1 && p + 10 + sz <= tagEnd,
+        s"doc ${doc.doc_id}: ID3 frame $fid size $sz out of tag bounds at $p")
       val text = new String(b, p + 11, sz - 1, "ISO-8859-1")
       if (fid == "TIT2") title = text
       if (fid == "TPE1") artist = text

@@ -176,23 +176,30 @@ class SlackPartitionReader(file: String, required: StructType,
     // cursor, so the chain is a single page there.
     val first = mapper.readTree(graft.sources.PageTransport.readPage(file))
     val name = first.path("channel").path("name").asText()
-    val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
-    var root = first
-    var pages = 1
-    while (root != null) {
-      root.path("messages").elements().asScala.foreach(buf += _)
-      val cursor =
-        root.path("response_metadata").path("next_cursor").asText("")
-      root =
-        if (cursor.isEmpty) null
-        else {
-          pages += 1
-          require(pages <= 100000, s"cursor chain too long at $file")
-          mapper.readTree(
-            graft.sources.PageTransport.readPage(cursorUrl(file, cursor)))
-        }
+    // LAZY page walk: the next page is fetched only when the current
+    // one's rows are drained, so reader memory is one page regardless of
+    // chain length (a 100k-page channel buffered eagerly is an OOM)
+    val pages = new Iterator[JsonNode] {
+      private var page: JsonNode = first
+      private var n = 1
+      override def hasNext: Boolean = page != null
+      override def next(): JsonNode = {
+        val cur = page
+        val cursor =
+          cur.path("response_metadata").path("next_cursor").asText("")
+        page =
+          if (cursor.isEmpty) null
+          else {
+            n += 1
+            require(n <= 100000, s"cursor chain too long at $file")
+            mapper.readTree(
+              graft.sources.PageTransport.readPage(cursorUrl(file, cursor)))
+          }
+        cur
+      }
     }
-    (name, buf.iterator.filter(keep(name)))
+    (name, pages.flatMap(_.path("messages").elements().asScala)
+      .filter(keep(name)))
   }
   private var cur: InternalRow = _
 

@@ -54,19 +54,34 @@ def main():
               f"{', '.join(dropped[:8])}{'...' if len(dropped) > 8 else ''}")
 
     fails = []
-    b_tot = sum(max(bc[q], 0.0) for q in common)
-    c_tot = sum(max(cc[q], 0.0) for q in common)
+    # rule 0: Bench records cpu -1 when a query THROWS — a crashed
+    # candidate query is a hard failure, not a number to clamp away
+    # (clamping also shrank cpu_total, reading a crash as a speedup)
+    crashed = [q for q in common if cc[q] < 0 <= bc[q]]
+    for q in crashed:
+        fails.append(f"{q}: query FAILED in candidate run (cpu -1)")
+    healthy = [q for q in common if bc[q] >= 0 and cc[q] >= 0]
+    b_tot = sum(bc[q] for q in healthy)
+    c_tot = sum(cc[q] for q in healthy)
     if b_tot > 0 and c_tot / b_tot > 1.15:
         fails.append(f"cpu_total {b_tot:.1f}s -> {c_tot:.1f}s "
-                     f"({c_tot / b_tot:.2f}x > 1.15x) over {len(common)} common queries")
-    for q in common:
+                     f"({c_tot / b_tot:.2f}x > 1.15x) over {len(healthy)} healthy common queries")
+    for q in healthy:
         b, c = bc[q], cc[q]
-        if c >= 0.5 and b > 0 and c / b > 2.0:
-            fails.append(f"{q}: cpu {b:.2f}s -> {c:.2f}s ({c / b:.1f}x > 2x)")
+        # floor the baseline at 0.25s so a query whose baseline CPU was
+        # ~0 still trips the 2x rule once it costs real time
+        eff_b = max(b, 0.25)
+        if c >= 0.5 and c / eff_b > 2.0:
+            fails.append(f"{q}: cpu {b:.2f}s -> {c:.2f}s ({c / eff_b:.1f}x > 2x)")
         sb = base["shuffle_read"].get(q, 0) + base["shuffle_write"].get(q, 0)
         sc = cand["shuffle_read"].get(q, 0) + cand["shuffle_write"].get(q, 0)
-        if sc > 1 << 20 and sb > 0 and sc / sb > 1.5:
-            fails.append(f"{q}: shuffle {sb} -> {sc} bytes ({sc / sb:.1f}x > 1.5x)")
+        # no sb > 0 requirement: a query that had ZERO baseline shuffle
+        # (e.g. a broadcast-join plan) growing real shuffle bytes is the
+        # classic silent plan regression — gate it too
+        if sc > 1 << 20 and sc > 1.5 * sb:
+            fails.append(f"{q}: shuffle {sb} -> {sc} bytes "
+                         f"({(sc / sb):.1f}x > 1.5x)" if sb > 0 else
+                         f"{q}: shuffle {sb} -> {sc} bytes (new shuffle)")
     if fails:
         print("REGRESSION:")
         for f in fails:

@@ -99,10 +99,13 @@ def main():
             return 2
         runs = [json.load(open(p)) for p in paths]
         merged = dict(runs[0])
-        merged["cpu"] = {
-            q: min(r["cpu"][q] for r in runs
-                   if q in r["cpu"] and r["cpu"][q] >= 0)
-            for q in runs[0]["cpu"]}
+        merged["cpu"] = {}
+        for q in runs[0]["cpu"]:
+            vals = [r["cpu"][q] for r in runs
+                    if q in r["cpu"] and r["cpu"][q] >= 0]
+            # a query that FAILED (cpu -1) in every run of the rung flows
+            # to the 'missing' verdict instead of crashing min()
+            merged["cpu"][q] = min(vals) if vals else None
         benches[sf] = merged
         runs_per[sf] = len(runs)
 
@@ -161,8 +164,10 @@ def main():
         f"{MIN_CPU_LOW}s (fixed-overhead floor, fit meaningless).\n\n"
         f"Gate: `--check` fails when `e(top)` > {MAX_EXPONENT} with\n"
         "top-rung CPU ≥ 1 s, outside the documented allowlist\n"
-        "(currently empty — the r7 Jaro fix removed the only quadratic\n"
-        "row). CPU is executor CPU seconds (min over adaptive reps).\n")
+        f"(currently: {sorted(ALLOWLIST) or 'empty'} — dedup_embedding\n"
+        "is OUTPUT-bound: its qualifying-pair count alone grows at e 2.0,\n"
+        "so complete-recall cost is lower-bounded by the result).\n"
+        "CPU is executor CPU seconds (min over adaptive reps).\n")
     out.append("| query | driver | cpu@0.001 | cpu@0.01 | cpu@0.1 "
                "| e(mid) | e(top) | verdict |")
     out.append("|---|---|---|---|---|---|---|---|")
