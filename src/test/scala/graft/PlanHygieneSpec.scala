@@ -92,6 +92,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // broadcasts the SINGLE-ROW corpus-total aggregate into the
     // per-token score projection
     "ta_unigram_logprob",
+    // curriculum tiers score docs through the same unigram-LM path —
+    // the cross join is the SINGLE-ROW corpus-total broadcast
+    "td_curriculum",
     // BM25 broadcasts the SINGLE-ROW (N, avgdl) corpus-stats aggregate
     // into the scoring projection (`Search.bm25`)
     "search_bm25",
