@@ -30,7 +30,12 @@ object ExplainAudit {
         // round 7: BPE application join, incremental LSH, PQ probe,
         // bigram LM model joins
         "ta_bpe_tokens", "inc_dedup_pairs", "sim_ann_ivf_pq",
-        "ta_bigram_logprob")
+        "ta_bigram_logprob",
+        // round 8: composed pipelines, byte BPE, entity resolution,
+        // MP3 decode, curriculum tiers
+        "ep1_weekly_e2e", "ep2_jira_e2e", "ep3_dashboard_e2e",
+        "ta_bpe_bytes", "j12_jaro_entity_join", "mm_mp3_meta",
+        "td_curriculum", "ta_bpe_fertility")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
