@@ -389,7 +389,12 @@ object Dedup {
     val fname = s"graft_minhash_array_$numHashes"
     sh.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname, exprs => graft.plans.MinHashArray(exprs.head, numHashes), "scala_udf")
-    sh.select(col("doc_id"), expr(s"$fname(sh)").as("h"))
+    // null shingles (null-text docs) would flow through the null-
+    // intolerant hash into the aggregator's reduce as a null Seq and
+    // NPE the job — drop them, matching the plain-Jaccard path where a
+    // null shingle simply never joins
+    sh.filter(col("sh").isNotNull)
+      .select(col("doc_id"), expr(s"$fname(sh)").as("h"))
       .groupBy("doc_id").agg(elemMin(col("h")).as("sig"))
   }
 
@@ -416,6 +421,12 @@ object Dedup {
   def minHashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    // bands > numHashes makes rowsPerBand 0: every band key becomes
+    // hash(empty slice) and EVERY doc collides with every doc — the
+    // O(n^2) blow-up this operator exists to avoid; a non-dividing band
+    // count silently drops trailing hashes (recall drift)
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val sh = trackedPersist(shingleRows(docs, idCol, textCol, k))
     val sigs = minHashSignatures(sh, numHashes)
@@ -447,6 +458,8 @@ object Dedup {
       indexDir: String): DataFrame = {
     import graft.core.CacheTable
     val spark = docs.sparkSession
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     // snapshot timestamps are fixed literals: the index content is a
     // pure function of the base corpus, so re-runs stay deterministic
@@ -457,10 +470,21 @@ object Dedup {
     val pairPath = s"$indexDir/pairs"
     if (CacheTable.loadFresh(spark, sigPath, "doc_id", ttlMs, nowMs).isEmpty) {
       val base = named.filter(!col("_new"))
+      // bootstrap from ONE shingle pass: bands and the pair snapshot
+      // both derive from shB/sigsB (calling minHashLshPairs here would
+      // re-shingle and re-sign the whole base corpus a second time)
       val shB = trackedPersist(shingleRows(base, "doc_id", "text_c", k))
-      CacheTable.put(minHashSignatures(shB, numHashes), sigPath, nowMs)
+      val sigsB = minHashSignatures(shB, numHashes)
+      CacheTable.put(sigsB, sigPath, nowMs)
+      val bandB = lshBandRows(sigsB, bands, rowsPerBand)
+      val candB = bandB
+        .select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+        .join(bandB.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
+          Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
       CacheTable.put(
-        minHashLshPairs(base, "doc_id", "text_c", k, numHashes, bands, num, den)
+        verifyJaccard(candB, shB, num, den)
           .withColumn("_pk", concat_ws(",", col("id_a"), col("id_b"))),
         pairPath, nowMs)
     }
@@ -876,6 +900,15 @@ object Dedup {
       tau: Int, q: Int = 5): DataFrame = {
     require(tau >= 1, s"tau must be positive, got $tau")
     require(q >= 2, s"q-gram length must be >= 2, got $q")
+    // the long cast below would NULL out a non-numeric id under
+    // non-ANSI casting and every join key would drop — zero pairs with
+    // no error; fail loudly instead
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(docs.schema(idCol).dataType)
+    }, s"$idCol must be an integral id column, got " +
+      docs.schema(idCol).dataType.simpleString)
     val prefixLen = q * tau + 1
     val base = trackedPersist(widen(docs.select(
       col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))

@@ -32,16 +32,30 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dotD(a, b) / (na * nb))
   }
 
+  /** [[cosine]] with the operand norms precomputed: the pairwise scans
+    * (brute-force kNN, LSH pair verify, rerank) would otherwise
+    * recompute both norms per CANDIDATE PAIR — 3× the dot-product work.
+    * Hoisting `sqrt(dotD(e, e))` to a per-ROW column is bitwise
+    * identical (same expression, evaluated once).
+    */
+  private def cosineFromNorms(dot: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+
+  private def withNorm(df: DataFrame, vecCol: String, as: String): DataFrame =
+    df.withColumn(as, sqrt(dotD(col(vecCol), col(vecCol))))
+
   /** Brute-force cosine top-k: every corpus row scored against every query
     * row (queries broadcast), then row_number per query. Deterministic
     * tie-break on neighbor id.
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.join(
-        broadcast(queries), col("vec_id") =!= col("query_id"))
+    val scored = withNorm(corpus, "embedding", "cn").join(
+        broadcast(withNorm(queries, "qe", "qn")),
+        col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("embedding"), col("qe")).as("cos"))
+        cosineFromNorms(dotD(col("embedding"), col("qe")),
+          col("cn"), col("qn")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -99,10 +113,12 @@ object Similarity {
   private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val rerank = shortlist
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(queries), "query_id")
+      .join(withNorm(corpus.select(col("vec_id"), col("embedding")),
+        "embedding", "cn"), "vec_id")
+      .join(broadcast(withNorm(queries, "qe", "qn")), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("embedding"), col("qe")).as("cos"))
+        cosineFromNorms(dotD(col("embedding"), col("qe")),
+          col("cn"), col("qn")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     rerank.withColumn("rank", row_number().over(w))
@@ -286,10 +302,13 @@ object Similarity {
     val cand = l.join(r, Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val ea = withNorm(emb.select(col("vec_id").as("id_a"),
+      col("embedding").as("ea")), "ea", "na")
+    val eb = withNorm(emb.select(col("vec_id").as("id_b"),
+      col("embedding").as("eb")), "eb", "nb")
     cand.join(ea, "id_a").join(eb, "id_b")
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos",
+        cosineFromNorms(dotD(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
@@ -618,8 +637,15 @@ object Similarity {
     */
   def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
       rounds: Int): Array[Double] = {
+    // codes travel as array<tinyint>: ksub above 128 would wrap code
+    // indices negative through PqEncode/PqAdcScore with no error
+    require(ksub >= 2 && ksub <= 128,
+      s"ksub must be in [2, 128] (tinyint code space), got $ksub")
     val seeds = seedCentroids(corpus, ksub).map(_._2)
-    require(seeds.nonEmpty, "corpus smaller than ksub")
+    // a shortfall would leave codes seeds.size..ksub-1 as zero-filled
+    // phantom centroids that silently attract small-norm subslices
+    require(seeds.size == ksub,
+      s"corpus has only ${seeds.size} vectors for ksub=$ksub codebook entries")
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
