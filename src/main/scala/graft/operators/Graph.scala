@@ -41,6 +41,16 @@ object Graph {
   private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BroadcastRowBound) broadcast(df) else df
 
+  /** Round/result materialization policy shared by every iterative
+    * operator here (and mirroring Dedup.connectedComponents): reliable
+    * FS checkpoint when the session has a checkpoint dir (cluster,
+    * executor-loss-safe), eager localCheckpoint otherwise (local/bench).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Power-iteration PageRank.
     *
     * `edges` is a directed edge relation `(srcCol, dstCol)`. Genuinely
@@ -99,10 +109,7 @@ object Graph {
     // Same checkpoint policy as Dedup.connectedComponents: reliable FS
     // snapshot when a checkpoint dir is configured (cluster), executor
     // blocks otherwise (local/bench).
-    val out =
-      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        ranks.checkpoint(true)
-      else ranks.localCheckpoint(true)
+    val out = materialize(ranks)
     nodes.unpersist(blocking = false)
     eDeg.unpersist(blocking = false)
     e.unpersist(blocking = false)
@@ -137,10 +144,6 @@ object Graph {
     val nSeeds = seeds.count()
     require(nSeeds > 0, "need at least one source node")
     val restart = seeds.withColumn("tele", lit((1.0 - damping) / nSeeds))
-    def materialize(df: DataFrame): DataFrame =
-      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(true)
-      else df.localCheckpoint(true)
     var ranks = seeds.withColumn("rank", lit(1.0 / nSeeds))
     // the rank relation only covers seed-REACHABLE nodes (that's what
     // makes PPR sparse); broadcast it while small so the edge relation
@@ -187,9 +190,6 @@ object Graph {
       sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     val spark = edges.sparkSession
-    def materialize(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = materialize(
@@ -278,9 +278,14 @@ object Graph {
       col("dd").as("db"))
     val o2 = oriented.select(col("src").as("apex"), col("dst").as("c"),
       col("dd").as("dc"))
+    // the wedge enumeration is the dominant O(m^1.5) cost and feeds TWO
+    // plan branches (the count and the closure semi-join) — persist it,
+    // or the self-join executes twice per call
     val wedges = o1.join(o2, "apex")
       .filter(col("db") < col("dc") ||
         (col("db") === col("dc") && col("b") < col("c")))
+      .select("b", "c")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // a wedge closes iff the oriented edge b -> c exists (orientation is
     // a total order, so the closing edge can only point b -> c)
     val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
@@ -291,6 +296,7 @@ object Graph {
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
     val out = nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTris)
       .localCheckpoint(true)
+    wedges.unpersist(blocking = false)
     oriented.unpersist(blocking = false)
     und.unpersist(blocking = false)
     out
@@ -314,9 +320,6 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val spark = edges.sparkSession
-    def materialize(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = materialize(
@@ -365,9 +368,6 @@ object Graph {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
-    def materialize(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var survivors = materialize(

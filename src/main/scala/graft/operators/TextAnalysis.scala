@@ -34,11 +34,15 @@ object TextAnalysis {
     */
   def langId(docs: DataFrame, textCol: String): DataFrame = {
     val w = words(lower(col(textCol)))
+    // null text makes every hit count null (CountInSet is null-
+    // intolerant); without the coalesce every `when` evaluates null and
+    // the chain falls through to the LAST priority language — a null
+    // doc must classify "unknown", not "fr"
     val scored = docs
-      .withColumn("en_hits", hits(w, "en"))
-      .withColumn("es_hits", hits(w, "es"))
-      .withColumn("de_hits", hits(w, "de"))
-      .withColumn("fr_hits", hits(w, "fr"))
+      .withColumn("en_hits", coalesce(hits(w, "en"), lit(0)))
+      .withColumn("es_hits", coalesce(hits(w, "es"), lit(0)))
+      .withColumn("de_hits", coalesce(hits(w, "de"), lit(0)))
+      .withColumn("fr_hits", coalesce(hits(w, "fr"), lit(0)))
     scored.withColumn("predicted",
       when(col("en_hits") + col("es_hits") + col("de_hits") + col("fr_hits") === 0, "unknown")
         .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
@@ -54,7 +58,10 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
     val w = words(col(textCol))
     val nTok = size(w)
-    val enHits = hits(w, "en")
+    // stopword hits over LOWERCASED tokens (the langId / gopherRules
+    // convention): sentence-initial "The"/"A" must count; ttr stays
+    // case-sensitive (distinct surface forms are the signal there)
+    val enHits = hits(words(lower(col(textCol))), "en")
     docs
       .withColumn("n_tokens", nTok)
       .withColumn("ttr",
@@ -117,8 +124,12 @@ object TextAnalysis {
   def scrubPii(c: Column): Column = {
     val email = regexp_replace(c,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    // the country code is OPTIONAL: the previous mandatory 1-3 digit
+    // prefix needed 11-13 digits total, so plain 10-digit numbers
+    // ("555-123-4567", "(555) 123-4567") leaked through the scrub
     regexp_replace(email,
-      "\\+?\\d{1,3}[-. (]*\\d{3}[-. )]*\\d{3}[-. ]*\\d{4}\\b", "[PHONE]")
+      "(?:\\+?\\d{1,3}[-. (]*)?\\(?\\d{3}[-. )]*\\d{3}[-. ]*\\d{4}\\b",
+      "[PHONE]")
   }
 
   /** URL scrubbing: http(s) URLs → a placeholder — the companion of
@@ -418,9 +429,17 @@ object TextAnalysis {
       .join(broadcast(nTypes))
       .select(col("doc_id"),
         // OOV floor at half a type: a cur never seen as a pruned
-        // suffix would otherwise drive ln(0) = -Inf through the doc avg
+        // suffix would otherwise drive ln(0) = -Inf through the doc avg.
+        // An EMPTY pruned model (no bigram reached minBigramCount) must
+        // fail loudly: n_types = 0 would make pcont = x/0 = +Infinity
+        // and every doc would score a maximal avg_kn_logprob that sails
+        // through downstream quality filters
         greatest(coalesce(col("n1p_suf"), lit(0L)).cast("double"),
-          lit(0.5)).divide(col("n_types").cast("double")).as("pcont"),
+          lit(0.5)).divide(
+            when(col("n_types") > 0, col("n_types").cast("double"))
+              .otherwise(raise_error(lit(
+                "knBigramLogProb: pruned bigram model is empty — lower minBigramCount"))
+                .cast("double"))).as("pcont"),
         coalesce(col("cbg"), lit(0L)).cast("double").as("c"),
         coalesce(col("cprev"), lit(0L)).cast("double").as("cp"),
         coalesce(col("n1p_prev"), lit(0L)).cast("double").as("n1p"))

@@ -206,14 +206,6 @@ object TrainingData {
       .drop("p")
   }
 
-  /** Benchmark decontamination: count, per training document, the
-    * distinct word k-grams it shares with an evaluation corpus. The
-    * standard train/test-overlap check (k≈8 in published pipelines);
-    * join is an equi-join on the 8-byte shingle hash against the
-    * DISTINCT eval shingle set — cost scales with shingle volume, never
-    * with |train| × |eval|. Only contaminated documents are returned;
-    * anti-join against this output to clean the corpus.
-    */
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every document by how much more likely its hashed-bigram features
@@ -239,6 +231,12 @@ object TrainingData {
         "identical between signed and unsigned 64-bit replays)")
     val base = Dedup.widen(docs).select(col(idCol).as("doc_id"),
       Dedup.words(col(textCol)).as("ws"), isTarget.as("is_target"))
+    // an empty target slice (mis-typed predicate) makes the target
+    // bucket total NULL and every weight silently null — fail fast
+    // instead (the nSeeds-require convention from personalizedPageRank);
+    // the emptiness probe is one short-circuiting action
+    require(!base.filter(col("is_target")).isEmpty,
+      "dsirWeights: no document satisfies isTarget — weights would be all null")
     val idx = when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))
       .otherwise(array().cast("array<int>"))
     val feats = base.select(col("doc_id"), col("is_target"),
@@ -264,6 +262,14 @@ object TrainingData {
         round(avg(col("llr")), 6).as("dsir_weight"))
   }
 
+  /** Benchmark decontamination: count, per training document, the
+    * distinct word k-grams it shares with an evaluation corpus. The
+    * standard train/test-overlap check (k≈8 in published pipelines);
+    * join is an equi-join on the 8-byte shingle hash against the
+    * DISTINCT eval shingle set — cost scales with shingle volume, never
+    * with |train| × |eval|. Only contaminated documents are returned;
+    * anti-join against this output to clean the corpus.
+    */
   def decontaminate(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, k: Int): DataFrame = {
     val trainSh = Dedup.shingleRows(train, idCol, textCol, k)

@@ -1242,7 +1242,7 @@ object CatalogScale {
               SELECT doc_id, n_chars, len(ws) AS n_tokens,
                 round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS ttr,
                 round(CAST(len(list_filter(ws,
-                  x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE) / len(ws), 4) AS stop_ratio,
+                  x -> lower(x) IN ('the','a','of','to','and','in','is'))) AS DOUBLE) / len(ws), 4) AS stop_ratio,
                 CASE WHEN len(ws) >= 50
                        AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.25 THEN 'good'
                      WHEN len(ws) >= 20 THEN 'ok'
@@ -1266,10 +1266,15 @@ object CatalogScale {
     Q("ta_pii_scrub",
       // synthesized emails/phones from structured cols; oracle reconstructs
       (s, d) => {
+        // both phone shapes staged: country-coded AND a bare 10-digit
+        // "(555) ..." — the round-8 regex fix made the country code
+        // optional, and this pins that a plain US-format number scrubs
         val text = concat(lit("contact "), col("c_name"),
           lit(" at user"), col("c_custkey").cast("string"),
           lit("@example.com or +1 555-"),
           lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+          lit(" or (555) 867-"),
           lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
           lit(" today"))
         t(s, d, "customer")
@@ -1277,7 +1282,8 @@ object CatalogScale {
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey,
-                'contact ' || c_name || ' at [EMAIL] or [PHONE] today' AS text
+                'contact ' || c_name ||
+                ' at [EMAIL] or [PHONE] or [PHONE] today' AS text
               FROM customer ORDER BY c_custkey""")),
 
     Q("ta_luhn_scrub",
