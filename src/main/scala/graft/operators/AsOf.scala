@@ -29,7 +29,12 @@ object AsOf {
   def backwardWithin(left: DataFrame, right: DataFrame, key: String,
       ts: String, rightCols: Seq[String], toleranceSec: Long): DataFrame = {
     val joined = backward(left, right, key, ts, Seq(ts) ++ rightCols.filterNot(_ == ts))
-    val fresh = unix_timestamp(col(ts)) - unix_timestamp(col(s"asof_$ts")) <= toleranceSec
+    // double-cast staleness, not unix_timestamp: whole-second truncation
+    // let sub-second-stale matches through a toleranceSec=0 gate, and a
+    // numeric (epoch) ts column — which backward() supports — failed
+    // analysis here
+    val fresh = col(ts).cast("double") - col(s"asof_$ts").cast("double") <=
+      lit(toleranceSec.toDouble)
     rightCols.filterNot(_ == ts).foldLeft(
       joined.withColumn(s"asof_$ts",
         when(fresh, col(s"asof_$ts")).otherwise(lit(null)))) { (df, c) =>
@@ -69,8 +74,13 @@ object AsOf {
       struct(rightCols.map(col): _*).as("_r"))
     val order = if (descending) col("_ts").desc else col("_ts").asc
     // right (_side=0) sorts before left at equal _ts in both directions,
-    // so a right row at exactly left.ts is visible — the >= / <= tie rule
-    val w = Window.partitionBy(key).orderBy(order, col("_side").asc)
+    // so a right row at exactly left.ts is visible — the >= / <= tie
+    // rule. The payload struct is the FINAL tie-breaker: duplicate
+    // (key, ts) right rows would otherwise leave which payload last()
+    // carries to partition-merge order — run-to-run nondeterminism; the
+    // greatest payload struct wins, deterministically.
+    val w = Window.partitionBy(key)
+      .orderBy(order, col("_side").asc, col("_r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_last_r", last(col("_r"), ignoreNulls = true).over(w))

@@ -78,7 +78,11 @@ object HeavyHitters {
       .distinct()
       .toDF("item")
 
-    flat.join(candidates, "item", "left_semi")
+    // null-SAFE semi join: Misra-Gries counts a null item like any
+    // other key, and the documented contract is the exact
+    // GROUP BY ... HAVING, which keeps the NULL group — a plain equi
+    // semi join (null != null) would silently drop it
+    flat.join(candidates, flat("item") <=> candidates("item"), "left_semi")
       .groupBy("item")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minFreq)
@@ -96,16 +100,22 @@ object HeavyHitters {
     * the bucket mask reads the same low bits under signed (Spark) and
     * unsigned (DuckDB) interpretations of the hash.
     */
+  /** The ONE bucket definition shared by sketch build and probe: a
+    * representation drift between the two (separator, hash, mask) would
+    * make every estimate silently 0 — the build/probe-mismatch class
+    * Scale.bloomPrune documents.
+    */
+  private def cmsBucket(itemCol: org.apache.spark.sql.Column, width: Int) =
+    graft.operators.Dedup.portableHash64(
+      concat(itemCol, lit(":"), col("s"))).bitwiseAND(lit(width - 1L))
+
   def cmsSketch(items: DataFrame, itemCol: String,
       depth: Int, width: Int): DataFrame = {
     require(depth >= 1, "depth must be >= 1")
     require(width >= 2 && (width & (width - 1)) == 0, "width must be a power of two")
     items
       .withColumn("s", explode(sequence(lit(0), lit(depth - 1))))
-      .groupBy(col("s"),
-        graft.operators.Dedup.portableHash64(
-          concat(col(itemCol), lit(":"), col("s")))
-          .bitwiseAND(lit(width - 1L)).as("b"))
+      .groupBy(col("s"), cmsBucket(col(itemCol), width).as("b"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -118,10 +128,7 @@ object HeavyHitters {
       depth: Int, width: Int): DataFrame =
     probes
       .withColumn("s", explode(sequence(lit(0), lit(depth - 1))))
-      .withColumn("b",
-        graft.operators.Dedup.portableHash64(
-          concat(col(itemCol), lit(":"), col("s")))
-          .bitwiseAND(lit(width - 1L)))
+      .withColumn("b", cmsBucket(col(itemCol), width))
       .join(sketch, Seq("s", "b"), "left")
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
@@ -154,8 +161,13 @@ object HeavyHitters {
     val exact = ka.groupBy("jk").agg(count(lit(1)).as("ca"))
       .join(kb.groupBy("jk").agg(count(lit(1)).as("cb")), "jk")
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_card"))
+    // an EMPTY sketch intersection (either input empty) leaves
+    // min(row_est) null — the documented contract is (exact, est,
+    // never_under) with est 0 and the bound trivially holding, not a
+    // null that a filter(col("never_under")) gate silently drops
     est.crossJoin(exact)
-      .select(col("exact_card"), col("est_card"),
-        (col("est_card") >= col("exact_card")).as("never_under"))
+      .select(col("exact_card"),
+        coalesce(col("est_card"), lit(0L)).as("est_card"))
+      .withColumn("never_under", col("est_card") >= col("exact_card"))
   }
 }

@@ -24,18 +24,23 @@ object RangeJoin {
     * `bucketDays`-day buckets. Returns all columns of both inputs for
     * each contained pair.
     */
+  /** The ONE day-bucket definition shared by both range operators: the
+    * two results are only mutually consistent while the epoch anchor
+    * and floor arithmetic stay identical.
+    */
+  private def bucketOf(c: Column, bucketDays: Int): Column =
+    floor(datediff(c, lit("1970-01-01")) / bucketDays)
+
   def pointsInIntervals(points: DataFrame, ptCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketDays: Int): DataFrame = {
     require(bucketDays > 0, "bucketDays must be positive")
-    val epoch = lit("1970-01-01")
-    def bucketOf(c: Column): Column = floor(datediff(c, epoch) / bucketDays)
-    val p = points.withColumn("_bkt", bucketOf(col(ptCol)))
+    val p = points.withColumn("_bkt", bucketOf(col(ptCol), bucketDays))
     val iv = intervals.withColumn("_bkt",
-      explode(sequence(bucketOf(col(startCol)),
+      explode(sequence(bucketOf(col(startCol), bucketDays),
         // endCol is exclusive, but a point in end's bucket can still
         // precede it — include the end bucket
-        bucketOf(col(endCol)))))
+        bucketOf(col(endCol), bucketDays))))
     p.join(iv, Seq("_bkt"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("_bkt")
@@ -57,12 +62,10 @@ object RangeJoin {
       right: DataFrame, rStart: String, rEnd: String,
       bucketDays: Int): DataFrame = {
     require(bucketDays > 0, "bucketDays must be positive")
-    val epoch = lit("1970-01-01")
-    def bucketOf(c: Column): Column = floor(datediff(c, epoch) / bucketDays)
-    val l = left.withColumn("_lb", bucketOf(col(lStart)))
-      .withColumn("_bkt", explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
-    val r = right.withColumn("_rb", bucketOf(col(rStart)))
-      .withColumn("_bkt", explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    val l = left.withColumn("_lb", bucketOf(col(lStart), bucketDays))
+      .withColumn("_bkt", explode(sequence(bucketOf(col(lStart), bucketDays), bucketOf(col(lEnd), bucketDays))))
+    val r = right.withColumn("_rb", bucketOf(col(rStart), bucketDays))
+      .withColumn("_bkt", explode(sequence(bucketOf(col(rStart), bucketDays), bucketOf(col(rEnd), bucketDays))))
     l.join(r, Seq("_bkt"))
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .filter(col("_bkt") === greatest(col("_lb"), col("_rb")))

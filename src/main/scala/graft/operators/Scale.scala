@@ -128,10 +128,12 @@ object Scale {
   /** The matching DuckDB/ANSI expression for [[zValue]], for oracle
     * replays: a sum of shift-mask terms over the same bit positions.
     */
-  def zValueSql(x: String, y: String, bits: Int): String =
+  def zValueSql(x: String, y: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     (0 until bits).map { i =>
       s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
+  }
 
   /** Hilbert-curve value of two non-negative keys (order-`bits` curve,
     * inputs masked to the grid) — the layout key whose consecutive
@@ -155,6 +157,11 @@ object Scale {
     * one codegen expression.)
     */
   def hilbertValueSqlCte(srcCte: String, keyCols: String, bits: Int): String = {
+    // same bound as the Spark-side helpers: bits = 0 would shift by -1
+    // (masked to 63 in Java), the anchor s would go negative, and the
+    // CTE would return an EMPTY relation instead of failing loudly —
+    // an engine-vs-oracle comparison passing/failing for the wrong reason
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val mask = (1L << bits) - 1
     s"""hk(k1, hx, hy, s, d) AS (
        |  SELECT $keyCols, CAST(hil_x & $mask AS BIGINT),
@@ -244,7 +251,11 @@ object Scale {
     *
     * Operates on file METADATA (rows = files, not data), windowed per
     * `groupCol` (table / date partition) — no global single-partition
-    * window. An input larger than `targetBytes` keeps its own bucket.
+    * window. An input larger than `targetBytes` spans multiple bucket
+    * indices and implicitly closes them: it is merged with whatever
+    * opened its starting bucket (sequential packing keeps order), and
+    * every file after it starts a fresh bucket — an oversized file is
+    * never split, but it is not guaranteed a bucket to itself.
     */
   def compactionPlan(files: DataFrame, groupCol: String, orderCol: String,
       bytesCol: String, targetBytes: Long): DataFrame = {

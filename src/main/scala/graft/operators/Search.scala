@@ -47,8 +47,12 @@ object Search {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
 
+    // plain count, not countDistinct: postings is already one row per
+    // (doc, term) from the groupBy above, and countDistinct plans an
+    // extra Expand/distinct phase on the hot path (the tfidfKeywords
+    // lesson, same file)
     val df = postings.groupBy("term")
-      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+      .agg(count(lit(1)).cast("double").as("df"))
 
     postings
       .join(broadcast(df), "term")
