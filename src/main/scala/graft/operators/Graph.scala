@@ -41,6 +41,23 @@ object Graph {
   private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BroadcastRowBound) broadcast(df) else df
 
+  /** Persist an iteratively re-joined relation pre-hash-partitioned on
+    * its per-round join key. The cached InMemoryRelation reports that
+    * hash partitioning, so EnsureRequirements sees every round's join
+    * already satisfied on this side and adds NO Exchange for it — the
+    * static edge relation is shuffled exactly once (here), and each
+    * iteration moves only the small per-round side (rank updates,
+    * labels, survivors). This is the cached-relation equivalent of
+    * bucketing the edge table by the join key: at 100 TB the per-round
+    * saving is the full edge shuffle (the round-8 bench measured
+    * g1_pagerank at 66 MB shuffle-read per round at sf0.1 from
+    * exactly this).
+    */
+  private def persistPartitionedBy(df: DataFrame, key: String): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(nParts, col(key)).persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Round/result materialization policy shared by every iterative
     * operator here (and mirroring Dedup.connectedComponents): reliable
     * FS checkpoint when the session has a checkpoint dir (cluster,
@@ -78,21 +95,29 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pre-partitioned on the per-round join key: the edge relation is
+    // shuffled once here and never again — each iteration's join sees
+    // the cached hash partitioning already satisfying its distribution
+    val eDeg = persistPartitionedBy(e.join(deg, "src"), "src")
     val n = deg.count() // constant scalar: node count for the teleport term
     // the node universe. Rebuilding `ranks` from groupBy(dst) alone would
     // silently drop nodes with out-edges but no in-edges after round 1
     // (their teleport mass and all later contributions lost — ADVICE r5);
     // instead every round's contributions are joined back to this
     // relation, with the bare teleport term for nodes receiving no flow.
-    val nodes = deg.select(col("src").as("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Partitioned on `node` so the per-round teleport full-outer join
+    // lines up with the contribution agg's post-shuffle partitioning.
+    val nodes = persistPartitionedBy(deg.select(col("src").as("node")), "node")
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
+      // the rank relation is node-sized (n rows, known exactly): while it
+      // fits the broadcast bound the join plans as BroadcastHashJoin and
+      // a round's ONLY shuffle is the node-sized contribution partial
+      // agg; beyond the bound it falls back to shuffling rank-sized rows
+      // to meet eDeg's cached partitioning — the edge side never moves
       val contrib = eDeg
-        .join(ranks, col("src") === col("node"))
+        .join(maybeBroadcast(ranks, n), col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("m"))
@@ -137,8 +162,10 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize before the degree-agg/join fan-out
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // shuffled once onto the per-round join key; beyond the broadcast
+    // bound the fallback join moves only rank-sized rows (see
+    // persistPartitionedBy)
+    val eDeg = persistPartitionedBy(e.join(deg, "src"), "src")
     val seeds = sources.toDF("node").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nSeeds = seeds.count()
@@ -320,15 +347,21 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // shuffled once onto the per-round join key `u`; every round's
+    // edge × label join then needs no Exchange on the edge side
+    val e = persistPartitionedBy(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v")), "u")
     var labels = materialize(
       e.select(col("u").as("node")).distinct()
         .withColumn("lbl", col("node")))
+    // the label relation has exactly one row per node every round —
+    // count once, broadcast while small (same policy as BFS frontiers)
+    val nNodes = labels.count()
     var r = 0
     while (r < rounds) {
       val counted = e
-        .join(labels.select(col("node").as("u"), col("lbl")), Seq("u"))
+        .join(maybeBroadcast(
+          labels.select(col("node").as("u"), col("lbl")), nNodes), Seq("u"))
         .groupBy(col("v").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
@@ -368,8 +401,11 @@ object Graph {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // partitioned once on `u`: with broadcast semi-joins the per-round
+    // peel's groupBy(u) then reuses the cached partitioning — a round
+    // under the broadcast bound runs with ZERO exchanges
+    val e = persistPartitionedBy(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v")), "u")
     var survivors = materialize(
       e.select(col("u").as("node")).distinct())
     var nSurv = survivors.count()
@@ -377,8 +413,10 @@ object Graph {
     var round = 0
     while (round < maxRounds && !converged) {
       val next = materialize(e
-        .join(survivors.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(survivors.select(col("node").as("v")), Seq("v"), "left_semi")
+        .join(maybeBroadcast(survivors.select(col("node").as("u")), nSurv),
+          Seq("u"), "left_semi")
+        .join(maybeBroadcast(survivors.select(col("node").as("v")), nSurv),
+          Seq("v"), "left_semi")
         .groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k))
