@@ -1,13 +1,13 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Catalog, CatalogAnalytics, CatalogConnector, CatalogDomain, CatalogPipelines, CatalogScale, CatalogTraining}
+import graft.queries.{Catalog, CatalogAnalytics, CatalogConnector, CatalogDomain, CatalogPipelines, CatalogScale, CatalogStreaming, CatalogTraining}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   private def catalog =
     Catalog.all ++ CatalogScale.all ++ CatalogDomain.all ++
       CatalogConnector.all ++ CatalogTraining.all ++ CatalogAnalytics.all ++
-      CatalogPipelines.all
+      CatalogPipelines.all ++ CatalogStreaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

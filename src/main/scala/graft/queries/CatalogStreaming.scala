@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.streaming.StreamingOps
+
+/** Streaming catalog rows: Structured Streaming paths materialized to a
+  * batch result the driver can hash against a DuckDB replay — the same
+  * hard signal every batch operator has (VERDICT r8 "missing" #2: until
+  * now streaming was spec-pinned only).
+  *
+  * Shape: message "page arrival" files are staged from `events`
+  * deterministically (so the oracle needs no access to the staged
+  * files), read back as a FILE-SOURCE STREAM with one file per trigger
+  * (each trigger = one connector page fetch), run through the real
+  * watermarked streaming operator, and landed via `foreachBatch` into
+  * parquet — the production sink shape (reference context: the Slack
+  * daily rollup `slack/lib/format.js` A11 + the F9 thread suppression,
+  * run continuously instead of as a nightly batch).
+  *
+  * Determinism contract (what makes an append-mode watermarked stream
+  * oracle-able):
+  *  - files carry strictly increasing mtimes, and the file source
+  *    processes oldest-first, so the watermark advances through a FIXED
+  *    arrival schedule;
+  *  - main files are time-bucketed in event-time order, so no main row
+  *    is ever late (each file's rows sit >= the previous files' max ts
+  *    minus nothing — the watermark trails by the full delay);
+  *  - the designated late file arrives after all main files, when the
+  *    watermark is exactly (max main ts - delay); its rows are > margin
+  *    days older than that, so they are dropped on EVERY run;
+  *  - two far-future sentinel rows (excluded from the result) push the
+  *    watermark past every real window, so all real rows are emitted
+  *    during data batches — no reliance on no-data-batch timing;
+  *  - the result is the UNION of emitted rows, which depends only on
+  *    the drop decisions above, never on which batch emitted what.
+  */
+object CatalogStreaming {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** Epoch base for staged-file mtimes: any fixed instant works — the
+    * file source only compares files' mtimes to each other.
+    */
+  private val MtimeBase = 1700000000000L
+
+  private val pageSchema = StructType(Seq(
+    StructField("ts_us", LongType),
+    StructField("channel_id", StringType),
+    StructField("user_id", StringType),
+    StructField("thread_ts_us", LongType)))
+
+  /** Stage the Slack message stream from `events` as ordered page files:
+    * channel = event_type, user = "U"+user_id; event_id % 11 == 3 rows
+    * are thread REPLIES (thread_ts = ts - 1h, suppressed by F9),
+    * % 11 == 4 rows are thread PARENTS (thread_ts = ts, counted). Rows
+    * with event_id % 37 == 0 older than (max ts - 5 days) go to a
+    * LATE-ARRIVING page staged after all main pages — beyond the 2-day
+    * watermark by a >= 2-day margin, so deterministically dropped.
+    * Timestamps ride as unix micros (no format parsing on either side).
+    * Returns (stagedDir, maxTsMicros).
+    */
+  private def stageMessagePages(s: SparkSession, d: String): (String, Long) = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/slack_pages"
+    val ev = t(s, d, "events")
+    val mtMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val minMicros = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val dayUs = 86400000000L
+    val lines = ev.select(
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_type").as("channel_id"),
+      concat(lit("U"), col("user_id")).as("user_id"),
+      when(col("event_id") % 11 === 3, unix_micros(col("ts")) - 3600000000L)
+        .when(col("event_id") % 11 === 4, unix_micros(col("ts")))
+        .otherwise(lit(null).cast("long")).as("thread_ts_us"),
+      when(col("event_id") % 37 === 0 &&
+          unix_micros(col("ts")) < mtMicros - 5 * dayUs, lit("y_late"))
+        .otherwise(concat(lit("m"),
+          lpad((((unix_micros(col("ts")) - minMicros) / (5 * dayUs))
+            .cast("int")).cast("string"), 3, "0"))).as("page"))
+    // id 0 is a PAD page (one sentinel-channel row at mt, arriving
+    // between the last main page and the late page): the streaming
+    // aggregation's late-row filter applies the watermark with one
+    // batch of lag (batch N filters against the watermark computed
+    // from batches <= N-2 — measured on the offset log, not just
+    // read from the code), so without the pad the late page would be
+    // filtered against max(m004)-delay instead of max(main)-delay.
+    // ids 1-2 are the far-future sentinels that force final emission.
+    val sentinels = s.range(0, 3).select(
+      (lit(mtMicros) + col("id") * 30 * dayUs).as("ts_us"),
+      lit("zzz").as("channel_id"), lit("Uz").as("user_id"),
+      lit(null).cast("long").as("thread_ts_us"),
+      when(col("id") === 0, lit("w_pad"))
+        .otherwise(concat(lit("z"), col("id"))).as("page"))
+    // one file per page; line order inside a file is irrelevant (all of
+    // a file's rows enter in one micro-batch, filtered against the same
+    // watermark), but sort anyway so the staged bytes are reproducible
+    val files = lines.unionByName(sentinels)
+      .select(col("page"), to_json(struct(
+        col("ts_us"), col("channel_id"), col("user_id"),
+        col("thread_ts_us"))).as("line"))
+      .groupBy("page")
+      .agg(concat_ws("\n", sort_array(collect_list(col("line")))).as("body"))
+      .select(
+        concat(col("page"), lit(".json")).as("fname"), col("body"),
+        // arrival schedule: m000 < ... < m005 < w_pad < y_late < z1 < z2 —
+        // lexicographic page order IS the intended order, encoded as
+        // strictly increasing mtimes (the file source processes
+        // oldest-mtime-first; distinct mtimes make ties impossible)
+        (lit(MtimeBase) + (dense_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("page")))
+          .cast("long")) * 60000L).as("mtime"))
+    graft.sources.drive.DriveSource.stageFiles(files, out, "fname", "body",
+      Some("mtime"))
+    (out, mtMicros)
+  }
+
+  /** The streaming daily digest, materialized: file-source stream (one
+    * page per trigger) → watermarked windowed aggregation with F9
+    * thread suppression → `foreachBatch` parquet append → batch read of
+    * the final table. At 100 TB-scale this is exactly the continuous
+    * ingest topology: the staged dir stands in for the connector's
+    * landing zone, and every operator in the path (file tracking,
+    * watermark state, append-mode window finalization, idempotent sink
+    * batches) is the real one.
+    */
+  private def runSlackDigest(s: SparkSession, d: String): DataFrame = {
+    val (pages, mtMicros) = stageMessagePages(s, d)
+    val work = java.nio.file.Files.createTempDirectory("graft_st_digest_")
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val msgs = s.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(
+        timestamp_micros(col("ts_us")).as("ts"),
+        timestamp_micros(col("thread_ts_us")).as("thread_ts"),
+        col("channel_id"), col("user_id"))
+    val q = StreamingOps.slackDailyDigest(msgs, "2 days")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the sentinel channel's own windows may or may not have been
+    // finalized by stop time (no-data-batch timing) — excluded by
+    // contract; every REAL window's emission was forced by the
+    // sentinels' watermark push during data batches
+    val out = s.read.parquet(outDir)
+      .filter(col("channel_id") =!= "zzz")
+      .select(col("day_start"), col("channel_id"),
+        col("n_messages"), col("n_users").cast("long").as("n_users"))
+      .orderBy("day_start", "channel_id")
+      // eager materialization (result is day x channel sized) so the
+      // per-run checkpoint/output dirs can be deleted immediately —
+      // repeated bench reps would otherwise accumulate temp dirs
+      .localCheckpoint(true)
+    deleteRecursively(work.toFile)
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("st_slack_digest",
+      // first streaming driver-oracle row: the DuckDB side replays the
+      // same window/suppression/late-drop logic as one batch query over
+      // `events` — a hash match proves the streaming path (watermark
+      // advancement, append-mode finalization, late-data drop, state
+      // eviction) computes exactly the batch answer
+      (s, d) => runSlackDigest(s, d),
+      Some("""WITH mx AS (SELECT max(ts) AS mt FROM events),
+              kept AS (SELECT e.* FROM events e, mx
+                       WHERE e.event_id % 11 <> 3
+                         AND NOT (e.event_id % 37 = 0
+                                  AND e.ts < mx.mt - INTERVAL 5 DAY))
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+                     event_type AS channel_id,
+                     count(*) AS n_messages,
+                     count(DISTINCT user_id) AS n_users
+              FROM kept GROUP BY 1, 2 ORDER BY 1, 2"""))
+  )
+}
