@@ -2,7 +2,7 @@
 """Perf regression gate over two extended bench records (BENCH_LOCAL.json
 shape, written by graft.Bench).
 
-Usage: python3 tools/bench_gate.py <baseline.json> <candidate.json>
+Usage: python3 tools/bench_gate.py [--no-recheck] <baseline.json> <candidate.json>
 
 Refuses the comparison outright when the environment stamps differ
 (cpus, shuffle partitions, heap, JVM, scale factor, rep policy): round 7
@@ -17,17 +17,73 @@ Regression rules (BENCH.md):
   3. any common query's shuffle_read + shuffle_write grows > 1.5x
      (with > 1 MiB in the candidate, so constant-byte jitter is ignored).
 
+Automated lucky-JIT recheck (BENCH.md "Cross-JVM CPU bimodality"): a
+per-query rule-2/rule-3 hit can be the bimodal spin mode or in-suite
+neighbor contamination, not a plan change -- both in-JVM reps inflate
+together, so the adaptive agreement check passes on two bad reps. Before
+flagging, every hit query is re-measured ONCE in a fresh standalone JVM
+(SPARK_GRAFT_ONLY=<q> graft.Bench, same cpus/sf as the candidate's env
+stamp); if the rechecked number clears the rule, the hit is downgraded
+to a note. Rule 1 is re-evaluated with rechecked values substituted.
+All rechecks are recorded in BENCH_GATE.json next to the candidate.
+--no-recheck restores the pure offline comparison (exit 1 on any raw
+hit). The recheck command can be overridden via GRAFT_RECHECK_CMD (a
+shell template receiving the env vars; used by the gate's own test).
+
 Exit codes: 0 pass, 1 regression, 2 refused/invalid.
 """
-import sys, json
+import sys, json, os, subprocess
 
 ENV_KEYS = ["cpus", "shuffle_partitions", "heap_max_mb", "jvm",
             "sf_name", "rep_policy"]
 
 
+def recheck(queries, env, repo_root):
+    """Fresh-JVM re-measurement of the flagged queries (one Bench run,
+    SPARK_GRAFT_ONLY=<all flagged>). Returns the partial record's
+    cpu/shuffle maps, or None when the run can't be made (no sbt, no
+    testdata for the env's sf) -- in that case hits stand as-is."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_OVERRIDE",
+                            f"/root/testdata/{env['sf_name']}")
+    if not os.path.isdir(sf_dir):
+        print(f"  recheck unavailable: no testdata at {sf_dir}")
+        return None
+    run_env = dict(os.environ,
+                   SPARK_GRAFT_ONLY=",".join(sorted(queries)),
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_CPUS=str(env["cpus"]))
+    cmd = os.environ.get("GRAFT_RECHECK_CMD",
+                         "sbt -batch 'runMain graft.Bench'")
+    print(f"  recheck: fresh-JVM rerun of {len(queries)} flagged "
+          f"quer{'y' if len(queries) == 1 else 'ies'} "
+          f"({', '.join(sorted(queries))}) ...")
+    out = os.path.join(repo_root,
+                       f"BENCH_LOCAL_{env['sf_name']}_partial.json")
+    # remove any stale partial record first: a failed run must not be
+    # silently read as a result (dict-default -1s looked like a crash)
+    if os.path.exists(out):
+        os.remove(out)
+    r = subprocess.run(cmd, shell=True, cwd=repo_root, env=run_env,
+                       capture_output=True, text=True, timeout=3600)
+    if r.returncode != 0 or not os.path.exists(out):
+        print(f"  recheck FAILED to run (rc={r.returncode}); "
+              f"hits stand unrechecked")
+        print("  " + "\n  ".join((r.stdout or "")[-800:].splitlines()[-6:]))
+        return None
+    part = json.load(open(out))
+    missing = [q for q in queries if q not in part.get("cpu", {})]
+    if missing:
+        print(f"  recheck record incomplete (missing {missing}); "
+              f"hits stand unrechecked")
+        return None
+    return part
+
+
 def main():
-    base = json.load(open(sys.argv[1]))
-    cand = json.load(open(sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    do_recheck = "--no-recheck" not in sys.argv[1:]
+    base = json.load(open(args[0]))
+    cand = json.load(open(args[1]))
     be, ce = base.get("env"), cand.get("env")
     if not be or not ce:
         which = [n for n, e in (("baseline", be), ("candidate", ce)) if not e]
@@ -53,35 +109,101 @@ def main():
         print(f"note: {len(dropped)} baseline queries missing from candidate: "
               f"{', '.join(dropped[:8])}{'...' if len(dropped) > 8 else ''}")
 
-    fails = []
+    def shuffle_of(rec, q):
+        return (rec["shuffle_read"].get(q, 0) +
+                rec["shuffle_write"].get(q, 0))
+
     # rule 0: Bench records cpu -1 when a query THROWS — a crashed
     # candidate query is a hard failure, not a number to clamp away
     # (clamping also shrank cpu_total, reading a crash as a speedup)
-    crashed = [q for q in common if cc[q] < 0 <= bc[q]]
-    for q in crashed:
-        fails.append(f"{q}: query FAILED in candidate run (cpu -1)")
+    hard_fails = [f"{q}: query FAILED in candidate run (cpu -1)"
+                  for q in common if cc[q] < 0 <= bc[q]]
     healthy = [q for q in common if bc[q] >= 0 and cc[q] >= 0]
-    b_tot = sum(bc[q] for q in healthy)
-    c_tot = sum(cc[q] for q in healthy)
-    if b_tot > 0 and c_tot / b_tot > 1.15:
-        fails.append(f"cpu_total {b_tot:.1f}s -> {c_tot:.1f}s "
-                     f"({c_tot / b_tot:.2f}x > 1.15x) over {len(healthy)} healthy common queries")
-    for q in healthy:
-        b, c = bc[q], cc[q]
+
+    def cpu_hit(q, c):
         # floor the baseline at 0.25s so a query whose baseline CPU was
         # ~0 still trips the 2x rule once it costs real time
-        eff_b = max(b, 0.25)
-        if c >= 0.5 and c / eff_b > 2.0:
-            fails.append(f"{q}: cpu {b:.2f}s -> {c:.2f}s ({c / eff_b:.1f}x > 2x)")
-        sb = base["shuffle_read"].get(q, 0) + base["shuffle_write"].get(q, 0)
-        sc = cand["shuffle_read"].get(q, 0) + cand["shuffle_write"].get(q, 0)
-        # no sb > 0 requirement: a query that had ZERO baseline shuffle
-        # (e.g. a broadcast-join plan) growing real shuffle bytes is the
-        # classic silent plan regression — gate it too
-        if sc > 1 << 20 and sc > 1.5 * sb:
-            fails.append(f"{q}: shuffle {sb} -> {sc} bytes "
-                         f"({(sc / sb):.1f}x > 1.5x)" if sb > 0 else
-                         f"{q}: shuffle {sb} -> {sc} bytes (new shuffle)")
+        return c >= 0.5 and c / max(bc[q], 0.25) > 2.0
+
+    def shuffle_hit(q, sc):
+        return sc > 1 << 20 and sc > 1.5 * shuffle_of(base, q)
+
+    cpu_flagged = {q for q in healthy if cpu_hit(q, cc[q])}
+    sh_flagged = {q for q in healthy if shuffle_hit(q, shuffle_of(cand, q))}
+
+    # automated lucky-JIT / neighbor-contamination recheck: re-measure
+    # every per-query hit in one fresh standalone JVM before believing it
+    rechecks = {}
+    eff_cpu = dict(cc)
+    notes = []
+    flagged = sorted(cpu_flagged | sh_flagged)
+    if flagged and do_recheck:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        part = recheck(flagged, ce, repo_root)
+        if part is not None:
+            for q in flagged:
+                rc_cpu = part["cpu"].get(q, -1.0)
+                rc_sh = shuffle_of(part, q)
+                rechecks[q] = {"cpu": rc_cpu, "shuffle": rc_sh,
+                               "suite_cpu": cc[q],
+                               "suite_shuffle": shuffle_of(cand, q)}
+                if q in cpu_flagged and 0 <= rc_cpu < cc[q]:
+                    # the committed procedure compares the better
+                    # (typical-JIT) measurement; both reps of a spin-mode
+                    # run inflate together, the standalone run doesn't
+                    eff_cpu[q] = rc_cpu
+                    if not cpu_hit(q, rc_cpu):
+                        cpu_flagged.discard(q)
+                        notes.append(
+                            f"{q}: suite cpu {cc[q]:.2f}s flagged, standalone "
+                            f"recheck {rc_cpu:.2f}s clears 2x -- bimodal-JIT "
+                            f"mode, not a plan change")
+                        rechecks[q]["cleared_cpu"] = True
+                if q in sh_flagged and not shuffle_hit(q, rc_sh):
+                    sh_flagged.discard(q)
+                    notes.append(
+                        f"{q}: suite shuffle {shuffle_of(cand, q)} B flagged, "
+                        f"standalone recheck {rc_sh} B clears 1.5x -- in-suite "
+                        f"neighbor contamination, not a plan change")
+                    rechecks[q]["cleared_shuffle"] = True
+
+    fails = list(hard_fails)
+    # rule 1 over rechecked values: a spin-mode row inflates the total
+    # exactly like it inflates its own cell
+    b_tot = sum(bc[q] for q in healthy)
+    c_tot = sum(eff_cpu[q] for q in healthy)
+    if b_tot > 0 and c_tot / b_tot > 1.15:
+        fails.append(f"cpu_total {b_tot:.1f}s -> {c_tot:.1f}s "
+                     f"({c_tot / b_tot:.2f}x > 1.15x) over {len(healthy)} "
+                     f"healthy common queries")
+    for q in sorted(cpu_flagged):
+        c = eff_cpu[q]
+        fails.append(f"{q}: cpu {bc[q]:.2f}s -> {c:.2f}s "
+                     f"({c / max(bc[q], 0.25):.1f}x > 2x"
+                     f"{', recheck confirmed' if q in rechecks else ''})")
+    for q in sorted(sh_flagged):
+        sb, sc = shuffle_of(base, q), shuffle_of(cand, q)
+        if q in rechecks:
+            sc = min(sc, rechecks[q]["shuffle"])
+        fails.append(f"{q}: shuffle {sb} -> {sc} bytes "
+                     + (f"({(sc / sb):.1f}x > 1.5x" if sb > 0
+                        else "(new shuffle")
+                     + (", recheck confirmed)" if q in rechecks else ")"))
+
+    gate_record = {
+        "baseline": args[0], "candidate": args[1],
+        "pass": not fails, "fails": fails, "notes": notes,
+        "rechecks": rechecks,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(args[1])) or ".",
+                            "BENCH_GATE.json")
+    try:
+        json.dump(gate_record, open(out_path, "w"), indent=1)
+    except OSError:
+        pass
+
+    for n in notes:
+        print(f"  cleared: {n}")
     if fails:
         print("REGRESSION:")
         for f in fails:
@@ -89,7 +211,9 @@ def main():
         return 1
     print(f"PASS: cpu_total {b_tot:.1f}s -> {c_tot:.1f}s "
           f"({(c_tot / b_tot if b_tot else 1):.2f}x), "
-          f"{len(common)} common queries, no per-query cpu/shuffle regressions")
+          f"{len(common)} common queries, no per-query cpu/shuffle regressions"
+          + (f" ({len(rechecks)} hits cleared by standalone recheck)"
+             if rechecks else ""))
     return 0
 
 
