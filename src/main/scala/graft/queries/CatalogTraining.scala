@@ -1117,6 +1117,86 @@ object CatalogTraining {
               true AS floor_met
               FROM embeddings WHERE vec_id < 3""")),
 
+    Q("sim_ann_probe_frontier",
+      // the IVF serving knob, measured (VERDICT r8 missing #5): sweep
+      // probe ∈ {1,2,4,8} and emit recall@10 vs exact brute force per
+      // point — the recall-vs-probe frontier that documents what the
+      // default probe width buys, the way sim_ann_bq's rerank cushion
+      // is documented. The oracle replays the ENTIRE sweep in SQL
+      // (seed centroids, argmax-cosine assignment, per-probe cell
+      // fan-out, in-cell top-10, intersection with the exact top-10),
+      // so the recall values are hash-pinned, not just floor-checked.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // wider query set than the shared knnQueries (16 vs 3): a
+        // 3-query recall estimate saturates at 100% on the sf0.1
+        // corpus and the frontier would document nothing
+        val q = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val exact = Similarity.bruteForceKnn(emb, q, k = 10)
+          .select("query_id", "neighbor_id")
+          .persist()
+        val tot = exact.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        val pts = Seq(1, 2, 4, 8).map { p =>
+          Similarity.ivfKnn(emb, q, k = 10, nCells = IvfCells, nProbe = p)
+            .select("query_id", "neighbor_id")
+            .intersect(exact)
+            .agg(count(lit(1)).as("n_hit"))
+            .withColumn("probe", lit(p))
+        }.reduce(_ unionByName _)
+        pts.crossJoin(tot).select(
+          col("probe"), col("n_queries"), col("n_exact"), col("n_hit"),
+          round(col("n_hit") * 100.0 / col("n_exact"), 2).as("recall_pct"))
+          .orderBy("probe")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              c AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+              asg AS (SELECT vec_id, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY
+                          list_dot_product(e, ce) /
+                          (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+                          cent_id) AS rn
+                      FROM v, c),
+              cell AS (SELECT vec_id, cent_id AS cell FROM asg WHERE rn = 1),
+              q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 16),
+              qa AS (SELECT query_id, cent_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY
+                         list_dot_product(qe, ce) /
+                         (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) DESC,
+                         cent_id) AS rn
+                     FROM q, c),
+              probes AS (SELECT CAST(p AS INTEGER) AS probe FROM unnest([1, 2, 4, 8]) t(p)),
+              qcell AS (SELECT probe, query_id, cent_id AS cell
+                        FROM probes, qa WHERE qa.rn <= probe),
+              cand AS (SELECT DISTINCT probe, query_id, vec_id
+                       FROM qcell JOIN cell USING (cell)
+                       WHERE vec_id <> query_id),
+              sc AS (SELECT probe, query_id, vec_id,
+                       list_dot_product(e, qe) /
+                       (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos
+                     FROM cand JOIN v USING (vec_id) JOIN q USING (query_id)),
+              ivf10 AS (SELECT probe, query_id, vec_id FROM (
+                          SELECT probe, query_id, vec_id,
+                            row_number() OVER (PARTITION BY probe, query_id
+                              ORDER BY cos DESC, vec_id) AS rk
+                          FROM sc) WHERE rk <= 10),
+              ex AS (SELECT query_id, vec_id FROM (
+                       SELECT q.query_id, v.vec_id,
+                         row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           list_dot_product(e, qe) /
+                           (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) DESC,
+                           v.vec_id) AS rk
+                       FROM v, q WHERE v.vec_id <> q.query_id) WHERE rk <= 10),
+              hit AS (SELECT probe, count(*) AS n_hit
+                      FROM ivf10 JOIN ex USING (query_id, vec_id) GROUP BY probe),
+              tot AS (SELECT count(DISTINCT query_id) AS n_queries,
+                             count(*) AS n_exact FROM ex)
+              SELECT probe, n_queries, n_exact, n_hit,
+                     round(n_hit * 100.0 / n_exact, 2) AS recall_pct
+              FROM hit, tot ORDER BY probe""")),
+
     Q("td_epoch_plan",
       // per-epoch data ordering: each epoch re-shuffles the corpus by
       // hashing (doc_id, epoch) — deterministic on any cluster layout

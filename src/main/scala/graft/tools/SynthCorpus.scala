@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize larger ladder rungs by replicate+perturb (VERDICT r8
+  * missing #1): `documents` is 500/500/5000 across the driver's three
+  * scale dirs, so corpus-driven exponents rested on a single 10× step
+  * and `e(mid)` was unfittable. This tool builds sf0.1 × factor corpora
+  * whose INTERNAL similarity structure is identical to the original —
+  * the fairest scaling probe: N× rows, same per-universe near-dup /
+  * neighborhood statistics, (near-)zero cross-universe interaction — so
+  * a corpus-linear algorithm must measure linear on them.
+  *
+  * Per replica k (k = 0 is the untouched original):
+  *  - documents: doc_id shifts by k·(max_id+1); every WORD is salted
+  *    with "~k", so shingles/q-grams/minhash bands of different
+  *    universes never collide (appending a suffix to the whole text
+  *    would leave every cross-universe pair a near-dup and explode the
+  *    candidate count quadratically — the opposite of a fair probe);
+  *    n_chars is recomputed from the salted text.
+  *  - embeddings: vec_id shifts; the vector gets a SIGNED ROTATION
+  *    (circular shift by k·13 mod dim, deterministic ±1 signs) — an
+  *    orthogonal transform, so all WITHIN-universe dot products (and
+  *    norms) are preserved exactly while cross-universe cosines are
+  *    pseudo-random (≈ N(0, 1/√dim), below any near-dup threshold for
+  *    all but a vanishing tail).
+  *  - lineitem: l_orderkey/l_partkey/l_suppkey shift by their ranges —
+  *    disjoint graph universes for the lineitem-driven graph rows.
+  * All other tables are symlinked from the source dir unchanged.
+  *
+  * Usage: runMain graft.tools.SynthCorpus <srcDir> <outDir> <factor>
+  */
+object SynthCorpus {
+
+  private val Synthesized = Set("documents", "embeddings", "lineitem")
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    require(factor >= 1, "factor must be >= 1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+
+    val reps = spark.range(0, factor).select(col("id").cast("int").as("k"))
+
+    // ---- documents: word-salted replicas
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("k") * maxDoc).as("doc_id"),
+        when(col("k") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              w => concat(w, lit("~"), col("k"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(math.max(4, factor * 2))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // ---- embeddings: signed-rotation replicas
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    emb.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("k") * maxVec).as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          element_at(col("embedding"),
+            pmod(i + col("k") * 13, lit(dim)).cast("int") + 1) *
+            when(col("k") === 0, lit(1.0f))
+              .otherwise((pmod(xxhash64(i, col("k")), lit(2)) * 2 - 1)
+                .cast("float"))).as("embedding"),
+        col("label"))
+      .repartition(math.max(4, factor))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // ---- lineitem: disjoint-universe replicas (graph rows)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxOk = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val maxPk = li.agg(max("l_partkey")).head().getLong(0) + 1
+    val maxSk = li.agg(max("l_suppkey")).head().getLong(0) + 1
+    val shifted = li.crossJoin(broadcast(reps))
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * maxOk)
+      .withColumn("l_partkey", col("l_partkey") + col("k") * maxPk)
+      .withColumn("l_suppkey", col("l_suppkey") + col("k") * maxSk)
+      .drop("k")
+    shifted.select(li.columns.map(col): _*)
+      .repartition(math.max(8, factor * 8))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // ---- everything else: symlink to the source (unchanged scale)
+    val all = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    all.filterNot(n => Synthesized.contains(n.stripSuffix(".parquet")))
+      .foreach { n =>
+        val link = java.nio.file.Path.of(out, n)
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Path.of(src, n).toAbsolutePath)
+      }
+    val nLi = spark.read.parquet(s"$out/lineitem.parquet").count()
+    println(s"SYNTH ok: $out factor=$factor docs=${maxDoc * factor} " +
+      s"vecs=${maxVec * factor} lineitem=$nLi")
+    spark.stop()
+  }
+}

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Fresh-JVM graft.Bench run without sbt startup overhead (the ladder
+# needs >= 4 separate-JVM runs per rung to beat the bimodal-JIT mode;
+# sbt adds ~15 s each and serializes on the project lock).
+# Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=... SPARK_GRAFT_ONLY=... \
+#        tools/run_bench.sh [main-class, default graft.Bench] [args...]
+# Must be run from the repo root (Bench writes its record to $PWD).
+set -e
+MAIN=${1:-graft.Bench}
+shift || true
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-16g}" -XX:ReservedCodeCacheSize=512m \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$MAIN" "$@"

@@ -1,0 +1,39 @@
+#!/bin/bash
+# Scaling-ladder measurement runs (see tools/scale_ladder.py for the
+# rung scheme). Each rung gets N separate fresh-JVM graft.Bench runs
+# (default 4): per-query CPU is bimodal across JVMs on this host and
+# the ladder min-merges across runs. Build synth rungs first:
+#   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/synth3 3'
+#   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/synth10 10'
+# Usage: tools/run_ladder.sh [runs-per-rung]
+set -e
+RUNS=${1:-4}
+export SPARK_GRAFT_CPUS=32
+
+# rows fitted on the sf ladder (TPC-H/events drivers)
+SF_SET=a25_assoc_rules,ep1_weekly_e2e,ep2_jira_e2e,ep3_dashboard_e2e,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,j12_jaro_entity_join
+# rows fitted on the corpus ladder (documents/embeddings drivers)
+CORPUS_SET=dedup_clusters,dedup_edit_distance,dedup_embedding,dedup_keep_best,dedup_minhash_lsh,dedup_spans,g2_cluster_sizes,hh_bigram_phrases,inc_dedup_pairs,mm_phash_dct,search_bm25,sim_ann_ivf_pq,ta_bpe_tokens,td_leakage_split,td_pipeline_e2e
+# lineitem-driven rows also measured at synth10 for the e(xl) segment
+LI_SET=a25_assoc_rules,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop
+
+run_rung() { # dir rungname queryset
+  local dir=$1 rung=$2 set=$3
+  for i in $(seq 1 "$RUNS"); do
+    echo "=== rung $rung run $i/$RUNS ($(date +%H:%M:%S))"
+    rm -f "BENCH_LOCAL_${rung}_partial.json"
+    SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_ONLY=$set \
+      tools/run_bench.sh graft.Bench > /dev/null 2>&1
+    mv "BENCH_LOCAL_${rung}_partial.json" \
+       "BENCH_LOCAL_${rung}_partial_r$i.json"
+  done
+}
+
+rm -f BENCH_LOCAL_sf0.001_partial*.json BENCH_LOCAL_sf0.01_partial*.json \
+      BENCH_LOCAL_sf0.1_partial*.json BENCH_LOCAL_synth*_partial*.json
+run_rung /root/testdata/sf0.001 sf0.001 "$SF_SET"
+run_rung /root/testdata/sf0.01  sf0.01  "$SF_SET"
+run_rung /root/testdata/sf0.1   sf0.1   "$SF_SET,$CORPUS_SET"
+run_rung /tmp/graft_synth/synth3  synth3  "$CORPUS_SET"
+run_rung /tmp/graft_synth/synth10 synth10 "$CORPUS_SET,$LI_SET"
+echo "=== ladder runs complete ($(date +%H:%M:%S))"

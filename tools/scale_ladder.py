@@ -1,31 +1,53 @@
 #!/usr/bin/env python3
-"""Scaling-exponent ladder (VERDICT r7 #5): fit per-query cost exponents
-from partial bench runs at sf0.001/0.01/0.1 and write SCALE.md.
+"""Scaling-exponent ladder (VERDICT r7 #5, two-segment corpus rungs r9):
+fit per-query cost exponents from partial bench runs and write SCALE.md.
 
 Usage:
   python3 tools/scale_ladder.py [--check]
 
-Reads BENCH_LOCAL_sf{0.001,0.01,0.1}_partial.json (written by
-graft.Bench with SPARK_GRAFT_ONLY set to the heavy subset). For each
-query the exponent is fitted against the DRIVING TABLE's actual row
-ratio, not the sf label — documents is 500/500/5000 and embeddings
-500/500/2000 across the three dirs, so an sf-label fit would be wrong
-for every documents-driven query.
+Rung scheme (VERDICT r8 missing #1: documents is 500/500/5000 and
+embeddings 500/500/2000 across the driver's scale dirs, so corpus-driven
+exponents rested on ONE 10x step and e(mid) was unfittable):
+
+  - TPC-H/events-driven rows: sf0.001 -> sf0.01 -> sf0.1 (driver rows
+    grow ~10x per rung).
+  - documents/embeddings-driven rows: sf0.1 -> synth3 -> synth10 —
+    replicate+perturb corpora built by graft.tools.SynthCorpus (3x and
+    10x rows with IDENTICAL internal similarity structure and ~zero
+    cross-universe interaction), giving a monotone two-segment fit.
+  - lineitem-driven rows additionally get an e(xl) segment
+    sf0.1 -> synth10 (6M-row disjoint-universe lineitem).
+
+Reads BENCH_LOCAL_<rung>_partial*.json (written by graft.Bench with
+SPARK_GRAFT_ONLY set to the rung's subset). Exponents are fitted against
+the DRIVING TABLE's actual row ratio:
 
   e = ln(cpu_hi / cpu_lo) / ln(rows_hi / rows_lo)
 
-per rung, skipping rungs where the driving table does not grow. The
-headline rung is the largest (sf0.01 -> sf0.1, 10x for every driving
-table). --check exits 1 when any query with cpu >= 1 s at the top rung
-exceeds MAX_EXPONENT, excluding the documented allowlist.
+--check exits 1 when any query with cpu >= 1 s at its LAST rung exceeds
+MAX_EXPONENT on its last segment, excluding the documented allowlist,
+or when a query's min-merged CPU is non-monotone by more than the noise
+band (a later rung measuring < 0.8x an earlier one).
 """
+import glob
 import json
 import math
 import os
 import sys
 
-SFS = ["sf0.001", "sf0.01", "sf0.1"]
 TESTDATA = "/root/testdata"
+SYNTH = "/tmp/graft_synth"
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+CORPUS_RUNGS = ["sf0.1", "synth3", "synth10"]
+
+DIRS = {
+    "sf0.001": f"{TESTDATA}/sf0.001",
+    "sf0.01": f"{TESTDATA}/sf0.01",
+    "sf0.1": f"{TESTDATA}/sf0.1",
+    "synth3": f"{SYNTH}/synth3",
+    "synth10": f"{SYNTH}/synth10",
+}
 
 # driving table per query: the relation whose cardinality the query's
 # cost should track (the one it scans and shuffles)
@@ -35,6 +57,7 @@ DRIVERS = {
     "g4_triangles": "lineitem",
     "g6_kcore": "lineitem",
     "g3_bfs_hops": "lineitem",
+    "g7_label_prop": "lineitem",
     "a25_assoc_rules": "lineitem",
     "dedup_edit_distance": "documents",
     "dedup_keep_best": "documents",
@@ -44,142 +67,179 @@ DRIVERS = {
     "inc_dedup_pairs": "documents",
     "hh_bigram_phrases": "documents",
     "td_leakage_split": "documents",
-    "dedup_embedding": "embeddings",
-    "j12_jaro_entity_join": "part",
-    # round-8 extension: composed pipelines + remaining heavy families
-    "ep1_weekly_e2e": "events",
-    "ep2_jira_e2e": "lineitem",
-    "ep3_dashboard_e2e": "events",
     "td_pipeline_e2e": "documents",
     "dedup_spans": "documents",
     "mm_phash_dct": "documents",
     "search_bm25": "documents",
-    "sim_ann_ivf_pq": "embeddings",
-    "g7_label_prop": "lineitem",
     "ta_bpe_tokens": "documents",
+    "dedup_embedding": "embeddings",
+    "sim_ann_ivf_pq": "embeddings",
+    "j12_jaro_entity_join": "part",
+    "ep1_weekly_e2e": "events",
+    "ep2_jira_e2e": "lineitem",
+    "ep3_dashboard_e2e": "events",
 }
+
+# ep2 joins orders x lineitem; the synth rungs replicate lineitem only,
+# so its synthetic joins would dangle — it stays on the sf ladder.
+NO_SYNTH = {"ep2_jira_e2e"}
+
+
+def rungs_for(query, table):
+    if table in ("documents", "embeddings"):
+        return CORPUS_RUNGS
+    if table == "lineitem" and query not in NO_SYNTH:
+        return SFS + ["synth10"]
+    return SFS
+
 
 MAX_EXPONENT = 1.3
 # documented super-linear rows. dedup_embedding is OUTPUT-bound: at the
 # 0.35 cosine threshold the qualifying-pair count itself grows
 # quadratically (measured 257 -> 4137 pairs for 4x rows = e 2.0), so any
 # complete-recall algorithm's cost is lower-bounded by ~e 2.0 in the
-# tail; the measured e 1.19 is BELOW its own output growth.
+# tail; the measured exponent stays BELOW its own output growth.
 ALLOWLIST = {"dedup_embedding"}
 
-# CPU below this at the LOW rung is dominated by fixed per-query
-# overhead (plan compile, codegen, tiny-partition scheduling) and the
-# fitted exponent measures the floor, not the algorithm
+# CPU below this at the segment's LOW rung is dominated by fixed
+# per-query overhead (plan compile, codegen, tiny-partition scheduling)
+# and the fitted exponent measures the floor, not the algorithm
 MIN_CPU_LOW = 0.4
 
+# a later rung measuring under 0.8x an earlier rung's min-merged CPU is
+# not noise any more — the rung needs more fresh-JVM runs
+MONOTONE_TOL = 0.8
 
-def table_rows(sf, table):
+
+def table_rows(rung, table):
     import duckdb
-    path = os.path.join(TESTDATA, sf, table + ".parquet")
+    path = os.path.join(DIRS[rung], table + ".parquet")
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
     return duckdb.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
 
 
 def main():
     check = "--check" in sys.argv
-    # Merge ALL run files per rung (BENCH_LOCAL_<sf>_partial*.json) with a
-    # per-query MIN: per-query CPU is bimodal ACROSS JVMs on this host
-    # (one run measured dedup_minhash_lsh at 17 s, an identical-code rerun
-    # at 138 s with the same wall and shuffle bytes — 32 threads spinning,
-    # a JIT/contention mode the in-JVM adaptive reps can't see because
-    # both reps inflate together). A fresh JVM re-rolls the dice, so the
-    # cross-run min measures the plan, not the mode.
-    import glob
+    # Merge ALL run files per rung (BENCH_LOCAL_<rung>_partial*.json)
+    # with a per-query MIN: per-query CPU is bimodal ACROSS JVMs on this
+    # host (one run measured dedup_minhash_lsh at 17 s, an identical-code
+    # rerun at 138 s with the same wall and shuffle bytes — 32 threads
+    # spinning, a JIT/contention mode the in-JVM adaptive reps can't see
+    # because both reps inflate together). A fresh JVM re-rolls the dice,
+    # so the cross-run min measures the plan, not the mode.
+    all_rungs = sorted({r for q, t in DRIVERS.items() for r in rungs_for(q, t)})
     benches = {}
     runs_per = {}
-    for sf in SFS:
-        paths = sorted(glob.glob(f"BENCH_LOCAL_{sf}_partial*.json"))
+    for rung in all_rungs:
+        paths = sorted(glob.glob(f"BENCH_LOCAL_{rung}_partial*.json"))
         if not paths:
-            print(f"missing BENCH_LOCAL_{sf}_partial*.json — run graft.Bench "
-                  f"with SPARK_GRAFT_ONLY and SPARK_GRAFT_SF_DIR={TESTDATA}/{sf}")
+            print(f"missing BENCH_LOCAL_{rung}_partial*.json — run graft.Bench "
+                  f"with SPARK_GRAFT_ONLY and SPARK_GRAFT_SF_DIR={DIRS[rung]}")
             return 2
         runs = [json.load(open(p)) for p in paths]
-        merged = dict(runs[0])
-        merged["cpu"] = {}
-        for q in runs[0]["cpu"]:
+        merged = {"env": runs[0].get("env", {}), "cpu": {}}
+        for q in set().union(*[r["cpu"].keys() for r in runs]):
             vals = [r["cpu"][q] for r in runs
                     if q in r["cpu"] and r["cpu"][q] >= 0]
             # a query that FAILED (cpu -1) in every run of the rung flows
             # to the 'missing' verdict instead of crashing min()
             merged["cpu"][q] = min(vals) if vals else None
-        benches[sf] = merged
-        runs_per[sf] = len(runs)
+        benches[rung] = merged
+        runs_per[rung] = len(runs)
 
     rows_cache = {}
 
-    def rows(sf, table):
-        if (sf, table) not in rows_cache:
-            rows_cache[(sf, table)] = table_rows(sf, table)
-        return rows_cache[(sf, table)]
+    def rows(rung, table):
+        if (rung, table) not in rows_cache:
+            rows_cache[(rung, table)] = table_rows(rung, table)
+        return rows_cache[(rung, table)]
 
     lines = []
     fails = []
     for q in sorted(DRIVERS):
         tab = DRIVERS[q]
-        cpus = [benches[sf]["cpu"].get(q) for sf in SFS]
+        qr = rungs_for(q, tab)
+        cpus = [benches[r]["cpu"].get(q) for r in qr]
         if any(c is None or c < 0 for c in cpus):
-            lines.append((q, tab, cpus, None, None, "missing"))
+            lines.append((q, tab, qr, cpus, [None] * (len(qr) - 1), "missing"))
             continue
         exps = []
-        for lo, hi in [(0, 1), (1, 2)]:
-            n_lo, n_hi = rows(SFS[lo], tab), rows(SFS[hi], tab)
+        for lo in range(len(qr) - 1):
+            hi = lo + 1
+            n_lo, n_hi = rows(qr[lo], tab), rows(qr[hi], tab)
             if n_hi == n_lo or cpus[lo] < MIN_CPU_LOW:
                 exps.append(None)
                 continue
             exps.append(math.log(cpus[hi] / cpus[lo]) /
                         math.log(n_hi / n_lo))
         verdict = "ok"
-        top = exps[1]
-        if top is not None and top > MAX_EXPONENT and cpus[2] >= 1.0:
-            verdict = "allowlisted" if q in ALLOWLIST else "EXCEEDS"
-            if verdict == "EXCEEDS":
-                fails.append((q, top))
-        lines.append((q, tab, cpus, exps[0], exps[1], verdict))
+        # non-monotone min-merged CPU = an under-sampled rung, fit suspect
+        for lo in range(len(qr) - 1):
+            if (cpus[lo] >= MIN_CPU_LOW and
+                    cpus[lo + 1] < MONOTONE_TOL * cpus[lo]):
+                verdict = "NON-MONOTONE"
+                fails.append((q, f"cpu {cpus[lo]:.2f} -> {cpus[lo + 1]:.2f} "
+                              f"({qr[lo]} -> {qr[lo + 1]}): add fresh-JVM runs"))
+        top = exps[-1]
+        if top is not None and top > MAX_EXPONENT and cpus[-1] >= 1.0:
+            if q in ALLOWLIST:
+                verdict = "allowlisted"
+            else:
+                verdict = "EXCEEDS"
+                fails.append((q, f"e(last) = {top:.2f} > {MAX_EXPONENT}"))
+        lines.append((q, tab, qr, cpus, exps, verdict))
 
     env = benches["sf0.1"].get("env", {})
     out = []
     out.append("### Fitted cost exponents for the heavy rows\n")
     out.append(
         "Regenerated by `tools/scale_ladder.py` from the\n"
-        "`BENCH_LOCAL_sf*_partial*.json` ladder runs (graft.Bench with\n"
-        "`SPARK_GRAFT_ONLY` = the heavy subset; env: "
+        "`BENCH_LOCAL_<rung>_partial*.json` ladder runs (graft.Bench with\n"
+        "`SPARK_GRAFT_ONLY` = the rung's subset; env: "
         f"cpus={env.get('cpus')}, heap={env.get('heap_max_mb')} MiB, "
-        f"jvm={env.get('jvm')}; runs merged per rung: "
-        f"{[runs_per[sf] for sf in SFS]}).\n\n"
-        "Per-query CPU is the MIN across separate-JVM runs of a rung:\n"
-        "this host shows a bimodal mode where an identical-code rerun\n"
-        "inflates CPU ~8× at the same wall and shuffle bytes; both\n"
-        "in-JVM reps inflate together, so only a fresh JVM separates\n"
-        "the plan's cost from the mode.\n\n"
-        "Exponents are fitted against the DRIVING TABLE's actual row\n"
-        "ratio (documents is 500/500/5000 and embeddings 500/500/2000\n"
-        "across the dirs — an sf-label fit would be wrong for those).\n"
-        "`e(mid)` = sf0.001→sf0.01, `e(top)` = sf0.01→sf0.1 (the\n"
-        "headline: 10× rows for every driving table). `—` = the rung's\n"
-        "driving table doesn't grow, or the low-rung CPU is under\n"
-        f"{MIN_CPU_LOW}s (fixed-overhead floor, fit meaningless).\n\n"
-        f"Gate: `--check` fails when `e(top)` > {MAX_EXPONENT} with\n"
-        "top-rung CPU ≥ 1 s, outside the documented allowlist\n"
-        f"(currently: {sorted(ALLOWLIST) or 'empty'} — dedup_embedding\n"
-        "is OUTPUT-bound: its qualifying-pair count alone grows at e 2.0,\n"
-        "so complete-recall cost is lower-bounded by the result).\n"
+        f"jvm={env.get('jvm')}; fresh-JVM runs merged per rung: "
+        f"{ {r: runs_per[r] for r in all_rungs} }).\n\n"
+        "Per-query CPU is the MIN across separate-JVM runs of a rung\n"
+        "(bimodal-JIT mode: an identical-code rerun can inflate CPU ~8×\n"
+        "at the same wall and shuffle bytes; both in-JVM reps inflate\n"
+        "together, so only a fresh JVM separates plan cost from mode).\n\n"
+        "Rung ladders (round 9): TPC-H/events-driven rows fit\n"
+        "sf0.001→sf0.01→sf0.1; documents/embeddings-driven rows fit\n"
+        "sf0.1→synth3→synth10 (replicate+perturb corpora from\n"
+        "`graft.tools.SynthCorpus`: word-salted document replicas and\n"
+        "signed-rotation embedding replicas — N× rows with identical\n"
+        "within-universe similarity structure and ~zero cross-universe\n"
+        "interaction, so corpus exponents now rest on a monotone\n"
+        "TWO-segment fit instead of one 10× step); lineitem-driven rows\n"
+        "add an e(xl) segment sf0.1→synth10 (6M rows). Exponents are\n"
+        "fitted against the DRIVING table's actual row ratio. `—` = the\n"
+        "segment's driving table doesn't grow, or its low-rung CPU is\n"
+        f"under {MIN_CPU_LOW}s (fixed-overhead floor, fit meaningless).\n\n"
+        f"Gate: `--check` fails when the LAST segment's exponent exceeds\n"
+        f"{MAX_EXPONENT} with last-rung CPU ≥ 1 s outside the allowlist\n"
+        f"(currently: {sorted(ALLOWLIST)} — dedup_embedding is\n"
+        "OUTPUT-bound: its qualifying-pair count alone grows at e 2.0,\n"
+        "so complete-recall cost is lower-bounded by the result), or\n"
+        "when min-merged CPU is NON-MONOTONE across a rung (later rung\n"
+        f"< {MONOTONE_TOL}× earlier: an under-sampled rung, not a fit).\n"
         "CPU is executor CPU seconds (min over adaptive reps).\n")
-    out.append("| query | driver | cpu@0.001 | cpu@0.01 | cpu@0.1 "
-               "| e(mid) | e(top) | verdict |")
-    out.append("|---|---|---|---|---|---|---|---|")
-    for q, tab, cpus, e_mid, e_top, verdict in lines:
+    out.append("| query | driver | rungs | cpu per rung | exponents "
+               "| e(last) | verdict |")
+    out.append("|---|---|---|---|---|---|---|")
+    for q, tab, qr, cpus, exps, verdict in lines:
         def f(c):
             return "—" if c is None or c < 0 else f"{c:.2f}"
 
         def g(e):
             return "—" if e is None else f"{e:.2f}"
-        out.append(f"| {q} | {tab} | {f(cpus[0])} | {f(cpus[1])} "
-                   f"| {f(cpus[2])} | {g(e_mid)} | {g(e_top)} "
-                   f"| {verdict} |")
+        rung_lbl = "→".join(qr).replace("sf0.001→sf0.01→sf0.1", "sf ladder") \
+            .replace("sf0.1→synth3→synth10", "corpus ladder")
+        last = next((e for e in reversed(exps) if e is not None), None)
+        out.append(f"| {q} | {tab} | {rung_lbl} "
+                   f"| {' → '.join(f(c) for c in cpus)} "
+                   f"| {', '.join(g(e) for e in exps)} "
+                   f"| {g(last)} | {verdict} |")
     out.append("")
     report = "\n".join(out)
     # splice into SCALE.md between the ladder markers — the rest of the
@@ -198,8 +258,8 @@ def main():
     print(report)
     if fails:
         print("SCALING REGRESSION:")
-        for q, e in fails:
-            print(f"  {q}: e(top) = {e:.2f} > {MAX_EXPONENT}")
+        for q, msg in fails:
+            print(f"  {q}: {msg}")
         return 1 if check else 0
     print("ladder OK")
     return 0
