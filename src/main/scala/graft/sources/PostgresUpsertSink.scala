@@ -122,8 +122,14 @@ object PostgresUpsertSink {
             val sp = conn.setSavepoint()
             try { ins.executeUpdate(); conn.releaseSavepoint(sp) }
             catch {
+              // ONLY a duplicate-key violation (SQLState 23505) means
+              // "lost the race, the key now exists" — retry as UPDATE.
+              // Other integrity states (23513 check, 23503 FK) would be
+              // silently swallowed by the update-nothing retry; they
+              // rethrow here (use writePortableRouted to quarantine
+              // them instead of aborting).
               case e: java.sql.SQLException
-                  if Option(e.getSQLState).exists(_.startsWith("23")) =>
+                  if e.getSQLState == "23505" =>
                 conn.rollback(sp)
                 if (updateIdx.nonEmpty) { setCheckParams(r); check.executeUpdate() }
               // all-key link tables: the row exists, nothing to update
@@ -182,6 +188,141 @@ object PostgresUpsertSink {
           }
           conn.commit()
         } finally conn.close()
+      }
+    }
+  }
+
+  /** A row the database rejected on an integrity constraint, routed out
+    * instead of aborting the load (the dq_quarantine contract applied
+    * at the SINK: per-reason routing with an identifying envelope).
+    */
+  final case class QuarantinedRow(row_key: String, sqlstate: String,
+      reason: String)
+
+  /** [[writePortable]] with constraint-violation ROUTING: rows the
+    * database rejects on a CHECK constraint (SQLState 23513 — the
+    * reference's `num_nonnulls(...) = 1` on report_data_links,
+    * `db/schema.js:154-156`) or a FOREIGN KEY (23503 — the teams FK
+    * with ON DELETE CASCADE, `db/schema.js:50`) are emitted as
+    * [[QuarantinedRow]]s while the rest of the batch commits —
+    * fail-open, like the blob sink's accumulator contract: one poison
+    * row must not abort a 100 TB load, and the quarantine stream is
+    * what a pipeline alerts on. Duplicate-key races (23505) still
+    * resolve via the update retry, exactly as in [[writePortable]].
+    *
+    * Returns the quarantine Dataset; the write happens when the CALLER
+    * materializes it (it is a mapPartitions over the input — count()
+    * or write it, even when empty-looking).
+    */
+  def writePortableRouted(dfIn: DataFrame, jdbcUrl: String, table: String,
+      keys: Seq[String],
+      props: java.util.Properties = new java.util.Properties,
+      batchSize: Int = 500)
+      : org.apache.spark.sql.Dataset[QuarantinedRow] = {
+    val cols = dfIn.columns.toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains), "keys must be columns")
+    val df = dfIn.dropDuplicates(keys)
+    val updates = cols.filterNot(keys.contains)
+    val checkSql =
+      if (updates.isEmpty)
+        s"SELECT 1 FROM $table WHERE " + keys.map(c => s"$c = ?").mkString(" AND ")
+      else
+        s"UPDATE $table SET " + updates.map(c => s"$c = ?").mkString(", ") +
+          " WHERE " + keys.map(c => s"$c = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val updateIdx = updates.map(cols.indexOf).toArray
+    val keyIdx = keys.map(cols.indexOf).toArray
+    import dfIn.sparkSession.implicits._
+    df.mapPartitions { rows: Iterator[Row] =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ListBuffer.empty[QuarantinedRow]
+        val conn: Connection = DriverManager.getConnection(jdbcUrl, props)
+        try {
+          conn.setAutoCommit(false)
+          val check = conn.prepareStatement(checkSql)
+          val ins = conn.prepareStatement(insertSql)
+          def keyOf(r: Row): String =
+            keyIdx.map(i => String.valueOf(r.get(i))).mkString("|")
+          def reasonOf(state: String): String = state match {
+            case "23513" | "23514" => "check_violation" // Derby | Postgres
+            case "23503" | "23506" => "fk_violation"
+            case "23505" => "unique_violation"
+            case _ => "integrity_violation"
+          }
+          def quarantine(r: Row, e: java.sql.SQLException): Unit =
+            out += QuarantinedRow(keyOf(r),
+              Option(e.getSQLState).getOrElse("?"), reasonOf(
+                Option(e.getSQLState).getOrElse("")))
+          // per-row path with a savepoint per statement: UPDATE first
+          // (a CHECK can fire here too — new values violating the
+          // constraint on an existing key), INSERT when unmatched,
+          // duplicate-key retry as UPDATE, any other integrity state
+          // routes to quarantine
+          def upsertRow(r: Row): Unit = {
+            val sp = conn.setSavepoint()
+            try {
+              var matched = false
+              if (updateIdx.nonEmpty) {
+                var i = 0
+                while (i < updateIdx.length) {
+                  check.setObject(i + 1, r.get(updateIdx(i))); i += 1
+                }
+                var j = 0
+                while (j < keyIdx.length) {
+                  check.setObject(updateIdx.length + j + 1, r.get(keyIdx(j)))
+                  j += 1
+                }
+                matched = check.executeUpdate() > 0
+              } else {
+                var j = 0
+                while (j < keyIdx.length) {
+                  check.setObject(j + 1, r.get(keyIdx(j))); j += 1
+                }
+                val rs = check.executeQuery()
+                matched = try rs.next() finally rs.close()
+              }
+              if (!matched) {
+                var c = 0
+                while (c < cols.length) { ins.setObject(c + 1, r.get(c)); c += 1 }
+                ins.executeUpdate()
+              }
+              conn.releaseSavepoint(sp)
+            } catch {
+              case e: java.sql.SQLException
+                  if Option(e.getSQLState)
+                    .exists(_.startsWith("23")) =>
+                conn.rollback(sp)
+                if (e.getSQLState == "23505" && updateIdx.nonEmpty) {
+                  // lost an insert race to a concurrent run: the key
+                  // exists now, the update applies (its own violations
+                  // quarantine)
+                  try {
+                    var i = 0
+                    while (i < updateIdx.length) {
+                      check.setObject(i + 1, r.get(updateIdx(i))); i += 1
+                    }
+                    var j = 0
+                    while (j < keyIdx.length) {
+                      check.setObject(updateIdx.length + j + 1,
+                        r.get(keyIdx(j)))
+                      j += 1
+                    }
+                    check.executeUpdate(): Unit
+                  } catch {
+                    case e2: java.sql.SQLException
+                        if Option(e2.getSQLState)
+                          .exists(_.startsWith("23")) =>
+                      quarantine(r, e2)
+                  }
+                } else quarantine(r, e)
+            }
+          }
+          rows.foreach(upsertRow)
+          conn.commit()
+        } finally conn.close()
+        out.iterator
       }
     }
   }

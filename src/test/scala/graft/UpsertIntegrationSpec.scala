@@ -169,6 +169,128 @@ class UpsertIntegrationSpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  /** The reference's report_data_links table carries a CHECK that
+    * exactly one of the four source-id columns is non-null
+    * (`db/schema.js:154-156` `num_nonnulls(...) = 1`) and a teams FK
+    * with ON DELETE CASCADE (`db/schema.js:50`). Derby equivalents:
+    * a CASE-sum check constraint + referential action.
+    */
+  private def withLinkTables[T](f: => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE report_data_links") catch { case _: Exception => () }
+      try st.execute("DROP TABLE teams") catch { case _: Exception => () }
+      st.execute("""CREATE TABLE teams (
+        id VARCHAR(36) NOT NULL PRIMARY KEY,
+        name VARCHAR(100) NOT NULL)""")
+      st.execute("""CREATE TABLE report_data_links (
+        generated_report_id VARCHAR(36) NOT NULL,
+        team_id VARCHAR(36) NOT NULL,
+        jira_snapshot_id VARCHAR(36),
+        slack_capture_id VARCHAR(36),
+        daily_report_id VARCHAR(36),
+        meeting_transcript_id VARCHAR(36),
+        CONSTRAINT uq_rdl UNIQUE (generated_report_id, team_id),
+        CONSTRAINT fk_rdl_team FOREIGN KEY (team_id)
+          REFERENCES teams (id) ON DELETE CASCADE,
+        CONSTRAINT chk_exactly_one_source CHECK (
+          (CASE WHEN jira_snapshot_id IS NULL THEN 0 ELSE 1 END +
+           CASE WHEN slack_capture_id IS NULL THEN 0 ELSE 1 END +
+           CASE WHEN daily_report_id IS NULL THEN 0 ELSE 1 END +
+           CASE WHEN meeting_transcript_id IS NULL THEN 0 ELSE 1 END) = 1))""")
+      st.execute("INSERT INTO teams VALUES ('team-1', 'alpha')")
+      st.execute("INSERT INTO teams VALUES ('team-2', 'beta')")
+    } finally conn.close()
+    f
+  }
+
+  private def linkRows: Seq[(String, String)] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT generated_report_id, team_id FROM report_data_links
+           ORDER BY generated_report_id""")
+      val buf = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      while (rs.next()) buf += ((rs.getString(1), rs.getString(2)))
+      buf.toList
+    } finally conn.close()
+  }
+
+  private val linkCols = Seq("generated_report_id", "team_id",
+    "jira_snapshot_id", "slack_capture_id", "daily_report_id",
+    "meeting_transcript_id")
+
+  private val NS: String = null
+
+  test("check-constraint violations quarantine, the rest of the batch lands") {
+    import spark.implicits._
+    withLinkTables {
+      val batch = Seq(
+        // valid: exactly one source id
+        ("r1", "team-1", "j1", NS, NS, NS),
+        // invalid: TWO non-null source ids (violates num_nonnulls = 1)
+        ("r2", "team-1", "j2", "s2", NS, NS),
+        // invalid: ZERO non-null source ids
+        ("r3", "team-2", NS, NS, NS, NS),
+        // valid: a different single source column
+        ("r4", "team-2", NS, NS, "d4", NS))
+        .toDF(linkCols: _*).repartition(2)
+      val q = PostgresUpsertSink.writePortableRouted(
+        batch, url, "report_data_links",
+        Seq("generated_report_id", "team_id")).collect()
+      assert(linkRows.map(_._1) == Seq("r1", "r4"),
+        "exactly the check-satisfying rows landed")
+      assert(q.length == 2 && q.forall(_.reason == "check_violation"),
+        s"both violating rows quarantined with the check reason: ${q.toSeq}")
+      assert(q.map(_.row_key).sorted.toSeq == Seq("r2|team-1", "r3|team-2"))
+
+      // UPDATE-side enforcement: re-upserting an EXISTING key with
+      // values that violate the check quarantines too (the update path
+      // fires the constraint, not just inserts)
+      val bad = Seq(("r1", "team-1", "j1", "s1", NS, NS))
+        .toDF(linkCols: _*)
+      val q2 = PostgresUpsertSink.writePortableRouted(
+        bad, url, "report_data_links",
+        Seq("generated_report_id", "team_id")).collect()
+      assert(q2.length == 1 && q2.head.reason == "check_violation")
+      assert(linkRows.map(_._1) == Seq("r1", "r4"), "table unchanged")
+    }
+  }
+
+  test("FK violations quarantine; ON DELETE CASCADE removes child links") {
+    import spark.implicits._
+    withLinkTables {
+      val batch = Seq(
+        ("r1", "team-1", "j1", NS, NS, NS),
+        // invalid: no such team — the FK fires
+        ("r9", "team-missing", "j9", NS, NS, NS))
+        .toDF(linkCols: _*)
+      val q = PostgresUpsertSink.writePortableRouted(
+        batch, url, "report_data_links",
+        Seq("generated_report_id", "team_id")).collect()
+      assert(linkRows.map(_._1) == Seq("r1"))
+      assert(q.length == 1 && q.head.reason == "fk_violation" &&
+        q.head.row_key == "r9|team-missing", s"got ${q.toSeq}")
+
+      // re-run idempotence on the routed path (same contract as
+      // writePortable): no duplicates, no new quarantine rows
+      val q2 = PostgresUpsertSink.writePortableRouted(
+        Seq(("r1", "team-1", "j1", NS, NS, NS)).toDF(linkCols: _*),
+        url, "report_data_links",
+        Seq("generated_report_id", "team_id")).collect()
+      assert(q2.isEmpty && linkRows.size == 1)
+
+      // the reference's referential action: deleting the parent team
+      // cascades to its links (db/schema.js:50 onDelete: 'cascade')
+      val conn = DriverManager.getConnection(url)
+      try {
+        conn.createStatement().execute("DELETE FROM teams WHERE id = 'team-1'")
+      } finally conn.close()
+      assert(linkRows.isEmpty, "cascade removed the team's link rows")
+    }
+  }
+
   test("postgres dialect SQL keeps ON CONFLICT DO UPDATE on the same key") {
     val sql = PostgresUpsertSink.upsertSql("daily_reports",
       Seq("team_id", "author_name", "report_date", "content"), keys)
