@@ -96,27 +96,57 @@ object CatalogStreaming {
       lit(null).cast("long").as("thread_ts_us"),
       when(col("id") === 0, lit("w_pad"))
         .otherwise(concat(lit("z"), col("id"))).as("page"))
-    // one file per page; line order inside a file is irrelevant (all of
-    // a file's rows enter in one micro-batch, filtered against the same
-    // watermark), but sort anyway so the staged bytes are reproducible
-    val files = lines.unionByName(sentinels)
+    // arrival schedule: m000 < ... < m005 < w_pad < y_late < z1 < z2
+    stagePages(lines.unionByName(sentinels)
       .select(col("page"), to_json(struct(
         col("ts_us"), col("channel_id"), col("user_id"),
-        col("thread_ts_us"))).as("line"))
+        col("thread_ts_us"))).as("line")), out)
+    (out, mtMicros)
+  }
+
+  /** Write a `(page, line)` relation as one JSON-lines file per page
+    * with strictly increasing mtimes in lexicographic page order — the
+    * file source processes oldest-mtime-first, so lexicographic page
+    * order IS the arrival order (distinct mtimes make ties impossible).
+    * Line order inside a file is irrelevant (a file's rows enter in one
+    * micro-batch) but is sorted so the staged bytes are reproducible.
+    */
+  private def stagePages(lines: DataFrame, out: String): Unit = {
+    val files = lines
       .groupBy("page")
       .agg(concat_ws("\n", sort_array(collect_list(col("line")))).as("body"))
       .select(
         concat(col("page"), lit(".json")).as("fname"), col("body"),
-        // arrival schedule: m000 < ... < m005 < w_pad < y_late < z1 < z2 —
-        // lexicographic page order IS the intended order, encoded as
-        // strictly increasing mtimes (the file source processes
-        // oldest-mtime-first; distinct mtimes make ties impossible)
         (lit(MtimeBase) + (dense_rank().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("page")))
           .cast("long")) * 60000L).as("mtime"))
     graft.sources.drive.DriveSource.stageFiles(files, out, "fname", "body",
       Some("mtime"))
-    (out, mtMicros)
+  }
+
+  /** Drive a streaming relation to completion over its (finite) staged
+    * input and hand back the materialized result: `foreachBatch` →
+    * parquet append (the production sink shape), then a batch read,
+    * eagerly localCheckpoint-ed so the per-run checkpoint/output dirs
+    * can be deleted immediately (bench reps would accumulate them).
+    */
+  private def materializeStream(s: SparkSession, stream: DataFrame,
+      finish: DataFrame => DataFrame): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_st_run_")
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val q = stream
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = finish(s.read.parquet(outDir)).localCheckpoint(true)
+    deleteRecursively(work.toFile)
+    out
   }
 
   /** The streaming daily digest, materialized: file-source stream (one
@@ -129,10 +159,7 @@ object CatalogStreaming {
     * batches) is the real one.
     */
   private def runSlackDigest(s: SparkSession, d: String): DataFrame = {
-    val (pages, mtMicros) = stageMessagePages(s, d)
-    val work = java.nio.file.Files.createTempDirectory("graft_st_digest_")
-    val outDir = work.resolve("out").toString
-    val ckpt = work.resolve("ckpt").toString
+    val (pages, _) = stageMessagePages(s, d)
     val msgs = s.readStream
       .schema(pageSchema)
       .option("maxFilesPerTrigger", "1")
@@ -141,30 +168,175 @@ object CatalogStreaming {
         timestamp_micros(col("ts_us")).as("ts"),
         timestamp_micros(col("thread_ts_us")).as("thread_ts"),
         col("channel_id"), col("user_id"))
-    val q = StreamingOps.slackDailyDigest(msgs, "2 days")
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    // the sentinel channel's own windows may or may not have been
-    // finalized by stop time (no-data-batch timing) — excluded by
-    // contract; every REAL window's emission was forced by the
-    // sentinels' watermark push during data batches
-    val out = s.read.parquet(outDir)
-      .filter(col("channel_id") =!= "zzz")
-      .select(col("day_start"), col("channel_id"),
-        col("n_messages"), col("n_users").cast("long").as("n_users"))
-      .orderBy("day_start", "channel_id")
-      // eager materialization (result is day x channel sized) so the
-      // per-run checkpoint/output dirs can be deleted immediately —
-      // repeated bench reps would otherwise accumulate temp dirs
-      .localCheckpoint(true)
-    deleteRecursively(work.toFile)
+    materializeStream(s, StreamingOps.slackDailyDigest(msgs, "2 days"),
+      // the sentinel channel's own windows may or may not have been
+      // finalized by stop time (no-data-batch timing) — excluded by
+      // contract; every REAL window's emission was forced by the
+      // sentinels' watermark push during data batches
+      _.filter(col("channel_id") =!= "zzz")
+        .select(col("day_start"), col("channel_id"),
+          col("n_messages"), col("n_users").cast("long").as("n_users"))
+        .orderBy("day_start", "channel_id"))
+  }
+
+  private val pointSchema = StructType(Seq(
+    StructField("series", StringType),
+    StructField("ts_us", LongType),
+    StructField("value", org.apache.spark.sql.types.DoubleType)))
+
+  /** Stage the hourly telemetry stream for the LOCF row: a complete
+    * hourly spine per event type, observed value = round(sum(value), 2)
+    * over the hour's high-value events (null where none — the gaps the
+    * fill must cover; gaps routinely span page boundaries, which is
+    * what makes the CROSS-BATCH state the thing under test). Pages are
+    * 5-day buckets in event-time order — `locfStream` carries state
+    * with no watermark, so in-order arrival makes the streamed fill
+    * identical to the batch replay.
+    */
+  private def stageLocfPages(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/locf_pages"
+    val ev = t(s, d, "events")
+    val hourUs = 3600000000L
+    val bounds = ev.agg(
+      min(date_trunc("hour", col("ts"))).as("h0"),
+      max(date_trunc("hour", col("ts"))).as("h1")).head()
+    val h0 = bounds.getTimestamp(0)
+    val spine = s.range(0,
+      (bounds.getTimestamp(1).getTime - h0.getTime) / 3600000L + 1)
+      .select((lit(h0.getTime * 1000L) + col("id") * hourUs).as("ts_us"))
+    val obs = ev.filter(col("value") >= 200)
+      .groupBy(col("event_type").as("series"),
+        unix_micros(date_trunc("hour", col("ts"))).as("ts_us"))
+      .agg(round(sum("value"), 2).as("value"))
+    val lines = ev.select(col("event_type").as("series")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(obs, Seq("series", "ts_us"), "left")
+      .select(
+        concat(lit("p"), lpad(((col("ts_us") - lit(h0.getTime * 1000L)) /
+          (120 * hourUs)).cast("int").cast("string"), 3, "0")).as("page"),
+        to_json(struct(col("series"), col("ts_us"), col("value"))).as("line"))
+    stagePages(lines, out)
     out
+  }
+
+  private val arrivalSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("text", StringType)))
+
+  /** Stage the document-arrival stream for the dedup row: every doc
+    * arrives once at `base + doc_id` hours; docs with doc_id % 7 == 0
+    * are RE-SENT 2 days later (inside the 30-day horizon — must drop),
+    * docs with doc_id % 13 == 0 (and not % 7) are re-sent 120 days
+    * later, AFTER the watermark pad pages (the original's state is
+    * evicted — must survive). Pages are 20-day buckets in arrival
+    * order m* < w* < z*; margins keep both decisions away from any
+    * boundary even with the one-batch watermark lag: a close re-send
+    * arrives while the watermark still trails its original (same ts
+    * axis, 30-day delay ≫ the 2-day gap), and the far pages follow
+    * the pads, which hold the watermark ≥ 10 days past every
+    * original's eviction point.
+    */
+  private def stageArrivalPages(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/dedup_pages"
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    // doc-UNIQUE content: the documents corpus deliberately contains
+    // exact-duplicate texts ACROSS doc_ids (that's what the batch
+    // dedup rows measure); prefixing the id confines hash collisions
+    // to this row's controlled re-sends, so per-doc survival is a pure
+    // function of the staging rule and the oracle stays exact
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(col("doc_id").cast("string"), lit(":"), col("text")).as("text"))
+      .withColumn("ts_us", lit(MtimeBase * 1000L) + col("doc_id") * hourUs)
+    val bucket = ((col("ts_us") - lit(MtimeBase * 1000L)) / (20 * dayUs))
+      .cast("int").cast("string")
+    val close = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("ts_us", col("ts_us") + 2 * dayUs)
+    // mains + in-horizon re-sends ride the m pages in event-time order
+    val mains = docs.unionByName(close)
+      .select(concat(lit("m"), lpad(bucket, 3, "0")).as("page"),
+        col("doc_id"), col("ts_us"), col("text"))
+    // beyond-horizon re-sends ride z pages AFTER the w pad pages: the
+    // pads (unique-text sentinel arrivals at maxMain + 70d/75d) advance
+    // the watermark past EVERY original's eviction point
+    // (maxMain + 70d − 30d > any orig + 30d, with ≥ 10-day margin even
+    // under the one-batch watermark lag) regardless of corpus span —
+    // without them a small corpus's main stream is shorter than the
+    // horizon and the far re-sends would arrive with state still live
+    val maxMainUs = docs.agg(max(col("ts_us"))).head().getLong(0) + 2 * dayUs
+    // shift far re-sends past the ENTIRE main span plus the pad
+    // watermark: `orig + 120d` alone would leave early docs' re-sends
+    // OLDER than the pad-advanced watermark on a corpus whose main
+    // span exceeds 120d (sf0.1 spans 208 days) — late-dropped instead
+    // of deduped, which is a different behavior than the one under
+    // test. `orig + span + 120d` keeps every far re-send ahead of the
+    // watermark at arrival while the original's state is long evicted.
+    val farShift = (maxMainUs - MtimeBase * 1000L) + 120 * dayUs
+    val far = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") % 7 =!= 0)
+      .withColumn("ts_us", col("ts_us") + farShift)
+      .select(concat(lit("z"), lpad(bucket, 3, "0")).as("page"),
+        col("doc_id"), col("ts_us"), col("text"))
+    val pads = s.range(0, 2).select(
+      concat(lit("w"), col("id").cast("string")).as("page"),
+      (col("id") - 2).as("doc_id"),
+      (lit(maxMainUs) + (lit(70) + col("id") * 5) * dayUs).as("ts_us"),
+      concat(lit("pad:"), col("id").cast("string")).as("text"))
+    val lines = mains.unionByName(pads).unionByName(far)
+      .select(col("page"),
+        to_json(struct(col("doc_id"), col("ts_us"), col("text"))).as("line"))
+    stagePages(lines, out)
+    out
+  }
+
+  /** Streaming bounded-state exact dedup, materialized: document
+    * arrivals → `dropDuplicatesWithinWatermark` on the content hash
+    * (30-day horizon) → parquet; the result is folded to per-doc
+    * survival counts so same-batch arrival ambiguity cannot leak into
+    * the hash (both orderings yield the same counts). The oracle
+    * derives each arrival's fate from the staging rule: originals and
+    * beyond-horizon re-sends survive, in-horizon re-sends drop — the
+    * lambda-architecture contract (stream dedups the horizon, the
+    * periodic batch sweep owns the rest) pinned by the driver hash.
+    */
+  private def runDedupStream(s: SparkSession, d: String): DataFrame = {
+    val pages = stageArrivalPages(s, d)
+    val docs = s.readStream
+      .schema(arrivalSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(col("doc_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("text"))
+    materializeStream(s,
+      StreamingOps.dedupStreamWithinWatermark(docs, "text", "ts", "30 days")
+        .select("doc_id"),
+      _.filter(col("doc_id") >= 0) // the watermark pad arrivals
+        .groupBy("doc_id").agg(count(lit(1)).as("n_survivals"))
+        .orderBy("doc_id"))
+  }
+
+  /** The streaming LOCF fill, materialized: ordered page files →
+    * `flatMapGroupsWithState` carrying each series' last observation as
+    * keyed state across micro-batches → parquet. The oracle replays the
+    * fill as one batch IGNORE NULLS window, so a hash match pins the
+    * stateful operator's cross-batch carry exactly to the batch answer.
+    */
+  private def runLocf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pages = stageLocfPages(s, d)
+    val pts = s.readStream
+      .schema(pointSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(col("series"), timestamp_micros(col("ts_us")).as("ts"),
+        col("value"))
+      .as[StreamingOps.SeriesPoint]
+    materializeStream(s, StreamingOps.locfStream(pts).toDF(),
+      _.select(col("series"), col("ts"), col("value"), col("observed"))
+        .orderBy("series", "ts"))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -190,6 +362,47 @@ object CatalogStreaming {
                      event_type AS channel_id,
                      count(*) AS n_messages,
                      count(DISTINCT user_id) AS n_users
-              FROM kept GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM kept GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q("st_locf_fill",
+      // second streaming driver-oracle row: stateful
+      // flatMapGroupsWithState (per-series last-observation state
+      // carried ACROSS micro-batches) hash-pinned to the batch
+      // IGNORE NULLS window replay — the streaming restatement of
+      // ts_gap_fill at hourly grain
+      (s, d) => runLocf(s, d),
+      Some("""WITH b AS (SELECT event_type,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value
+                   FROM events),
+              mx AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+              spine AS (SELECT unnest(generate_series(
+                          (SELECT h0 FROM mx), (SELECT h1 FROM mx),
+                          INTERVAL 1 HOUR)) AS ts),
+              types AS (SELECT DISTINCT event_type AS series FROM b),
+              obs AS (SELECT event_type AS series, h AS ts,
+                        round(sum(value), 2) AS v
+                      FROM b WHERE value >= 200 GROUP BY 1, 2),
+              grid AS (SELECT t.series, s.ts FROM types t, spine s)
+              SELECT g.series, CAST(g.ts AS TIMESTAMP) AS ts,
+                     last_value(o.v IGNORE NULLS) OVER (
+                       PARTITION BY g.series ORDER BY g.ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value,
+                     o.v IS NOT NULL AS observed
+              FROM grid g LEFT JOIN obs o
+                ON g.series = o.series AND g.ts = o.ts
+              ORDER BY g.series, g.ts""")),
+
+    Q("st_dedup_stream",
+      // third streaming driver-oracle row: bounded-state exact dedup
+      // (dropDuplicatesWithinWatermark) over staged arrivals — an
+      // in-horizon duplicate drops, a beyond-horizon re-send survives
+      // after state eviction. One duplicate per doc, no chains, so the
+      // oracle derives survival purely from the staging rule.
+      (s, d) => runDedupStream(s, d),
+      Some("""SELECT doc_id,
+                     CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 13 = 0
+                          THEN 2 ELSE 1 END AS BIGINT) AS n_survivals
+              FROM documents ORDER BY doc_id"""))
   )
 }

@@ -54,6 +54,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     // IVF × BQ: sim_ann_ivf's query-side centroid cross join; the
     // Hamming probe itself is an equi-join on the cell id
     "sim_ann_ivf_bq",
+    // probe frontier: sim_ann_ivf's query-side centroid cross join at
+    // each probe width, the brute-force exact baseline (broadcast
+    // 16-row query set), and the SINGLE-ROW totals aggregate
+    // cross-joined into every frontier point
+    "sim_ann_probe_frontier",
     // incremental ANN serving: the sim_ann_bq Hamming scan over the
     // persisted snapshot (broadcast query signatures)
     "inc_ann_topk",
@@ -148,7 +153,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     (graft.queries.Catalog.all ++ graft.queries.CatalogScale.all ++
       graft.queries.CatalogDomain.all ++ graft.queries.CatalogConnector.all ++
-      graft.queries.CatalogTraining.all ++ graft.queries.CatalogAnalytics.all)
+      graft.queries.CatalogTraining.all ++ graft.queries.CatalogAnalytics.all ++
+      graft.queries.CatalogPipelines.all ++
+      // streaming rows execute their (finite) stream during planning
+      // and hand back the materialized batch read — included so the
+      // sweep stays catalog-complete; the interesting plans (the
+      // per-micro-batch ones) are equi-join/window shaped by
+      // construction and spec-pinned in StreamingSpec
+      graft.queries.CatalogStreaming.all)
       .foreach { q =>
         val plan =
           try q.run(spark, sfDir).queryExecution.executedPlan.toString

@@ -16,8 +16,13 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# while a frozen snapshot exists (ladder measurement in flight), default
+# to it so concurrent recompiles cannot swap class files under a running
+# measurement JVM (that is what killed ladder run sf0.01 r1)
+CLASSES_DEFAULT=target/scala-2.13/classes
+[ -d /tmp/graft_ladder_classes ] && CLASSES_DEFAULT=/tmp/graft_ladder_classes
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-16g}" -XX:ReservedCodeCacheSize=512m \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "${GRAFT_CLASSES:-$CLASSES_DEFAULT}:/opt/spark/jars/*" \
   "$MAIN" "$@"
