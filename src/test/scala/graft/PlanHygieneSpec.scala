@@ -147,7 +147,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "prof_eqdepth",
     // contribution shares broadcast the SINGLE-ROW grand total into
     // the ratio projection
-    "a32_contribution")
+    "a32_contribution",
+    // the weekly module's summary section combines three SINGLE-ROW
+    // count aggregates into its one line
+    // (`WeeklyPipeline.summarySection`)
+    "ep1_weekly_e2e")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
