@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Synthesize larger ladder rungs by replicate+perturb (VERDICT r8
@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   * a corpus-linear algorithm must measure linear on them.
   *
   * Per replica k (k = 0 is the untouched original):
-  *  - documents: doc_id shifts by k·(max_id+1); every WORD is salted
-  *    with "~k", so shingles/q-grams/minhash bands of different
-  *    universes never collide (appending a suffix to the whole text
-  *    would leave every cross-universe pair a near-dup and explode the
-  *    candidate count quadratically — the opposite of a fair probe);
-  *    n_chars is recomputed from the salted text.
+  *  - documents: doc_id shifts by k·(max_id+1); the text gets a
+  *    per-replica CAESAR SUBSTITUTION (letters rotated by k·7 mod 25
+  *    + 1) — a bijective, LENGTH-PRESERVING character map, so every
+  *    within-universe equality (words, shingles, q-grams, spans) is
+  *    preserved exactly while cross-universe shingles never collide
+  *    (any letter-bearing shingle maps to different bytes per
+  *    universe). Length preservation matters: a first cut salted every
+  *    word with a "~k" suffix, which lengthened tokens ~30% and read
+  *    as e ≈ 1.4 on byte-bound rows (phash raster sizing, BM25, BPE) —
+  *    measurement bias from the probe itself, not the algorithms.
+  *    (Perturbing by suffixing the whole TEXT would be worse still:
+  *    every cross-universe pair becomes a near-dup and the candidate
+  *    count explodes quadratically.)
   *  - embeddings: vec_id shifts; the vector gets a SIGNED ROTATION
   *    (circular shift by k·13 mod dim, deterministic ±1 signs) — an
   *    orthogonal transform, so all WITHIN-universe dot products (and
@@ -52,16 +59,26 @@ object SynthCorpus {
 
     val reps = spark.range(0, factor).select(col("id").cast("int").as("k"))
 
-    // ---- documents: word-salted replicas
+    // ---- documents: Caesar-substituted replicas (length-preserving)
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    def rot(s: String, n: Int) = s.substring(n) + s.substring(0, n)
+    // one translate per replica id, chosen by a literal chain (factor is
+    // small); shift k*7 mod 25 + 1 keeps distinct replicas on distinct
+    // rotations for any factor <= 25
+    def caesar(k: Column, text: Column, factor: Int): Column =
+      (1 until factor).foldLeft(text) { (acc, ki) =>
+        val sh = (ki * 7) % 25 + 1
+        when(k === ki,
+          translate(text, lower + lower.toUpperCase,
+            rot(lower, sh) + rot(lower, sh).toUpperCase))
+          .otherwise(acc)
+      }
     docs.crossJoin(broadcast(reps))
       .select(
         (col("doc_id") + col("k") * maxDoc).as("doc_id"),
-        when(col("k") === 0, col("text"))
-          .otherwise(array_join(
-            transform(split(col("text"), " "),
-              w => concat(w, lit("~"), col("k"))), " ")).as("text"),
+        caesar(col("k"), col("text"), factor).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(math.max(4, factor * 2))
