@@ -1,0 +1,62 @@
+package graft.tools
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Per-stage cost profile of one catalog query: executor CPU, wall,
+  * task count and shuffle bytes per stage, descending by CPU — pins
+  * WHICH stage a scaling-ladder regression lives in (ladder exponents
+  * are whole-query; a superlinear reading needs the offending stage).
+  * Usage: runMain graft.tools.ProfileStages <sfDir> <name> [reps]
+  */
+object ProfileStages {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 1
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    case class St(name: String, cpuS: Double, runS: Double, tasks: Int,
+        shufReadMb: Double, shufWriteMb: Double, inputMb: Double)
+    val stages = new ConcurrentHashMap[Int, St]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        stages.put(si.stageId, St(
+          si.name.linesIterator.next().take(90),
+          m.executorCpuTime / 1e9, m.executorRunTime / 1e3, si.numTasks,
+          m.shuffleReadMetrics.totalBytesRead / 1e6,
+          m.shuffleWriteMetrics.bytesWritten / 1e6,
+          m.inputMetrics.bytesRead / 1e6))
+      }
+    })
+    val fn = graft.SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
+      stages.clear()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; settle before reporting
+      Thread.sleep(400)
+      import scala.jdk.CollectionConverters._
+      val all = stages.asScala.toSeq.sortBy(-_._2.cpuS)
+      println(f"PROFILE $name rep=$i wall=$wall%.2f s rows=$n " +
+        f"stages=${all.size} cpuSum=${all.map(_._2.cpuS).sum}%.1f s")
+      all.take(14).foreach { case (id, s) =>
+        println(f"  stage $id%4d cpu=${s.cpuS}%8.2f run=${s.runS}%8.2f " +
+          f"tasks=${s.tasks}%4d in=${s.inputMb}%8.1fMB " +
+          f"sr=${s.shufReadMb}%8.1fMB sw=${s.shufWriteMb}%8.1fMB ${s.name}")
+      }
+    }
+    spark.stop()
+  }
+}
