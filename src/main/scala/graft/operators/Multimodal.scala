@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs EVERY read/write with a disk
+  // temp file whose name comes from File.createTempFile's shared
+  // SecureRandom — a JVM-global lock. 32 executor threads decoding
+  // thousands of images convoy on it: measured 3-7x executor-CPU
+  // inflation on the 50k-doc ladder rung (ProfileStages: the identical
+  // 50k-decode stage read 72 s one pass, 357 s the next in one JVM;
+  // capped at 4 threads it is a flat 20 s). Memory-cached streams
+  // remove the lock and the disk round-trip — strictly better for
+  // byte-array payloads, on any executor. Runs in static init so every
+  // executor JVM gets it before its first decode.
+  ImageIO.setUseCache(false)
+
   case class BinDoc(doc_id: Long, payload: Array[Byte])
 
   /** `rgb0` is frame 0's top-left pixel packed as 0xRRGGBB — decoding a
