@@ -728,8 +728,11 @@ object CatalogScale {
         .orderBy("vec_id"),
       Some("""WITH RECURSIVE
               e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              cents AS (SELECT vec_id AS cent_id, v AS ce FROM e
-                        ORDER BY vec_id LIMIT 32),
+              cents AS (SELECT vec_id AS cent_id, v AS ce FROM (
+                        SELECT vec_id, v, row_number() OVER (
+                            PARTITION BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 32
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS brn
+                        FROM e) WHERE brn = 1),
               sc AS (SELECT e.vec_id, c.cent_id,
                        CASE WHEN list_dot_product(e.v, e.v) = 0
                               OR list_dot_product(c.ce, c.ce) = 0 THEN 0.0

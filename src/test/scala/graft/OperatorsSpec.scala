@@ -343,22 +343,24 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("semanticDedup: within-cell near-dups cluster, cross-threshold rows stay") {
-    // centroids = first 2 vectors (0 → x-axis, 1 → y-axis); 2 and 3 file
-    // under cell 0 and are near-dups of 0; 4 files under cell 1 as a
-    // near-dup of 1; 5 files under cell 1 but sits below the threshold
+    // hash-bucket seeding picks ids 1 and 4 as centroids for ids 0..5
+    // at nCells = 2 (md5-bucket winners); 1 → x-axis seed, 4 → y-axis
+    // seed. 2 and 3 file under 1's cell as near-dups of 1; 0 files
+    // under 4's cell as a near-dup of 4; 5 files under 4's cell but
+    // sits below the threshold (cos to every cellmate < 0.9)
     val emb = Seq(
-      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
-      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (0L, Seq(0.1f, 0.95f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
       (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
       (3L, Seq(1.0f, 0.05f, 0.0f, 0.0f)),
-      (4L, Seq(0.1f, 0.95f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
       (5L, Seq(0.0f, 0.6f, 0.8f, 0.0f))).toDF("vec_id", "embedding")
     val got = Similarity.semanticDedup(emb, threshold = 0.9, nCells = 2)
       .orderBy("vec_id")
       .as[(Long, Long, Boolean)].collect().toSeq
     assert(got == Seq(
-      (0L, 0L, true), (1L, 1L, true), (2L, 0L, false),
-      (3L, 0L, false), (4L, 1L, false), (5L, 5L, true)))
+      (0L, 0L, true), (1L, 1L, true), (2L, 1L, false),
+      (3L, 1L, false), (4L, 0L, false), (5L, 5L, true)))
   }
 
   test("asof backward: latest prior row, equal-ts visible, null when none") {
