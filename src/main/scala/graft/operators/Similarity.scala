@@ -112,7 +112,16 @@ object Similarity {
     */
   private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
-    val rerank = shortlist
+    // broadcast the shortlist, NOT the corpus: the shortlist is bounded
+    // by construction (queries × k × rerankFactor rows of two ids) while
+    // the corpus float column is the big thing. Without the hint the
+    // planner sees a corpus-scan-sized estimate on the shortlist side
+    // and shuffles EVERY embedding by vec_id to serve a few hundred
+    // lookups — measured 5.3 MB shuffled and two ~30 s CPU stages at the
+    // 20k-vector rung for a 600-row shortlist. Broadcast-hash keeps the
+    // corpus streaming and makes the docstring's "float fetch is
+    // shortlist-sized" literally true in the plan.
+    val rerank = broadcast(shortlist)
       .join(withNorm(corpus.select(col("vec_id"), col("embedding")),
         "embedding", "cn"), "vec_id")
       .join(broadcast(withNorm(queries, "qe", "qn")), "query_id")
@@ -247,10 +256,10 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
     import corpus.sparkSession.implicits._
     val cents = seedCentroids(corpus, nCells)
-    // the stored index: cell routing + 32×-compressed sign bits, no floats
-    val index = corpus
-      .select(col("vec_id"), signPack(col("embedding")).as("sig"))
-      .join(corpusCellsFor(corpus, cents), "vec_id")
+    // the stored index: cell routing + 32×-compressed sign bits, no
+    // floats — one projection over the scan, no corpus self-join
+    val index = withCellCol(corpus, cents)
+      .select(col("vec_id"), signPack(col("embedding")).as("sig"), col("cell"))
     val queryCells = assignCells(queries, "query_id", "qe",
       cents.toDF("cent_id", "ce"), takeN = nProbe)
     val qsigs = queries.select(col("query_id"), signPack(col("qe")).as("qsig"))
@@ -420,29 +429,11 @@ object Similarity {
       .select(col(vecId), col("cent_id").as("cell"))
   }
 
-  /** Nearest-centroid (top-1) assignment as a pure PROJECTION: centroids
-    * embedded as constant literals, argmax = `array_max` over an array
-    * of (cosine, -id) structs (struct ordering is lexicographic, so the
-    * max is highest cosine with ties to the LOWEST id — matching the
-    * window form's tie-break; a when-chain fold would duplicate its
-    * accumulator twice per level and blow up exponentially). The
-    * join+window form expands every row ×nCells and shuffles the
-    * expansion through a per-vector window — a 16× data shuffle at
-    * 100 TB for what is arithmetic against constants. Centroids are
-    * collected to the driver first: nCells rows of fixed size, the same
-    * constant-metadata license as the LSH hyperplane literals (and
-    * FAISS-style IVF coarse quantizers, whose centroid tables are
-    * broadcast state by design).
-    */
-  private def assignCellsLiteral(vecs: DataFrame, vecId: String,
-      vecCol: String, cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    val scored = cents.map { case (cid, ce) =>
-      struct(cosine(col(vecCol), typedlit(ce)).as("ccos"),
-        lit(-cid).as("ncell"))
-    }
-    vecs.select(col(vecId),
-      (array_max(array(scored: _*)).getField("ncell") * -1L).as("cell"))
-  }
+  // (nearest-centroid-as-projection now lives in graft.plans.CellArgmax:
+  // a codegen'd argmax loop over the literal centroid table. The
+  // join+window form above stays for centroid sets past the literal
+  // bound and for query-side multi-cell probes, where the ×nCells row
+  // expansion is the point.)
 
   /** IVF-style ANN top-k: a coarse quantizer partitions the corpus into
     * `nCells` inverted lists (each vector files under its nearest
@@ -514,15 +505,41 @@ object Similarity {
     * projection while the argmax array stays codegen-friendly,
     * join+window beyond.
     */
+  /** Profiling accessor: the corpus cell assignment for `nCells` under
+    * the current seeding (graft.tools.CellHist). */
+  def cellsForProbe(corpus: DataFrame, nCells: Int): DataFrame =
+    corpusCellsFor(corpus, seedCentroids(corpus, nCells))
+
   private def corpusCellsFor(corpus: DataFrame,
       cents: Seq[(Long, Seq[Double])]): DataFrame =
+    withCellCol(corpus, cents).select("vec_id", "cell")
+
+  /** The corpus with its top-1 cell id attached IN PLACE — a pure
+    * projection over the scan when the centroid set fits the literal
+    * argmax (≤ LiteralCentroidMax), so index builds that also need the
+    * embedding or a code column never self-join the corpus on vec_id.
+    * That self-join was every IVF variant's only corpus-sized shuffle:
+    * (vec_id, codes) ⋈ (vec_id, cell) moved the whole index twice to
+    * zip two projections of the same rows (measured 5.3 MB shuffle and
+    * the two dominant CPU stages at the 20k-vector rung). Beyond the
+    * literal bound the join+window assignment path keeps the old shape.
+    */
+  private def withCellCol(corpus: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val wide = Dedup.widen(corpus)
     if (cents.size <= LiteralCentroidMax)
-      assignCellsLiteral(Dedup.widen(corpus), "vec_id", "embedding", cents)
+      // codegen'd argmax loop ([[graft.plans.CellArgmax]]): the
+      // array_max-over-structs composition it replaces is semantically
+      // identical but struct ordering dropped the whole projection out
+      // of codegen — ~1 ms/row interpreted vs ~2 µs compiled
+      wide.withColumn("cell",
+        graft.plans.CellArgmax.cell(col("embedding"), cents))
     else {
       import corpus.sparkSession.implicits._
-      assignCells(Dedup.widen(corpus), "vec_id", "embedding",
-        cents.toDF("cent_id", "ce"), takeN = 1)
+      wide.join(assignCells(wide, "vec_id", "embedding",
+        cents.toDF("cent_id", "ce"), takeN = 1), "vec_id")
     }
+  }
 
   /** The IVF probe pipeline against a given centroid set: corpus files
     * under nearest centroids, queries probe `nProbe` cells, exact
@@ -533,12 +550,13 @@ object Similarity {
     import corpus.sparkSession.implicits._
     val queryCells = assignCells(queries, "query_id", "qe",
       cents.toDF("cent_id", "ce"), takeN = nProbe)
-    val candPairs = corpusCellsFor(corpus, cents)
+    // the embedding rides the cell projection, so probing is one
+    // broadcast join against the streamed corpus — no candidate-id
+    // distinct (top-1 assignment: a pair collides in at most one cell)
+    // and no corpus re-join by vec_id to fetch floats
+    val cand = withCellCol(corpus, cents)
       .join(broadcast(queryCells), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct()
-    val cand = candPairs
-      .join(corpus, "vec_id")
       .join(broadcast(queries), "query_id")
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
@@ -578,7 +596,7 @@ object Similarity {
     require(rounds >= 1, "rounds must be >= 1")
     var cents = seedCentroids(corpus, nCells)
     (1 to rounds).foreach { _ =>
-      val means = corpus.join(corpusCellsFor(corpus, cents), "vec_id")
+      val means = withCellCol(corpus, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(round(avg(col("x").cast("double")), 6).as("m"))
@@ -610,12 +628,12 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
     import corpus.sparkSession.implicits._
     val cents = seedCentroids(corpus, nCells)
-    // the stored index: cell routing + 4×-compressed codes, no floats
-    val index = corpus
-      .select(col("vec_id"), quant(col("embedding")).as("q"))
+    // the stored index: cell routing + 4×-compressed codes, no floats —
+    // one projection over the scan, no corpus self-join
+    val index = withCellCol(corpus, cents)
+      .select(col("vec_id"), quant(col("embedding")).as("q"), col("cell"))
       .select(col("vec_id"), col("q.scale").as("cscale"),
-        col("q.codes").as("ccodes"))
-      .join(corpusCellsFor(corpus, cents), "vec_id")
+        col("q.codes").as("ccodes"), col("cell"))
     val queryCells = assignCells(queries, "query_id", "qe",
       cents.toDF("cent_id", "ce"), takeN = nProbe)
     val qcodes = queries.select(col("query_id"), quant(col("qe")).as("q"))
@@ -791,9 +809,10 @@ object Similarity {
     import org.apache.spark.sql.functions.typedLit
     val cents = seedCentroids(corpus, nCells)
     val cb = trainPqCodebooks(corpus, m, ksub, rounds)
-    val index = corpus
-      .select(col("vec_id"), pqEncodeCol(col("embedding"), cb, m, ksub).as("ccodes"))
-      .join(corpusCellsFor(corpus, cents), "vec_id")
+    // codes + cell in one projection over the scan, no corpus self-join
+    val index = withCellCol(corpus, cents)
+      .select(col("vec_id"),
+        pqEncodeCol(col("embedding"), cb, m, ksub).as("ccodes"), col("cell"))
     val queryCells = assignCells(queries, "query_id", "qe",
       cents.toDF("cent_id", "ce"), takeN = nProbe)
     val qluts = queries.select(col("query_id"),
@@ -836,8 +855,8 @@ object Similarity {
     val cents = seedCentroids(emb, nCells)
     // both self-join sides read the cell assignment — materialize it
     // once, or the argmax-over-centroids projection runs per side
-    val withCell = Dedup.trackedPersist(corpusCellsFor(emb, cents)
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id"))
+    val withCell = Dedup.trackedPersist(withCellCol(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("cell")))
     withCell.count()
     val a = withCell.select(
       col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))

@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** `cell_argmax(vec)` → the id of the cosine-nearest centroid in a
+  * literal centroid table — the IVF coarse-quantizer assignment as ONE
+  * codegen'd native expression.
+  *
+  * The composed form (`array_max` over an array of
+  * `struct(cosine, -cent_id)` per centroid) is semantically identical
+  * but `array_max`'s struct ordering drops the projection out of
+  * whole-stage codegen into interpreted evaluation: the 16-centroid
+  * assignment measured ~1 ms/row (≈30 s CPU per 20k-vector stage) where
+  * this loop does the identical arithmetic in ~2 µs/row. Exact-match
+  * contract with the composed form and the DuckDB oracles:
+  *  - per-centroid score is dot(v,c)/(|v|·|c|), each dot summed in
+  *    index order (the [[VectorDot]] convention), 0.0 when either norm
+  *    is zero;
+  *  - ties break to the LOWEST centroid id (strict `>` while scanning
+  *    centroids in ascending-id order).
+  *
+  * `cents` is (id, vector) pairs sorted by id — bounded driver metadata
+  * (the IVF centroid license), shipped inside the serialized expression.
+  */
+case class CellArgmax(child: Expression, ids: Array[Long],
+    cents: Array[Array[Double]]) extends UnaryExpression {
+
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  // |c| per centroid, precomputed once per executor
+  @transient private lazy val cnorms: Array[Double] =
+    cents.map { ce =>
+      var acc = 0.0; var i = 0
+      while (i < ce.length) { acc += ce(i) * ce(i); i += 1 }
+      math.sqrt(acc)
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (ids.length == cents.length && ids.nonEmpty)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("ids and cents must align")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_argmax needs array<float|double>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_argmax"
+
+  /** public for the generated code — stays inside WholeStageCodegen */
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    val isF = elemIsFloat
+    // |v| once per row (the composed form recomputed it per centroid
+    // and relied on subexpression elimination that interpreted eval
+    // doesn't get)
+    var vsq = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      vsq += x * x
+      i += 1
+    }
+    val vn = math.sqrt(vsq)
+    var best = ids(0)
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val cos =
+        if (vn == 0.0 || cnorms(c) == 0.0 || ce.length != n) 0.0
+        else {
+          var dot = 0.0
+          var d = 0
+          while (d < n) {
+            val x = if (isF) a.getFloat(d).toDouble else a.getDouble(d)
+            dot += x * ce(d)
+            d += 1
+          }
+          dot / (vn * cnorms(c))
+        }
+      if (cos > bestCos) { bestCos = cos; best = ids(c) }
+      c += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cellArgmaxExpr", this,
+      classOf[CellArgmax].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CellArgmax {
+  def cell(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    ColumnBridge.column(CellArgmax(ColumnBridge.expression(vec),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
+}

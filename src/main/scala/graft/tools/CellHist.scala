@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch probe: IVF cell-occupancy histogram + approx-pair count for
+  * the current seeding, to attribute probe-join size (balanced cells →
+  * ~nProbe/nCells of the corpus scored per query).
+  * Usage: runMain graft.tools.CellHist <sfDir>
+  */
+object CellHist {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cells = graft.operators.Similarity.cellsForProbe(emb, 16)
+    println("CELLHIST " + cells.groupBy("cell").count()
+      .orderBy(desc("count")).collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
+    spark.stop()
+  }
+}
