@@ -20,8 +20,8 @@ import scala.collection.concurrent.TrieMap
   *     projection over the symbol string; pair counts are a vocab-sized
   *     partial agg; the arg-max pair is a deterministic
   *     `orderBy(count desc, pair asc).limit(1)` single-row collect
-  *     (licensed: one row per round); the merge is applied with a pure
-  *     `aggregate` higher-order fold — no UDF, no driver vocab.
+  *     (licensed: one row per round); the merge is applied by the
+  *     codegen'd [[graft.plans.BpeFold]] scan — no driver vocab.
   *   - rounds are capped (`nMerges`), and the FINAL vocab's lineage is
   *     just wordFreq + `nMerges` stacked projections (the chosen merges
   *     are driver literals), so downstream consumers re-derive it
@@ -76,19 +76,14 @@ object Bpe {
       concat(element_at(l, j), lit(" "), element_at(l, j + 1)))
   }
 
-  /** One canonical greedy merge pass as a pure column expression: fold
-    * the symbol sequence, merging `a b -> ab` left-to-right. CASE
-    * branches keep ANSI `element_at` off the empty accumulator.
+  /** One merge pass — [[graft.plans.BpeFold]] with a single pair. (An
+    * earlier `aggregate(split(sym), …)` composition was semantically
+    * identical but interpreted the fold lambda and copied the
+    * accumulator array per symbol; the codegen'd scan is the
+    * spec-pinned [[applyMergesScala]] semantics.)
     */
   private def applyMerge(sym: Column, a: String, b: String): Column =
-    array_join(
-      aggregate(split(sym, " "), array().cast("array<string>"),
-        (acc, x) =>
-          when(size(acc) === 0, array(x))
-            .when(element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x)))),
-      " ")
+    graft.plans.BpeFold.fold(sym, Seq((a, b)))
 
   // ------------------------------------------------- byte-level grammar
 
@@ -196,9 +191,8 @@ object Bpe {
       merges: Seq[(String, String)]): DataFrame = {
     val base = wordFrequencies(docs, textCol)
       .select(col("word"), col("freq"), initialSym(col("word")).as("sym"))
-    val folded = merges.foldLeft(base) { case (v, (a, b)) =>
-      v.withColumn("sym", applyMerge(col("sym"), a, b))
-    }
+    val folded = base.withColumn("sym",
+      graft.plans.BpeFold.fold(col("sym"), merges))
     folded.withColumn("n_tok", size(split(col("sym"), " ")))
   }
 
@@ -209,9 +203,8 @@ object Bpe {
       merges: Seq[(String, String)]): DataFrame = {
     val base = byteFrequencies(docs, textCol)
       .select(col("word"), col("freq"), initialByteSym(col("word")).as("sym"))
-    val folded = merges.foldLeft(base) { case (v, (a, b)) =>
-      v.withColumn("sym", applyMerge(col("sym"), a, b))
-    }
+    val folded = base.withColumn("sym",
+      graft.plans.BpeFold.fold(col("sym"), merges))
     folded.withColumn("n_tok", size(split(col("sym"), " ")))
   }
 

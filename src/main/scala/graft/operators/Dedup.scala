@@ -56,11 +56,16 @@ object Dedup {
   /** Whitespace word-array of a text column. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word k-gram shingles; documents shorter than k yield one shingle. */
+  /** Word k-gram shingles; documents shorter than k yield one shingle.
+    * Native codegen pass ([[graft.plans.WordShingles]]) — the
+    * `transform(sequence(…), i => array_join(slice(…)))` composition it
+    * replaces is identical semantically but higher-order functions are
+    * CodegenFallback: interpreted per element AND span-breaking, an
+    * interpreted slice+join allocation per shingle per document on the
+    * hottest corpus-scale path in the engine.
+    */
   def shingles(wordsCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(wordsCol) - k, lit(0))),
-      i => array_join(slice(wordsCol, i + 1, lit(k)), " "))
+    graft.plans.WordShingles.shingles(wordsCol, k)
 
   /** Exact dedup via content hash (sha-256 groupBy); keeps the minimum id
     * per identical-content group. Map-side partial agg + one shuffle.

@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `bpe_fold(sym)` — apply a trained BPE merge table to a space-joined
+  * symbol string in ONE compiled pass.
+  *
+  * The composed form folded one `aggregate(split(sym), …)` projection
+  * PER MERGE: 20 merges × an interpreted lambda that copies the
+  * accumulator array per symbol — quadratic-in-length array churn per
+  * word per merge, and the dominant cost of every vocabulary
+  * application (the fold runs over the whole distinct-word relation on
+  * each action). This expression is the subword-nmt reference scan
+  * (`Bpe.applyMergesScala`, the spec-pinned semantics): for each merge
+  * pair (a, b) in rank order, one left-aligned pass replaces adjacent
+  * (a, b) with `a+b`, never re-matching the merged token as a LEFT
+  * operand inside the same pass. The merge table is bounded driver
+  * metadata (the vocab-sized-model license), shipped inside the
+  * serialized expression.
+  */
+case class BpeFold(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_fold needs string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_fold"
+
+  /** public for the generated code — stays inside WholeStageCodegen */
+  def compute(s: UTF8String): UTF8String = {
+    var syms: List[String] = s.toString.split(" ", -1).toList
+    merges.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = syms
+      while (rest.nonEmpty) rest match {
+        case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+        case x :: tail => out += x; rest = tail
+        case Nil => ()
+      }
+      syms = out.toList
+    }
+    UTF8String.fromString(syms.mkString(" "))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeFoldExpr", this, classOf[BpeFold].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeFold {
+  def fold(sym: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeFold(ColumnBridge.expression(sym), merges))
+}

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `shingles(words, k)` — word k-gram shingles ("a b c", k=2 →
+  * ["a b", "b c"]) as ONE compiled pass over the word array.
+  *
+  * The composed form (`transform(sequence(0, n-k), i →
+  * array_join(slice(words, i+1, k), " "))`) is semantically identical,
+  * but Spark's higher-order functions are `CodegenFallback`: the lambda
+  * interprets per element AND the fallback breaks the enclosing
+  * whole-stage-codegen span, so every dedup pipeline paid an
+  * interpreted slice+join allocation per shingle per document at corpus
+  * scale. Contract (matches the composed form and every DuckDB shingle
+  * oracle, `words[g:g+k-1]` joined by one space): documents shorter
+  * than k yield ONE shingle of all their words; empty arrays yield one
+  * empty shingle.
+  */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      if (k >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("k must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles needs array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingles"
+
+  /** public for the generated code — stays inside WholeStageCodegen */
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val count = math.max(n - k, 0) + 1
+    val out = new Array[AnyRef](count)
+    val space = Array[Byte](' ')
+    var i = 0
+    while (i < count) {
+      val hi = math.min(i + k, n)
+      // join words[i..hi-1] with single spaces, concat at byte level
+      var j = i
+      var first = true
+      var acc: UTF8String = null
+      while (j < hi) {
+        val w = a.getUTF8String(j)
+        acc =
+          if (first) w
+          else UTF8String.concat(acc, UTF8String.fromBytes(space), w)
+        first = false
+        j += 1
+      }
+      out(i) = if (acc == null) UTF8String.EMPTY_UTF8 else acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shinglesExpr", this,
+      classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def shingles(words: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(words), k))
+}
