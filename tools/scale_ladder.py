@@ -207,11 +207,13 @@ def main():
         "Rung ladders (round 9): TPC-H/events-driven rows fit\n"
         "sf0.001→sf0.01→sf0.1; documents/embeddings-driven rows fit\n"
         "sf0.1→synth3→synth10 (replicate+perturb corpora from\n"
-        "`graft.tools.SynthCorpus`: word-salted document replicas and\n"
-        "signed-rotation embedding replicas — N× rows with identical\n"
-        "within-universe similarity structure and ~zero cross-universe\n"
-        "interaction, so corpus exponents now rest on a monotone\n"
-        "TWO-segment fit instead of one 10× step); lineitem-driven rows\n"
+        "`graft.tools.SynthCorpus`: Caesar-substituted document replicas\n"
+        "(length-preserving bijection — cross-universe shingles never\n"
+        "collide, byte-bound costs stay comparable) and signed-rotation\n"
+        "embedding replicas — N× rows with identical within-universe\n"
+        "similarity structure and ~zero cross-universe interaction, so\n"
+        "corpus exponents rest on a monotone TWO-segment fit instead of\n"
+        "one 10× step); lineitem-driven rows\n"
         "add an e(xl) segment sf0.1→synth10 (6M rows). Exponents are\n"
         "fitted against the DRIVING table's actual row ratio. `—` = the\n"
         "segment's driving table doesn't grow, or its low-rung CPU is\n"
