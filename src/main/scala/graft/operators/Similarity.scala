@@ -525,8 +525,8 @@ object Similarity {
     * literal bound the join+window assignment path keeps the old shape.
     */
   private def withCellCol(corpus: DataFrame,
-      cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    val wide = Dedup.widen(corpus)
+      cents: Seq[(Long, Seq[Double])], widen: Boolean = true): DataFrame = {
+    val wide = if (widen) Dedup.widen(corpus) else corpus
     if (cents.size <= LiteralCentroidMax)
       // codegen'd argmax loop ([[graft.plans.CellArgmax]]): the
       // array_max-over-structs composition it replaces is semantically
@@ -855,7 +855,12 @@ object Similarity {
     val cents = seedCentroids(emb, nCells)
     // both self-join sides read the cell assignment — materialize it
     // once, or the argmax-over-centroids projection runs per side
-    val withCell = Dedup.trackedPersist(withCellCol(emb, cents)
+    // no widen here: the cell self-join below redistributes by cell
+    // anyway (its exchange IS the parallelism, bounded by nCells either
+    // way), and widening first would push every embedding through an
+    // extra repartition the join doesn't need — the cell projection is
+    // cheap enough (codegen argmax) to run on the scan's own partitions
+    val withCell = Dedup.trackedPersist(withCellCol(emb, cents, widen = false)
       .select(col("vec_id"), col("embedding"), col("cell")))
     withCell.count()
     val a = withCell.select(
