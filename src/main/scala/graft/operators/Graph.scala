@@ -95,11 +95,19 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // pre-partitioned on the per-round join key: the edge relation is
-    // shuffled once here and never again — each iteration's join sees
-    // the cached hash partitioning already satisfying its distribution
-    val eDeg = persistPartitionedBy(e.join(deg, "src"), "src")
     val n = deg.count() // constant scalar: node count for the teleport term
+    // pre-partitioned once on the key that would otherwise shuffle per
+    // round. Under the broadcast bound the rank side rides a broadcast,
+    // so the join needs NO distribution — the round's only exchange
+    // would be the contribution agg on dst, whose map-side combine
+    // cannot compress when distinct dst per partition ~ edges per
+    // partition (measured edge-sized partials, ~12 MB/round at sf0.1).
+    // Partitioning the cache on DST makes that agg exchange-free: a
+    // round under the bound runs with ZERO exchanges. Past the bound
+    // the rank join becomes the per-round constraint, so the cache
+    // partitions on src and rounds move rank-sized rows instead.
+    val eDeg = persistPartitionedBy(e.join(deg, "src"),
+      if (n <= BroadcastRowBound) "dst" else "src")
     // the node universe. Rebuilding `ranks` from groupBy(dst) alone would
     // silently drop nodes with out-edges but no in-edges after round 1
     // (their teleport mass and all later contributions lost — ADVICE r5);
@@ -162,10 +170,13 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize before the degree-agg/join fan-out
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // shuffled once onto the per-round join key; beyond the broadcast
-    // bound the fallback join moves only rank-sized rows (see
-    // persistPartitionedBy)
-    val eDeg = persistPartitionedBy(e.join(deg, "src"), "src")
+    // same key policy as pageRank: agg side (dst) while ranks broadcast
+    // — zero-exchange rounds — join side (src) past the bound, where
+    // rounds move rank-sized rows (the rank relation is bounded by the
+    // node count, so the total-node count picks the regime)
+    val nTotal = deg.count()
+    val eDeg = persistPartitionedBy(e.join(deg, "src"),
+      if (nTotal <= BroadcastRowBound) "dst" else "src")
     val seeds = sources.toDF("node").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nSeeds = seeds.count()
@@ -347,16 +358,23 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val spark = edges.sparkSession
-    // shuffled once onto the per-round join key `u`; every round's
-    // edge × label join then needs no Exchange on the edge side
-    val e = persistPartitionedBy(
-      edges.select(col(srcCol).as("u"), col(dstCol).as("v")), "u")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = materialize(
-      e.select(col("u").as("node")).distinct()
+      e0.select(col("u").as("node")).distinct()
         .withColumn("lbl", col("node")))
     // the label relation has exactly one row per node every round —
     // count once, broadcast while small (same policy as BFS frontiers)
     val nNodes = labels.count()
+    // under the broadcast bound the label join needs no distribution,
+    // so the cache partitions on V: hash(v) satisfies both the
+    // (v, lbl) vote agg and the per-node window — zero-exchange
+    // rounds. Past the bound, partition on the join key `u` and rounds
+    // move label-sized rows.
+    val e = persistPartitionedBy(e0,
+      if (nNodes <= BroadcastRowBound) "v" else "u")
+    e.count()
+    e0.unpersist(blocking = false)
     var r = 0
     while (r < rounds) {
       val counted = e
