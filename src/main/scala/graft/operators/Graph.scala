@@ -168,15 +168,17 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count() // materialize before the degree-agg/join fan-out
+    // materialize before the degree-agg/join fan-out; the edge count
+    // also picks the cache's partition key below (node count <= edge
+    // count, so edges under the bound certify the rank side broadcasts
+    // — no extra distinct-count agg just for the policy)
+    val nEdges = e.count()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // same key policy as pageRank: agg side (dst) while ranks broadcast
     // — zero-exchange rounds — join side (src) past the bound, where
-    // rounds move rank-sized rows (the rank relation is bounded by the
-    // node count, so the total-node count picks the regime)
-    val nTotal = deg.count()
+    // rounds move rank-sized rows
     val eDeg = persistPartitionedBy(e.join(deg, "src"),
-      if (nTotal <= BroadcastRowBound) "dst" else "src")
+      if (nEdges <= BroadcastRowBound) "dst" else "src")
     val seeds = sources.toDF("node").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nSeeds = seeds.count()

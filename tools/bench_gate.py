@@ -132,16 +132,26 @@ def main():
     sh_flagged = {q for q in healthy if shuffle_hit(q, shuffle_of(cand, q))}
 
     # automated lucky-JIT / neighbor-contamination recheck: re-measure
-    # every per-query hit in one fresh standalone JVM before believing it
+    # every per-query hit in ITS OWN fresh standalone JVM before
+    # believing it. One JVM PER query, not one batch run: batching a
+    # light flagged query behind a heavy one re-creates the in-suite
+    # contamination the recheck exists to remove (measured: a 0.46 s
+    # query read 0.57 s when rechecked in the same JVM as a PageRank
+    # variant, crossing its own materiality floor).
     rechecks = {}
     eff_cpu = dict(cc)
     notes = []
     flagged = sorted(cpu_flagged | sh_flagged)
     if flagged and do_recheck:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        part = recheck(flagged, ce, repo_root)
-        if part is not None:
-            for q in flagged:
+        parts = {}
+        for q in flagged:
+            p = recheck([q], ce, repo_root)
+            if p is not None:
+                parts[q] = p
+        for q in flagged:
+            part = parts.get(q)
+            if part is not None:
                 rc_cpu = part["cpu"].get(q, -1.0)
                 rc_sh = shuffle_of(part, q)
                 rechecks[q] = {"cpu": rc_cpu, "shuffle": rc_sh,
