@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generated-input parity between the round-9 native codegen expressions
+  * and the Catalyst compositions they replaced. The compositions are
+  * kept HERE as the executable spec of the semantics (higher-order
+  * functions: interpreted but correct), so any divergence — tie-breaks,
+  * shorter-than-k shingles, zero-norm vectors, merge re-matching — fails
+  * with the concrete row. One Spark job per property over many
+  * generated rows.
+  */
+class NativeExprParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val word: Gen[String] =
+    Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'e') ++ Seq('ä', '字'))).map(_.mkString))
+
+  test("prop: WordShingles ≡ transform/slice/array_join composition, all k") {
+    val texts = samples(Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))), 250)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (k <- Seq(1, 2, 3, 5, 9)) {
+      val w = graft.operators.Dedup.words(col("text"))
+      val composed = transform(
+        sequence(lit(0), greatest(size(w) - k, lit(0))),
+        i => array_join(slice(w, i + 1, lit(k)), " "))
+      val bad = df.select(col("id"),
+          graft.operators.Dedup.shingles(w, k).as("native"),
+          composed.as("composed"))
+        .filter(not(col("native") <=> col("composed")))
+        .count()
+      assert(bad == 0L, s"k=$k: native shingles diverge from composition")
+    }
+  }
+
+  test("prop: BpeFold ≡ applyMergesScala on generated words and merges") {
+    val words = samples(word, 300).distinct
+    // a merge table in the shape training produces: successive pairs of
+    // single chars then compounds, including pairs that can cascade
+    val merges = Seq("a" -> "b", "ab" -> "c", "c" -> "c", "d" -> "_",
+      "e" -> "a", "ea" -> "ab", "字" -> "字")
+    val expected = words.map(w =>
+      w -> graft.operators.Bpe.applyMergesScala(w, merges).mkString(" ")).toMap
+    val init = concat(array_join(transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1))), " "), lit(" _"))
+    val got = words.toDF("w")
+      .select(col("w"), graft.plans.BpeFold.fold(init, merges).as("sym"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { w =>
+      assert(got(w) == expected(w), s"word '$w': fold diverges from scan")
+    }
+  }
+
+  test("prop: CellArgmax ≡ array_max-over-structs composition incl. ties and zero norms") {
+    val vec: Gen[Seq[Float]] = Gen.listOfN(4,
+      Gen.oneOf(Gen.const(0.0f), Gen.choose(-8, 8).map(_.toFloat))).map(_.toSeq)
+    val vecs = samples(vec, 400) ++ Seq(
+      Seq(0f, 0f, 0f, 0f),          // zero-norm row: every cosine 0 → lowest id
+      Seq(1f, 0f, 0f, 0f),          // exact tie with a scaled centroid
+      Seq(2f, 0f, 0f, 0f))
+    val cents: Seq[(Long, Seq[Double])] = Seq(
+      3L -> Seq(1.0, 0.0, 0.0, 0.0),
+      7L -> Seq(2.0, 0.0, 0.0, 0.0), // parallel to id 3: cosine ties exactly
+      11L -> Seq(0.0, 1.0, 0.0, 0.0),
+      12L -> Seq(0.0, 0.0, 0.0, 0.0), // zero-norm centroid: scores 0 always
+      20L -> Seq(-1.0, -1.0, 2.0, 0.5))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val composedScored = cents.map { case (cid, ce) =>
+      struct(graft.operators.Similarity.cosine(col("embedding"), typedlit(ce))
+        .as("ccos"), lit(-cid).as("ncell"))
+    }
+    val bad = df.select(
+        graft.plans.CellArgmax.cell(col("embedding"), cents).as("native"),
+        (array_max(array(composedScored: _*)).getField("ncell") * -1L)
+          .as("composed"))
+      .filter(not(col("native") <=> col("composed")))
+      .count()
+    assert(bad == 0L, "native cell argmax diverges from struct composition")
+  }
+}
