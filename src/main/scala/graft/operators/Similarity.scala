@@ -489,6 +489,15 @@ object Similarity {
       }.sortBy(_._1)
     if (picked.size >= nCells) picked
     else {
+      // the DuckDB oracles have NO backfill (one winner per non-empty
+      // bucket): if this ever fires on an oracled catalog run, the
+      // centroid sets diverge and the driver hash check fails — warn
+      // loudly so that mismatch is attributable to the empty bucket,
+      // not a silent plan bug
+      System.err.println(
+        s"[graft] seedCentroids BACKFILL: ${nCells - picked.size} of " +
+          s"$nCells md5 buckets empty — centroids diverge from the " +
+          "backfill-free oracle on this corpus")
       val have = picked.map(_._1).toSet
       val fill = corpus.filter(!col("vec_id").isin(have.toSeq: _*))
         .orderBy(col("vec_id")).limit(nCells - picked.size)

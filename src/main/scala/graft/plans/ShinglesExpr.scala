@@ -50,11 +50,16 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
       var first = true
       var acc: UTF8String = null
       while (j < hi) {
-        val w = a.getUTF8String(j)
-        acc =
-          if (first) w
-          else UTF8String.concat(acc, UTF8String.fromBytes(space), w)
-        first = false
+        // skip null elements, matching the composed form: array_join
+        // filters nulls (no word, no separator). Dedup.words never
+        // yields nulls, but shingles() is public over any array<string>.
+        if (!a.isNullAt(j)) {
+          val w = a.getUTF8String(j)
+          acc =
+            if (first) w
+            else UTF8String.concat(acc, UTF8String.fromBytes(space), w)
+          first = false
+        }
         j += 1
       }
       out(i) = if (acc == null) UTF8String.EMPTY_UTF8 else acc

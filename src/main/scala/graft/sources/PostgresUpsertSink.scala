@@ -297,7 +297,13 @@ object PostgresUpsertSink {
                 if (e.getSQLState == "23505" && updateIdx.nonEmpty) {
                   // lost an insert race to a concurrent run: the key
                   // exists now, the update applies (its own violations
-                  // quarantine)
+                  // quarantine). The retry runs under its OWN savepoint:
+                  // on PostgreSQL a failed statement aborts the
+                  // transaction (subsequent statements fail 25P02)
+                  // until rolled back to a savepoint — without sp2 one
+                  // quarantined retry would poison the rest of the
+                  // partition and defeat the fail-open contract.
+                  val sp2 = conn.setSavepoint()
                   try {
                     var i = 0
                     while (i < updateIdx.length) {
@@ -310,16 +316,26 @@ object PostgresUpsertSink {
                       j += 1
                     }
                     check.executeUpdate(): Unit
+                    conn.releaseSavepoint(sp2)
                   } catch {
                     case e2: java.sql.SQLException
                         if Option(e2.getSQLState)
                           .exists(_.startsWith("23")) =>
+                      conn.rollback(sp2)
                       quarantine(r, e2)
                   }
                 } else quarantine(r, e)
             }
           }
-          rows.foreach(upsertRow)
+          // commit per batchSize chunk, matching writePortable's
+          // transaction-size behavior on large partitions (a poison
+          // chunk can only roll back its own uncommitted tail)
+          var n = 0
+          rows.foreach { r =>
+            upsertRow(r)
+            n += 1
+            if (n % batchSize == 0) conn.commit()
+          }
           conn.commit()
         } finally conn.close()
         out.iterator

@@ -43,6 +43,29 @@ class NativeExprParitySpec extends AnyFunSuite {
     }
   }
 
+  test("prop: WordShingles skips null elements like array_join on containsNull arrays") {
+    // shingles() is public over arbitrary array<string>: null elements
+    // must vanish (no word, no separator), exactly as array_join filters
+    // them in the composed form
+    val arrGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(3 -> word.map(Option(_)), 1 -> Gen.const(Option.empty[String]))))
+    val rows = samples(arrGen, 200)
+    val df = rows.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "arr")
+    for (k <- Seq(1, 2, 4)) {
+      val w = col("arr")
+      val composed = transform(
+        sequence(lit(0), greatest(size(w) - k, lit(0))),
+        i => array_join(slice(w, i + 1, lit(k)), " "))
+      val bad = df.select(col("id"),
+          graft.operators.Dedup.shingles(w, k).as("native"),
+          composed.as("composed"))
+        .filter(not(col("native") <=> col("composed")))
+        .count()
+      assert(bad == 0L, s"k=$k: null-element shingles diverge from array_join")
+    }
+  }
+
   test("prop: BpeFold ≡ applyMergesScala on generated words and merges") {
     val words = samples(word, 300).distinct
     // a merge table in the shape training produces: successive pairs of

@@ -63,8 +63,14 @@ def recheck(queries, env, repo_root):
     # silently read as a result (dict-default -1s looked like a crash)
     if os.path.exists(out):
         os.remove(out)
-    r = subprocess.run(cmd, shell=True, cwd=repo_root, env=run_env,
-                       capture_output=True, text=True, timeout=3600)
+    try:
+        r = subprocess.run(cmd, shell=True, cwd=repo_root, env=run_env,
+                           capture_output=True, text=True, timeout=3600)
+    except subprocess.TimeoutExpired:
+        # a hung fresh-JVM recheck must degrade like any other recheck
+        # failure (hits stand unrechecked), not crash the gate
+        print("  recheck TIMED OUT after 3600s; hits stand unrechecked")
+        return None
     if r.returncode != 0 or not os.path.exists(out):
         print(f"  recheck FAILED to run (rc={r.returncode}); "
               f"hits stand unrechecked")
