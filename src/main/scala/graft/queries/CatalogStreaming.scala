@@ -80,7 +80,7 @@ object CatalogStreaming {
       when(col("event_id") % 37 === 0 &&
           unix_micros(col("ts")) < mtMicros - 5 * dayUs, lit("y_late"))
         .otherwise(concat(lit("m"),
-          lpad((((unix_micros(col("ts")) - minMicros) / (5 * dayUs))
+          lpad((((unix_micros(col("ts")) - minMicros) / (15 * dayUs))
             .cast("int")).cast("string"), 3, "0"))).as("page"))
     // id 0 is a PAD page (one sentinel-channel row at mt, arriving
     // between the last main page and the late page): the streaming
@@ -135,18 +135,40 @@ object CatalogStreaming {
     val work = java.nio.file.Files.createTempDirectory("graft_st_run_")
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
-    val q = stream
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val out = finish(s.read.parquet(outDir)).localCheckpoint(true)
+    val out = withStreamConf(s) {
+      val q = stream
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // micro-batches here are page-sized (KBs): one output file
+          // per trigger, not one per state partition
+          batch.coalesce(1).write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      finish(s.read.parquet(outDir)).localCheckpoint(true)
+    }
     deleteRecursively(work.toFile)
     out
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` = 4: a stateful
+    * streaming operator loads/commits one state-store instance per
+    * shuffle partition EVERY micro-batch, so at the catalog's page
+    * volumes (KBs per trigger) 32 partitions are pure per-trigger
+    * overhead — measured ~1.2-1.4 s/trigger, the whole wall of the r9
+    * rows (VERDICT r9 "observational": st_dedup_stream 35.8 s wall on
+    * 9.4 s CPU). 4 keeps the path multi-partition (real shuffles, real
+    * per-partition state) at a fraction of the fixed cost. The conf is
+    * restored afterwards; checkpoints are per-run, so the partition
+    * count is never mixed within one stream.
+    */
+  private def withStreamConf[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
   }
 
   /** The streaming daily digest, materialized: file-source stream (one
@@ -189,7 +211,7 @@ object CatalogStreaming {
     * over the hour's high-value events (null where none — the gaps the
     * fill must cover; gaps routinely span page boundaries, which is
     * what makes the CROSS-BATCH state the thing under test). Pages are
-    * 5-day buckets in event-time order — `locfStream` carries state
+    * 10-day buckets in event-time order — `locfStream` carries state
     * with no watermark, so in-order arrival makes the streamed fill
     * identical to the batch replay.
     */
@@ -214,7 +236,7 @@ object CatalogStreaming {
       .join(obs, Seq("series", "ts_us"), "left")
       .select(
         concat(lit("p"), lpad(((col("ts_us") - lit(h0.getTime * 1000L)) /
-          (120 * hourUs)).cast("int").cast("string"), 3, "0")).as("page"),
+          (240 * hourUs)).cast("int").cast("string"), 3, "0")).as("page"),
         to_json(struct(col("series"), col("ts_us"), col("value"))).as("line"))
     stagePages(lines, out)
     out
@@ -230,7 +252,7 @@ object CatalogStreaming {
     * are RE-SENT 2 days later (inside the 30-day horizon — must drop),
     * docs with doc_id % 13 == 0 (and not % 7) are re-sent 120 days
     * later, AFTER the watermark pad pages (the original's state is
-    * evicted — must survive). Pages are 20-day buckets in arrival
+    * evicted — must survive). Pages are 100-day buckets in arrival
     * order m* < w* < z*; margins keep both decisions away from any
     * boundary even with the one-batch watermark lag: a close re-send
     * arrives while the watermark still trails its original (same ts
@@ -252,7 +274,7 @@ object CatalogStreaming {
       .select(col("doc_id"),
         concat(col("doc_id").cast("string"), lit(":"), col("text")).as("text"))
       .withColumn("ts_us", lit(MtimeBase * 1000L) + col("doc_id") * hourUs)
-    val bucket = ((col("ts_us") - lit(MtimeBase * 1000L)) / (20 * dayUs))
+    val bucket = ((col("ts_us") - lit(MtimeBase * 1000L)) / (100 * dayUs))
       .cast("int").cast("string")
     val close = docs.filter(col("doc_id") % 7 === 0)
       .withColumn("ts_us", col("ts_us") + 2 * dayUs)
@@ -339,6 +361,187 @@ object CatalogStreaming {
         .orderBy("series", "ts"))
   }
 
+  private val clickSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("channel", StringType)))
+
+  private val purchSchema = StructType(Seq(
+    StructField("purchase_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts_us", LongType)))
+
+  /** Stage the two sides of the attribution join as separate page
+    * directories (two independent file-source streams — the real
+    * topology: clicks and purchases land from different connectors).
+    * Clicks = events with event_id % 3 == 0 (channel = event_type);
+    * purchases = events with event_id % 10 == 7, at ts + 1 h. Both
+    * sides ride 15-day main pages in event-time order, then two pad
+    * pages each (clicks user −1, purchases user −2 — the users differ
+    * so pads can never join) at maxTs + 30/35 d that advance BOTH
+    * sides' watermarks (the global watermark is the MIN across inputs,
+    * so a pad on one side alone would pin it). Purchases with
+    * event_id % 37 == 0 are withheld to a LATE page staged after the
+    * pads: by then the (lagged) watermark sits ≥ maxTs + 28 d, their
+    * event times are ≤ maxTs + 1 h — dropped as late input, and every
+    * click they could have matched has been evicted from join state
+    * (watermark ≫ click_ts + horizon). Both mechanisms independently
+    * yield zero output for them, so the margin is doubly covered.
+    * Returns (clicksDir, purchasesDir).
+    */
+  private def stageAttributionPages(s: SparkSession, d: String): (String, String) = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val outC = s"$base/attr_clicks"
+    val outP = s"$base/attr_purch"
+    val ev = t(s, d, "events")
+    val dayUs = 86400000000L
+    val mtMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val minMicros = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    def mpage(tsUs: org.apache.spark.sql.Column) = concat(lit("m"),
+      lpad(((tsUs - minMicros) / (15 * dayUs)).cast("int").cast("string"),
+        3, "0"))
+    val clicks = ev.filter(col("event_id") % 3 === 0).select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_type").as("channel"),
+      mpage(unix_micros(col("ts"))).as("page"))
+    val clickPads = s.range(0, 2).select(
+      lit(-1L).as("user_id"),
+      (lit(mtMicros) + (lit(30) + col("id") * 5) * dayUs).as("ts_us"),
+      lit("pad").as("channel"),
+      concat(lit("w"), col("id").cast("string")).as("page"))
+    stagePages(clicks.unionByName(clickPads)
+      .select(col("page"), to_json(struct(
+        col("user_id"), col("ts_us"), col("channel"))).as("line")), outC)
+    val purch = ev.filter(col("event_id") % 10 === 7).select(
+      col("event_id").as("purchase_id"), col("user_id"),
+      (unix_micros(col("ts")) + 3600000000L).as("ts_us"),
+      when(col("event_id") % 37 === 0, lit("y_late"))
+        .otherwise(mpage(unix_micros(col("ts")) + 3600000000L)).as("page"))
+    val purchPads = s.range(0, 2).select(
+      (lit(-1L) - col("id")).as("purchase_id"), lit(-2L).as("user_id"),
+      (lit(mtMicros) + (lit(30) + col("id") * 5) * dayUs).as("ts_us"),
+      concat(lit("w"), col("id").cast("string")).as("page"))
+    stagePages(purch.unionByName(purchPads)
+      .select(col("page"), to_json(struct(
+        col("purchase_id"), col("user_id"), col("ts_us"))).as("line")), outP)
+    (outC, outP)
+  }
+
+  /** The stream-stream attribution join, materialized: two watermarked
+    * file-source streams → event-time interval inner join (clicks in
+    * [purchase − 2 d, purchase], per user; purchase identity rides
+    * through the join) → parquet; folded to per-purchase click counts
+    * so pair-emission order cannot leak into the hash. What the oracle
+    * hash pins: every in-order match is emitted exactly once ACROSS
+    * micro-batches (most purchases join clicks from an earlier
+    * trigger's state), pads never join, and the late purchases yield
+    * nothing — two-sided watermark state eviction observed from the
+    * outside.
+    */
+  private def runAttribution(s: SparkSession, d: String): DataFrame = {
+    val (pagesC, pagesP) = stageAttributionPages(s, d)
+    val clicks = s.readStream.schema(clickSchema)
+      .option("maxFilesPerTrigger", "1").json(pagesC)
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("channel"))
+    val purchases = s.readStream.schema(purchSchema)
+      .option("maxFilesPerTrigger", "1").json(pagesP)
+      .select(col("purchase_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    materializeStream(s,
+      StreamingOps.attributionStream(clicks, purchases, "2 days", "2 days"),
+      _.groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          countDistinct(col("channel")).as("n_channels"))
+        .orderBy("purchase_id"))
+  }
+
+  private val totalsSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("bk", LongType),
+    StructField("n_events", LongType),
+    StructField("total_value", org.apache.spark.sql.types.DoubleType)))
+
+  /** Stage per-user rolling totals as keyed page files: page `bk` holds
+    * one row per user active in 10-day bucket `bk` — (user_id, bk,
+    * n_events, total_value). Pages arrive in bucket order, so the
+    * upsert-keyed final table holds each user's LATEST bucket row —
+    * the oracle's max-bk pick. Integer `div` on both sides (no float
+    * bucket boundaries).
+    */
+  private def stageTotalsPages(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/upsert_pages"
+    val ev = t(s, d, "events")
+    val minMicros = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val lines = ev
+      .groupBy(col("user_id"),
+        expr(s"(unix_micros(ts) - ${minMicros}L) div 864000000000L").as("bk"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(concat(lit("p"), lpad(col("bk").cast("string"), 3, "0"))
+        .as("page"),
+        to_json(struct(col("user_id"), col("bk"), col("n_events"),
+          col("total_value"))).as("line"))
+    stagePages(lines, out)
+    out
+  }
+
+  /** The exactly-once-EFFECT upsert sink, materialized: staged pages →
+    * file-source stream → [[StreamingOps.upsertSink]] (each micro-batch
+    * lands through the K5 keyed upsert into a LIVE embedded Derby) —
+    * then the LAST page is deliberately DELIVERED AGAIN through the
+    * same sink body, simulating Structured Streaming's at-least-once
+    * redelivery of an uncommitted batch after a checkpoint restart.
+    * The result is the final table read back over JDBC: a hash match
+    * against the replay-blind oracle proves the duplicate delivery had
+    * no observable effect — idempotence at the sink turning
+    * at-least-once delivery into exactly-once effect, measured from
+    * the table, not asserted from the code.
+    */
+  private def runUpsertEffect(s: SparkSession, d: String): DataFrame = {
+    val pages = stageTotalsPages(s, d)
+    val url = "jdbc:derby:memory:graftst;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE st_user_totals")
+      catch { case _: Exception => () }
+      st.execute(
+        """CREATE TABLE st_user_totals (
+             user_id BIGINT NOT NULL PRIMARY KEY,
+             bk BIGINT, n_events BIGINT, total_value DOUBLE)""")
+    } finally conn.close()
+    withStreamConf(s) {
+      val work = java.nio.file.Files.createTempDirectory("graft_st_run_")
+      val stream = s.readStream.schema(totalsSchema)
+        .option("maxFilesPerTrigger", "1").json(pages)
+      val q = StreamingOps.upsertSink(stream, url, "st_user_totals",
+        Seq("user_id"), work.resolve("ckpt").toString)
+      q.processAllAvailable()
+      q.stop()
+      // redeliver the LAST page through the identical sink body (the
+      // at-least-once case: the batch landed, the checkpoint commit
+      // didn't, the restart re-runs it)
+      val lastPage = s.read.schema(totalsSchema).json(pages)
+        .agg(max("bk")).head().getLong(0)
+      graft.sources.PostgresUpsertSink.writePortable(
+        s.read.schema(totalsSchema).json(pages)
+          .filter(col("bk") === lastPage),
+        url, "st_user_totals", Seq("user_id"))
+      val out = s.read.format("jdbc")
+        .option("url", url).option("dbtable", "st_user_totals").load()
+        .select(col("USER_ID").as("user_id"), col("BK").as("bk"),
+          col("N_EVENTS").as("n_events"),
+          col("TOTAL_VALUE").as("total_value"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+      deleteRecursively(work.toFile)
+      out
+    }
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit
@@ -403,6 +606,52 @@ object CatalogStreaming {
       Some("""SELECT doc_id,
                      CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 13 = 0
                           THEN 2 ELSE 1 END AS BIGINT) AS n_survivals
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    Q("st_attribution",
+      // fourth streaming driver-oracle row: the STREAM-STREAM interval
+      // join (two-sided watermarks, per-key state on both inputs,
+      // time-bound eviction) hash-pinned to a batch interval-join
+      // replay — cross-batch matches emit exactly once, and the
+      // late-staged purchases (event_id % 37 = 0, arriving after the
+      // watermark pads) contribute nothing because their click state
+      // was evicted: the oracle excludes them, so a hash match IS the
+      // eviction proof
+      (s, d) => runAttribution(s, d),
+      Some("""WITH clicks AS (SELECT user_id, ts AS click_ts,
+                       event_type AS channel
+                     FROM events WHERE event_id % 3 = 0),
+              purch AS (SELECT event_id AS purchase_id, user_id,
+                       ts + INTERVAL 1 HOUR AS purchase_ts
+                     FROM events
+                     WHERE event_id % 10 = 7 AND event_id % 37 <> 0)
+              SELECT p.purchase_id, count(*) AS n_clicks,
+                     count(DISTINCT c.channel) AS n_channels
+              FROM purch p JOIN clicks c ON c.user_id = p.user_id
+                AND c.click_ts <= p.purchase_ts
+                AND c.click_ts >= p.purchase_ts - INTERVAL 2 DAY
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("st_upsert_effect",
+      // fifth streaming driver-oracle row: exactly-once EFFECT through
+      // an at-least-once sink — the stream upserts per-user bucket
+      // totals into a live Derby table, the last micro-batch is then
+      // DELIVERED A SECOND TIME through the same sink body (simulated
+      // checkpoint-restart redelivery), and the final table still
+      // hashes to the replay-blind oracle (each user's latest-bucket
+      // row): keyed idempotence measured from the table
+      (s, d) => runUpsertEffect(s, d),
+      Some("""WITH mn AS (SELECT min(epoch_us(ts)) AS m0 FROM events),
+              b AS (SELECT user_id,
+                      (epoch_us(ts) - (SELECT m0 FROM mn))
+                        // 864000000000 AS bk,
+                      count(*) AS n_events,
+                      round(sum(value), 2) AS total_value
+                    FROM events GROUP BY 1, 2)
+              SELECT b.user_id, b.bk, b.n_events, b.total_value
+              FROM b JOIN (SELECT user_id, max(bk) AS bk
+                           FROM b GROUP BY 1) l
+                ON b.user_id = l.user_id AND b.bk = l.bk
+              ORDER BY b.user_id"""))
   )
 }

@@ -320,16 +320,21 @@ object StreamingOps {
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("channel"))
       .withWatermark("click_ts", watermark)
+    // purchase-side payload columns (amount, a purchase id, …) ride
+    // through the join untouched — identity must survive the stream
+    // join, because a batch-side re-attach by (user, ts) would be
+    // ambiguous under key collisions
+    val carry = purchases.columns.toSeq.filterNot(Set("user_id", "ts"))
     val p = purchases
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("amount"))
+      .withColumnRenamed("user_id", "p_user")
+      .withColumnRenamed("ts", "purchase_ts")
       .withWatermark("purchase_ts", watermark)
     c.join(p,
       col("c_user") === col("p_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
-      .select(col("p_user").as("user_id"), col("click_ts"),
-        col("purchase_ts"), col("channel"), col("amount"))
+      .select(col("p_user").as("user_id") +: col("click_ts") +:
+        col("purchase_ts") +: col("channel") +: carry.map(col): _*)
   }
 
   /** Exactly-once-effect streaming sink: each micro-batch lands through
