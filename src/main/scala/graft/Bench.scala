@@ -56,7 +56,7 @@ object Bench {
     // Each rep also snapshots the listener counters; the task-end events
     // ride the async listener bus, so drain it before reading deltas.
     case class Rep(wall: Double, cpuS: Double, runS: Double,
-        shReadB: Long, shWriteB: Long)
+        shReadB: Long, shWriteB: Long, rows: Long)
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
       val pre = {
         org.apache.spark.graftbridge.ListenerBridge
@@ -64,14 +64,18 @@ object Bench {
         metrics.snapshot
       }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => return Rep(-1.0, -1.0, -1.0, -1L, -1L) }
+      // the measured action doubles as the OUTPUT-cardinality probe: the
+      // scaling ladder fits cost-vs-output for output-bound rows
+      // (dedup_embedding's qualifying-pair count), so the count each rep
+      // already computes is recorded instead of thrown away
+      val n = try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => return Rep(-1.0, -1.0, -1.0, -1L, -1L, -1L) }
       val wall = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graftbridge.ListenerBridge
         .waitUntilEmpty(spark.sparkContext, 10000L)
       val post = metrics.snapshot
       Rep(wall, (post._1 - pre._1) / 1e9, (post._2 - pre._2) / 1e3,
-        post._3 - pre._3, post._4 - pre._4)
+        post._3 - pre._3, post._4 - pre._4, n)
     }
     // a rep's CPU can legitimately swing ~2× on heavy shuffle queries
     // (spill pressure, JIT tiers, scheduling) — adaptive reps: keep
@@ -125,10 +129,11 @@ object Bench {
       val bad = reps.exists(_.wall < 0)
       // min over reps for wall AND cpu: the first rep's CPU carries JIT
       // + codegen compilation, which is warmup, not plan cost
-      name -> (if (bad) Rep(-1.0, -1.0, -1.0, -1L, -1L)
+      name -> (if (bad) Rep(-1.0, -1.0, -1.0, -1L, -1L, -1L)
         else Rep(a.wall, b.cpuS,
           reps.map(_.runS).min,
-          reps.map(_.shReadB).min, reps.map(_.shWriteB).min))
+          reps.map(_.shReadB).min, reps.map(_.shWriteB).min,
+          reps.map(_.rows).max))
     }.toMap
     // 3-decimal (millisecond) precision: full-double rendering made the
     // contract line ~7 KB at 119 queries and the driver's stdout capture
@@ -171,6 +176,7 @@ object Bench {
       s""""run":${jmap(r => ms(r.runS))},""" +
       s""""shuffle_read":${jmap(r => r.shReadB.toString)},""" +
       s""""shuffle_write":${jmap(r => r.shWriteB.toString)},""" +
+      s""""rows":${jmap(r => r.rows.toString)},""" +
       s""""reps":$repsJson,"env":$envJson,""" +
       s""""sf":"$sfDir"}"""
     // the committed baseline is the sf0.1 run; other scale factors write

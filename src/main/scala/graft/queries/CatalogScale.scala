@@ -716,6 +716,40 @@ object CatalogScale {
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
               ORDER BY id_a, id_b""")),
 
+    Q("dedup_embedding_scaled",
+      // the 100 TB index CONFIGURATION of dedup_embedding: the bucket
+      // count scales with the corpus (numPlanes = ⌈log2(N/125)⌉, i.e.
+      // 2^planes ∝ N) so expected bucket occupancy stays a constant
+      // ~125 vectors at any corpus size — per-table in-bucket candidate
+      // work is then Θ(N · occupancy) = linear, where the fixed-planes
+      // row's occupancy (and its quadratic in-bucket work) grows with
+      // N. At the driver's 500-vector scale the formula degenerates to
+      // numPlanes=2 — exactly dedup_embedding's proven-complete-recall
+      // config — so the all-pairs oracle pins this row too; at the
+      // synth ladder rungs the same code measures the constant-
+      // occupancy cost exponent (recall at the deliberately-low 0.35
+      // test threshold is the numPlanes↔numTables trade documented on
+      // cosineDupPairsLsh; at production thresholds ≥0.8 this config
+      // keeps recall ≥98%).
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val n = math.max(1L, emb.count())
+        val planes = math.max(2, math.ceil(
+          math.log(n / 125.0) / math.log(2.0)).toInt)
+        Similarity.cosineDupPairsLsh(emb, 0.35, numTables = 24,
+          numPlanes = planes, dim = 64)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                  AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+              ORDER BY id_a, id_b""")),
+
     Q("dedup_semantic",
       // SemDeDup: coarse-quantizer cells confine the pairwise cosine to
       // within-cell candidates; keep one representative per component.

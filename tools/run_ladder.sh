@@ -13,9 +13,13 @@ export SPARK_GRAFT_CPUS=32
 # rows fitted on the sf ladder (TPC-H/events drivers)
 SF_SET=a25_assoc_rules,ep1_weekly_e2e,ep2_jira_e2e,ep3_dashboard_e2e,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,j12_jaro_entity_join
 # rows fitted on the corpus ladder (documents/embeddings drivers)
-CORPUS_SET=dedup_clusters,dedup_edit_distance,dedup_embedding,dedup_keep_best,dedup_minhash_lsh,dedup_spans,g2_cluster_sizes,hh_bigram_phrases,inc_dedup_pairs,mm_phash_dct,search_bm25,sim_ann_ivf_pq,ta_bpe_tokens,td_leakage_split,td_pipeline_e2e
+CORPUS_SET=dedup_clusters,dedup_edit_distance,dedup_embedding,dedup_embedding_scaled,dedup_keep_best,dedup_minhash_lsh,dedup_spans,g2_cluster_sizes,hh_bigram_phrases,inc_dedup_pairs,mm_phash_dct,search_bm25,sim_ann_ivf_pq,td_leakage_split,td_pipeline_e2e
 # lineitem-driven rows also measured at synth10 for the e(xl) segment
 LI_SET=a25_assoc_rules,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop
+# vocab-bound rows fit on the Heaps-law zipf rungs (see scale_ladder.py);
+# build them with:
+#   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/zipf1 1 zipf'   (and 3, 10)
+ZIPF_SET=ta_bpe_tokens
 
 run_rung() { # dir rungname queryset
   local dir=$1 rung=$2 set=$3
@@ -30,10 +34,19 @@ run_rung() { # dir rungname queryset
 }
 
 rm -f BENCH_LOCAL_sf0.001_partial*.json BENCH_LOCAL_sf0.01_partial*.json \
-      BENCH_LOCAL_sf0.1_partial*.json BENCH_LOCAL_synth*_partial*.json
+      BENCH_LOCAL_sf0.1_partial*.json BENCH_LOCAL_synth*_partial*.json \
+      BENCH_LOCAL_zipf*_partial*.json
 run_rung /root/testdata/sf0.001 sf0.001 "$SF_SET"
 run_rung /root/testdata/sf0.01  sf0.01  "$SF_SET"
 run_rung /root/testdata/sf0.1   sf0.1   "$SF_SET,$CORPUS_SET"
 run_rung /tmp/graft_synth/synth3  synth3  "$CORPUS_SET"
 run_rung /tmp/graft_synth/synth10 synth10 "$CORPUS_SET,$LI_SET"
+run_rung /tmp/graft_synth/zipf1  zipf1  "$ZIPF_SET"
+run_rung /tmp/graft_synth/zipf3  zipf3  "$ZIPF_SET"
+run_rung /tmp/graft_synth/zipf10 zipf10 "$ZIPF_SET"
+# stretch decade (VERDICT r9 #7): 30x lineitem, graph/assoc rows only —
+# build /tmp/graft_synth/synth30 first (factor 30), then RUN_XL30=1
+if [ "${RUN_XL30:-0}" = "1" ]; then
+  run_rung /tmp/graft_synth/synth30 synth30 "a25_assoc_rules,g1_pagerank,g6_kcore"
+fi
 echo "=== ladder runs complete ($(date +%H:%M:%S))"

@@ -40,6 +40,13 @@ SYNTH = "/tmp/graft_synth"
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 CORPUS_RUNGS = ["sf0.1", "synth3", "synth10"]
+# Heaps-law rungs (VERDICT r9 #4): SynthCorpus zipf mode grows the
+# vocabulary ~sqrt(rows) like a real corpus instead of linearly like the
+# Caesar replicas, and writes EVERY rung (incl. the factor-1 rewrite of
+# the base corpus) at the same partition count so map-stage concurrency
+# — a ~3.5× per-task CPU inflation on this host at 20-way — is matched
+# across rungs instead of riding the rung's file count
+ZIPF_RUNGS = ["zipf1", "zipf3", "zipf10"]
 
 DIRS = {
     "sf0.001": f"{TESTDATA}/sf0.001",
@@ -47,6 +54,10 @@ DIRS = {
     "sf0.1": f"{TESTDATA}/sf0.1",
     "synth3": f"{SYNTH}/synth3",
     "synth10": f"{SYNTH}/synth10",
+    "zipf1": f"{SYNTH}/zipf1",
+    "zipf3": f"{SYNTH}/zipf3",
+    "zipf10": f"{SYNTH}/zipf10",
+    "synth30": f"{SYNTH}/synth30",
 }
 
 # driving table per query: the relation whose cardinality the query's
@@ -73,6 +84,7 @@ DRIVERS = {
     "search_bm25": "documents",
     "ta_bpe_tokens": "documents",
     "dedup_embedding": "embeddings",
+    "dedup_embedding_scaled": "embeddings",
     "sim_ann_ivf_pq": "embeddings",
     "j12_jaro_entity_join": "part",
     "ep1_weekly_e2e": "events",
@@ -84,33 +96,49 @@ DRIVERS = {
 # so its synthetic joins would dangle — it stays on the sf ladder.
 NO_SYNTH = {"ep2_jira_e2e"}
 
+# vocab-bound rows fit on the Heaps-law rungs: their cost model is
+# Theta(corpus tokens + vocab), and only the zipf rungs grow vocab the
+# way a real corpus does
+VOCAB_BOUND = {"ta_bpe_tokens"}
+
+# stretch decade (VERDICT r9 #7): 30x lineitem (~18M rows) for the rows
+# whose synth10 segment steepened — rung appended only when its runs
+# exist on disk
+XL30 = {"g1_pagerank", "g6_kcore", "a25_assoc_rules"}
+
 
 def rungs_for(query, table):
+    if query in VOCAB_BOUND:
+        return ZIPF_RUNGS
     if table in ("documents", "embeddings"):
         return CORPUS_RUNGS
     if table == "lineitem" and query not in NO_SYNTH:
+        if query in XL30 and glob.glob("BENCH_LOCAL_synth30_partial*.json"):
+            return SFS + ["synth10", "synth30"]
         return SFS + ["synth10"]
     return SFS
 
 
 MAX_EXPONENT = 1.3
-# documented super-linear rows.
-#  - dedup_embedding is OUTPUT-bound: at the 0.35 cosine threshold the
-#    qualifying-pair count itself grows quadratically (measured
-#    257 -> 4137 pairs for 4x rows = e 2.0), so any complete-recall
-#    algorithm's cost is lower-bounded by ~e 2.0 in the tail; the
-#    measured exponent stays BELOW its own output growth.
-#  - ta_bpe_tokens is VOCAB-probe-bound: the Caesar replicas give each
-#    universe a disjoint vocabulary, so distinct words grow LINEARLY
-#    with the rung (x10) where a real 10x corpus grows ~sqrt(N) by
-#    Heaps' law — and the cost that reads as super-linear is the
-#    per-token probe of the broadcast vocab map crossing from
-#    cache-resident (33k words, ~225 ns/probe at sf0.1) to
-#    DRAM-resident (330k words, ~700 ns/probe at synth10). That
-#    transition is BOUNDED (a DRAM-resident map plateaus; cost returns
-#    to Theta(corpus tokens)); the algorithm itself is one corpus
-#    shuffle + vocab-sized work, verified linear against tokens+vocab.
-ALLOWLIST = {"dedup_embedding", "ta_bpe_tokens"}
+
+# OUTPUT-bound rows (VERDICT r9 #1: measured, not argued): a
+# complete-recall pair finder's cost is lower-bounded by its own output
+# cardinality, and dedup_embedding's qualifying-pair count at the 0.35
+# test threshold grows ~quadratically with the corpus by construction
+# (cross-replica near-dups). The bench records each query's output rows,
+# so instead of an allowlist entry the gate CHECKS the claim: the row
+# passes iff its cost exponent stays within OUTPUT_SLACK of
+# max(1, output exponent) on the same segment — cost tracks
+# scan + output, not a hidden super-linear stage. Rows with a missing
+# rows record (pre-r10 run files) FAIL until the rung is re-run.
+OUTPUT_BOUND = {"dedup_embedding"}
+OUTPUT_SLACK = 0.25
+
+# empty since r10: dedup_embedding moved to the measured OUTPUT_BOUND
+# rule; ta_bpe_tokens moved to the Heaps-law zipf rungs (its Caesar
+# super-linearity was vocab growth in the probe corpus, not the
+# algorithm — see VOCAB_BOUND)
+ALLOWLIST = set()
 
 # CPU below this at the segment's LOW rung is dominated by fixed
 # per-query overhead (plan compile, codegen, tiny-partition scheduling)
@@ -149,13 +177,19 @@ def main():
                   f"with SPARK_GRAFT_ONLY and SPARK_GRAFT_SF_DIR={DIRS[rung]}")
             return 2
         runs = [json.load(open(p)) for p in paths]
-        merged = {"env": runs[0].get("env", {}), "cpu": {}}
+        merged = {"env": runs[0].get("env", {}), "cpu": {}, "rows": {}}
         for q in set().union(*[r["cpu"].keys() for r in runs]):
             vals = [r["cpu"][q] for r in runs
                     if q in r["cpu"] and r["cpu"][q] >= 0]
             # a query that FAILED (cpu -1) in every run of the rung flows
             # to the 'missing' verdict instead of crashing min()
             merged["cpu"][q] = min(vals) if vals else None
+            # output cardinality (r10 bench files; absent in older runs)
+            # — deterministic per (query, rung), so any valid reading is
+            # THE reading
+            rvals = [r["rows"][q] for r in runs
+                     if q in r.get("rows", {}) and r["rows"][q] >= 0]
+            merged["rows"][q] = rvals[0] if rvals else None
         benches[rung] = merged
         runs_per[rung] = len(runs)
 
@@ -168,12 +202,15 @@ def main():
 
     lines = []
     fails = []
+    notes = []
     for q in sorted(DRIVERS):
         tab = DRIVERS[q]
         qr = rungs_for(q, tab)
         cpus = [benches[r]["cpu"].get(q) for r in qr]
+        outs = [benches[r]["rows"].get(q) for r in qr]
         if any(c is None or c < 0 for c in cpus):
-            lines.append((q, tab, qr, cpus, [None] * (len(qr) - 1), "missing"))
+            lines.append((q, tab, qr, cpus, outs,
+                          [None] * (len(qr) - 1), "missing"))
             continue
         exps = []
         for lo in range(len(qr) - 1):
@@ -194,12 +231,41 @@ def main():
                               f"({qr[lo]} -> {qr[lo + 1]}): add fresh-JVM runs"))
         top = exps[-1]
         if top is not None and top > MAX_EXPONENT and cpus[-1] >= 1.0:
-            if q in ALLOWLIST:
+            if q in OUTPUT_BOUND:
+                # the measured output-bound rule: cost may grow no faster
+                # than scan + output on the same segment
+                lo, hi = qr[-2], qr[-1]
+                o_lo, o_hi = outs[-2], outs[-1]
+                if o_lo is None or o_hi is None or o_lo <= 0:
+                    verdict = "EXCEEDS"
+                    fails.append((q, f"e(last) = {top:.2f} > {MAX_EXPONENT} "
+                                  "and no output-rows record for the "
+                                  "segment — re-run the rung with an r10+ "
+                                  "bench binary"))
+                else:
+                    e_out = (math.log(o_hi / o_lo) /
+                             math.log(rows(hi, tab) / rows(lo, tab)))
+                    bound = max(1.0, e_out) + OUTPUT_SLACK
+                    us_lo = cpus[-2] / o_lo * 1e6
+                    us_hi = cpus[-1] / o_hi * 1e6
+                    notes.append(
+                        f"{q}: output {o_lo} -> {o_hi} pairs "
+                        f"(e_out {e_out:.2f}); cost/pair "
+                        f"{us_lo:.0f} -> {us_hi:.0f} us")
+                    if top <= bound:
+                        verdict = f"output-bound (e_out {e_out:.2f})"
+                    else:
+                        verdict = "EXCEEDS"
+                        fails.append(
+                            (q, f"e(last) = {top:.2f} exceeds even the "
+                             f"output-bound allowance {bound:.2f} "
+                             f"(e_out {e_out:.2f} + {OUTPUT_SLACK})"))
+            elif q in ALLOWLIST:
                 verdict = "allowlisted"
             else:
                 verdict = "EXCEEDS"
                 fails.append((q, f"e(last) = {top:.2f} > {MAX_EXPONENT}"))
-        lines.append((q, tab, qr, cpus, exps, verdict))
+        lines.append((q, tab, qr, cpus, outs, exps, verdict))
 
     env = benches["sf0.1"].get("env", {})
     out = []
@@ -230,35 +296,52 @@ def main():
         "segment's driving table doesn't grow, or its low-rung CPU is\n"
         f"under {MIN_CPU_LOW}s (fixed-overhead floor, fit meaningless).\n\n"
         f"Gate: `--check` fails when the LAST segment's exponent exceeds\n"
-        f"{MAX_EXPONENT} with last-rung CPU ≥ 1 s outside the allowlist\n"
-        f"(currently: {sorted(ALLOWLIST)} — dedup_embedding is\n"
-        "OUTPUT-bound: its qualifying-pair count alone grows at e 2.0,\n"
-        "so complete-recall cost is lower-bounded by the result;\n"
-        "ta_bpe_tokens is VOCAB-PROBE-bound: Caesar replicas grow the\n"
-        "vocabulary linearly with the rung where a real corpus grows\n"
-        "~sqrt(N) by Heaps' law, and the per-token probe of the\n"
-        "broadcast vocab map crosses cache→DRAM (~225→700 ns) — a\n"
-        "bounded transition, not algorithmic growth), or\n"
+        f"{MAX_EXPONENT} with last-rung CPU ≥ 1 s. Two measured escape\n"
+        "hatches replace the r9 allowlist:\n"
+        f"OUTPUT-bound rows ({sorted(OUTPUT_BOUND)}) pass iff the cost\n"
+        "exponent stays within "
+        f"{OUTPUT_SLACK} of max(1, output exponent) on the same segment\n"
+        "— the bench records each query's output cardinality, so\n"
+        "\"complete-recall cost is lower-bounded by its own result\" is\n"
+        "checked against the recorded pair counts, not asserted.\n"
+        f"VOCAB-bound rows ({sorted(VOCAB_BOUND)}) fit on the zipf\n"
+        "ladder: SynthCorpus zipf mode grows the vocabulary ~sqrt(rows)\n"
+        "(Heaps' law) instead of the Caesar mode's linear growth, and\n"
+        "writes every rung at ONE partition count so map-stage\n"
+        "concurrency — measured ~3.5× per-task CPU inflation at 20-way\n"
+        "on this host — is matched across rungs (constant per-host\n"
+        "concurrency is also the production model). The gate also fails\n"
         "when min-merged CPU is NON-MONOTONE across a rung (later rung\n"
         f"< {MONOTONE_TOL}× earlier: an under-sampled rung, not a fit).\n"
         "CPU is executor CPU seconds (min over adaptive reps).\n")
-    out.append("| query | driver | rungs | cpu per rung | exponents "
-               "| e(last) | verdict |")
-    out.append("|---|---|---|---|---|---|---|")
-    for q, tab, qr, cpus, exps, verdict in lines:
+    out.append("| query | driver | rungs | cpu per rung | out rows "
+               "| exponents | e(last) | verdict |")
+    out.append("|---|---|---|---|---|---|---|---|")
+    for q, tab, qr, cpus, outs, exps, verdict in lines:
         def f(c):
             return "—" if c is None or c < 0 else f"{c:.2f}"
 
         def g(e):
             return "—" if e is None else f"{e:.2f}"
+
+        def h(o):
+            return "—" if o is None or o < 0 else str(o)
         rung_lbl = "→".join(qr).replace("sf0.001→sf0.01→sf0.1", "sf ladder") \
-            .replace("sf0.1→synth3→synth10", "corpus ladder")
+            .replace("sf0.1→synth3→synth10", "corpus ladder") \
+            .replace("zipf1→zipf3→zipf10", "zipf ladder")
         last = next((e for e in reversed(exps) if e is not None), None)
         out.append(f"| {q} | {tab} | {rung_lbl} "
                    f"| {' → '.join(f(c) for c in cpus)} "
+                   f"| {' → '.join(h(o) for o in outs)} "
                    f"| {', '.join(g(e) for e in exps)} "
                    f"| {g(last)} | {verdict} |")
     out.append("")
+    if notes:
+        out.append("Output-bound evidence (cost per emitted pair should "
+                   "hold ~constant while pair count grows):\n")
+        for n in notes:
+            out.append(f"- {n}")
+        out.append("")
     report = "\n".join(out)
     # splice into SCALE.md between the ladder markers — the rest of the
     # file is the hand-written 100 TB design-notes document, never
