@@ -25,7 +25,8 @@ object ProfileStages {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     case class St(name: String, cpuS: Double, runS: Double, tasks: Int,
-        shufReadMb: Double, shufWriteMb: Double, inputMb: Double)
+        shufReadMb: Double, shufWriteMb: Double, inputMb: Double,
+        spillMb: Double)
     val stages = new ConcurrentHashMap[Int, St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -36,7 +37,8 @@ object ProfileStages {
           m.executorCpuTime / 1e9, m.executorRunTime / 1e3, si.numTasks,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
-          m.inputMetrics.bytesRead / 1e6))
+          m.inputMetrics.bytesRead / 1e6,
+          (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6))
       }
     })
     val fn = graft.SparkEntry.queries(name)
@@ -50,11 +52,13 @@ object ProfileStages {
       import scala.jdk.CollectionConverters._
       val all = stages.asScala.toSeq.sortBy(-_._2.cpuS)
       println(f"PROFILE $name rep=$i wall=$wall%.2f s rows=$n " +
-        f"stages=${all.size} cpuSum=${all.map(_._2.cpuS).sum}%.1f s")
+        f"stages=${all.size} cpuSum=${all.map(_._2.cpuS).sum}%.1f s " +
+        f"spillSum=${all.map(_._2.spillMb).sum}%.1fMB")
       all.take(14).foreach { case (id, s) =>
         println(f"  stage $id%4d cpu=${s.cpuS}%8.2f run=${s.runS}%8.2f " +
           f"tasks=${s.tasks}%4d in=${s.inputMb}%8.1fMB " +
-          f"sr=${s.shufReadMb}%8.1fMB sw=${s.shufWriteMb}%8.1fMB ${s.name}")
+          f"sr=${s.shufReadMb}%8.1fMB sw=${s.shufWriteMb}%8.1fMB " +
+          f"sp=${s.spillMb}%7.1fMB ${s.name}")
       }
     }
     spark.stop()
