@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.SynthCorpus
+
+/** The zipf perturbation underlying the Heaps-law ladder rungs: the
+  * measured scaling exponents are only meaningful if the perturbation
+  * preserves every corpus statistic except vocabulary growth, so those
+  * invariants are pinned here rather than trusted from the generator.
+  */
+class SynthCorpusSpec extends AnyFunSuite {
+
+  private val text = "The Quick-Brown fox, jumps 42 over the lazy dog!  twice."
+
+  test("zipfPerturb at k=0 is the identity") {
+    assert(SynthCorpus.zipfPerturb(text, 0, 1000000) eq text)
+  }
+
+  test("zipfPerturb preserves length, separators, case positions and digits") {
+    for (k <- 1 to 9; frac <- Seq(0, 250000, 1000000)) {
+      val out = SynthCorpus.zipfPerturb(text, k, frac)
+      assert(out.length == text.length, s"k=$k frac=$frac")
+      // every non-letter byte is untouched, letters stay letters with
+      // the same case — the perturbation can never change the
+      // pre-tokenizer's word boundaries or byte-bound costs
+      out.zip(text).foreach { case (o, t) =>
+        if (t.isLetter) {
+          assert(o.isLetter)
+          assert(o.isUpper == t.isUpper)
+        } else assert(o == t)
+      }
+    }
+  }
+
+  test("zipfPerturb frac=0 is the identity and frac=1e6 rotates every word") {
+    (1 to 5).foreach { k =>
+      assert(SynthCorpus.zipfPerturb(text, k, 0) == text)
+      val all = SynthCorpus.zipfPerturb(text, k, 1000000)
+      // with every word rotated by a nonzero shift, no letter maps to
+      // itself (Caesar with 1 <= shift <= 25)
+      all.zip(text).foreach { case (o, t) =>
+        if (t.isLetter) assert(o != t, s"k=$k: '$t' unrotated")
+      }
+    }
+  }
+
+  test("zipfPerturb is deterministic per word TYPE within a replica") {
+    val t2 = "alpha beta alpha gamma Alpha beta"
+    for (k <- 1 to 6) {
+      val out = SynthCorpus.zipfPerturb(t2, k, 500000).split(" ")
+      // both occurrences of a type (case-insensitively) share one fate
+      assert(out(0).toLowerCase == out(2).toLowerCase)
+      assert(out(0).toLowerCase == out(4).toLowerCase)
+      assert(out(1) == out(5))
+    }
+  }
+
+  test("distinct replicas rotate a shared word to distinct types") {
+    // shift k*7 % 25 + 1 is injective for k in 1..25, so two replicas
+    // that both mutate a word can never collide on the mutated type
+    val shifts = (1 to 25).map(k => (k * 7) % 25 + 1)
+    assert(shifts.distinct.size == 25)
+    val word = "zebra zebra"
+    val mutated = (1 to 10).flatMap { k =>
+      val o = SynthCorpus.zipfPerturb(word, k, 1000000)
+      if (o != word) Some(o) else None
+    }
+    assert(mutated.distinct.size == mutated.size)
+  }
+
+  test("hash-slice fraction tracks the Heaps target on a synthetic vocab") {
+    // E[mutated types per replica] = V * frac; with frac=(sqrt(R)-1)/(R-1)
+    // the R-replica union carries ~V*sqrt(R) types. Check the slice is
+    // unbiased within a loose band on a 2000-word vocabulary.
+    // letter-only word types (digits would split the letter run and
+    // collapse the vocabulary to two types)
+    val vocab = (1 to 2000).map(i => "w" + i.toString.map(d => ('a' + (d - '0')).toChar))
+    val r = 10
+    val frac = ((math.sqrt(r.toDouble) - 1) / (r - 1) * 1e6).round.toInt
+    val perReplica = (1 until r).map { k =>
+      vocab.count(w => SynthCorpus.zipfPerturb(w, k, frac) != w)
+    }
+    val expect = vocab.size * frac / 1e6
+    perReplica.foreach { n =>
+      assert(math.abs(n - expect) < expect * 0.25,
+        s"slice $n vs expected $expect")
+    }
+  }
+}
