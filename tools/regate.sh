@@ -1,0 +1,15 @@
+#!/bin/bash
+# Re-run the perf gate against the CURRENT BENCH_LOCAL.json (VERDICT r9
+# missing #3: the committed BENCH_GATE.json must be produced from the
+# same extended record the driver's round bench saw, not from an earlier
+# iteration run). Run this after any run that refreshes BENCH_LOCAL.json
+# — in particular as part of the end-of-round snapshot — and commit the
+# regenerated BENCH_GATE.json alongside it.
+#
+# The baseline is the committed BENCH_BASELINE.json (the adjudicated
+# typical-mode r8 record; /tmp copies do not survive the environment).
+# Rechecks spawn fresh JVMs — run on a quiet machine or the recheck
+# numbers inherit the contention they exist to remove.
+set -e
+cd "$(dirname "$0")/.."
+python3 tools/bench_gate.py BENCH_BASELINE.json BENCH_LOCAL.json
