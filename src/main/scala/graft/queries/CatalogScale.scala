@@ -41,7 +41,7 @@ object CatalogScale {
     * EQUAL the exact answer whenever banding recall is complete — making
     * the exact oracle a genuine recall gate, not just a value check.
     */
-  private val jaccardOracle =
+  private[queries] val jaccardOracle =
     """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
                   FROM documents),
        sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.streaming.StreamingOps
 
@@ -131,13 +131,14 @@ object CatalogStreaming {
     * can be deleted immediately (bench reps would accumulate them).
     */
   private def materializeStream(s: SparkSession, stream: DataFrame,
-      finish: DataFrame => DataFrame): DataFrame = {
+      finish: DataFrame => DataFrame,
+      outputMode: String = "append"): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_st_run_")
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
     val out = withStreamConf(s) {
       val q = stream
-        .writeStream.outputMode("append")
+        .writeStream.outputMode(outputMode)
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // micro-batches here are page-sized (KBs): one output file
@@ -542,6 +543,197 @@ object CatalogStreaming {
     }
   }
 
+  /** Stage documents as arrival pages for the LSH candidate stream:
+    * UNPREFIXED text (the oracle is the shared exact-Jaccard truth over
+    * `documents`), ts = base + doc_id hours, SIX pages in doc_id order
+    * regardless of corpus size (page width = ceil(maxId/6)) — multiple
+    * micro-batches so most candidate pairs join a bucket member from an
+    * EARLIER trigger's state, but the trigger count (= harness wall
+    * overhead) stays bounded as the corpus grows, the same lesson as
+    * st_dedup_stream's r10 wall cut.
+    */
+  private def stageLshPages(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/lsh_pages"
+    val hourUs = 3600000000L
+    val docs = t(s, d, "documents")
+    // one scalar of metadata (max id), not data, crosses the driver
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val width = math.max(1L, (maxId + 6) / 6)
+    val lines = docs
+      .select(
+        concat(lit("p"), lpad((col("doc_id") / width).cast("int")
+          .cast("string"), 3, "0")).as("page"),
+        to_json(struct(col("doc_id"),
+          (lit(MtimeBase * 1000L) + col("doc_id") * hourUs).as("ts_us"),
+          col("text"))).as("line"))
+    stagePages(lines, out)
+    out
+  }
+
+  /** The streaming LSH candidate surface, materialized: document
+    * arrivals → [[StreamingOps.lshCandidateStream]] (per-row minhash
+    * signatures, `flatMapGroupsWithState` bucket state keyed by
+    * (band, bandKey), candidates emitted against earlier-trigger
+    * members) → the periodic batch exact-Jaccard verify over the
+    * surfaced pairs — the documented stream/batch split run end to end.
+    * TTL is far beyond the corpus span (no eviction; st_dedup_stream
+    * owns the eviction proof), so the stream must surface EXACTLY the
+    * pairs batch banding surfaces, and the verified result hashes to
+    * the same exact-Jaccard oracle as `dedup_minhash_lsh` — the stream
+    * state machine's recall pinned to the batch answer.
+    */
+  private def runLshCandidates(s: SparkSession, d: String): DataFrame = {
+    val pages = stageLshPages(s, d)
+    val docs = s.readStream
+      .schema(arrivalSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(col("doc_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("text"))
+    materializeStream(s,
+      StreamingOps.lshCandidateStream(docs, "doc_id", "text", "ts",
+        k = 5, numHashes = 64, bands = 16,
+        watermark = "2 days", stateTtlMs = 10L * 365 * 86400 * 1000).toDF(),
+      out => graft.operators.Dedup.verifyJaccard(
+        out.select(col("id_a"), col("id_b")).distinct(),
+        graft.operators.Dedup.shingleRows(
+          t(s, d, "documents"), "doc_id", "text", 5),
+        num = 4, den = 5).orderBy("id_a", "id_b"))
+  }
+
+  private val itemSchema = StructType(Seq(StructField("item", StringType)))
+
+  /** Stage the heavy-hitter item stream from `events`: a skewed head
+    * (event_type for two-thirds of events) over a long tail
+    * ("u"+user_id for the rest — hundreds of distinct items, far over
+    * the per-shard counter capacity, so Misra–Gries decrements fire
+    * constantly). Pages are event_id hash slices: per-shard arrival
+    * order affects WHICH tail items survive as candidates, but never
+    * the guaranteed-frequent set the row outputs.
+    */
+  private def stageItemPages(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/hh_pages"
+    val lines = t(s, d, "events").select(
+      concat(lit("p"), pmod(col("event_id"), lit(5)).cast("string"))
+        .as("page"),
+      to_json(struct(
+        when(col("event_id") % 3 =!= 0, col("event_type"))
+          .otherwise(concat(lit("u"), col("user_id").cast("string")))
+          .as("item"))).as("line"))
+    stagePages(lines, out)
+    out
+  }
+
+  /** Streaming sharded Misra–Gries, materialized through its GUARANTEE:
+    * items hash across 4 shard keys, each shard folds arrivals into a
+    * capacity-8 MG counter map as keyed state across micro-batches
+    * (pass 1); the batch pass 2 recounts the final summaries' candidate
+    * union exactly and keeps items with true count × (capacity+1) >
+    * stream total. MG guarantees every such item SURVIVES its shard's
+    * summary (absent ⇒ count ≤ shard_total/(m+1) ≤ total/(m+1)), so the
+    * result is the exact frequent-item set — deterministic even though
+    * WHICH tail candidates ride along in the summaries is arrival-order
+    * dependent. A dropped guaranteed item (state resume bug, shard
+    * double-count) would lose a row and fail the replay-blind oracle.
+    */
+  private def runHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pages = stageItemPages(s, d)
+    val items = s.readStream
+      .schema(itemSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(col("item")).as[String]
+    val capacity = 8
+    materializeStream(s,
+      StreamingOps.heavyHitterStream(items, capacity, nShards = 4).toDF(),
+      out => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("shard_total").desc)
+        val cands = out.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(explode(map_keys(col("counters"))).as("item"))
+          .distinct()
+        val exact = t(s, d, "events").select(
+          when(col("event_id") % 3 =!= 0, col("event_type"))
+            .otherwise(concat(lit("u"), col("user_id").cast("string")))
+            .as("item"))
+        val total = exact.count()
+        cands.join(exact.groupBy("item").agg(count(lit(1)).as("n_events")),
+            "item")
+          .filter(col("n_events") * (capacity + 1) > total)
+          .orderBy("item")
+      },
+      // mapGroupsWithState emits re-stated summaries per trigger —
+      // Update mode; finish() keeps only each shard's final summary
+      outputMode = "update")
+  }
+
+  private val sessionSchema = StructType(Seq(
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  /** Stage user events for the session-window row: six 5-day pages in
+    * event-time order (bounded trigger count at any corpus size), then
+    * two far-future sentinel pages (user −1, +30 d and +60 d) whose
+    * watermark advance forces every real session past finalization —
+    * append-mode session output only emits once the watermark clears
+    * the session's end, and the watermark a batch applies lags one
+    * batch behind (see stageMessagePages), so the LAST sentinel is what
+    * closes the last real session.
+    */
+  private def stageSessionPages(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
+      java.lang.Integer.toHexString(d.hashCode) + "/session_pages"
+    val ev = t(s, d, "events")
+    val mtMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val minMicros = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val dayUs = 86400000000L
+    val lines = ev.select(
+      concat(lit("m"), lpad((((unix_micros(col("ts")) - minMicros) /
+        (5 * dayUs)).cast("int")).cast("string"), 3, "0")).as("page"),
+      to_json(struct(
+        unix_micros(col("ts")).as("ts_us"),
+        col("user_id"),
+        col("value"))).as("line"))
+    val sentinels = s.range(1, 3).select(
+      concat(lit("z"), col("id")).as("page"),
+      to_json(struct(
+        (lit(mtMicros) + col("id") * 30 * dayUs).as("ts_us"),
+        lit(-1L).as("user_id"),
+        lit(0.0).as("value"))).as("line"))
+    stagePages(lines.unionByName(sentinels), out)
+    out
+  }
+
+  /** The streaming session-window operator, materialized: event
+    * arrivals → `session_window(ts, gap)` merge under a watermark
+    * (Spark's native session state store: per-user open sessions merge
+    * across micro-batches, finalize when the watermark clears their
+    * end) → append-mode emission. The oracle replays the gap logic as
+    * batch gaps-and-islands SQL; a session splits exactly when the gap
+    * is ≥ 6 h (Spark's window is the half-open [start, last+gap)), and
+    * sess_end = last event + gap on both sides.
+    */
+  private def runSessionWindows(s: SparkSession, d: String): DataFrame = {
+    val pages = stageSessionPages(s, d)
+    val events = s.readStream
+      .schema(sessionSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("user_id"),
+        col("value"))
+    materializeStream(s,
+      StreamingOps.sessionWindows(events, "6 hours", "1 hour"),
+      out => out.filter(col("user_id") >= 0)
+        .select(col("sess_start"), col("sess_end"), col("user_id"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "sess_start"))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit
@@ -652,6 +844,57 @@ object CatalogStreaming {
               FROM b JOIN (SELECT user_id, max(bk) AS bk
                            FROM b GROUP BY 1) l
                 ON b.user_id = l.user_id AND b.bk = l.bk
-              ORDER BY b.user_id"""))
+              ORDER BY b.user_id""")),
+
+    Q("st_lsh_candidates",
+      // sixth streaming driver-oracle row: the streaming LSH candidate
+      // surface (flatMapGroupsWithState bucket state, append-mode pair
+      // emission across micro-batches) composed with the batch exact
+      // verify — hashes to the SAME exact-Jaccard truth as
+      // dedup_minhash_lsh, so a green row proves the stream state
+      // machine surfaced every pair batch banding finds, incrementally
+      (s, d) => runLshCandidates(s, d),
+      Some(CatalogScale.jaccardOracle)),
+
+    Q("st_heavy_hitters",
+      // seventh streaming driver-oracle row: sharded streaming
+      // Misra-Gries pass 1 (keyed counter-map state, cross-batch
+      // resume) + batch exact recount pass 2, output = the
+      // guaranteed-frequent set (count x 9 > total) — deterministic by
+      // the MG guarantee despite order-dependent tail candidates
+      (s, d) => runHeavyHitters(s, d),
+      Some("""WITH it AS (SELECT CASE WHEN event_id % 3 <> 0
+                            THEN event_type
+                            ELSE 'u' || CAST(user_id AS VARCHAR) END AS item
+                          FROM events)
+              SELECT item, count(*) AS n_events
+              FROM it GROUP BY 1
+              HAVING count(*) * 9 > (SELECT count(*) FROM it)
+              ORDER BY item""")),
+
+    Q("st_session_windows",
+      // eighth streaming driver-oracle row: Spark's native session-
+      // window state store (per-user open sessions merging across
+      // micro-batches, watermark-driven finalization) hash-pinned to a
+      // batch gaps-and-islands replay — a session that failed to merge
+      // across a trigger boundary, or emitted before its end was final,
+      // would change n_events/sess_end and break the hash
+      (s, d) => runSessionWindows(s, d),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                         FROM events),
+              l AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                           THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sess
+                    FROM l)
+              SELECT min(ts) AS sess_start,
+                     max(ts) + INTERVAL 6 HOUR AS sess_end,
+                     user_id, count(*) AS n_events,
+                     round(sum(value), 2) AS total_value
+              FROM g GROUP BY user_id, sess
+              ORDER BY user_id, sess_start"""))
   )
 }
