@@ -57,6 +57,39 @@ object CatalogScale {
        WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
        ORDER BY id_a, id_b"""
 
+  /** CDC chunk truth (grams → boundary flags → exclusive running
+    * boundary count → reassembly → occurrence counts), shared by
+    * `dedup_cdc_chunks` (batch) and `st_cdc_chunks` (the streaming
+    * restatement — stateless per doc, so both must hash to it).
+    */
+  private[queries] val cdcChunksOracle =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents),
+              toks AS (SELECT doc_id, p - 1 AS p, ws[p] AS tok
+                       FROM w, unnest(range(1, len(ws) + 1)) t(p)),
+              grams AS (SELECT doc_id, g - 1 AS g,
+                               array_to_string(ws[g:g+4], ' ') AS sh
+                        FROM w, unnest(range(1, len(ws) - 5 + 2)) t(g)
+                        WHERE len(ws) >= 5),
+              bnd AS (SELECT doc_id, g + 4 AS p, 1 AS f
+                      FROM grams
+                      WHERE ('0x' || substr(md5(sh), 1, 16))::UBIGINT % 16 = 0),
+              ch AS (SELECT t.doc_id, t.p, t.tok,
+                       coalesce(sum(b.f) OVER (PARTITION BY t.doc_id
+                         ORDER BY t.p ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk_id
+                     FROM toks t LEFT JOIN bnd b
+                       ON b.doc_id = t.doc_id AND b.p = t.p),
+              chunks AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                           count(*) AS n_tokens,
+                           string_agg(tok, ' ' ORDER BY p) AS chunk_text
+                         FROM ch GROUP BY 1, 2),
+              occ AS (SELECT chunk_text, count(*) AS occ
+                      FROM chunks GROUP BY 1)
+              SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_text, o.occ
+              FROM chunks c JOIN occ o USING (chunk_text)
+              ORDER BY c.doc_id, c.chunk_id"""
+
   /** Exact cosine top-10 truth, shared by `sim_knn_cosine` (brute force)
     * and `sim_ann_lsh` (bucketed candidates): with recall-complete
     * banding the ANN result is identical, so the exact oracle doubles as
@@ -2115,36 +2148,12 @@ object CatalogScale {
       // boundary after the first; occ > 1 chunks are the shift-robust
       // dedup candidates. Oracle replays grams, boundary flags, the
       // exclusive running boundary count, reassembly, and occurrence
-      // counts.
+      // counts. The SQL is shared with `st_cdc_chunks` (the streaming
+      // restatement is stateless per doc, so both hash to it).
       (s, d) => Dedup.cdcChunks(t(s, d, "documents"), "doc_id", "text",
           k = 5, avgChunkTokens = 16)
         .orderBy("doc_id", "chunk_id"),
-      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-                FROM documents),
-              toks AS (SELECT doc_id, p - 1 AS p, ws[p] AS tok
-                       FROM w, unnest(range(1, len(ws) + 1)) t(p)),
-              grams AS (SELECT doc_id, g - 1 AS g,
-                               array_to_string(ws[g:g+4], ' ') AS sh
-                        FROM w, unnest(range(1, len(ws) - 5 + 2)) t(g)
-                        WHERE len(ws) >= 5),
-              bnd AS (SELECT doc_id, g + 4 AS p, 1 AS f
-                      FROM grams
-                      WHERE ('0x' || substr(md5(sh), 1, 16))::UBIGINT % 16 = 0),
-              ch AS (SELECT t.doc_id, t.p, t.tok,
-                       coalesce(sum(b.f) OVER (PARTITION BY t.doc_id
-                         ORDER BY t.p ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING), 0) AS chunk_id
-                     FROM toks t LEFT JOIN bnd b
-                       ON b.doc_id = t.doc_id AND b.p = t.p),
-              chunks AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-                           count(*) AS n_tokens,
-                           string_agg(tok, ' ' ORDER BY p) AS chunk_text
-                         FROM ch GROUP BY 1, 2),
-              occ AS (SELECT chunk_text, count(*) AS occ
-                      FROM chunks GROUP BY 1)
-              SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_text, o.occ
-              FROM chunks c JOIN occ o USING (chunk_text)
-              ORDER BY c.doc_id, c.chunk_id""")),
+      Some(cdcChunksOracle)),
 
     Q("dedup_span_removal",
       // Lee-et-al exact duplicated-span REMOVAL (the op dedup_spans only

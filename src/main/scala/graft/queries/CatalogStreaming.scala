@@ -734,6 +734,92 @@ object CatalogStreaming {
         .orderBy("user_id", "sess_start"))
   }
 
+  /** Streaming CDC chunking, materialized: document arrivals →
+    * [[StreamingOps.cdcChunkStream]] (content-defined boundaries as a
+    * stateless per-row map — no state store, chunk ids derive from the
+    * doc's own grams) → a batch occurrence-count join over the
+    * materialized chunks. Stateless ⇒ the stream output must equal the
+    * batch operator's, so the row hashes to the SAME oracle as
+    * `dedup_cdc_chunks`.
+    */
+  private def runCdcChunks(s: SparkSession, d: String): DataFrame = {
+    val pages = stageLshPages(s, d)
+    val docs = s.readStream
+      .schema(arrivalSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(col("doc_id"), col("text"))
+    materializeStream(s,
+      StreamingOps.cdcChunkStream(docs, "doc_id", "text",
+        k = 5, avgChunkTokens = 16),
+      out => {
+        val occ = out.groupBy("chunk_text").agg(count(lit(1)).as("occ"))
+        out.join(occ, "chunk_text")
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+            col("chunk_text"), col("occ"))
+          .orderBy("doc_id", "chunk_id")
+      })
+  }
+
+  /** Per-user running totals via `mapGroupsWithState` (update mode):
+    * each trigger re-states the user's cumulative (n_events,
+    * total_value); finish keeps the FINAL state per user (max
+    * n_events — strictly increasing, every invocation consumes ≥ 1
+    * event), which must equal the batch GROUP BY. A lost or
+    * double-applied batch on state resume would shift a count.
+    */
+  private def runRunningTotals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pages = stageSessionPages(s, d)
+    val events = s.readStream
+      .schema(sessionSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("user_id"),
+        col("value"))
+      .as[StreamingOps.UserEvent]
+    materializeStream(s,
+      StreamingOps.runningPerUser(events).toDF(),
+      out => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_events").desc)
+        out.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("user_id") >= 0)
+          .select(col("user_id"), col("n_events"),
+            round(col("total_value"), 2).as("total_value"))
+          .orderBy("user_id")
+      },
+      outputMode = "update")
+  }
+
+  /** Stream-static dimension enrichment: arrivals broadcast-join a
+    * batch-derived per-user dimension ([[StreamingOps.enrichStream]] —
+    * the dim is planned once and shipped to every micro-batch, the
+    * production shape for slowly-changing lookups), then a batch
+    * aggregate over the enriched output replays as a plain SQL join.
+    * Sentinel arrivals (user −1) take the left-join null path and are
+    * filtered in finish, so the join type is exercised too.
+    */
+  private def runEnrichDim(s: SparkSession, d: String): DataFrame = {
+    val pages = stageSessionPages(s, d)
+    val events = s.readStream
+      .schema(sessionSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(col("user_id"), col("value"))
+    // first-event type per user (arg-min on the unique event_id —
+    // deterministic, and varied across users unlike min(event_type))
+    val dim = t(s, d, "events").groupBy("user_id")
+      .agg(min_by(col("event_type"), col("event_id")).as("home_type"))
+    materializeStream(s,
+      StreamingOps.enrichStream(events, dim, "user_id"),
+      out => out.filter(col("user_id") >= 0)
+        .groupBy("home_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("home_type"))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit
@@ -895,6 +981,38 @@ object CatalogStreaming {
                      user_id, count(*) AS n_events,
                      round(sum(value), 2) AS total_value
               FROM g GROUP BY user_id, sess
-              ORDER BY user_id, sess_start"""))
+              ORDER BY user_id, sess_start""")),
+
+    Q("st_cdc_chunks",
+      // ninth streaming driver-oracle row: content-defined chunking as
+      // a stateless streaming map — chunk boundaries depend only on the
+      // doc's own grams, so the stream output must hash to the SAME
+      // oracle as the batch dedup_cdc_chunks
+      (s, d) => runCdcChunks(s, d),
+      Some(CatalogScale.cdcChunksOracle)),
+
+    Q("st_running_totals",
+      // tenth streaming driver-oracle row: update-mode
+      // mapGroupsWithState running totals, final per-user state pinned
+      // to the batch GROUP BY — the narrowest possible cross-batch
+      // state-resume check (a lost or replayed batch shifts a count)
+      (s, d) => runRunningTotals(s, d),
+      Some("""SELECT user_id, count(*) AS n_events,
+                     round(sum(value), 2) AS total_value
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("st_enrich_dim",
+      // eleventh streaming driver-oracle row: stream-static broadcast
+      // enrichment (dim planned once, shipped per micro-batch; sentinel
+      // rows exercise the left-join null path) aggregated over the
+      // enriched output and replayed as a plain batch join
+      (s, d) => runEnrichDim(s, d),
+      Some("""WITH dim AS (SELECT user_id,
+                             arg_min(event_type, event_id) AS home_type
+                           FROM events GROUP BY 1)
+              SELECT d.home_type, count(*) AS n_events,
+                     round(sum(e.value), 2) AS total_value
+              FROM events e JOIN dim d USING (user_id)
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

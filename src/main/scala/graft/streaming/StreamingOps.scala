@@ -134,23 +134,32 @@ object StreamingOps {
     require(k >= 2, "k must be >= 2")
     require(avgChunkTokens >= 2 && (avgChunkTokens & (avgChunkTokens - 1)) == 0,
       "avgChunkTokens must be a power of two")
+    // materialize the token array and the gram array ONCE per row
+    // before any higher-order lambda touches them: an expression inside
+    // a lambda body re-evaluates per ELEMENT, so referencing the raw
+    // regexp split there costs O(tokens²) splits per doc (measured
+    // ~40× the whole-row cost at sf0.1). The gram array comes from the
+    // same codegen ShinglesExpr as the batch operator.
     val ws = graft.operators.Dedup.words(col(textCol))
-    val n = size(ws)
-    // boundary AFTER the last token of any k-gram hashing ≡ 0 (mod avg);
-    // guard docs shorter than k (sequence(0, negative) counts DOWN)
-    val gidx = when(n >= k, sequence(lit(0), n - k))
-      .otherwise(array().cast("array<int>"))
-    val bpos = transform(
-      filter(gidx, g => graft.operators.Dedup.portableHash64(
-        array_join(slice(ws, g + 1, lit(k)), " ")) % avgChunkTokens === 0),
-      g => g + (k - 1))
+    // boundary AFTER the last token of any k-gram hashing ≡ 0 (mod
+    // avg); docs shorter than k have no k-gram, hence no boundary
+    val bposFromShingles = filter(
+      transform(col("_shs"), (sh, g) =>
+        when(graft.operators.Dedup.portableHash64(sh) % avgChunkTokens === 0,
+          g + (k - 1)).otherwise(lit(-1))),
+      p => p >= 0)
     // chunk cid spans (starts(cid), ends(cid)]; a boundary on the final
     // token would open an EMPTY trailing chunk — filtered out, so ids
     // match the batch operator's running-count assignment exactly
     docs
       .withColumn("_ws", ws)
-      .withColumn("_starts", concat(array(lit(-1)), bpos))
-      .withColumn("_ends", concat(bpos, array(size(col("_ws")) - 1)))
+      .withColumn("_shs",
+        when(size(col("_ws")) >= k,
+          graft.operators.Dedup.shingles(col("_ws"), k))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("_bpos", bposFromShingles)
+      .withColumn("_starts", concat(array(lit(-1)), col("_bpos")))
+      .withColumn("_ends", concat(col("_bpos"), array(size(col("_ws")) - 1)))
       .withColumn("_chunks",
         filter(
           transform(sequence(lit(0), size(col("_starts")) - 1),
