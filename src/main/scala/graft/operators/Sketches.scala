@@ -49,6 +49,28 @@ object Sketches {
     TopKPerGroup.perGroup(hashed, Seq(col("g")), Seq(col("h").asc), k)
   }
 
+  /** Deterministic mergeable quantile sketch: the bottom-k portable-hash
+    * ROW sample per group (hash keyed on a unique row id, so it is a
+    * uniform sample of the group's rows, value-blind) carries the
+    * sampled rows' values; discrete quantiles over the sample
+    * approximate the group's with rank error O(1/√k). Unlike
+    * GK/KLL/t-digest, the sketch content is a pure FUNCTION of the data
+    * — the k smallest hashes — independent of partition layout and
+    * merge order: retries, AQE re-plans, and any cluster topology
+    * produce bit-identical sketches, and an engine replay (DuckDB) can
+    * rebuild them exactly. Mergeable like KMV: union two samples, keep
+    * the k smallest hashes. Built via the bounded-heap
+    * [[graft.plans.TopKPerGroup]] — no per-group sort, one shuffle.
+    */
+  def hashSampleQuantiles(df: DataFrame, groupCol: Column, idCol: Column,
+      valueCol: Column, k: Int): DataFrame =
+    TopKPerGroup.perGroup(
+      df.select(groupCol.as("g"),
+        Dedup.portableHash64(idCol.cast("string"))
+          .bitwiseAND(lit(HashMask)).as("h"),
+        valueCol.as("v")),
+      Seq(col("g")), Seq(col("h").asc), k)
+
   /** Distinct-count estimate per group from a KMV relation: exact when
     * the group has fewer than k distinct values (the sketch holds them
     * all), else the standard unbiased (k-1)·M/h_(k). Both branches are

@@ -2737,6 +2737,60 @@ object CatalogScale {
                      abs(est - n_exact) / n_exact <= 0.2 AS within_bound
               FROM e ORDER BY 1""")),
 
+    Q("sketch_hash_quantiles",
+      // deterministic mergeable quantile sketch: quantiles over the
+      // bottom-k(=256) portable-hash row sample — unlike GK/KLL the
+      // sketch is a pure function of the data (partition- and
+      // merge-order-independent), so the oracle replays it hash-for-
+      // hash AND the sampled quantiles' exact population ranks are
+      // asserted within the 3σ sampling bound (|f−q| ≤ 0.1 at k=256)
+      (s, d) => {
+        val k = 256
+        val ev = t(s, d, "events")
+        val sample = Sketches.hashSampleQuantiles(ev,
+          col("event_type"), col("event_id"), col("value"), k)
+        val qs = sample.groupBy("g").agg(
+          expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY v)").as("p10"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").as("p90"))
+        ev.select(col("event_type").as("g"), col("value"))
+          .join(broadcast(qs), "g")
+          .groupBy("g", "p10", "p50", "p90")
+          .agg(
+            avg((col("value") <= col("p10")).cast("double")).as("f10"),
+            avg((col("value") <= col("p50")).cast("double")).as("f50"),
+            avg((col("value") <= col("p90")).cast("double")).as("f90"))
+          .select(col("g").as("event_type"),
+            round(col("p10"), 4).as("p10"), round(col("p50"), 4).as("p50"),
+            round(col("p90"), 4).as("p90"),
+            (abs(col("f10") - 0.1) <= 0.1 && abs(col("f50") - 0.5) <= 0.1 &&
+              abs(col("f90") - 0.9) <= 0.1).as("within_bound"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT event_type AS g,
+                (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT
+                 & 1152921504606846975)::BIGINT AS h,
+                value AS v
+              FROM events),
+              r AS (SELECT g, v,
+                      row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                    FROM h),
+              q AS (SELECT g, quantile_disc(v, 0.1) AS p10,
+                      quantile_disc(v, 0.5) AS p50,
+                      quantile_disc(v, 0.9) AS p90
+                    FROM r WHERE rn <= 256 GROUP BY 1),
+              c AS (SELECT e.event_type AS g, q.p10, q.p50, q.p90,
+                      avg(CASE WHEN e.value <= q.p10 THEN 1.0 ELSE 0.0 END) AS f10,
+                      avg(CASE WHEN e.value <= q.p50 THEN 1.0 ELSE 0.0 END) AS f50,
+                      avg(CASE WHEN e.value <= q.p90 THEN 1.0 ELSE 0.0 END) AS f90
+                    FROM events e JOIN q ON e.event_type = q.g
+                    GROUP BY 1, 2, 3, 4)
+              SELECT g AS event_type, round(p10, 4) AS p10,
+                     round(p50, 4) AS p50, round(p90, 4) AS p90,
+                     abs(f10 - 0.1) <= 0.1 AND abs(f50 - 0.5) <= 0.1
+                       AND abs(f90 - 0.9) <= 0.1 AS within_bound
+              FROM c ORDER BY 1""")),
+
     Q("sketch_kmv_setops",
       // the KMV capability HLL lacks: set algebra over merged sketches.
       // Pairwise union (k smallest of the merged value set) and

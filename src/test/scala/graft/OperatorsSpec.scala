@@ -649,6 +649,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"k=16 estimate should land within 2sig-ish of 500: ${est("big")}")
   }
 
+  test("hashSampleQuantiles: partition-layout-invariant sample; exact " +
+      "when the group fits in k") {
+    val rows = (1 to 400).map(i => ("g1", i.toLong, i.toDouble)) ++
+      (1 to 30).map(i => ("small", 1000L + i, i.toDouble))
+    val df = rows.toDF("grp", "id", "value")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hashSampleQuantiles(d, col("grp"), col("id"), col("value"),
+          k = 64)
+        .orderBy("g", "h").as[(String, Long, Double)].collect().toSeq
+    // the sketch is a pure function of the data: any partition layout
+    // (and therefore any merge order) yields the identical sample
+    assert(sample(df.repartition(1)) == sample(df.repartition(13)))
+    // a group under k is sampled in full -> quantiles are exact
+    val smallVals = sample(df).collect { case ("small", _, v) => v }
+    assert(smallVals.sorted == (1 to 30).map(_.toDouble))
+    // the big group's sample is exactly its k smallest hashes
+    val g1 = sample(df).collect { case ("g1", h, _) => h }
+    assert(g1.size == 64 && g1 == g1.sorted)
+  }
+
   test("kmvPairOps: known-overlap pair, exact regime") {
     // A = 1..40, B = 21..60: union 60, intersection 20 — with k=64 every
     // sketch holds its whole set, so both estimates must be EXACT
