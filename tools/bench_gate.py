@@ -128,8 +128,14 @@ def main():
 
     def cpu_hit(q, c):
         # floor the baseline at 0.25s so a query whose baseline CPU was
-        # ~0 still trips the 2x rule once it costs real time
-        return c >= 0.5 and c / max(bc[q], 0.25) > 2.0
+        # ~0 still trips the 2x rule once it costs real time; require
+        # the CANDIDATE to cost >= 1s before a ratio means anything --
+        # measured r10: the identical pre-round binary scores
+        # 0.575-0.641s standalone against its own r8 record of 0.231s
+        # (ta_pmi_collocations), so sub-1s magnitudes are host-mode
+        # noise the fresh-JVM recheck cannot adjudicate, and a sub-1s
+        # row cannot materially regress a ~650s suite
+        return c >= 1.0 and c / max(bc[q], 0.25) > 2.0
 
     def shuffle_hit(q, sc):
         return sc > 1 << 20 and sc > 1.5 * shuffle_of(base, q)
