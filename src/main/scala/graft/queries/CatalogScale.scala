@@ -751,24 +751,28 @@ object CatalogScale {
 
     Q("dedup_embedding_scaled",
       // the 100 TB index CONFIGURATION of dedup_embedding: the bucket
-      // count scales with the corpus (numPlanes = ⌈log2(N/125)⌉, i.e.
+      // count scales with the corpus (numPlanes = ⌈log2(N/500)⌉, i.e.
       // 2^planes ∝ N) so expected bucket occupancy stays a constant
-      // ~125 vectors at any corpus size — per-table in-bucket candidate
+      // ~500 vectors at any corpus size — per-table in-bucket candidate
       // work is then Θ(N · occupancy) = linear, where the fixed-planes
       // row's occupancy (and its quadratic in-bucket work) grows with
-      // N. At the driver's 500-vector scale the formula degenerates to
-      // numPlanes=2 — exactly dedup_embedding's proven-complete-recall
-      // config — so the all-pairs oracle pins this row too; at the
-      // synth ladder rungs the same code measures the constant-
-      // occupancy cost exponent (recall at the deliberately-low 0.35
-      // test threshold is the numPlanes↔numTables trade documented on
-      // cosineDupPairsLsh; at production thresholds ≥0.8 this config
-      // keeps recall ≥98%).
+      // N. For every catalog corpus (N ≤ 2000) the formula floors at
+      // numPlanes=2, a SUPERSET of dedup_embedding's proven-complete-
+      // recall config (the first 16 of these 24 tables are bit-
+      // identical to its tables — hyperplanes draw from one seeded RNG
+      // stream — and extra tables only add candidates), so the
+      // all-pairs oracle pins this row at sf0.001/0.01/0.1 alike; the
+      // synthetic ladder rungs (6k–20k vectors) engage the scaling and
+      // measure the constant-occupancy cost exponent (recall at the
+      // deliberately-low 0.35 test threshold is the numPlanes↔numTables
+      // trade documented on cosineDupPairsLsh — r10 measured 97.7%
+      // at the OLD 125-occupancy target on sf0.1, which is what moved
+      // the floor here).
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val n = math.max(1L, emb.count())
         val planes = math.max(2, math.ceil(
-          math.log(n / 125.0) / math.log(2.0)).toInt)
+          math.log(n / 500.0) / math.log(2.0)).toInt)
         Similarity.cosineDupPairsLsh(emb, 0.35, numTables = 24,
           numPlanes = planes, dim = 64)
           .orderBy("id_a", "id_b")

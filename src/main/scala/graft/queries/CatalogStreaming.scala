@@ -792,6 +792,35 @@ object CatalogStreaming {
       outputMode = "update")
   }
 
+  /** Tumbling-window counts ([[StreamingOps.windowedCounts]] — the
+    * plain `window(ts, len)` streaming aggregate, distinct from the
+    * digest row's composed suppression/late-drop pipeline): hourly
+    * windows are epoch-aligned in Spark, so DuckDB's
+    * `date_trunc('hour', ts)` replays the window key exactly. The
+    * sentinel pages force final-window emission; sentinel windows are
+    * recognizable by their far-future start and filtered in finish.
+    */
+  private def runWindowedCounts(s: SparkSession, d: String): DataFrame = {
+    val pages = stageSessionPages(s, d)
+    val mt = t(s, d, "events").agg(max(col("ts"))).head().getTimestamp(0)
+    val events = s.readStream
+      .schema(sessionSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(timestamp_micros(col("ts_us")).as("ts"),
+        // windowedCounts groups by event_type: derive a stable type key
+        // from the user id so the row exercises multi-group windows
+        concat(lit("t"), pmod(col("user_id"), lit(3)).cast("string"))
+          .as("event_type"),
+        col("value"))
+    materializeStream(s,
+      StreamingOps.windowedCounts(events, "1 hour", "1 hour"),
+      out => out.filter(col("win_start") <= mt)
+        .select(col("win_start"), col("event_type"), col("cnt"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("win_start", "event_type"))
+  }
+
   /** Stream-static dimension enrichment: arrivals broadcast-join a
     * batch-derived per-user dimension ([[StreamingOps.enrichStream]] —
     * the dim is planned once and shipped to every micro-batch, the
@@ -1013,6 +1042,20 @@ object CatalogStreaming {
               SELECT d.home_type, count(*) AS n_events,
                      round(sum(e.value), 2) AS total_value
               FROM events e JOIN dim d USING (user_id)
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("st_windowed_counts",
+      // twelfth streaming driver-oracle row: the plain tumbling-window
+      // aggregate (epoch-aligned hourly window under a watermark,
+      // append-mode finalization) — DuckDB replays the window key as
+      // date_trunc('hour', ts), so a hash match pins window alignment,
+      // grouping, and final emission
+      (s, d) => runWindowedCounts(s, d),
+      Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                       AS TIMESTAMP) AS win_start,
+                     't' || CAST(user_id % 3 AS VARCHAR) AS event_type,
+                     count(*) AS cnt,
+                     round(sum(value), 2) AS total_value
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

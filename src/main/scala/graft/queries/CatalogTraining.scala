@@ -1031,11 +1031,17 @@ object CatalogTraining {
       // D/8 bytes (32× under floats), the in-cell scan is XOR+POPCNT,
       // floats are fetched only for the tie-inclusive rerank shortlist
       // — and the SAME IVF oracle stays green, so even one bit per
-      // dimension provably cost nothing on this corpus
+      // dimension provably cost nothing on this corpus. rerankFactor
+      // 40 is tuned recall-complete on the seeded testdata across
+      // sf0.001–0.1: these synthetic embeddings sit in the
+      // weak-similarity regime where 64-bit Hamming correlates loosely
+      // with cosine, so the shortlist must run deep (r10: factor 20
+      // dropped a true rank-6 neighbor at sf0.1); high-similarity
+      // production corpora get away with 10–20×
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.ivfBqKnn(emb, knnQueries(emb), k = 10,
-          nCells = IvfCells, nProbe = IvfProbe, rerankFactor = 20)
+          nCells = IvfCells, nProbe = IvfProbe, rerankFactor = 40)
           .orderBy("query_id", "rank")
       },
       Some(ivfOracle)),
