@@ -35,7 +35,11 @@ object ExplainAudit {
         // MP3 decode, curriculum tiers
         "ep1_weekly_e2e", "ep2_jira_e2e", "ep3_dashboard_e2e",
         "ta_bpe_bytes", "j12_jaro_entity_join", "mm_mp3_meta",
-        "td_curriculum", "ta_bpe_fertility")
+        "td_curriculum", "ta_bpe_fertility",
+        // round 10: deterministic quantile sketch, constant-occupancy
+        // embedding dedup, BQ rerank depth
+        "sketch_hash_quantiles", "dedup_embedding_scaled",
+        "sim_ann_ivf_bq")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

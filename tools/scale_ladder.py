@@ -131,7 +131,7 @@ MAX_EXPONENT = 1.3
 # max(1, output exponent) on the same segment — cost tracks
 # scan + output, not a hidden super-linear stage. Rows with a missing
 # rows record (pre-r10 run files) FAIL until the rung is re-run.
-OUTPUT_BOUND = {"dedup_embedding"}
+OUTPUT_BOUND = {"dedup_embedding", "dedup_embedding_scaled"}
 OUTPUT_SLACK = 0.25
 
 # empty since r10: dedup_embedding moved to the measured OUTPUT_BOUND
