@@ -341,6 +341,29 @@ object CatalogStreaming {
         .orderBy("doc_id"))
   }
 
+  /** The UNBOUNDED-state exact dedup over the SAME staged arrivals as
+    * [[runDedupStream]]: `dropDuplicates` keeps all-time hash state, so
+    * the beyond-horizon re-send that SURVIVES the watermark row is
+    * dropped here — every doc survives exactly once. The
+    * st_dedup_stream / st_dedup_global pair machine-checks the eviction
+    * semantics difference (bounded state trades beyond-horizon recall;
+    * unbounded state trades memory growth), which is the documented
+    * lambda split's entire justification.
+    */
+  private def runDedupGlobal(s: SparkSession, d: String): DataFrame = {
+    val pages = stageArrivalPages(s, d)
+    val docs = s.readStream
+      .schema(arrivalSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(pages)
+      .select(col("doc_id"), col("text"))
+    materializeStream(s,
+      StreamingOps.dedupStreamGlobal(docs, "text").select("doc_id"),
+      _.filter(col("doc_id") >= 0) // the watermark pad arrivals
+        .groupBy("doc_id").agg(count(lit(1)).as("n_survivals"))
+        .orderBy("doc_id"))
+  }
+
   /** The streaming LOCF fill, materialized: ordered page files →
     * `flatMapGroupsWithState` carrying each series' last observation as
     * keyed state across micro-batches → parquet. The oracle replays the
@@ -1056,6 +1079,16 @@ object CatalogStreaming {
                      't' || CAST(user_id % 3 AS VARCHAR) AS event_type,
                      count(*) AS cnt,
                      round(sum(value), 2) AS total_value
-              FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q("st_dedup_global",
+      // thirteenth streaming driver-oracle row: unbounded-state exact
+      // dedup over the SAME arrivals as st_dedup_stream — the
+      // beyond-horizon re-send that survives the watermark row drops
+      // here, so the row PAIR machine-checks the bounded-vs-unbounded
+      // state trade that justifies the documented lambda split
+      (s, d) => runDedupGlobal(s, d),
+      Some("""SELECT doc_id, CAST(1 AS BIGINT) AS n_survivals
+              FROM documents ORDER BY doc_id"""))
   )
 }
