@@ -452,4 +452,82 @@ object Graph {
     // maxRounds == 0 is excluded by require; unreachable
     throw new IllegalStateException("kCore loop exited abnormally")
   }
+
+  /** Newman modularity of a community assignment over a SYMMETRIC edge
+    * relation: per community c, `q_contrib` = e_c/2m − (vol_c/2m)²,
+    * where e_c counts DIRECTED in-community edges (each undirected edge
+    * appears twice, exactly matching the 2m denominator), vol_c is the
+    * community's summed degree and 2m the directed edge count. The sum
+    * of `q_contrib` across communities is the graph's modularity Q —
+    * the standard "did the clustering find real structure" score for a
+    * [[labelPropagation]] run (Q near 0 = no better than random).
+    *
+    * Scale shape: one node-sized label join per edge ENDPOINT (labels
+    * are one row per node — broadcastable while small) plus
+    * community-sized partial aggs. Nothing pairwise, no collects; at
+    * 100 TB this is two broadcast joins over one edge scan.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, lblCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val l = labels.select(col(nodeCol).as("node"), col(lblCol).as("lbl"))
+    // one scalar of metadata (the directed edge count) on the driver
+    val m2 = e.count().toDouble
+    val lu = l.select(col("node").as("u"), col("lbl").as("lbl_u"))
+    val lv = l.select(col("node").as("v"), col("lbl").as("lbl_v"))
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    val vol = deg.join(lu, "u")
+      .groupBy(col("lbl_u").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum("deg").as("volume"))
+    val internal = e.join(lu, "u").join(lv, "v")
+      .filter(col("lbl_u") === col("lbl_v"))
+      .groupBy(col("lbl_u").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    // left join: a community can have zero internal edges (every member
+    // pointing outward) but never zero volume
+    vol.join(internal, Seq("community"), "left")
+      .select(col("community"), col("n_members"), col("volume"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        (coalesce(col("e_in"), lit(0L)) / m2 -
+          (col("volume") / m2) * (col("volume") / m2)).as("q_contrib"))
+  }
+
+  /** Common-neighbour / Jaccard link prediction over a SYMMETRIC edge
+    * relation: every non-adjacent pair at distance 2 scored by how much
+    * their neighbourhoods overlap — `cn` = |Γ(a) ∩ Γ(b)| (the wedge
+    * count through shared middles) and `jaccard` = cn / |Γ(a) ∪ Γ(b)|.
+    * The classic "who should be connected" primitive (recommendations,
+    * knowledge-graph completion, dedup-cluster repair).
+    *
+    * Scale shape: the wedge self-join is keyed on the MIDDLE node, so
+    * candidate volume is Σ_mid deg(mid)² — quadratic in hub degree, the
+    * known hazard of triangle-style joins. `hubCap` excludes middles
+    * above a degree bound (the [[trianglesCount]] mitigation): on
+    * power-law graphs the capped wedge space is near-linear in edges
+    * while recall loss is confined to pairs whose ONLY shared
+    * neighbours are celebrity hubs — exactly the pairs Jaccard scores
+    * near zero anyway (a hub's neighbourhood union is huge). Everything
+    * else is equi-joins and partial aggs on node keys.
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      hubCap: Int = Int.MaxValue): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    val okMid = deg.filter(col("deg") <= hubCap).select(col("u").as("mid"))
+    val arms = e.select(col("u").as("mid"), col("v").as("end"))
+      .join(okMid, "mid")
+    val wedges = arms.select(col("mid"), col("end").as("a"))
+      .join(arms.select(col("mid"), col("end").as("b")), "mid")
+      .filter(col("a") < col("b"))
+    val cand = wedges.groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    // symmetric input: one orientation check suffices under a < b
+    val nonEdge = cand.join(e.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"), "left_anti")
+    nonEdge
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        (col("cn") / (col("deg_a") + col("deg_b") - col("cn")))
+          .as("jaccard"))
+  }
 }

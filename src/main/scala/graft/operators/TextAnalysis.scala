@@ -468,4 +468,35 @@ object TextAnalysis {
     // Spark-native round keeps the rounding semantics unchanged
     round(ColumnBridge.column(
       graft.plans.CharEntropy(ColumnBridge.expression(textCol))), 4)
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph. Candidate words are lowercased
+    * alphabetic tokens of length ≥ `minLen` (the cheap content-word
+    * filter standing in for a POS tagger); edges connect words ADJACENT
+    * in the filtered sequence (co-occurrence window 2), undirected.
+    * Returns `(word, rank)` — the corpus's keywords by graph
+    * centrality, the unsupervised keyphrase baseline that needs no
+    * training data.
+    *
+    * Scale shape: the co-occurrence graph is VOCABULARY-sized (~√N by
+    * Heaps' law), so after one corpus-scale shuffle (the distinct edge
+    * aggregation) every PageRank round runs on a relation orders of
+    * magnitude smaller than the corpus — [[Graph.pageRank]]'s broadcast
+    * regime. The adjacency window partitions by doc, never globally.
+    */
+  def textrankKeywords(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, iterations: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(words(lower(col(textCol)))).as(Seq("p", "w")))
+      .filter(length(col("w")) >= minLen && col("w").rlike("^[a-z]+$"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+    val und = toks.withColumn("nxt", lead(col("w"), 1).over(win))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("w"))
+      .select(least(col("w"), col("nxt")).as("a"),
+        greatest(col("w"), col("nxt")).as("b"))
+      .distinct()
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    Graph.pageRank(sym, "a", "b", iterations)
+      .select(col("node").as("word"), col("rank"))
+  }
 }

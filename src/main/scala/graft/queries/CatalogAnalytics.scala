@@ -538,6 +538,183 @@ object CatalogAnalytics {
             ORDER BY n_members DESC, community LIMIT 20"""
       }),
 
+    Q("g8_modularity",
+      // did label propagation find real structure? Newman modularity of
+      // the g7 communities over the same co-purchase graph: per
+      // community, e_in/2m - (vol/2m)^2 — near zero means the
+      // "communities" are no denser than random. The oracle replays the
+      // full 4-round LP (the g7 chain) AND the modularity aggregation,
+      // so the score is pinned end to end. Label joins are node-sized;
+      // nothing pairwise.
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+          .distinct()
+        val und = items.select(col("oid"), col("item").as("u"))
+          .join(items.select(col("oid"), col("item").as("v")), "oid")
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+        // eagerly materialized once: labelPropagation and modularity
+        // both scan the edge relation several times, and the upstream
+        // lineitem self-join should run exactly once
+        val sym = und.select(col("u"), col("v"))
+          .unionAll(und.select(col("v"), col("u")))
+          .localCheckpoint(true)
+        val labels = Graph.labelPropagation(sym, "u", "v", rounds = 4)
+        Graph.modularity(sym, "u", "v", labels, "node", "lbl")
+          .select(col("community"), col("n_members"), col("volume"),
+            col("e_in"), round(col("q_contrib"), 6).as("q_contrib"))
+          .orderBy(col("n_members").desc, col("community"))
+          .limit(20)
+      },
+      Some {
+        val roundCte = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (
+                SELECT e.v AS node, l.lbl, count(*) AS c
+                FROM e JOIN l${i - 1} l ON e.u = l.node GROUP BY 1, 2),
+              l$i AS MATERIALIZED (
+                SELECT node, lbl FROM (
+                  SELECT node, lbl,
+                         row_number() OVER (PARTITION BY node
+                           ORDER BY c DESC, lbl) AS rn
+                  FROM c$i) WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH items AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+              FROM lineitem),
+            und AS MATERIALIZED (
+              SELECT a.item AS u, b.item AS v
+              FROM items a JOIN items b ON a.oid = b.oid AND a.item < b.item
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            e AS MATERIALIZED (SELECT u, v FROM und
+                               UNION ALL SELECT v, u FROM und),
+            l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e),
+            $roundCte,
+            m2 AS (SELECT count(*) AS m FROM e),
+            deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+            vol AS (SELECT l.lbl AS community, count(*) AS n_members,
+                      CAST(sum(d.deg) AS BIGINT) AS volume
+                    FROM deg d JOIN l4 l ON d.u = l.node GROUP BY 1),
+            inn AS (SELECT la.lbl AS community, count(*) AS e_in
+                    FROM e JOIN l4 la ON e.u = la.node
+                           JOIN l4 lb ON e.v = lb.node
+                    WHERE la.lbl = lb.lbl GROUP BY 1)
+            SELECT v.community, v.n_members, v.volume,
+                   coalesce(i.e_in, 0) AS e_in,
+                   round(coalesce(i.e_in, 0) / (SELECT m FROM m2) -
+                     (v.volume / (SELECT m FROM m2)) *
+                     (v.volume / (SELECT m FROM m2)), 6) AS q_contrib
+            FROM vol v LEFT JOIN inn i USING (community)
+            ORDER BY n_members DESC, community LIMIT 20"""
+      }),
+
+    Q("g9_link_pred",
+      // common-neighbour / Jaccard link prediction on the co-purchase
+      // graph: non-adjacent part pairs at distance 2 scored by
+      // neighbourhood overlap — the "who should be connected"
+      // recommendation primitive. The wedge join is keyed on the middle
+      // node with a degree cap (hub middles would make candidate volume
+      // quadratic in hub degree); the oracle replays the cap, the wedge
+      // count, the existing-edge anti-join, and the Jaccard arithmetic.
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+          .distinct()
+        val und = items.select(col("oid"), col("item").as("u"))
+          .join(items.select(col("oid"), col("item").as("v")), "oid")
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+        val sym = und.select(col("u"), col("v"))
+          .unionAll(und.select(col("v"), col("u")))
+          .localCheckpoint(true)
+        Graph.linkPrediction(sym, "u", "v", hubCap = 100)
+          .select(col("a"), col("b"), col("cn"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("a"), col("b"))
+          .limit(15)
+      },
+      Some("""WITH items AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+                FROM lineitem),
+              und AS MATERIALIZED (
+                SELECT a.item AS u, b.item AS v
+                FROM items a JOIN items b ON a.oid = b.oid AND a.item < b.item
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+              e AS MATERIALIZED (SELECT u, v FROM und
+                                 UNION ALL SELECT v, u FROM und),
+              deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+              okmid AS (SELECT u AS mid FROM deg WHERE deg <= 100),
+              arms AS (SELECT e.u AS mid, e.v AS endp FROM e
+                       JOIN okmid ON e.u = okmid.mid),
+              wedge AS (SELECT x.endp AS a, y.endp AS b, count(*) AS cn
+                        FROM arms x JOIN arms y
+                          ON x.mid = y.mid AND x.endp < y.endp
+                        GROUP BY 1, 2),
+              ne AS (SELECT w.a, w.b, w.cn FROM wedge w
+                     ANTI JOIN e ON w.a = e.u AND w.b = e.v)
+              SELECT ne.a, ne.b, ne.cn,
+                     round(ne.cn / (da.deg + db.deg - ne.cn), 6) AS jaccard
+              FROM ne JOIN deg da ON ne.a = da.u
+                      JOIN deg db ON ne.b = db.u
+              ORDER BY jaccard DESC, a, b LIMIT 15""")),
+
+    Q("ta_textrank_keywords",
+      // TextRank (Mihalcea & Tarau 2004): unsupervised keyword
+      // extraction as PageRank over the word co-occurrence graph —
+      // candidate words are length-≥5 alphabetic tokens, edges are
+      // window-2 adjacencies in the filtered sequence, 3 power
+      // iterations. The graph is vocabulary-sized (Heaps' law), so the
+      // rounds run on a relation ~√corpus. The oracle replays
+      // tokenization, the adjacency window, and all 3 rank rounds.
+      (s, d) => TextAnalysis.textrankKeywords(
+          t(s, d, "documents"), "doc_id", "text",
+          minLen = 5, iterations = 3)
+        .select(col("word"),
+          round(col("rank") * 1000000, 2).as("rank_ppm"))
+        .orderBy(col("rank_ppm").desc, col("word"))
+        .limit(20),
+      Some("""WITH w AS (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                     FROM documents),
+              toks AS (SELECT doc_id, p, ws[p] AS w
+                       FROM w, unnest(range(1, len(ws) + 1)) t(p)
+                       WHERE length(ws[p]) >= 5
+                         AND regexp_matches(ws[p], '^[a-z]+$')),
+              adj AS (SELECT doc_id, w,
+                        lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+                      FROM toks),
+              und AS (SELECT DISTINCT least(w, nxt) AS a,
+                        greatest(w, nxt) AS b
+                      FROM adj WHERE nxt IS NOT NULL AND nxt <> w),
+              e AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                                 UNION ALL SELECT b, a FROM und),
+              deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+              nn AS (SELECT count(*) AS n FROM deg),
+              r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank
+                     FROM deg),
+              r1 AS (SELECT e.dst AS node,
+                       (1 - 0.85) / (SELECT n FROM nn) +
+                         0.85 * sum(r.rank / d.outdeg) AS rank
+                     FROM e JOIN r0 r ON e.src = r.node
+                            JOIN deg d ON e.src = d.src
+                     GROUP BY e.dst),
+              r2 AS (SELECT e.dst AS node,
+                       (1 - 0.85) / (SELECT n FROM nn) +
+                         0.85 * sum(r.rank / d.outdeg) AS rank
+                     FROM e JOIN r1 r ON e.src = r.node
+                            JOIN deg d ON e.src = d.src
+                     GROUP BY e.dst),
+              r3 AS (SELECT e.dst AS node,
+                       (1 - 0.85) / (SELECT n FROM nn) +
+                         0.85 * sum(r.rank / d.outdeg) AS rank
+                     FROM e JOIN r2 r ON e.src = r.node
+                            JOIN deg d ON e.src = d.src
+                     GROUP BY e.dst)
+              SELECT node AS word, round(rank * 1000000, 2) AS rank_ppm
+              FROM r3 ORDER BY rank_ppm DESC, word LIMIT 20""")),
+
     Q("ts_burst_terms",
       // burst detection: weekly counts per JSON property value, scored
       // against the running mean of the PRIOR weeks (add-one smoothed,

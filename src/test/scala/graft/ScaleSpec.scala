@@ -283,6 +283,62 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L), (1L, 11L)), s"got $got")
   }
 
+  test("modularity: two triangles + bridge + pendant match hand-computed Q") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4, pendant 7-1 in its own
+    // community: 8 undirected edges → 2m = 16. Hand-computed per
+    // community: A = 6/16 - (8/16)^2 = 0.125, B = 6/16 - (7/16)^2 =
+    // 0.18359375, C (zero internal edges) = -(1/16)^2 = -0.00390625.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L), (1L, 7L))
+    val sym = (und ++ und.map(_.swap)).toDF("u", "v")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B"), (6L, "B"), (7L, "C")).toDF("node", "lbl")
+    val got = graft.operators.Graph.modularity(sym, "u", "v",
+        labels, "node", "lbl")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("A") == ((3L, 8L, 6L, 6.0 / 16 - 0.25)), s"A: ${got("A")}")
+    assert(got("B")._4 == 6.0 / 16 - (7.0 / 16) * (7.0 / 16), s"B: ${got("B")}")
+    assert(got("C") == ((1L, 1L, 0L, -(1.0 / 16) * (1.0 / 16))),
+      s"zero-internal community keeps its volume penalty: ${got("C")}")
+    // total Q of the partition = sum of contributions
+    val q = got.values.map(_._4).sum
+    assert(q > 0.3 && q < 0.31, s"total Q: $q")
+  }
+
+  test("linkPrediction: square+diagonal yields the one non-adjacent pair; hubCap prunes") {
+    // square 1-2-3-4 with diagonal 1-3: the only non-adjacent distance-2
+    // pair is (2,4), reachable via middles 1 and 3 → cn=2, and
+    // jaccard = 2 / (deg2 + deg4 - 2) = 2/2 = 1.0
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val sym = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = graft.operators.Graph.linkPrediction(sym, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((2L, 4L, 2L, 1.0)), s"got: ${got.toSeq}")
+    // both middles for (2,4) have degree 3 — a hubCap of 2 removes them,
+    // and with them the only candidate pair
+    val capped = graft.operators.Graph.linkPrediction(sym, "u", "v",
+      hubCap = 2).count()
+    assert(capped == 0L, "capped middles must drop the wedge")
+  }
+
+  test("textrankKeywords: filtered bridging, symmetric ranks, centrality order") {
+    // "zz" (short) and "9x9" (non-alpha) are filtered OUT of the token
+    // sequence, so adjacency bridges over them: alpha—bravo—charlie
+    val docs = Seq((1L, "alpha bravo zz charlie"), (2L, "alpha 9x9 bravo"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.textrankKeywords(
+        docs, "doc_id", "text", minLen = 5, iterations = 20)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set("alpha", "bravo", "charlie"), s"got: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, "rank mass conserved")
+    // path graph: the middle node (bravo) dominates both ends, and the
+    // symmetric ends tie exactly
+    assert(r("bravo") > r("alpha") && r("bravo") > r("charlie"), s"$r")
+    assert(math.abs(r("alpha") - r("charlie")) < 1e-12, s"$r")
+  }
+
   test("kCore: cascading chain peels fully, triangle survives, round cap flags") {
     // triangle 1-2-3 plus a pendant chain 3-4-5-6: the 2-core is the
     // triangle; the chain peels one node per round (6, then 5, then 4 —
