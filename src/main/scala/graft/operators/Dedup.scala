@@ -113,6 +113,55 @@ object Dedup {
         round(col("inter").cast("double") / col("union_sh"), 4).as("jaccard"))
   }
 
+  /** Blocking-quality metrics for entity resolution: grade a cheap
+    * blocking scheme against the exact near-dup truth. The scheme here
+    * is 1-hash MinHash blocking — each document keyed by the MINIMUM
+    * md5-hex of its k-shingles, candidates = same-block pairs — the
+    * classic "one band, one row" LSH degenerate whose recall is
+    * genuinely imperfect (two docs at Jaccard j collide with
+    * probability ≈ j), so the metrics measure something real.
+    *
+    * Returns one row: `n_truth` (exact Jaccard ≥ num/den pairs),
+    * `n_cand` (blocking candidates), `n_hit` (their intersection),
+    * `pair_completeness` = n_hit/n_truth (the blocking's recall) and
+    * `reduction_ratio` = 1 − n_cand/(n·(n−1)/2) (how much of the
+    * quadratic pair space the blocking never touches) — the two axes
+    * every ER blocking paper reports, and the measurement that decides
+    * whether a blocking config is safe to ship at 100 TB.
+    *
+    * Scale shape: block keys are a per-doc partial agg (min over
+    * shingle hashes); candidates an equi-join on the key; the metrics
+    * single-row aggregates crossed at the end (driver-sized). The
+    * min is taken over the HEX STRING so the ordering is engine-
+    * portable (signed-vs-unsigned 64-bit min is not).
+    */
+  def blockingQuality(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, num: Int, den: Int): DataFrame = {
+    val truth = jaccardPairs(docs, idCol, textCol, k, num, den)
+      .select("id_a", "id_b")
+    val blocks = shingleRows(docs, idCol, textCol, k)
+      .groupBy("doc_id")
+      .agg(min(substring(md5(col("sh")), 1, 16)).as("bk"))
+    val cand = trackedPersist(
+      blocks.select(col("doc_id").as("id_a"), col("bk"))
+        .join(blocks.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b"))
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nH = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nD = docs.agg(count(lit(1)).as("n_docs"))
+    // single-row aggregate crosses (licensed: each side is exactly one
+    // row, the PlanHygieneSpec pattern)
+    nT.crossJoin(nC).crossJoin(nH).crossJoin(nD)
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit") / col("n_truth"), 6).as("pair_completeness"),
+        round(lit(1.0) - col("n_cand") /
+          (col("n_docs") * (col("n_docs") - 1) / lit(2.0)), 6)
+          .as("reduction_ratio"))
+  }
+
   /** Containment near-dup pairs: `inter / min(|A|,|B|) >= num/den`.
     * Catches what symmetric Jaccard structurally cannot — a short doc
     * fully embedded in a much longer one (quoted replies, boilerplate

@@ -44,6 +44,37 @@ object Similarity {
   private def withNorm(df: DataFrame, vecCol: String, as: String): DataFrame =
     df.withColumn(as, sqrt(dotD(col(vecCol), col(vecCol))))
 
+  /** Contrastive hard-negative mining: for each anchor, the k
+    * HIGHEST-cosine corpus vectors that are NOT near-duplicates
+    * (`cos < dupCos`) and not the anchor itself — the "confusable but
+    * genuinely different" examples contrastive/embedding training wants
+    * as in-batch negatives (near-dups would be false negatives and
+    * poison the loss; random picks are too easy to inform it).
+    *
+    * Scale shape: identical to [[bruteForceKnn]] — anchors broadcast
+    * over one corpus scan, per-anchor bounded top-k window. The dup
+    * exclusion is a pre-rank filter on the SAME score, so it adds zero
+    * passes. At 100 TB swap the scan for [[ivfKnn]] with an inflated k
+    * and apply the same filter to the shortlist.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      dupCos: Double): DataFrame = {
+    val scored = withNorm(corpus, "embedding", "cn").join(
+        broadcast(withNorm(anchors, "qe", "qn")),
+        col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFromNorms(dotD(col("embedding"), col("qe")),
+          col("cn"), col("qn")).as("cos"))
+      .filter(col("cos") < dupCos)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Brute-force cosine top-k: every corpus row scored against every query
     * row (queries broadcast), then row_number per query. Deterministic
     * tie-break on neighbor id.

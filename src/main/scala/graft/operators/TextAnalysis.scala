@@ -469,6 +469,64 @@ object TextAnalysis {
     round(ColumnBridge.column(
       graft.plans.CharEntropy(ColumnBridge.expression(textCol))), 4)
 
+  /** ROUGE-N overlap scoring for document pairs (Lin 2004): clipped
+    * n-gram precision/recall/F1 of candidate `id_b` against reference
+    * `id_a` — the standard summary/paraphrase closeness grade, here
+    * used to SCORE near-dup pairs (how verbatim is the copy?) rather
+    * than to find them. `match` counts multiset n-gram intersection
+    * (each gram's contribution clipped at the smaller side's count,
+    * per the ROUGE definition — plain intersection over-credits
+    * repeated grams).
+    *
+    * Scale shape: gram counting is scoped by a semi-join to docs that
+    * actually appear in `pairs` first, so corpus size only enters
+    * through the pair relation; the overlap is an equi-join on
+    * (doc, gram), never a cross of token sets. Returns one row per
+    * input pair with unigram P/R/F1 and bigram F1.
+    */
+  def rougeOverlap(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("ws"))
+    val ids = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val scoped = base.join(ids, Seq("doc_id"), "left_semi")
+    def scored(n: Int, tag: String): DataFrame = {
+      val grams =
+        if (n == 1) scoped.select(col("doc_id"), explode(col("ws")).as("g"))
+        else scoped.select(col("doc_id"),
+          explode(graft.operators.Dedup.shingles(col("ws"), n)).as("g"))
+      val gc = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val tot = gc.groupBy("doc_id").agg(sum("c").as("tot"))
+      val ov = pairs.select("id_a", "id_b")
+        .join(gc.select(col("doc_id").as("id_a"), col("g"),
+          col("c").as("ca")), "id_a")
+        .join(gc.select(col("doc_id").as("id_b"), col("g"),
+          col("c").as("cb")), Seq("id_b", "g"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(least(col("ca"), col("cb"))).as("m"))
+      pairs.select("id_a", "id_b")
+        .join(ov, Seq("id_a", "id_b"), "left")
+        .join(tot.select(col("doc_id").as("id_a"), col("tot").as("ta")),
+          "id_a")
+        .join(tot.select(col("doc_id").as("id_b"), col("tot").as("tb")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("m"), lit(0L)).as(s"${tag}_match"),
+          (coalesce(col("m"), lit(0L)) / col("ta")).as(s"${tag}_recall"),
+          (coalesce(col("m"), lit(0L)) / col("tb")).as(s"${tag}_precision"))
+        .withColumn(s"${tag}_f1",
+          when(col(s"${tag}_recall") + col(s"${tag}_precision") > 0,
+            lit(2) * col(s"${tag}_recall") * col(s"${tag}_precision") /
+              (col(s"${tag}_recall") + col(s"${tag}_precision")))
+            .otherwise(lit(0.0)))
+    }
+    scored(1, "r1").join(
+      scored(2, "r2").select(col("id_a"), col("id_b"),
+        col("r2_match"), col("r2_f1")),
+      Seq("id_a", "id_b"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     * the word co-occurrence graph. Candidate words are lowercased
     * alphabetic tokens of length ≥ `minLen` (the cheap content-word

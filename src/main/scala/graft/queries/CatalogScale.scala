@@ -125,6 +125,141 @@ object CatalogScale {
         k = 5, num = 4, den = 5).orderBy("id_a", "id_b"),
       Some(jaccardOracle)),
 
+    Q("ta_rouge_overlap",
+      // ROUGE-1/2 scoring of the exact near-dup pairs: clipped n-gram
+      // P/R/F1 of the later doc against the earlier — "how verbatim is
+      // this copy" graded per pair, the eval-metric companion to the
+      // dedup detectors. Gram counting is semi-join-scoped to docs in
+      // pairs; the overlap is an equi-join on (doc, gram). The oracle
+      // replays the pair derivation AND the clipped-count arithmetic.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+            k = 5, num = 4, den = 5)
+          .select("id_a", "id_b").localCheckpoint(true)
+        TextAnalysis.rougeOverlap(docs, "doc_id", "text", pairs)
+          .select(col("id_a"), col("id_b"), col("r1_match"),
+            round(col("r1_recall"), 6).as("r1_recall"),
+            round(col("r1_precision"), 6).as("r1_precision"),
+            round(col("r1_f1"), 6).as("r1_f1"),
+            col("r2_match"), round(col("r2_f1"), 6).as("r2_f1"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                     FROM documents),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+4], ' ') AS sh
+                     FROM w, unnest(range(1, greatest(len(ws)-4, 1)+1)) t(g)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS inter
+                        FROM sh a JOIN sh b
+                          ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS MATERIALIZED (
+                SELECT id_a, id_b FROM inter
+                JOIN sz sa ON inter.id_a = sa.doc_id
+                JOIN sz sb ON inter.id_b = sb.doc_id
+                WHERE inter * 5 >= (sa.n + sb.n - inter) * 4),
+              ids AS (SELECT id_a AS doc_id FROM pairs
+                      UNION SELECT id_b FROM pairs),
+              u1 AS MATERIALIZED (
+                SELECT doc_id, ws[p] AS g, count(*) AS c
+                FROM w, unnest(range(1, len(ws) + 1)) t(p)
+                WHERE doc_id IN (SELECT doc_id FROM ids)
+                GROUP BY 1, 2),
+              u2 AS MATERIALIZED (
+                SELECT doc_id, array_to_string(ws[p:p+1], ' ') AS g,
+                       count(*) AS c
+                FROM w, unnest(range(1, greatest(len(ws)-1, 1) + 1)) t(p)
+                WHERE doc_id IN (SELECT doc_id FROM ids)
+                GROUP BY 1, 2),
+              t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot
+                     FROM u1 GROUP BY 1),
+              t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot
+                     FROM u2 GROUP BY 1),
+              o1 AS (SELECT p.id_a, p.id_b,
+                       CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+                     FROM pairs p JOIN u1 a ON a.doc_id = p.id_a
+                                  JOIN u1 b ON b.doc_id = p.id_b
+                                           AND b.g = a.g
+                     GROUP BY 1, 2),
+              o2 AS (SELECT p.id_a, p.id_b,
+                       CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+                     FROM pairs p JOIN u2 a ON a.doc_id = p.id_a
+                                  JOIN u2 b ON b.doc_id = p.id_b
+                                           AND b.g = a.g
+                     GROUP BY 1, 2),
+              sc AS (SELECT p.id_a, p.id_b,
+                       coalesce(o1.m, 0) AS m1,
+                       coalesce(o1.m, 0) / ta1.tot AS r1r,
+                       coalesce(o1.m, 0) / tb1.tot AS r1p,
+                       coalesce(o2.m, 0) AS m2,
+                       coalesce(o2.m, 0) / ta2.tot AS r2r,
+                       coalesce(o2.m, 0) / tb2.tot AS r2p
+                     FROM pairs p
+                     LEFT JOIN o1 ON o1.id_a = p.id_a AND o1.id_b = p.id_b
+                     LEFT JOIN o2 ON o2.id_a = p.id_a AND o2.id_b = p.id_b
+                     JOIN t1 ta1 ON ta1.doc_id = p.id_a
+                     JOIN t1 tb1 ON tb1.doc_id = p.id_b
+                     JOIN t2 ta2 ON ta2.doc_id = p.id_a
+                     JOIN t2 tb2 ON tb2.doc_id = p.id_b)
+              SELECT id_a, id_b, m1 AS r1_match,
+                     round(r1r, 6) AS r1_recall,
+                     round(r1p, 6) AS r1_precision,
+                     round(CASE WHEN r1r + r1p > 0
+                           THEN 2 * r1r * r1p / (r1r + r1p)
+                           ELSE 0.0 END, 6) AS r1_f1,
+                     m2 AS r2_match,
+                     round(CASE WHEN r2r + r2p > 0
+                           THEN 2 * r2r * r2p / (r2r + r2p)
+                           ELSE 0.0 END, 6) AS r2_f1
+              FROM sc ORDER BY id_a, id_b""")),
+
+    Q("er_blocking_quality",
+      // grade 1-hash MinHash blocking (block key = min shingle-hash per
+      // doc) against the exact Jaccard ≥ 0.8 truth: pair completeness
+      // (blocking recall — genuinely < 1 for one band) and reduction
+      // ratio (fraction of the quadratic pair space never touched) —
+      // the two axes every ER blocking paper reports. Min is over the
+      // md5 HEX STRING so the ordering replays engine-portably.
+      (s, d) => Dedup.blockingQuality(t(s, d, "documents"),
+        "doc_id", "text", k = 5, num = 4, den = 5),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                     FROM documents),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+4], ' ') AS sh
+                     FROM w, unnest(range(1, greatest(len(ws)-4, 1)+1)) t(g)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS inter
+                        FROM sh a JOIN sh b
+                          ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              truth AS MATERIALIZED (
+                SELECT id_a, id_b FROM inter
+                JOIN sz sa ON inter.id_a = sa.doc_id
+                JOIN sz sb ON inter.id_b = sb.doc_id
+                WHERE inter * 5 >= (sa.n + sb.n - inter) * 4),
+              bk AS (SELECT doc_id, min(substr(md5(sh), 1, 16)) AS bk
+                     FROM sh GROUP BY 1),
+              cand AS MATERIALIZED (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b
+                  ON a.bk = b.bk AND a.doc_id < b.doc_id),
+              hit AS (SELECT t.id_a FROM truth t
+                      WHERE EXISTS (SELECT 1 FROM cand c
+                        WHERE c.id_a = t.id_a AND c.id_b = t.id_b)),
+              nd AS (SELECT count(*) AS n FROM documents)
+              SELECT (SELECT count(*) FROM truth) AS n_truth,
+                     (SELECT count(*) FROM cand) AS n_cand,
+                     (SELECT count(*) FROM hit) AS n_hit,
+                     round((SELECT count(*) FROM hit) /
+                           (SELECT count(*) FROM truth), 6)
+                       AS pair_completeness,
+                     round(1.0 - (SELECT count(*) FROM cand) /
+                           ((SELECT n FROM nd) *
+                            ((SELECT n FROM nd) - 1) / 2.0), 6)
+                       AS reduction_ratio""")),
+
     Q("dedup_minhash_lsh",
       // same truth as dedup_jaccard: the banded candidates are verified
       // with exact Jaccard, so a green hash here proves banding recall
@@ -1020,6 +1155,41 @@ object CatalogScale {
           .orderBy("query_id", "rank")
       },
       Some(knnOracle)),
+
+    Q("sim_hard_negatives",
+      // contrastive hard-negative mining: per anchor, the 5 highest-
+      // cosine vectors BELOW the near-dup bar (cos < 0.35, the corpus's
+      // dedup_embedding threshold) — confusable
+      // but genuinely different, the negatives embedding training
+      // actually learns from (near-dups would be false negatives;
+      // random picks are uninformative). Oracle replays the scan, the
+      // dup exclusion, and the rank cut on raw doubles.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.hardNegatives(emb,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          k = 5, dupCos = 0.35)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qe
+                     FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+              s AS (SELECT query_id, vec_id AS neighbor_id,
+                      list_dot_product(e, qe) /
+                      (sqrt(list_dot_product(e, e)) *
+                       sqrt(list_dot_product(qe, qe))) AS cos
+                    FROM c, q WHERE vec_id <> query_id),
+              f AS (SELECT * FROM s WHERE cos < 0.35),
+              r AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                    FROM f)
+              SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+                     round(cos, 6) AS cosine
+              FROM r WHERE rnk <= 5 ORDER BY query_id, rank""")),
 
     Q("sim_ann_lsh",
       // same truth as sim_knn_cosine: candidates come from bucket

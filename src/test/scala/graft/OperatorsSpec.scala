@@ -342,6 +342,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(10L, 11L))
   }
 
+  test("hardNegatives: near-dups and self excluded, rest ranked by cosine") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),            // the anchor itself — excluded by id
+      (1L, Seq(0.99f, 0.141f)),         // cos ≈ 0.990 ≥ 0.9 — a near-dup
+      (2L, Seq(0.7f, 0.7f)),            // cos ≈ 0.707 — the hardest negative
+      (3L, Seq(0.0f, 1.0f)),            // cos 0
+      (4L, Seq(-1.0f, 0.0f)))           // cos −1
+      .toDF("vec_id", "embedding")
+    val anchors = Seq((0L, Seq(1.0f, 0.0f))).toDF("query_id", "qe")
+    val got = Similarity.hardNegatives(corpus, anchors, k = 2, dupCos = 0.9)
+      .orderBy("rank")
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L, 3L),
+      s"near-dup 1 must be excluded, 2 then 3 ranked: $got")
+    assert(math.abs(got(0)._2 - 0.707107) < 1e-5 && got(1)._2 == 0.0, s"$got")
+  }
+
+  test("rougeOverlap: clipped counts, short-doc bigram floor, symmetric P/R") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the hat"),
+      (3L, "a a a"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = graft.operators.TextAnalysis.rougeOverlap(
+        docs, "doc_id", "text", pairs)
+      .select("id_a", "id_b", "r1_match", "r1_recall", "r1_precision",
+        "r1_f1", "r2_match", "r2_f1")
+      .as[(Long, Long, Long, Double, Double, Double, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // pair (1,2): unigram match = the·2 + cat + sat + on = 5 of 6;
+    // bigram match = 4 of 5
+    val p12 = got((1L, 2L))
+    assert(p12._3 == 5L && math.abs(p12._4 - 5.0 / 6) < 1e-12 &&
+      math.abs(p12._5 - 5.0 / 6) < 1e-12 && math.abs(p12._6 - 5.0 / 6) < 1e-12,
+      s"$p12")
+    assert(p12._7 == 4L && math.abs(p12._8 - 0.8) < 1e-12, s"$p12")
+    // pair (3,4): clipping — "a a a" vs "a" matches ONE unigram, not 3;
+    // recall 1/3, precision 1/1, F1 = 0.5. The short doc's bigram side
+    // is its whole-doc shingle "a", which matches nothing in "a a"
+    val p34 = got((3L, 4L))
+    assert(p34._3 == 1L && math.abs(p34._4 - 1.0 / 3) < 1e-12 &&
+      p34._5 == 1.0 && p34._6 == 0.5, s"$p34")
+    assert(p34._7 == 0L && p34._8 == 0.0, s"$p34")
+  }
+
+  test("blockingQuality: identical docs block together, disjoint docs apart") {
+    // d1 = d2 (Jaccard 1 — the only truth pair, same min-shingle block);
+    // d3/d4 have disjoint shingle sets, so distinct block keys
+    val docs = Seq((1L, "x y z w"), (2L, "x y z w"),
+      (3L, "p q"), (4L, "q p")).toDF("doc_id", "text")
+    val got = Dedup.blockingQuality(docs, "doc_id", "text",
+        k = 2, num = 4, den = 5)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    // n_truth=1, n_cand=1, n_hit=1, pc=1.0, rr = 1 − 1/(4·3/2)
+    assert(got == ((1L, 1L, 1L, 1.0, 0.833333)), s"$got")
+  }
+
   test("semanticDedup: within-cell near-dups cluster, cross-threshold rows stay") {
     // hash-bucket seeding picks ids 1 and 4 as centroids for ids 0..5
     // at nCells = 2 (md5-bucket winners); 1 → x-axis seed, 4 → y-axis
