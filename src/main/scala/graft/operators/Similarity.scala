@@ -75,6 +75,52 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985): pick k
+    * maximally-spread vectors — seed = min `vec_id`, then k−1 rounds of
+    * "the point with the LARGEST min-cosine-distance to everything
+    * chosen so far" (farthest-first traversal, the classic 2-approx of
+    * the k-center objective). The standard diversity-sampling primitive
+    * for training-data selection: k rows that between them cover the
+    * embedding space, with `dist` (the max-min distance at selection
+    * time) a monotone non-increasing coverage-radius certificate.
+    *
+    * Scale shape: each round is ONE corpus pass — fold the newest
+    * center (a broadcast literal) into a running per-point min-distance
+    * column, then take the argmax as a TakeOrdered top-1 (per-partition
+    * max + driver merge, never a global sort). Exactly k driver-side
+    * rows cross the boundary (the picked centers — nCells-sized
+    * metadata, the IVF-centroid license); state localCheckpoints per
+    * round so lineage stays flat.
+    */
+  def kCenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = withNorm(emb.select(col("vec_id"), col("embedding")),
+      "embedding", "nrm")
+    var state = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      lit(Double.MaxValue).as("d")).localCheckpoint(true)
+    val seed = state.orderBy("vec_id").limit(1)
+      .select("vec_id", "embedding", "nrm").collect()(0)
+    var picked = Vector((1, seed.getLong(0), Option.empty[Double]))
+    var cVec = seed.getSeq[Float](1)
+    var cNorm = seed.getDouble(2)
+    var r = 2
+    while (r <= k) {
+      val nd = least(col("d"), lit(1.0) - cosineFromNorms(
+        dotD(col("embedding"), typedlit(cVec)), col("nrm"), lit(cNorm)))
+      state = state.withColumn("d", nd).localCheckpoint(true)
+      val far = state.orderBy(col("d").desc, col("vec_id").asc).limit(1)
+        .select("vec_id", "embedding", "nrm", "d").collect()(0)
+      picked = picked :+ ((r, far.getLong(0), Some(far.getDouble(3))))
+      cVec = far.getSeq[Float](1)
+      cNorm = far.getDouble(2)
+      r += 1
+    }
+    picked.map { case (rk, id, d) => (rk, id, d) }
+      .toDF("rank", "vec_id", "dist")
+  }
+
   /** Brute-force cosine top-k: every corpus row scored against every query
     * row (queries broadcast), then row_number per query. Deterministic
     * tie-break on neighbor id.

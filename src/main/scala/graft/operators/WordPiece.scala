@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** WordPiece-style subword tokenization (Wu et al. 2016 / BERT's
+  * tokenizer): a frequency-built piece vocabulary with distinct
+  * word-INITIAL and CONTINUATION pieces, applied by greedy
+  * longest-match-first segmentation with whole-word `[UNK]` fallback —
+  * the inference half of WordPiece, with the vocabulary built by direct
+  * substring frequency (the BPE-trained vocab lives in
+  * [[Bpe]]; this operator owns the longest-match application that
+  * distinguishes WordPiece from BPE's merge-order application).
+  *
+  * Reference context: the reference estimates token counts with a
+  * chars/4 heuristic (`shared/ai-utils.js`); a real training pipeline
+  * tokenizes with a subword vocab. Complements `ta_bpe_*`.
+  *
+  * Scale shape: everything per-word runs on the DISTINCT-WORDS relation
+  * (~√corpus by Heaps' law), never the corpus — corpus size enters only
+  * through the initial word-count shuffle and the final count join-back.
+  * The vocabulary stays a DataFrame end to end (no driver collect): each
+  * greedy step is a broadcast join against it plus a per-word window on
+  * the words-sized state. Steps are bounded by `maxWordLen` (each step
+  * consumes ≥ 1 char); states checkpoint per round so lineage stays flat
+  * (the [[Bpe]] discipline).
+  */
+object WordPiece {
+
+  /** Substring-frequency piece vocabulary: all substrings of length ≤
+    * `maxPieceLen` of corpus words, weighted by word count, counted
+    * separately for word-initial (start = 0) and continuation
+    * (start > 0) positions; the top `vocabSize` by weight plus ALL
+    * single-char pieces (closure: every corpus word stays tokenizable
+    * char-by-char). Deterministic cut: (count desc, cont, piece).
+    * Returns `(piece, cont, cnt)`.
+    */
+  def buildVocab(docs: DataFrame, textCol: String,
+      vocabSize: Int, maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val wc = docs
+      .select(explode(Dedup.words(col(textCol))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val pieces = wc.select(col("word"), col("wc"),
+        posexplode(expr(
+          s"""flatten(transform(sequence(0, length(word) - 1), s ->
+              transform(sequence(1, least($maxPieceLen, length(word) - s)),
+                l -> struct(substring(word, s + 1, l) AS piece,
+                            s > 0 AS cont))))""")).as(Seq("i", "pc")))
+      .select(col("pc.piece").as("piece"), col("pc.cont").as("cont"),
+        col("wc"))
+      .groupBy("piece", "cont").agg(sum("wc").as("cnt"))
+    // top-M as TakeOrdered (per-partition top + driver merge), never a
+    // single-partition global window over the piece-candidate relation
+    val top = pieces
+      .orderBy(col("cnt").desc, col("cont"), col("piece"))
+      .limit(vocabSize)
+      .select("piece", "cont", "cnt")
+    // single-char closure set, kept regardless of rank
+    val chars = pieces.filter(length(col("piece")) === 1)
+      .select("piece", "cont", "cnt")
+    top.unionByName(chars).distinct()
+  }
+
+  /** Greedy longest-match-first tokenization of every distinct corpus
+    * word against `vocab` (from [[buildVocab]]): at position 0 only
+    * word-initial pieces match, past it only continuation pieces; the
+    * longest match wins (ties on piece text cannot occur — equal-length
+    * matches at one position are the same substring); a position with
+    * no match — or a word longer than `maxWordLen` — tokenizes to the
+    * single piece `[UNK]`, whole-word, per the WordPiece contract.
+    *
+    * Returns `(word, wc, n_pieces, pieces)` with `pieces` the
+    * space-joined segmentation.
+    */
+  def tokenize(docs: DataFrame, textCol: String, vocab: DataFrame,
+      maxWordLen: Int): DataFrame = {
+    // materialized once: seeds the state AND serves the final join-back
+    val wc = docs
+      .select(explode(Dedup.words(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .localCheckpoint(true)
+    val v = vocab.select(col("piece"), col("cont"),
+      length(col("piece")).as("plen"))
+    // state: (word, pos, toks, unk); done when pos = length(word)
+    var state = wc.select(col("word"), lit(0).as("pos"),
+        array().cast("array<string>").as("toks"),
+        (length(col("word")) > maxWordLen).as("unk"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < maxWordLen) {
+      val open = state.filter(!col("unk") && col("pos") < length(col("word")))
+      val closed = state.filter(col("unk") || col("pos") >= length(col("word")))
+      if (open.isEmpty) {
+        round = maxWordLen
+        state = closed
+      } else {
+        val cand = open.join(broadcast(v),
+          col("cont") === (col("pos") > 0) &&
+            expr("substring(word, pos + 1, plen) = piece"),
+          "left")
+        val w = Window.partitionBy("word")
+          .orderBy(col("plen").desc_nulls_last)
+        val best = cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val stepped = best.select(col("word"),
+          when(col("piece").isNull, col("pos"))
+            .otherwise(col("pos") + col("plen")).as("pos"),
+          when(col("piece").isNull, col("toks"))
+            .otherwise(concat(col("toks"), array(col("piece")))).as("toks"),
+          col("piece").isNull.as("unk"))
+        state = stepped.unionByName(closed).localCheckpoint(true)
+        round += 1
+      }
+    }
+    state
+      .select(col("word"),
+        when(col("unk"), lit(1))
+          .otherwise(size(col("toks"))).cast("int").as("n_pieces"),
+        when(col("unk"), lit("[UNK]"))
+          .otherwise(array_join(col("toks"), " ")).as("pieces"))
+      .join(wc, "word")
+      .select("word", "wc", "n_pieces", "pieces")
+  }
+}

@@ -682,6 +682,123 @@ object CatalogTraining {
           s"SELECT $i AS rank, pr AS pair FROM b$i").mkString("\n                UNION ALL ")
       }) u ORDER BY rank""")),
 
+    Q("td_kcenter_coreset",
+      // greedy k-center coreset (farthest-first traversal): 8 maximally
+      // spread embedding rows as the diversity sample, with the max-min
+      // cosine distance at each pick — a monotone coverage-radius
+      // certificate. One corpus pass per round (newest center folded
+      // into a running min-distance column, argmax via TakeOrdered
+      // top-1); the oracle replays every round as chained
+      // pick/fold CTEs on raw doubles with the vec_id tie-break.
+      (s, d) => Similarity.kCenterCoreset(t(s, d, "embeddings"), k = 8)
+        .select(col("rank"), col("vec_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("rank"),
+      Some {
+        val cosD = (x: String, p: String) =>
+          s"1 - list_dot_product($x.e, $p.e) / " +
+            s"(sqrt(list_dot_product($x.e, $x.e)) * " +
+            s"sqrt(list_dot_product($p.e, $p.e)))"
+        val mids = (2 to 8).map { i =>
+          val pick = s"""p$i AS (SELECT vec_id, e, d FROM d${i - 1}
+                         ORDER BY d DESC, vec_id LIMIT 1)"""
+          if (i < 8)
+            pick + s""",
+              d$i AS MATERIALIZED (
+                SELECT x.vec_id, x.e, least(x.d, ${cosD("x", "p")}) AS d
+                FROM d${i - 1} x, p$i p)"""
+          else pick
+        }.mkString(",\n")
+        val branches = (2 to 8).map { i =>
+          s"UNION ALL SELECT $i AS rank, vec_id, round(d, 6) AS dist FROM p$i"
+        }.mkString("\n")
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+            p1 AS (SELECT vec_id, e FROM c ORDER BY vec_id LIMIT 1),
+            d1 AS MATERIALIZED (
+              SELECT x.vec_id, x.e, ${cosD("x", "p")} AS d
+              FROM c x, p1 p),
+            $mids
+            SELECT 1 AS rank, vec_id, CAST(NULL AS DOUBLE) AS dist FROM p1
+            $branches
+            ORDER BY rank"""
+      }),
+
+    Q("ta_wordpiece_tokens",
+      // WordPiece-style tokenization: substring-frequency vocab with
+      // distinct initial/continuation pieces (top 200 + single-char
+      // closure), applied by greedy LONGEST-match-first segmentation
+      // with whole-word [UNK] fallback — the inference rule that
+      // distinguishes WordPiece from BPE's merge-order application.
+      // Everything per-word runs on the distinct-words relation
+      // (~√corpus); the vocab never leaves the cluster. The oracle
+      // replays vocab construction and all 16 greedy steps as chained
+      // CTEs with a correlated longest-match subquery per step.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.WordPiece.tokenize(docs, "text",
+            graft.operators.WordPiece.buildVocab(docs, "text",
+              vocabSize = 200, maxPieceLen = 8, maxWordLen = 16),
+            maxWordLen = 16)
+          .orderBy("word")
+      },
+      Some {
+        val steps = (1 to 16).map { i =>
+          s"""s$i AS MATERIALIZED (
+                SELECT word,
+                       CASE WHEN fin OR best IS NULL THEN pos
+                            ELSE pos + length(best) END AS pos,
+                       CASE WHEN fin OR best IS NULL THEN toks
+                            WHEN toks = '' THEN best
+                            ELSE toks || ' ' || best END AS toks,
+                       unk OR (NOT fin AND best IS NULL) AS unk
+                FROM (
+                  SELECT word, pos, toks, unk,
+                         (unk OR pos >= length(word)) AS fin,
+                         CASE WHEN NOT (unk OR pos >= length(word)) THEN
+                           (SELECT v.piece FROM vocab v
+                            WHERE v.cont = (s.pos > 0)
+                              AND substr(s.word, s.pos + 1, v.plen) = v.piece
+                            ORDER BY v.plen DESC LIMIT 1)
+                         END AS best
+                  FROM s${i - 1} s))"""
+        }.mkString(",\n")
+        s"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM documents),
+            allw AS (SELECT ws[p] AS word
+                     FROM w, unnest(range(1, len(ws) + 1)) t(p)),
+            wc AS MATERIALIZED (
+              SELECT word, count(*) AS wc FROM allw
+              WHERE length(word) >= 1 GROUP BY 1),
+            vw AS (SELECT word, wc FROM wc
+                   WHERE length(word) BETWEEN 1 AND 16),
+            pieces AS MATERIALIZED (
+              SELECT substr(word, s + 1, l) AS piece, s > 0 AS cont,
+                     CAST(sum(wc) AS BIGINT) AS cnt
+              FROM vw, unnest(range(0, length(word))) ts(s),
+                   unnest(range(1, least(8, length(word) - s) + 1)) tl(l)
+              GROUP BY 1, 2),
+            top AS (SELECT piece, cont, cnt FROM pieces
+                    ORDER BY cnt DESC, cont, piece LIMIT 200),
+            chars AS (SELECT piece, cont, cnt FROM pieces
+                      WHERE length(piece) = 1),
+            vocab AS MATERIALIZED (
+              SELECT DISTINCT piece, cont, length(piece) AS plen
+              FROM (SELECT * FROM top UNION ALL SELECT * FROM chars)),
+            s0 AS (SELECT word, 0 AS pos, '' AS toks,
+                     length(word) > 16 AS unk
+                   FROM wc),
+            $steps
+            SELECT s.word, wc.wc,
+                   CAST(CASE WHEN s.unk THEN 1
+                        WHEN s.toks = '' THEN 0
+                        ELSE length(s.toks) -
+                             length(replace(s.toks, ' ', '')) + 1
+                        END AS INTEGER) AS n_pieces,
+                   CASE WHEN s.unk THEN '[UNK]' ELSE s.toks END AS pieces
+            FROM s16 s JOIN wc USING (word) ORDER BY word"""
+      }),
+
     Q("ta_bpe_tokens",
       // trainer-accurate per-doc token counts: pre-tokenize, broadcast-
       // join the trained vocab's per-word symbol counts, re-agg to doc

@@ -342,6 +342,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(10L, 11L))
   }
 
+  test("wordPiece tokenize: longest-match-first, cont/initial split, UNK paths") {
+    val vocab = Seq(("abc", false, 9L), ("ab", false, 9L), ("a", false, 9L),
+      ("b", true, 9L), ("c", true, 9L), ("d", true, 9L))
+      .toDF("piece", "cont", "cnt")
+    val docs = Seq((1L, "abcd abd cd abcdefghijklmnopqr abcd"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.WordPiece.tokenize(docs, "text", vocab,
+        maxWordLen = 16)
+      .select("word", "wc", "n_pieces", "pieces")
+      .as[(String, Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // greedy longest-first: "abc" beats "ab"/"a" at position 0
+    assert(got("abcd") == ((2L, 2, "abc d")), s"${got("abcd")}")
+    assert(got("abd") == ((1L, 2, "ab d")), s"${got("abd")}")
+    // 'c' exists only as a CONTINUATION piece — word-initial it cannot
+    // match, so the whole word falls to [UNK]
+    assert(got("cd") == ((1L, 1, "[UNK]")), s"${got("cd")}")
+    // 18-char word exceeds maxWordLen — [UNK] without any matching
+    assert(got("abcdefghijklmnopqr") == ((1L, 1, "[UNK]")),
+      s"${got("abcdefghijklmnopqr")}")
+  }
+
+  test("wordPiece buildVocab: weighted counts, deterministic cut, char closure") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val got = graft.operators.WordPiece.buildVocab(docs, "text",
+        vocabSize = 2, maxPieceLen = 8, maxWordLen = 16)
+      .as[(String, Boolean, Long)].collect().toSet
+    // pieces: (a,f,2) (ab,f,2) (b,t,2) (b,f,1); top-2 by
+    // (cnt desc, cont, piece) = (a,f) then (ab,f); single-char closure
+    // keeps BOTH b forms regardless of rank
+    assert(got == Set(("a", false, 2L), ("ab", false, 2L),
+      ("b", true, 2L), ("b", false, 1L)), s"$got")
+  }
+
+  test("kCenterCoreset: farthest-first picks, monotone radius, id tie-breaks") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),    // seed (min id)
+      (1L, Seq(1.0f, 0.01f)),   // nearly collinear with the seed
+      (2L, Seq(0.0f, 1.0f)),    // orthogonal: dist 1
+      (3L, Seq(-1.0f, 0.0f)),   // antipodal: dist 2 — the first pick
+      (4L, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(emb, k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(got(0) == ((1, 0L, -1.0)), s"seed must be min id: ${got.toSeq}")
+    assert(got(1)._2 == 3L && math.abs(got(1)._3 - 2.0) < 1e-9,
+      s"antipodal point first: ${got.toSeq}")
+    // round 3: id 2 keeps min-dist 1 to {0,3}; id 4 is within 0.3 of
+    // the seed — farthest-first must take id 2
+    assert(got(2)._2 == 2L && math.abs(got(2)._3 - 1.0) < 1e-9,
+      s"${got.toSeq}")
+  }
+
   test("hardNegatives: near-dups and self excluded, rest ranked by cosine") {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f)),            // the anchor itself — excluded by id
