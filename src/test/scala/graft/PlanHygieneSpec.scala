@@ -151,7 +151,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     // the weekly module's summary section combines three SINGLE-ROW
     // count aggregates into its one line
     // (`WeeklyPipeline.summarySection`)
-    "ep1_weekly_e2e")
+    "ep1_weekly_e2e",
+    // hard-negative mining is the sim_knn_cosine scan shape: the
+    // ANCHOR set (10 rows) broadcast against the corpus under the
+    // non-equi self-exclusion predicate — anchor-sized, never a
+    // corpus × corpus product (`Similarity.hardNegatives`)
+    "sim_hard_negatives",
+    // blocking-quality metrics combine four SINGLE-ROW count
+    // aggregates (truth, candidates, hits, docs) into the one summary
+    // row (`Dedup.blockingQuality` — the a20/g4 pattern)
+    "er_blocking_quality")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
