@@ -90,6 +90,22 @@ DRIVERS = {
     "ep1_weekly_e2e": "events",
     "ep2_jira_e2e": "lineitem",
     "ep3_dashboard_e2e": "events",
+    # r10 session-2 additions: the remaining heavy un-laddered rows plus
+    # the round's new operators
+    "dedup_containment": "documents",
+    "dedup_jaccard": "documents",
+    "dedup_lines_keep_first": "documents",
+    "dedup_cdc_chunks": "documents",
+    "a29_triple_itemsets": "lineitem",
+    "a30_sliding_distinct": "events",
+    "g8_modularity": "lineitem",
+    "g9_link_pred": "lineitem",
+    "ta_rouge_overlap": "documents",
+    "er_blocking_quality": "documents",
+    "sim_hard_negatives": "embeddings",
+    "td_kcenter_coreset": "embeddings",
+    "ta_textrank_keywords": "documents",
+    "ta_wordpiece_tokens": "documents",
 }
 
 # ep2 joins orders x lineitem; the synth rungs replicate lineitem only,
@@ -98,8 +114,10 @@ NO_SYNTH = {"ep2_jira_e2e"}
 
 # vocab-bound rows fit on the Heaps-law rungs: their cost model is
 # Theta(corpus tokens + vocab), and only the zipf rungs grow vocab the
-# way a real corpus does
-VOCAB_BOUND = {"ta_bpe_tokens"}
+# way a real corpus does (textrank's graph and wordpiece's state/vocab
+# are all distinct-word-sized, same cost model as BPE)
+VOCAB_BOUND = {"ta_bpe_tokens", "ta_textrank_keywords",
+               "ta_wordpiece_tokens"}
 
 # stretch decade (VERDICT r9 #7): 30x lineitem (~18M rows) for the rows
 # whose synth10 segment steepened — rung appended only when its runs
