@@ -75,6 +75,74 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998):
+    * greedily pick k results from the query's top-`shortlist` cosine
+    * candidates, each step taking the argmax of
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)` — relevance traded
+    * against redundancy with what's already picked, the standard
+    * diversified-retrieval rerank (and the diverse-sampling rule for
+    * few-shot example selection).
+    *
+    * Scale shape: the DISTRIBUTED work is the shortlist scan (the
+    * [[bruteForceKnn]] shape — swap in [[ivfKnn]] at 100 TB); the
+    * greedy rerank runs on the collected shortlist, which is
+    * k'-sized driver metadata by definition (the IVF-centroid
+    * license — MMR is only ever applied to one query's top page).
+    * Candidate-to-candidate cosines are computed in the same
+    * left-to-right double fold both engines use, so scores replay
+    * exactly.
+    */
+  def mmrDiversify(corpus: DataFrame, queryVec: DataFrame,
+      shortlist: Int, k: Int, lambda: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = withNorm(corpus, "embedding", "cn").join(
+        broadcast(withNorm(queryVec, "qe", "qn")),
+        col("vec_id") =!= col("query_id"))
+      .select(col("vec_id"), col("embedding"),
+        cosineFromNorms(dotD(col("embedding"), col("qe")),
+          col("cn"), col("qn")).as("rel"))
+    val short = scored.orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosAB(a: Array[Float], b: Array[Float]): Double = {
+      val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+      if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+    }
+    // running max-similarity-to-selected per remaining candidate (the
+    // kCenterCoreset fold, driver-side on the shortlist). Seeded at −∞,
+    // NOT 0: max-sim over a selected set of anti-correlated vectors is
+    // legitimately negative and clamping it would penalize exactly the
+    // most diverse candidates
+    var remaining = short.map { case (id, e, rel) =>
+      (id, e, rel, Double.NegativeInfinity)
+    }
+    var picked = Vector.empty[(Int, Long, Double)]
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      val scoredStep = remaining.map { case (id, e, rel, ms) =>
+        val sc = if (step == 1) lambda * rel
+        else lambda * rel - (1 - lambda) * ms
+        (id, e, rel, ms, sc)
+      }
+      val best = scoredStep.minBy { case (id, _, _, _, sc) => (-sc, id) }
+      picked = picked :+ ((step, best._1, best._5))
+      remaining = remaining
+        .filter(_._1 != best._1)
+        .map { case (id, e, rel, ms) =>
+          (id, e, rel, math.max(ms, cosAB(e, best._2)))
+        }
+      step += 1
+    }
+    picked.toDF("step", "vec_id", "mmr_score")
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985): pick k
     * maximally-spread vectors — seed = min `vec_id`, then k−1 rounds of
     * "the point with the LARGEST min-cosine-distance to everything

@@ -715,6 +715,148 @@ object CatalogAnalytics {
               SELECT node AS word, round(rank * 1000000, 2) AS rank_ppm
               FROM r3 ORDER BY rank_ppm DESC, word LIMIT 20""")),
 
+    Q("ts_stl_decompose",
+      // classical additive seasonal-trend decomposition of the daily
+      // event-count series: trend = centered 7-day moving average
+      // (full-window days only), seasonal = mean-centered day-of-week
+      // means of the detrended series, remainder = the rest. The
+      // day-of-week key is pure epoch-day arithmetic (epoch % 7) so
+      // both engines derive it identically; windows are calendar-sized
+      // (one row per day — the ts_changepoint license), never
+      // data-sized.
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+        val tr = daily
+          .withColumn("trend",
+            when(count(lit(1)).over(w7) === 7, avg("n").over(w7)))
+          .withColumn("dow",
+            datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
+          .withColumn("det", col("n") - col("trend"))
+          .localCheckpoint(true)
+        val sm = tr.filter(col("det").isNotNull)
+          .groupBy("dow").agg(avg("det").as("dmean"))
+        val sc = sm.withColumn("seasonal",
+            col("dmean") - avg("dmean").over(
+              Window.partitionBy(lit(1))))
+          .select("dow", "seasonal")
+        tr.join(broadcast(sc), "dow")
+          .select(col("day"), col("n"),
+            round(col("trend"), 4).as("trend"),
+            round(col("seasonal"), 4).as("seasonal"),
+            round(col("n") - col("trend") - col("seasonal"), 4)
+              .as("remainder"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                     FROM events GROUP BY 1),
+              tr AS (SELECT day, n,
+                       CASE WHEN count(*) OVER w = 7
+                            THEN avg(n) OVER w END AS trend
+                     FROM daily
+                     WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              dw AS (SELECT day, n, trend,
+                       (day - DATE '1970-01-01') % 7 AS dow,
+                       n - trend AS det
+                     FROM tr),
+              sm AS (SELECT dow, avg(det) AS dmean FROM dw
+                     WHERE det IS NOT NULL GROUP BY 1),
+              sc AS (SELECT dow, dmean - avg(dmean) OVER () AS seasonal
+                     FROM sm)
+              SELECT d.day, d.n, round(d.trend, 4) AS trend,
+                     round(s.seasonal, 4) AS seasonal,
+                     round(d.n - d.trend - s.seasonal, 4) AS remainder
+              FROM dw d JOIN sc s USING (dow) ORDER BY d.day""")),
+
+    Q("w_rfm_scores",
+      // RFM customer scoring: recency (days since last order, lower is
+      // better), frequency, monetary per customer, each bucketed into
+      // quintiles by DISCRETE cutpoints (the prof_eqdepth single-buffer
+      // pattern — one sorted collect per metric in a single-row
+      // broadcast aggregate, never an ntile global sort), combined into
+      // the classic 3-digit RFM cell.
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val mx = o.agg(max(col("o_orderdate")).as("mx"))
+        val cust = o.groupBy(col("o_custkey").as("custkey"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("frequency"),
+            round(sum(col("o_totalprice")), 2).as("monetary"))
+          .crossJoin(broadcast(mx))
+          .select(col("custkey"),
+            datediff(col("mx"), col("last_order")).as("recency"),
+            col("frequency"), col("monetary"))
+          .localCheckpoint(true)
+        val q = Seq(0.2, 0.4, 0.6, 0.8)
+        val cuts = cust.agg(
+            array_sort(collect_list(col("recency"))).as("rv"),
+            array_sort(collect_list(col("frequency"))).as("fv"),
+            array_sort(collect_list(col("monetary"))).as("mv"),
+            count(lit(1)).as("n"))
+          .select(q.zipWithIndex.flatMap { case (p, i) => Seq(
+            element_at(col("rv"), ceil(col("n") * p).cast("int"))
+              .as(s"r${i + 1}"),
+            element_at(col("fv"), ceil(col("n") * p).cast("int"))
+              .as(s"f${i + 1}"),
+            element_at(col("mv"), ceil(col("n") * p).cast("int"))
+              .as(s"m${i + 1}")) }: _*)
+        def bucket(c: String, pre: String) =
+          (1 to 4).map(i => when(col(c) > col(s"$pre$i"), 1).otherwise(0))
+            .reduce(_ + _)
+        cust.crossJoin(broadcast(cuts))
+          .select(col("custkey"), col("recency"), col("frequency"),
+            col("monetary"),
+            (lit(5) - bucket("recency", "r")).as("r_score"),
+            (lit(1) + bucket("frequency", "f")).as("f_score"),
+            (lit(1) + bucket("monetary", "m")).as("m_score"))
+          .withColumn("rfm_cell",
+            col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .orderBy("custkey")
+      },
+      Some("""WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+              cust AS (SELECT o_custkey AS custkey,
+                         CAST(CAST((SELECT mx FROM mx) AS DATE) -
+                              CAST(max(o_orderdate) AS DATE)
+                              AS INTEGER) AS recency,
+                         count(*) AS frequency,
+                         round(sum(o_totalprice), 2) AS monetary
+                       FROM orders GROUP BY 1),
+              cuts AS (SELECT
+                         quantile_disc(recency, 0.2) AS r1,
+                         quantile_disc(recency, 0.4) AS r2,
+                         quantile_disc(recency, 0.6) AS r3,
+                         quantile_disc(recency, 0.8) AS r4,
+                         quantile_disc(frequency, 0.2) AS f1,
+                         quantile_disc(frequency, 0.4) AS f2,
+                         quantile_disc(frequency, 0.6) AS f3,
+                         quantile_disc(frequency, 0.8) AS f4,
+                         quantile_disc(monetary, 0.2) AS m1,
+                         quantile_disc(monetary, 0.4) AS m2,
+                         quantile_disc(monetary, 0.6) AS m3,
+                         quantile_disc(monetary, 0.8) AS m4
+                       FROM cust)
+              SELECT custkey, recency, frequency, monetary,
+                     5 - ((recency > r1)::INT + (recency > r2)::INT +
+                          (recency > r3)::INT + (recency > r4)::INT)
+                       AS r_score,
+                     1 + ((frequency > f1)::INT + (frequency > f2)::INT +
+                          (frequency > f3)::INT + (frequency > f4)::INT)
+                       AS f_score,
+                     1 + ((monetary > m1)::INT + (monetary > m2)::INT +
+                          (monetary > m3)::INT + (monetary > m4)::INT)
+                       AS m_score,
+                     (5 - ((recency > r1)::INT + (recency > r2)::INT +
+                           (recency > r3)::INT + (recency > r4)::INT)) * 100 +
+                     (1 + ((frequency > f1)::INT + (frequency > f2)::INT +
+                           (frequency > f3)::INT + (frequency > f4)::INT)) * 10 +
+                     (1 + ((monetary > m1)::INT + (monetary > m2)::INT +
+                           (monetary > m3)::INT + (monetary > m4)::INT))
+                       AS rfm_cell
+              FROM cust, cuts ORDER BY custkey""")),
+
     Q("ts_burst_terms",
       // burst detection: weekly counts per JSON property value, scored
       // against the running mean of the PRIOR weeks (add-one smoothed,

@@ -1191,6 +1191,70 @@ object CatalogScale {
                      round(cos, 6) AS cosine
               FROM r WHERE rnk <= 5 ORDER BY query_id, rank""")),
 
+    Q("sim_mmr_diverse",
+      // Maximal Marginal Relevance rerank: from query 0's top-20 cosine
+      // shortlist, greedily pick 5 by λ·rel − (1−λ)·max-sim-to-picked
+      // (λ = 0.5 — exactly representable, so both engines' arithmetic
+      // is bit-identical). Distributed work is the shortlist scan; the
+      // rerank is shortlist-sized by definition. The oracle replays the
+      // shortlist and all 5 greedy steps with the running max-sim fold.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.mmrDiversify(emb,
+          emb.filter(col("vec_id") === 0)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          shortlist = 20, k = 5, lambda = 0.5)
+          .select(col("step"), col("vec_id"),
+            round(col("mmr_score"), 6).as("mmr_score"))
+          .orderBy("step")
+      },
+      Some {
+        val cosE = (x: String, p: String) =>
+          s"list_dot_product($x.e, $p.e) / " +
+            s"(sqrt(list_dot_product($x.e, $x.e)) * " +
+            s"sqrt(list_dot_product($p.e, $p.e)))"
+        val steps = (2 to 5).map { i =>
+          val pick = s"""p$i AS (SELECT vec_id, e, rel,
+                           0.5 * rel - 0.5 * ms AS score
+                         FROM m${i - 1}
+                         ORDER BY score DESC, vec_id LIMIT 1)"""
+          if (i < 5)
+            pick + s""",
+              m$i AS MATERIALIZED (
+                SELECT m.vec_id, m.e, m.rel,
+                       greatest(m.ms, ${cosE("m", "p")}) AS ms
+                FROM m${i - 1} m, p$i p WHERE m.vec_id <> p.vec_id)"""
+          else pick
+        }.mkString(",\n")
+        val branches = (2 to 5).map { i =>
+          s"UNION ALL SELECT $i AS step, vec_id, " +
+            s"round(score, 6) AS mmr_score FROM p$i"
+        }.mkString("\n")
+        s"""WITH q AS (SELECT vec_id AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id = 0),
+            c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+            rel AS (SELECT vec_id, e,
+                      list_dot_product(e, qe) /
+                      (sqrt(list_dot_product(e, e)) *
+                       sqrt(list_dot_product(qe, qe))) AS rel
+                    FROM c, q WHERE vec_id <> query_id),
+            short AS MATERIALIZED (
+              SELECT vec_id, e, rel FROM rel
+              ORDER BY rel DESC, vec_id LIMIT 20),
+            p1 AS (SELECT vec_id, e, rel FROM short
+                   ORDER BY rel DESC, vec_id LIMIT 1),
+            m1 AS MATERIALIZED (
+              SELECT s.vec_id, s.e, s.rel, ${cosE("s", "p")} AS ms
+              FROM short s, p1 p WHERE s.vec_id <> p.vec_id),
+            $steps
+            SELECT 1 AS step, vec_id, round(0.5 * rel, 6) AS mmr_score
+            FROM p1
+            $branches
+            ORDER BY step"""
+      }),
+
     Q("sim_ann_lsh",
       // same truth as sim_knn_cosine: candidates come from bucket
       // collisions, final scores are exact cosine — green hash = the

@@ -376,6 +376,30 @@ class OperatorsSpec extends AnyFunSuite {
       ("b", true, 2L), ("b", false, 1L)), s"$got")
   }
 
+  test("mmrDiversify: redundant near-dup loses to diverse lower-rel pick") {
+    // query = x-axis; v4 is a near-verbatim copy of v2. Greedy MMR at
+    // λ=0.5 must pick 1, then 2 (tie on score 0, min id), then 3 — the
+    // orthogonal-ish lower-relevance vector — because v4's similarity
+    // to the already-picked v2 (≈1.0) drives its marginal score to
+    // −0.1 while v3 holds 0
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.8f, 0.6f, 0.0f)),
+      (3L, Seq(0.6f, 0.0f, 0.8f)),
+      (4L, Seq(0.8f, 0.6f, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("query_id", "qe")
+    val got = Similarity.mmrDiversify(emb, q,
+        shortlist = 4, k = 3, lambda = 0.5)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L),
+      s"near-dup 4 must lose to diverse 3: ${got.toSeq}")
+    assert(math.abs(got(0)._3 - 0.5) < 1e-9 &&
+      math.abs(got(1)._3) < 1e-9 && math.abs(got(2)._3) < 1e-9,
+      s"${got.toSeq}")
+  }
+
   test("kCenterCoreset: farthest-first picks, monotone radius, id tie-breaks") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)),    // seed (min id)

@@ -160,7 +160,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     // blocking-quality metrics combine four SINGLE-ROW count
     // aggregates (truth, candidates, hits, docs) into the one summary
     // row (`Dedup.blockingQuality` — the a20/g4 pattern)
-    "er_blocking_quality")
+    "er_blocking_quality",
+    // MMR's shortlist scan is the sim_knn_cosine shape: the SINGLE-ROW
+    // query broadcast under the non-equi self-exclusion predicate
+    // (`Similarity.mmrDiversify`)
+    "sim_mmr_diverse",
+    // RFM broadcasts the SINGLE-ROW max-date and quintile-cutpoint
+    // aggregates into the scoring projection (the prof_eqdepth pattern)
+    "w_rfm_scores")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
