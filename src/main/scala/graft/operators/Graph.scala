@@ -453,6 +453,53 @@ object Graph {
     throw new IllegalStateException("kCore loop exited abnormally")
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    * relation: `iterations` rounds of a = Eᵀh, h = Ea, each side
+    * L1-normalized per round (sum-to-1 — keeps scores bounded and
+    * engine-replayable without per-round epsilon floors). On a
+    * bipartite source→target graph the two sides get genuinely
+    * different rankings — the hub/authority split PageRank's single
+    * score cannot express.
+    *
+    * Returns `(side, node, score)` with side ∈ {hub, auth}.
+    *
+    * Scale shape: per round, one equi-join + one partial agg per
+    * direction (the [[pageRank]] shuffle budget) plus a SINGLE-ROW
+    * normalization aggregate broadcast into the divide. Rounds
+    * materialize so lineage stays flat.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcs = e.select(col("src").as("node")).distinct()
+    var hubs = materialize(srcs.withColumn("score", lit(1.0)))
+    var auths: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      val aRaw = e.join(hubs.select(col("node").as("src"),
+          col("score").as("hs")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum("hs").as("raw"))
+      val aTot = aRaw.agg(sum("raw").as("tot"))
+      auths = materialize(aRaw.crossJoin(broadcast(aTot))
+        .select(col("node"), (col("raw") / col("tot")).as("score")))
+      val hRaw = e.join(auths.select(col("node").as("dst"),
+          col("score").as("as_")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum("as_").as("raw"))
+      val hTot = hRaw.agg(sum("raw").as("tot"))
+      hubs = materialize(hRaw.crossJoin(broadcast(hTot))
+        .select(col("node"), (col("raw") / col("tot")).as("score")))
+      it += 1
+    }
+    e.unpersist(blocking = false)
+    hubs.select(lit("hub").as("side"), col("node"), col("score"))
+      .unionByName(
+        auths.select(lit("auth").as("side"), col("node"), col("score")))
+  }
+
   /** Newman modularity of a community assignment over a SYMMETRIC edge
     * relation: per community c, `q_contrib` = e_c/2m − (vol_c/2m)²,
     * where e_c counts DIRECTED in-community edges (each undirected edge

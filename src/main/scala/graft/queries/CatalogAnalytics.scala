@@ -715,6 +715,166 @@ object CatalogAnalytics {
               SELECT node AS word, round(rank * 1000000, 2) AS rank_ppm
               FROM r3 ORDER BY rank_ppm DESC, word LIMIT 20""")),
 
+    Q("g10_hits",
+      // HITS hubs & authorities on the DIRECTED order→part graph: the
+      // two-sided ranking PageRank's one score can't express (an order
+      // is a good HUB if it bundles authoritative parts; a part is a
+      // good AUTHORITY if good hubs include it). Two a=Eᵀh / h=Ea
+      // rounds, each side L1-normalized via a single-row broadcast
+      // aggregate; the oracle replays every round and both top-20 cuts.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val res = Graph.hits(li, "o", "p", iterations = 2)
+        val w = Window.partitionBy("side")
+          .orderBy(col("score").desc, col("node"))
+        res.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("side"), col("node"),
+            round(col("score") * 1000000, 2).as("score_ppm"))
+          .orderBy(col("side"), col("score_ppm").desc, col("node"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+              h0 AS (SELECT DISTINCT o AS node, 1.0 AS score FROM li),
+              a1r AS (SELECT li.p AS node, sum(h.score) AS raw
+                      FROM li JOIN h0 h ON li.o = h.node GROUP BY 1),
+              a1 AS MATERIALIZED (
+                SELECT node, raw / (SELECT sum(raw) FROM a1r) AS score
+                FROM a1r),
+              h1r AS (SELECT li.o AS node, sum(a.score) AS raw
+                      FROM li JOIN a1 a ON li.p = a.node GROUP BY 1),
+              h1 AS MATERIALIZED (
+                SELECT node, raw / (SELECT sum(raw) FROM h1r) AS score
+                FROM h1r),
+              a2r AS (SELECT li.p AS node, sum(h.score) AS raw
+                      FROM li JOIN h1 h ON li.o = h.node GROUP BY 1),
+              a2 AS MATERIALIZED (
+                SELECT node, raw / (SELECT sum(raw) FROM a2r) AS score
+                FROM a2r),
+              h2r AS (SELECT li.o AS node, sum(a.score) AS raw
+                      FROM li JOIN a2 a ON li.p = a.node GROUP BY 1),
+              h2 AS MATERIALIZED (
+                SELECT node, raw / (SELECT sum(raw) FROM h2r) AS score
+                FROM h2r)
+              SELECT * FROM (
+                (SELECT 'hub' AS side, node,
+                        round(score * 1000000, 2) AS score_ppm
+                 FROM h2 ORDER BY score DESC, node LIMIT 20)
+                UNION ALL
+                (SELECT 'auth' AS side, node,
+                        round(score * 1000000, 2) AS score_ppm
+                 FROM a2 ORDER BY score DESC, node LIMIT 20))
+              ORDER BY side, score_ppm DESC, node""")),
+
+    Q("ts_acf",
+      // autocorrelation function of the daily event-count series at
+      // lags 1..10: Pearson r from INTEGER sums (k·Σxy − ΣxΣy over
+      // exact BIGINT arithmetic, cast to double only at the end — the
+      // ts_changepoint recipe, so both engines produce bit-identical
+      // values). The lag spine is 10 rows cross-joined (dimension-
+      // sized, the ts_gap_fill license); pairs come from a calendar-
+      // sized self-join on day = day − lag.
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val spine = s.range(1, 11)
+          .select(col("id").cast("int").as("lag"))
+        daily.select(col("day"), col("n").as("x"))
+          .crossJoin(broadcast(spine))
+          .join(daily.select(col("day").as("day_y"), col("n").as("y")),
+            expr("day_y = date_sub(day, lag)"))
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("lag"), col("n_pairs"),
+            round(
+              (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+              (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("acf"))
+          .orderBy("lag")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                     FROM events GROUP BY 1),
+              lags AS (SELECT CAST(l AS INTEGER) AS lag
+                       FROM unnest(range(1, 11)) t(l)),
+              pr AS (SELECT l.lag, x.n AS x, y.n AS y
+                     FROM daily x CROSS JOIN lags l
+                     JOIN daily y ON y.day = x.day - l.lag),
+              ag AS (SELECT lag, count(*) AS n_pairs,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                     FROM pr GROUP BY 1)
+              SELECT lag, n_pairs,
+                     round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+                       AS acf
+              FROM ag ORDER BY lag""")),
+
+    Q("ta_readability",
+      // Flesch-Kincaid grade level with a vowel-group syllable
+      // heuristic: per doc, words, sentences ([.!?]+ runs, floor 1),
+      // syllables (per-word [aeiouy]+ runs, floor 1), then
+      // 0.39·(W/S) + 11.8·(Y/W) − 15.59 — the classic readability
+      // quality gate. Pure projections + one token-grain agg; the
+      // oracle replays tokenization and both regex counts.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sy = docs.select(col("doc_id"),
+            explode(graft.operators.Dedup.words(lower(col("text"))))
+              .as("w"))
+          .select(col("doc_id"),
+            greatest(lit(1), regexp_count(col("w"), lit("[aeiouy]+")))
+              .cast("long").as("syl"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("syl").as("n_syllables"))
+        docs.select(col("doc_id"),
+            greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+              .cast("long").as("n_sentences"))
+          .join(sy, "doc_id")
+          .select(col("doc_id"), col("n_words"), col("n_sentences"),
+            col("n_syllables"),
+            round(lit(0.39) * (col("n_words") / col("n_sentences")) +
+              lit(11.8) * (col("n_syllables") / col("n_words")) -
+              lit(15.59), 4).as("fk_grade"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                     FROM documents),
+              toks AS (SELECT doc_id,
+                         greatest(1, len(regexp_extract_all(
+                           ws[p], '[aeiouy]+'))) AS syl
+                       FROM w, unnest(range(1, len(ws) + 1)) t(p)),
+              sy AS (SELECT doc_id, count(*) AS n_words,
+                       CAST(sum(syl) AS BIGINT) AS n_syllables
+                     FROM toks GROUP BY 1),
+              se AS (SELECT doc_id,
+                       CAST(greatest(1, len(regexp_extract_all(
+                         text, '[.!?]+'))) AS BIGINT) AS n_sentences
+                     FROM documents)
+              SELECT sy.doc_id, sy.n_words, se.n_sentences,
+                     sy.n_syllables,
+                     round(0.39 * (sy.n_words / se.n_sentences) +
+                       11.8 * (sy.n_syllables / sy.n_words) -
+                       15.59, 4) AS fk_grade
+              FROM sy JOIN se ON sy.doc_id = se.doc_id
+              ORDER BY sy.doc_id""")),
+
     Q("ts_stl_decompose",
       // classical additive seasonal-trend decomposition of the daily
       // event-count series: trend = centered 7-day moving average

@@ -167,7 +167,13 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_mmr_diverse",
     // RFM broadcasts the SINGLE-ROW max-date and quintile-cutpoint
     // aggregates into the scoring projection (the prof_eqdepth pattern)
-    "w_rfm_scores")
+    "w_rfm_scores",
+    // HITS normalizes each round by a SINGLE-ROW L1-total broadcast
+    // (`Graph.hits` — the a20 pattern, twice per iteration)
+    "g10_hits",
+    // ACF cross-joins the 10-row broadcast lag spine into the
+    // calendar-sized daily self-join (the ts_gap_fill spine pattern)
+    "ts_acf")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]

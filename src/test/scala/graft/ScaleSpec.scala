@@ -283,6 +283,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L), (1L, 11L)), s"got $got")
   }
 
+  test("hits: bipartite closed form, both sides L1-normalized") {
+    // orders {1,2} → parts {10,11,12}; part 11 is cited by both hubs.
+    // Round 1: a = (.25, .5, .25), h = (.5, .5) — already the fixpoint,
+    // so 2 iterations must reproduce it exactly
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L))
+      .toDF("src", "dst")
+    val r = graft.operators.Graph.hits(e, "src", "dst", iterations = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+    assert(math.abs(r(("auth", 11L)) - 0.5) < 1e-12 &&
+      math.abs(r(("auth", 10L)) - 0.25) < 1e-12 &&
+      math.abs(r(("auth", 12L)) - 0.25) < 1e-12, s"$r")
+    assert(math.abs(r(("hub", 1L)) - 0.5) < 1e-12 &&
+      math.abs(r(("hub", 2L)) - 0.5) < 1e-12, s"$r")
+    val sums = r.groupBy(_._1._1).view.mapValues(_.values.sum)
+    assert(sums.forall { case (_, s) => math.abs(s - 1.0) < 1e-12 },
+      s"each side L1-normalized: $sums")
+  }
+
   test("modularity: two triangles + bridge + pendant match hand-computed Q") {
     // triangles {1,2,3} and {4,5,6}, bridge 3-4, pendant 7-1 in its own
     // community: 8 undirected edges → 2m = 16. Hand-computed per
