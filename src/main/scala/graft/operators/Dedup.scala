@@ -1015,4 +1015,88 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= tau)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS local document-fingerprinting algorithm): hash every word
+    * k-gram, slide a window over `w` consecutive gram hashes, and select
+    * each window's minimum hash (rightmost position on ties). The local
+    * guarantee that makes this stronger than uniform 1/p mod-sampling
+    * ([[cdcChunks]]' boundary rule): ANY shared word run of length
+    * >= w+k-1 between two documents selects at least one shared
+    * fingerprint — recall over verbatim reuse is total BY CONSTRUCTION,
+    * while the expected selected density is only 2/(w+1) of the grams.
+    *
+    * Shape at 100 TB: grams/hash/window-expansion are all doc-local
+    * projections (the w-fold `explode` is bounded data expansion, not a
+    * join); the only shuffle is the doc-keyed window-min agg. Documents
+    * shorter than w grams winnow as a single whole-doc window, so every
+    * non-empty doc emits >= 1 fingerprint.
+    *
+    * Returns distinct `(doc_id, fp_hash, fp_pos)` — `fp_pos` is the
+    * selected gram position (kept for offset-alignment diagnostics;
+    * index consumers distinct on `(doc_id, fp_hash)`).
+    *
+    * `hashFn` must yield a column whose ORDERING is what the window
+    * minimum selects on; default xxhash64 (fast path). Pass the md5-hex
+    * prefix (as the `dedup_winnow` catalog row does) when the selection
+    * must replay engine-portably — hex-string ordering equals unsigned
+    * numeric ordering in both engines.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingles(words(lower(col(textCol))), k))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), hashFn(col("gram")).as("h"))
+    // n_grams is doc-local (unbounded window over the doc partition);
+    // each gram then fans out to the window starts it participates in:
+    // s in [max(0, pos-w+1), min(pos, max(n_grams-w, 0))] — the greatest()
+    // clamp makes a doc with fewer than w grams one whole-doc window.
+    val expanded = grams
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("s", explode(sequence(
+        greatest(lit(0), col("pos") - (w - 1)),
+        least(col("pos"), greatest(col("n_grams") - w, lit(0))))))
+    // min(struct(h, -pos)) = smallest hash, rightmost position on ties
+    // (the winnowing tie rule that keeps selections self-consistent
+    // across overlapping windows); one shuffle, partial-agg friendly.
+    expanded.groupBy(col("doc_id"), col("s"))
+      .agg(min(struct(col("h"), (-col("pos")).as("np"), col("pos"))).as("m"))
+      .select(col("doc_id"), col("m.h").as("fp_hash"), col("m.pos").as("fp_pos"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs from shared winnowing fingerprints: the
+    * fingerprint index self-joined on `fp_hash` (equi-join — the LSH
+    * band-bucket shape, never all-pairs), pairs keeping >= `minShared`
+    * shared fingerprints, scored by the overlap coefficient
+    * `n_shared / min(|fp_a|, |fp_b|)`. By the winnowing guarantee a pair
+    * sharing any verbatim run of >= w+k-1 words is IN the candidate set
+    * at minShared=1; higher thresholds trade that recall floor for
+    * candidate volume.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val fps = trackedPersist(
+      winnowFingerprints(docs, idCol, textCol, k, w, hashFn)
+        .select(col("doc_id"), col("fp_hash")).distinct())
+    val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val pairs = fps.select(col("doc_id").as("doc_a"), col("fp_hash"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp_hash")), Seq("fp_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_fp").as("nfp_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_fp").as("nfp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("nfp_a"), col("nfp_b")), 6).as("overlap"))
+  }
 }

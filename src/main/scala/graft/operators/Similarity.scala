@@ -1105,4 +1105,96 @@ object Similarity {
     val diff = zip_with(a, b, (x, y) => x - y)
     dotD(diff, diff)
   }
+
+  /** Fixed-point covariance matrix of an embedding corpus:
+    * `(i, j, c6 = round(Cov[i][j] · 1e6) : bigint)` — the d²-entry
+    * relation every spectral operation downstream consumes.
+    *
+    * Shape at 100 TB: positions explode once (N·d rows, persisted), raw
+    * second moments come from a vec_id-co-partitioned self-join whose
+    * products partial-aggregate to d² entries per map partition before
+    * the one d²-sized shuffle; means are a d-sized agg off the same
+    * cached explode. The 6dp fixed-point rounding is the cross-engine
+    * contract: after it, the matrix is INTEGER data, and everything
+    * built on it (power iteration, Rayleigh quotients, traces) can be
+    * exact arithmetic in both engines.
+    */
+  def pcaCov6(emb: DataFrame, vecCol: String): DataFrame = {
+    val xs = Dedup.trackedPersist(
+      emb.select(col("vec_id"), posexplode(col(vecCol)).as(Seq("i", "xi")))
+        .select(col("vec_id"), col("i"), col("xi").cast("double").as("xi")))
+    val mu = xs.groupBy("i").agg(sum("xi").as("m"), count(lit(1)).as("n"))
+    val prods = xs
+      .join(xs.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")),
+        Seq("vec_id"))
+      .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("s2"))
+    prods
+      .join(mu.select(col("i"), col("m").as("mi"), col("n")), Seq("i"))
+      .join(mu.select(col("i").as("j"), col("m").as("mj")), Seq("j"))
+      .select(col("i"), col("j"),
+        round((col("s2") / col("n") -
+          (col("mi") / col("n")) * (col("mj") / col("n"))) * lit(1e6), 0)
+          .cast("long").as("c6"))
+  }
+
+  /** Top principal component by EXACT-arithmetic power iteration over
+    * [[pcaCov6]]'s fixed-point covariance.
+    *
+    * Why this replays bit-for-bit in a SQL oracle where textbook PCA
+    * cannot: each round normalizes by the INFINITY norm — an exact
+    * integer max, deterministic — instead of an L2 norm (a parallel
+    * float sum whose reduction order neither engine pins down), and
+    * every iterate re-rounds onto the 1e-6 grid, so the whole
+    * trajectory is integer matrix-vector products (BigInt here, HUGEINT
+    * sums in DuckDB) plus one deterministic per-entry double division
+    * per round. The d² matrix collect is driver METADATA (the
+    * IVF-centroid license: d=64 → 4096 longs), never corpus-sized.
+    *
+    * Returns (v̂ : unit-∞-norm component at 1e-6 resolution,
+    * λ̂ : Rayleigh estimate v̂ᵀCv̂/v̂ᵀv̂, explained-variance ratio λ̂/tr C).
+    */
+  def pcaTopComponent(emb: DataFrame, vecCol: String, dim: Int, iters: Int)
+      : (Array[Double], Double, Double) = {
+    val c = Array.ofDim[Long](dim * dim)
+    pcaCov6(emb, vecCol).collect().foreach { r =>
+      c(r.getAs[Int]("i") * dim + r.getAs[Int]("j")) = r.getAs[Long]("c6")
+    }
+    // round-half-away-from-zero, matching both engines' round()
+    def halfAway(x: Double): Long =
+      (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+    def matVec(v: Array[Long]): Array[BigInt] = Array.tabulate(dim) { i =>
+      var acc = BigInt(0); var j = 0
+      while (j < dim) { acc += BigInt(c(i * dim + j)) * v(j); j += 1 }
+      acc
+    }
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 1 to iters) {
+      val w = matVec(v)
+      val mx = w.map(_.abs).max
+      if (mx > 0)
+        v = w.map(wi => halfAway(wi.toDouble * 1000000.0 / mx.toDouble))
+    }
+    val wf = matVec(v)
+    val num = (0 until dim).map(i => BigInt(v(i)) * wf(i)).sum
+    val den = (0 until dim).map(i => BigInt(v(i)) * BigInt(v(i))).sum
+    val lambda = num.toDouble / (den.toDouble * 1e6)
+    val trace6 = (0 until dim).map(i => BigInt(c(i * dim + i))).sum
+    val varExplained = lambda / (trace6.toDouble / 1e6)
+    (v.map(_.toDouble / 1000000.0), lambda, varExplained)
+  }
+
+  /** Per-vector projection onto the corpus's top principal component —
+    * the decorrelation/compaction axis a training-data pipeline uses for
+    * embedding whitening, redundancy scoring, and coverage plots. The
+    * projection itself is a pure per-row [[dotD]] map (codegen'd, no
+    * shuffle); `lambda1`/`var_explained` ride along as plan literals.
+    */
+  def pcaProject(emb: DataFrame, vecCol: String, dim: Int, iters: Int)
+      : DataFrame = {
+    val (vhat, lambda, varExp) = pcaTopComponent(emb, vecCol, dim, iters)
+    emb.select(col("vec_id"),
+        round(dotD(col(vecCol), lit(vhat)), 6).as("pc1_score"))
+      .withColumn("lambda1", round(lit(lambda), 6))
+      .withColumn("var_explained", round(lit(varExp), 6))
+  }
 }

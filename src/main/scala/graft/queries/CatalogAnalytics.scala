@@ -1830,7 +1830,102 @@ object CatalogAnalytics {
                      round(CAST(coalesce(r.retained_next, 0) AS DOUBLE)
                        / a.active, 4) AS rate
               FROM act a LEFT JOIN ret r ON a.day = r.day
-              ORDER BY a.day"""))
+              ORDER BY a.day""")),
+
+    Q("ts_holt_forecast",
+      // Holt double exponential smoothing (level + trend) of the daily
+      // event-count series with a 7-day-ahead forecast: l_t = α·x_t +
+      // (1−α)(l+b), b_t = β(l_t − l) + (1−β)b, init (l,b) = (x_0,
+      // x_1−x_0), α=0.5 β=0.3. The recursion is inherently serial in t
+      // but CALENDAR-sized: the corpus-scale work is the daily agg; the
+      // fold runs as one `aggregate` HOF over a single-row sorted array
+      // (the BPE merge-fold license). Every state update is rounded to
+      // 6dp so the Spark fold and the oracle's recursive CTE walk
+      // bit-identical trajectories.
+      (s, d) => {
+        val (alpha, beta, horizon) = (0.5, 0.3, 7)
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val arr = daily
+          .agg(array_sort(collect_list(struct(col("day"),
+            col("n").cast("double").as("x")))).as("arr"))
+          .filter(size(col("arr")) >= 2)
+        val rowsT = "array<struct<day:date,x:double," +
+          "yhat:double,level:double,trend:double>>"
+        val withSt = arr.select(col("arr"), aggregate(
+          slice(col("arr"), lit(2), greatest(size(col("arr")) - 1, lit(0))),
+          struct(
+            element_at(col("arr"), 1).getField("x").as("l"),
+            (element_at(col("arr"), 2).getField("x") -
+              element_at(col("arr"), 1).getField("x")).as("b"),
+            array().cast(rowsT).as("rows")),
+          (acc, e) => {
+            val lb = acc.getField("l") + acc.getField("b")
+            val yhat = round(lb, 6)
+            val nl = round(lit(alpha) * e.getField("x") +
+              lit(1 - alpha) * lb, 6)
+            val nb = round(lit(beta) * (nl - acc.getField("l")) +
+              lit(1 - beta) * acc.getField("b"), 6)
+            struct(nl.as("l"), nb.as("b"),
+              concat(acc.getField("rows"), array(struct(
+                e.getField("day").as("day"), e.getField("x").as("x"),
+                yhat.as("yhat"), nl.as("level"), nb.as("trend"))))
+                .as("rows"))
+          }).as("st"))
+          .localCheckpoint(true)
+        val fits = withSt.select(explode(col("st.rows")).as("r"))
+          .select(col("r.day").as("day"), col("r.x").cast("long").as("x"),
+            col("r.yhat").as("yhat"), col("r.level").as("level"),
+            col("r.trend").as("trend"))
+        val fc = withSt.select(
+            element_at(col("arr"), size(col("arr")))
+              .getField("day").as("last_day"),
+            col("st.l").as("l"), col("st.b").as("b"))
+          .select(explode(sequence(lit(1), lit(horizon))).as("h"),
+            col("last_day"), col("l"), col("b"))
+          .select(date_add(col("last_day"), col("h")).as("day"),
+            lit(null).cast("long").as("x"),
+            round(col("l") + col("h") * col("b"), 6).as("yhat"),
+            lit(null).cast("double").as("level"),
+            lit(null).cast("double").as("trend"))
+        fits.unionByName(fc).orderBy("day")
+      },
+      Some("""WITH RECURSIVE
+              daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                        FROM events GROUP BY 1),
+              idx AS (SELECT day, n,
+                        CAST(row_number() OVER (ORDER BY day) - 1
+                          AS BIGINT) AS t
+                      FROM daily),
+              rec AS (
+                SELECT CAST(0 AS BIGINT) AS t,
+                       (SELECT CAST(n AS DOUBLE) FROM idx WHERE t = 0) AS l,
+                       (SELECT CAST(n AS DOUBLE) FROM idx WHERE t = 1) -
+                       (SELECT CAST(n AS DOUBLE) FROM idx WHERE t = 0) AS b,
+                       CAST(NULL AS DOUBLE) AS yhat,
+                       CAST(NULL AS BIGINT) AS x,
+                       (SELECT day FROM idx WHERE t = 0) AS day
+                WHERE (SELECT count(*) FROM idx) >= 2
+                UNION ALL
+                SELECT i.t,
+                       round(0.5 * i.n + 0.5 * (r.l + r.b), 6),
+                       round(0.3 * (round(0.5 * i.n + 0.5 * (r.l + r.b), 6)
+                         - r.l) + 0.7 * r.b, 6),
+                       round(r.l + r.b, 6),
+                       i.n, i.day
+                FROM rec r JOIN idx i ON i.t = r.t + 1),
+              fits AS (SELECT day, x, yhat, l AS level, b AS trend
+                       FROM rec WHERE t >= 1),
+              lastst AS (SELECT l, b, day FROM rec ORDER BY t DESC LIMIT 1),
+              fc AS (SELECT lastst.day + CAST(h AS INTEGER) AS day,
+                       CAST(NULL AS BIGINT) AS x,
+                       round(lastst.l + h * lastst.b, 6) AS yhat,
+                       CAST(NULL AS DOUBLE) AS level,
+                       CAST(NULL AS DOUBLE) AS trend
+                     FROM lastst, unnest(range(1, 8)) t(h))
+              SELECT * FROM (SELECT * FROM fits UNION ALL SELECT * FROM fc)
+              ORDER BY day"""))
   )
 
   def byName(name: String): Q = all.find(_.name == name).get

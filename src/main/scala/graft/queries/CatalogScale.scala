@@ -125,6 +125,48 @@ object CatalogScale {
         k = 5, num = 4, den = 5).orderBy("id_a", "id_b"),
       Some(jaccardOracle)),
 
+    Q("dedup_winnow",
+      // winnowing (MOSS) fingerprint candidates: word-trigram hashes,
+      // window-4 local minima, pairs sharing >= 2 fingerprints scored by
+      // overlap coefficient. The LOCAL guarantee mod-sampling lacks: any
+      // shared >= 6-word verbatim run selects a shared fingerprint, at
+      // ~2/(w+1) the index size of the full shingle set. Hashes are the
+      // md5-hex prefix so the window-min SELECTION (an ordering, not
+      // just an equality) replays engine-portably; the oracle re-derives
+      // grams, window expansion, minima, and the pair score.
+      (s, d) => Dedup.winnowPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 2,
+          hashFn = g => substring(md5(g), 1, 16))
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH w AS (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                     FROM documents),
+              g AS (SELECT doc_id, g - 1 AS pos,
+                      substr(md5(array_to_string(ws[g:g+2], ' ')), 1, 16) AS h
+                    FROM w, unnest(range(1, greatest(len(ws)-2, 1)+1)) t(g)),
+              n AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+              ex AS (SELECT g.doc_id, g.pos, g.h, s
+                     FROM g JOIN n USING (doc_id),
+                     unnest(range(greatest(g.pos - 3, 0),
+                       least(g.pos, greatest(n.n_grams - 4, 0)) + 1)) t(s)),
+              wm AS (SELECT doc_id, s, min(h) AS mh
+                     FROM ex GROUP BY 1, 2),
+              fps AS (SELECT DISTINCT e.doc_id, e.h
+                      FROM ex e JOIN wm ON e.doc_id = wm.doc_id
+                        AND e.s = wm.s AND e.h = wm.mh),
+              cnt AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+              pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_shared
+                     FROM fps a JOIN fps b
+                       ON a.h = b.h AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2 HAVING count(*) >= 2)
+              SELECT doc_a, doc_b, n_shared,
+                     round(CAST(n_shared AS DOUBLE) /
+                       least(ca.n_fp, cb.n_fp), 6) AS overlap
+              FROM pr JOIN cnt ca ON ca.doc_id = pr.doc_a
+                      JOIN cnt cb ON cb.doc_id = pr.doc_b
+              ORDER BY doc_a, doc_b""")),
+
     Q("ta_rouge_overlap",
       // ROUGE-1/2 scoring of the exact near-dup pairs: clipped n-gram
       // P/R/F1 of the later doc against the earlier — "how verbatim is

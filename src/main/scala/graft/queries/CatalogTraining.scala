@@ -1444,6 +1444,77 @@ object CatalogTraining {
               SELECT doc_id, cluster,
                      CASE WHEN bk < 80 THEN 'train'
                           WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
-              FROM b ORDER BY doc_id"""))
+              FROM b ORDER BY doc_id""")),
+
+    Q("emb_pca_project",
+      // top principal component of the embedding corpus + per-vector
+      // projection: covariance as a d²-entry fixed-point relation
+      // (round(C·1e6) — from there the spectral computation is EXACT),
+      // 12 power rounds normalized by the ∞-norm (an integer max, not a
+      // float L2 sum), Rayleigh λ̂ and explained-variance ratio from
+      // exact integer quotients, projection as an index-ordered dot
+      // (VectorDot ≡ the oracle's list_reduce left fold). The oracle
+      // replays the ENTIRE spectral chain — covariance, all 12 rounds,
+      // λ̂, trace, projection — so this is a full-precision cross-engine
+      // eigensolve, not a pinned vector.
+      (s, d) => Similarity.pcaProject(t(s, d, "embeddings"), "embedding",
+          dim = 64, iters = PcaIters)
+        .orderBy("vec_id"),
+      Some(pcaOracleSql(PcaIters, 64)))
   )
+
+  /** Power-iteration depth for `emb_pca_project`: enough for the iterate
+    * to stabilize on the 1e-6 grid on this corpus; the oracle chain
+    * grows two CTEs per round.
+    */
+  private final val PcaIters = 12
+
+  /** Chained-CTE replay of the whole PCA computation: fixed-point
+    * covariance → `iters` ∞-normalized integer power rounds (HUGEINT
+    * sums ≡ the operator's BigInt) → Rayleigh λ̂ / trace → index-ordered
+    * projection fold (`list_reduce` ≡ VectorDot's left-to-right loop).
+    */
+  private def pcaOracleSql(iters: Int, dim: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (
+           SELECT c.i, sum(c.c6 * v.v) AS w
+           FROM cov c JOIN v${k - 1} v ON c.j = v.i GROUP BY 1),
+         v$k AS MATERIALIZED (
+           SELECT i, CAST(round(CAST(w AS DOUBLE) * 1000000 /
+             CAST((SELECT max(abs(w)) FROM w$k) AS DOUBLE), 0)
+             AS BIGINT) AS v
+           FROM w$k)"""
+    }.mkString(",\n")
+    s"""WITH xs AS MATERIALIZED (
+         SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS xi
+         FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),
+       mu AS (SELECT i, sum(xi) AS m, count(*) AS n FROM xs GROUP BY 1),
+       s2 AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS s2
+              FROM xs a JOIN xs b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       cov AS MATERIALIZED (
+         SELECT s2.i, s2.j,
+           CAST(round((s2.s2 / mi.n - (mi.m / mi.n) * (mj.m / mj.n))
+             * 1000000, 0) AS BIGINT) AS c6
+         FROM s2 JOIN mu mi ON s2.i = mi.i JOIN mu mj ON s2.j = mj.i),
+       v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM xs),
+       $rounds,
+       wf AS (SELECT c.i, sum(c.c6 * v.v) AS w
+              FROM cov c JOIN v$iters v ON c.j = v.i GROUP BY 1),
+       ray AS (SELECT CAST(sum(v.v * wf.w) AS DOUBLE) /
+                 (CAST((SELECT sum(v * v) FROM v$iters) AS DOUBLE)
+                   * 1000000) AS lambda
+               FROM v$iters v JOIN wf ON v.i = wf.i),
+       tr AS (SELECT sum(c6) AS t6 FROM cov WHERE i = j),
+       vh AS (SELECT list(CAST(v AS DOUBLE) / 1000000 ORDER BY i) AS l
+              FROM v$iters)
+       SELECT e.vec_id,
+              round(list_reduce(list_transform(range(1, $dim + 1),
+                j -> CAST(e.embedding[j] AS DOUBLE) * vh.l[j]),
+                (a, b) -> a + b), 6) AS pc1_score,
+              round(ray.lambda, 6) AS lambda1,
+              round(ray.lambda / (CAST(tr.t6 AS DOUBLE) / 1000000), 6)
+                AS var_explained
+       FROM embeddings e, vh, ray, tr
+       ORDER BY e.vec_id"""
+  }
 }

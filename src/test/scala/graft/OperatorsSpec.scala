@@ -156,6 +156,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.filter(r => r._1 == 2L && tail2.contains(r._4)).forall(_._5 == 2L))
   }
 
+  test("winnowFingerprints: shared-run guarantee, density cut, short docs, rightmost ties") {
+    // k=3, w=4 → guarantee: any shared run of >= w+k-1 = 6 words gives
+    // a shared fingerprint. Docs 1/2 share exactly a 6-word run inside
+    // otherwise-disjoint text; doc 3 is disjoint noise.
+    val shared = "the quick brown fox jumps high"
+    val docs = Seq(
+      (1L, s"aa bb cc $shared dd ee ff gg"),
+      (2L, s"xx yy zz qq $shared rr ss"),
+      (3L, "one two three four five six seven eight nine ten")).
+      toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long, Int)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "a shared 6-word run MUST select a shared fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+
+    // density: selected fingerprints are a strict subset of the doc's
+    // grams (13 words → 11 grams, windows of 4 pick far fewer)
+    assert(byDoc(1L).size < 11 && byDoc(1L).nonEmpty)
+
+    // a doc shorter than k words still emits exactly one fingerprint
+    // (the whole-doc gram, one whole-doc window)
+    val short = Seq((9L, "lone pair")).toDF("doc_id", "text")
+    val sfp = Dedup.winnowFingerprints(short, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(sfp.length == 1 && sfp.head._3 == 0)
+
+    // rightmost tie-break: all grams of "a a a a a a a" are identical,
+    // so every window's min ties everywhere and the RIGHTMOST position
+    // wins → selected positions are exactly {w-1 .. n_grams-1}
+    val same = Seq((7L, "a a a a a a a")).toDF("doc_id", "text") // 5 grams
+    val tfp = Dedup.winnowFingerprints(same, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(tfp.map(_._3).sorted.toSeq == Seq(3, 4), tfp.mkString(","))
+    assert(tfp.map(_._2).distinct.length == 1)
+  }
+
+  test("pcaTopComponent: exact hand trace on collinear 2-D data; projection parity") {
+    // points on the line y = 2x: C = 2.1875 · [[1,2],[2,4]], rank 1 —
+    // every quantity below is dyadic, so equality is EXACT, not approx
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
+      (3L, Array(3.0f, 6.0f)), (4L, Array(-1.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val (v, lambda, varExp) =
+      Similarity.pcaTopComponent(emb, "embedding", dim = 2, iters = 12)
+    assert(v.toSeq == Seq(0.5, 1.0), s"∞-normalized (1,2) axis: ${v.toSeq}")
+    assert(lambda == 10.9375, s"Rayleigh λ̂ = 5·2.1875: $lambda")
+    assert(varExp == 1.0, s"rank-1 data explains everything: $varExp")
+    val proj = Similarity.pcaProject(emb, "embedding", 2, 12)
+      .orderBy("vec_id").as[(Long, Double, Double, Double)].collect()
+    assert(proj.map(_._2).toSeq == Seq(2.5, 5.0, 7.5, -2.5))
+    assert(proj.forall(p => p._3 == 10.9375 && p._4 == 1.0))
+  }
+
+  test("winnowPairs: identical docs score overlap 1.0; disjoint docs absent") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, txt), (2L, txt),
+      (3L, "unrelated words entirely different from the other documents here")).
+      toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 3, w = 4,
+      minShared = 1).as[(Long, Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._4 == 1.0, s"identical docs overlap 1.0: ${pairs.head}")
+  }
+
   test("nbClassify: hand-computed NB scores, smoothing floor, tie-break") {
     // two labels, tiny corpus — expected scores computed by a plain
     // Scala reference below, so the distributed job is checked against

@@ -106,6 +106,9 @@ DRIVERS = {
     "td_kcenter_coreset": "embeddings",
     "ta_textrank_keywords": "documents",
     "ta_wordpiece_tokens": "documents",
+    # r10 session-3 additions
+    "dedup_winnow": "documents",
+    "emb_pca_project": "embeddings",
 }
 
 # ep2 joins orders x lineitem; the synth rungs replicate lineitem only,
