@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** First-order Markov-chain analysis of per-key event sequences: the
+  * empirical transition matrix and its stationary distribution — the
+  * "where does a user's session settle" summary an analytics engine
+  * derives from clickstream-shaped data (cf. the reference's journey/
+  * funnel reports over the same event grain).
+  *
+  * Exactness contract (the [[Similarity.pcaTopComponent]] recipe): the
+  * transition matrix is fixed-point `p6 = round(1e6·cnt/row_total)`
+  * BIGINTs, and the stationary solve is integer power iteration — each
+  * round is an exact integer matrix-vector product L1-renormalized onto
+  * the 1e-6 grid (the L1 norm of a nonnegative integer vector is an
+  * exact integer sum, so the whole trajectory replays bit-for-bit as
+  * HUGEINT CTEs in a SQL oracle).
+  *
+  * Shape at 100 TB: the corpus-scale work is the per-key lag window and
+  * the (src, dst) count shuffle — one sort-within-partition per key
+  * group plus one states²-sized agg. The matrix itself is
+  * states²-sized driver METADATA (the IVF-centroid collect license);
+  * the iteration never touches the corpus again.
+  */
+object Markov {
+
+  /** `(src, dst, cnt, p6)` transition relation: consecutive event pairs
+    * per `keyCol` ordered by `orderCol` (a total order — pass a unique
+    * id, not a timestamp with ties), counted and row-normalized to
+    * fixed-point millionths.
+    */
+  def transitions6(events: DataFrame, keyCol: String, orderCol: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val pairs = events
+      .select(col(keyCol), col(orderCol), col(stateCol).as("dst"),
+        lag(col(stateCol), 1).over(w).as("src"))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val tot = Window.partitionBy("src")
+    pairs
+      .withColumn("p6",
+        round(col("cnt") * lit(1000000L) / sum("cnt").over(tot), 0)
+          .cast("long"))
+  }
+
+  /** Stationary distribution of the [[transitions6]] matrix by `iters`
+    * rounds of exact integer power iteration from the uniform vector.
+    * States with no outgoing transitions contribute no column mass
+    * (standard dangling-state simplification; both engines replay it
+    * identically). Returns `(state, pi)` on the 1e-6 grid.
+    */
+  def stationary(spark: SparkSession, trans6: DataFrame, iters: Int)
+      : DataFrame = {
+    val rows = trans6.select("src", "dst", "p6").collect()
+    val states = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val n = states.length
+    val p = Array.ofDim[Long](n * n)
+    rows.foreach(r => p(idx(r.getString(0)) * n + idx(r.getString(1))) =
+      r.getLong(2))
+    def halfAway(x: Double): Long =
+      (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+    var v = Array.fill(n)(1000000L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(n) { j =>
+        var acc = BigInt(0); var i = 0
+        while (i < n) { acc += BigInt(v(i)) * p(i * n + j); i += 1 }
+        acc
+      }
+      val s = w.sum
+      if (s > 0)
+        v = w.map(wj => halfAway(wj.toDouble * 1000000.0 / s.toDouble))
+    }
+    import spark.implicits._
+    states.zip(v.map(_.toDouble / 1000000.0)).toSeq
+      .toDF("state", "pi")
+  }
+
+  /** Catalog-facing summary: one row per state with its stationary
+    * probability, outgoing transition count, and most likely next state
+    * (ties broken alphabetically — deterministic in both engines).
+    */
+  def stationaryReport(spark: SparkSession, events: DataFrame,
+      keyCol: String, orderCol: String, stateCol: String, iters: Int)
+      : DataFrame = {
+    val tr = Dedup.trackedPersist(
+      transitions6(events, keyCol, orderCol, stateCol))
+    val top = Window.partitionBy("src")
+      .orderBy(col("p6").desc, col("dst").asc)
+    val perSrc = tr
+      .withColumn("rk", row_number().over(top))
+      .groupBy(col("src").as("state"))
+      .agg(sum("cnt").as("n_out"),
+        max(when(col("rk") === 1, col("dst"))).as("top_next"),
+        max(when(col("rk") === 1, col("p6"))).as("top_p6"))
+    stationary(spark, tr, iters)
+      .join(perSrc, Seq("state"), "left")
+      .select(col("state"), col("pi"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"), col("top_next"),
+        round(col("top_p6") / lit(1e6), 6).as("top_p"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed ordinary least squares via the normal equations — the
+  * closed-form fit a Spark-scale engine uses when the design matrix is
+  * narrow: ONE aggregation pass reduces the corpus to the 10 integer
+  * moment sums of XᵀX / Xᵀy / yᵀy, and the 3×3 solve is exact Cramer's
+  * rule on the driver (BigInt ≡ the oracle's HUGEINT — the
+  * [[Similarity.pcaTopComponent]] exactness recipe). Nothing float
+  * touches the corpus: coefficients and R² come from single double
+  * divisions of exact integers at the very end, so both engines emit
+  * bit-identical values.
+  *
+  * Shape at 100 TB: the moment sums are a partial-aggregable one-row
+  * reduce (map-side combine all the way down); the collect is one row
+  * of 10 longs — driver metadata, never corpus-sized. Integer headroom:
+  * the Cramer products live in BigInt here and HUGEINT (128-bit) in
+  * the oracle; with per-day counts y ≤ 2³⁰ and a 10⁵-day spine the
+  * largest product stays under 10³⁰ ≪ 2¹²⁷.
+  */
+object Regression {
+
+  /** Fit `y ~ 1 + x1 + x2` over integer columns. Returns a single-row
+    * DataFrame `(n, b0, b1, b2, r2)` rounded to 6dp.
+    */
+  def ols2(spark: SparkSession, df: DataFrame,
+      y: String, x1: String, x2: String): DataFrame = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      sum(col(x1)).as("st"), sum(col(x2)).as("sw"),
+      sum(col(x1) * col(x1)).as("stt"),
+      sum(col(x1) * col(x2)).as("stw"),
+      sum(col(x2) * col(x2)).as("sww"),
+      sum(col(y)).as("sy"),
+      sum(col(x1) * col(y)).as("sty"),
+      sum(col(x2) * col(y)).as("swy"),
+      sum(col(y) * col(y)).as("syy")).collect().head
+    val Seq(n, st, sw, stt, stw, sww, sy, sty, swy, syy) =
+      (0 until 10).map(i => BigInt(r.getLong(i)))
+    def det3(a: BigInt, b: BigInt, c: BigInt, d: BigInt, e: BigInt,
+        f: BigInt, g: BigInt, h: BigInt, i: BigInt): BigInt =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    // A = [[n st sw],[st stt stw],[sw stw sww]], c = [sy sty swy]
+    val det = det3(n, st, sw, st, stt, stw, sw, stw, sww)
+    val num0 = det3(sy, st, sw, sty, stt, stw, swy, stw, sww)
+    val num1 = det3(n, sy, sw, st, sty, stw, sw, swy, sww)
+    val num2 = det3(n, st, sy, st, stt, sty, sw, stw, swy)
+    // SSE = Σy² − bᵀXᵀy = (det·Σy² − Σᵢ numᵢ·cᵢ) / det ;  SST = SST_n / n
+    val sseNum = det * syy - (num0 * sy + num1 * sty + num2 * swy)
+    val sstN = n * syy - sy * sy
+    def d(a: BigInt, b: BigInt): Double = a.toDouble / b.toDouble
+    import spark.implicits._
+    // round through Spark's own round() so half-way behavior matches
+    // the oracle's round() exactly (both half-away-from-zero)
+    Seq((n.toLong, d(num0, det), d(num1, det), d(num2, det),
+        1.0 - d(n * sseNum, det * sstN)))
+      .toDF("n", "b0", "b1", "b2", "r2")
+      .select(col("n"), round(col("b0"), 6).as("b0"),
+        round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"),
+        round(col("r2"), 6).as("r2"))
+  }
+}

@@ -1925,8 +1925,185 @@ object CatalogAnalytics {
                        CAST(NULL AS DOUBLE) AS trend
                      FROM lastst, unnest(range(1, 8)) t(h))
               SELECT * FROM (SELECT * FROM fits UNION ALL SELECT * FROM fc)
-              ORDER BY day"""))
+              ORDER BY day""")),
+
+    Q("ts_markov_stationary",
+      // first-order Markov chain over per-user event sequences: the
+      // empirical transition matrix as fixed-point millionths, its
+      // stationary distribution by 24 rounds of EXACT integer power
+      // iteration (L1 renormalization is an integer sum — the PCA
+      // ∞-norm trick, but even cleaner), plus each state's most likely
+      // successor. The matrix is states²-sized driver metadata; the
+      // corpus-scale work is the per-user lag window and one
+      // states²-sized count shuffle. The oracle replays the ENTIRE
+      // solve — transitions, all 24 HUGEINT rounds, the report join.
+      (s, d) => graft.operators.Markov.stationaryReport(s, events(s, d),
+          "user_id", "event_id", "event_type", iters = MarkovIters)
+        .orderBy("state"),
+      Some(markovOracleSql(MarkovIters))),
+
+    Q("a34_gini_activity",
+      // inequality profile of user activity per event type: Gini
+      // coefficient from the rank formula G = (2·Σr·x − (n+1)·Σx) /
+      // (n·Σx) on the ASCENDING (count, user_id) rank — every sum an
+      // exact BIGINT, one double division at the end — plus the
+      // top-decile share (the "how head-heavy is this source" gate a
+      // training-data mix planner reads before weighting). Per-type
+      // ranking is a sort within each event_type group; sums partial-
+      // aggregate. Ceil division is integer ((n+9) div 10) in both
+      // engines.
+      (s, d) => {
+        val ux = events(s, d).groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("x"))
+        val wr = Window.partitionBy("event_type")
+          .orderBy(col("x"), col("user_id"))
+        val wn = Window.partitionBy("event_type")
+        ux.withColumn("r", row_number().over(wr).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy(col("event_type"))
+          .agg(max("n").as("n_users"), sum("x").as("total"),
+            sum(col("r") * col("x")).as("srx"),
+            sum(when(col("r") > col("n") - expr("(n + 9) div 10"),
+              col("x")).otherwise(0L)).as("top_sum"))
+          .select(col("event_type"), col("n_users"),
+            round((lit(2) * col("srx") - (col("n_users") + 1) * col("total"))
+              .cast("double") /
+              (col("n_users") * col("total")).cast("double"), 6).as("gini"),
+            round(col("top_sum").cast("double") / col("total"), 6)
+              .as("top_decile_share"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ux AS (SELECT event_type, user_id, count(*) AS x
+                     FROM events GROUP BY 1, 2),
+              rk AS (SELECT event_type, user_id, x,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY x, user_id) AS r,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                     FROM ux),
+              ag AS (SELECT event_type, max(n) AS n_users,
+                       CAST(sum(x) AS BIGINT) AS total,
+                       CAST(sum(r * x) AS BIGINT) AS srx,
+                       CAST(sum(CASE WHEN r > n - (n + 9) // 10
+                         THEN x ELSE 0 END) AS BIGINT) AS top_sum
+                     FROM rk GROUP BY 1)
+              SELECT event_type, n_users,
+                     round(CAST(2 * srx - (n_users + 1) * total AS DOUBLE) /
+                       CAST(n_users * total AS DOUBLE), 6) AS gini,
+                     round(CAST(top_sum AS DOUBLE) / total, 6)
+                       AS top_decile_share
+              FROM ag ORDER BY event_type""")),
+
+    Q("a35_ols_drivers",
+      // what drives daily volume: OLS fit y ~ 1 + t + weekend over the
+      // daily event-count series via the normal equations — one
+      // partial-aggregable pass reduces the corpus to 10 integer moment
+      // sums, then Cramer's rule runs EXACTLY (driver BigInt ≡ the
+      // oracle's HUGEINT) and the only floats are the final coefficient
+      // divisions. R² from the same exact sums. The oracle replays the
+      // whole solve: feature spine, moments, all four 3×3 determinants,
+      // the SSE/SST quotient.
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val feat = daily.select(col("y"),
+          (row_number().over(Window.orderBy("day")) - 1).cast("long")
+            .as("t"),
+          when(dayofweek(col("day")).isin(1, 7), 1L).otherwise(0L)
+            .as("wknd"))
+        graft.operators.Regression.ols2(s, feat, "y", "t", "wknd")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                     FROM events GROUP BY 1),
+              feat AS (SELECT y,
+                         row_number() OVER (ORDER BY day) - 1 AS t,
+                         CASE WHEN dayofweek(day) IN (0, 6)
+                           THEN 1 ELSE 0 END AS w
+                       FROM daily),
+              m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      CAST(sum(t) AS HUGEINT) AS st,
+                      CAST(sum(w) AS HUGEINT) AS sw,
+                      CAST(sum(t * t) AS HUGEINT) AS stt,
+                      CAST(sum(t * w) AS HUGEINT) AS stw,
+                      CAST(sum(w * w) AS HUGEINT) AS sww,
+                      CAST(sum(y) AS HUGEINT) AS sy,
+                      CAST(sum(t * y) AS HUGEINT) AS sty,
+                      CAST(sum(w * y) AS HUGEINT) AS swy,
+                      CAST(sum(y * y) AS HUGEINT) AS syy
+                    FROM feat),
+              dets AS (SELECT n, sy, sty, swy, syy,
+                n*(stt*sww - stw*stw) - st*(st*sww - stw*sw)
+                  + sw*(st*stw - stt*sw) AS det,
+                sy*(stt*sww - stw*stw) - st*(sty*sww - stw*swy)
+                  + sw*(sty*stw - stt*swy) AS num0,
+                n*(sty*sww - stw*swy) - sy*(st*sww - stw*sw)
+                  + sw*(st*swy - sty*sw) AS num1,
+                n*(stt*swy - sty*stw) - st*(st*swy - sty*sw)
+                  + sy*(st*stw - stt*sw) AS num2
+                FROM m)
+              SELECT CAST(n AS BIGINT) AS n,
+                round(CAST(num0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b0,
+                round(CAST(num1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b1,
+                round(CAST(num2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b2,
+                round(1 - CAST(n * (det*syy
+                    - (num0*sy + num1*sty + num2*swy)) AS DOUBLE) /
+                  CAST(det * (n*syy - sy*sy) AS DOUBLE), 6) AS r2
+              FROM dets"""))
   )
+
+  /** Power-iteration depth for `ts_markov_stationary`: enough for the
+    * 5-state chain to stabilize on the 1e-6 grid.
+    */
+  private final val MarkovIters = 24
+
+  /** Chained-CTE replay of the whole Markov solve: lag-window
+    * transitions → fixed-point row normalization → `iters` exact
+    * L1-renormalized power rounds (HUGEINT sums ≡ the operator's
+    * BigInt) → the per-state report join.
+    */
+  private def markovOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (
+           SELECT s.state, coalesce(sum(v.v * t.p6), 0) AS w
+           FROM states s
+           LEFT JOIN tr t ON t.dst = s.state
+           LEFT JOIN v${k - 1} v ON v.state = t.src
+           GROUP BY 1),
+         v$k AS MATERIALIZED (
+           SELECT state, CAST(round(CAST(w AS DOUBLE) * 1000000 /
+             CAST((SELECT sum(w) FROM w$k) AS DOUBLE), 0) AS BIGINT) AS v
+           FROM w$k)"""
+    }.mkString(",\n")
+    s"""WITH seq AS (
+         SELECT event_type AS dst,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS src
+         FROM events),
+       cnt AS (SELECT src, dst, count(*) AS cnt
+               FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+       tr AS MATERIALIZED (
+         SELECT src, dst, cnt,
+                CAST(round(cnt * 1000000.0 /
+                  sum(cnt) OVER (PARTITION BY src), 0) AS BIGINT) AS p6
+         FROM cnt),
+       states AS (SELECT DISTINCT src AS state FROM tr
+                  UNION SELECT DISTINCT dst FROM tr),
+       v0 AS (SELECT state, CAST(1000000 AS BIGINT) AS v FROM states),
+       $rounds,
+       rk AS (SELECT src, dst, cnt, p6,
+                row_number() OVER (PARTITION BY src
+                                   ORDER BY p6 DESC, dst) AS rk
+              FROM tr),
+       per_src AS (SELECT src AS state, sum(cnt) AS n_out,
+                     max(CASE WHEN rk = 1 THEN dst END) AS top_next,
+                     max(CASE WHEN rk = 1 THEN p6 END) AS top_p6
+                   FROM rk GROUP BY 1)
+       SELECT v.state, CAST(v.v AS DOUBLE) / 1000000 AS pi,
+              CAST(coalesce(p.n_out, 0) AS BIGINT) AS n_out, p.top_next,
+              round(p.top_p6 / 1e6, 6) AS top_p
+       FROM v$iters v LEFT JOIN per_src p ON p.state = v.state
+       ORDER BY v.state"""
+  }
 
   def byName(name: String): Q = all.find(_.name == name).get
 }

@@ -224,6 +224,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.head._4 == 1.0, s"identical docs overlap 1.0: ${pairs.head}")
   }
 
+  test("Markov stationaryReport: hand-solvable 2-state chain") {
+    // a->b always; b->a half, b->b half  =>  pi = (1/3, 2/3)
+    val seqTypes = Seq("a", "b", "b", "a", "b", "b", "a", "b", "b", "a")
+    val ev = seqTypes.zipWithIndex
+      .map { case (t, i) => (1L, i.toLong, t) }
+      .toDF("user_id", "event_id", "event_type")
+    val got = graft.operators.Markov.stationaryReport(spark, ev,
+        "user_id", "event_id", "event_type", iters = 24)
+      .orderBy("state").as[(String, Double, Long, String, Double)]
+      .collect()
+    assert(got.map(_._1).toSeq == Seq("a", "b"))
+    val (pa, pb) = (got(0)._2, got(1)._2)
+    assert(math.abs(pa - 1.0 / 3) < 2e-6 && math.abs(pb - 2.0 / 3) < 2e-6,
+      s"stationary: $pa, $pb")
+    assert(got(0)._3 == 3L && got(1)._3 == 6L) // n_out
+    assert(got(0)._4 == "b" && got(0)._5 == 1.0) // a -> b certainly
+    // b's successors tie at p6=500000 -> alphabetical winner "a"
+    assert(got(1)._4 == "a" && got(1)._5 == 0.5)
+  }
+
+  test("Regression.ols2: exact recovery of a perfect linear model") {
+    // y = 2 + 3t + 5w exactly -> Cramer recovers coefficients EXACTLY
+    val feat = Seq((2L, 0L, 0L), (10L, 1L, 1L), (8L, 2L, 0L),
+      (16L, 3L, 1L), (14L, 4L, 0L), (22L, 5L, 1L))
+      .toDF("y", "t", "wknd")
+    val r = graft.operators.Regression.ols2(spark, feat, "y", "t", "wknd")
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(r == ((6L, 2.0, 3.0, 5.0, 1.0)), r.toString)
+    // and a non-degenerate fit: one point perturbed -> r2 strictly < 1,
+    // coefficients still finite and near the truth
+    val noisy = Seq((2L, 0L, 0L), (10L, 1L, 1L), (8L, 2L, 0L),
+      (16L, 3L, 1L), (20L, 4L, 0L), (22L, 5L, 1L))
+      .toDF("y", "t", "wknd")
+    val rn = graft.operators.Regression.ols2(spark, noisy, "y", "t", "wknd")
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(rn._5 < 1.0 && rn._5 > 0.8, rn.toString)
+    assert(math.abs(rn._3 - 3.0) < 2.0)
+  }
+
   test("nbClassify: hand-computed NB scores, smoothing floor, tie-break") {
     // two labels, tiny corpus — expected scores computed by a plain
     // Scala reference below, so the distributed job is checked against

@@ -109,6 +109,8 @@ DRIVERS = {
     # r10 session-3 additions
     "dedup_winnow": "documents",
     "emb_pca_project": "embeddings",
+    "ts_markov_stationary": "events",
+    "a34_gini_activity": "events",
 }
 
 # ep2 joins orders x lineitem; the synth rungs replicate lineitem only,
