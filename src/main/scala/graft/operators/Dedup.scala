@@ -1099,4 +1099,80 @@ object Dedup {
         round(col("n_shared").cast("double") /
           least(col("nfp_a"), col("nfp_b")), 6).as("overlap"))
   }
+
+  /** All-pairs similarity search (Bayardo, Ma & Srikant, WWW 2007):
+    * EXACT cosine-threshold self-join over sparse TF-IDF bigram vectors
+    * with prefix-filter candidate generation — the sparse-text sibling
+    * of [[Similarity.cosineDupPairsLsh]]'s dense-embedding LSH, but
+    * LOSSLESS: every pair with cos ≥ τ is returned, none missed.
+    *
+    * Exactness contract: weights are INTEGER fixed-point
+    * `w = tf · round(1000·ln(N/df))`, so dot products and squared norms
+    * are exact BIGINT sums and the cosine is one deterministic double
+    * expression both engines evaluate identically. Zero-weight terms
+    * (df = N) are dropped — they carry no signal and are the hottest
+    * index keys.
+    *
+    * Prefix filter (the reason this never materializes all pairs): each
+    * doc orders its own terms by (weight desc, term); the prefix keeps
+    * positions while the remaining suffix satisfies
+    * `den²·‖suffix‖² ≥ num²·‖v‖²` — all integer arithmetic. By
+    * Cauchy–Schwarz, a pair whose shared terms all sit in one side's
+    * suffix has cos < τ, so joining PREFIX × FULL index on the term is
+    * a complete candidate set. Candidate volume is Σ_t pdf_t·df_t —
+    * on a Heaps-law corpus the prefix concentrates in rare terms and
+    * the join stays near-linear; on an adversarially dense corpus (tiny
+    * closed vocabulary) candidate count is genuinely quadratic because
+    * the OUTPUT is.
+    */
+  def apssCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num < den, s"need 0 < num/den < 1")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(words(lower(col(textCol))), 2)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    // single-row corpus-total broadcast (the search_bm25 license)
+    val w = trackedPersist(tf
+      .join(dfT, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf3",
+        round(lit(1000) * log(col("n_docs").cast("double") / col("df")), 0)
+          .cast("long"))
+      .filter(col("idf3") > 0)
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf3")).as("w")))
+    val norm2 = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val ord = Window.partitionBy("doc_id")
+      .orderBy(col("w").desc, col("term").asc)
+    val prefix = w
+      .withColumn("cum", sum(col("w") * col("w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(norm2, "doc_id")
+      // keep position p while den²·‖suffix from p‖² ≥ num²·‖v‖²
+      .filter(lit(den.toLong * den) *
+        (col("n2") - (col("cum") - col("w") * col("w"))) >=
+        lit(num.toLong * num) * col("n2"))
+      .select(col("doc_id"), col("term"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("term"))
+      .join(w.select(col("doc_id").as("doc_b"), col("term")), Seq("term"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    val dots = cand
+      .join(w.select(col("doc_id").as("doc_a"), col("term"),
+        col("w").as("wa")), Seq("doc_a"))
+      .join(w.select(col("doc_id").as("doc_b"), col("term"),
+        col("w").as("wb")), Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norm2.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
+      .join(norm2.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= lit(num.toDouble / den))
+      .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+  }
 }

@@ -769,6 +769,29 @@ object CatalogAnalytics {
                  FROM a2 ORDER BY score DESC, node LIMIT 20))
               ORDER BY side, score_ppm DESC, node""")),
 
+    Q("g11_ktruss",
+      // 3-truss of the part co-purchase graph: iteratively drop edges
+      // in fewer than k−2 triangles among SURVIVORS — the cohesion cut
+      // stricter than k-core (degree can be faked by hubs; triangles
+      // cannot). Per round: degree-oriented wedge join (O(m^1.5)),
+      // 3-way edge credit, filter. Spark early-exits at the first
+      // no-op round; the oracle unrolls 4 rounds (fixpoint measured
+      // <= 2 across SFs) so the final round's support is computed
+      // against the fixpoint set itself.
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+          .distinct()
+        val pairs = items.select(col("oid"), col("item").as("u"))
+          .join(items.select(col("oid"), col("item").as("v")), "oid")
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+        Graph.kTruss(pairs, "u", "v", k = 3, maxRounds = 4)
+          .orderBy("u", "v")
+      },
+      Some(kTrussOracleSql(k = 3, rounds = 4))),
+
     Q("ts_acf",
       // autocorrelation function of the daily event-count series at
       // lags 1..10: Pearson r from INTEGER sums (k·Σxy − ΣxΣy over
@@ -2048,13 +2071,193 @@ object CatalogAnalytics {
                 round(1 - CAST(n * (det*syy
                     - (num0*sy + num1*sty + num2*swy)) AS DOUBLE) /
                   CAST(det * (n*syy - sy*sy) AS DOUBLE), 6) AS r2
-              FROM dets"""))
+              FROM dets""")),
+
+    Q("ts_holt_winters",
+      // Holt-Winters ADDITIVE triple smoothing (level + trend +
+      // period-7 seasonality) of the daily event series, 7-day-ahead
+      // forecast from the final state: the ts_holt_forecast recursion
+      // extended with a rolling seasonal array (lookup s_{t−7} is the
+      // 7th-from-end element; updates append). α=.4 β=.3 γ=.2, init
+      // l₀ = mean(week 1), b₀ = (mean(week 2) − mean(week 1))/7,
+      // s_i = x_i − l₀. Every state update rounded 6dp so both
+      // engines walk identical trajectories; the fold runs as ONE
+      // `aggregate` HOF over a single-row calendar-sized array (the
+      // BPE merge-fold license).
+      (s, d) => {
+        val (al, be, ga, m, horizon) = (0.4, 0.3, 0.2, 7, 7)
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val arr = daily
+          .agg(array_sort(collect_list(struct(col("day"),
+            col("n").cast("double").as("x")))).as("arr"))
+          .filter(size(col("arr")) >= 2 * m)
+        def x(i: Int) = element_at(col("arr"), i).getField("x")
+        val sum1 = (1 to m).map(x).reduce(_ + _)
+        val sum2 = (m + 1 to 2 * m).map(x).reduce(_ + _)
+        val l0 = round(sum1 / m, 6)
+        val b0 = round((sum2 - sum1) / (m * m), 6)
+        val rowsT = "array<struct<day:date,x:double,yhat:double," +
+          "level:double,trend:double,seas:double>>"
+        val withSt = arr
+          .withColumn("l0", l0).withColumn("b0", b0)
+          .select(col("arr"), aggregate(
+            slice(col("arr"), lit(m + 1),
+              greatest(size(col("arr")) - m, lit(0))),
+            struct(col("l0").as("l"), col("b0").as("b"),
+              array((1 to m).map(i => round(x(i) - col("l0"), 6)): _*)
+                .as("sarr"),
+              array().cast(rowsT).as("rows")),
+            (acc, e) => {
+              val sm = element_at(acc.getField("sarr"), -m)
+              val lb = acc.getField("l") + acc.getField("b")
+              val yhat = round(lb + sm, 6)
+              val nl = round(lit(al) * (e.getField("x") - sm) +
+                lit(1 - al) * lb, 6)
+              val nb = round(lit(be) * (nl - acc.getField("l")) +
+                lit(1 - be) * acc.getField("b"), 6)
+              val ns = round(lit(ga) * (e.getField("x") - nl) +
+                lit(1 - ga) * sm, 6)
+              struct(nl.as("l"), nb.as("b"),
+                concat(acc.getField("sarr"), array(ns)).as("sarr"),
+                concat(acc.getField("rows"), array(struct(
+                  e.getField("day").as("day"), e.getField("x").as("x"),
+                  yhat.as("yhat"), nl.as("level"), nb.as("trend"),
+                  ns.as("seas")))).as("rows"))
+            }).as("st"))
+          .localCheckpoint(true)
+        val fits = withSt.select(explode(col("st.rows")).as("r"))
+          .select(col("r.day").as("day"), col("r.x").cast("long").as("x"),
+            col("r.yhat").as("yhat"), col("r.level").as("level"),
+            col("r.trend").as("trend"), col("r.seas").as("seas"))
+        val fc = withSt.select(
+            element_at(col("arr"), size(col("arr")))
+              .getField("day").as("last_day"),
+            col("st.l").as("l"), col("st.b").as("b"),
+            col("st.sarr").as("sarr"))
+          .select(explode(sequence(lit(1), lit(horizon))).as("h"),
+            col("last_day"), col("l"), col("b"), col("sarr"))
+          .select(date_add(col("last_day"), col("h")).as("day"),
+            lit(null).cast("long").as("x"),
+            round(col("l") + col("h") * col("b") +
+              element_at(col("sarr"), (col("h") - 8).cast("int")), 6)
+              .as("yhat"),
+            lit(null).cast("double").as("level"),
+            lit(null).cast("double").as("trend"),
+            lit(null).cast("double").as("seas"))
+        fits.unionByName(fc).orderBy("day")
+      },
+      Some("""WITH RECURSIVE
+              daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                        FROM events GROUP BY 1),
+              idx AS (SELECT day, CAST(n AS DOUBLE) AS x,
+                        CAST(row_number() OVER (ORDER BY day) - 1
+                          AS BIGINT) AS t
+                      FROM daily),
+              i0 AS (SELECT
+                       round(sum(x) FILTER (WHERE t < 7) / 7, 6) AS l,
+                       round((sum(x) FILTER (WHERE t BETWEEN 7 AND 13)
+                         - sum(x) FILTER (WHERE t < 7)) / 49, 6) AS b
+                     FROM idx),
+              s0 AS (SELECT list(round(x - (SELECT l FROM i0), 6)
+                       ORDER BY t) AS sarr
+                     FROM idx WHERE t < 7),
+              rec AS (
+                SELECT CAST(6 AS BIGINT) AS t,
+                       (SELECT l FROM i0) AS l, (SELECT b FROM i0) AS b,
+                       (SELECT sarr FROM s0) AS sarr,
+                       CAST(NULL AS DOUBLE) AS yhat,
+                       CAST(NULL AS DOUBLE) AS x,
+                       CAST(NULL AS DATE) AS day,
+                       CAST(NULL AS DOUBLE) AS seas
+                WHERE (SELECT count(*) FROM idx) >= 14
+                UNION ALL
+                SELECT i.t,
+                       round(0.4 * (i.x - r.sarr[-7])
+                         + 0.6 * (r.l + r.b), 6),
+                       round(0.3 * (round(0.4 * (i.x - r.sarr[-7])
+                           + 0.6 * (r.l + r.b), 6) - r.l)
+                         + 0.7 * r.b, 6),
+                       list_append(r.sarr,
+                         round(0.2 * (i.x - round(0.4 * (i.x - r.sarr[-7])
+                             + 0.6 * (r.l + r.b), 6))
+                           + 0.8 * r.sarr[-7], 6)),
+                       round(r.l + r.b + r.sarr[-7], 6),
+                       i.x, i.day,
+                       round(0.2 * (i.x - round(0.4 * (i.x - r.sarr[-7])
+                           + 0.6 * (r.l + r.b), 6))
+                         + 0.8 * r.sarr[-7], 6)
+                FROM rec r JOIN idx i ON i.t = r.t + 1),
+              fits AS (SELECT day, CAST(x AS BIGINT) AS x, yhat,
+                         l AS level, b AS trend, seas
+                       FROM rec WHERE t >= 7),
+              lastst AS (SELECT l, b, sarr, day
+                         FROM rec ORDER BY t DESC LIMIT 1),
+              fc AS (SELECT lastst.day + CAST(h AS INTEGER) AS day,
+                       CAST(NULL AS BIGINT) AS x,
+                       round(lastst.l + h * lastst.b
+                         + lastst.sarr[CAST(h - 8 AS INTEGER)], 6) AS yhat,
+                       CAST(NULL AS DOUBLE) AS level,
+                       CAST(NULL AS DOUBLE) AS trend,
+                       CAST(NULL AS DOUBLE) AS seas
+                     FROM lastst, unnest(range(1, 8)) t(h))
+              SELECT * FROM (SELECT * FROM fits UNION ALL SELECT * FROM fc)
+              ORDER BY day"""))
   )
 
   /** Power-iteration depth for `ts_markov_stationary`: enough for the
     * 5-state chain to stabilize on the 1e-6 grid.
     */
   private final val MarkovIters = 24
+
+  /** Chained-CTE replay of `rounds` k-truss peel rounds (the kCore
+    * oracle pattern): each round re-derives degrees, degree-ordered
+    * orientation, closed wedges, the 3-way edge credit, and the
+    * support filter against the PREVIOUS round's survivors — identical
+    * to one [[Graph.kTruss]] round. The last unrolled round being a
+    * no-op makes its support column the fixpoint support.
+    */
+  private def kTrussOracleSql(k: Int, rounds: Int): String = {
+    val peel = (1 to rounds).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""deg$r AS (SELECT node, count(*) AS deg FROM (
+             SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev)
+           GROUP BY 1),
+         ori$r AS MATERIALIZED (SELECT
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                  THEN u ELSE v END AS src,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                  THEN v ELSE u END AS dst,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                  THEN dv.deg ELSE du.deg END AS dd
+           FROM $prev JOIN deg$r du ON $prev.u = du.node
+                      JOIN deg$r dv ON $prev.v = dv.node),
+         tri$r AS MATERIALIZED (
+           SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+           FROM ori$r o1 JOIN ori$r o2 ON o1.src = o2.src
+           WHERE (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+             AND EXISTS (SELECT 1 FROM ori$r x
+                         WHERE x.src = o1.dst AND x.dst = o2.dst)),
+         sup$r AS (SELECT u, v, count(*) AS sup FROM (
+             SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri$r
+             UNION ALL SELECT least(a, c), greatest(a, c) FROM tri$r
+             UNION ALL SELECT least(b, c), greatest(b, c) FROM tri$r)
+           GROUP BY 1, 2),
+         e$r AS MATERIALIZED (
+           SELECT e.u, e.v, CAST(coalesce(s.sup, 0) AS BIGINT) AS sup
+           FROM $prev e LEFT JOIN sup$r s ON s.u = e.u AND s.v = e.v
+           WHERE coalesce(s.sup, 0) >= ${k - 2})"""
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS oid,
+                l_partkey AS item FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT a.item AS u, b.item AS v
+         FROM items a JOIN items b ON a.oid = b.oid AND a.item < b.item
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       $peel
+       SELECT u, v, sup FROM e$rounds ORDER BY u, v"""
+  }
 
   /** Chained-CTE replay of the whole Markov solve: lag-window
     * transitions → fixed-point row normalization → `iters` exact

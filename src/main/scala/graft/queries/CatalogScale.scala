@@ -167,6 +167,49 @@ object CatalogScale {
                       JOIN cnt cb ON cb.doc_id = pr.doc_b
               ORDER BY doc_a, doc_b""")),
 
+    Q("dedup_apss_cosine",
+      // exact all-pairs cosine join (Bayardo WWW'07) at τ=0.6 over
+      // integer fixed-point TF-IDF bigram vectors: prefix-filtered
+      // candidates (lossless by Cauchy–Schwarz on each doc's
+      // weight-ordered suffix), BIGINT dots/norms, one deterministic
+      // double per surviving pair. The oracle is the UNFILTERED
+      // all-pairs truth — a hash match proves the prefix filter drops
+      // nothing.
+      (s, d) => Dedup.apssCosinePairs(t(s, d, "documents"), "doc_id",
+          "text", num = 3, den = 5)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH w0 AS (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                     FROM documents),
+              g AS (SELECT doc_id, array_to_string(ws[g:g+1], ' ') AS term
+                    FROM w0,
+                    unnest(range(1, greatest(len(ws)-1, 1)+1)) t(g)),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM g GROUP BY 1, 2),
+              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              nd AS (SELECT count(*) AS n FROM documents),
+              w AS (SELECT doc_id, term,
+                      tf * CAST(round(1000 * ln(CAST(n AS DOUBLE) / df), 0)
+                        AS BIGINT) AS w
+                    FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+                    WHERE CAST(round(1000 * ln(CAST(n AS DOUBLE) / df), 0)
+                      AS BIGINT) > 0),
+              nrm AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2
+                      FROM w GROUP BY 1),
+              dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        CAST(sum(a.w * b.w) AS BIGINT) AS d
+                      FROM w a JOIN w b ON a.term = b.term
+                        AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+              cosv AS (SELECT doc_a, doc_b,
+                         CAST(d AS DOUBLE) /
+                           (sqrt(CAST(na.n2 AS DOUBLE)) *
+                            sqrt(CAST(nb.n2 AS DOUBLE))) AS c
+                       FROM dot JOIN nrm na ON na.doc_id = doc_a
+                            JOIN nrm nb ON nb.doc_id = doc_b)
+              SELECT doc_a, doc_b, round(c, 6) AS cosine
+              FROM cosv WHERE c >= 0.6 ORDER BY doc_a, doc_b""")),
+
     Q("ta_rouge_overlap",
       // ROUGE-1/2 scoring of the exact near-dup pairs: clipped n-gram
       // P/R/F1 of the later doc against the earlier — "how verbatim is

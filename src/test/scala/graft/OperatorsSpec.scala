@@ -263,6 +263,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(rn._3 - 3.0) < 2.0)
   }
 
+  test("kTruss: K4 survives k=4, pendant triangle peels with cascade") {
+    // K4 on {1,2,3,4} + triangle {3,4,5}. At k=4 (support >= 2): edges
+    // 3-5 and 4-5 sit in ONE triangle -> dropped round 1; edge 3-4 then
+    // loses that triangle but keeps support 2 inside the K4 -> the
+    // fixpoint is exactly the K4 with uniform support 2.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 5L), (4L, 5L)).toDF("u", "v")
+    val got = graft.operators.Graph.kTruss(edges, "u", "v", k = 4,
+      maxRounds = 6).orderBy("u", "v").as[(Long, Long, Long)].collect()
+    assert(got.map(e => (e._1, e._2)).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(got.forall(_._3 == 2L), got.mkString(","))
+    // a triangle-free graph 3-trusses to empty
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(graft.operators.Graph.kTruss(path, "u", "v", 3, 4).count() == 0)
+  }
+
+  test("apssCosinePairs: lossless vs all-pairs brute force on a random corpus") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 24L).map(i =>
+      (i, Seq.fill(12)(vocab(rnd.nextInt(6))).mkString(" ")))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.apssCosinePairs(docs, "doc_id", "text", num = 3, den = 5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+
+    // plain-Scala brute force with the SAME integer weighting — the
+    // prefix filter must lose nothing against the unfiltered truth
+    val grams = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+    }.toMap
+    val n = corpus.size
+    val df = grams.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    def wvec(id: Long): Map[String, Long] = grams(id)
+      .groupBy(identity).map { case (g, occ) =>
+        g -> occ.size * Math.round(1000.0 * math.log(n.toDouble / df(g)))
+      }.filter(_._2 > 0)
+    val exp = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      wa = wvec(a); wb = wvec(b)
+      dot = wa.keySet.intersect(wb.keySet).toSeq.map(g => wa(g) * wb(g)).sum
+      na = wa.values.map(w => w * w).sum; nb = wb.values.map(w => w * w).sum
+      c = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      if c >= 3.0 / 5
+    } yield (a, b)).toSet
+    assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}")
+    assert(exp.nonEmpty, "threshold too high for the test corpus")
+
+    // identical docs score exactly 1.0
+    val twins = Seq((1L, "x y z x y"), (2L, "x y z x y"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val tp = Dedup.apssCosinePairs(twins, "doc_id", "text", 3, 5)
+      .as[(Long, Long, Double)].collect()
+    assert(tp.toSeq == Seq((1L, 2L, 1.0)), tp.mkString(","))
+  }
+
   test("nbClassify: hand-computed NB scores, smoothing floor, tie-break") {
     // two labels, tiny corpus — expected scores computed by a plain
     // Scala reference below, so the distributed job is checked against

@@ -103,6 +103,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // BM25 broadcasts the SINGLE-ROW (N, avgdl) corpus-stats aggregate
     // into the scoring projection (`Search.bm25`)
     "search_bm25",
+    // APSS broadcasts the SINGLE-ROW corpus count into the idf
+    // projection (the search_bm25 license); candidates and dots are
+    // equi-joins on the term (`Dedup.apssCosinePairs`)
+    "dedup_apss_cosine",
     // IR metrics reuse the BM25 stats broadcast and combine three
     // SINGLE-ROW aggregates (mrr, dcg, idcg) into the summary row
     "search_ir_metrics",

@@ -111,6 +111,8 @@ DRIVERS = {
     "emb_pca_project": "embeddings",
     "ts_markov_stationary": "events",
     "a34_gini_activity": "events",
+    "dedup_apss_cosine": "documents",
+    "g11_ktruss": "lineitem",
 }
 
 # ep2 joins orders x lineitem; the synth rungs replicate lineitem only,
