@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenization (Kudo 2018 — the SentencePiece
+  * unigram model's inference rule): a frequency-scored piece vocabulary
+  * applied by VITERBI (max-sum) segmentation — each word takes the
+  * segmentation maximizing the sum of piece log-probabilities, which is
+  * globally optimal where [[WordPiece]]'s greedy longest-match and
+  * [[Bpe]]'s merge-order application are heuristics. The third
+  * tokenizer family a training pipeline fields, with the other two
+  * already in-repo.
+  *
+  * Exactness contract: piece scores are fixed-point
+  * `logp6 = round(1e6·ln(cnt/total))` BIGINTs, so every DP cell is an
+  * exact integer sum and the argmax (ties → longer last piece, i.e.
+  * smaller split point) replays bit-for-bit as SQL `max(struct(...))`
+  * chains.
+  *
+  * Scale shape: everything per-word runs on the DISTINCT-WORDS relation
+  * (~√corpus by Heaps' law); the corpus enters only through the word
+  * count shuffle. The vocabulary stays a broadcast DataFrame; each DP
+  * round i is one equi-join (candidate pieces ending at i × best states
+  * at their start positions) plus one per-word argmax agg; rounds and
+  * backtrack steps are bounded by `maxWordLen` and checkpoint so
+  * lineage stays flat (the [[Bpe]]/[[WordPiece]] discipline).
+  */
+object UnigramLm {
+
+  /** Substring-frequency piece vocabulary with unigram-LM scores: all
+    * substrings of length ≤ `maxPieceLen` of corpus words (weighted by
+    * word count), top `vocabSize` by (count desc, piece) plus ALL
+    * single-char pieces (closure: every word stays segmentable, so no
+    * UNK path is needed). Scores are fixed-point
+    * `logp6 = round(1e6·ln(cnt/total))` with `total` summed over the
+    * CUT vocabulary. Returns `(piece, cnt, logp6)`.
+    */
+  def buildVocab(docs: DataFrame, textCol: String,
+      vocabSize: Int, maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val wc = docs
+      .select(explode(Dedup.words(col(textCol))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val pieces = wc.select(col("word"), col("wc"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, length(word) - 1), s ->
+              transform(sequence(1, least($maxPieceLen, length(word) - s)),
+                l -> substring(word, s + 1, l))))""")).as("piece"))
+      .groupBy("piece").agg(sum("wc").as("cnt"))
+    val top = pieces
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(vocabSize)
+    val chars = pieces.filter(length(col("piece")) === 1)
+    val vocab = top.unionByName(chars).distinct()
+    // single-row vocab-total broadcast (the search_bm25 license)
+    val total = vocab.agg(sum("cnt").as("total"))
+    vocab.crossJoin(broadcast(total))
+      .select(col("piece"), col("cnt"),
+        round(lit(1e6) * log(col("cnt").cast("double") / col("total")), 0)
+          .cast("long").as("logp6"))
+  }
+
+  /** Viterbi tokenization of every distinct corpus word against `vocab`
+    * (from [[buildVocab]]): exact integer max-sum DP over split points,
+    * ties broken toward the LONGER final piece (then piece text — can't
+    * differ at equal length). Words longer than `maxWordLen` are
+    * excluded (the vocabulary never saw them either).
+    *
+    * Returns `(word, wc, n_pieces, pieces, score6)` — `pieces` the
+    * space-joined optimal segmentation, `score6` its total fixed-point
+    * log-probability.
+    */
+  def tokenize(docs: DataFrame, textCol: String, vocab: DataFrame,
+      maxWordLen: Int): DataFrame = {
+    val wc = docs
+      .select(explode(Dedup.words(col(textCol))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .localCheckpoint(true)
+    // candidate matches: piece spans (j, i) of each word present in the
+    // vocabulary — the DP edge relation, one broadcast join
+    val cand = wc.select(col("word"),
+        explode(expr(
+          """flatten(transform(sequence(0, length(word) - 1), s ->
+             transform(sequence(1, length(word) - s),
+               l -> struct(s AS j, s + l AS i,
+                           substring(word, s + 1, l) AS piece))))"""))
+          .as("sp"))
+      .select(col("word"), col("sp.j").as("j"), col("sp.i").as("i"),
+        col("sp.piece").as("piece"))
+      .join(broadcast(vocab.select(col("piece"), col("logp6"))), "piece")
+      .localCheckpoint(true)
+    // forward DP: best[i] per word, one round per end position
+    var ball = wc.select(col("word"), lit(0).as("pos"),
+      lit(0L).as("score"))
+    var choices = wc.select(col("word"), lit(0).as("pos"),
+      lit(null).cast("string").as("piece"), lit(0).as("j")).limit(0)
+    for (i <- 1 to maxWordLen) {
+      val bi = cand.filter(col("i") === i)
+        .join(ball.withColumnRenamed("pos", "j"), Seq("word", "j"))
+        .groupBy("word")
+        .agg(max(struct((col("score") + col("logp6")).as("score"),
+          (-col("j")).as("nj"), col("piece").as("piece"),
+          col("j").as("j"))).as("m"))
+        .select(col("word"), lit(i).as("pos"), col("m.score").as("score"),
+          col("m.piece").as("piece"), col("m.j").as("j"))
+        .localCheckpoint(true)
+      ball = ball.unionByName(bi.select("word", "pos", "score"))
+      choices = choices.unionByName(bi.select("word", "pos", "piece", "j"))
+    }
+    choices = choices.localCheckpoint(true)
+    // backtrack from pos = length(word); each step prepends the chosen
+    // piece and jumps to its start — words at pos 0 pass through
+    val finals = ball.select(col("word"), col("pos").as("p2"),
+      col("score"))
+    var path = wc.select(col("word"), length(col("word")).as("pos"),
+        array().cast("array<string>").as("seg"))
+      .join(finals, "word")
+      .filter(col("pos") === col("p2"))
+      .select(col("word"), col("pos"), col("seg"), col("score"))
+    for (_ <- 1 to maxWordLen) {
+      path = path
+        .join(choices.select(col("word"), col("pos"),
+          col("piece").as("cp"), col("j").as("cj")), Seq("word", "pos"),
+          "left")
+        .select(col("word"),
+          when(col("cp").isNull, col("pos")).otherwise(col("cj")).as("pos"),
+          when(col("cp").isNull, col("seg"))
+            .otherwise(concat(array(col("cp")), col("seg"))).as("seg"),
+          col("score"))
+        .localCheckpoint(true)
+    }
+    path.join(wc, "word")
+      .select(col("word"), col("wc"),
+        size(col("seg")).as("n_pieces"),
+        array_join(col("seg"), " ").as("pieces"),
+        col("score").as("score6"))
+  }
+}

@@ -792,6 +792,78 @@ object CatalogAnalytics {
       },
       Some(kTrussOracleSql(k = 3, rounds = 4))),
 
+    Q("ta_lang_divergence",
+      // corpus-mix diagnostics: KL and Jensen-Shannon divergence
+      // between the unigram distributions of each language-slice pair
+      // (add-1 smoothing over the shared vocabulary, so every term has
+      // positive mass on both sides). Per-term contributions are
+      // rounded to 1e-9 fixed point BEFORE the sum, so the reduction is
+      // an exact integer sum in any order/engine — the deterministic-
+      // float-reduction recipe. Slice counts are the corpus-scale work;
+      // the (lang × vocab) spine and pair join are dimension-sized.
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("lang"),
+            explode(graft.operators.Dedup.words(lower(col("text"))))
+              .as("term"))
+        val cnt = tok.groupBy("lang", "term").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val tot = cnt.groupBy("lang").agg(sum("c").as("n"))
+        val vocab = cnt.select("term").distinct()
+        val nv = vocab.agg(count(lit(1)).as("nv"))
+        // dimension-sized lang × vocab spine (the ts_gap_fill license)
+        // + the single-row vocab-size broadcast
+        val p = tot.crossJoin(vocab).crossJoin(broadcast(nv))
+          .join(cnt, Seq("lang", "term"), "left")
+          .select(col("lang"), col("term"),
+            ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+              (col("n") + col("nv")).cast("double")).as("p"))
+        val a = p.select(col("lang").as("lang_a"), col("term"),
+          col("p").as("pa"))
+        val b = p.select(col("lang").as("lang_b"), col("term"),
+          col("p").as("pb"))
+        a.join(b, Seq("term")).filter(col("lang_a") =!= col("lang_b"))
+          .select(col("lang_a"), col("lang_b"),
+            round(col("pa") * log(col("pa") / col("pb")) * 1e9, 0)
+              .cast("long").as("ka"),
+            round(col("pa") * log(col("pa") * 2 /
+              (col("pa") + col("pb"))) * 1e9, 0).cast("long").as("ja"),
+            round(col("pb") * log(col("pb") * 2 /
+              (col("pa") + col("pb"))) * 1e9, 0).cast("long").as("jb"))
+          .groupBy("lang_a", "lang_b")
+          .agg(round(sum("ka") / 1e9, 6).as("kl"),
+            round((sum("ja") + sum("jb")) / 2e9, 6).as("jsd"))
+          .orderBy("lang_a", "lang_b")
+      },
+      Some("""WITH tok AS (SELECT lang, unnest(
+                       regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS term
+                     FROM documents),
+              cnt AS (SELECT lang, term, count(*) AS c
+                      FROM tok GROUP BY 1, 2),
+              tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+                      FROM cnt GROUP BY 1),
+              vocab AS (SELECT DISTINCT term FROM cnt),
+              nv AS (SELECT count(*) AS nv FROM vocab),
+              p AS (SELECT t.lang, v.term,
+                      CAST(coalesce(c.c, 0) + 1 AS DOUBLE) /
+                        CAST(t.n + nv.nv AS DOUBLE) AS p
+                    FROM tot t CROSS JOIN vocab v CROSS JOIN nv
+                    LEFT JOIN cnt c ON c.lang = t.lang AND c.term = v.term),
+              pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                       CAST(round(a.p * ln(a.p / b.p) * 1e9, 0)
+                         AS BIGINT) AS ka,
+                       CAST(round(a.p * ln(a.p * 2 / (a.p + b.p)) * 1e9, 0)
+                         AS BIGINT) AS ja,
+                       CAST(round(b.p * ln(b.p * 2 / (a.p + b.p)) * 1e9, 0)
+                         AS BIGINT) AS jb
+                     FROM p a JOIN p b ON a.term = b.term
+                       AND a.lang <> b.lang)
+              SELECT lang_a, lang_b,
+                     round(sum(ka) / 1e9, 6) AS kl,
+                     round((sum(ja) + sum(jb)) / 2e9, 6) AS jsd
+              FROM pr GROUP BY 1, 2 ORDER BY lang_a, lang_b""")),
+
     Q("ts_acf",
       // autocorrelation function of the daily event-count series at
       // lags 1..10: Pearson r from INTEGER sums (k·Σxy − ΣxΣy over

@@ -799,6 +799,27 @@ object CatalogTraining {
             FROM s16 s JOIN wc USING (word) ORDER BY word"""
       }),
 
+    Q("ta_unigram_viterbi",
+      // unigram-LM (SentencePiece-style) tokenization: substring-
+      // frequency vocab (top 100 + single-char closure) scored with
+      // fixed-point log-probs, applied by VITERBI max-sum segmentation
+      // — globally optimal where WordPiece's greedy longest-match is a
+      // heuristic. Exact integer DP: every cell is a BIGINT sum, the
+      // argmax tie-breaks toward the longer final piece. All per-word
+      // work on the distinct-words relation; the oracle replays vocab,
+      // all 16 DP rounds (max(struct) chains), and all 16 backtrack
+      // steps.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.UnigramLm.tokenize(docs, "text",
+            graft.operators.UnigramLm.buildVocab(docs, "text",
+              vocabSize = 100, maxPieceLen = 6, maxWordLen = 16),
+            maxWordLen = 16)
+          .orderBy("word")
+      },
+      Some(unigramViterbiOracleSql(vocabSize = 100, maxPieceLen = 6,
+        maxWordLen = 16))),
+
     Q("ta_bpe_tokens",
       // trainer-accurate per-doc token counts: pre-tokenize, broadcast-
       // join the trained vocab's per-word symbol counts, re-agg to doc
@@ -1468,6 +1489,84 @@ object CatalogTraining {
     * grows two CTEs per round.
     */
   private final val PcaIters = 12
+
+  /** Chained-CTE replay of the whole unigram-LM Viterbi tokenization:
+    * vocab build (top-M + char closure, fixed-point logp6), the DP edge
+    * relation, `maxWordLen` forward rounds (each a `max(struct_pack)`
+    * argmax over the accumulated best-state union — exact BIGINT
+    * arithmetic ≡ the operator's), and `maxWordLen` backtrack steps.
+    */
+  private def unigramViterbiOracleSql(vocabSize: Int, maxPieceLen: Int,
+      maxWordLen: Int): String = {
+    val dp = (1 to maxWordLen).map { i =>
+      s"""bs$i AS MATERIALIZED (
+           SELECT c.word,
+                  max(struct_pack(score := b.score + c.logp6,
+                    nj := -c.j, piece := c.piece, j := c.j)) AS m
+           FROM cand c JOIN bu${i - 1} b
+             ON b.word = c.word AND b.pos = c.j
+           WHERE c.i = $i GROUP BY 1),
+         bu$i AS MATERIALIZED (
+           SELECT word, pos, score FROM bu${i - 1}
+           UNION ALL SELECT word, $i, m.score FROM bs$i)"""
+    }.mkString(",\n")
+    val choices = (1 to maxWordLen)
+      .map(i => s"SELECT word, $i AS pos, m.piece AS piece, m.j AS j FROM bs$i")
+      .mkString("\nUNION ALL ")
+    val back = (1 to maxWordLen).map { t =>
+      s"""p$t AS MATERIALIZED (
+           SELECT p.word,
+                  CASE WHEN c.piece IS NULL THEN p.pos ELSE c.j END AS pos,
+                  CASE WHEN c.piece IS NULL THEN p.seg
+                       WHEN p.seg = '' THEN c.piece
+                       ELSE c.piece || ' ' || p.seg END AS seg,
+                  p.score
+           FROM p${t - 1} p LEFT JOIN ch c
+             ON c.word = p.word AND c.pos = p.pos)"""
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+             FROM documents),
+       allw AS (SELECT ws[p] AS word
+                FROM w, unnest(range(1, len(ws) + 1)) t(p)),
+       wc AS MATERIALIZED (
+         SELECT word, count(*) AS wc FROM allw
+         WHERE length(word) BETWEEN 1 AND $maxWordLen GROUP BY 1),
+       pieces AS MATERIALIZED (
+         SELECT substr(word, s + 1, l) AS piece,
+                CAST(sum(wc) AS BIGINT) AS cnt
+         FROM wc, unnest(range(0, length(word))) ts(s),
+              unnest(range(1, least($maxPieceLen, length(word) - s) + 1))
+                tl(l)
+         GROUP BY 1),
+       topv AS (SELECT piece, cnt FROM pieces
+                ORDER BY cnt DESC, piece LIMIT $vocabSize),
+       chars AS (SELECT piece, cnt FROM pieces WHERE length(piece) = 1),
+       v0 AS (SELECT DISTINCT piece, cnt FROM
+                (SELECT * FROM topv UNION ALL SELECT * FROM chars)),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v0),
+       vocab AS MATERIALIZED (
+         SELECT piece, CAST(round(1e6 *
+             ln(CAST(cnt AS DOUBLE) / total), 0) AS BIGINT) AS logp6
+         FROM v0 CROSS JOIN tot),
+       spans AS (SELECT word, s AS j, s + l AS i,
+                   substr(word, s + 1, l) AS piece
+                 FROM wc, unnest(range(0, length(word))) ts(s),
+                      unnest(range(1, length(word) - s + 1)) tl(l)),
+       cand AS MATERIALIZED (
+         SELECT sp.word, sp.j, sp.i, sp.piece, v.logp6
+         FROM spans sp JOIN vocab v USING (piece)),
+       bu0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score FROM wc),
+       $dp,
+       ch AS MATERIALIZED ($choices),
+       p0 AS (SELECT wc.word, length(wc.word) AS pos, '' AS seg, b.score
+              FROM wc JOIN bu$maxWordLen b
+                ON b.word = wc.word AND b.pos = length(wc.word)),
+       $back
+       SELECT p.word, wc.wc,
+              CAST(len(string_split(p.seg, ' ')) AS INTEGER) AS n_pieces,
+              p.seg AS pieces, p.score AS score6
+       FROM p$maxWordLen p JOIN wc USING (word) ORDER BY word"""
+  }
 
   /** Chained-CTE replay of the whole PCA computation: fixed-point
     * covariance → `iters` ∞-normalized integer power rounds (HUGEINT

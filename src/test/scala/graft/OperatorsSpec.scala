@@ -263,6 +263,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(rn._3 - 3.0) < 2.0)
   }
 
+  test("UnigramLm: Viterbi beats greedy where optimal, exact fixed-point scores") {
+    // corpus "ab ab b": piece counts a=2, b=3, ab=2, total=7.
+    // Viterbi("ab") compares logp(ab) vs logp(a)+logp(b) — the whole
+    // piece wins; expected scores computed by the same formula here.
+    val docs = Seq("ab ab b").toDF("text")
+    val vocab = graft.operators.UnigramLm.buildVocab(docs, "text",
+      vocabSize = 10, maxPieceLen = 2, maxWordLen = 16)
+    val vm = vocab.as[(String, Long, Long)].collect()
+      .map(v => v._1 -> (v._2, v._3)).toMap
+    def lp(c: Long) = Math.round(1e6 * math.log(c.toDouble / 7))
+    assert(vm == Map("a" -> (2L, lp(2)), "b" -> (3L, lp(3)),
+      "ab" -> (2L, lp(2))), vm.toString)
+    val got = graft.operators.UnigramLm.tokenize(docs, "text", vocab, 16)
+      .orderBy("word").as[(String, Long, Int, String, Long)].collect()
+    assert(got.toSeq == Seq(
+      ("ab", 2L, 1, "ab", lp(2)),
+      ("b", 1L, 1, "b", lp(3))), got.mkString(","))
+
+    // a word the greedy longest-match would split worse: vocab built so
+    // that "xxy" segments as x|xy (max-sum) not xx|y when logp(xx)+
+    // logp(y) < logp(x)+logp(xy) — engineered by frequency: corpus
+    // makes xy very common, xx rare
+    val docs2 = Seq("xxy xy xy xy xy y").toDF("text")
+    val v2 = graft.operators.UnigramLm.buildVocab(docs2, "text", 20, 2, 16)
+    val got2 = graft.operators.UnigramLm.tokenize(docs2, "text", v2, 16)
+      .filter(col("word") === "xxy")
+      .as[(String, Long, Int, String, Long)].collect().head
+    assert(got2._4 == "x xy", got2.toString)
+  }
+
   test("kTruss: K4 survives k=4, pendant triangle peels with cascade") {
     // K4 on {1,2,3,4} + triangle {3,4,5}. At k=4 (support >= 2): edges
     // 3-5 and 4-5 sit in ONE triangle -> dropped round 1; edge 3-4 then

@@ -107,6 +107,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // projection (the search_bm25 license); candidates and dots are
     // equi-joins on the term (`Dedup.apssCosinePairs`)
     "dedup_apss_cosine",
+    // language-divergence builds the dimension-sized lang × vocab
+    // smoothing spine (the ts_gap_fill pattern) plus the single-row
+    // vocab-size broadcast; the pair expansion is an equi-join on term
+    "ta_lang_divergence",
     // IR metrics reuse the BM25 stats broadcast and combine three
     // SINGLE-ROW aggregates (mrr, dcg, idcg) into the summary row
     "search_ir_metrics",

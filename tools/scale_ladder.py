@@ -113,6 +113,8 @@ DRIVERS = {
     "a34_gini_activity": "events",
     "dedup_apss_cosine": "documents",
     "g11_ktruss": "lineitem",
+    "ta_unigram_viterbi": "documents",
+    "ta_lang_divergence": "documents",
 }
 
 # ep2 joins orders x lineitem; the synth rungs replicate lineitem only,
