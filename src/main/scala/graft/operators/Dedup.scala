@@ -1046,6 +1046,28 @@ object Dedup {
       k: Int, w: Int,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    // native one-pass monotone-deque selection (plans/WinnowSelect):
+    // zero row expansion, ZERO shuffle — the selection happens inside
+    // the scan projection. Semantics pinned to the composed form below
+    // by NativeExprParitySpec.
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.plans.WinnowSelect.winnowSelect(
+          transform(shingles(words(lower(col(textCol))), k), hashFn), w))
+          .as("fp"))
+      .select(col("doc_id"), col("fp.h").as("fp_hash"),
+        col("fp.pos").as("fp_pos"))
+  }
+
+  /** The composed (explode × window-start + `min(struct)`) form of
+    * [[winnowFingerprints]] — the executable semantics spec the native
+    * expression is property-tested against, and the shape every SQL
+    * oracle replays. Not on the hot path.
+    */
+  def winnowFingerprintsComposed(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
     val grams = docs
       .select(col(idCol).as("doc_id"),
         posexplode(shingles(words(lower(col(textCol))), k))

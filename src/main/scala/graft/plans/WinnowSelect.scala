@@ -1,0 +1,119 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `winnowSelect(hashes, w)` — the winnowing fingerprint selection
+  * (Schleimer/Wilkerson/Aiken, SIGMOD 2003) as ONE compiled pass: given
+  * a document's gram-hash array, emit the DISTINCT window minima of
+  * every `w`-window (rightmost position on ties) as
+  * `array<struct<pos:int, h:T>>` in ascending position order.
+  *
+  * Semantics contract — identical to the composed form the catalog
+  * oracles replay (`explode` each hash to its covering window starts,
+  * `min(struct(h, -pos))` per `(doc, s)`, distinct): arrays shorter
+  * than `w` winnow as ONE whole-array window; null elements are skipped
+  * (they can never be a minimum — [[graft.operators.Dedup.words]] feeds
+  * non-null grams, but the expression is public over any orderable
+  * array).
+  *
+  * Why native: the composed form fans every gram out to `w` window
+  * starts (a w× row expansion) and pays a corpus-sized shuffle for the
+  * per-window argmin; this pass is a classic monotone-deque sliding
+  * minimum — O(n) per document, zero expansion, ZERO shuffle, and it
+  * stays inside whole-stage codegen (array-granularity compute like
+  * [[WordShingles]]).
+  *
+  * Supports LongType (xxhash64 fast path) and StringType (md5-hex
+  * engine-portable path) elements — binary UTF8String ordering equals
+  * Spark's string ordering, which is what `min(struct)` used.
+  */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(StringType, _) =>
+      if (w >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("w must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnowSelect needs array<long> or array<string>, got $other")
+  }
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("h", elemType, nullable = false))), containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_select"
+
+  /** public for the generated code — stays inside WholeStageCodegen */
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val isStr = elemType == StringType
+    // null positions can never win a window minimum; with ALL elements
+    // null a window selects nothing (mirroring min(struct) over nulls
+    // yielding a null minimum that the composed distinct drops)
+    def cmpLE(i: Int, j: Int): Boolean = // h[i] <= h[j] ?
+      if (isStr) a.getUTF8String(i).compareTo(a.getUTF8String(j)) <= 0
+      else a.getLong(i) <= a.getLong(j)
+    val deque = new Array[Int](math.max(n, 1))
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new ArrayBuffer[InternalRow]()
+    var lastSel = -1
+    def select(p: Int): Unit = if (p != lastSel) {
+      val row = new GenericInternalRow(2)
+      row.update(0, p)
+      row.update(1,
+        if (isStr) a.getUTF8String(p) else java.lang.Long.valueOf(a.getLong(p)))
+      out += row
+      lastSel = p
+    }
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        // pop while back >= new: equal hashes evict the earlier
+        // position — the RIGHTMOST-tie winnowing rule
+        while (tail > head && cmpLE(i, deque(tail - 1))) tail -= 1
+        deque(tail) = i
+        tail += 1
+      }
+      if (i >= w - 1) {
+        // evict indices that left the window [i-w+1, i]
+        while (tail > head && deque(head) < i - w + 1) head += 1
+        if (tail > head) select(deque(head))
+      }
+      i += 1
+    }
+    if (n < w && tail > head) select(deque(head)) // whole-doc window
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowExpr", this,
+      classOf[WinnowSelect].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  def winnowSelect(hashes: Column, w: Int): Column =
+    ColumnBridge.column(WinnowSelect(ColumnBridge.expression(hashes), w))
+}

@@ -111,4 +111,29 @@ class NativeExprParitySpec extends AnyFunSuite {
       .count()
     assert(bad == 0L, "native cell argmax diverges from struct composition")
   }
+
+  test("prop: WinnowSelect ≡ window-expansion min(struct) composition, both hash types") {
+    // ties are the dangerous case: a tiny hash space forces many equal
+    // minima inside windows, exercising the rightmost-tie rule hard
+    val tinyWord: Gen[String] = Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val texts = samples(Gen.choose(1, 14).flatMap(n =>
+      Gen.listOfN(n, tinyWord).map(_.mkString(" "))), 300)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val hashFns: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
+      Seq("xxhash64" -> (g => xxhash64(g)),
+        "md5hex" -> (g => substring(md5(g), 1, 8)))
+    for ((hname, hf) <- hashFns; k <- Seq(1, 3); w <- Seq(1, 2, 4, 9)) {
+      def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), String.valueOf(r.get(1)), r.getInt(2)))
+        .toSet
+      val native = asSet(graft.operators.Dedup
+        .winnowFingerprints(df, "doc_id", "text", k, w, hf))
+      val composed = asSet(graft.operators.Dedup
+        .winnowFingerprintsComposed(df, "doc_id", "text", k, w, hf))
+      assert(native == composed,
+        s"hash=$hname k=$k w=$w: native winnow diverges from composition")
+    }
+  }
 }
