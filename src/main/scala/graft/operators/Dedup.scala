@@ -1148,7 +1148,7 @@ object Dedup {
     * the OUTPUT is.
     */
   def apssCosinePairs(docs: DataFrame, idCol: String, textCol: String,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int, prefixFilter: Boolean = true): DataFrame = {
     require(num > 0 && den > 0 && num < den, s"need 0 < num/den < 1")
     val tf = docs
       .select(col(idCol).as("doc_id"),
@@ -1166,29 +1166,51 @@ object Dedup {
       .filter(col("idf3") > 0)
       .select(col("doc_id"), col("term"), (col("tf") * col("idf3")).as("w")))
     val norm2 = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-    val ord = Window.partitionBy("doc_id")
-      .orderBy(col("w").desc, col("term").asc)
-    val prefix = w
-      .withColumn("cum", sum(col("w") * col("w")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(norm2, "doc_id")
-      // keep position p while den²·‖suffix from p‖² ≥ num²·‖v‖²
-      .filter(lit(den.toLong * den) *
-        (col("n2") - (col("cum") - col("w") * col("w"))) >=
-        lit(num.toLong * num) * col("n2"))
-      .select(col("doc_id"), col("term"))
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("term"))
-      .join(w.select(col("doc_id").as("doc_b"), col("term")), Seq("term"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .distinct()
-    val dots = cand
-      .join(w.select(col("doc_id").as("doc_a"), col("term"),
-        col("w").as("wa")), Seq("doc_a"))
-      .join(w.select(col("doc_id").as("doc_b"), col("term"),
-        col("w").as("wb")), Seq("doc_b", "term"))
-      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    val dots =
+      if (prefixFilter) {
+        // two-phase (index-prefix candidates, then scoped verify): wins
+        // on a Heaps-law corpus where the prefix concentrates in RARE
+        // terms and candidate volume ≈ output volume. On a closed-
+        // vocabulary corpus where most pairs genuinely share terms
+        // (this repo's synthetic documents), candidates approach all
+        // sharing pairs and the single-phase path below is strictly
+        // better — measured 84 s vs 4.6 s at sf0.1.
+        val ord = Window.partitionBy("doc_id")
+          .orderBy(col("w").desc, col("term").asc)
+        val prefix = w
+          .withColumn("cum", sum(col("w") * col("w")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(norm2, "doc_id")
+          // keep position p while den²·‖suffix from p‖² ≥ num²·‖v‖²
+          .filter(lit(den.toLong * den) *
+            (col("n2") - (col("cum") - col("w") * col("w"))) >=
+            lit(num.toLong * num) * col("n2"))
+          .select(col("doc_id"), col("term"))
+        val cand = prefix.select(col("doc_id").as("doc_a"), col("term"))
+          .join(w.select(col("doc_id").as("doc_b"), col("term")), Seq("term"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+          .distinct()
+        cand
+          .join(w.select(col("doc_id").as("doc_a"), col("term"),
+            col("w").as("wa")), Seq("doc_a"))
+          .join(w.select(col("doc_id").as("doc_b"), col("term"),
+            col("w").as("wb")), Seq("doc_b", "term"))
+          .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      } else {
+        // single-phase: the inverted-index self-join feeds ONE
+        // partial-aggregable (doc_a, doc_b) sum — map-side combine
+        // collapses each partition's shared-term products before the
+        // only pair-keyed shuffle. The right plan when shared-term pair
+        // density is high (exactly when two-phase candidates explode).
+        w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+          .join(w.select(col("doc_id").as("doc_b"), col("term"),
+            col("w").as("wb")), Seq("term"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(sum(col("wa") * col("wb")).as("dot"))
+      }
     dots
       .join(norm2.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
       .join(norm2.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")

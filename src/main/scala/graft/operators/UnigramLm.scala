@@ -91,12 +91,19 @@ object UnigramLm {
         col("sp.piece").as("piece"))
       .join(broadcast(vocab.select(col("piece"), col("logp6"))), "piece")
       .localCheckpoint(true)
+    // rounds past the corpus's actual longest word are no-ops in the
+    // fixed-budget SQL replay; skipping them here saves ~2 tiny jobs
+    // per skipped round. The max is a single scalar off the
+    // vocabulary-sized words relation — driver metadata.
+    val maxLen = math.min(maxWordLen,
+      Option(wc.agg(max(length(col("word")))).head.get(0))
+        .map(_.asInstanceOf[Int]).getOrElse(0))
     // forward DP: best[i] per word, one round per end position
     var ball = wc.select(col("word"), lit(0).as("pos"),
       lit(0L).as("score"))
     var choices = wc.select(col("word"), lit(0).as("pos"),
       lit(null).cast("string").as("piece"), lit(0).as("j")).limit(0)
-    for (i <- 1 to maxWordLen) {
+    for (i <- 1 to maxLen) {
       val bi = cand.filter(col("i") === i)
         .join(ball.withColumnRenamed("pos", "j"), Seq("word", "j"))
         .groupBy("word")
@@ -119,7 +126,7 @@ object UnigramLm {
       .join(finals, "word")
       .filter(col("pos") === col("p2"))
       .select(col("word"), col("pos"), col("seg"), col("score"))
-    for (_ <- 1 to maxWordLen) {
+    for (_ <- 1 to maxLen) {
       path = path
         .join(choices.select(col("word"), col("pos"),
           col("piece").as("cp"), col("j").as("cj")), Seq("word", "pos"),

@@ -318,6 +318,10 @@ class OperatorsSpec extends AnyFunSuite {
     val docs = corpus.toDF("doc_id", "text")
     val got = Dedup.apssCosinePairs(docs, "doc_id", "text", num = 3, den = 5)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val gotSingle = Dedup.apssCosinePairs(docs, "doc_id", "text",
+        num = 3, den = 5, prefixFilter = false)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(got == gotSingle, "two-phase and single-phase paths disagree")
 
     // plain-Scala brute force with the SAME integer weighting — the
     // prefix filter must lose nothing against the unfiltered truth
