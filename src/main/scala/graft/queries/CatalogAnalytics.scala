@@ -792,6 +792,27 @@ object CatalogAnalytics {
       },
       Some(kTrussOracleSql(k = 3, rounds = 4))),
 
+    Q("g12_betweenness",
+      // pivot-sampled betweenness (Brandes 2001) on the part
+      // co-purchase graph: 4 highest-degree pivots, radius-4, ALL
+      // pivots advanced simultaneously in (src, node)-keyed relations —
+      // no per-source loop, so the shape scales to hundreds of pivots.
+      // σ path counts are exact BIGINTs; δ dependencies accumulate as
+      // 1e-9 fixed-point integer sums (order-free reductions). The
+      // oracle replays all 4 forward and 4 backward rounds.
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+          .distinct()
+        val pairs = items.select(col("oid"), col("item").as("u"))
+          .join(items.select(col("oid"), col("item").as("v")), "oid")
+          .filter(col("u") < col("v"))
+          .select("u", "v").distinct()
+        Graph.betweennessPivots(pairs, "u", "v", nPivots = 4, maxDepth = 4)
+          .orderBy("node")
+      },
+      Some(betweennessOracleSql(nPivots = 4, maxDepth = 4))),
+
     Q("ta_lang_divergence",
       // corpus-mix diagnostics: KL and Jensen-Shannon divergence
       // between the unigram distributions of each language-slice pair
@@ -2145,6 +2166,61 @@ object CatalogAnalytics {
                   CAST(det * (n*syy - sy*sy) AS DOUBLE), 6) AS r2
               FROM dets""")),
 
+    Q("a36_theil_decomp",
+      // Theil-T inequality of document lengths DECOMPOSED by source:
+      // per-source within-group Theil (per-doc contributions rounded to
+      // 1e-9 fixed point before the sum — the ta_lang_divergence
+      // deterministic-reduction recipe) plus each source's between-
+      // group contribution (a per-group scalar from exact integer
+      // sums). Unlike Gini, Theil decomposes exactly: total =
+      // Σ share·T_g + Σ between_g — the "is the imbalance inside
+      // sources or between them" question a mix planner asks.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("source"), col("n_chars").as("x"))
+        val g = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_g"), sum("x").as("x_g"))
+          .localCheckpoint(true)
+        val tot = g.agg(sum("n_g").as("n"), sum("x_g").as("xt"))
+        val wg = docs.join(g, "source")
+          .select(col("source"),
+            round(lit(1e9) * (col("x").cast("double") / col("x_g")) *
+              log(col("x").cast("double") * col("n_g") / col("x_g")), 0)
+              .cast("long").as("k"))
+          .groupBy("source").agg(sum("k").as("k9"))
+        g.join(wg, "source").crossJoin(broadcast(tot))
+          .select(col("source"), col("n_g").as("n_docs"),
+            round(col("x_g").cast("double") / col("xt"), 6).as("len_share"),
+            round(col("k9") / 1e9, 6).as("theil_within"),
+            round((col("x_g").cast("double") / col("xt")) *
+              log((col("x_g").cast("double") / col("xt")) /
+                (col("n_g").cast("double") / col("n"))), 6)
+              .as("between_contrib"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, n_chars AS x FROM documents),
+              g AS (SELECT source, count(*) AS n_g,
+                      CAST(sum(x) AS BIGINT) AS x_g
+                    FROM d GROUP BY 1),
+              tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                        CAST(sum(x_g) AS BIGINT) AS xt
+                      FROM g),
+              within AS (SELECT d.source,
+                           CAST(round(1e9 * (CAST(d.x AS DOUBLE) / g.x_g) *
+                             ln(CAST(d.x AS DOUBLE) * g.n_g / g.x_g), 0)
+                             AS BIGINT) AS k
+                         FROM d JOIN g USING (source)),
+              wg AS (SELECT source, sum(k) AS k9 FROM within GROUP BY 1)
+              SELECT g.source, g.n_g AS n_docs,
+                     round(CAST(g.x_g AS DOUBLE) / tot.xt, 6) AS len_share,
+                     round(wg.k9 / 1e9, 6) AS theil_within,
+                     round((CAST(g.x_g AS DOUBLE) / tot.xt) *
+                       ln((CAST(g.x_g AS DOUBLE) / tot.xt) /
+                         (CAST(g.n_g AS DOUBLE) / tot.n)), 6)
+                       AS between_contrib
+              FROM g JOIN wg USING (source) CROSS JOIN tot
+              ORDER BY g.source""")),
+
     Q("ts_holt_winters",
       // Holt-Winters ADDITIVE triple smoothing (level + trend +
       // period-7 seasonality) of the daily event series, 7-day-ahead
@@ -2282,6 +2358,72 @@ object CatalogAnalytics {
     * 5-state chain to stabilize on the 1e-6 grid.
     */
   private final val MarkovIters = 24
+
+  /** Chained-CTE replay of pivot betweenness: multi-source BFS with
+    * path counting (`maxDepth` forward rounds, NOT EXISTS anti-joins
+    * against the accumulated visited union) then backward dependency
+    * rounds with 1e-9 fixed-point contributions — identical arithmetic
+    * to [[Graph.betweennessPivots]].
+    */
+  private def betweennessOracleSql(nPivots: Int, maxDepth: Int): String = {
+    val fwd = (1 to maxDepth).map { d =>
+      s"""f$d AS MATERIALIZED (
+           SELECT f.src, a.v AS node, $d AS level,
+                  CAST(sum(f.sigma) AS BIGINT) AS sigma
+           FROM f${d - 1} f JOIN adj a ON a.u = f.node
+           WHERE NOT EXISTS (SELECT 1 FROM vu${d - 1} z
+                             WHERE z.src = f.src AND z.node = a.v)
+           GROUP BY 1, 2),
+         vu$d AS MATERIALIZED (
+           SELECT src, node, level, sigma FROM vu${d - 1}
+           UNION ALL SELECT src, node, level, sigma FROM f$d)"""
+    }.mkString(",\n")
+    val bwd = (0 until maxDepth).reverse.map { lev =>
+      s"""dl$lev AS MATERIALIZED (
+           SELECT vl.src, vl.node, CAST(coalesce(c.d9, 0) AS BIGINT) AS d9
+           FROM (SELECT src, node FROM vu$maxDepth WHERE level = $lev) vl
+           LEFT JOIN (
+             SELECT v.src, v.node,
+                    sum(CAST(round(1e9 *
+                        (CAST(v.sigma AS DOUBLE) / w.sigma) *
+                        (1 + coalesce(dw.d9, 0) / 1e9), 0) AS BIGINT))
+                      AS d9
+             FROM (SELECT src, node, sigma FROM vu$maxDepth
+                   WHERE level = $lev) v
+             JOIN adj a ON a.u = v.node
+             JOIN (SELECT src, node, sigma FROM vu$maxDepth
+                   WHERE level = ${lev + 1}) w
+               ON w.src = v.src AND w.node = a.v
+             LEFT JOIN dl${lev + 1} dw
+               ON dw.src = w.src AND dw.node = w.node
+             GROUP BY 1, 2) c
+           ON c.src = vl.src AND c.node = vl.node)"""
+    }.mkString(",\n")
+    val allDl = (0 to maxDepth).map(l => s"SELECT src, node, d9 FROM dl$l")
+      .mkString("\nUNION ALL ")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS oid,
+                l_partkey AS item FROM lineitem),
+       und AS MATERIALIZED (
+         SELECT DISTINCT a.item AS u, b.item AS v
+         FROM items a JOIN items b ON a.oid = b.oid AND a.item < b.item),
+       adj AS MATERIALIZED (
+         SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       deg AS (SELECT u AS node, count(*) AS deg FROM adj GROUP BY 1),
+       piv AS (SELECT node AS src FROM deg
+               ORDER BY deg DESC, node LIMIT $nPivots),
+       f0 AS (SELECT src, src AS node, 0 AS level,
+                CAST(1 AS BIGINT) AS sigma FROM piv),
+       vu0 AS (SELECT src, node, level, sigma FROM f0),
+       $fwd,
+       dl$maxDepth AS (SELECT src, node, CAST(0 AS BIGINT) AS d9
+                       FROM vu$maxDepth WHERE level = $maxDepth),
+       $bwd,
+       alld AS ($allDl)
+       SELECT d.node, round(sum(d.d9) / 1e9, 6) AS bc
+       FROM alld d JOIN vu$maxDepth vv
+         ON vv.src = d.src AND vv.node = d.node AND vv.level > 0
+       GROUP BY 1 ORDER BY d.node"""
+  }
 
   /** Chained-CTE replay of `rounds` k-truss peel rounds (the kCore
     * oracle pattern): each round re-derives degrees, degree-ordered

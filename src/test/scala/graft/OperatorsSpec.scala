@@ -293,6 +293,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2._4 == "x xy", got2.toString)
   }
 
+  test("betweennessPivots: hand-traced Brandes on a path graph") {
+    // path 1-2-3-4-5; pivots = 2 highest-degree (deg ties -> smallest
+    // ids): {2, 3}. Hand Brandes: from 2, delta(3)=2, delta(4)=1; from
+    // 3, delta(2)=1, delta(4)=1 -> bc = {1:0, 2:1, 3:2, 4:2, 5:0}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = graft.operators.Graph.betweennessPivots(edges, "u", "v",
+        nPivots = 2, maxDepth = 4)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.0), (2L, 1.0), (3L, 2.0), (4L, 2.0),
+      (5L, 0.0)), got.mkString(","))
+  }
+
   test("kTruss: K4 survives k=4, pendant triangle peels with cascade") {
     // K4 on {1,2,3,4} + triangle {3,4,5}. At k=4 (support >= 2): edges
     // 3-5 and 4-5 sit in ONE triangle -> dropped round 1; edge 3-4 then

@@ -111,6 +111,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // smoothing spine (the ts_gap_fill pattern) plus the single-row
     // vocab-size broadcast; the pair expansion is an equi-join on term
     "ta_lang_divergence",
+    // Theil decomposition broadcasts the SINGLE-ROW grand-total
+    // aggregate into the per-source share projection (the a32 pattern)
+    "a36_theil_decomp",
     // IR metrics reuse the BM25 stats broadcast and combine three
     // SINGLE-ROW aggregates (mrr, dcg, idcg) into the summary row
     "search_ir_metrics",

@@ -115,6 +115,17 @@ DRIVERS = {
     "g11_ktruss": "lineitem",
     "ta_unigram_viterbi": "documents",
     "ta_lang_divergence": "documents",
+    "g12_betweenness": "lineitem",
+}
+
+# per-query rung overrides where the DERIVED relation's size inverts
+# against the driving table: the n_co>=2 co-purchase graph is DENSEST at
+# sf0.001 (sum(deg^2) 122k -> 34k -> 10k across the sf ladder — the
+# support floor prunes more as orders diversify), so wedge-dominated
+# operators legitimately COST MORE at the smallest rung. Their fit
+# starts where the derived graph grows with the driver again.
+RUNG_OVERRIDE = {
+    "g11_ktruss": ["sf0.01", "sf0.1", "synth10"],
 }
 
 # ep2 joins orders x lineitem; the synth rungs replicate lineitem only,
@@ -126,7 +137,7 @@ NO_SYNTH = {"ep2_jira_e2e"}
 # way a real corpus does (textrank's graph and wordpiece's state/vocab
 # are all distinct-word-sized, same cost model as BPE)
 VOCAB_BOUND = {"ta_bpe_tokens", "ta_textrank_keywords",
-               "ta_wordpiece_tokens"}
+               "ta_wordpiece_tokens", "ta_unigram_viterbi"}
 
 # stretch decade (VERDICT r9 #7): 30x lineitem (~18M rows) for the rows
 # whose synth10 segment steepened — rung appended only when its runs
@@ -135,6 +146,8 @@ XL30 = {"g1_pagerank", "g6_kcore", "a25_assoc_rules"}
 
 
 def rungs_for(query, table):
+    if query in RUNG_OVERRIDE:
+        return RUNG_OVERRIDE[query]
     if query in VOCAB_BOUND:
         return ZIPF_RUNGS
     if table in ("documents", "embeddings"):
