@@ -2221,6 +2221,156 @@ object CatalogAnalytics {
               FROM g JOIN wg USING (source) CROSS JOIN tot
               ORDER BY g.source""")),
 
+    Q("ts_isotonic_fit",
+      // isotonic (monotone non-decreasing) regression of the daily
+      // event-count series via the MINIMAX closed form
+      // ŷ_t = max_{i≤t} min_{j≥t} mean(y[i..j]) — equivalent to PAVA
+      // but expressible as two window passes over the calendar² pair
+      // grid instead of a sequential pool-merge loop, so it
+      // distributes. All means are exact-integer divisions (prefix
+      // sums of BIGINT counts); min/max over identical doubles in
+      // both engines. The pair grid is days² — calendar-sized (the
+      // ts_changepoint license), never data-sized.
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wOrd = Window.orderBy("day")
+        val idx = daily.select(col("day"), col("y"),
+            (row_number().over(wOrd) - 1).as("t"),
+            sum("y").over(wOrd.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).as("ps"))
+          .localCheckpoint(true)
+        val pairs = idx.select(col("t").as("i"), col("y").as("yi"),
+            col("ps").as("psi"))
+          .join(idx.select(col("t").as("j"), col("ps").as("psj")),
+            col("j") >= col("i"))
+          .select(col("i"), col("j"),
+            ((col("psj") - col("psi") + col("yi")).cast("double") /
+              (col("j") - col("i") + 1)).as("m"))
+        // A(i, j) = min over j' >= j of mean(i..j'): suffix running min
+        val wSuf = Window.partitionBy("i").orderBy(col("j").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // fitted(t) = max over i <= t of A(i, t): running max down i,
+        // read on the diagonal i = t
+        val wPre = Window.partitionBy("j").orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pairs.withColumn("a", min("m").over(wSuf))
+          .withColumn("f", max("a").over(wPre))
+          .filter(col("i") === col("j"))
+          .select(col("j").as("t"), round(col("f"), 6).as("fitted"))
+          .join(idx.select(col("day"), col("y"), col("t")), "t")
+          .select(col("day"), col("y"), col("fitted"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                     FROM events GROUP BY 1),
+              idx AS (SELECT day, y,
+                        row_number() OVER (ORDER BY day) - 1 AS t,
+                        sum(y) OVER (ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS ps
+                      FROM daily),
+              pr AS (SELECT a.t AS i, b.t AS j,
+                       CAST(b.ps - a.ps + a.y AS DOUBLE) /
+                         (b.t - a.t + 1) AS m
+                     FROM idx a JOIN idx b ON b.t >= a.t),
+              sufmin AS (SELECT i, j,
+                           min(m) OVER (PARTITION BY i ORDER BY j DESC
+                             ROWS UNBOUNDED PRECEDING) AS a
+                         FROM pr),
+              fit AS (SELECT i, j,
+                        max(a) OVER (PARTITION BY j ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS f
+                      FROM sufmin)
+              SELECT idx.day, idx.y, round(fit.f, 6) AS fitted
+              FROM fit JOIN idx ON fit.j = idx.t
+              WHERE fit.i = fit.j
+              ORDER BY idx.day""")),
+
+    Q("a37_ab_proportions",
+      // weekend-vs-weekday purchase-conversion A/B comparison: pooled
+      // two-proportion z statistic plus per-cohort Wilson 95% score
+      // intervals — every number a closed-form double over exact
+      // integer counts, so both engines emit identical values. One
+      // corpus aggregation; the comparison itself is a single row.
+      (s, d) => {
+        val ev = events(s, d).select(
+          when(dayofweek(to_date(col("ts"))).isin(1, 7), lit("weekend"))
+            .otherwise(lit("weekday")).as("cohort"),
+          (col("event_type") === "purchase").cast("long").as("conv"))
+        val g = ev.groupBy("cohort")
+          .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+        val a = g.filter(col("cohort") === "weekend")
+          .select(col("n").as("n1"), col("k").as("k1"))
+        val b = g.filter(col("cohort") === "weekday")
+          .select(col("n").as("n2"), col("k").as("k2"))
+        // two single-row aggregates combined (the a20/g4 license)
+        val zc = lit(1.959964)
+        def wilson(k: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column, sign: Int) = {
+          val p = k.cast("double") / n
+          val z2 = zc * zc
+          val center = p + z2 / (n * 2)
+          val half = zc * sqrt(p * (lit(1.0) - p) / n +
+            z2 / (lit(4.0) * n * n))
+          round((center + lit(sign) * half) / (lit(1.0) + z2 / n), 6)
+        }
+        a.crossJoin(b).select(
+          col("n1"), col("k1"), col("n2"), col("k2"),
+          round((col("k1") + col("k2")).cast("double") /
+            (col("n1") + col("n2")), 6).as("p_pooled"),
+          round((col("k1").cast("double") / col("n1") -
+            col("k2").cast("double") / col("n2")) /
+            sqrt(((col("k1") + col("k2")).cast("double") /
+              (col("n1") + col("n2"))) *
+              (lit(1.0) - (col("k1") + col("k2")).cast("double") /
+                (col("n1") + col("n2"))) *
+              (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("z"),
+          wilson(col("k1"), col("n1"), -1).as("ci1_lo"),
+          wilson(col("k1"), col("n1"), 1).as("ci1_hi"),
+          wilson(col("k2"), col("n2"), -1).as("ci2_lo"),
+          wilson(col("k2"), col("n2"), 1).as("ci2_hi"))
+      },
+      Some("""WITH ev AS (SELECT CASE WHEN dayofweek(CAST(ts AS DATE))
+                       IN (0, 6) THEN 'weekend' ELSE 'weekday' END
+                       AS cohort,
+                       CAST(event_type = 'purchase' AS BIGINT) AS conv
+                     FROM events),
+              g AS (SELECT cohort, count(*) AS n,
+                      CAST(sum(conv) AS BIGINT) AS k
+                    FROM ev GROUP BY 1),
+              a AS (SELECT n AS n1, k AS k1 FROM g
+                    WHERE cohort = 'weekend'),
+              b AS (SELECT n AS n2, k AS k2 FROM g
+                    WHERE cohort = 'weekday')
+              SELECT n1, k1, n2, k2,
+                round(CAST(k1 + k2 AS DOUBLE) / (n1 + n2), 6) AS p_pooled,
+                round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2) /
+                  sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) *
+                    (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2)) *
+                    (1.0 / n1 + 1.0 / n2)), 6) AS z,
+                round(((CAST(k1 AS DOUBLE) / n1 + 1.959964 * 1.959964 / (2 * n1))
+                  - 1.959964 * sqrt((CAST(k1 AS DOUBLE) / n1) *
+                    (1.0 - CAST(k1 AS DOUBLE) / n1) / n1 +
+                    1.959964 * 1.959964 / (4.0 * n1 * n1))) /
+                  (1.0 + 1.959964 * 1.959964 / n1), 6) AS ci1_lo,
+                round(((CAST(k1 AS DOUBLE) / n1 + 1.959964 * 1.959964 / (2 * n1))
+                  + 1.959964 * sqrt((CAST(k1 AS DOUBLE) / n1) *
+                    (1.0 - CAST(k1 AS DOUBLE) / n1) / n1 +
+                    1.959964 * 1.959964 / (4.0 * n1 * n1))) /
+                  (1.0 + 1.959964 * 1.959964 / n1), 6) AS ci1_hi,
+                round(((CAST(k2 AS DOUBLE) / n2 + 1.959964 * 1.959964 / (2 * n2))
+                  - 1.959964 * sqrt((CAST(k2 AS DOUBLE) / n2) *
+                    (1.0 - CAST(k2 AS DOUBLE) / n2) / n2 +
+                    1.959964 * 1.959964 / (4.0 * n2 * n2))) /
+                  (1.0 + 1.959964 * 1.959964 / n2), 6) AS ci2_lo,
+                round(((CAST(k2 AS DOUBLE) / n2 + 1.959964 * 1.959964 / (2 * n2))
+                  + 1.959964 * sqrt((CAST(k2 AS DOUBLE) / n2) *
+                    (1.0 - CAST(k2 AS DOUBLE) / n2) / n2 +
+                    1.959964 * 1.959964 / (4.0 * n2 * n2))) /
+                  (1.0 + 1.959964 * 1.959964 / n2), 6) AS ci2_hi
+              FROM a CROSS JOIN b""")),
+
     Q("ts_holt_winters",
       // Holt-Winters ADDITIVE triple smoothing (level + trend +
       // period-7 seasonality) of the daily event series, 7-day-ahead

@@ -114,6 +114,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // Theil decomposition broadcasts the SINGLE-ROW grand-total
     // aggregate into the per-source share projection (the a32 pattern)
     "a36_theil_decomp",
+    // isotonic fit pairs calendar DAYS under j >= i (days² rows —
+    // calendar-sized, the ts_changepoint pattern)
+    "ts_isotonic_fit",
+    // A/B comparison combines two SINGLE-ROW cohort aggregates into
+    // the one summary row (the a20/g4 pattern)
+    "a37_ab_proportions",
     // IR metrics reuse the BM25 stats broadcast and combine three
     // SINGLE-ROW aggregates (mrr, dcg, idcg) into the summary row
     "search_ir_metrics",
