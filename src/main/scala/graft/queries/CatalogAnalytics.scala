@@ -2371,6 +2371,50 @@ object CatalogAnalytics {
                   (1.0 + 1.959964 * 1.959964 / n2), 6) AS ci2_hi
               FROM a CROSS JOIN b""")),
 
+    Q("a38_auc_mannwhitney",
+      // ROC AUC of "does event value predict purchase", computed
+      // EXACTLY as the tie-corrected Mann-Whitney rank statistic:
+      // 2·Σ(avg ranks of positives) = Σ np·(2·cnt_less + cnt_eq + 1)
+      // stays INTEGER (doubled to absorb the .5 tie ranks), so
+      // AUC = (R2 − 2·binom) / (2·n1·n0) is one double division of
+      // exact BIGINTs. The rank pass runs on the DISTINCT-value
+      // relation (dimension-sized — value has 2dp), not the corpus.
+      (s, d) => {
+        val ev = events(s, d).select(col("value").as("sc"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        val byVal = ev.groupBy("sc")
+          .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+        val w = Window.orderBy("sc")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byVal
+          .withColumn("less", coalesce(sum("n").over(w), lit(0L)))
+          .agg(sum("np").as("n1"), (sum("n") - sum("np")).as("n0"),
+            sum(col("np") * (lit(2) * col("less") + col("n") + 1))
+              .as("r2"))
+          .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+            round((col("r2") - col("n1") * (col("n1") + 1)).cast("double") /
+              (lit(2.0) * col("n1") * col("n0")), 6).as("auc"))
+      },
+      Some("""WITH ev AS (SELECT value AS sc,
+                       CAST(event_type = 'purchase' AS BIGINT) AS pos
+                     FROM events),
+              byval AS (SELECT sc, count(*) AS n,
+                          CAST(sum(pos) AS BIGINT) AS np
+                        FROM ev GROUP BY 1),
+              rk AS (SELECT sc, n, np,
+                       CAST(coalesce(sum(n) OVER (ORDER BY sc
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS less
+                     FROM byval),
+              ag AS (SELECT CAST(sum(np) AS BIGINT) AS n1,
+                       CAST(sum(n) - sum(np) AS BIGINT) AS n0,
+                       CAST(sum(np * (2 * less + n + 1)) AS BIGINT) AS r2
+                     FROM rk)
+              SELECT n1 AS n_pos, n0 AS n_neg,
+                     round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE) /
+                       (2.0 * n1 * n0), 6) AS auc
+              FROM ag""")),
+
     Q("ts_holt_winters",
       // Holt-Winters ADDITIVE triple smoothing (level + trend +
       // period-7 seasonality) of the daily event series, 7-day-ahead

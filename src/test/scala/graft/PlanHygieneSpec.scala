@@ -218,6 +218,17 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("native winnow fingerprinting plans with ZERO exchanges") {
+    // the point of plans/WinnowSelect: selection happens inside the
+    // scan projection, so the fingerprint relation needs no shuffle at
+    // all (the composed form paid a w× explode + (doc, window) groupBy)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.operators.Dedup
+      .winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("filters and projections reach the parquet scan on representative queries") {
     // predicate pushdown evidence, asserted (ExplainAudit shows it,
     // this pins it): date-range filter lands in PushedFilters, and the
