@@ -163,8 +163,26 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val repsJson = repCounts.toSeq.sortBy(_._1)
       .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    // host-throughput calibration: a fixed single-thread spin (xorshift
+    // over 2e8 steps, min of 3) stamps how fast THIS host runs pure
+    // CPU right now — co-tenant load on a shared-host VM inflates every
+    // JVM's CPU counters identically (r10: loadavg 13 with zero local
+    // consumers read +42% cpu_total at 0.98x wall and byte-identical
+    // shuffle), and the gate refuses cross-load comparisons on >1.25x
+    // calib skew exactly as it refuses cpus/heap mismatches
+    val calibMs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }.min
     val envJson =
       s"""{"cpus":$cpus,""" +
+      f""""calib_ms":$calibMs%.1f,""" +
       s""""shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024L * 1024L)},""" +
       s""""jvm":"${System.getProperty("java.version")}",""" +
