@@ -641,8 +641,14 @@ object Graph {
     * excluding each pivot's own source row, bc on the 1e-9 grid
     * rounded to 6dp.
     */
-  def betweennessPivots(edges: DataFrame, uCol: String, vCol: String,
-      nPivots: Int, maxDepth: Int): DataFrame = {
+  /** Multi-pivot BFS with path counting — the shared forward pass of
+    * [[betweennessPivots]] and [[harmonicCloseness]]: the `nPivots`
+    * highest-degree nodes advance simultaneously in one `(src, node)`-
+    * keyed relation. Returns (bidirectional adjacency persisted by the
+    * caller's lifetime, visited = `(src, node, level, sigma)`).
+    */
+  private def pivotBfs(edges: DataFrame, uCol: String, vCol: String,
+      nPivots: Int, maxDepth: Int): (DataFrame, DataFrame) = {
     require(nPivots >= 1 && maxDepth >= 1)
     val adj = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .unionAll(edges.select(col(vCol).as("u"), col(uCol).as("v")))
@@ -665,6 +671,33 @@ object Graph {
       frontier = materialize(nf)
       visited = materialize(visited.unionByName(frontier))
     }
+    (adj, visited)
+  }
+
+  /** Pivot-sampled harmonic closeness centrality: `Σ_pivots 1/d(p, v)`
+    * over the radius-`maxDepth` multi-pivot BFS — the centrality that
+    * stays well-defined on disconnected graphs (unreached pairs
+    * contribute 0, no infinite-distance pathology). Reciprocals are
+    * 1e-9 fixed-point integers (`round(1e9/level)`), so the per-node
+    * reduction is an exact order-free integer sum. Returns
+    * `(node, harmonic)` for every node some pivot reaches.
+    */
+  def harmonicCloseness(edges: DataFrame, uCol: String, vCol: String,
+      nPivots: Int, maxDepth: Int): DataFrame = {
+    val (adj, visited) = pivotBfs(edges, uCol, vCol, nPivots, maxDepth)
+    val out = visited.filter(col("level") > 0)
+      .select(col("node"),
+        round(lit(1e9) / col("level"), 0).cast("long").as("k"))
+      .groupBy("node")
+      .agg(round(sum("k") / 1e9, 6).as("harmonic"))
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    out
+  }
+
+  def betweennessPivots(edges: DataFrame, uCol: String, vCol: String,
+      nPivots: Int, maxDepth: Int): DataFrame = {
+    val (adj, visited) = pivotBfs(edges, uCol, vCol, nPivots, maxDepth)
     // backward: δ at the horizon level is 0; each earlier level sums
     // fixed-point contributions from its BFS successors
     var delta = visited.filter(col("level") === maxDepth)

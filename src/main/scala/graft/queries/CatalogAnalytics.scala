@@ -813,6 +813,26 @@ object CatalogAnalytics {
       },
       Some(betweennessOracleSql(nPivots = 4, maxDepth = 4))),
 
+    Q("g13_harmonic",
+      // pivot-sampled harmonic closeness on the same co-purchase
+      // graph: Σ 1/d(pivot, v) over the radius-4 multi-pivot BFS —
+      // well-defined on disconnected graphs (unreached = 0), exact via
+      // 1e-9 fixed-point reciprocals summed as integers. Shares the
+      // g12 forward pass; the oracle replays the BFS and the
+      // reciprocal sum.
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+          .distinct()
+        val pairs = items.select(col("oid"), col("item").as("u"))
+          .join(items.select(col("oid"), col("item").as("v")), "oid")
+          .filter(col("u") < col("v"))
+          .select("u", "v").distinct()
+        Graph.harmonicCloseness(pairs, "u", "v", nPivots = 4, maxDepth = 4)
+          .orderBy("node")
+      },
+      Some(harmonicOracleSql(nPivots = 4, maxDepth = 4))),
+
     Q("ta_lang_divergence",
       // corpus-mix diagnostics: KL and Jensen-Shannon divergence
       // between the unigram distributions of each language-slice pair
@@ -2595,7 +2615,23 @@ object CatalogAnalytics {
     }.mkString(",\n")
     val allDl = (0 to maxDepth).map(l => s"SELECT src, node, d9 FROM dl$l")
       .mkString("\nUNION ALL ")
-    s"""WITH items AS (SELECT DISTINCT l_orderkey AS oid,
+    s"""WITH ${pivotBfsCtes(nPivots, maxDepth)},
+       $fwd,
+       dl$maxDepth AS (SELECT src, node, CAST(0 AS BIGINT) AS d9
+                       FROM vu$maxDepth WHERE level = $maxDepth),
+       $bwd,
+       alld AS ($allDl)
+       SELECT d.node, round(sum(d.d9) / 1e9, 6) AS bc
+       FROM alld d JOIN vu$maxDepth vv
+         ON vv.src = d.src AND vv.node = d.node AND vv.level > 0
+       GROUP BY 1 ORDER BY d.node"""
+  }
+
+  /** Shared CTE prefix of the pivot-BFS oracles: co-purchase edges,
+    * bidirectional adjacency, degree-ranked pivot pick, the seed level.
+    */
+  private def pivotBfsCtes(nPivots: Int, maxDepth: Int): String =
+    s"""items AS (SELECT DISTINCT l_orderkey AS oid,
                 l_partkey AS item FROM lineitem),
        und AS MATERIALIZED (
          SELECT DISTINCT a.item AS u, b.item AS v
@@ -2607,16 +2643,31 @@ object CatalogAnalytics {
                ORDER BY deg DESC, node LIMIT $nPivots),
        f0 AS (SELECT src, src AS node, 0 AS level,
                 CAST(1 AS BIGINT) AS sigma FROM piv),
-       vu0 AS (SELECT src, node, level, sigma FROM f0),
-       $fwd,
-       dl$maxDepth AS (SELECT src, node, CAST(0 AS BIGINT) AS d9
-                       FROM vu$maxDepth WHERE level = $maxDepth),
-       $bwd,
-       alld AS ($allDl)
-       SELECT d.node, round(sum(d.d9) / 1e9, 6) AS bc
-       FROM alld d JOIN vu$maxDepth vv
-         ON vv.src = d.src AND vv.node = d.node AND vv.level > 0
-       GROUP BY 1 ORDER BY d.node"""
+       vu0 AS (SELECT src, node, level, sigma FROM f0)"""
+
+  /** Forward-only replay for `g13_harmonic`: the [[pivotBfsCtes]] BFS
+    * plus the exact fixed-point reciprocal-distance sum.
+    */
+  private def harmonicOracleSql(nPivots: Int, maxDepth: Int): String = {
+    val fwd = (1 to maxDepth).map { d =>
+      s"""f$d AS MATERIALIZED (
+           SELECT f.src, a.v AS node, $d AS level,
+                  CAST(sum(f.sigma) AS BIGINT) AS sigma
+           FROM f${d - 1} f JOIN adj a ON a.u = f.node
+           WHERE NOT EXISTS (SELECT 1 FROM vu${d - 1} z
+                             WHERE z.src = f.src AND z.node = a.v)
+           GROUP BY 1, 2),
+         vu$d AS MATERIALIZED (
+           SELECT src, node, level, sigma FROM vu${d - 1}
+           UNION ALL SELECT src, node, level, sigma FROM f$d)"""
+    }.mkString(",\n")
+    s"""WITH ${pivotBfsCtes(nPivots, maxDepth)},
+       $fwd
+       SELECT node,
+              round(sum(CAST(round(1e9 / level, 0) AS BIGINT)) / 1e9, 6)
+                AS harmonic
+       FROM vu$maxDepth WHERE level > 0
+       GROUP BY 1 ORDER BY node"""
   }
 
   /** Chained-CTE replay of `rounds` k-truss peel rounds (the kCore

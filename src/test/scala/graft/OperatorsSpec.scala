@@ -305,6 +305,17 @@ class OperatorsSpec extends AnyFunSuite {
       (5L, 0.0)), got.mkString(","))
   }
 
+  test("harmonicCloseness: hand-traced reciprocal distances on a path graph") {
+    // path 1-2-3-4-5, pivots {2,3}: harmonic(1) = 1/1 + 1/2 = 1.5,
+    // harmonic(5) = 1/3 + 1/2 = 0.833333 (fixed-point 1e-9 grid)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = graft.operators.Graph.harmonicCloseness(edges, "u", "v",
+        nPivots = 2, maxDepth = 4)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.5), (2L, 1.0), (3L, 1.0), (4L, 1.5),
+      (5L, 0.833333)), got.mkString(","))
+  }
+
   test("kTruss: K4 survives k=4, pendant triangle peels with cascade") {
     // K4 on {1,2,3,4} + triangle {3,4,5}. At k=4 (support >= 2): edges
     // 3-5 and 4-5 sit in ONE triangle -> dropped round 1; edge 3-4 then

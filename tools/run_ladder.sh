@@ -11,11 +11,11 @@ RUNS=${1:-4}
 export SPARK_GRAFT_CPUS=32
 
 # rows fitted on the sf ladder (TPC-H/events drivers)
-SF_SET=a25_assoc_rules,a29_triple_itemsets,a30_sliding_distinct,a34_gini_activity,ep1_weekly_e2e,ep2_jira_e2e,ep3_dashboard_e2e,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,j12_jaro_entity_join,ts_markov_stationary
+SF_SET=a25_assoc_rules,a29_triple_itemsets,a30_sliding_distinct,a34_gini_activity,ep1_weekly_e2e,ep2_jira_e2e,ep3_dashboard_e2e,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic,j12_jaro_entity_join,ts_markov_stationary
 # rows fitted on the corpus ladder (documents/embeddings drivers)
 CORPUS_SET=dedup_apss_cosine,dedup_cdc_chunks,dedup_clusters,dedup_containment,dedup_edit_distance,dedup_embedding,dedup_embedding_scaled,dedup_jaccard,dedup_keep_best,dedup_lines_keep_first,dedup_minhash_lsh,dedup_spans,dedup_winnow,emb_pca_project,er_blocking_quality,g2_cluster_sizes,hh_bigram_phrases,inc_dedup_pairs,mm_phash_dct,search_bm25,sim_ann_ivf_pq,sim_hard_negatives,ta_lang_divergence,ta_rouge_overlap,td_kcenter_coreset,td_leakage_split,td_pipeline_e2e
 # lineitem-driven rows also measured at synth10 for the e(xl) segment
-LI_SET=a25_assoc_rules,a29_triple_itemsets,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness
+LI_SET=a25_assoc_rules,a29_triple_itemsets,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic
 # vocab-bound rows fit on the Heaps-law zipf rungs (see scale_ladder.py);
 # build them with:
 #   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/zipf1 1 zipf'   (and 3, 10)

@@ -116,6 +116,7 @@ DRIVERS = {
     "ta_unigram_viterbi": "documents",
     "ta_lang_divergence": "documents",
     "g12_betweenness": "lineitem",
+    "g13_harmonic": "lineitem",
 }
 
 # per-query rung overrides where the DERIVED relation's size inverts
