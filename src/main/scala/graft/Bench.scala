@@ -170,19 +170,39 @@ object Bench {
     // consumers read +42% cpu_total at 0.98x wall and byte-identical
     // shuffle), and the gate refuses cross-load comparisons on >1.25x
     // calib skew exactly as it refuses cpus/heap mismatches
-    val calibMs = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
+    def spin(steps: Int): Long = {
       var x = 0x9e3779b97f4a7c15L
       var i = 0
-      while (i < 200000000) {
+      while (i < steps) {
         x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
       }
-      if (x == 42L) println("") // defeat dead-code elimination
+      x
+    }
+    val calibMs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      if (spin(200000000) == 42L) println("") // defeat dead-code elim
+      (System.nanoTime() - t0) / 1e6
+    }.min
+    // multi-threaded calibration: the single-thread spin can stay at
+    // full speed on a lightly-oversubscribed host while the 32-thread
+    // executor pool is still contended, so it under-detects exactly the
+    // load that inflates multi-threaded CPU counters. Spin one thread
+    // per cpu concurrently and stamp the wall of the slowest — that IS
+    // the contention the executor pool experiences. Stamped as a
+    // separate field so records with only the single-thread stamp stay
+    // comparable; the gate prefers calib_mt_ms when both records have it.
+    val calibMtMs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val threads = (1 to cpus.toInt).map { _ =>
+        new Thread(() => { if (spin(50000000) == 42L) println("") })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e6
     }.min
     val envJson =
       s"""{"cpus":$cpus,""" +
       f""""calib_ms":$calibMs%.1f,""" +
+      f""""calib_mt_ms":$calibMtMs%.1f,""" +
       s""""shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024L * 1024L)},""" +
       s""""jvm":"${System.getProperty("java.version")}",""" +

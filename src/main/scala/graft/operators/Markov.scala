@@ -34,9 +34,13 @@ object Markov {
   def transitions6(events: DataFrame, keyCol: String, orderCol: String,
       stateCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    // states are carried as strings end-to-end (any input type is
+    // cast here), so the driver-side solve never type-switches and the
+    // oracle's varchar ordering matches
+    val st = col(stateCol).cast("string")
     val pairs = events
-      .select(col(keyCol), col(orderCol), col(stateCol).as("dst"),
-        lag(col(stateCol), 1).over(w).as("src"))
+      .select(col(keyCol), col(orderCol), st.as("dst"),
+        lag(st, 1).over(w).as("src"))
       .filter(col("src").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
     val tot = Window.partitionBy("src")
@@ -54,14 +58,20 @@ object Markov {
     */
   def stationary(spark: SparkSession, trans6: DataFrame, iters: Int)
       : DataFrame = {
+    // String.valueOf rather than getString: stationary is public and a
+    // caller may hand it a trans6 relation whose state columns were
+    // never cast — any orderable type round-trips through its string
+    // rendering (the same rendering the varchar oracle sorts by)
     val rows = trans6.select("src", "dst", "p6").collect()
-    val states = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+    val states = rows
+      .flatMap(r => Seq(String.valueOf(r.get(0)), String.valueOf(r.get(1))))
       .distinct.sorted
     val idx = states.zipWithIndex.toMap
     val n = states.length
     val p = Array.ofDim[Long](n * n)
-    rows.foreach(r => p(idx(r.getString(0)) * n + idx(r.getString(1))) =
-      r.getLong(2))
+    rows.foreach(r =>
+      p(idx(String.valueOf(r.get(0))) * n +
+        idx(String.valueOf(r.get(1)))) = r.getLong(2))
     def halfAway(x: Double): Long =
       (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
     var v = Array.fill(n)(1000000L)

@@ -44,6 +44,13 @@ object Regression {
       a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
     // A = [[n st sw],[st stt stw],[sw stw sww]], c = [sy sty swy]
     val det = det3(n, st, sw, st, stt, stw, sw, stw, sww)
+    // fail loudly on a singular design matrix (e.g. a constant x2
+    // column): BigInt/0 via toDouble would otherwise emit
+    // Infinity/NaN silently, with engine-dependent NaN rendering in
+    // the oracle hash
+    require(det != 0,
+      s"ols2($y ~ 1 + $x1 + $x2): design matrix is singular " +
+        "(collinear regressors)")
     val num0 = det3(sy, st, sw, sty, stt, stw, swy, stw, sww)
     val num1 = det3(n, sy, sw, st, sty, stw, sw, swy, sww)
     val num2 = det3(n, st, sy, st, stt, sty, sw, stw, swy)

@@ -2732,9 +2732,13 @@ object CatalogAnalytics {
            LEFT JOIN v${k - 1} v ON v.state = t.src
            GROUP BY 1),
          v$k AS MATERIALIZED (
-           SELECT state, CAST(round(CAST(w AS DOUBLE) * 1000000 /
-             CAST((SELECT sum(w) FROM w$k) AS DOUBLE), 0) AS BIGINT) AS v
-           FROM w$k)"""
+           SELECT w.state,
+                  CASE WHEN (SELECT sum(w) FROM w$k) > 0
+                       THEN CAST(round(CAST(w.w AS DOUBLE) * 1000000 /
+                         CAST((SELECT sum(w) FROM w$k) AS DOUBLE), 0)
+                         AS BIGINT)
+                       ELSE p.v END AS v
+           FROM w$k w JOIN v${k - 1} p ON p.state = w.state)"""
     }.mkString(",\n")
     s"""WITH seq AS (
          SELECT event_type AS dst,

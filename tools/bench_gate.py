@@ -44,9 +44,17 @@ the witnesses arbitrate:
   - a rule-1 cpu_total hit is downgraded iff common-query TOTAL wall is
     within 1.10x and TOTAL shuffle within 2%.
 Downgrades are recorded in BENCH_GATE.json (host_mode entries), never
-silent. Bench additionally stamps env.calib_ms (min-of-3 fixed spin
-loop); when BOTH records carry it, a >1.25x skew REFUSES the comparison
-outright — co-tenant load becomes a measured env field like cpus/heap.
+silent. Bench additionally stamps env.calib_ms (min-of-3 single-thread
+spin) and env.calib_mt_ms (min-of-3 concurrent one-thread-per-cpu spin;
+preferred when both records carry it — the single-thread spin can stay
+at full speed while the executor pool is contended). When BOTH records
+carry a stamp, a >1.25x skew REFUSES the comparison outright — co-tenant
+load becomes a measured env field like cpus/heap. Round 11: a host-mode
+downgrade additionally REQUIRES calibration evidence of load skew —
+when both stamps exist and agree within 1.10x, the co-tenant-load
+explanation is refuted and a recheck-confirmed CPU regression stays
+flagged even with stable shuffle and wall (the compute-only class, e.g.
+an expression falling out of whole-stage codegen).
 
 Exit codes: 0 pass, 1 regression, 2 refused/invalid.
 """
@@ -54,6 +62,10 @@ import sys, json, os, subprocess
 
 ENV_KEYS = ["cpus", "shuffle_partitions", "heap_max_mb", "jvm",
             "sf_name", "rep_policy"]
+
+# fresh standalone JVMs per flagged query (min-of-N, early exit once the
+# rule clears) -- mirrored in BENCH.md "min-of-5"
+RECHECK_JVMS = 5
 
 
 def recheck(queries, env, repo_root):
@@ -122,20 +134,38 @@ def main():
             print(f"  {k}: baseline={b} candidate={c}")
         return 2
     # measured host-throughput stamp: when both records carry the spin
-    # calibration, co-tenant load is an env field like cpus/heap
-    b_cal, c_cal = be.get("calib_ms"), ce.get("calib_ms")
+    # calibration, co-tenant load is an env field like cpus/heap.
+    # Prefer the multi-threaded stamp (calib_mt_ms, one spin thread per
+    # cpu) over the single-thread one: a lightly-oversubscribed host can
+    # keep ONE spin thread at full speed while the executor pool is
+    # still contended, so only the concurrent spin tracks the contention
+    # multi-threaded CPU counters actually experience.
+    if be.get("calib_mt_ms") and ce.get("calib_mt_ms"):
+        b_cal, c_cal = be["calib_mt_ms"], ce["calib_mt_ms"]
+        cal_field = "calib_mt_ms"
+    else:
+        b_cal, c_cal = be.get("calib_ms"), ce.get("calib_ms")
+        cal_field = "calib_ms"
+    calib_skew = None
     if b_cal and c_cal:
-        ratio = max(c_cal / b_cal, b_cal / c_cal)
-        if ratio > 1.25:
-            print(f"REFUSED: host calibration skew {ratio:.2f}x > 1.25x "
-                  f"(baseline {b_cal:.0f} ms vs candidate {c_cal:.0f} ms "
-                  f"spin) -- CPU counters are not comparable across this "
-                  f"much co-tenant load")
+        calib_skew = max(c_cal / b_cal, b_cal / c_cal)
+        if calib_skew > 1.25:
+            print(f"REFUSED: host calibration skew {calib_skew:.2f}x > "
+                  f"1.25x ({cal_field}: baseline {b_cal:.0f} ms vs "
+                  f"candidate {c_cal:.0f} ms spin) -- CPU counters are "
+                  f"not comparable across this much co-tenant load")
             return 2
     elif c_cal and not b_cal:
         print("note: baseline lacks env.calib_ms -- host-throughput "
               "comparability unverified; wall+shuffle corroboration "
               "arbitrates CPU disagreements")
+    # host-mode downgrades need EVIDENCE of load skew: when both stamps
+    # exist and agree within 1.10x, the co-tenant-load explanation is
+    # refuted -- a recheck-confirmed CPU regression with stable shuffle
+    # and wall is then exactly the compute-only class (e.g. an
+    # expression falling out of whole-stage codegen) this gate exists
+    # to catch, and it stays flagged.
+    host_load_evidence = calib_skew is None or calib_skew > 1.10
 
     bc, cc = base["cpu"], cand["cpu"]
     common = sorted(set(bc) & set(cc))
@@ -191,12 +221,13 @@ def main():
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         parts = {}
         for q in flagged:
-            # up to 3 fresh JVMs, keep the per-field MIN, stop early once
-            # the cpu rule clears — the ladder's own min-across-fresh-JVM
-            # policy (SCALE.md): the bimodal mode re-rolls per JVM, and a
-            # single bad roll must not adjudicate a plan
+            # up to RECHECK_JVMS fresh JVMs, keep the per-field MIN,
+            # stop early once the cpu rule clears — the ladder's own
+            # min-across-fresh-JVM policy (SCALE.md): the bimodal mode
+            # re-rolls per JVM, and a single bad roll must not
+            # adjudicate a plan
             best = None
-            for _ in range(5):
+            for _ in range(RECHECK_JVMS):
                 p = recheck([q], ce, repo_root)
                 if p is None:
                     break
@@ -264,13 +295,24 @@ def main():
         wall_ok = (wb > 0 and wc_ >= 0 and
                    (wc_ <= 1.5 * wb or wc_ - wb <= 0.5))
         if q in rechecks and shuffle_stable and wall_ok:
-            host_mode[q] = {"shuffle": (sb, sc), "wall": (wb, wc_)}
+            if not host_load_evidence:
+                notes.append(
+                    f"{q}: cpu {bc[q]:.2f}s -> {eff_cpu[q]:.2f}s with "
+                    f"stable shuffle/wall, but {cal_field} skew "
+                    f"{calib_skew:.2f}x <= 1.10x REFUTES host load -- "
+                    f"compute-only regression, NOT downgraded")
+                continue
+            host_mode[q] = {"shuffle": (sb, sc), "wall": (wb, wc_),
+                            "calib_skew": calib_skew}
             rechecks[q]["host_mode"] = True
             notes.append(
                 f"{q}: cpu {bc[q]:.2f}s -> {eff_cpu[q]:.2f}s confirmed by "
-                f"recheck BUT shuffle byte-stable ({sb} -> {sc}) and wall "
-                f"{wb:.2f}s -> {wc_:.2f}s (<= 1.5x) -- host-load CPU "
-                f"counter inflation, not a plan change")
+                f"recheck BUT shuffle byte-stable ({sb} -> {sc}), wall "
+                f"{wb:.2f}s -> {wc_:.2f}s (<= 1.5x), and calibration "
+                f"evidence ({cal_field} skew "
+                f"{'unavailable' if calib_skew is None else f'{calib_skew:.2f}x'}) "
+                f"permits host-load CPU counter inflation, not a plan "
+                f"change")
     cpu_flagged -= set(host_mode)
 
     fails = list(hard_fails)
@@ -283,7 +325,8 @@ def main():
         cw_tot = sum(max(wall_of(cand, q), 0.0) for q in healthy)
         bs_tot = sum(shuffle_of(base, q) for q in healthy)
         cs_tot = sum(shuffle_of(cand, q) for q in healthy)
-        if (bw_tot > 0 and cw_tot <= 1.10 * bw_tot and
+        if (host_load_evidence and bw_tot > 0 and
+                cw_tot <= 1.10 * bw_tot and
                 abs(cs_tot - bs_tot) <= 0.02 * max(bs_tot, 1)):
             notes.append(
                 f"cpu_total {b_tot:.1f}s -> {c_tot:.1f}s "
