@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** One-off diagnostic: run a streaming catalog row with a
+  * StreamingQueryListener attached and print each micro-batch's
+  * durationMs breakdown (triggerExecution, queryPlanning, walCommit,
+  * addBatch, ...) — pins WHERE the fixed ~1.4 s/trigger wall goes (it
+  * is not executor CPU: cpuSum ~2 s over ~11 s wall).
+  * Usage: runMain graft.tools.StreamProbe <sfDir> <queryName>
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args(0)
+    val name = if (args.length > 1) args(1) else "st_attribution"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val dur = p.durationMs
+        println(s"BATCH ${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${dur}")
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    val res = graft.SparkEntry.queries(name)(spark, d)
+    println(s"rows=${res.count()}")
+    spark.stop()
+  }
+}
