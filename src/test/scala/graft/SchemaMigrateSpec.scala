@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.SchemaMigrate
+
+/** Warehouse bootstrap against a LIVE embedded Derby: the reference's
+  * 9-table schema (`db/schema.js`, `drizzle/0000_opposite_zarek.sql`)
+  * created by tracked migrations, idempotent on re-run
+  * (`scripts/run-neon-migrations.js` semantics), dropped children-first
+  * (`scripts/drop-all-tables.js`).
+  */
+class SchemaMigrateSpec extends AnyFunSuite {
+
+  private val url = "jdbc:derby:memory:graftmig;create=true"
+
+  private def tables: Set[String] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, "APP", "%",
+        Array("TABLE"))
+      val b = Set.newBuilder[String]
+      while (rs.next()) b += rs.getString("TABLE_NAME").toLowerCase
+      b.result()
+    } finally conn.close()
+  }
+
+  test("migrate creates the 9 reference tables + journal; re-run is a no-op") {
+    SchemaMigrate.dropAll(url)
+    val first = SchemaMigrate.migrate(url)
+    assert(first == Seq("0001_create_warehouse"))
+    assert(SchemaMigrate.tablesChildrenFirst.toSet.subsetOf(tables))
+    assert(tables.contains("graft_migrations"))
+    // idempotence: second run applies nothing and leaves the DDL alone
+    assert(SchemaMigrate.migrate(url).isEmpty)
+    assert(SchemaMigrate.migrate(url).isEmpty)
+  }
+
+  test("dedup unique keys, FK cascade chain, and the exactly-one check hold") {
+    SchemaMigrate.dropAll(url)
+    SchemaMigrate.migrate(url)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("INSERT INTO organizations (id, name) VALUES (1, 'org')")
+      st.execute(
+        "INSERT INTO teams (id, organization_id, name) VALUES (10, 1, 't')")
+      st.execute("""INSERT INTO daily_reports
+        (id, team_id, report_date, content, author_name)
+        VALUES (100, 10, '2024-01-08', 'did X', 'ada')""")
+      // the db/schema.js:45 dedup key
+      intercept[java.sql.SQLException] {
+        st.execute("""INSERT INTO daily_reports
+          (team_id, report_date, content, author_name)
+          VALUES (10, '2024-01-08', 'dup', 'ada')""")
+      }
+      st.execute("""INSERT INTO report_types (id, name)
+        VALUES (20, 'weekly')""")
+      st.execute("""INSERT INTO generated_reports
+        (id, report_type_id, team_id, generated_at)
+        VALUES (30, 20, 10, '2024-01-09 00:00:00')""")
+      st.execute("""INSERT INTO report_data_links
+        (generated_report_id, daily_report_id)
+        VALUES (30, 100)""")
+      // num_nonnulls(...) = 1: two sources rejected (SQLState 23513)
+      val eChk = intercept[java.sql.SQLException] {
+        st.execute("""INSERT INTO report_data_links
+          (generated_report_id, daily_report_id, jira_snapshot_id)
+          VALUES (30, 100, 100)""")
+      }
+      assert(eChk.getSQLState == "23513")
+      // report_types is ON DELETE RESTRICT while a report references it
+      intercept[java.sql.SQLException] {
+        st.execute("DELETE FROM report_types WHERE id = 20")
+      }
+      // the cascade CHAIN: organizations -> teams -> daily_reports /
+      // generated_reports -> report_data_links, all in one delete
+      st.execute("DELETE FROM organizations WHERE id = 1")
+      val rs = st.executeQuery(
+        """SELECT (SELECT count(*) FROM teams) +
+                  (SELECT count(*) FROM daily_reports) +
+                  (SELECT count(*) FROM generated_reports) +
+                  (SELECT count(*) FROM report_data_links)
+           FROM SYSIBM.SYSDUMMY1""")
+      rs.next()
+      assert(rs.getInt(1) == 0, "cascade emptied the whole child chain")
+    } finally conn.close()
+  }
+
+  test("postgres dialect emits the reference's own DDL shapes") {
+    val stmts = SchemaMigrate.migrations(SchemaMigrate.Pg).head._2
+    val all = stmts.mkString("\n")
+    assert(all.contains("id uuid PRIMARY KEY DEFAULT gen_random_uuid()"))
+    assert(all.contains("output jsonb"))
+    assert(all.contains(
+      "num_nonnulls(jira_snapshot_id, slack_capture_id, daily_report_id, " +
+        "meeting_transcript_id) = 1"))
+    assert(all.contains("ON DELETE CASCADE") && all.contains("ON DELETE RESTRICT"))
+    // the two dedup unique keys by their reference names
+    assert(all.contains("uq_daily_team_author_date"))
+    assert(all.contains("uq_transcript_team_filename_date"))
+  }
+}

@@ -5,6 +5,7 @@ import java.sql.DriverManager
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.PostgresUpsertSink
+import graft.tools.SchemaMigrate
 
 /** K5 integration against a LIVE embedded database (Derby, in-memory,
   * in-JVM — ships with Spark for the Hive metastore, zero egress):
@@ -14,39 +15,49 @@ import graft.sources.PostgresUpsertSink
   * update-in-place on changed content. The Postgres `ON CONFLICT` text
   * is asserted separately; this spec drives the sink's actual
   * executor-parallel write path end to end.
+  *
+  * The schema is NOT inline DDL: every test runs against the warehouse
+  * [[graft.tools.SchemaMigrate]] bootstraps (drop → migrate → seed, the
+  * `scripts/drop-all-tables.js` → `run-neon-migrations.js` →
+  * `seed-neon-db.js` cycle), so the constraints exercised here — the
+  * dedup unique key, the `num_nonnulls = 1` check, the teams FK
+  * cascade — are the MIGRATED ones, identical to what a user's
+  * bootstrap creates.
   */
 class UpsertIntegrationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val url = "jdbc:derby:memory:graftdb;create=true"
 
-  private def withTable[T](f: => T): T = {
+  /** drop → migrate → seed: org 1 with teams 1 (alpha) / 2 (beta) and
+    * report_type 1, the seed script's three tables.
+    */
+  private def freshWarehouse[T](f: => T): T = {
+    SchemaMigrate.dropAll(url)
+    SchemaMigrate.migrate(url)
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      try st.execute("DROP TABLE daily_reports") catch { case _: Exception => () }
+      st.execute("INSERT INTO organizations (id, name) VALUES (1, 'org')")
       st.execute(
-        """CREATE TABLE daily_reports (
-             team_id VARCHAR(36) NOT NULL,
-             author_name VARCHAR(100) NOT NULL,
-             report_date VARCHAR(10) NOT NULL,
-             content VARCHAR(4000) NOT NULL,
-             checksum_sha256 VARCHAR(64),
-             CONSTRAINT uq_daily_team_author_date
-               UNIQUE (team_id, author_name, report_date))""")
+        "INSERT INTO teams (id, organization_id, name) VALUES (1, 1, 'alpha')")
+      st.execute(
+        "INSERT INTO teams (id, organization_id, name) VALUES (2, 1, 'beta')")
+      st.execute(
+        "INSERT INTO report_types (id, name) VALUES (1, 'weekly')")
     } finally conn.close()
     f
   }
 
-  private def allRows: Seq[(String, String, String, String)] = {
+  private def allRows: Seq[(Long, String, String, String)] = {
     val conn = DriverManager.getConnection(url)
     try {
       val rs = conn.createStatement().executeQuery(
         """SELECT team_id, author_name, report_date, content
            FROM daily_reports ORDER BY author_name, report_date""")
-      val buf = scala.collection.mutable.ListBuffer.empty[(String, String, String, String)]
+      val buf = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String)]
       while (rs.next()) buf +=
-        ((rs.getString(1), rs.getString(2), rs.getString(3), rs.getString(4)))
+        ((rs.getLong(1), rs.getString(2), rs.getString(3), rs.getString(4)))
       buf.toList
     } finally conn.close()
   }
@@ -55,11 +66,11 @@ class UpsertIntegrationSpec extends AnyFunSuite {
 
   test("insert-then-rerun is idempotent; changed rows update in place") {
     import spark.implicits._
-    withTable {
+    freshWarehouse {
       val v1 = Seq(
-        ("team-1", "ada", "2024-01-08", "did X", "c1"),
-        ("team-1", "ada", "2024-01-09", "did Y", "c2"),
-        ("team-1", "bob", "2024-01-08", "did Z", "c3"))
+        (1L, "ada", "2024-01-08", "did X", "c1"),
+        (1L, "ada", "2024-01-09", "did Y", "c2"),
+        (1L, "bob", "2024-01-08", "did Z", "c3"))
         .toDF("team_id", "author_name", "report_date", "content", "checksum_sha256")
         .repartition(3) // executor-parallel: one connection per partition
       PostgresUpsertSink.writePortable(v1, url, "daily_reports", keys)
@@ -72,8 +83,8 @@ class UpsertIntegrationSpec extends AnyFunSuite {
 
       // changed content for one key + a new key: update + insert
       val v2 = Seq(
-        ("team-1", "ada", "2024-01-09", "did Y (revised)", "c2b"),
-        ("team-1", "eve", "2024-01-09", "joined", "c4"))
+        (1L, "ada", "2024-01-09", "did Y (revised)", "c2b"),
+        (1L, "eve", "2024-01-09", "joined", "c4"))
         .toDF("team_id", "author_name", "report_date", "content", "checksum_sha256")
       PostgresUpsertSink.writePortable(v2, url, "daily_reports", keys)
       val rows = allRows
@@ -86,10 +97,10 @@ class UpsertIntegrationSpec extends AnyFunSuite {
 
   test("same key in multiple partitions cannot race itself (ADVICE r2)") {
     import spark.implicits._
-    withTable {
+    freshWarehouse {
       // 8 copies of one key spread over 8 partitions: without the
       // per-key dedupe this is the two-partition INSERT/INSERT race
-      val dup = (1 to 8).map(i => ("team-1", "ada", "2024-01-08", s"v$i", "c"))
+      val dup = (1 to 8).map(i => (1L, "ada", "2024-01-08", s"v$i", "c"))
         .toDF("team_id", "author_name", "report_date", "content", "checksum_sha256")
         .repartition(8)
       PostgresUpsertSink.writePortable(dup, url, "daily_reports", keys)
@@ -99,7 +110,7 @@ class UpsertIntegrationSpec extends AnyFunSuite {
       // a pre-existing row + a duplicate-key INSERT from a 'concurrent
       // run' resolves via the savepoint retry path, not an abort
       PostgresUpsertSink.writePortable(
-        Seq(("team-1", "ada", "2024-01-08", "final", "c9"))
+        Seq((1L, "ada", "2024-01-08", "final", "c9"))
           .toDF("team_id", "author_name", "report_date", "content", "checksum_sha256"),
         url, "daily_reports", keys)
       assert(allRows.head._4 == "final")
@@ -108,6 +119,8 @@ class UpsertIntegrationSpec extends AnyFunSuite {
 
   test("all-key link table degrades to insert-if-absent") {
     import spark.implicits._
+    // auxiliary sink-shape table (not part of the reference warehouse):
+    // every column is a key, so the sink must probe-then-insert
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
@@ -131,15 +144,17 @@ class UpsertIntegrationSpec extends AnyFunSuite {
   }
 
   test("unique constraint actually enforces the reference key") {
-    withTable {
+    freshWarehouse {
       val conn = DriverManager.getConnection(url)
       try {
         val st = conn.createStatement()
-        st.execute("""INSERT INTO daily_reports VALUES
-          ('t', 'a', '2024-01-01', 'x', NULL)""")
+        st.execute("""INSERT INTO daily_reports
+          (team_id, author_name, report_date, content)
+          VALUES (1, 'a', '2024-01-01', 'x')""")
         intercept[java.sql.SQLException] {
-          st.execute("""INSERT INTO daily_reports VALUES
-            ('t', 'a', '2024-01-01', 'dup', NULL)""")
+          st.execute("""INSERT INTO daily_reports
+            (team_id, author_name, report_date, content)
+            VALUES (1, 'a', '2024-01-01', 'dup')""")
         }
       } finally conn.close()
     }
@@ -169,123 +184,118 @@ class UpsertIntegrationSpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
-  /** The reference's report_data_links table carries a CHECK that
-    * exactly one of the four source-id columns is non-null
-    * (`db/schema.js:154-156` `num_nonnulls(...) = 1`) and a teams FK
-    * with ON DELETE CASCADE (`db/schema.js:50`). Derby equivalents:
-    * a CASE-sum check constraint + referential action.
+  /** Link-table fixtures against the MIGRATED report_data_links: the
+    * `num_nonnulls(...) = 1` check (`db/schema.js:154-156`, expanded to
+    * the Derby CASE-sum by the migration) and the FK chain with ON
+    * DELETE CASCADE (`db/schema.js:50`). Seeds the parents the links
+    * reference: generated_reports 101..104, jira_snapshots 11,
+    * slack_captures 21, daily_reports 41.
     */
-  private def withLinkTables[T](f: => T): T = {
+  private def withLinkFixtures[T](f: => T): T = freshWarehouse {
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      try st.execute("DROP TABLE report_data_links") catch { case _: Exception => () }
-      try st.execute("DROP TABLE teams") catch { case _: Exception => () }
-      st.execute("""CREATE TABLE teams (
-        id VARCHAR(36) NOT NULL PRIMARY KEY,
-        name VARCHAR(100) NOT NULL)""")
-      st.execute("""CREATE TABLE report_data_links (
-        generated_report_id VARCHAR(36) NOT NULL,
-        team_id VARCHAR(36) NOT NULL,
-        jira_snapshot_id VARCHAR(36),
-        slack_capture_id VARCHAR(36),
-        daily_report_id VARCHAR(36),
-        meeting_transcript_id VARCHAR(36),
-        CONSTRAINT uq_rdl UNIQUE (generated_report_id, team_id),
-        CONSTRAINT fk_rdl_team FOREIGN KEY (team_id)
-          REFERENCES teams (id) ON DELETE CASCADE,
-        CONSTRAINT chk_exactly_one_source CHECK (
-          (CASE WHEN jira_snapshot_id IS NULL THEN 0 ELSE 1 END +
-           CASE WHEN slack_capture_id IS NULL THEN 0 ELSE 1 END +
-           CASE WHEN daily_report_id IS NULL THEN 0 ELSE 1 END +
-           CASE WHEN meeting_transcript_id IS NULL THEN 0 ELSE 1 END) = 1))""")
-      st.execute("INSERT INTO teams VALUES ('team-1', 'alpha')")
-      st.execute("INSERT INTO teams VALUES ('team-2', 'beta')")
+      (101 to 104).foreach(i => st.execute(
+        s"""INSERT INTO generated_reports
+            (id, report_type_id, team_id, generated_at)
+            VALUES ($i, 1, ${if (i % 2 == 0) 2 else 1},
+                    '2024-01-09 00:00:00')"""))
+      st.execute("""INSERT INTO jira_snapshots
+        (id, team_id, collected_week_start, collected_week_end,
+         blob_key, blob_url)
+        VALUES (11, 1, '2024-01-08', '2024-01-14', 'k11', 'u11')""")
+      st.execute("""INSERT INTO slack_captures
+        (id, team_id, collected_week_start, collected_week_end,
+         blob_key, blob_url)
+        VALUES (21, 1, '2024-01-08', '2024-01-14', 'k21', 'u21')""")
+      st.execute("""INSERT INTO daily_reports
+        (id, team_id, report_date, content, author_name)
+        VALUES (41, 2, '2024-01-08', 'seeded', 'ada')""")
     } finally conn.close()
     f
   }
 
-  private def linkRows: Seq[(String, String)] = {
+  private def linkRows: Seq[Long] = {
     val conn = DriverManager.getConnection(url)
     try {
       val rs = conn.createStatement().executeQuery(
-        """SELECT generated_report_id, team_id FROM report_data_links
+        """SELECT generated_report_id FROM report_data_links
            ORDER BY generated_report_id""")
-      val buf = scala.collection.mutable.ListBuffer.empty[(String, String)]
-      while (rs.next()) buf += ((rs.getString(1), rs.getString(2)))
+      val buf = scala.collection.mutable.ListBuffer.empty[Long]
+      while (rs.next()) buf += rs.getLong(1)
       buf.toList
     } finally conn.close()
   }
 
-  private val linkCols = Seq("generated_report_id", "team_id",
-    "jira_snapshot_id", "slack_capture_id", "daily_report_id",
-    "meeting_transcript_id")
+  private val linkCols = Seq("generated_report_id", "jira_snapshot_id",
+    "slack_capture_id", "daily_report_id", "meeting_transcript_id")
 
-  private val NS: String = null
+  private val N: Option[Long] = None
 
   test("check-constraint violations quarantine, the rest of the batch lands") {
     import spark.implicits._
-    withLinkTables {
+    withLinkFixtures {
       val batch = Seq(
         // valid: exactly one source id
-        ("r1", "team-1", "j1", NS, NS, NS),
+        (101L, Some(11L), N, N, N),
         // invalid: TWO non-null source ids (violates num_nonnulls = 1)
-        ("r2", "team-1", "j2", "s2", NS, NS),
+        (102L, Some(11L), Some(21L), N, N),
         // invalid: ZERO non-null source ids
-        ("r3", "team-2", NS, NS, NS, NS),
+        (103L, N, N, N, N),
         // valid: a different single source column
-        ("r4", "team-2", NS, NS, "d4", NS))
+        (104L, N, N, Some(41L), N))
         .toDF(linkCols: _*).repartition(2)
       val q = PostgresUpsertSink.writePortableRouted(
         batch, url, "report_data_links",
-        Seq("generated_report_id", "team_id")).collect()
-      assert(linkRows.map(_._1) == Seq("r1", "r4"),
+        Seq("generated_report_id")).collect()
+      assert(linkRows == Seq(101L, 104L),
         "exactly the check-satisfying rows landed")
       assert(q.length == 2 && q.forall(_.reason == "check_violation"),
         s"both violating rows quarantined with the check reason: ${q.toSeq}")
-      assert(q.map(_.row_key).sorted.toSeq == Seq("r2|team-1", "r3|team-2"))
+      assert(q.map(_.row_key).sorted.toSeq == Seq("102", "103"))
 
       // UPDATE-side enforcement: re-upserting an EXISTING key with
       // values that violate the check quarantines too (the update path
       // fires the constraint, not just inserts)
-      val bad = Seq(("r1", "team-1", "j1", "s1", NS, NS))
+      val bad = Seq((101L, Some(11L), Some(21L), N, N))
         .toDF(linkCols: _*)
       val q2 = PostgresUpsertSink.writePortableRouted(
         bad, url, "report_data_links",
-        Seq("generated_report_id", "team_id")).collect()
+        Seq("generated_report_id")).collect()
       assert(q2.length == 1 && q2.head.reason == "check_violation")
-      assert(linkRows.map(_._1) == Seq("r1", "r4"), "table unchanged")
+      assert(linkRows == Seq(101L, 104L), "table unchanged")
     }
   }
 
   test("FK violations quarantine; ON DELETE CASCADE removes child links") {
     import spark.implicits._
-    withLinkTables {
+    withLinkFixtures {
       val batch = Seq(
-        ("r1", "team-1", "j1", NS, NS, NS),
-        // invalid: no such team — the FK fires
-        ("r9", "team-missing", "j9", NS, NS, NS))
+        (101L, Some(11L), N, N, N),
+        // invalid: no such generated report — the FK fires
+        (999L, Some(11L), N, N, N))
         .toDF(linkCols: _*)
       val q = PostgresUpsertSink.writePortableRouted(
         batch, url, "report_data_links",
-        Seq("generated_report_id", "team_id")).collect()
-      assert(linkRows.map(_._1) == Seq("r1"))
+        Seq("generated_report_id")).collect()
+      assert(linkRows == Seq(101L))
       assert(q.length == 1 && q.head.reason == "fk_violation" &&
-        q.head.row_key == "r9|team-missing", s"got ${q.toSeq}")
+        q.head.row_key == "999", s"got ${q.toSeq}")
 
       // re-run idempotence on the routed path (same contract as
       // writePortable): no duplicates, no new quarantine rows
       val q2 = PostgresUpsertSink.writePortableRouted(
-        Seq(("r1", "team-1", "j1", NS, NS, NS)).toDF(linkCols: _*),
+        Seq((101L, Some(11L), N, N, N)).toDF(linkCols: _*),
         url, "report_data_links",
-        Seq("generated_report_id", "team_id")).collect()
+        Seq("generated_report_id")).collect()
       assert(q2.isEmpty && linkRows.size == 1)
 
-      // the reference's referential action: deleting the parent team
-      // cascades to its links (db/schema.js:50 onDelete: 'cascade')
+      // the reference's referential action, through the MIGRATED chain:
+      // deleting team 1 cascades teams -> generated_reports ->
+      // report_data_links (db/schema.js:50 onDelete: 'cascade')
       val conn = DriverManager.getConnection(url)
       try {
-        conn.createStatement().execute("DELETE FROM teams WHERE id = 'team-1'")
+        conn.createStatement().execute("DELETE FROM teams WHERE id = 1")
       } finally conn.close()
       assert(linkRows.isEmpty, "cascade removed the team's link rows")
     }
