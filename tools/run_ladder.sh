@@ -13,13 +13,22 @@ export SPARK_GRAFT_CPUS=32
 # rows fitted on the sf ladder (TPC-H/events drivers)
 SF_SET=a25_assoc_rules,a29_triple_itemsets,a30_sliding_distinct,a34_gini_activity,ep1_weekly_e2e,ep2_jira_e2e,ep3_dashboard_e2e,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic,j12_jaro_entity_join,ts_markov_stationary
 # rows fitted on the corpus ladder (documents/embeddings drivers)
-CORPUS_SET=dedup_apss_cosine,dedup_cdc_chunks,dedup_clusters,dedup_containment,dedup_edit_distance,dedup_embedding,dedup_embedding_scaled,dedup_jaccard,dedup_keep_best,dedup_lines_keep_first,dedup_minhash_lsh,dedup_spans,dedup_winnow,emb_pca_project,er_blocking_quality,g2_cluster_sizes,hh_bigram_phrases,inc_dedup_pairs,mm_phash_dct,search_bm25,sim_ann_ivf_pq,sim_hard_negatives,ta_lang_divergence,ta_rouge_overlap,td_kcenter_coreset,td_leakage_split,td_pipeline_e2e
+CORPUS_SET=dedup_cdc_chunks,dedup_clusters,dedup_containment,dedup_edit_distance,dedup_embedding,dedup_embedding_scaled,dedup_jaccard,dedup_keep_best,dedup_lines_keep_first,dedup_minhash_lsh,dedup_spans,dedup_winnow,emb_pca_project,er_blocking_quality,g2_cluster_sizes,hh_bigram_phrases,inc_dedup_pairs,mm_phash_dct,sim_ann_ivf_pq,sim_hard_negatives,ta_rouge_overlap,td_kcenter_coreset,td_leakage_split,td_pipeline_e2e
 # lineitem-driven rows also measured at synth10 for the e(xl) segment
 LI_SET=a25_assoc_rules,a29_triple_itemsets,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic
 # vocab-bound rows fit on the Heaps-law zipf rungs (see scale_ladder.py);
 # build them with:
 #   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/zipf1 1 zipf'   (and 3, 10)
-ZIPF_SET=ta_bpe_tokens,ta_textrank_keywords,ta_unigram_viterbi,ta_wordpiece_tokens
+# (+ search_bm25/ta_lang_divergence, VERDICT r10 #1: their Caesar
+# exponents were layout-confounded — the zipf rungs' matched 8-file
+# layout removes the map-concurrency inflation)
+ZIPF_SET=search_bm25,ta_bpe_tokens,ta_lang_divergence,ta_textrank_keywords,ta_unigram_viterbi,ta_wordpiece_tokens
+# matched-concurrency Caesar rungs (VERDICT r10 #2) — build with:
+#   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/synth1m 1 caesar 8'   (and 3, 10)
+APSS_SET=dedup_apss_cosine
+# third embedding decade (VERDICT r10 #5) — build with:
+#   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/emb30 30 emb'
+EMB_SET=dedup_embedding,dedup_embedding_scaled
 
 run_rung() { # dir rungname queryset
   local dir=$1 rung=$2 set=$3
@@ -44,6 +53,14 @@ run_rung /tmp/graft_synth/synth10 synth10 "$CORPUS_SET,$LI_SET"
 run_rung /tmp/graft_synth/zipf1  zipf1  "$ZIPF_SET"
 run_rung /tmp/graft_synth/zipf3  zipf3  "$ZIPF_SET"
 run_rung /tmp/graft_synth/zipf10 zipf10 "$ZIPF_SET"
+run_rung /tmp/graft_synth/synth1m  synth1m  "$APSS_SET"
+run_rung /tmp/graft_synth/synth3m  synth3m  "$APSS_SET"
+run_rung /tmp/graft_synth/synth10m synth10m "$APSS_SET"
+# third embedding decade (~25 min: the 30x rung's pair volume) — gated
+# like XL30; the ladder appends the rung when its run files exist
+if [ "${RUN_EMB30:-0}" = "1" ]; then
+  run_rung /tmp/graft_synth/emb30 emb30 "$EMB_SET"
+fi
 # stretch decade (VERDICT r9 #7): 30x lineitem, graph/assoc rows only —
 # build /tmp/graft_synth/synth30 first (factor 30), then RUN_XL30=1
 if [ "${RUN_XL30:-0}" = "1" ]; then

@@ -1,0 +1,28 @@
+#!/bin/bash
+# End-of-round snapshot (VERDICT r10 #4: the committed BENCH_GATE.json
+# trailed the final bench record by one session in r9 AND r10 — the
+# snapshot-ordering gap). This script makes the ordering structural:
+# ONE fresh full-catalog bench run at sf0.1, the gate regenerated from
+# THAT record, and both committed in the SAME commit — the committed
+# gate's candidate hash can never trail the committed bench record
+# again, because they are never staged separately.
+#
+# Usage: tools/snapshot.sh [commit-message]
+# Run from anywhere; operates on the repo root. Requires a quiet
+# machine (the gate's fresh-JVM rechecks inherit contention otherwise).
+set -e
+cd "$(dirname "$0")/.."
+
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
+unset SPARK_GRAFT_ONLY   # full catalog — partial records never snapshot
+
+echo "=== snapshot: full bench at sf0.1 ($(date +%H:%M:%S))"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run_bench.sh graft.Bench
+
+echo "=== snapshot: gate vs committed baseline ($(date +%H:%M:%S))"
+python3 tools/bench_gate.py BENCH_BASELINE.json BENCH_LOCAL.json
+
+echo "=== snapshot: commit bench + gate together"
+git add BENCH_LOCAL.json BENCH_GATE.json
+git commit -m "${1:-Round snapshot: bench record + perf gate from the same run}"
+echo "=== snapshot complete ($(date +%H:%M:%S))"
