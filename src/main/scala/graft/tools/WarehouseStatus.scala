@@ -1,0 +1,93 @@
+package graft.tools
+
+import java.sql.DriverManager
+
+/** Warehouse data-verification report — the reference's
+  * `scripts/query-neon-db.js` (`npm run db:query`) re-expressed over
+  * JDBC: organizations↔teams, report types, and per-team row counts
+  * with date ranges for every content table, against whatever database
+  * [[SchemaMigrate]] bootstrapped (Postgres or the embedded-Derby test
+  * seam — the SQL below sticks to the common dialect subset).
+  *
+  * Pure read-side diagnostics: every query is a dimension-sized
+  * aggregate over the warehouse's own indexes; nothing here touches
+  * Spark. Returns the report as lines so tests can assert on it;
+  * `main` prints them.
+  *
+  * Usage: runMain graft.tools.WarehouseStatus <jdbcUrl>
+  */
+object WarehouseStatus {
+
+  private case class Section(title: String, sql: String, cols: Seq[String])
+
+  /** The script's report sections 1:1 (`query-neon-db.js:33-120`):
+    * orgs+teams, report types, then per-team count/min/max for each
+    * content table, newest-first generated reports last.
+    */
+  private val sections = Seq(
+    Section("Organizations and Teams",
+      """SELECT o.name AS organization, t.name AS team
+         FROM teams t JOIN organizations o ON t.organization_id = o.id
+         ORDER BY o.name, t.name""",
+      Seq("organization", "team")),
+    Section("Report Types",
+      "SELECT name, description FROM report_types ORDER BY name",
+      Seq("name", "description")),
+    Section("Daily Reports",
+      """SELECT t.name AS team, count(*) AS report_count,
+                min(d.report_date) AS earliest, max(d.report_date) AS latest
+         FROM daily_reports d JOIN teams t ON d.team_id = t.id
+         GROUP BY t.name ORDER BY t.name""",
+      Seq("team", "report_count", "earliest", "latest")),
+    Section("Meeting Transcripts",
+      """SELECT t.name AS team, count(*) AS transcript_count,
+                min(m.transcript_date) AS earliest,
+                max(m.transcript_date) AS latest
+         FROM meeting_transcripts m JOIN teams t ON m.team_id = t.id
+         GROUP BY t.name ORDER BY t.name""",
+      Seq("team", "transcript_count", "earliest", "latest")),
+    Section("Jira Snapshots",
+      """SELECT t.name AS team, count(*) AS snapshot_count,
+                min(j.collected_week_start) AS earliest_week,
+                max(j.collected_week_start) AS latest_week
+         FROM jira_snapshots j JOIN teams t ON j.team_id = t.id
+         GROUP BY t.name ORDER BY t.name""",
+      Seq("team", "snapshot_count", "earliest_week", "latest_week")),
+    Section("Slack Captures",
+      """SELECT t.name AS team, count(*) AS capture_count,
+                min(s.collected_week_start) AS earliest_week,
+                max(s.collected_week_start) AS latest_week
+         FROM slack_captures s JOIN teams t ON s.team_id = t.id
+         GROUP BY t.name ORDER BY t.name""",
+      Seq("team", "capture_count", "earliest_week", "latest_week")),
+    Section("Generated Reports",
+      """SELECT t.name AS team, rt.name AS report_type,
+                count(*) AS generated_count,
+                max(g.generated_at) AS latest
+         FROM generated_reports g
+         JOIN teams t ON g.team_id = t.id
+         JOIN report_types rt ON g.report_type_id = rt.id
+         GROUP BY t.name, rt.name ORDER BY t.name, rt.name""",
+      Seq("team", "report_type", "generated_count", "latest")))
+
+  def report(jdbcUrl: String,
+      props: java.util.Properties = new java.util.Properties): Seq[String] = {
+    val conn = DriverManager.getConnection(jdbcUrl, props)
+    try sections.flatMap { sec =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(sec.sql)
+        val rows = Iterator.continually(rs)
+          .takeWhile(_.next())
+          .map(r => sec.cols.map(c => String.valueOf(r.getObject(c)))
+            .mkString(" | "))
+          .toList
+        s"== ${sec.title}" +:
+          (if (rows.isEmpty) Seq("  (none)") else rows.map("  " + _))
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  def main(args: Array[String]): Unit =
+    report(args(0)).foreach(println)
+}

@@ -89,6 +89,47 @@ class SchemaMigrateSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("seed is idempotent and wires teams to their organizations") {
+    SchemaMigrate.dropAll(url)
+    SchemaMigrate.migrate(url)
+    val orgs = Map("acme" -> Seq("rocks", "timeclock"), "acme-ventures" -> Seq("labs"))
+    val first = SchemaMigrate.seed(url, orgs, Seq("weekly", "1on1"))
+    assert(first == 7, "2 orgs + 3 teams + 2 report types")
+    // onConflictDoNothing semantics: nothing inserted, nothing thrown
+    assert(SchemaMigrate.seed(url, orgs, Seq("weekly", "1on1")) == 0)
+    // a new team under an existing org inserts exactly one row
+    assert(SchemaMigrate.seed(url,
+      Map("acme" -> Seq("rocks", "newteam")), Seq("weekly")) == 1)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT count(*) FROM teams t JOIN organizations o
+             ON t.organization_id = o.id WHERE o.name = 'acme'""")
+      rs.next()
+      assert(rs.getInt(1) == 3, "rocks, timeclock, newteam under acme")
+    } finally conn.close()
+  }
+
+  test("warehouse status report reflects seeded orgs and loaded rows") {
+    SchemaMigrate.dropAll(url)
+    SchemaMigrate.migrate(url)
+    SchemaMigrate.seed(url, Map("acme" -> Seq("rocks")), Seq("weekly"))
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """INSERT INTO daily_reports (team_id, report_date, content, author_name)
+           SELECT t.id, '2024-01-08', 'did X', 'ada' FROM teams t
+           WHERE t.name = 'rocks'""")
+    } finally conn.close()
+    val lines = graft.tools.WarehouseStatus.report(url)
+    assert(lines.contains("  acme | rocks"))
+    assert(lines.exists(_.startsWith("  weekly | ")))
+    assert(lines.contains("  rocks | 1 | 2024-01-08 | 2024-01-08"))
+    // empty sections render their (none) placeholder, not an error
+    assert(lines.indexOf("== Jira Snapshots") >= 0)
+    assert(lines(lines.indexOf("== Jira Snapshots") + 1) == "  (none)")
+  }
+
   test("postgres dialect emits the reference's own DDL shapes") {
     val stmts = SchemaMigrate.migrations(SchemaMigrate.Pg).head._2
     val all = stmts.mkString("\n")
