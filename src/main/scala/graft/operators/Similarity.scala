@@ -460,7 +460,17 @@ object Similarity {
       col("embedding").as("ea")), "ea", "na")
     val eb = withNorm(emb.select(col("vec_id").as("id_b"),
       col("embedding").as("eb")), "eb", "nb")
-    cand.join(ea, "id_a").join(eb, "id_b")
+    // the embeddings relation is the DIMENSION side of the verify join
+    // (vectors), the candidate-pair stream the fact side — broadcast
+    // explicitly: at 60k x 64f the vectors cross the 10 MB
+    // autoBroadcastJoinThreshold and Spark otherwise flips to a
+    // sort-merge join that SORTS the entire candidate stream (measured
+    // at the emb30 rung: >79 GB of sort spill against a 15 MB build
+    // side — the PCA broadcast-bound-crossing class). Beyond
+    // executor-memory vector counts the production form is a shuffle
+    // join co-partitioned on vec_id; at every bench scale the
+    // dimension side is megabytes.
+    cand.join(broadcast(ea), "id_a").join(broadcast(eb), "id_b")
       .withColumn("cos",
         cosineFromNorms(dotD(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
