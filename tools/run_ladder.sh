@@ -28,7 +28,9 @@ ZIPF_SET=search_bm25,ta_bpe_tokens,ta_lang_divergence,ta_textrank_keywords,ta_un
 APSS_SET=dedup_apss_cosine
 # third embedding decade (VERDICT r10 #5) — build with:
 #   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/emb30 30 emb'
-EMB_SET=dedup_embedding,dedup_embedding_scaled
+# scaled row only: the fixed-cells row's emb30 attempt is a measured
+# capacity cliff (>73 GB pair-distinct spill), see scale_ladder.py EMB30
+EMB_SET=dedup_embedding_scaled
 
 run_rung() { # dir rungname queryset
   local dir=$1 rung=$2 set=$3

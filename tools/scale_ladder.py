@@ -162,7 +162,16 @@ RUNG_OVERRIDE = {
 # SynthCorpus emb mode) to pin the +18%/decade cost/pair drift the
 # output-bound hatch could otherwise compound over. Appended only when
 # the rung's runs exist on disk (the XL30 pattern).
-EMB30 = {"dedup_embedding", "dedup_embedding_scaled"}
+#
+# SCALED row only: the fixed-cells dedup_embedding was RUN at emb30 and
+# hit the capacity cliff its own scaladoc predicts — at 60k vectors with
+# 2 planes the 24-table candidate expansion is ~1e10 rows, and the
+# pair-distinct spilled >73 GB of shuffle (full profile in SCALE.md)
+# before the run was stopped at 70 min to protect the disk. That is the
+# measured third-decade answer for the fixed-cells configuration: not a
+# drifting exponent but a structural blowup, and the cells-proportional
+# configuration (this row) is its documented 100 TB replacement.
+EMB30 = {"dedup_embedding_scaled"}
 
 # ep2 joins orders x lineitem; the synth rungs replicate lineitem only,
 # so its synthetic joins would dangle — it stays on the sf ladder.
@@ -366,6 +375,16 @@ def main():
                          f"(e_cand {e_cand:.2f} + {OUTPUT_SLACK})"))
             lines.append((q, tab, qr, cpus, outs, exps, verdict))
             continue
+        if (q in OUTPUT_BOUND and
+                all(o is not None and o > 0 for o in outs)):
+            # evidence note is UNCONDITIONAL for output-bound rows (the
+            # candidate-bound precedent): the cost/pair series is the
+            # drift record reviewers need even when the exponent is
+            # under the gate
+            pers = [c / o * 1e6 for c, o in zip(cpus, outs)]
+            notes.append(
+                f"{q}: output {' -> '.join(str(o) for o in outs)} pairs; "
+                f"cost/pair {' -> '.join(f'{p:.0f}' for p in pers)} us")
         if top is not None and top > MAX_EXPONENT and cpus[-1] >= 1.0:
             if q in OUTPUT_BOUND:
                 # the measured output-bound rule: cost may grow no faster
@@ -382,12 +401,7 @@ def main():
                     e_out = (math.log(o_hi / o_lo) /
                              math.log(rows(hi, tab) / rows(lo, tab)))
                     bound = max(1.0, e_out) + OUTPUT_SLACK
-                    us_lo = cpus[-2] / o_lo * 1e6
-                    us_hi = cpus[-1] / o_hi * 1e6
-                    notes.append(
-                        f"{q}: output {o_lo} -> {o_hi} pairs "
-                        f"(e_out {e_out:.2f}); cost/pair "
-                        f"{us_lo:.0f} -> {us_hi:.0f} us")
+                    # series evidence already printed unconditionally
                     if top <= bound:
                         verdict = f"output-bound (e_out {e_out:.2f})"
                     else:
