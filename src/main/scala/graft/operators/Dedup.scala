@@ -801,10 +801,19 @@ object Dedup {
   /** The dedup DECISION step: assign every document a cluster id (the
     * minimum doc_id of its near-dup component; singletons cluster with
     * themselves). Downstream keeps one row per cluster.
+    *
+    * `collectThreshold` passes through to [[connectedComponents]]:
+    * 0 forces the distributed min-propagation loop even on a
+    * driver-sized pair graph — the configuration a 100 TB corpus runs
+    * (its dup-pair relation exceeds any driver), driver-oracled by
+    * `dedup_cc_distributed` against the identical transitive-closure
+    * truth as the gated path.
     */
-  def clusterAssign(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  def clusterAssign(docs: DataFrame, idCol: String, pairs: DataFrame,
+      collectThreshold: Long = 1000000L): DataFrame = {
     val comp = connectedComponents(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      collectThreshold = collectThreshold)
     docs.select(col(idCol).as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

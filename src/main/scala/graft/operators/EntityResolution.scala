@@ -157,4 +157,37 @@ object EntityResolution {
       .join(best, "q_name")
       .select(col(qIdCol), col("matched_key"), col("jw"))
   }
+
+  /** One comparison field of a Fellegi–Sunter agreement vector:
+    * `agree` is the field's boolean agreement column over a candidate
+    * pair; `m` = P(agree | pair is a true match) and `u` = P(agree |
+    * pair is a non-match) — the published model's conditional
+    * probabilities (Fellegi & Sunter, JASA 1969, "A Theory for Record
+    * Linkage"; the reference resolves identities with a single fuzzy
+    * name score, `lib/name-matcher.js:265-292` — this is the
+    * multi-field generalization a warehouse-scale linkage needs).
+    */
+  final case class FsField(agree: Column, m: Double, u: Double) {
+    require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+      s"FS field needs 0 < u < m < 1 (got m=$m u=$u)")
+    def agreeWeight: Double = math.log(m / u) / math.log(2.0)
+    def disagreeWeight: Double =
+      math.log((1 - m) / (1 - u)) / math.log(2.0)
+  }
+
+  /** The Fellegi–Sunter composite match weight: Σ over fields of
+    * log2(m/u) when the field agrees, log2((1−m)/(1−u)) when it
+    * disagrees (conditional independence between fields, the standard
+    * naive-Bayes factorization). Weights are Scala-side CONSTANTS —
+    * the column picks between two literals per field — so the hot path
+    * stays whole-stage-codegen arithmetic with no log() per row, and
+    * an oracle can inject the identical literals: both engines then
+    * add the same constants in the same order, bit-for-bit.
+    */
+  def fellegiSunterWeight(fields: Seq[FsField]): Column = {
+    require(fields.nonEmpty, "at least one comparison field")
+    fields.map(f =>
+        when(f.agree, lit(f.agreeWeight)).otherwise(lit(f.disagreeWeight)))
+      .reduce(_ + _)
+  }
 }

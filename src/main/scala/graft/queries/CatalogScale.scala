@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Graph, HeavyHitters, Multimodal, RangeJoin, Scale, Search, Sessions, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOf, Dedup, EntityResolution, Graph, HeavyHitters, Multimodal, RangeJoin, Scale, Search, Sessions, Similarity, Sketches, TextAnalysis}
+import graft.plans.JaroWinkler
 
 /** Scale-extension catalog: dedup / similarity search / text analysis /
   * multimodal plumbing / sessionization — the training-data-pipeline
@@ -13,6 +14,36 @@ import graft.operators.{AsOf, Dedup, Graph, HeavyHitters, Multimodal, RangeJoin,
   * exact counterparts carry the oracle).
   */
 object CatalogScale {
+
+  /** Transitive closure of the 4/5-Jaccard 5-shingle dup-pair graph —
+    * the shared truth for `dedup_clusters` (size-gated union-find fast
+    * path) and `dedup_cc_distributed` (the forced distributed loop):
+    * one oracle, two engine code paths, both held to it.
+    */
+  private val ccTransitiveClosureSql =
+    """WITH RECURSIVE
+       w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+             FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
+              FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT id_a, id_b
+                 FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+                            JOIN sz sb ON inter.id_b = sb.doc_id
+                 WHERE inter * 5 >= (sa.n + sb.n - inter) * 4),
+       edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach AS (SELECT u, v FROM edges
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       SELECT d.doc_id,
+              CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
+                AS cluster
+       FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
@@ -350,6 +381,96 @@ object CatalogScale {
                             ((SELECT n FROM nd) - 1) / 2.0), 6)
                        AS reduction_ratio""")),
 
+    locally {
+      // Fellegi–Sunter probabilistic record linkage (JASA 1969): each
+      // part gets a "dirty duplicate" (one name char deleted at a
+      // key-derived position — the j12 recipe — plus +1 size noise on
+      // odd keys), then candidates blocked on (brand, |size diff| <= 1)
+      // are scored with the composite log-likelihood weight over a
+      // 3-field agreement vector: name (6dp-rounded Jaro-Winkler >=
+      // 0.92 — the j12 cross-engine parity surface), type equality,
+      // size equality. The (m, u) probabilities are model CONSTANTS, so
+      // both engines add the IDENTICAL Scala-computed literals (injected
+      // into the oracle SQL) in the same order — bit-for-bit weights
+      // with zero per-row log() in the hot path. Best candidate per
+      // variant by (weight desc, key); is_match at weight >= 4 bits.
+      // The half-noised size field is the point: FS still links those
+      // pairs through the name+type evidence where a single-field
+      // matcher drops them.
+      val fName = EntityResolution.FsField(lit(true), 0.95, 0.01)
+      val fType = EntityResolution.FsField(lit(true), 0.90, 0.20)
+      val fSize = EntityResolution.FsField(lit(true), 0.60, 0.05)
+      val run = (s: SparkSession, d: String) => {
+        val parts = t(s, d, "part")
+          .filter(length(col("p_name")) > lit(8))
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            col("p_type"), col("p_size"))
+        val pos = lit(6) + pmod(col("p_partkey"),
+          length(col("p_name")) - lit(6))
+        val variants = parts.select(
+          col("p_partkey").as("v_id"),
+          concat(col("p_name").substr(lit(1), pos - 1),
+            col("p_name").substr(pos + 1, length(col("p_name"))))
+            .as("v_name"),
+          col("p_brand").as("v_brand"), col("p_type").as("v_type"),
+          (col("p_size") + pmod(col("p_partkey"), lit(2))).as("v_size"))
+        val weight = round(EntityResolution.fellegiSunterWeight(Seq(
+          fName.copy(agree =
+            round(JaroWinkler.sim(col("v_name"), col("p_name")), 6)
+              >= 0.92),
+          fType.copy(agree = col("v_type") === col("p_type")),
+          fSize.copy(agree = col("v_size") === col("p_size")))), 4)
+        variants
+          .join(parts, col("v_brand") === col("p_brand") &&
+            abs(col("v_size") - col("p_size")) <= 1)
+          .select(col("v_id"), col("p_partkey"), weight.as("weight"))
+          .withColumn("rn", row_number().over(Window.partitionBy("v_id")
+            .orderBy(col("weight").desc, col("p_partkey"))))
+          .filter(col("rn") === 1)
+          .select(col("v_id"), col("p_partkey").as("matched_key"),
+            col("weight"), (col("weight") >= 4.0).as("is_match"))
+          .orderBy("v_id")
+      }
+      Q("er_fellegi_sunter", run,
+        Some(s"""WITH parts AS (SELECT p_partkey, p_name, p_brand, p_type,
+                                       p_size
+                                FROM part WHERE length(p_name) > 8),
+              v AS (SELECT p_partkey AS v_id,
+                      substr(p_name, 1,
+                        CAST(5 + (p_partkey % (length(p_name) - 6)) AS INT)) ||
+                      substr(p_name,
+                        CAST(7 + (p_partkey % (length(p_name) - 6)) AS INT))
+                        AS v_name,
+                      p_brand AS v_brand, p_type AS v_type,
+                      p_size + p_partkey % 2 AS v_size
+                    FROM parts),
+              sc AS (SELECT v.v_id, p.p_partkey,
+                       round(
+                         CASE WHEN round(jaro_winkler_similarity(
+                                v.v_name, p.p_name), 6) >= 0.92
+                              THEN CAST(${fName.agreeWeight} AS DOUBLE)
+                              ELSE CAST(${fName.disagreeWeight} AS DOUBLE)
+                         END
+                       + CASE WHEN v.v_type = p.p_type
+                              THEN CAST(${fType.agreeWeight} AS DOUBLE)
+                              ELSE CAST(${fType.disagreeWeight} AS DOUBLE)
+                         END
+                       + CASE WHEN v.v_size = p.p_size
+                              THEN CAST(${fSize.agreeWeight} AS DOUBLE)
+                              ELSE CAST(${fSize.disagreeWeight} AS DOUBLE)
+                         END, 4) AS weight
+                     FROM v JOIN parts p
+                       ON v.v_brand = p.p_brand
+                      AND abs(v.v_size - p.p_size) <= 1),
+              b AS (SELECT v_id, p_partkey, weight,
+                      row_number() OVER (PARTITION BY v_id
+                        ORDER BY weight DESC, p_partkey) AS rn
+                    FROM sc)
+              SELECT v_id, p_partkey AS matched_key, weight,
+                     weight >= 4.0 AS is_match
+              FROM b WHERE rn = 1 ORDER BY v_id"""))
+    },
+
     Q("dedup_minhash_lsh",
       // same truth as dedup_jaccard: the banded candidates are verified
       // with exact Jaccard, so a green hash here proves banding recall
@@ -476,29 +597,25 @@ object CatalogScale {
         Dedup.clusterAssign(docs, "doc_id", pairs)
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE
-              w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
-                    FROM documents),
-              sh AS (SELECT DISTINCT doc_id, array_to_string(words[g:g+4], ' ') AS sh
-                     FROM w, unnest(range(1, greatest(len(words)-4, 1)+1)) t(g)),
-              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                        GROUP BY 1, 2),
-              pairs AS (SELECT id_a, id_b
-                        FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
-                                   JOIN sz sb ON inter.id_b = sb.doc_id
-                        WHERE inter * 5 >= (sa.n + sb.n - inter) * 4),
-              edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-                        UNION SELECT id_b, id_a FROM pairs),
-              reach AS (SELECT u, v FROM edges
-                        UNION
-                        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-              SELECT d.doc_id,
-                     CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
-                       AS cluster
-              FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
-              GROUP BY d.doc_id ORDER BY d.doc_id""")),
+      Some(ccTransitiveClosureSql)),
+
+    Q("dedup_cc_distributed",
+      // the SAME decision step with the driver union-find fast path
+      // DISABLED (collectThreshold = 0): at 100 TB the dup-pair relation
+      // exceeds any driver, so production always runs the distributed
+      // min-label-propagation + pointer-jumping loop — this row holds
+      // that exact code path (checkpointed label iteration, O(log
+      // diameter) rounds) to the same recursive-CTE transitive-closure
+      // truth the gated form is held to. Correctness of the scale path
+      // is driver-verified, not just spec-asserted.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
+        Dedup.clusterAssign(docs, "doc_id", pairs, collectThreshold = 0L)
+          .orderBy("doc_id")
+      },
+      Some(ccTransitiveClosureSql)),
 
     Q("dq_benford",
       // Benford first-digit conformity for numeric columns — the
@@ -539,6 +656,72 @@ object CatalogScale {
                            ((SELECT n_total FROM tot) * log10(1.0 + 1.0 / digit)),
                        4) AS chi2_part
               FROM dg GROUP BY digit ORDER BY digit""")),
+
+    Q("dq_psi_drift",
+      // Population Stability Index per language slice between the
+      // warehouse's two source cohorts (src0–7 = reference snapshot,
+      // src8+ = candidate): doc-length deciles (fixed 100-char buckets,
+      // capped at 9 — fixed edges, never ntile, so bucket membership is
+      // engine-independent), Laplace-smoothed (+0.5 per bucket) so
+      // empty buckets have positive mass on both sides, per-bucket
+      // contributions rounded to 1e-9 fixed point BEFORE the sum (the
+      // ta_lang_divergence order-free-reduction recipe). PSI is THE
+      // production drift screen before a new crawl snapshot joins a
+      // training mix: > 0.25 on any slice blocks the merge. Counts are
+      // one corpus-scale partial agg; the (lang × 10-bucket) spine is
+      // dimension-sized.
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(col("lang"),
+            (substring(col("source"), 4, 10).cast("int") < 8).as("is_ref"),
+            least(floor(col("n_chars") / 100), lit(9)).cast("int")
+              .as("bucket"))
+          .groupBy("lang", "bucket")
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("na"),
+            sum(when(col("is_ref"), 0L).otherwise(1L)).as("nb"))
+        val totals = counts.groupBy("lang")
+          .agg(sum("na").as("ta"), sum("nb").as("tb"))
+        val buckets = counts.sparkSession.range(0, 10)
+          .select(col("id").cast("int").as("bucket"))
+        totals.crossJoin(broadcast(buckets))
+          .join(counts, Seq("lang", "bucket"), "left")
+          .select(col("lang"), col("ta"), col("tb"),
+            ((coalesce(col("na"), lit(0L)) + 0.5) / (col("ta") + 5.0))
+              .as("pa"),
+            ((coalesce(col("nb"), lit(0L)) + 0.5) / (col("tb") + 5.0))
+              .as("pb"))
+          .select(col("lang"), col("ta"), col("tb"),
+            round((col("pa") - col("pb")) * log(col("pa") / col("pb"))
+              * 1e9, 0).cast("long").as("k"))
+          .groupBy("lang")
+          .agg(max("ta").as("n_ref"), max("tb").as("n_cand"),
+            round(sum("k") / 1e9, 6).as("psi"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT lang,
+                           CAST(substr(source, 4) AS INT) < 8 AS is_ref,
+                           CAST(least(floor(n_chars / 100), 9) AS INT)
+                             AS bucket
+                         FROM documents),
+              c AS (SELECT lang, bucket,
+                      sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS na,
+                      sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nb
+                    FROM d GROUP BY 1, 2),
+              tt AS (SELECT lang, CAST(sum(na) AS BIGINT) AS ta,
+                       CAST(sum(nb) AS BIGINT) AS tb
+                     FROM c GROUP BY 1),
+              sp AS (SELECT t.lang, t.ta, t.tb, g.b AS bucket
+                     FROM tt t CROSS JOIN
+                       (SELECT unnest(range(0, 10)) AS b) g),
+              p AS (SELECT sp.lang, sp.ta, sp.tb,
+                      (coalesce(c.na, 0) + 0.5) / (sp.ta + 5.0) AS pa,
+                      (coalesce(c.nb, 0) + 0.5) / (sp.tb + 5.0) AS pb
+                    FROM sp LEFT JOIN c
+                      ON c.lang = sp.lang AND c.bucket = sp.bucket)
+              SELECT lang, max(ta) AS n_ref, max(tb) AS n_cand,
+                     round(sum(CAST(round((pa - pb) * ln(pa / pb) * 1e9, 0)
+                       AS BIGINT)) / 1e9, 6) AS psi
+              FROM p GROUP BY 1 ORDER BY lang""")),
 
     Q("dq_constraints",
       // the data-quality expectations layer: key uniqueness, referential
@@ -1660,6 +1843,48 @@ object CatalogScale {
                 CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
                 count(*) AS n_docs
               FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    Q("ta_oov_rate",
+      // out-of-vocabulary rate per language slice against the corpus's
+      // top-100 vocabulary (count desc, word asc — a total order, so
+      // the vocabulary is deterministic under any parallelism): the
+      // coverage screen run before committing a tokenizer/vocab to a
+      // new corpus slice. The token relation is the corpus-scale work
+      // (one word-keyed partial agg for counts, one per-lang agg for
+      // rates); the top-k selection sorts only the vocab-sized count
+      // relation (~√N by Heaps' law), and the vocabulary broadcasts to
+      // the membership probe — no token-keyed shuffle for the join.
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("lang"),
+            explode(Dedup.words(lower(col("text")))).as("w"))
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("c").desc, col("w"))))
+          .filter(col("rn") <= 100)
+          .select(col("w"), lit(1).as("iv"))
+        tok.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("lang"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov") / col("n_tokens"), 4).as("oov_rate"))
+          .orderBy("lang")
+      },
+      Some("""WITH tok AS (SELECT lang, unnest(regexp_split_to_array(
+                             trim(lower(text)), '\s+')) AS w
+                           FROM documents),
+              cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+              vocab AS (SELECT w FROM (SELECT w, row_number() OVER
+                          (ORDER BY c DESC, w) AS rn FROM cnt)
+                        WHERE rn <= 100)
+              SELECT lang, count(*) AS n_tokens,
+                     CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_oov,
+                     round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) /
+                       count(*), 4) AS oov_rate
+              FROM tok LEFT JOIN vocab v ON tok.w = v.w
+              GROUP BY lang ORDER BY lang""")),
 
     Q("ta_pii_scrub",
       // synthesized emails/phones from structured cols; oracle reconstructs

@@ -554,6 +554,79 @@ object CatalogStreaming {
         .orderBy("purchase_id"))
   }
 
+  /** Stage impressions (event_id % 3 = 1) and conversions (event_id %
+    * 10 = 2) as 3 m-pages each plus TWO watermark-pad waves per side
+    * (w0 at +30 d, w1 at +35 d): with no-data micro-batches disabled,
+    * outer-row emission needs a DATA batch after the watermark
+    * crossing — w0 pushes the watermark past every real impression's
+    * join window, and w1's batch performs the eviction that emits the
+    * unmatched rows. Pads use sentinel users (−1/−2) so they never
+    * join and the finish step filters them.
+    */
+  private def stageLeftOuterPages(s: SparkSession, d: String): (String, String) = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val outI = s"$base/lo_imps"
+    val outC = s"$base/lo_convs"
+    val ev = t(s, d, "events")
+    val dayUs = 86400000000L
+    val mtMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val minMicros = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val pageUs = (mtMicros - minMicros) / 3 + 1
+    def mpage(tsUs: org.apache.spark.sql.Column) = concat(lit("m"),
+      lpad(((tsUs - minMicros) / pageUs).cast("int").cast("string"),
+        3, "0"))
+    def pads(user: Long, idBase: Long) = s.range(0, 2).select(
+      (lit(idBase) - col("id")).as("imp_id"), lit(user).as("user_id"),
+      (lit(mtMicros) + (lit(30) + col("id") * 5) * dayUs).as("ts_us"),
+      concat(lit("w"), col("id").cast("string")).as("page"))
+    val imps = ev.filter(col("event_id") % 3 === 1).select(
+      col("event_id").as("imp_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      mpage(unix_micros(col("ts"))).as("page"))
+    stagePages(imps.unionByName(pads(-1L, -1L))
+      .select(col("page"), to_json(struct(
+        col("imp_id"), col("user_id"), col("ts_us"))).as("line")), outI)
+    val convs = ev.filter(col("event_id") % 10 === 2).select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      mpage(unix_micros(col("ts"))).as("page"))
+    stagePages(convs.unionByName(pads(-2L, -10L).drop("imp_id"))
+      .select(col("page"), to_json(struct(
+        col("user_id"), col("ts_us"))).as("line")), outC)
+    (outI, outC)
+  }
+
+  private val impSchema = StructType(Seq(
+    StructField("imp_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts_us", LongType)))
+
+  private val convSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts_us", LongType)))
+
+  private def runLeftOuter(s: SparkSession, d: String): DataFrame = {
+    val (pagesI, pagesC) = stageLeftOuterPages(s, d)
+    // 2 files/trigger → [m000,m001] [m002,w0] [w1]: matched pairs are
+    // trigger-grouping-invariant (two-sided-watermark contract); the
+    // outer NULL rows need w0's watermark push to precede w1's data
+    // batch, which this grouping guarantees in mtime order.
+    val imps = s.readStream.schema(impSchema)
+      .option("maxFilesPerTrigger", "2").json(pagesI)
+      .select(col("imp_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    val convs = s.readStream.schema(convSchema)
+      .option("maxFilesPerTrigger", "2").json(pagesC)
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+    materializeStream(s,
+      StreamingOps.leftOuterImpressions(imps, convs, "2 days", "1 day"),
+      _.filter(col("user_id") >= 0)
+        .groupBy("imp_id")
+        .agg(count(col("conv_ts")).as("n_convs"),
+          (count(col("conv_ts")) > 0).as("matched"))
+        .orderBy("imp_id"))
+  }
+
   private val totalsSchema = StructType(Seq(
     StructField("user_id", LongType),
     StructField("bk", LongType),
@@ -1055,6 +1128,28 @@ object CatalogStreaming {
               FROM purch p JOIN clicks c ON c.user_id = p.user_id
                 AND c.click_ts <= p.purchase_ts
                 AND c.click_ts >= p.purchase_ts - INTERVAL 2 DAY
+              GROUP BY 1 ORDER BY 1""")),
+
+    Q("st_left_outer",
+      // stream-stream LEFT OUTER interval join: the unconverted-
+      // impression feed st_attribution's inner join cannot produce.
+      // Matched pairs emit on arrival; every unmatched impression
+      // emits EXACTLY ONCE with a NULL conversion when the watermark
+      // closes its join window (outer-row emission at state eviction,
+      // staged so the eviction batch is a data batch — see
+      // stageLeftOuterPages). The oracle is the batch left join, so a
+      // green hash proves both halves: no unmatched row lost in state
+      // at stream end, and no matched row double-emitted as an outer
+      // NULL.
+      (s, d) => runLeftOuter(s, d),
+      Some("""WITH imp AS (SELECT event_id AS imp_id, user_id, ts
+                           FROM events WHERE event_id % 3 = 1),
+              conv AS (SELECT user_id, ts FROM events
+                       WHERE event_id % 10 = 2)
+              SELECT i.imp_id, count(c.ts) AS n_convs,
+                     count(c.ts) > 0 AS matched
+              FROM imp i LEFT JOIN conv c ON c.user_id = i.user_id
+                AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 DAY
               GROUP BY 1 ORDER BY 1""")),
 
     Q("st_upsert_effect",

@@ -117,6 +117,48 @@ object CatalogTraining {
               SELECT doc_id, lang, ttr FROM r WHERE rn * 4 <= n * 3
               ORDER BY doc_id""")),
 
+    Q("td_score_calibrate",
+      // ECDF score calibration per language slice: raw quality scores
+      // are incomparable ACROSS slices (a ttr of 0.6 is great for zh,
+      // mediocre for en), so a mixed-corpus quality threshold must cut
+      // on the within-slice percentile, not the raw score —
+      // cume_dist() over (lang, score), which both engines define
+      // identically (rows ≤ current, peers included, over partition
+      // size). Unlike td_quality_filter's hard rank cutoff, this EMITS
+      // the calibrated percentile per document — the feature a
+      // downstream mixer/curriculum consumes — plus the keep decision
+      // at the bottom-quintile boundary (computed from the ROUNDED
+      // percentile on both sides, so the boundary bit is
+      // engine-independent). One window over the corpus partitioned by
+      // lang; nothing driver-side.
+      (s, d) => {
+        val ws = graft.operators.Dedup.words(col("text"))
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            (size(array_distinct(ws)).cast("double") / size(ws))
+              .as("score"))
+        scored
+          .withColumn("pct", round(cume_dist().over(
+            Window.partitionBy("lang").orderBy("score")), 6))
+          .select(col("doc_id"), col("lang"),
+            round(col("score"), 6).as("score"), col("pct"),
+            (col("pct") > 0.2).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang,
+                           CAST(len(list_distinct(regexp_split_to_array(
+                             trim(text), '\s+'))) AS DOUBLE) /
+                           len(regexp_split_to_array(trim(text), '\s+'))
+                             AS score
+                         FROM documents),
+              p AS (SELECT doc_id, lang, score,
+                      round(cume_dist() OVER (PARTITION BY lang
+                        ORDER BY score), 6) AS pct
+                    FROM w)
+              SELECT doc_id, lang, round(score, 6) AS score, pct,
+                     pct > 0.2 AS keep
+              FROM p ORDER BY doc_id""")),
+
     Q("td_upsample",
       // domain-mix weighting: src0 3x, src1 dropped, everything else 1x;
       // each replica is tagged with its copy index

@@ -346,6 +346,39 @@ object StreamingOps {
         col("purchase_ts") +: col("channel") +: carry.map(col): _*)
   }
 
+  /** Stream-stream LEFT OUTER interval join: every impression emits —
+    * joined to each conversion by the same user within `horizon` after
+    * it, or exactly once with NULL conversion columns when the
+    * watermark closes its join window unmatched (outer-row emission at
+    * state eviction — Structured Streaming's contract for outer
+    * stream-stream joins). This is the feed [[attributionStream]]'s
+    * inner form cannot produce: the UNCONVERTED impressions, which at
+    * 100 TB is the overwhelming majority of the relation and the
+    * negative class every CTR/uplift trainer needs. State on both
+    * sides is time-bounded by the watermark + range condition; with
+    * no-data micro-batches disabled, eviction (and therefore the NULL
+    * rows) lands in the next DATA batch after the watermark crossing —
+    * stage a trailing input page after the watermark push, or the
+    * final unmatched set stays in state.
+    */
+  def leftOuterImpressions(impressions: DataFrame, conversions: DataFrame,
+      watermark: String, horizon: String): DataFrame = {
+    val l = impressions
+      .select(col("imp_id"), col("user_id").as("i_user"),
+        col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val r = conversions
+      .select(col("user_id").as("c_user"), col("ts").as("conv_ts"))
+      .withWatermark("conv_ts", watermark)
+    l.join(r,
+        col("i_user") === col("c_user") &&
+          col("conv_ts") >= col("imp_ts") &&
+          col("conv_ts") <= col("imp_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("imp_id"), col("i_user").as("user_id"),
+        col("imp_ts"), col("conv_ts"))
+  }
+
   /** Exactly-once-effect streaming sink: each micro-batch lands through
     * the K5 keyed upsert ([[graft.sources.PostgresUpsertSink]]), so a
     * REPLAYED batch (restart from checkpoint re-delivers the last

@@ -1080,6 +1080,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"tie on duplicate names must resolve to the min key: $got")
   }
 
+  test("fellegiSunterWeight: agreement-vector log-likelihood arithmetic") {
+    import EntityResolution.FsField
+    // two fields with hand-computable weights: m/u = 4 -> log2 = +2,
+    // (1-m)/(1-u) = 1/4 -> log2 = -2 — exact dyadic ratios
+    val f1 = FsField(col("a1"), m = 0.8, u = 0.2)   // +2 / -2 (exact)
+    val f2 = FsField(col("a2"), m = 0.8, u = 0.2)
+    assert(math.abs(f1.agreeWeight - 2.0) < 1e-12)
+    assert(math.abs(f1.disagreeWeight - (-2.0)) < 1e-12)
+    val rows = Seq((true, true), (true, false), (false, false))
+      .toDF("a1", "a2")
+    val got = rows.select(
+      EntityResolution.fellegiSunterWeight(Seq(f1, f2)).as("w"))
+      .as[Double].collect().toSeq
+    assert(got.map(w => math.round(w * 1e9) / 1e9) == Seq(4.0, 0.0, -4.0),
+      s"weights: $got")
+    // the model's preconditions fail loudly
+    intercept[IllegalArgumentException] {
+      FsField(col("a1"), m = 0.1, u = 0.8) // m must exceed u
+    }
+    intercept[IllegalArgumentException] {
+      EntityResolution.fellegiSunterWeight(Seq.empty)
+    }
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)

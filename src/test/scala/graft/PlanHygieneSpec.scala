@@ -190,7 +190,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "g10_hits",
     // ACF cross-joins the 10-row broadcast lag spine into the
     // calendar-sized daily self-join (the ts_gap_fill spine pattern)
-    "ts_acf")
+    "ts_acf",
+    // PSI cross-joins the 10-row broadcast bucket spine into the
+    // lang-sized totals relation (the ts_gap_fill spine pattern) so
+    // empty buckets keep their smoothed mass on both sides
+    "dq_psi_drift")
 
   test("no undocumented cross products anywhere in the catalog") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]

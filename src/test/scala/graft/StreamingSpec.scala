@@ -370,6 +370,45 @@ class StreamingSpec extends AnyFunSuite {
       s"only the in-horizon click attributes, exactly once: $got")
   }
 
+  test("leftOuterImpressions: matches emit on arrival, unmatched emit one NULL row after eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val convs = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.leftOuterImpressions(
+      imps.toDF().toDF("imp_id", "user_id", "ts"),
+      convs.toDF().toDF("user_id", "ts"),
+      watermark = "10 minutes", horizon = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("lo_out").start()
+    imps.addData((1L, 10L, t("2024-01-01 10:00:00")),
+      (2L, 20L, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    convs.addData((10L, t("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    val mid = spark.table("lo_out").select("imp_id")
+      .as[Long].collect().toSet
+    assert(mid == Set(1L),
+      s"only the matched impression emits before eviction: $mid")
+    // push BOTH watermarks (global = min of the two) past imp 2's
+    // window, then one more data batch to run the eviction
+    imps.addData((9L, -1L, t("2024-01-01 12:00:00")))
+    convs.addData((-2L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    imps.addData((8L, -1L, t("2024-01-01 13:00:00")))
+    convs.addData((-2L, t("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    val fin = spark.table("lo_out").select("imp_id", "conv_ts")
+      .as[(Long, Option[Timestamp])].collect().toSeq
+    q.stop()
+    assert(fin.count(r => r._1 == 2L && r._2.isEmpty) == 1,
+      s"unmatched impression emits exactly one NULL row: $fin")
+    assert(fin.count(_._1 == 1L) == 1 &&
+      fin.filter(_._1 == 1L).forall(_._2.nonEmpty),
+      s"matched impression never re-emits as an outer NULL: $fin")
+  }
+
   test("upsertSink: replayed micro-batch leaves the table unchanged (exactly-once effect)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

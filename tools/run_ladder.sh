@@ -11,9 +11,9 @@ RUNS=${1:-4}
 export SPARK_GRAFT_CPUS=32
 
 # rows fitted on the sf ladder (TPC-H/events drivers)
-SF_SET=a25_assoc_rules,a29_triple_itemsets,a30_sliding_distinct,a34_gini_activity,ep1_weekly_e2e,ep2_jira_e2e,ep3_dashboard_e2e,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic,j12_jaro_entity_join,ts_markov_stationary
+SF_SET=a25_assoc_rules,er_fellegi_sunter,a29_triple_itemsets,a30_sliding_distinct,a34_gini_activity,ep1_weekly_e2e,ep2_jira_e2e,ep3_dashboard_e2e,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic,j12_jaro_entity_join,ts_markov_stationary
 # rows fitted on the corpus ladder (documents/embeddings drivers)
-CORPUS_SET=dedup_cdc_chunks,dedup_clusters,dedup_containment,dedup_edit_distance,dedup_embedding,dedup_embedding_scaled,dedup_jaccard,dedup_keep_best,dedup_lines_keep_first,dedup_minhash_lsh,dedup_spans,dedup_winnow,emb_pca_project,er_blocking_quality,g2_cluster_sizes,hh_bigram_phrases,inc_dedup_pairs,mm_phash_dct,sim_ann_ivf_pq,sim_hard_negatives,ta_rouge_overlap,td_kcenter_coreset,td_leakage_split,td_pipeline_e2e
+CORPUS_SET=dedup_cc_distributed,dedup_clusters,dedup_containment,dedup_embedding,dedup_embedding_scaled,dedup_jaccard,dedup_keep_best,dedup_lines_keep_first,dedup_minhash_lsh,dedup_spans,dedup_winnow,emb_pca_project,er_blocking_quality,g2_cluster_sizes,hh_bigram_phrases,sim_ann_ivf_pq,sim_hard_negatives,ta_rouge_overlap,td_kcenter_coreset,td_pipeline_e2e
 # lineitem-driven rows also measured at synth10 for the e(xl) segment
 LI_SET=a25_assoc_rules,a29_triple_itemsets,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic
 # vocab-bound rows fit on the Heaps-law zipf rungs (see scale_ladder.py);
@@ -23,9 +23,17 @@ LI_SET=a25_assoc_rules,a29_triple_itemsets,g1_pagerank,g3_bfs_hops,g4_triangles,
 # exponents were layout-confounded — the zipf rungs' matched 8-file
 # layout removes the map-concurrency inflation)
 ZIPF_SET=search_bm25,ta_bpe_tokens,ta_lang_divergence,ta_textrank_keywords,ta_unigram_viterbi,ta_wordpiece_tokens
-# matched-concurrency Caesar rungs (VERDICT r10 #2) — build with:
-#   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/synth1m 1 caesar 8'   (and 3, 10)
-APSS_SET=dedup_apss_cosine
+# matched-concurrency Caesar rungs (VERDICT r10 #2 + r10 #7 stretch) —
+# build with:
+#   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/synth1m 1 caesar 8'   (and 3, 10, 25)
+# APSS plus the five document rows whose default-Caesar last segment sat
+# at ~1.0 — refitted layout-matched with a fourth decade (synth25m; 25
+# is the Caesar design maximum: a 26th rotation collides). APSS stays
+# off the 25m rung: its pair aggregate already spills 59.9 GB at
+# synth10m under fixed 32 partitions, and 2.5x the candidate volume
+# would exceed this host's free disk (see scale_ladder.py STRETCH25).
+STRETCH_SET=dedup_cdc_chunks,dedup_edit_distance,inc_dedup_pairs,mm_phash_dct,td_leakage_split
+APSS_SET=dedup_apss_cosine,$STRETCH_SET
 # third embedding decade (VERDICT r10 #5) — build with:
 #   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/emb30 30 emb'
 # scaled row only: the fixed-cells row's emb30 attempt is a measured
@@ -58,6 +66,7 @@ run_rung /tmp/graft_synth/zipf10 zipf10 "$ZIPF_SET"
 run_rung /tmp/graft_synth/synth1m  synth1m  "$APSS_SET"
 run_rung /tmp/graft_synth/synth3m  synth3m  "$APSS_SET"
 run_rung /tmp/graft_synth/synth10m synth10m "$APSS_SET"
+run_rung /tmp/graft_synth/synth25m synth25m "$STRETCH_SET"
 # third embedding decade (~25 min: the 30x rung's pair volume) — gated
 # like XL30; the ladder appends the rung when its run files exist
 if [ "${RUN_EMB30:-0}" = "1" ]; then

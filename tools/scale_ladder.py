@@ -70,6 +70,7 @@ DIRS = {
     "synth1m": f"{SYNTH}/synth1m",
     "synth3m": f"{SYNTH}/synth3m",
     "synth10m": f"{SYNTH}/synth10m",
+    "synth25m": f"{SYNTH}/synth25m",
     "emb30": f"{SYNTH}/emb30",
 }
 
@@ -130,6 +131,12 @@ DRIVERS = {
     "ta_lang_divergence": "documents",
     "g12_betweenness": "lineitem",
     "g13_harmonic": "lineitem",
+    # r11 additions: the forced-distributed CC decision path (corpus
+    # rungs, like the gated dedup_clusters form it shadows) and the
+    # FS linkage join (part-driven -> sf ladder; extra _x run files
+    # carry just these queries so the committed rung records stay valid)
+    "dedup_cc_distributed": "documents",
+    "er_fellegi_sunter": "part",
 }
 
 # per-query rung overrides where the DERIVED relation's size inverts
@@ -189,8 +196,33 @@ VOCAB_BOUND = {"ta_bpe_tokens", "ta_textrank_keywords",
 # exist on disk
 XL30 = {"g1_pagerank", "g6_kcore", "a25_assoc_rules"}
 
+# stretch decade for documents (VERDICT r10 #7): the five document rows
+# whose Caesar last segment sat at ~1.0 (dedup_cdc_chunks 1.05,
+# mm_phash_dct 1.02, td_leakage_split 1.00, dedup_edit_distance 0.92,
+# inc_dedup_pairs 0.91) are refitted on the MATCHED-concurrency Caesar
+# rungs (their old ~1.0 carried the 1 -> 6 -> 20 file-count layout term
+# like every other default-Caesar exponent this round re-measured) with
+# a FOURTH decade, synth25m: factor 25 is the Caesar design maximum —
+# the letter rotations (k*7 mod 25)+1 are pairwise distinct only for
+# k < 25, and a 26th universe would collide with an existing one,
+# turning whole universes into near-dup pairs and corrupting exactly
+# the similarity structure these rows measure. 125k docs at the same
+# 8-file layout. The rung is appended only when its run files exist
+# (the XL30 pattern). dedup_apss_cosine deliberately does NOT get the
+# 25m rung: its (doc_a, doc_b) pair aggregate already spills 59.9 GB at
+# synth10m under the bench's fixed 32 shuffle partitions (profiled in
+# SCALE.md), and the ~2.5x candidate volume at 25m would put the spill
+# past this host's free disk — the emb30 fixed-cells precedent: a
+# measured capacity wall, not an unfitted exponent.
+STRETCH25 = {"dedup_cdc_chunks", "mm_phash_dct", "td_leakage_split",
+             "dedup_edit_distance", "inc_dedup_pairs"}
+
 
 def rungs_for(query, table):
+    if query in STRETCH25:
+        if glob.glob("BENCH_LOCAL_synth25m_partial*.json"):
+            return MATCHED_RUNGS + ["synth25m"]
+        return MATCHED_RUNGS
     if query in RUNG_OVERRIDE:
         return RUNG_OVERRIDE[query]
     if query in EMB30 and glob.glob("BENCH_LOCAL_emb30_partial*.json"):
