@@ -1209,14 +1209,57 @@ object Dedup {
           .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
       } else {
         // single-phase: the inverted-index self-join feeds ONE
-        // partial-aggregable (doc_a, doc_b) sum — map-side combine
-        // collapses each partition's shared-term products before the
-        // only pair-keyed shuffle. The right plan when shared-term pair
+        // (doc_a, doc_b) sum. The right plan when shared-term pair
         // density is high (exactly when two-phase candidates explode).
-        w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
-          .join(w.select(col("doc_id").as("doc_b"), col("term"),
-            col("w").as("wb")), Seq("term"))
+        //
+        // Two scale decisions, both forced by measurement at the
+        // matched 50k-doc rung (ProfileStages; the fixed-32-partition
+        // form spilled 59.9 GB):
+        //
+        //  1. DF-PROPORTIONAL SALTING of the term self-join. A term's
+        //     products are df·(df−1)/2, and a term-keyed join puts ALL
+        //     of them in one task — a hot term (the Caesar corpora's
+        //     digit bigrams; any stopword-ish term in production) is a
+        //     per-task product volume no partition count fixes. Each
+        //     term gets nb = ⌈df²/2P⌉ salt buckets (P = 500k products
+        //     per bucket): the left posting takes bucket
+        //     hash(doc) % nb, the right posting replicates into all nb
+        //     (replication cost Σ df·nb ≈ candidates/P·df — KBs), and
+        //     the bucket join bounds every task's product volume at
+        //     ~2P regardless of skew. The a < b filter keeps each pair
+        //     exactly once (it survives only in the bucket keyed by
+        //     its lexicographically-smaller member's hash).
+        //  2. The pair-keyed exchange is sized to the corpus
+        //     (~150 docs of pair mass per partition), because AQE only
+        //     MERGES small partitions — it never splits an oversized
+        //     aggregate partition — and the map-side sorter buffering
+        //     behind a too-narrow exchange is itself a spill site.
+        val nDocs = docs.select(col(idCol)).count()
+        val pairParts = math.max(
+          docs.sparkSession.sessionState.conf.numShufflePartitions,
+          (nDocs / 150L).toInt)
+        val productsPerBucket = 500000L
+        val buckets = dfT.select(col("term"),
+          greatest(lit(1L), ceil(col("df") * (col("df") - 1) /
+            lit(2.0 * productsPerBucket)).cast("long")).as("nb"))
+        // both join inputs are repartitioned to pairParts on the join
+        // key: the bucket join (and with it the map side of the pair
+        // exchange) then runs at pairParts tasks, so no task buffers
+        // more than ~a bucket of products in its shuffle sorter — at
+        // 32 join tasks the sorter itself was the 17.9 GB spill site
+        val left = w.join(buckets, "term")
+          .select(col("doc_id").as("doc_a"), col("term"),
+            col("w").as("wa"),
+            pmod(xxhash64(col("doc_id")), col("nb")).as("bk"))
+          .repartition(pairParts, col("term"), col("bk"))
+        val right = w.join(buckets, "term")
+          .select(col("doc_id").as("doc_b"), col("term"),
+            col("w").as("wb"),
+            explode(sequence(lit(0L), col("nb") - 1)).as("bk"))
+          .repartition(pairParts, col("term"), col("bk"))
+        left.join(right, Seq("term", "bk"))
           .filter(col("doc_a") < col("doc_b"))
+          .repartition(pairParts, col("doc_a"), col("doc_b"))
           .groupBy("doc_a", "doc_b")
           .agg(sum(col("wa") * col("wb")).as("dot"))
       }

@@ -32,7 +32,7 @@ ZIPF_SET=search_bm25,ta_bpe_tokens,ta_lang_divergence,ta_textrank_keywords,ta_un
 # off the 25m rung: its pair aggregate already spills 59.9 GB at
 # synth10m under fixed 32 partitions, and 2.5x the candidate volume
 # would exceed this host's free disk (see scale_ladder.py STRETCH25).
-STRETCH_SET=dedup_cdc_chunks,dedup_edit_distance,inc_dedup_pairs,mm_phash_dct,td_leakage_split
+STRETCH_SET=dedup_cdc_chunks,dedup_winnow,dedup_edit_distance,inc_dedup_pairs,mm_phash_dct,td_leakage_split
 APSS_SET=dedup_apss_cosine,$STRETCH_SET
 # third embedding decade (VERDICT r10 #5) — build with:
 #   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/emb30 30 emb'

@@ -214,8 +214,15 @@ XL30 = {"g1_pagerank", "g6_kcore", "a25_assoc_rules"}
 # SCALE.md), and the ~2.5x candidate volume at 25m would put the spill
 # past this host's free disk — the emb30 fixed-cells precedent: a
 # measured capacity wall, not an unfitted exponent.
+#
+# dedup_winnow joined this set in r11: its native selection is a
+# ZERO-SHUFFLE scan projection — exactly the map-concurrency-sensitive
+# shape whose CPU counter the default Caesar ladder's 1 -> 6 -> 20 file
+# growth inflates (the bm25 evidence: equal wall, 9x CPU at 20-way) —
+# and a 2-query re-run on the 20-file synth10 rung read e 1.66 where
+# the r10 multi-query runs had fitted 0.42. Refit layout-matched.
 STRETCH25 = {"dedup_cdc_chunks", "mm_phash_dct", "td_leakage_split",
-             "dedup_edit_distance", "inc_dedup_pairs"}
+             "dedup_edit_distance", "inc_dedup_pairs", "dedup_winnow"}
 
 
 def rungs_for(query, table):
@@ -253,19 +260,24 @@ MAX_EXPONENT = 1.3
 OUTPUT_BOUND = {"dedup_embedding", "dedup_embedding_scaled"}
 OUTPUT_SLACK = 0.25
 
-# CANDIDATE-bound rows (VERDICT r10 #2): APSS cost is candidate-bound
-# by construction — the single-phase inverted-index self-join touches
-# exactly sum_t df_t*(df_t-1)/2 (doc-pair, shared-term) products before
-# the one pair-keyed partial agg, so its honest denominator is that
-# volume, not the emitted pairs (the Caesar corpora share DIGIT-bearing
-# bigrams across universes — letters rotate, digits don't — so df of
-# numeric terms grows with the factor and the product count is
-# genuinely super-linear while output stays output-shaped). The ladder
-# COMPUTES the volume per rung in DuckDB with the operator's own term
-# definition (lowercased whitespace words -> 2-shingles, idf3 > 0), and
-# the gate checks cost against max(1, candidate exponent) like the
-# output-bound rule. Cost per candidate is recorded either way.
-CANDIDATE_BOUND = {"dedup_apss_cosine"}
+# CANDIDATE-bound rows (VERDICT r10 #2): an exact pair-finder's cost is
+# candidate-bound by construction — the shared-key self-join touches
+# exactly sum_k df_k*(df_k-1)/2 (doc-pair, shared-key) products before
+# the one pair-keyed agg, so its honest denominator is that volume, not
+# the emitted pairs (the Caesar corpora share DIGIT-bearing grams
+# across universes — letters rotate, digits don't — so df of numeric
+# keys grows with the factor and the product count is genuinely
+# super-linear while output stays output-shaped). The ladder COMPUTES
+# the volume per rung in DuckDB with each operator's own key
+# definition (APSS: lowercased whitespace words -> 2-shingles,
+# idf3 > 0; winnow: the md5-hex window-min fingerprint selection the
+# oracle replays), and the gate checks cost against max(1, candidate
+# exponent) like the output-bound rule. Cost per candidate is recorded
+# either way. dedup_winnow joined in r11: its matched-rung refit still
+# read e 1.41 with flat per-stage profile and zero spill — the growth
+# is the digit-gram fingerprint df, i.e. the probe corpus, and the
+# candidate volume is the measured denominator that shows it.
+CANDIDATE_BOUND = {"dedup_apss_cosine", "dedup_winnow"}
 
 APSS_CANDIDATES_SQL = """
 WITH w0 AS (SELECT doc_id,
@@ -282,12 +294,43 @@ WHERE round(1000 * ln(CAST(n AS DOUBLE) / df), 0) > 0
 """
 
 
-def apss_candidates(rung):
+# shared-fingerprint pair products for dedup_winnow, with the
+# operator's own selection (word trigrams -> md5-hex-16 -> window-4
+# minima -> distinct per-doc fingerprints; the dedup_winnow oracle's
+# derivation verbatim)
+WINNOW_CANDIDATES_SQL = """
+WITH w AS (SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+       FROM read_parquet('{path}')),
+  g AS (SELECT doc_id, g - 1 AS pos,
+          substr(md5(array_to_string(ws[g:g+2], ' ')), 1, 16) AS h
+        FROM w, unnest(range(1, greatest(len(ws)-2, 1)+1)) t(g)),
+  n AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+  ex AS (SELECT g.doc_id, g.pos, g.h, s
+         FROM g JOIN n USING (doc_id),
+         unnest(range(greatest(g.pos - 3, 0),
+           least(g.pos, greatest(n.n_grams - 4, 0)) + 1)) t(s)),
+  wm AS (SELECT doc_id, s, min(h) AS mh FROM ex GROUP BY 1, 2),
+  fps AS (SELECT DISTINCT e.doc_id, e.h
+          FROM ex e JOIN wm ON e.doc_id = wm.doc_id
+            AND e.s = wm.s AND e.h = wm.mh),
+  dfh AS (SELECT h, count(*) AS df FROM fps GROUP BY 1)
+SELECT CAST(sum(df * (df - 1) / 2) AS BIGINT) FROM dfh
+"""
+
+CANDIDATE_SQL = {
+    "dedup_apss_cosine": APSS_CANDIDATES_SQL,
+    "dedup_winnow": WINNOW_CANDIDATES_SQL,
+}
+
+
+def query_candidates(query, rung):
     import duckdb
     path = os.path.join(DIRS[rung], "documents.parquet")
     if os.path.isdir(path):
         path = os.path.join(path, "*.parquet")
-    return duckdb.sql(APSS_CANDIDATES_SQL.format(path=path)).fetchone()[0]
+    return duckdb.sql(
+        CANDIDATE_SQL[query].format(path=path)).fetchone()[0]
 
 # empty since r10: dedup_embedding moved to the measured OUTPUT_BOUND
 # rule; ta_bpe_tokens moved to the Heaps-law zipf rungs (its Caesar
@@ -386,12 +429,12 @@ def main():
                               f"({qr[lo]} -> {qr[lo + 1]}): add fresh-JVM runs"))
         top = exps[-1]
         if q in CANDIDATE_BOUND and all(c is not None for c in cpus):
-            cands = [apss_candidates(r) for r in qr]
+            cands = [query_candidates(q, r) for r in qr]
             e_cand = (math.log(cands[-1] / cands[-2]) /
                       math.log(rows(qr[-1], tab) / rows(qr[-2], tab)))
             per = [c / k * 1e6 for c, k in zip(cpus, cands)]
             notes.append(
-                f"{q}: candidates (shared-term pair products) "
+                f"{q}: candidates (shared-key pair products) "
                 f"{' -> '.join(str(c) for c in cands)} "
                 f"(e_cand last {e_cand:.2f}); cost/candidate "
                 f"{' -> '.join(f'{p:.2f}' for p in per)} us")
@@ -488,11 +531,13 @@ def main():
         "checked against the recorded pair counts, not asserted.\n"
         f"CANDIDATE-bound rows ({sorted(CANDIDATE_BOUND)}) pass iff the\n"
         "cost exponent stays within the same slack of max(1, candidate\n"
-        "exponent), where candidate volume (the inverted-index join's\n"
-        "shared-term pair products, sum df*(df-1)/2 over idf-positive\n"
-        "bigrams) is COMPUTED per rung in DuckDB with the operator's own\n"
-        "term definition — APSS cost is candidate-bound by construction\n"
-        "(Bayardo WWW'07), and cost per candidate is recorded per rung.\n"
+        "exponent), where candidate volume (the shared-key join's pair\n"
+        "products, sum df*(df-1)/2 over the operator's own keys — APSS:\n"
+        "idf-positive bigrams; winnow: the md5-hex window-min selected\n"
+        "fingerprints) is COMPUTED per rung in DuckDB with each\n"
+        "operator's own derivation — exact pair-finder cost is\n"
+        "candidate-bound by construction (Bayardo WWW'07), and cost per\n"
+        "candidate is recorded per rung.\n"
         f"VOCAB-bound rows ({sorted(VOCAB_BOUND)}) fit on the zipf\n"
         "ladder: SynthCorpus zipf mode grows the vocabulary ~sqrt(rows)\n"
         "(Heaps' law) instead of the Caesar mode's linear growth, and\n"
