@@ -14,6 +14,11 @@ set -e
 cd "$(dirname "$0")/.."
 
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
+# the committed baseline was recorded at 89g driver heap (heap_max_mb
+# 91136); the gate REFUSES records from a different heap (spill-prone
+# rows are not comparable across memory budgets), so the snapshot pins
+# the same heap instead of run_bench.sh's 16g iteration default
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-89g}
 unset SPARK_GRAFT_ONLY   # full catalog — partial records never snapshot
 
 echo "=== snapshot: full bench at sf0.1 ($(date +%H:%M:%S))"
