@@ -16,52 +16,108 @@ object PageTransport {
 
   private lazy val client: HttpClient = HttpClient.newHttpClient()
 
-  /** Cap on a single Retry-After-directed sleep: a throttling server
-    * can ask for minutes; a batch reader should fail the task and let
-    * Spark's task retry (with its own backoff) own long waits instead
-    * of pinning an executor thread.
+  /** Cap on a single Retry-After-directed sleep. Slack's default ask is
+    * 60 s (reference `slack/lib/api.js:62-66`) and the reference waits it
+    * out in-process; we allow headroom above that. Waits are honored IN
+    * THE READER rather than failing the task, because a Spark task retry
+    * refetches the whole partition's page chain — turning one polite
+    * wait into a refetch storm (SURVEY §4: "must not refetch whole
+    * partitions on 429"). Pinning an executor thread for a minute is the
+    * cheaper failure mode at any scale.
     */
-  private val MaxSleepMs = 5000L
+  private[sources] val MaxSingleSleepMs = 90000L
+
+  /** Total sleep budget across one page fetch's retry loop: a server
+    * that keeps asking for long waits eventually has to fail the fetch
+    * loudly instead of pinning the thread forever. 429s don't consume
+    * `maxAttempts` (throttling is not an error; the attempt bound is for
+    * 5xx/IO faults) — this budget is what bounds them.
+    */
+  private[sources] val MaxTotalSleepMs = 300000L
 
   def isHttp(location: String): Boolean =
     location.startsWith("http://") || location.startsWith("https://")
 
+  /** Auth/header seam: connector read options → request headers, matching
+    * how the reference authenticates each source:
+    *   - `user` + `token` → `Authorization: Basic base64(user:token)`
+    *     (Jira, `jira/export-to-csv.js:15-82`)
+    *   - `bearerToken` → `Authorization: Bearer token`
+    *     (Slack, `slack/lib/api.js:30-110`; Drive OAuth access tokens,
+    *     `transcripts/download-from-drive.js:264-303`, take this form too)
+    *   - `authorization` → sent verbatim as the Authorization value
+    *   - `header.<Name>` → arbitrary extra header (e.g. `header.Accept`)
+    * Unrelated options are ignored, so a connector can pass its whole
+    * option map. Keys are matched case-insensitively (DSv2 lower-cases
+    * option keys in `CaseInsensitiveStringMap`).
+    */
+  def authHeaders(options: Map[String, String]): Seq[(String, String)] = {
+    val lower = options.map { case (k, v) => (k.toLowerCase, v) }
+    val auth: Option[(String, String)] =
+      lower.get("authorization").map("Authorization" -> _)
+        .orElse(lower.get("bearertoken").map(t => "Authorization" -> s"Bearer $t"))
+        .orElse(for (u <- lower.get("user"); t <- lower.get("token")) yield
+          "Authorization" -> ("Basic " + java.util.Base64.getEncoder
+            .encodeToString(s"$u:$t".getBytes("UTF-8"))))
+    val extra = options.toSeq.collect {
+      case (k, v) if k.toLowerCase.startsWith("header.") =>
+        k.substring("header.".length) -> v
+    }
+    auth.toSeq ++ extra
+  }
+
   /** Read one page body. Local path → file read (staged form, zero
-    * egress). URL → GET with `maxAttempts` tries: 2xx returns the body;
-    * 429 and 5xx sleep (Retry-After seconds if sent, else linear
-    * backoff) and retry; other 4xx fail immediately (the reference
-    * treats auth/404 as page-fatal, not retryable); exhausted retries
-    * throw so the task fails loudly rather than silently dropping rows.
+    * egress). URL → GET (with `headers`, e.g. from [[authHeaders]]) under
+    * a retry loop: 2xx returns the body; 429 sleeps the server-directed
+    * `Retry-After` (bounded by [[MaxSingleSleepMs]] per wait and
+    * [[MaxTotalSleepMs]] across the loop) and retries WITHOUT consuming
+    * an attempt — throttling is not a fault, and failing the task would
+    * refetch the whole partition's pages; 5xx and IO errors take
+    * `maxAttempts` tries with linear backoff; other 4xx fail immediately
+    * (the reference treats auth/404 as page-fatal, not retryable);
+    * exhausted retries/budget throw so the task fails loudly rather than
+    * silently dropping rows.
     */
   def readPage(location: String, maxAttempts: Int = 4,
-      sleep: Long => Unit = Thread.sleep): String = {
+      sleep: Long => Unit = Thread.sleep,
+      headers: Seq[(String, String)] = Nil): String = {
     if (!isHttp(location))
       return java.nio.file.Files.readString(java.nio.file.Path.of(location))
     var attempt = 0
+    var sleptMs = 0L
     var lastStatus = -1
     while (attempt < maxAttempts) {
-      attempt += 1
       val resp: Either[Exception, HttpResponse[String]] =
-        try Right(client.send(
-          HttpRequest.newBuilder(URI.create(location)).GET().build(),
-          HttpResponse.BodyHandlers.ofString()))
-        catch { case e: java.io.IOException => Left(e) }
+        try {
+          val b = HttpRequest.newBuilder(URI.create(location)).GET()
+          headers.foreach { case (k, v) => b.header(k, v) }
+          Right(client.send(b.build(), HttpResponse.BodyHandlers.ofString()))
+        } catch { case e: java.io.IOException => Left(e) }
       resp match {
         case Right(r) if r.statusCode() / 100 == 2 => return r.body()
-        case Right(r) if r.statusCode() == 429 || r.statusCode() >= 500 =>
+        case Right(r) if r.statusCode() == 429 =>
+          lastStatus = 429
+          val retryAfterMs = r.headers().firstValue("Retry-After")
+            .map[Long](s => try s.trim.toLong * 1000L
+              catch { case _: NumberFormatException => 1000L })
+            .orElse(1000L)
+          val wait = math.min(math.max(retryAfterMs, 0L), MaxSingleSleepMs)
+          if (sleptMs + wait > MaxTotalSleepMs)
+            throw new java.io.IOException(
+              s"page fetch $location throttled past the ${MaxTotalSleepMs}ms " +
+                s"sleep budget (HTTP 429, Retry-After ${retryAfterMs}ms)")
+          sleep(wait)
+          sleptMs += wait
+        case Right(r) if r.statusCode() >= 500 =>
           lastStatus = r.statusCode()
-          if (attempt < maxAttempts) {
-            val retryAfterMs = r.headers().firstValue("Retry-After")
-              .map[Long](s => try s.trim.toLong * 1000L
-                catch { case _: NumberFormatException => 100L * attempt })
-              .orElse(100L * attempt)
-            sleep(math.min(math.max(retryAfterMs, 0L), MaxSleepMs))
-          }
+          attempt += 1
+          if (attempt < maxAttempts) sleep(100L * attempt)
         case Right(r) =>
           throw new java.io.IOException(
             s"page fetch $location failed: HTTP ${r.statusCode()} (not retryable)")
         case Left(e) =>
           lastStatus = -1
+          attempt += 1
           if (attempt < maxAttempts) sleep(100L * attempt) else throw e
       }
     }

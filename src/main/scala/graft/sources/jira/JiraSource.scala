@@ -36,7 +36,11 @@ class JiraSource extends TableProvider {
     JiraSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new JiraTable(properties.get("path"))
+    // auth options (`user`+`token` → Basic, per the reference's Jira
+    // client `jira/export-to-csv.js:15-82`) become request headers on
+    // every live page fetch; staged-file reads ignore them
+    new JiraTable(properties.get("path"),
+      graft.sources.PageTransport.authHeaders(properties.asScala.toMap))
 }
 
 object JiraSource {
@@ -81,16 +85,17 @@ object JiraSource {
     StructField("fields", MapType(StringType, StringType))))
 }
 
-class JiraTable(path: String) extends Table with SupportsRead {
+class JiraTable(path: String, headers: Seq[(String, String)])
+    extends Table with SupportsRead {
   override def name(): String = s"jira($path)"
   override def schema(): StructType = JiraSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JiraScanBuilder(path)
+    new JiraScanBuilder(path, headers)
 }
 
-class JiraScanBuilder(path: String) extends ScanBuilder
+class JiraScanBuilder(path: String, headers: Seq[(String, String)]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = JiraSource.schema
@@ -115,11 +120,11 @@ class JiraScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = JiraScan(path, required, pushed)
+  override def build(): Scan = JiraScan(path, required, pushed, headers)
 }
 
-case class JiraScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+case class JiraScan(path: String, required: StructType, pushed: Array[Filter],
+    headers: Seq[(String, String)]) extends Scan with Batch {
 
   /** The JQL the reference would send (`project = X AND updated >= "…"`). */
   def jql: String = {
@@ -146,16 +151,16 @@ case class JiraScan(path: String, required: StructType, pushed: Array[Filter])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    JiraReaderFactory(required, pushed)
+    JiraReaderFactory(required, pushed, headers)
 }
 
 case class JiraPagePartition(file: String) extends InputPartition
 
-case class JiraReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
+case class JiraReaderFactory(required: StructType, pushed: Array[Filter],
+    headers: Seq[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new JiraPartitionReader(
-      partition.asInstanceOf[JiraPagePartition].file, required, pushed)
+      partition.asInstanceOf[JiraPagePartition].file, required, pushed, headers)
 }
 
 /** Reads one staged page file; applies the pushed "JQL" the way the
@@ -163,7 +168,8 @@ case class JiraReaderFactory(required: StructType, pushed: Array[Filter])
   * required fields (the `fields=` param).
   */
 class JiraPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], headers: Seq[(String, String)])
+    extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val issues: Iterator[JsonNode] = {
@@ -176,7 +182,7 @@ class JiraPartitionReader(file: String, required: StructType,
         // staged file or live URL — the transport owns 429/Retry-After
         // and transient-5xx retries; a still-failing fetch lands in the
         // fail-open catch below exactly like an unreadable page file
-        val text = graft.sources.PageTransport.readPage(file)
+        val text = graft.sources.PageTransport.readPage(file, headers = headers)
         val root = mapper.readTree(text)
         if (root == null) Some(Nil)
         else if (root.isArray) Some(root.elements().asScala.toList)

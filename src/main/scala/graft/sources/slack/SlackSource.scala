@@ -29,7 +29,11 @@ class SlackSource extends TableProvider {
     SlackSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new SlackTable(properties.get("path"))
+    // auth options (`bearerToken` -> Bearer, per the reference's Slack
+    // client `slack/lib/api.js:30-110`) become request headers on every
+    // live page fetch; staged-file reads ignore them
+    new SlackTable(properties.get("path"),
+      graft.sources.PageTransport.authHeaders(properties.asScala.toMap))
 }
 
 object SlackSource {
@@ -42,16 +46,17 @@ object SlackSource {
     StructField("reply_count", IntegerType)))
 }
 
-class SlackTable(path: String) extends Table with SupportsRead {
+class SlackTable(path: String, headers: Seq[(String, String)])
+    extends Table with SupportsRead {
   override def name(): String = s"slack($path)"
   override def schema(): StructType = SlackSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SlackScanBuilder(path)
+    new SlackScanBuilder(path, headers)
 }
 
-class SlackScanBuilder(path: String) extends ScanBuilder
+class SlackScanBuilder(path: String, headers: Seq[(String, String)]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SlackSource.schema
@@ -74,11 +79,11 @@ class SlackScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = SlackScan(path, required, pushed)
+  override def build(): Scan = SlackScan(path, required, pushed, headers)
 }
 
-case class SlackScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+case class SlackScan(path: String, required: StructType, pushed: Array[Filter],
+    headers: Seq[(String, String)]) extends Scan with Batch {
 
   def apiParams: String = pushed.collect {
     case EqualTo("channel", v) => s"channel=$v"
@@ -148,20 +153,21 @@ case class SlackScan(path: String, required: StructType, pushed: Array[Filter])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SlackReaderFactory(required, pushed)
+    SlackReaderFactory(required, pushed, headers)
 }
 
 case class SlackChannelPartition(file: String) extends InputPartition
 
-case class SlackReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
+case class SlackReaderFactory(required: StructType, pushed: Array[Filter],
+    headers: Seq[(String, String)]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SlackPartitionReader(
-      p.asInstanceOf[SlackChannelPartition].file, required, pushed)
+      p.asInstanceOf[SlackChannelPartition].file, required, pushed, headers)
 }
 
 class SlackPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], headers: Seq[(String, String)])
+    extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val (channelName, messages) = {
@@ -174,7 +180,8 @@ class SlackPartitionReader(file: String, required: StructType,
     // duplicates and no drops across the retry (ConnectorRetrySpec
     // pins this with per-page hit counts). Staged files never carry a
     // cursor, so the chain is a single page there.
-    val first = mapper.readTree(graft.sources.PageTransport.readPage(file))
+    val first = mapper.readTree(
+      graft.sources.PageTransport.readPage(file, headers = headers))
     val name = first.path("channel").path("name").asText()
     // LAZY page walk: the next page is fetched only when the current
     // one's rows are drained, so reader memory is one page regardless of
@@ -192,8 +199,8 @@ class SlackPartitionReader(file: String, required: StructType,
           else {
             n += 1
             require(n <= 100000, s"cursor chain too long at $file")
-            mapper.readTree(
-              graft.sources.PageTransport.readPage(cursorUrl(file, cursor)))
+            mapper.readTree(graft.sources.PageTransport.readPage(
+              cursorUrl(file, cursor), headers = headers))
           }
         cur
       }
