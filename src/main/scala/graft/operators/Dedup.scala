@@ -1216,48 +1216,60 @@ object Dedup {
         // matched 50k-doc rung (ProfileStages; the fixed-32-partition
         // form spilled 59.9 GB):
         //
-        //  1. DF-PROPORTIONAL SALTING of the term self-join. A term's
-        //     products are df·(df−1)/2, and a term-keyed join puts ALL
-        //     of them in one task — a hot term (the Caesar corpora's
-        //     digit bigrams; any stopword-ish term in production) is a
-        //     per-task product volume no partition count fixes. Each
-        //     term gets nb = ⌈df²/2P⌉ salt buckets (P = 500k products
-        //     per bucket): the left posting takes bucket
-        //     hash(doc) % nb, the right posting replicates into all nb
-        //     (replication cost Σ df·nb ≈ candidates/P·df — KBs), and
-        //     the bucket join bounds every task's product volume at
-        //     ~2P regardless of skew. The a < b filter keeps each pair
-        //     exactly once (it survives only in the bucket keyed by
-        //     its lexicographically-smaller member's hash).
+        //  1. DF-PROPORTIONAL GRID SALTING of the term self-join. A
+        //     term's products are df·(df−1)/2, and a term-keyed join
+        //     puts ALL of them in one task — a hot term (the Caesar
+        //     corpora's digit bigrams; any stopword-ish term in
+        //     production) is a per-task product volume no partition
+        //     count fixes. Each term gets an r×c grid of salt cells
+        //     with r = c = ⌈√(df²/2P)⌉ (P = 500k products per cell):
+        //     a left posting lands in row hash(doc) % r and replicates
+        //     across all c columns; a right posting lands in column
+        //     hash(doc) % c and replicates across all r rows. Each
+        //     (a,b) pair meets in EXACTLY one cell — (hash(a) % r,
+        //     hash(b) % c) — and each cell's product volume is
+        //     (df/r)·(df/c) ≈ 2P regardless of skew. Replication cost
+        //     is df·√nb per side (Σ ≈ df²/√(2P) rows), SUB-quadratic
+        //     in df — the one-sided variant this replaces paid df·nb =
+        //     df³/2P, which overtakes the product volume itself once
+        //     df approaches P (a 500k-df stopword at 100 TB).
         //  2. The pair-keyed exchange is sized to the corpus
         //     (~150 docs of pair mass per partition), because AQE only
         //     MERGES small partitions — it never splits an oversized
         //     aggregate partition — and the map-side sorter buffering
         //     behind a too-narrow exchange is itself a spill site.
-        val nDocs = docs.select(col(idCol)).count()
+        //
+        // nDocs comes from the persisted `w` relation (materializing
+        // the cache the plan reuses anyway), NOT a second scan of the
+        // source — it only sizes partitions, so posting-count/avg-len
+        // precision is plenty.
+        val nDocs = math.max(1L,
+          w.agg(approx_count_distinct("doc_id")).first().getLong(0))
         val pairParts = math.max(
           docs.sparkSession.sessionState.conf.numShufflePartitions,
           (nDocs / 150L).toInt)
         val productsPerBucket = 500000L
-        val buckets = dfT.select(col("term"),
-          greatest(lit(1L), ceil(col("df") * (col("df") - 1) /
-            lit(2.0 * productsPerBucket)).cast("long")).as("nb"))
+        val grid = dfT.select(col("term"),
+          greatest(lit(1L), ceil(sqrt(col("df") * (col("df") - 1) /
+            lit(2.0 * productsPerBucket))).cast("long")).as("gr"))
         // both join inputs are repartitioned to pairParts on the join
-        // key: the bucket join (and with it the map side of the pair
+        // key: the grid join (and with it the map side of the pair
         // exchange) then runs at pairParts tasks, so no task buffers
-        // more than ~a bucket of products in its shuffle sorter — at
+        // more than ~a cell of products in its shuffle sorter — at
         // 32 join tasks the sorter itself was the 17.9 GB spill site
-        val left = w.join(buckets, "term")
+        val left = w.join(grid, "term")
           .select(col("doc_id").as("doc_a"), col("term"),
             col("w").as("wa"),
-            pmod(xxhash64(col("doc_id")), col("nb")).as("bk"))
-          .repartition(pairParts, col("term"), col("bk"))
-        val right = w.join(buckets, "term")
+            pmod(xxhash64(col("doc_id")), col("gr")).as("rk"),
+            explode(sequence(lit(0L), col("gr") - 1)).as("ck"))
+          .repartition(pairParts, col("term"), col("rk"), col("ck"))
+        val right = w.join(grid, "term")
           .select(col("doc_id").as("doc_b"), col("term"),
             col("w").as("wb"),
-            explode(sequence(lit(0L), col("nb") - 1)).as("bk"))
-          .repartition(pairParts, col("term"), col("bk"))
-        left.join(right, Seq("term", "bk"))
+            explode(sequence(lit(0L), col("gr") - 1)).as("rk"),
+            pmod(xxhash64(col("doc_id")), col("gr")).as("ck"))
+          .repartition(pairParts, col("term"), col("rk"), col("ck"))
+        left.join(right, Seq("term", "rk", "ck"))
           .filter(col("doc_a") < col("doc_b"))
           .repartition(pairParts, col("doc_a"), col("doc_b"))
           .groupBy("doc_a", "doc_b")
