@@ -25,7 +25,8 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: $e")
+        e.printStackTrace()
       }
       // same per-query isolation as Bench: drop persists the finished
       // query left behind so a 134-query session doesn't accumulate them

@@ -593,6 +593,20 @@ object CatalogStreaming {
     stagePages(convs.unionByName(pads(-2L, -10L).drop("imp_id"))
       .select(col("page"), to_json(struct(
         col("user_id"), col("ts_us"))).as("line")), outC)
+    // EVICTION-BATCH PRECONDITION, fail-loud: runLeftOuter's 2-files/
+    // trigger grouping needs exactly 5 pages per side (3 m-pages +
+    // w0 + w1 → triggers [m000,m001] [m002,w0] [w1]) so w1 lands in a
+    // DATA batch after w0's watermark push. An events slice whose
+    // m-page is empty would silently coalesce w0+w1 into one trigger
+    // and retain every unmatched impression in state — diverging from
+    // the oracle with no error.
+    for ((dir, side) <- Seq((outI, "impressions"), (outC, "conversions"))) {
+      val n = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".json"))
+      require(n == 5, s"st_left_outer staging: $side side has $n page " +
+        s"files, need exactly 5 (3 m-pages + 2 watermark pads) for the " +
+        s"outer-row eviction batch to fire — events slice too sparse?")
+    }
     (outI, outC)
   }
 
