@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** The fixed-plane hyperplane-LSH configuration, demoted from the
+  * catalog in r12 (VERDICT r11 #6): a fixed plane count means bucket
+  * occupancy grows ∝ N (quadratic in-bucket work), so it is a MECHANISM
+  * check, not a scale row — the catalog's `dedup_embedding_scaled`
+  * (cells ∝ N, constant occupancy) is the production configuration.
+  * This spec holds the fixed config to the same truth the catalog row
+  * was held to: exact equality with the O(n²) all-pairs definition —
+  * i.e. complete recall at the test threshold on the real sf0.001
+  * embeddings — plus the superset relation the scaled row's oracle
+  * argument leans on (its first tables are bit-identical to the fixed
+  * config's, so extra tables only ADD candidates).
+  */
+class EmbeddingLshSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("fixed 2-plane 24-table LSH = exact all-pairs at cos>=0.35 " +
+      "(complete recall, no false positives) on sf0.001") {
+    val lsh = Similarity.cosineDupPairsLsh(emb, 0.35,
+      numTables = 24, numPlanes = 2, dim = 64)
+      .select("id_a", "id_b", "cosine")
+    val exact = Similarity.cosineDupPairs(emb, 0.35)
+      .select("id_a", "id_b", "cosine")
+    val missed = exact.except(lsh).count()
+    val spurious = lsh.except(exact).count()
+    assert(missed == 0, s"$missed qualifying pairs missed by the buckets")
+    assert(spurious == 0, s"$spurious non-qualifying pairs emitted")
+    assert(exact.count() > 0, "vacuous corpus: no qualifying pairs at 0.35")
+  }
+
+  test("scaled config's candidate set is a superset of the fixed " +
+      "config's (shared seeded hyperplane stream)") {
+    // the scaled row's oracle argument: with numPlanes equal and MORE
+    // tables, the first tables are bit-identical, so every pair the
+    // fixed config finds, the scaled config finds
+    val fixed = Similarity.cosineDupPairsLsh(emb, 0.35,
+      numTables = 16, numPlanes = 2, dim = 64).select("id_a", "id_b")
+    val wider = Similarity.cosineDupPairsLsh(emb, 0.35,
+      numTables = 24, numPlanes = 2, dim = 64).select("id_a", "id_b")
+    assert(fixed.except(wider).count() == 0,
+      "a pair found at 16 tables vanished at 24 — hyperplane stream " +
+        "is not prefix-stable")
+  }
+}

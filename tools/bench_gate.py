@@ -243,6 +243,13 @@ def main():
                                 best[f].get(q, -1) < 0 or
                                 p[f][q] < best[f][q]):
                             best[f][q] = p[f][q]
+                    # standalone WALL min-merges too: a wall-level 2x
+                    # signal must carry its own clearing artifact, not
+                    # ride on the CPU recheck (VERDICT r11 #5)
+                    pw = p.get("queries", {}).get(q, -1.0)
+                    bw = best.get("queries", {}).get(q, -1.0)
+                    if pw >= 0 and (bw < 0 or pw < bw):
+                        best.setdefault("queries", {})[q] = pw
                 rc = best["cpu"].get(q, -1.0)
                 if rc >= 0 and not cpu_hit(q, rc) and \
                         not shuffle_hit(q, shuffle_of(best, q)):
@@ -255,7 +262,10 @@ def main():
                 rc_cpu = part["cpu"].get(q, -1.0)
                 rc_sh = shuffle_of(part, q)
                 rechecks[q] = {"cpu": rc_cpu, "shuffle": rc_sh,
+                               "wall": part.get("queries", {}).get(q, -1.0),
                                "suite_cpu": cc[q],
+                               "suite_wall":
+                                   cand.get("queries", {}).get(q, -1.0),
                                "suite_shuffle": shuffle_of(cand, q)}
                 if q in cpu_flagged and 0 <= rc_cpu < cc[q]:
                     # the committed procedure compares the better
@@ -287,6 +297,12 @@ def main():
     for q in sorted(cpu_flagged):
         sb, sc = shuffle_of(base, q), shuffle_of(cand, q)
         wb, wc_ = wall_of(base, q), wall_of(cand, q)
+        # the standalone recheck's wall (if measured) substitutes for
+        # the suite wall the same way rechecked cpu substitutes for
+        # suite cpu -- suite wall carries neighbor/JIT contamination
+        rw = rechecks.get(q, {}).get("wall", -1.0)
+        if 0 <= rw < wc_:
+            wc_ = rw
         # one-sided: a shuffle DECREASE is never a regression; 64 KiB
         # absolute slack so tiny-shuffle rows aren't held to sub-1%
         shuffle_stable = sc <= sb * 1.01 + 65536

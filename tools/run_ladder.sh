@@ -13,7 +13,10 @@ export SPARK_GRAFT_CPUS=32
 # rows fitted on the sf ladder (TPC-H/events drivers)
 SF_SET=a25_assoc_rules,er_fellegi_sunter,a29_triple_itemsets,a30_sliding_distinct,a34_gini_activity,ep1_weekly_e2e,ep2_jira_e2e,ep3_dashboard_e2e,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic,j12_jaro_entity_join,ts_markov_stationary
 # rows fitted on the corpus ladder (documents/embeddings drivers)
-CORPUS_SET=dedup_cc_distributed,dedup_clusters,dedup_containment,dedup_embedding,dedup_embedding_scaled,dedup_jaccard,dedup_keep_best,dedup_lines_keep_first,dedup_minhash_lsh,dedup_spans,dedup_winnow,emb_pca_project,er_blocking_quality,g2_cluster_sizes,hh_bigram_phrases,sim_ann_ivf_pq,sim_hard_negatives,ta_rouge_overlap,td_kcenter_coreset,td_pipeline_e2e
+# (dedup_winnow is STRETCH_SET-only: scale_ladder.py's rungs_for puts
+# STRETCH25 first, so corpus-rung winnow runs were collected but never
+# entered the fit — dropped here instead of paying for unused records)
+CORPUS_SET=dedup_cc_distributed,dedup_clusters,dedup_containment,dedup_embedding_scaled,dedup_jaccard,dedup_keep_best,dedup_lines_keep_first,dedup_minhash_lsh,dedup_spans,emb_pca_project,er_blocking_quality,g2_cluster_sizes,hh_bigram_phrases,sim_ann_ivf_pq,sim_hard_negatives,ta_rouge_overlap,td_kcenter_coreset,td_pipeline_e2e
 # lineitem-driven rows also measured at synth10 for the e(xl) segment
 LI_SET=a25_assoc_rules,a29_triple_itemsets,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic
 # vocab-bound rows fit on the Heaps-law zipf rungs (see scale_ladder.py);
