@@ -685,12 +685,47 @@ object Graph {
   def harmonicCloseness(edges: DataFrame, uCol: String, vCol: String,
       nPivots: Int, maxDepth: Int): DataFrame = {
     val (adj, visited) = pivotBfs(edges, uCol, vCol, nPivots, maxDepth)
-    val out = visited.filter(col("level") > 0)
+    val out = harmonicFromBfs(visited)
+    adj.unpersist(blocking = false)
+    out
+  }
+
+  /** The multi-pivot BFS relation `(src, node, level, sigma)` as a
+    * standalone result — the shared forward pass of
+    * [[betweennessPivots]] and [[harmonicCloseness]]. At cluster scale
+    * the BFS relation is itself a reusable table (both centralities
+    * consume it verbatim), so a caller computing several centralities
+    * over one graph materializes THIS once and feeds
+    * [[harmonicFromBfs]] / [[betweennessFromBfs]] instead of paying the
+    * forward rounds per metric.
+    */
+  def pivotBfsVisited(edges: DataFrame, uCol: String, vCol: String,
+      nPivots: Int, maxDepth: Int): DataFrame = {
+    val (adj, visited) = pivotBfs(edges, uCol, vCol, nPivots, maxDepth)
+    adj.unpersist(blocking = false)
+    visited
+  }
+
+  /** Harmonic closeness from a precomputed [[pivotBfsVisited]] relation. */
+  def harmonicFromBfs(visited: DataFrame): DataFrame =
+    visited.filter(col("level") > 0)
       .select(col("node"),
         round(lit(1e9) / col("level"), 0).cast("long").as("k"))
       .groupBy("node")
       .agg(round(sum("k") / 1e9, 6).as("harmonic"))
       .localCheckpoint(true)
+
+  /** Betweenness backward pass from a precomputed [[pivotBfsVisited]]
+    * relation; `edges`/`maxDepth` must be the ones the BFS was run with
+    * (the adjacency is rebuilt here — a cheap map-side union — while
+    * the BFS rounds, the expensive part, are not re-run).
+    */
+  def betweennessFromBfs(edges: DataFrame, uCol: String, vCol: String,
+      visited: DataFrame, maxDepth: Int): DataFrame = {
+    val adj = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .unionAll(edges.select(col(vCol).as("u"), col(uCol).as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = backwardPass(adj, visited, maxDepth)
     adj.unpersist(blocking = false)
     out
   }
@@ -698,6 +733,13 @@ object Graph {
   def betweennessPivots(edges: DataFrame, uCol: String, vCol: String,
       nPivots: Int, maxDepth: Int): DataFrame = {
     val (adj, visited) = pivotBfs(edges, uCol, vCol, nPivots, maxDepth)
+    val out = backwardPass(adj, visited, maxDepth)
+    adj.unpersist(blocking = false)
+    out
+  }
+
+  private def backwardPass(adj: DataFrame, visited: DataFrame,
+      maxDepth: Int): DataFrame = {
     // backward: δ at the horizon level is 0; each earlier level sums
     // fixed-point contributions from its BFS successors
     var delta = visited.filter(col("level") === maxDepth)
@@ -724,13 +766,11 @@ object Graph {
           coalesce(col("d9"), lit(0L)).as("d9")))
       deltaAll = materialize(deltaAll.unionByName(delta))
     }
-    val out = deltaAll
+    deltaAll
       .join(visited.filter(col("level") > 0).select("src", "node"),
         Seq("src", "node"), "left_semi")
       .groupBy("node").agg(round(sum("d9") / 1e9, 6).as("bc"))
       .localCheckpoint(true)
-    adj.unpersist(blocking = false)
-    out
   }
 
   /** k-truss decomposition (Cohen 2008): iteratively drop edges whose

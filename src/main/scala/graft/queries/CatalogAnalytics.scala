@@ -71,6 +71,19 @@ object CatalogAnalytics {
     * g12/g13 take all pairs). The distinct + self-join + aggregate is
     * the expensive stage of every one of them (VERDICT r11 #8).
     */
+  /** The 4-pivot radius-4 BFS relation over [[coPurchase]] pairs —
+    * the shared forward pass of g12_betweenness and g13_harmonic
+    * ([[graft.operators.Graph.pivotBfsVisited]]): both centralities
+    * consume it verbatim, and the forward rounds are the expensive
+    * stage of each.
+    */
+  private def pivotVisited(s: SparkSession, d: String): DataFrame =
+    snapshot(s, d, "pivotbfs") {
+      graft.operators.Graph.pivotBfsVisited(
+        coPurchase(s, d).select("u", "v"), "u", "v",
+        nPivots = 4, maxDepth = 4)
+    }
+
   private[queries] def coPurchase(s: SparkSession, d: String): DataFrame =
     snapshot(s, d, "copurchase") {
       val items = t(s, d, "lineitem")
@@ -832,9 +845,12 @@ object CatalogAnalytics {
       // 1e-9 fixed-point integer sums (order-free reductions). The
       // oracle replays all 4 forward and 4 backward rounds.
       (s, d) => {
-        // shared memoized co-purchase relation, no support floor here
+        // shared memoized co-purchase relation, no support floor here;
+        // the forward BFS is the shared pivotVisited snapshot — only
+        // the backward dependency pass runs per-row
         val pairs = coPurchase(s, d).select("u", "v")
-        Graph.betweennessPivots(pairs, "u", "v", nPivots = 4, maxDepth = 4)
+        Graph.betweennessFromBfs(pairs, "u", "v", pivotVisited(s, d),
+          maxDepth = 4)
           .orderBy("node")
       },
       Some(betweennessOracleSql(nPivots = 4, maxDepth = 4))),
@@ -847,9 +863,9 @@ object CatalogAnalytics {
       // g12 forward pass; the oracle replays the BFS and the
       // reciprocal sum.
       (s, d) => {
-        // shared memoized co-purchase relation, no support floor here
-        val pairs = coPurchase(s, d).select("u", "v")
-        Graph.harmonicCloseness(pairs, "u", "v", nPivots = 4, maxDepth = 4)
+        // the shared pivotVisited snapshot IS the whole computation
+        // here bar the reciprocal aggregation
+        Graph.harmonicFromBfs(pivotVisited(s, d))
           .orderBy("node")
       },
       Some(harmonicOracleSql(nPivots = 4, maxDepth = 4))),

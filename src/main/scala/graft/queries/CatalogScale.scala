@@ -761,6 +761,37 @@ object CatalogScale {
                        4) AS chi2_part
               FROM dg GROUP BY digit ORDER BY digit""")),
 
+    Q("dq_k_anonymity",
+      // k-anonymity + l-diversity screen over quasi-identifiers — the
+      // re-identification audit a training-data release runs before
+      // shipping user-derived records (Sweeney 2002; Machanavajjhala
+      // 2007): every (nation, segment) quasi-identifier group reports
+      // its population k (an attacker knowing someone's QI pair finds
+      // them among k records — k < 5 is re-identifiable) and the
+      // diversity l of the sensitive attribute within the group
+      // (balance bucket: a k-anonymous group where everyone shares one
+      // sensitive value still leaks it — l < 3 fails). One hash
+      // aggregate over the QI key: at 100 TB this is a single shuffle
+      // on the QI columns with map-side partial counts; the per-group
+      // distinct runs inside the same exchange.
+      (s, d) => t(s, d, "customer")
+        .select(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        .groupBy("nation", "segment")
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("bal_bucket")).as("l"))
+        .select(col("nation"), col("segment"), col("k"), col("l"),
+          (col("k") >= 5).as("meets_k5"), (col("l") >= 3).as("meets_l3"))
+        .orderBy("nation", "segment"),
+      Some("""SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                     count(*) AS k,
+                     count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l,
+                     count(*) >= 5 AS meets_k5,
+                     count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3
+                       AS meets_l3
+              FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     Q("dq_psi_drift",
       // Population Stability Index per language slice between the
       // warehouse's two source cohorts (src0–7 = reference snapshot,
