@@ -576,6 +576,147 @@ object CatalogScale {
               FROM b WHERE rn = 1 ORDER BY v_id"""))
     },
 
+    locally {
+      // the SURVIVORSHIP step completing the ER family (blocking →
+      // FS scoring → match clustering → golden record): two corrupted
+      // variant generations per part (name char-deleted; size+1 with
+      // type reversed on every third key), FS-scored against the
+      // (brand, |Δsize|<=1) block, matched edges (weight >= 4 after
+      // best-candidate) clustered with the SAME distributed
+      // connected-components decision step the dedup family ships, and
+      // each cluster reduced to one golden record: canonical name from
+      // the min-id member (the source-of-truth part), reconciled size
+      // by max, variant census. Size-noised + type-reversed variants
+      // (key % 3 == 0) score 2.32 < 4 and stay singletons — the
+      // threshold's rejects are part of the output, not dropped.
+      // The oracle derives clusters STRUCTURALLY (every edge goes
+      // variant→part and a variant has at most one edge, so components
+      // are stars: coalesce(matched part, self)) while Spark runs the
+      // generic CC loop — two independent derivations agreeing is the
+      // point.
+      val fName = EntityResolution.FsField(lit(true), 0.95, 0.01)
+      val fType = EntityResolution.FsField(lit(true), 0.90, 0.20)
+      val fSize = EntityResolution.FsField(lit(true), 0.60, 0.05)
+      val run = (s: SparkSession, d: String) => {
+        val parts = t(s, d, "part")
+          .filter(length(col("p_name")) > lit(8))
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            col("p_type"), col("p_size"))
+        val pos = lit(6) + pmod(col("p_partkey"),
+          length(col("p_name")) - lit(6))
+        val v1 = parts.select(
+          (col("p_partkey") + lit(10000000L)).as("v_id"),
+          concat(col("p_name").substr(lit(1), pos - 1),
+            col("p_name").substr(pos + 1, length(col("p_name"))))
+            .as("v_name"),
+          col("p_brand").as("v_brand"), col("p_type").as("v_type"),
+          col("p_size").as("v_size"))
+        val v2 = parts.select(
+          (col("p_partkey") + lit(20000000L)).as("v_id"),
+          col("p_name").as("v_name"),
+          col("p_brand").as("v_brand"),
+          when(pmod(col("p_partkey"), lit(3)) === 0, reverse(col("p_type")))
+            .otherwise(col("p_type")).as("v_type"),
+          (col("p_size") + lit(1)).as("v_size"))
+        val variants = v1.unionByName(v2)
+        val weight = round(EntityResolution.fellegiSunterWeight(Seq(
+          fName.copy(agree =
+            round(JaroWinkler.sim(col("v_name"), col("p_name")), 6)
+              >= 0.92),
+          fType.copy(agree = col("v_type") === col("p_type")),
+          fSize.copy(agree = col("v_size") === col("p_size")))), 4)
+        val edges = variants
+          .join(parts, col("v_brand") === col("p_brand") &&
+            abs(col("v_size") - col("p_size")) <= 1)
+          .select(col("v_id"), col("p_partkey"), weight.as("weight"))
+          .withColumn("rn", row_number().over(Window.partitionBy("v_id")
+            .orderBy(col("weight").desc, col("p_partkey"))))
+          .filter(col("rn") === 1 && col("weight") >= 4.0)
+          .select(col("v_id").as("id_a"), col("p_partkey").as("id_b"))
+        val records = parts.select(col("p_partkey").as("rec_id"),
+            col("p_name").as("name"), col("p_size").as("size"))
+          .unionByName(variants.select(col("v_id").as("rec_id"),
+            col("v_name").as("name"), col("v_size").as("size")))
+        val assigned = Dedup.clusterAssign(records, "rec_id", edges)
+          .withColumnRenamed("doc_id", "rec_id")
+        records.join(assigned, "rec_id")
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            max("size").as("reconciled_size"),
+            sum(when(col("rec_id") >= 10000000L, 1L).otherwise(0L))
+              .as("n_variants"))
+          .join(records.select(col("rec_id").as("cluster"),
+            col("name").as("canonical_name")), "cluster")
+          .select(col("cluster").cast("long").as("entity_id"),
+            col("canonical_name"), col("n_members"), col("n_variants"),
+            col("reconciled_size"))
+          .orderBy("entity_id")
+      }
+      Q("er_golden_record", run,
+        Some(s"""WITH parts AS (SELECT p_partkey, p_name, p_brand, p_type,
+                                       p_size
+                                FROM part WHERE length(p_name) > 8),
+              v1 AS (SELECT p_partkey + 10000000 AS v_id,
+                       substr(p_name, 1,
+                         CAST(5 + (p_partkey % (length(p_name) - 6)) AS INT)) ||
+                       substr(p_name,
+                         CAST(7 + (p_partkey % (length(p_name) - 6)) AS INT))
+                         AS v_name,
+                       p_brand AS v_brand, p_type AS v_type,
+                       p_size AS v_size
+                     FROM parts),
+              v2 AS (SELECT p_partkey + 20000000 AS v_id,
+                       p_name AS v_name, p_brand AS v_brand,
+                       CASE WHEN p_partkey % 3 = 0 THEN reverse(p_type)
+                            ELSE p_type END AS v_type,
+                       p_size + 1 AS v_size
+                     FROM parts),
+              v AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+              sc AS (SELECT v.v_id, p.p_partkey,
+                       round(
+                         CASE WHEN round(jaro_winkler_similarity(
+                                v.v_name, p.p_name), 6) >= 0.92
+                              THEN CAST(${fName.agreeWeight} AS DOUBLE)
+                              ELSE CAST(${fName.disagreeWeight} AS DOUBLE)
+                         END
+                       + CASE WHEN v.v_type = p.p_type
+                              THEN CAST(${fType.agreeWeight} AS DOUBLE)
+                              ELSE CAST(${fType.disagreeWeight} AS DOUBLE)
+                         END
+                       + CASE WHEN v.v_size = p.p_size
+                              THEN CAST(${fSize.agreeWeight} AS DOUBLE)
+                              ELSE CAST(${fSize.disagreeWeight} AS DOUBLE)
+                         END, 4) AS weight
+                     FROM v JOIN parts p
+                       ON v.v_brand = p.p_brand
+                      AND abs(v.v_size - p.p_size) <= 1),
+              b AS (SELECT v_id, p_partkey, weight,
+                      row_number() OVER (PARTITION BY v_id
+                        ORDER BY weight DESC, p_partkey) AS rn
+                    FROM sc),
+              e AS (SELECT v_id, p_partkey FROM b
+                    WHERE rn = 1 AND weight >= 4.0),
+              recs AS (SELECT p_partkey AS rec_id, p_name AS name,
+                              p_size AS size
+                       FROM parts
+                       UNION ALL SELECT v_id, v_name, v_size FROM v),
+              cl AS (SELECT r.rec_id,
+                            coalesce(e.p_partkey, r.rec_id) AS cluster
+                     FROM recs r LEFT JOIN e ON r.rec_id = e.v_id),
+              agg AS (SELECT cluster, count(*) AS n_members,
+                             max(size) AS reconciled_size,
+                             CAST(sum(CASE WHEN cl.rec_id >= 10000000
+                                           THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_variants
+                      FROM cl JOIN recs ON cl.rec_id = recs.rec_id
+                      GROUP BY cluster)
+              SELECT CAST(agg.cluster AS BIGINT) AS entity_id,
+                     r.name AS canonical_name, n_members, n_variants,
+                     reconciled_size
+              FROM agg JOIN recs r ON r.rec_id = agg.cluster
+              ORDER BY entity_id"""))
+    },
+
     Q("dedup_minhash_lsh",
       // same truth as dedup_jaccard: the banded candidates are verified
       // with exact Jaccard, so a green hash here proves banding recall

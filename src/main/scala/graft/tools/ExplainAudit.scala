@@ -12,7 +12,7 @@ object ExplainAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("f1_date_range", "j1_multi_join", "j1_bucketed", "q1_agg",
-        "o3_topk_per_group", "dedup_minhash_lsh", "dedup_embedding",
+        "o3_topk_per_group", "dedup_minhash_lsh", "dedup_embedding_scaled",
         "sim_knn_cosine", "sim_ann_multiprobe", "s12_drive_scan",
         "f2_connector_comments",
         // round 5: optimizer-rule composition, graph, keyless joins
