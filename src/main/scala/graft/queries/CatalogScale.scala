@@ -1318,9 +1318,7 @@ object CatalogScale {
       // partial-agg groupBys over the cluster assignment
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-          k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
-        Dedup.clusterAssign(docs, "doc_id", pairs)
+        Dedup.clusterAssign(docs, "doc_id", sharedLshPairs(s, d))
           .groupBy("cluster").agg(count(lit(1)).as("sz"))
           .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
           .orderBy("sz")
@@ -1381,9 +1379,8 @@ object CatalogScale {
       // the oracle replays closure + per-cluster argmax
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-          k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
-        Dedup.keepBest(docs, "doc_id", pairs, length(col("text")))
+        Dedup.keepBest(docs, "doc_id", sharedLshPairs(s, d),
+          length(col("text")))
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE

@@ -16,7 +16,12 @@ SF_SET=a25_assoc_rules,er_fellegi_sunter,a29_triple_itemsets,a30_sliding_distinc
 # (dedup_winnow is STRETCH_SET-only: scale_ladder.py's rungs_for puts
 # STRETCH25 first, so corpus-rung winnow runs were collected but never
 # entered the fit — dropped here instead of paying for unused records)
-CORPUS_SET=dedup_cc_distributed,dedup_clusters,dedup_containment,dedup_embedding_scaled,dedup_jaccard,dedup_keep_best,dedup_lines_keep_first,dedup_minhash_lsh,dedup_spans,emb_pca_project,er_blocking_quality,g2_cluster_sizes,hh_bigram_phrases,sim_ann_ivf_pq,sim_hard_negatives,ta_rouge_overlap,td_kcenter_coreset,td_pipeline_e2e
+# (dedup_clusters/dedup_cc_distributed/dedup_keep_best/g2_cluster_sizes
+# moved to the matched rungs in r12: after the shared-relation
+# snapshots their residual decision-step CPU is map-concurrency-scale
+# and the default Caesar layout confounds it - scale_ladder MATCHED3)
+CORPUS_SET=dedup_containment,dedup_embedding_scaled,dedup_jaccard,dedup_lines_keep_first,dedup_minhash_lsh,dedup_spans,emb_pca_project,er_blocking_quality,hh_bigram_phrases,sim_ann_ivf_pq,sim_hard_negatives,ta_rouge_overlap,td_kcenter_coreset,td_pipeline_e2e
+MATCHED3_SET=dedup_clusters,dedup_cc_distributed,dedup_keep_best,g2_cluster_sizes
 # lineitem-driven rows also measured at synth10 for the e(xl) segment
 LI_SET=a25_assoc_rules,a29_triple_itemsets,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic
 # vocab-bound rows fit on the Heaps-law zipf rungs (see scale_ladder.py);
@@ -36,7 +41,7 @@ ZIPF_SET=search_bm25,ta_bpe_tokens,ta_lang_divergence,ta_textrank_keywords,ta_un
 # synth10m under fixed 32 partitions, and 2.5x the candidate volume
 # would exceed this host's free disk (see scale_ladder.py STRETCH25).
 STRETCH_SET=dedup_cdc_chunks,dedup_winnow,dedup_edit_distance,inc_dedup_pairs,mm_phash_dct,td_leakage_split
-APSS_SET=dedup_apss_cosine,$STRETCH_SET
+APSS_SET=dedup_apss_cosine,$MATCHED3_SET,$STRETCH_SET
 # third embedding decade (VERDICT r10 #5) — build with:
 #   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/emb30 30 emb'
 # scaled row only: the fixed-cells row's emb30 attempt is a measured

@@ -224,7 +224,19 @@ STRETCH25 = {"dedup_cdc_chunks", "mm_phash_dct", "td_leakage_split",
              "dedup_edit_distance", "inc_dedup_pairs", "dedup_winnow"}
 
 
+# decision-step rows (r12): the shared-relation snapshots removed the
+# LSH/edge build from these rows' measured CPU, and the residual 1-8 s
+# decision step is exactly the map-concurrency-sensitive magnitude the
+# default Caesar rungs' 1 -> 6 -> 20 file layout inflates (the
+# dedup_winnow precedent: e 1.66 on the 20-file rung, 0.29 matched).
+# Refit layout-matched on the 8-file rungs.
+MATCHED3 = {"dedup_clusters", "dedup_cc_distributed", "dedup_keep_best",
+            "g2_cluster_sizes"}
+
+
 def rungs_for(query, table):
+    if query in MATCHED3:
+        return MATCHED_RUNGS
     if query in STRETCH25:
         if glob.glob("BENCH_LOCAL_synth25m_partial*.json"):
             return MATCHED_RUNGS + ["synth25m"]
