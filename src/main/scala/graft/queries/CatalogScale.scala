@@ -743,6 +743,32 @@ object CatalogScale {
       },
       Some(jaccardOracle)),
 
+    Q("inc_cluster_update",
+      // incremental DECISION-step maintenance (the companion of
+      // inc_dedup_pairs, which proves candidate incrementality): the
+      // base corpus's cluster assignment is a staged prior-run
+      // snapshot; the 20% batch's delta edges touch a set of old
+      // clusters, and ONLY those clusters' members + the batch are
+      // re-clustered — components can only merge when edges are added,
+      // so untouched labels pass through unrecomputed. The oracle is
+      // the from-scratch transitive closure over the WHOLE corpus:
+      // a green hash proves the affected-only re-cluster equals a
+      // full re-run, label for label.
+      (s, d) => {
+        val sfx = java.lang.Integer.toHexString(d.hashCode)
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_$sfx"
+        val stage =
+          s"${System.getProperty("java.io.tmpdir")}/graft_clusteridx_$sfx"
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.incrementalLshPairs(docs, "doc_id", "text",
+          col("doc_id") % 5 === 0, k = 5, numHashes = 64, bands = 16,
+          num = 4, den = 5, idx)
+        Dedup.incrementalClusterAssign(docs, "doc_id",
+          col("doc_id") % 5 === 0, pairs, stage)
+          .orderBy("doc_id")
+      },
+      Some(ccTransitiveClosureSql)),
+
     Q("dedup_simhash",
       // the checked path runs on the engine-portable md5 shingle hash so
       // DuckDB can rebuild the ENTIRE simhash — shingles, bit votes,

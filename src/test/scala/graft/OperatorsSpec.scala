@@ -1112,4 +1112,31 @@ class OperatorsSpec extends AnyFunSuite {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("incrementalClusterAssign: merge-two-old-clusters via a bridging " +
+      "batch doc; untouched clusters pass through") {
+    import spark.implicits._
+    // base components {1,2}, {3,4}, {8,9}, singleton 7; batch doc 5
+    // bridges {1,2} and {3,4} (pairs 2-5 and 3-5), batch doc 6 is a
+    // singleton. Expected merged label = global min 1 for all five
+    // members; {8,9} and 7 keep their base labels unrecomputed.
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L), (8L, 9L), (2L, 5L), (3L, 5L))
+      .toDF("id_a", "id_b")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_incclust_").toString
+    val got = Dedup.incrementalClusterAssign(docs, "doc_id",
+      col("doc_id") >= 5L && col("doc_id") <= 6L, pairs, stage)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 8L),
+      s"got $got")
+    // idempotent re-run against the now-staged snapshot
+    val again = Dedup.incrementalClusterAssign(docs, "doc_id",
+      col("doc_id") >= 5L && col("doc_id") <= 6L, pairs, stage)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == got)
+  }
 }
