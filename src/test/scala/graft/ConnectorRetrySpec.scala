@@ -258,6 +258,33 @@ class ConnectorRetrySpec extends AnyFunSuite {
     } finally always500.stop(0)
   }
 
+  test("429 WITHOUT Retry-After sleeps the 1s default, then succeeds") {
+    // Slack omits the header on some tiers; the reference falls back to
+    // a fixed pause rather than hammering (slack/lib/api.js:62-66)
+    val hits = new AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      if (hits.incrementAndGet() == 1) x.sendResponseHeaders(429, -1)
+      else {
+        val b = "ok".getBytes("UTF-8")
+        x.sendResponseHeaders(200, b.length)
+        x.getResponseBody.write(b)
+      }
+      x.close()
+    })
+    server.start()
+    try {
+      var slept = List.empty[Long]
+      val body = graft.sources.PageTransport.readPage(
+        s"http://127.0.0.1:${server.getAddress.getPort}/p",
+        sleep = ms => slept ::= ms)
+      assert(body == "ok")
+      assert(slept == List(1000L),
+        s"headerless 429 must sleep the 1s default once, got $slept")
+      assert(hits.get() == 2)
+    } finally server.stop(0)
+  }
+
   test("header seam: authHeaders builds the reference's auth forms") {
     import graft.sources.PageTransport.authHeaders
     assert(authHeaders(Map("user" -> "u", "token" -> "t")) ==
