@@ -38,6 +38,54 @@ object CacheTable {
       .drop("_rn", "_fetched_at"))
   }
 
+  /** Order-insensitive content fingerprint of the relation a staged
+    * snapshot derives from: sum of xxhash64 over the identity columns
+    * (overflow wraps — only equality matters). One column-pruned scan
+    * with a map-side partial sum combining to a single row; no join, no
+    * wide shuffle, so at 100 TB it costs a read pass, never a rebuild.
+    */
+  def fingerprint(df: DataFrame, cols: Seq[String]): Long = {
+    // ANSI mode (Spark 4 default) raises on long-sum overflow, and hash
+    // sums overflow by design — sum in decimal(38,0) (headroom for ~1e19
+    // rows of 64-bit hashes) and wrap mod 2^64 driver-side
+    val s = df.select(coalesce(
+        sum(xxhash64(cols.map(col): _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(0)).cast("string").as("fp"))
+      .head.getString(0)
+    BigInt(s).mod(BigInt(1) << 64).longValue
+  }
+
+  /** Guard a staged-index directory with a corpus fingerprint: if the
+    * recorded fingerprint under `dir` differs from `fp` — the data under
+    * the caller's source path changed since the stage was built — every
+    * dependent snapshot is deleted so the caller's bootstrap rebuilds
+    * them. A stale index must REBUILD, not silently merge into fresh
+    * results (path-keyed staging alone cannot tell the difference). An
+    * absent record (fresh dir, or a legacy stage predating
+    * fingerprinting) also wipes: an unverifiable stage carries the same
+    * stale-read risk. The record is (re)written before the dependents
+    * are rebuilt; a job dying in between leaves a matching fp with
+    * missing snapshots, which the next run's bootstrap path fills —
+    * never a mismatched pair served as fresh.
+    */
+  def guardFingerprint(spark: SparkSession, dir: String, fp: Long,
+      dependents: Seq[String]): Unit = {
+    val fpPath = s"$dir/_corpus_fp"
+    val p = new org.apache.hadoop.fs.Path(fpPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val recorded: Option[Long] =
+      if (!fs.exists(p)) None
+      else spark.read.parquet(fpPath).collect().headOption.map(_.getLong(0))
+    if (recorded.contains(fp)) return
+    dependents.foreach { d =>
+      val dp = new org.apache.hadoop.fs.Path(d)
+      dp.getFileSystem(spark.sessionState.newHadoopConf()).delete(dp, true)
+    }
+    spark.range(1).select(lit(fp).as("fp"))
+      .write.mode("overwrite").parquet(fpPath)
+  }
+
   /** The keys in `wanted` missing from the fresh cache — what the caller
     * must fetch (the reference's "cache miss → HTTP fetch" set).
     */

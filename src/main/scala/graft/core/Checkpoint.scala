@@ -1,0 +1,28 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** THE materialization policy for every eager plan-truncation point in
+  * the engine — iterative operators (connected components, BPE/WordPiece/
+  * unigram-LM training, hierarchy walks, Lloyd iterations) and catalog
+  * rows that checkpoint shared subtrees. One seam, two branches:
+  *
+  *   - `sc.setCheckpointDir` set (every real cluster run): reliable FS
+  *     `checkpoint(true)` — survives executor decommission at the cost
+  *     of an FS write per call;
+  *   - otherwise (local/bench): `localCheckpoint(true)` — executor
+  *     blocks, no FS round-trip, lineage gone (acceptable only where a
+  *     lost executor just fails the local job).
+  *
+  * Both are EAGER: the point is always to truncate the logical plan —
+  * a lazy persist bounds recomputation but not plan depth, and iterative
+  * loops otherwise OOM the PLANNER (AQE re-renders the doubling plan
+  * tree per round) long before the data gets big.
+  * `ReliableCheckpointSpec` pins branch parity on each operator family.
+  */
+object Checkpoint {
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+}

@@ -1,0 +1,17 @@
+package graft.core
+
+/** Collision-resistant path suffix for per-data-dir staging/snapshot
+  * directories. `String.hashCode` is 32-bit: two data dirs with colliding
+  * hashCodes would map to the same tmp path, the second build silently
+  * overwriting the first — later reads for the first dir would return the
+  * second dir's data. A SHA-256 prefix makes an accidental collision
+  * practically impossible (the per-JVM memo keys stay full-string, so the
+  * digest only names the on-disk directory).
+  */
+object PathKey {
+  def of(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    d.take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+}

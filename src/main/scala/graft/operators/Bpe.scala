@@ -149,7 +149,7 @@ object Bpe {
     // are vocab-sized; the session's cache cleanup reclaims them.
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def chk(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      graft.core.Checkpoint.materialize(df) // shared policy seam
     var vocab = chk(base)
     val merges = Seq.newBuilder[(String, String)]
     for (_ <- 1 to nMerges) {

@@ -522,8 +522,18 @@ object Dedup {
       col(textCol).as("text_c"), isNew.as("_new"))
     val sigPath = s"$indexDir/sigs"
     val pairPath = s"$indexDir/pairs"
+    val base = named.filter(!col("_new"))
+    // stale-stage guard: the staged signatures/pairs are a pure function
+    // of the BASE corpus content, but the stage is keyed on the caller's
+    // path — if the data under that path changed, serving the old index
+    // would silently merge stale pairs into fresh results. One
+    // column-pruned hash scan of the base per run (a read pass, never a
+    // re-shingle) is the price of catching that; a mismatch wipes the
+    // stage so the bootstrap below rebuilds it.
+    CacheTable.guardFingerprint(spark, indexDir,
+      CacheTable.fingerprint(base, Seq("doc_id", "text_c")),
+      Seq(sigPath, pairPath))
     if (CacheTable.loadFresh(spark, sigPath, "doc_id", ttlMs, nowMs).isEmpty) {
-      val base = named.filter(!col("_new"))
       // bootstrap from ONE shingle pass: bands and the pair snapshot
       // both derive from shB/sigsB (calling minHashLshPairs here would
       // re-shingle and re-sign the whole base corpus a second time)
@@ -604,12 +614,22 @@ object Dedup {
     // a lazy persist still re-executed duplicate subtrees inside the
     // single materializing job (measured at sf0.1: 222 s unpersisted,
     // 33 s lazily persisted, ~8 s checkpointed). Dup-pair-sized.
-    val p = pairs.select("id_a", "id_b").localCheckpoint(true)
+    val p = pairs.select("id_a", "id_b").transform(graft.core.Checkpoint.materialize)
     val oldPairs = p
       .join(oldIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
       .join(oldIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoint.materialize)
     val assignPath = s"$stageDir/assign"
+    // stale-stage guard (the incrementalLshPairs convention): the staged
+    // assignment derives from (base ids, base pairs); if either changed
+    // under the same stageDir, the pass-through of "untouched" clusters
+    // below would serve the OLD clustering — wipe and rebuild instead.
+    // Both scans are cheap: ids is key-only, oldPairs is the
+    // already-checkpointed 2-column relation.
+    CacheTable.guardFingerprint(spark, stageDir,
+      CacheTable.fingerprint(oldIds, Seq("doc_id")) +
+        CacheTable.fingerprint(oldPairs, Seq("id_a", "id_b")),
+      Seq(assignPath))
     if (CacheTable.loadFresh(spark, assignPath, "doc_id", ttlMs, nowMs).isEmpty)
       CacheTable.put(clusterAssign(oldIds, "doc_id", oldPairs),
         assignPath, nowMs)
@@ -617,9 +637,9 @@ object Dedup {
     // re-derived per reference otherwise (three consumers below)
     val baseAssign = CacheTable
       .loadFresh(spark, assignPath, "doc_id", ttlMs, nowMs).get
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoint.materialize)
     val newPairs = p.join(oldPairs,
-      Seq("id_a", "id_b"), "left_anti").localCheckpoint(true)
+      Seq("id_a", "id_b"), "left_anti").transform(graft.core.Checkpoint.materialize)
     val touched = newPairs.select(col("id_a").as("doc_id"))
       .union(newPairs.select(col("id_b"))).distinct()
     val touchedClusters = baseAssign
@@ -718,7 +738,7 @@ object Dedup {
     val spark = edges.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def chk(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      graft.core.Checkpoint.materialize(df) // shared policy seam
     // reliable checkpoints are FILES, and the cleaner only removes them
     // when spark.cleaner.referenceTracking.cleanCheckpoints is on (off
     // by default) — without eager deletion a deep graph leaves O(rounds)

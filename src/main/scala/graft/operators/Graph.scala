@@ -64,9 +64,7 @@ object Graph {
     * executor-loss-safe), eager localCheckpoint otherwise (local/bench).
     */
   private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(true)
-    else df.localCheckpoint(true)
+    graft.core.Checkpoint.materialize(df)
 
   /** Power-iteration PageRank.
     *
@@ -335,7 +333,7 @@ object Graph {
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
     val out = nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTris)
-      .localCheckpoint(true)
+      .transform(materialize)
     wedges.unpersist(blocking = false)
     oriented.unpersist(blocking = false)
     und.unpersist(blocking = false)
@@ -713,7 +711,7 @@ object Graph {
         round(lit(1e9) / col("level"), 0).cast("long").as("k"))
       .groupBy("node")
       .agg(round(sum("k") / 1e9, 6).as("harmonic"))
-      .localCheckpoint(true)
+      .transform(materialize)
 
   /** Betweenness backward pass from a precomputed [[pivotBfsVisited]]
     * relation; `edges`/`maxDepth` must be the ones the BFS was run with
@@ -770,7 +768,7 @@ object Graph {
       .join(visited.filter(col("level") > 0).select("src", "node"),
         Seq("src", "node"), "left_semi")
       .groupBy("node").agg(round(sum("d9") / 1e9, 6).as("bc"))
-      .localCheckpoint(true)
+      .transform(materialize)
   }
 
   /** k-truss decomposition (Cohen 2008): iteratively drop edges whose

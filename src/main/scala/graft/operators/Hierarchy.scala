@@ -36,7 +36,7 @@ object Hierarchy {
     val spark = edges.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def chk(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      graft.core.Checkpoint.materialize(df) // shared policy seam
     val parents = edges.select(col("id").as("cur"), col("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = edges

@@ -167,7 +167,7 @@ object Similarity {
     val base = withNorm(emb.select(col("vec_id"), col("embedding")),
       "embedding", "nrm")
     var state = base.select(col("vec_id"), col("embedding"), col("nrm"),
-      lit(Double.MaxValue).as("d")).localCheckpoint(true)
+      lit(Double.MaxValue).as("d")).transform(graft.core.Checkpoint.materialize)
     val seed = state.orderBy("vec_id").limit(1)
       .select("vec_id", "embedding", "nrm").collect()(0)
     var picked = Vector((1, seed.getLong(0), Option.empty[Double]))
@@ -177,7 +177,7 @@ object Similarity {
     while (r <= k) {
       val nd = least(col("d"), lit(1.0) - cosineFromNorms(
         dotD(col("embedding"), typedlit(cVec)), col("nrm"), lit(cNorm)))
-      state = state.withColumn("d", nd).localCheckpoint(true)
+      state = state.withColumn("d", nd).transform(graft.core.Checkpoint.materialize)
       val far = state.orderBy(col("d").desc, col("vec_id").asc).limit(1)
         .select("vec_id", "embedding", "nrm", "d").collect()(0)
       picked = picked :+ ((r, far.getLong(0), Some(far.getDouble(3))))
@@ -370,6 +370,14 @@ object Similarity {
     val spark = corpus.sparkSession
     val (ttlMs, nowMs) = (86400000L, 1L)
     val sigPath = s"$indexDir/bq_sigs"
+    // stale-stage guard: a changed corpus under the same indexDir must
+    // rebuild the signature index, not Hamming-scan stale sign bits
+    // (the shortlist would then rerank against vectors the index never
+    // saw). xxhash64 hashes the float array directly — key-plus-vector
+    // scan, no shuffle.
+    CacheTable.guardFingerprint(spark, indexDir,
+      CacheTable.fingerprint(corpus, Seq("vec_id", "embedding")),
+      Seq(sigPath))
     if (CacheTable.loadFresh(spark, sigPath, "vec_id", ttlMs, nowMs).isEmpty)
       CacheTable.put(
         corpus.select(col("vec_id"), signPack(col("embedding")).as("sig")),

@@ -77,7 +77,7 @@ object UnigramLm {
       .select(explode(Dedup.words(col(textCol))).as("word"))
       .filter(length(col("word")).between(1, maxWordLen))
       .groupBy("word").agg(count(lit(1)).as("wc"))
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoint.materialize)
     // candidate matches: piece spans (j, i) of each word present in the
     // vocabulary — the DP edge relation, one broadcast join
     val cand = wc.select(col("word"),
@@ -90,7 +90,7 @@ object UnigramLm {
       .select(col("word"), col("sp.j").as("j"), col("sp.i").as("i"),
         col("sp.piece").as("piece"))
       .join(broadcast(vocab.select(col("piece"), col("logp6"))), "piece")
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoint.materialize)
     // rounds past the corpus's actual longest word are no-ops in the
     // fixed-budget SQL replay; skipping them here saves ~2 tiny jobs
     // per skipped round. The max is a single scalar off the
@@ -112,11 +112,11 @@ object UnigramLm {
           col("j").as("j"))).as("m"))
         .select(col("word"), lit(i).as("pos"), col("m.score").as("score"),
           col("m.piece").as("piece"), col("m.j").as("j"))
-        .localCheckpoint(true)
+        .transform(graft.core.Checkpoint.materialize)
       ball = ball.unionByName(bi.select("word", "pos", "score"))
       choices = choices.unionByName(bi.select("word", "pos", "piece", "j"))
     }
-    choices = choices.localCheckpoint(true)
+    choices = choices.transform(graft.core.Checkpoint.materialize)
     // backtrack from pos = length(word); each step prepends the chosen
     // piece and jumps to its start — words at pos 0 pass through
     val finals = ball.select(col("word"), col("pos").as("p2"),
@@ -136,7 +136,7 @@ object UnigramLm {
           when(col("cp").isNull, col("seg"))
             .otherwise(concat(array(col("cp")), col("seg"))).as("seg"),
           col("score"))
-        .localCheckpoint(true)
+        .transform(graft.core.Checkpoint.materialize)
     }
     path.join(wc, "word")
       .select(col("word"), col("wc"),

@@ -81,14 +81,14 @@ object WordPiece {
       .select(explode(Dedup.words(col(textCol))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("wc"))
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoint.materialize)
     val v = vocab.select(col("piece"), col("cont"),
       length(col("piece")).as("plen"))
     // state: (word, pos, toks, unk); done when pos = length(word)
     var state = wc.select(col("word"), lit(0).as("pos"),
         array().cast("array<string>").as("toks"),
         (length(col("word")) > maxWordLen).as("unk"))
-      .localCheckpoint(true)
+      .transform(graft.core.Checkpoint.materialize)
     var round = 0
     while (round < maxWordLen) {
       val open = state.filter(!col("unk") && col("pos") < length(col("word")))
@@ -111,7 +111,7 @@ object WordPiece {
           when(col("piece").isNull, col("toks"))
             .otherwise(concat(col("toks"), array(col("piece")))).as("toks"),
           col("piece").isNull.as("unk"))
-        state = stepped.unionByName(closed).localCheckpoint(true)
+        state = stepped.unionByName(closed).transform(graft.core.Checkpoint.materialize)
         round += 1
       }
     }

@@ -43,7 +43,7 @@ object CatalogAnalytics {
       if (hit != null) hit
       else {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-          java.lang.Integer.toHexString(d.hashCode)
+          graft.core.PathKey.of(d)
         build.write.mode("overwrite").parquet(p)
         snapshotMemo.put(key, p)
         p
@@ -616,7 +616,7 @@ object CatalogAnalytics {
         // lineitem self-join should run exactly once
         val sym = und.select(col("u"), col("v"))
           .unionAll(und.select(col("v"), col("u")))
-          .localCheckpoint(true)
+          .transform(graft.core.Checkpoint.materialize)
         val labels = Graph.labelPropagation(sym, "u", "v", rounds = 4)
         Graph.modularity(sym, "u", "v", labels, "node", "lbl")
           .select(col("community"), col("n_members"), col("volume"),
@@ -678,7 +678,7 @@ object CatalogAnalytics {
         val und = coPurchase(s, d).filter(col("n_co") >= 2)
         val sym = und.select(col("u"), col("v"))
           .unionAll(und.select(col("v"), col("u")))
-          .localCheckpoint(true)
+          .transform(graft.core.Checkpoint.materialize)
         Graph.linkPrediction(sym, "u", "v", hubCap = 100)
           .select(col("a"), col("b"), col("cn"),
             round(col("jaccard"), 6).as("jaccard"))
@@ -885,7 +885,7 @@ object CatalogAnalytics {
             explode(graft.operators.Dedup.words(lower(col("text"))))
               .as("term"))
         val cnt = tok.groupBy("lang", "term").agg(count(lit(1)).as("c"))
-          .localCheckpoint(true)
+          .transform(graft.core.Checkpoint.materialize)
         val tot = cnt.groupBy("lang").agg(sum("c").as("n"))
         val vocab = cnt.select("term").distinct()
         val nv = vocab.agg(count(lit(1)).as("nv"))
@@ -954,7 +954,7 @@ object CatalogAnalytics {
         val daily = events(s, d)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"))
-          .localCheckpoint(true)
+          .transform(graft.core.Checkpoint.materialize)
         val spine = s.range(1, 11)
           .select(col("id").cast("int").as("lag"))
         daily.select(col("day"), col("n").as("x"))
@@ -1068,7 +1068,7 @@ object CatalogAnalytics {
           .withColumn("dow",
             datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
           .withColumn("det", col("n") - col("trend"))
-          .localCheckpoint(true)
+          .transform(graft.core.Checkpoint.materialize)
         val sm = tr.filter(col("det").isNotNull)
           .groupBy("dow").agg(avg("det").as("dmean"))
         val sc = sm.withColumn("seasonal",
@@ -1122,7 +1122,7 @@ object CatalogAnalytics {
           .select(col("custkey"),
             datediff(col("mx"), col("last_order")).as("recency"),
             col("frequency"), col("monetary"))
-          .localCheckpoint(true)
+          .transform(graft.core.Checkpoint.materialize)
         val q = Seq(0.2, 0.4, 0.6, 0.8)
         val cuts = cust.agg(
             array_sort(collect_list(col("recency"))).as("rv"),
@@ -2038,7 +2038,7 @@ object CatalogAnalytics {
                 yhat.as("yhat"), nl.as("level"), nb.as("trend"))))
                 .as("rows"))
           }).as("st"))
-          .localCheckpoint(true)
+          .transform(graft.core.Checkpoint.materialize)
         val fits = withSt.select(explode(col("st.rows")).as("r"))
           .select(col("r.day").as("day"), col("r.x").cast("long").as("x"),
             col("r.yhat").as("yhat"), col("r.level").as("level"),
@@ -2229,7 +2229,7 @@ object CatalogAnalytics {
           .select(col("source"), col("n_chars").as("x"))
         val g = docs.groupBy("source")
           .agg(count(lit(1)).as("n_g"), sum("x").as("x_g"))
-          .localCheckpoint(true)
+          .transform(graft.core.Checkpoint.materialize)
         val tot = g.agg(sum("n_g").as("n"), sum("x_g").as("xt"))
         val wg = docs.join(g, "source")
           .select(col("source"),
@@ -2289,7 +2289,7 @@ object CatalogAnalytics {
             (row_number().over(wOrd) - 1).as("t"),
             sum("y").over(wOrd.rowsBetween(Window.unboundedPreceding,
               Window.currentRow)).as("ps"))
-          .localCheckpoint(true)
+          .transform(graft.core.Checkpoint.materialize)
         val pairs = idx.select(col("t").as("i"), col("y").as("yi"),
             col("ps").as("psi"))
           .join(idx.select(col("t").as("j"), col("ps").as("psj")),
@@ -2517,7 +2517,7 @@ object CatalogAnalytics {
                   yhat.as("yhat"), nl.as("level"), nb.as("trend"),
                   ns.as("seas")))).as("rows"))
             }).as("st"))
-          .localCheckpoint(true)
+          .transform(graft.core.Checkpoint.materialize)
         val fits = withSt.select(explode(col("st.rows")).as("r"))
           .select(col("r.day").as("day"), col("r.x").cast("long").as("x"),
             col("r.yhat").as("yhat"), col("r.level").as("level"),

@@ -33,7 +33,7 @@ object CatalogConnector {
     */
   private def stageIssuePages(s: SparkSession, d: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_jira_stage_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/issues"
+      graft.core.PathKey.of(d) + "/issues"
     val o = t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
     // l_linenumber is NOT unique per order (and neither is any
     // double-free column combo): history ids need a deterministic
@@ -99,7 +99,7 @@ object CatalogConnector {
     */
   private def stageSlackChannels(s: SparkSession, d: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_slack_stage_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/channels"
+      graft.core.PathKey.of(d) + "/channels"
     val msgs = events(s, d).select(
       col("event_type").as("ch"),
       struct(
@@ -125,7 +125,7 @@ object CatalogConnector {
     */
   private def stageDriveFolder(s: SparkSession, d: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_drive_stage_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/folder"
+      graft.core.PathKey.of(d) + "/folder"
     val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
       .select(
         concat(lit("doc_"), lpad(col("doc_id").cast("string"), 6, "0"),
@@ -361,7 +361,7 @@ object CatalogConnector {
       // form never reaches. Unknown mention ids keep the raw tag.
       (s, d) => {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_users_stage_" +
-          java.lang.Integer.toHexString(d.hashCode) + "/users"
+          graft.core.PathKey.of(d) + "/users"
         t(s, d, "customer").filter(col("c_custkey") <= 120)
           .select(
             concat(lit("U"), col("c_custkey")).as("id"),
@@ -409,7 +409,7 @@ object CatalogConnector {
       // metadata page breaks the row.
       (s, d) => {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_field_stage_" +
-          java.lang.Integer.toHexString(d.hashCode) + "/fields"
+          graft.core.PathKey.of(d) + "/fields"
         t(s, d, "region").select(
           concat(lit("cf_r_"), col("r_regionkey")).as("id"),
           concat(lit("Custom field ("), col("r_name"), lit(")")).as("name"))
@@ -440,7 +440,7 @@ object CatalogConnector {
       // lookup); the oracle recomputes names and sizes from documents.
       (s, d) => {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_md_stage_" +
-          java.lang.Integer.toHexString(d.hashCode) + "/md"
+          graft.core.PathKey.of(d) + "/md"
         val docs = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
           .select(
             concat(lit("doc_"), lpad(col("doc_id").cast("string"), 6, "0"),
@@ -484,7 +484,7 @@ object CatalogConnector {
       // drift (quoting, types, header) breaks the row.
       (s, d) => {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage_" +
-          java.lang.Integer.toHexString(d.hashCode)
+          graft.core.PathKey.of(d)
         // the stage write IS the K1 sink: routing through Renderers
         // puts the CSV write half inside this oracle row too
         graft.render.Renderers.writeCsv(
@@ -509,7 +509,7 @@ object CatalogConnector {
       // array-aggregated; oracle recomputes from orders ⋈ lineitem.
       (s, d) => {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_stage_" +
-          java.lang.Integer.toHexString(d.hashCode)
+          graft.core.PathKey.of(d)
         val li = t(s, d, "lineitem").groupBy(col("l_orderkey"))
           .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
         t(s, d, "orders")

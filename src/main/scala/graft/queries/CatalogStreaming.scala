@@ -65,7 +65,7 @@ object CatalogStreaming {
     */
   private def stageMessagePages(s: SparkSession, d: String): (String, Long) = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/slack_pages"
+      graft.core.PathKey.of(d) + "/slack_pages"
     val ev = t(s, d, "events")
     val mtMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
     val minMicros = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
@@ -185,7 +185,7 @@ object CatalogStreaming {
     // (for the chunking row, corpus-scale joins) — it runs outside
     // withStreamConf so it gets the session's real shuffle parallelism,
     // not the 4 partitions sized for per-trigger state stores
-    val out = finish(s.read.parquet(outDir)).localCheckpoint(true)
+    val out = finish(s.read.parquet(outDir)).transform(graft.core.Checkpoint.materialize)
     deleteRecursively(work.toFile)
     if (ckptBase != work) deleteRecursively(ckptBase.toFile)
     out
@@ -267,7 +267,7 @@ object CatalogStreaming {
     */
   private def stageLocfPages(s: SparkSession, d: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/locf_pages"
+      graft.core.PathKey.of(d) + "/locf_pages"
     val ev = t(s, d, "events")
     val hourUs = 3600000000L
     val bounds = ev.agg(
@@ -312,7 +312,7 @@ object CatalogStreaming {
     */
   private def stageArrivalPages(s: SparkSession, d: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/dedup_pages"
+      graft.core.PathKey.of(d) + "/dedup_pages"
     val hourUs = 3600000000L
     val dayUs = 86400000000L
     // doc-UNIQUE content: the documents corpus deliberately contains
@@ -464,7 +464,7 @@ object CatalogStreaming {
     */
   private def stageAttributionPages(s: SparkSession, d: String): (String, String) = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      graft.core.PathKey.of(d)
     val outC = s"$base/attr_clicks"
     val outP = s"$base/attr_purch"
     val ev = t(s, d, "events")
@@ -565,7 +565,7 @@ object CatalogStreaming {
     */
   private def stageLeftOuterPages(s: SparkSession, d: String): (String, String) = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      graft.core.PathKey.of(d)
     val outI = s"$base/lo_imps"
     val outC = s"$base/lo_convs"
     val ev = t(s, d, "events")
@@ -656,7 +656,7 @@ object CatalogStreaming {
     */
   private def stageTotalsPages(s: SparkSession, d: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/upsert_pages"
+      graft.core.PathKey.of(d) + "/upsert_pages"
     val ev = t(s, d, "events")
     val minMicros = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
     val lines = ev
@@ -720,7 +720,7 @@ object CatalogStreaming {
           col("N_EVENTS").as("n_events"),
           col("TOTAL_VALUE").as("total_value"))
         .orderBy("user_id")
-        .localCheckpoint(true)
+        .transform(graft.core.Checkpoint.materialize)
       deleteRecursively(work.toFile)
       out
     }
@@ -737,7 +737,7 @@ object CatalogStreaming {
     */
   private def stageLshPages(s: SparkSession, d: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/lsh_pages"
+      graft.core.PathKey.of(d) + "/lsh_pages"
     val hourUs = 3600000000L
     val docs = t(s, d, "documents")
     // one scalar of metadata (max id), not data, crosses the driver
@@ -803,7 +803,7 @@ object CatalogStreaming {
     */
   private def stageItemPages(s: SparkSession, d: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/hh_pages"
+      graft.core.PathKey.of(d) + "/hh_pages"
     val lines = t(s, d, "events").select(
       concat(lit("p"), pmod(col("event_id"), lit(5)).cast("string"))
         .as("page"),
@@ -876,7 +876,7 @@ object CatalogStreaming {
     */
   private def stageSessionPages(s: SparkSession, d: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage_" +
-      java.lang.Integer.toHexString(d.hashCode) + "/session_pages"
+      graft.core.PathKey.of(d) + "/session_pages"
     val ev = t(s, d, "events")
     val mtMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
     val minMicros = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)

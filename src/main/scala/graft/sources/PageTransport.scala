@@ -101,7 +101,12 @@ object PageTransport {
             .map[Long](s => try s.trim.toLong * 1000L
               catch { case _: NumberFormatException => 1000L })
             .orElse(1000L)
-          val wait = math.min(math.max(retryAfterMs, 0L), MaxSingleSleepMs)
+          // floor at the 1 s headerless default: `Retry-After: 0` (or a
+          // negative/overflowing value) would otherwise sleep 0 ms —
+          // consuming neither an attempt nor sleep budget — turning a
+          // persistently-throttling server into an unbounded zero-sleep
+          // hot loop that hammers the endpoint and pins the thread
+          val wait = math.min(math.max(retryAfterMs, 1000L), MaxSingleSleepMs)
           if (sleptMs + wait > MaxTotalSleepMs)
             throw new java.io.IOException(
               s"page fetch $location throttled past the ${MaxTotalSleepMs}ms " +
@@ -111,7 +116,18 @@ object PageTransport {
         case Right(r) if r.statusCode() >= 500 =>
           lastStatus = r.statusCode()
           attempt += 1
-          if (attempt < maxAttempts) sleep(100L * attempt)
+          if (attempt < maxAttempts) {
+            // a recovering server's 503 may carry Retry-After — honor it
+            // (bounded by the single-sleep cap) instead of retrying
+            // faster than the server asked, but still consume an
+            // attempt: 5xx is a fault, not throttling
+            val retryAfterMs = r.headers().firstValue("Retry-After")
+              .map[Long](s => try math.max(s.trim.toLong, 0L) * 1000L
+                catch { case _: NumberFormatException => 0L })
+              .orElse(0L)
+            sleep(math.min(math.max(retryAfterMs, 100L * attempt),
+              MaxSingleSleepMs))
+          }
         case Right(r) =>
           throw new java.io.IOException(
             s"page fetch $location failed: HTTP ${r.statusCode()} (not retryable)")
@@ -127,9 +143,12 @@ object PageTransport {
   }
 
   /** Partition locations for a source `path`: an `http(s)://` path is a
-    * comma-separated page-URL list (the paginated fetch's work list —
-    * cursor pagination would discover these from the first response);
-    * anything else is a staged directory listed for `.json` pages.
+    * comma-separated list of chain HEADS — each entry seeds one
+    * partition, and the reader follows that entry's continuation tokens
+    * (Jira `nextPageToken`, Slack `response_metadata.next_cursor`)
+    * lazily from the response bodies, so a single live endpoint URL
+    * reads its entire paginated result. Anything else is a staged
+    * directory listed for `.json` pages.
     */
   def pageLocations(path: String): Seq[String] =
     if (isHttp(path)) path.split(',').toSeq.map(_.trim).filter(_.nonEmpty)

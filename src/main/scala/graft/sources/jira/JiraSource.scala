@@ -21,11 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * SURVEY §4 calls for: Catalyst filters on `project`/`updated` are
   * translated to a JQL clause — exactly what the reference interpolates
   * into its search request — and column pruning maps to the REST
-  * `fields=` parameter. Here the "server" is a directory of staged JSON
-  * page files (one per API page, as the paginated fetch would persist
-  * them, zero-egress container); an HTTP-backed reader would swap
-  * [[JiraPartitionReader.pages]] for the paginated fetch with
-  * retry/backoff and keep every planner-facing class unchanged.
+  * `fields=` parameter. Two path forms: a directory of staged JSON page
+  * files (one per API page, zero-egress container) or a live `http(s)`
+  * endpoint, where the reader authenticates ([[graft.sources.PageTransport.authHeaders]]),
+  * retries 429/5xx in the transport, and follows the response's
+  * `nextPageToken` chain lazily (`jira/export-to-csv.js:231-272`) —
+  * every planner-facing class identical across both forms.
   *
   * Usage: `spark.read.format("graft.sources.jira.JiraSource")
   *   .option("path", dir).load()`
@@ -142,10 +143,11 @@ case class JiraScan(path: String, required: StructType, pushed: Array[Filter],
     s"JiraScan path=$path, jql=[$jql], fields=[${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // one partition per API page — the connector-side analog of the
-    // reference's pagination (page size bounds partition size). An
-    // http(s) path lists page URLs instead of staged files; the reader
-    // then fetches through the retrying transport.
+    // staged dir: one partition per API page file — the connector-side
+    // analog of the reference's pagination (page size bounds partition
+    // size). An http(s) path lists chain-head URLs (usually ONE live
+    // search endpoint); the reader fetches through the retrying
+    // transport and follows each head's nextPageToken chain lazily.
     graft.sources.PageTransport.pageLocations(path)
       .map(l => JiraPagePartition(l): InputPartition).toArray
   }
@@ -172,43 +174,85 @@ class JiraPartitionReader(file: String, required: StructType,
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val issues: Iterator[JsonNode] = {
-    // fail-open ONLY for an unreadable/unparseable page, like the
-    // reference's 401/403/404 handling (`jira/lib/changelog-client.js:
-    // 86-90`). Filter evaluation runs OUTSIDE the catch: a bad pushed
-    // bound must fail the task loudly, not silently empty the partition.
-    val parsed: Option[List[JsonNode]] =
-      try {
-        // staged file or live URL — the transport owns 429/Retry-After
-        // and transient-5xx retries; a still-failing fetch lands in the
-        // fail-open catch below exactly like an unreadable page file
-        val text = graft.sources.PageTransport.readPage(file, headers = headers)
-        val root = mapper.readTree(text)
-        if (root == null) Some(Nil)
-        else if (root.isArray) Some(root.elements().asScala.toList)
-        else if (root.has("issues"))
-          Some(root.get("issues").elements().asScala.toList)
-        else {
-          // JSON-lines page (e.g. a Spark-exported staging dir) vs a
-          // single pretty-printed issue object: decide by whether the
-          // FIRST non-empty line is a complete JSON value. A malformed
-          // line in JSONL mode then propagates to the fail-open catch —
-          // the page reads as EMPTY (consistent with any other corrupt
-          // page), never silently truncated to its first object.
-          val lines = text.linesIterator.filter(_.trim.nonEmpty).toList
-          val firstLineParses = lines.headOption.exists { l =>
-            try { mapper.readTree(l); true } catch { case _: Exception => false }
-          }
-          if (lines.length > 1 && firstLineParses)
-            Some(lines.map(mapper.readTree))
-          else Some(List(root))
-        }
-      } catch { case _: Exception => None }
-    parsed match {
-      case None => Iterator.empty
-      case Some(nodes) => nodes.iterator.filter(serverSideKeep)
+
+  /** One page's text → issue nodes. Throws on malformed JSON — each call
+    * site decides fail-open vs fail-loud.
+    */
+  private def parsePageText(text: String): List[JsonNode] = {
+    val root = mapper.readTree(text)
+    if (root == null) Nil
+    else if (root.isArray) root.elements().asScala.toList
+    else if (root.has("issues"))
+      root.get("issues").elements().asScala.toList
+    else {
+      // JSON-lines page (e.g. a Spark-exported staging dir) vs a
+      // single pretty-printed issue object: decide by whether the
+      // FIRST non-empty line is a complete JSON value. A malformed
+      // line in JSONL mode then throws — the page reads per the call
+      // site's error policy, never silently truncated to its first
+      // object.
+      val lines = text.linesIterator.filter(_.trim.nonEmpty).toList
+      val firstLineParses = lines.headOption.exists { l =>
+        try { mapper.readTree(l); true } catch { case _: Exception => false }
+      }
+      if (lines.length > 1 && firstLineParses) lines.map(mapper.readTree)
+      else List(root)
     }
   }
+
+  /** GET analog of the reference's request-body token: the search URL
+    * with `nextPageToken=<tok>` appended.
+    */
+  private def tokenUrl(base: String, tok: String): String = {
+    val enc = java.net.URLEncoder.encode(tok, "UTF-8")
+    if (base.contains("?")) s"$base&nextPageToken=$enc"
+    else s"$base?nextPageToken=$enc"
+  }
+
+  private val issues: Iterator[JsonNode] =
+    if (graft.sources.PageTransport.isHttp(file)) {
+      // LIVE cursor pagination (reference `jira/export-to-csv.js:231-272`:
+      // `do { fetch; token = data.nextPageToken } while (token)`): the
+      // next page's location exists only inside the current page's body,
+      // so the reader walks the chain LAZILY — one page in memory
+      // regardless of chain length, next page fetched only when the
+      // current one's rows are drained. The transport owns 429/Retry-After
+      // and transient-5xx retries per page; a still-failing fetch or a
+      // malformed live body fails the task LOUDLY — silently truncating a
+      // search at the failing page would drop every later page's rows
+      // with no signal (unlike a staged corrupt file, which is one page).
+      val pages = new Iterator[String] {
+        private var loc: String = file
+        private var n = 0
+        override def hasNext: Boolean = loc != null
+        override def next(): String = {
+          n += 1
+          require(n <= 100000, s"nextPageToken chain too long at $file")
+          val text =
+            graft.sources.PageTransport.readPage(loc, headers = headers)
+          val tok =
+            try mapper.readTree(text).path("nextPageToken").asText("")
+            catch {
+              case e: Exception => throw new java.io.IOException(
+                s"malformed Jira page at $loc (cursor chain position $n)", e)
+            }
+          loc = if (tok.isEmpty) null else tokenUrl(file, tok)
+          text
+        }
+      }
+      pages.flatMap(parsePageText).filter(serverSideKeep)
+    } else {
+      // staged page file: fail-open ONLY for an unreadable/unparseable
+      // page, like the reference's 401/403/404 handling
+      // (`jira/lib/changelog-client.js:86-90`). Filter evaluation runs
+      // OUTSIDE the catch: a bad pushed bound must fail the task loudly,
+      // not silently empty the partition.
+      val parsed: List[JsonNode] =
+        try parsePageText(java.nio.file.Files.readString(
+          java.nio.file.Path.of(file)))
+        catch { case _: Exception => Nil }
+      parsed.iterator.filter(serverSideKeep)
+    }
   private var cur: InternalRow = _
 
   /** Timestamp parse tolerant of the formats Jira actually emits:

@@ -196,6 +196,142 @@ class ConnectorRetrySpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("Jira live cursor pagination: nextPageToken chain discovered from " +
+      "response bodies, auth + 429 retry on every chain page, no dup rows") {
+    // The stub reveals page N+1's token ONLY inside page N's body
+    // (reference jira/export-to-csv.js:231-272: `do { fetch; token =
+    // data.nextPageToken } while (token)`) — a reader that needs its
+    // page list up front reads exactly one page here. Every page 429s
+    // on first hit, so auth + Retry-After + cursor run in ONE path.
+    val p1 = """{"issues":[
+      {"key":"CU-1","project":"CU","summary":"one",
+        "updated":"2025-10-01T10:00:00.000+0000"}],
+      "nextPageToken":"tok two"}"""
+    val p2 = """{"issues":[
+      {"key":"CU-2","project":"CU","summary":"two",
+        "updated":"2025-10-02T10:00:00.000+0000"}],
+      "nextPageToken":"tok3"}"""
+    val p3 = """{"issues":[
+      {"key":"CU-3","project":"CU","summary":"three",
+        "updated":"2025-10-03T10:00:00.000+0000"}]}"""
+    val stub = new Stub(Map(
+      "/search" -> p1,
+      "/search?nextPageToken=tok+two" -> p2, // token URL-encoded by reader
+      "/search?nextPageToken=tok3" -> p3))
+    try {
+      val df = spark.read.format("graft.sources.jira.JiraSource")
+        .option("path", stub.url("/search")) // ONE live endpoint, no list
+        .option("user", "bob@example.com")
+        .option("token", "api-token-2")
+        .load()
+      val keys = df.select("key").collect().map(_.getString(0)).sorted.toSeq
+      assert(keys == Seq("CU-1", "CU-2", "CU-3"),
+        s"cursor chain must surface every page exactly once, got $keys")
+      // each chain page: one 429 + one success — the retry re-requests
+      // the FAILING page's token URL, never restarts the chain
+      assert(stub.hits("/search") == 2)
+      assert(stub.hits("/search?nextPageToken=tok+two") == 2,
+        "mid-chain page must be retried at its own token URL")
+      assert(stub.hits("/search?nextPageToken=tok3") == 2)
+      val expected = "Basic " + java.util.Base64.getEncoder.encodeToString(
+        "bob@example.com:api-token-2".getBytes("UTF-8"))
+      assert(stub.auth("/search?nextPageToken=tok3") == expected,
+        "Basic auth must follow the reader-built token URLs")
+    } finally stub.stop()
+  }
+
+  test("Jira cursor chain: mid-chain fetch failure fails the task loudly " +
+      "instead of silently truncating the tail pages") {
+    // page 2 404s (not retryable): the reader must NOT return just page
+    // 1's rows as if the search were complete
+    val p1 = """{"issues":[{"key":"TR-1","project":"TR",
+      "updated":"2025-10-01T10:00:00.000+0000"}],"nextPageToken":"t2"}"""
+    val hits = new AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      hits.incrementAndGet()
+      if (x.getRequestURI.getQuery == null) {
+        val b = p1.getBytes("UTF-8")
+        x.sendResponseHeaders(200, b.length)
+        x.getResponseBody.write(b)
+      } else x.sendResponseHeaders(404, -1)
+      x.close()
+    })
+    server.start()
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.jira.JiraSource")
+          .option("path",
+            s"http://127.0.0.1:${server.getAddress.getPort}/search")
+          .load().collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("404")),
+        s"expected the 404 to surface, got: ${msgs(e)}")
+    } finally server.stop(0)
+  }
+
+  test("persistent Retry-After: 0 cannot hot-loop: floored at the 1s " +
+      "default, bounded by the sleep budget") {
+    // a zero (or negative) Retry-After must still consume sleep budget —
+    // otherwise a persistently-throttling server spins the thread at
+    // full speed forever
+    val always429 = HttpServer.create(new InetSocketAddress(0), 0)
+    val hits = new AtomicInteger()
+    always429.createContext("/", (x: HttpExchange) => {
+      hits.incrementAndGet()
+      x.getResponseHeaders.set("Retry-After", "0")
+      x.sendResponseHeaders(429, -1)
+      x.close()
+    })
+    always429.start()
+    try {
+      var slept = List.empty[Long]
+      val e = intercept[java.io.IOException] {
+        graft.sources.PageTransport.readPage(
+          s"http://127.0.0.1:${always429.getAddress.getPort}/p",
+          sleep = ms => slept ::= ms)
+      }
+      assert(e.getMessage.contains("budget"),
+        s"expected loud sleep-budget failure, got: ${e.getMessage}")
+      assert(slept.nonEmpty && slept.forall(_ == 1000L),
+        s"every Retry-After:0 wait must be floored at 1000ms, got " +
+          s"${slept.distinct}")
+      assert(slept.length == 300 && hits.get() == 301,
+        s"300s budget = 300 floored waits then fail, got " +
+          s"${slept.length} sleeps / ${hits.get()} hits")
+    } finally always429.stop(0)
+  }
+
+  test("503 with Retry-After honors the server's wait (still consuming " +
+      "an attempt), headerless 5xx keeps linear backoff") {
+    val hits = new AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      if (hits.incrementAndGet() == 1) {
+        x.getResponseHeaders.set("Retry-After", "7")
+        x.sendResponseHeaders(503, -1)
+      } else {
+        val b = "ok".getBytes("UTF-8")
+        x.sendResponseHeaders(200, b.length)
+        x.getResponseBody.write(b)
+      }
+      x.close()
+    })
+    server.start()
+    try {
+      var slept = List.empty[Long]
+      val body = graft.sources.PageTransport.readPage(
+        s"http://127.0.0.1:${server.getAddress.getPort}/p",
+        sleep = ms => slept ::= ms)
+      assert(body == "ok")
+      assert(slept == List(7000L),
+        s"recovering server asked 7s; retrying faster hammers it, got $slept")
+      assert(hits.get() == 2)
+    } finally server.stop(0)
+  }
+
   test("retry loop: 404 fails fast; persistent 429 exhausts the sleep " +
       "budget, not maxAttempts") {
     var slept = List.empty[Long]

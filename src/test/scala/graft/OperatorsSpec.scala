@@ -522,6 +522,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gens(s"$idx/sigs") == 1, "re-run did not rebuild the index")
   }
 
+  test("incrementalLshPairs: mutated base corpus under the same indexDir " +
+      "rebuilds the stage instead of serving stale pairs") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_fp").toString
+    def run(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalLshPairs(docs, "doc_id", "text",
+        isNew = $"doc_id" >= 10L, k = 3, numHashes = 64, bands = 16,
+        num = 1, den = 2, idx).as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2)).toSet
+    val v1 = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"), // near-dup of 1 (base)
+      (10L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
+    assert(run(v1) == Set((1L, 2L)), "v1 corpus: base-base pair staged")
+    // the data under the SAME path changes: doc 2 is now unique. A
+    // path-keyed stage with no fingerprint would keep serving the
+    // staged (1,2) pair — the exact silent-stale failure the corpus
+    // fingerprint exists to catch.
+    val v2 = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"), // mutated: no longer a dup
+      (10L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
+    assert(run(v2) == Set.empty,
+      "mutated corpus must rebuild the index, not serve the stale (1,2)")
+    // unchanged re-run after the rebuild: stage reused, not re-wiped
+    def gens(p: String) = spark.read.parquet(p)
+      .select("_fetched_at").distinct().count()
+    assert(run(v2) == Set.empty && gens(s"$idx/sigs") == 1,
+      "same-corpus re-run keeps the rebuilt stage")
+  }
+
   test("simhash: identical docs at hamming 0, disjoint docs apart") {
     val docs = Seq(
       (1L, "p q r s t u v w"),
@@ -1138,5 +1169,46 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(again == got)
+  }
+
+  test("incrementalClusterAssign: changed base pairs under the same " +
+      "stageDir rebuild the assignment, not pass stale clusters through") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_incclust_fp").toString
+    def run(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalClusterAssign(docs, "doc_id", lit(false), pairs, stage)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")) ==
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // the base pair relation changes under the same path: (1,2) is gone.
+    // With no new-batch edges, every cluster is "untouched" — a stage
+    // without the fingerprint would pass the OLD assignment through
+    // verbatim, keeping 2 glued to 1.
+    assert(run(Seq((3L, 4L)).toDF("id_a", "id_b")) ==
+      Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L),
+      "changed base pairs must rebuild the staged assignment")
+  }
+
+  test("incrementalBqKnn: mutated corpus under the same indexDir rebuilds " +
+      "the signature index") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bqidx_fp").toString
+    def corpus(flip: Boolean) = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, if (flip) Array(-1f, -1f, -1f, -0.5f) else Array(1f, 0.1f, 0f, 0f)),
+      (3L, Array(-1f, -1f, -1f, -1f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("query_id", "qe")
+    def top1(flip: Boolean) = graft.operators.Similarity
+      .incrementalBqKnn(corpus(flip), queries, k = 1, rerankFactor = 3, idx)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(top1(flip = false) == Seq(2L), "v1: vec 2 is the near neighbor")
+    // vec 2's embedding changes to the far side: a stale sign-bit index
+    // would still shortlist by the OLD signature
+    assert(top1(flip = true) != Seq(2L),
+      "mutated corpus must re-encode, not Hamming-scan stale sign bits")
   }
 }

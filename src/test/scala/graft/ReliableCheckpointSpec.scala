@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reliable-checkpoint branch of the materialization seam shared by
+  * every iterative operator (`Dedup.connectedComponents`, `Bpe.trainOn`,
+  * `Hierarchy.resolveRoots`, `Graph.materialize`): local/bench runs take
+  * `localCheckpoint`, but every REAL cluster run sets
+  * `sc.setCheckpointDir` and takes the `checkpoint(true)` branch —
+  * executor-loss-safe at the cost of an FS write per round. This spec
+  * runs each operator family under both branches and asserts identical
+  * results, so the branch a production cluster executes is the branch
+  * the tests execute. (connectedComponents has its own reliable-mode
+  * spec in OperatorsSpec, including eager snapshot deletion.)
+  */
+class ReliableCheckpointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private def withReliable[A](body: => A): A = {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_relchk").toString
+    sc.setCheckpointDir(dir)
+    try body finally sc.setCheckpointDir(null)
+  }
+
+  test("Bpe.train: reliable-checkpoint branch learns the same merges") {
+    import spark.implicits._
+    val docs = Seq("low lower lowest", "newer newest new", "low low new")
+      .toDF("text")
+    val local = graft.operators.Bpe.train(docs, "text", 6)
+    val reliable = withReliable(graft.operators.Bpe.train(docs, "text", 6))
+    assert(reliable == local)
+  }
+
+  test("Hierarchy.resolveRoots: reliable branch walks the same roots, " +
+      "cycles still routed to NULL") {
+    import spark.implicits._
+    // chain 1→2→3 (root 3), cycle 10↔11, orphan 20
+    val edges = Seq((1L, Some(2L)), (2L, Some(3L)), (3L, None),
+      (10L, Some(11L)), (11L, Some(10L)), (20L, None))
+      .toDF("id", "parent")
+    def run() = graft.operators.Hierarchy.resolveRoots(edges, maxDepth = 8)
+      .select("id", "root").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val local = run()
+    assert(local == Set(1L -> 3L, 2L -> 3L, 3L -> 3L,
+      10L -> -1L, 11L -> -1L, 20L -> 20L))
+    assert(withReliable(run()) == local)
+  }
+
+  test("Graph.pageRank: reliable branch converges to the same ranks") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    def run() = graft.operators.Graph.pageRank(e, "src", "dst", iterations = 10)
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e9))
+      .toMap
+    val local = run()
+    assert(withReliable(run()) == local)
+  }
+
+  test("incrementalClusterAssign: reliable branch maintains the same " +
+      "clusters against a staged snapshot") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 5L)).toDF("id_a", "id_b")
+    def run(stage: String) = graft.operators.Dedup.incrementalClusterAssign(
+        docs, "doc_id", col("doc_id") === 5L, pairs, stage)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val local = run(java.nio.file.Files
+      .createTempDirectory("graft_incchk_l").toString)
+    val reliable = withReliable(run(java.nio.file.Files
+      .createTempDirectory("graft_incchk_r").toString))
+    assert(local == Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 1L))
+    assert(reliable == local)
+  }
+}

@@ -11,7 +11,7 @@ RUNS=${1:-4}
 export SPARK_GRAFT_CPUS=32
 
 # rows fitted on the sf ladder (TPC-H/events drivers)
-SF_SET=a25_assoc_rules,er_fellegi_sunter,a29_triple_itemsets,a30_sliding_distinct,a34_gini_activity,ep1_weekly_e2e,ep2_jira_e2e,ep3_dashboard_e2e,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic,j12_jaro_entity_join,ts_markov_stationary
+SF_SET=a25_assoc_rules,er_fellegi_sunter,er_golden_record,er_fs_blocking_disagree,dq_k_anonymity,a29_triple_itemsets,a30_sliding_distinct,a34_gini_activity,ep1_weekly_e2e,ep2_jira_e2e,ep3_dashboard_e2e,g1_pagerank,g3_bfs_hops,g4_triangles,g5_ppr,g6_kcore,g7_label_prop,g8_modularity,g9_link_pred,g11_ktruss,g12_betweenness,g13_harmonic,j12_jaro_entity_join,ts_markov_stationary
 # rows fitted on the corpus ladder (documents/embeddings drivers)
 # (dedup_winnow is STRETCH_SET-only: scale_ladder.py's rungs_for puts
 # STRETCH25 first, so corpus-rung winnow runs were collected but never
@@ -40,7 +40,7 @@ ZIPF_SET=search_bm25,ta_bpe_tokens,ta_lang_divergence,ta_textrank_keywords,ta_un
 # off the 25m rung: its pair aggregate already spills 59.9 GB at
 # synth10m under fixed 32 partitions, and 2.5x the candidate volume
 # would exceed this host's free disk (see scale_ladder.py STRETCH25).
-STRETCH_SET=dedup_cdc_chunks,dedup_winnow,dedup_edit_distance,inc_dedup_pairs,mm_phash_dct,td_leakage_split
+STRETCH_SET=dedup_cdc_chunks,dedup_winnow,dedup_edit_distance,inc_dedup_pairs,inc_cluster_update,inc_cluster_fixed_batch,mm_phash_dct,td_leakage_split
 APSS_SET=dedup_apss_cosine,$MATCHED3_SET,$STRETCH_SET
 # third embedding decade (VERDICT r10 #5) — build with:
 #   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/emb30 30 emb'

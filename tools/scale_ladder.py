@@ -136,6 +136,19 @@ DRIVERS = {
     # carry just these queries so the committed rung records stay valid)
     "dedup_cc_distributed": "documents",
     "er_fellegi_sunter": "part",
+    # r13 additions: the four round-12 rows the r12 verdict flagged as
+    # un-rung (er survivorship / FS blocking-disagree are part-driven
+    # like er_fellegi_sunter; k-anonymity scans customer), plus the two
+    # incremental-maintenance rows on the matched Caesar rungs —
+    # inc_cluster_fixed_batch pins the batch to the base universe's ids
+    # so the rungs grow ONLY the base corpus (the O(batch + touched)
+    # claim's ladder shape: residual growth is the fingerprint scan +
+    # snapshot read, both cheap linear scans).
+    "er_golden_record": "part",
+    "er_fs_blocking_disagree": "part",
+    "dq_k_anonymity": "customer",
+    "inc_cluster_update": "documents",
+    "inc_cluster_fixed_batch": "documents",
 }
 
 # per-query rung overrides where the DERIVED relation's size inverts
@@ -221,7 +234,8 @@ XL30 = {"g1_pagerank", "g6_kcore", "a25_assoc_rules"}
 # and a 2-query re-run on the 20-file synth10 rung read e 1.66 where
 # the r10 multi-query runs had fitted 0.42. Refit layout-matched.
 STRETCH25 = {"dedup_cdc_chunks", "mm_phash_dct", "td_leakage_split",
-             "dedup_edit_distance", "inc_dedup_pairs", "dedup_winnow"}
+             "dedup_edit_distance", "inc_dedup_pairs", "dedup_winnow",
+             "inc_cluster_update", "inc_cluster_fixed_batch"}
 
 
 # decision-step rows (r12): the shared-relation snapshots removed the
