@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** One-off diagnostic for the streaming harness's per-trigger wall floor
+  * (VERDICT r12 #3): stages N tiny JSON pages and drives three variants
+  * of the same file-source stream —
+  *   a) stateless passthrough, foreachBatch parquet write
+  *   b) stateless passthrough, foreachBatch count() only (no write)
+  *   c) watermarked windowed agg (stateful), foreachBatch parquet write
+  * printing each variant's per-trigger durationMs. Separates micro-batch
+  * engine cost vs sink-write cost vs state-store cost, to show whether
+  * trigger consolidation (or any harness change) can cut the floor.
+  * Usage: runMain graft.tools.TriggerFloor [nPages]
+  */
+object TriggerFloor {
+  def main(args: Array[String]): Unit = {
+    val nPages = if (args.nonEmpty) args(0).toInt else 6
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_ST_PARTS", "4"))
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_tf_pages_")
+    (0 until nPages).foreach { p =>
+      val f = stage.resolve(f"p$p%03d.json").toFile
+      val w = new java.io.PrintWriter(f)
+      (0 until 50).foreach { i =>
+        w.println(s"""{"ts_us":${1700000000000000L + (p * 50 + i) * 60000000L},"k":"k${i % 5}","v":$i}""")
+      }
+      w.close()
+      f.setLastModified(1700000000000L + p * 60000L)
+    }
+
+    val timings = new java.util.concurrent.ConcurrentLinkedQueue[(Long, java.util.Map[String, java.lang.Long])]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        timings.add((e.progress.batchId, e.progress.durationMs))
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+
+    def drive(tag: String, xform: DataFrame => DataFrame,
+        write: Boolean, outputMode: String): Unit = {
+      timings.clear()
+      val work = java.nio.file.Files.createTempDirectory(s"graft_tf_${tag}_")
+      val src = spark.readStream
+        .schema("ts_us long, k string, v long")
+        .option("maxFilesPerTrigger", "1")
+        .json(stage.toString)
+      val out = work.resolve("out").toString
+      val t0 = System.nanoTime()
+      val q = xform(src)
+        .writeStream.outputMode(outputMode)
+        .option("checkpointLocation", work.resolve("ck").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (write) b.coalesce(1).write.mode("append").parquet(out)
+          else { b.count(); () }
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      val rows = timings.asScala.toSeq.sortBy(_._1)
+      println(f"== $tag wall=$wall%.2f s, ${rows.size} triggers")
+      rows.foreach { case (id, d) => println(s"   batch $id $d") }
+    }
+
+    // warm the JVM/codegen once so variant order doesn't bias
+    drive("warmup", df => df, write = true, "append")
+    drive("a_passthrough_write", df => df, write = true, "append")
+    drive("b_passthrough_nowrite", df => df, write = false, "append")
+    drive("c_stateful_write", df => df
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("k"), col("v"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(sum("v").as("sv")), write = true, "append")
+    spark.stop()
+  }
+}
