@@ -20,19 +20,29 @@ object CacheTable {
 
   /** Rows still within TTL, latest fetch per key winning. Returns None
     * if the cache doesn't exist yet.
+    *
+    * `latestWins = false` skips the per-key `row_number` window — for
+    * WRITE-ONCE snapshots (an index bootstrap that `put`s exactly one
+    * generation, wiped-and-rebuilt rather than appended) the window is
+    * a full shuffle of the whole snapshot on EVERY load, turning each
+    * incremental-maintenance run's "read the index" into the single
+    * largest corpus-proportional stage (measured: the inc_* ladder rows
+    * rode e≈0.9 on it). The TTL filter stays (map-side); correctness is
+    * the caller's contract that generations never overlap keys.
     */
   def loadFresh(spark: SparkSession, path: String, keyCol: String,
-      ttlMs: Long, nowMs: Long): Option[DataFrame] = {
+      ttlMs: Long, nowMs: Long, latestWins: Boolean = true): Option[DataFrame] = {
     // existence via the Hadoop FS of the path — works for s3://, hdfs://,
     // file:// alike (java.io.File would make every remote cache a miss)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
     val cutoff = nowMs - ttlMs
+    val base = spark.read.parquet(path).filter(col("_fetched_at") >= cutoff)
+    if (!latestWins) return Some(base.drop("_fetched_at"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col("_fetched_at").desc)
-    Some(spark.read.parquet(path)
-      .filter(col("_fetched_at") >= cutoff)
+    Some(base
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_fetched_at"))

@@ -522,25 +522,42 @@ object Dedup {
       col(textCol).as("text_c"), isNew.as("_new"))
     val sigPath = s"$indexDir/sigs"
     val pairPath = s"$indexDir/pairs"
+    val bandPath = s"$indexDir/bands"
     val base = named.filter(!col("_new"))
-    // stale-stage guard: the staged signatures/pairs are a pure function
-    // of the BASE corpus content, but the stage is keyed on the caller's
-    // path — if the data under that path changed, serving the old index
-    // would silently merge stale pairs into fresh results. One
+    // stale-stage guard: the staged signatures/bands/pairs are a pure
+    // function of the BASE corpus content, but the stage is keyed on the
+    // caller's path — if the data under that path changed, serving the
+    // old index would silently merge stale pairs into fresh results. One
     // column-pruned hash scan of the base per run (a read pass, never a
     // re-shingle) is the price of catching that; a mismatch wipes the
     // stage so the bootstrap below rebuilds it.
     CacheTable.guardFingerprint(spark, indexDir,
       CacheTable.fingerprint(base, Seq("doc_id", "text_c")),
-      Seq(sigPath, pairPath))
-    if (CacheTable.loadFresh(spark, sigPath, "doc_id", ttlMs, nowMs).isEmpty) {
+      Seq(sigPath, pairPath, bandPath))
+    if (CacheTable.loadFresh(spark, bandPath, "doc_id", ttlMs, nowMs).isEmpty) {
+      // bootstrap writes are wipe-first so a PARTIAL stage (a legacy
+      // layout missing the band relation, or a bootstrap that died
+      // between puts) can never stack a second generation onto a
+      // surviving snapshot — with latestWins=false a doubled pairs
+      // snapshot would read as duplicate rows, not be deduped away
+      Seq(sigPath, pairPath, bandPath).foreach { d =>
+        val dp = new org.apache.hadoop.fs.Path(d)
+        dp.getFileSystem(spark.sessionState.newHadoopConf()).delete(dp, true)
+      }
       // bootstrap from ONE shingle pass: bands and the pair snapshot
       // both derive from shB/sigsB (calling minHashLshPairs here would
-      // re-shingle and re-sign the whole base corpus a second time)
+      // re-shingle and re-sign the whole base corpus a second time).
+      // The BAND rows are staged alongside the signatures: they are
+      // what every later batch probes, and re-deriving them from the
+      // signature snapshot was a per-run corpus-proportional
+      // compute+shuffle (the r13 ladder read e≈0.9 on the fixed-batch
+      // row before this; post-bootstrap runs now READ the band
+      // relation instead of rebuilding it).
       val shB = trackedPersist(shingleRows(base, "doc_id", "text_c", k))
-      val sigsB = minHashSignatures(shB, numHashes)
+      val sigsB = trackedPersist(minHashSignatures(shB, numHashes))
       CacheTable.put(sigsB, sigPath, nowMs)
       val bandB = lshBandRows(sigsB, bands, rowsPerBand)
+      CacheTable.put(bandB, bandPath, nowMs)
       val candB = bandB
         .select(col("band"), col("bkey"), col("doc_id").as("id_a"))
         .join(bandB.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
@@ -552,26 +569,38 @@ object Dedup {
           .withColumn("_pk", concat_ws(",", col("id_a"), col("id_b"))),
         pairPath, nowMs)
     }
-    val cachedSigs = CacheTable.loadFresh(spark, sigPath, "doc_id", ttlMs, nowMs).get
-    val cachedPairs = CacheTable.loadFresh(spark, pairPath, "_pk", ttlMs, nowMs)
-      .get.drop("_pk")
+    // write-once snapshots: latestWins=false skips the per-key window —
+    // a full snapshot shuffle per run that dominated the maintenance
+    // cost (the bootstrap puts exactly one generation; the fingerprint
+    // guard wipes rather than appends on change)
+    val cachedBands =
+      CacheTable.loadFresh(spark, bandPath, "doc_id", ttlMs, nowMs,
+        latestWins = false).get
+    val cachedPairs = CacheTable.loadFresh(spark, pairPath, "_pk", ttlMs,
+      nowMs, latestWins = false).get.drop("_pk")
     val shD = trackedPersist(
       shingleRows(named.filter(col("_new")), "doc_id", "text_c", k))
     val deltaBands = trackedPersist(
       lshBandRows(minHashSignatures(shD, numHashes), bands, rowsPerBand))
-    val allBands = lshBandRows(cachedSigs, bands, rowsPerBand)
-      .unionByName(deltaBands)
-    val cand = deltaBands
+    val allBands = cachedBands.unionByName(deltaBands)
+    // PERSIST the candidate relation and its shingle rows: cand feeds
+    // the verify join AND candIds (2 refs), and verifyJaccard references
+    // its shingle relation on three sides (shA, shB, sizes) — without
+    // these persists the delta⋈bands join subtree re-executes ~4-6×
+    // per run (profiled at synth10m: ten near-identical 5-8 CPU-s
+    // stages, the actual corpus-proportional term the ladder measured)
+    val cand = trackedPersist(deltaBands
       .select(col("band"), col("bkey"), col("doc_id").as("id_x"))
       .join(allBands.select(col("band"), col("bkey"), col("doc_id").as("id_y")),
         Seq("band", "bkey"))
       .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
-      .distinct()
+      .distinct())
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b"))).distinct()
-    val shCand = shingleRows(named.join(candIds, "doc_id"), "doc_id", "text_c", k)
+    val shCand = trackedPersist(
+      shingleRows(named.join(candIds, "doc_id"), "doc_id", "text_c", k))
     verifyJaccard(cand, shCand, num, den).unionByName(cachedPairs)
   }
 
@@ -633,10 +662,12 @@ object Dedup {
     if (CacheTable.loadFresh(spark, assignPath, "doc_id", ttlMs, nowMs).isEmpty)
       CacheTable.put(clusterAssign(oldIds, "doc_id", oldPairs),
         assignPath, nowMs)
-    // checkpointed: the loadFresh window over the snapshot is
-    // re-derived per reference otherwise (three consumers below)
+    // write-once snapshot: no latest-wins window (full-snapshot shuffle
+    // per run); checkpointed because three consumers below would
+    // re-derive the load per reference otherwise
     val baseAssign = CacheTable
-      .loadFresh(spark, assignPath, "doc_id", ttlMs, nowMs).get
+      .loadFresh(spark, assignPath, "doc_id", ttlMs, nowMs,
+        latestWins = false).get
       .transform(graft.core.Checkpoint.materialize)
     val newPairs = p.join(oldPairs,
       Seq("id_a", "id_b"), "left_anti").transform(graft.core.Checkpoint.materialize)

@@ -382,7 +382,10 @@ object Similarity {
       CacheTable.put(
         corpus.select(col("vec_id"), signPack(col("embedding")).as("sig")),
         sigPath, nowMs)
-    val sigs = CacheTable.loadFresh(spark, sigPath, "vec_id", ttlMs, nowMs).get
+    // write-once snapshot (bootstrap puts one generation; the
+    // fingerprint guard wipes on change): skip the latest-wins window
+    val sigs = CacheTable.loadFresh(spark, sigPath, "vec_id", ttlMs, nowMs,
+      latestWins = false).get
     val qsigs = queries.select(col("query_id"), signPack(col("qe")).as("qsig"))
     val ham = sigs.join(broadcast(qsigs), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

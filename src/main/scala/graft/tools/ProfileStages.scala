@@ -33,8 +33,13 @@ object ProfileStages {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val m = si.taskMetrics
+        // the scheduler-pool callsite is generic for SQL exec threads;
+        // the first graft frame in `details` names the operator line
+        val graftFrame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ProfileStages"))
+          .map(_.trim.take(90)).getOrElse("")
         stages.put(si.stageId, St(
-          si.name.linesIterator.next().take(90),
+          si.name.linesIterator.next().take(60) + " | " + graftFrame,
           m.executorCpuTime / 1e9, m.executorRunTime / 1e3, si.numTasks,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
