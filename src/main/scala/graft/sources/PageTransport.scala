@@ -38,6 +38,28 @@ object PageTransport {
   def isHttp(location: String): Boolean =
     location.startsWith("http://") || location.startsWith("https://")
 
+  /** RFC 7231 `Retry-After` → milliseconds to wait. Both legal forms:
+    * delay-seconds (`"60"`) and HTTP-date (`"Wed, 21 Oct 2026 07:28:00
+    * GMT"` — some gateways send only this form; treating it as
+    * unparseable would wait the 1 s default and hammer a server that
+    * asked for minutes). Unparseable values return `default`; a date in
+    * the past returns 0 (the caller's floor/backoff applies).
+    */
+  private[graft] def parseRetryAfterMs(s: String, default: Long = 1000L,
+      nowMs: () => Long = () => System.currentTimeMillis()): Long = {
+    val t = s.trim
+    try math.max(t.toLong, 0L) * 1000L
+    catch {
+      case _: NumberFormatException =>
+        try {
+          val at = java.time.ZonedDateTime
+            .parse(t, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+            .toInstant.toEpochMilli
+          math.max(at - nowMs(), 0L)
+        } catch { case _: Exception => default }
+    }
+  }
+
   /** Auth/header seam: connector read options → request headers, matching
     * how the reference authenticates each source:
     *   - `user` + `token` → `Authorization: Basic base64(user:token)`
@@ -98,8 +120,7 @@ object PageTransport {
         case Right(r) if r.statusCode() == 429 =>
           lastStatus = 429
           val retryAfterMs = r.headers().firstValue("Retry-After")
-            .map[Long](s => try s.trim.toLong * 1000L
-              catch { case _: NumberFormatException => 1000L })
+            .map[Long](s => parseRetryAfterMs(s))
             .orElse(1000L)
           // floor at the 1 s headerless default: `Retry-After: 0` (or a
           // negative/overflowing value) would otherwise sleep 0 ms —
@@ -122,8 +143,7 @@ object PageTransport {
             // faster than the server asked, but still consume an
             // attempt: 5xx is a fault, not throttling
             val retryAfterMs = r.headers().firstValue("Retry-After")
-              .map[Long](s => try math.max(s.trim.toLong, 0L) * 1000L
-                catch { case _: NumberFormatException => 0L })
+              .map[Long](s => parseRetryAfterMs(s, default = 0L))
               .orElse(0L)
             sleep(math.min(math.max(retryAfterMs, 100L * attempt),
               MaxSingleSleepMs))

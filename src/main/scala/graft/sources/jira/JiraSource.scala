@@ -209,6 +209,44 @@ class JiraPartitionReader(file: String, required: StructType,
     else s"$base?nextPageToken=$enc"
   }
 
+  /** The chain head's URL re-aimed at `startAt=<n>` (any prior startAt
+    * replaced) — the offset-pagination step.
+    */
+  private def offsetUrl(base: String, startAt: Long): String = {
+    val (b, q) = base.span(_ != '?')
+    val params = (if (q.isEmpty) Seq.empty[String]
+      else q.drop(1).split('&').toSeq).filterNot(_.startsWith("startAt="))
+    s"$b?${(params :+ s"startAt=$startAt").mkString("&")}"
+  }
+
+  /** Next page location from a live page's body, or null when the chain
+    * ends. Two continuation styles, matching the two the reference's
+    * Jira clients use:
+    *   - `nextPageToken` (the v3 `search/jql` loop,
+    *     `jira/export-to-csv.js:231-272`) — token goes back as a query
+    *     param;
+    *   - offset envelopes `{issues|values, startAt, total}` (the v2
+    *     search shape and the changelog client's loop,
+    *     `jira/lib/changelog-client.js:125-151`): next startAt =
+    *     startAt + page.length, stop when past `total` or the page
+    *     comes back empty (the reference's exact guard — a server
+    *     misreporting `total` must not loop forever).
+    */
+  private def nextPageLocation(root: JsonNode): String = {
+    val tok = root.path("nextPageToken").asText("")
+    if (tok.nonEmpty) return tokenUrl(file, tok)
+    val arr =
+      if (root.has("issues")) root.get("issues")
+      else root.get("values")
+    val startAt = root.path("startAt")
+    val total = root.path("total")
+    if (arr != null && arr.isArray && startAt.isNumber && total.isNumber) {
+      val next = startAt.asLong + arr.size()
+      if (arr.size() > 0 && next < total.asLong) offsetUrl(file, next)
+      else null
+    } else null
+  }
+
   private val issues: Iterator[JsonNode] =
     if (graft.sources.PageTransport.isHttp(file)) {
       // LIVE cursor pagination (reference `jira/export-to-csv.js:231-272`:
@@ -230,13 +268,12 @@ class JiraPartitionReader(file: String, required: StructType,
           require(n <= 100000, s"nextPageToken chain too long at $file")
           val text =
             graft.sources.PageTransport.readPage(loc, headers = headers)
-          val tok =
-            try mapper.readTree(text).path("nextPageToken").asText("")
+          loc =
+            try nextPageLocation(mapper.readTree(text))
             catch {
               case e: Exception => throw new java.io.IOException(
                 s"malformed Jira page at $loc (cursor chain position $n)", e)
             }
-          loc = if (tok.isEmpty) null else tokenUrl(file, tok)
           text
         }
       }

@@ -272,6 +272,75 @@ class ConnectorRetrySpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("Jira live OFFSET pagination: startAt/total envelopes walked to " +
+      "exhaustion, server-misreported total cannot loop forever") {
+    // the reference's OTHER Jira continuation style (v2 search and the
+    // changelog client, jira/lib/changelog-client.js:125-151):
+    // next startAt = startAt + values.length, stop at total or an
+    // empty page
+    val p1 = """{"issues":[
+      {"key":"OF-1","project":"OF","updated":"2025-10-01T10:00:00.000+0000"},
+      {"key":"OF-2","project":"OF","updated":"2025-10-01T11:00:00.000+0000"}],
+      "startAt":0,"maxResults":2,"total":3}"""
+    val p2 = """{"issues":[
+      {"key":"OF-3","project":"OF","updated":"2025-10-02T10:00:00.000+0000"}],
+      "startAt":2,"maxResults":2,"total":3}"""
+    val stub = new Stub(Map(
+      "/v2search?jql=x" -> p1,
+      "/v2search?jql=x&startAt=2" -> p2))
+    try {
+      val df = spark.read.format("graft.sources.jira.JiraSource")
+        .option("path", stub.url("/v2search?jql=x"))
+        .option("bearerToken", "tok-offset")
+        .load()
+      val keys = df.select("key").collect().map(_.getString(0)).sorted.toSeq
+      assert(keys == Seq("OF-1", "OF-2", "OF-3"),
+        s"offset chain must surface all pages exactly once, got $keys")
+      assert(stub.hits("/v2search?jql=x") == 2 &&
+        stub.hits("/v2search?jql=x&startAt=2") == 2,
+        "each offset page: one 429 + one success, no chain restart")
+      assert(stub.auth("/v2search?jql=x&startAt=2") == "Bearer tok-offset",
+        "auth must follow reader-built offset URLs")
+    } finally stub.stop()
+    // misreported total (server says 100, returns an empty page at
+    // startAt=1): the empty-page guard ends the chain
+    val pA = """{"issues":[{"key":"MT-1","project":"MT",
+      "updated":"2025-10-01T10:00:00.000+0000"}],
+      "startAt":0,"maxResults":1,"total":100}"""
+    val pEmpty = """{"issues":[],"startAt":1,"maxResults":1,"total":100}"""
+    val stub2 = new Stub(Map(
+      "/mt" -> pA, "/mt?startAt=1" -> pEmpty))
+    try {
+      val keys = spark.read.format("graft.sources.jira.JiraSource")
+        .option("path", stub2.url("/mt")).load()
+        .select("key").collect().map(_.getString(0)).toSeq
+      assert(keys == Seq("MT-1"))
+      assert(stub2.hits("/mt?startAt=1") == 2, "empty page fetched once " +
+        "(plus its 429 retry), then the chain ends despite total=100")
+    } finally stub2.stop()
+  }
+
+  test("Retry-After accepts both RFC 7231 forms: delay-seconds and " +
+      "HTTP-date; unparseable falls back to the default") {
+    import graft.sources.PageTransport.parseRetryAfterMs
+    assert(parseRetryAfterMs("60") == 60000L)
+    assert(parseRetryAfterMs("0") == 0L)
+    assert(parseRetryAfterMs("-5") == 0L)
+    val now = 1700000000000L
+    // date 90s in the future → 90000ms wait
+    val date = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+      .format(java.time.Instant.ofEpochMilli(now + 90000L)
+        .atZone(java.time.ZoneOffset.UTC))
+    assert(parseRetryAfterMs(date, nowMs = () => now) == 90000L)
+    // date in the past → 0 (caller's floor applies)
+    val past = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+      .format(java.time.Instant.ofEpochMilli(now - 5000L)
+        .atZone(java.time.ZoneOffset.UTC))
+    assert(parseRetryAfterMs(past, nowMs = () => now) == 0L)
+    assert(parseRetryAfterMs("not-a-date") == 1000L)
+    assert(parseRetryAfterMs("not-a-date", default = 0L) == 0L)
+  }
+
   test("persistent Retry-After: 0 cannot hot-loop: floored at the 1s " +
       "default, bounded by the sleep budget") {
     // a zero (or negative) Retry-After must still consume sleep budget —
