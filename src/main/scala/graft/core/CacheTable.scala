@@ -18,6 +18,17 @@ object CacheTable {
     df.withColumn("_fetched_at", lit(fetchedAtMs))
       .write.mode("append").parquet(path)
 
+  /** Does a staged snapshot exist at `path`? Same Hadoop-FS resolution
+    * as [[loadFresh]] (s3://, hdfs://, file:// alike). Used by
+    * bootstrap gates that must verify EVERY dependent snapshot is
+    * present — a job dying between `put`s leaves a partial stage whose
+    * first snapshot alone would satisfy a single-path check.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Rows still within TTL, latest fetch per key winning. Returns None
     * if the cache doesn't exist yet.
     *
@@ -76,8 +87,13 @@ object CacheTable {
     * fingerprinting) also wipes: an unverifiable stage carries the same
     * stale-read risk. The record is (re)written before the dependents
     * are rebuilt; a job dying in between leaves a matching fp with
-    * missing snapshots, which the next run's bootstrap path fills —
-    * never a mismatched pair served as fresh.
+    * missing snapshots, so the caller's bootstrap gate must check EVERY
+    * dependent snapshot exists ([[exists]]) — a gate on the first
+    * snapshot alone would skip the rebuild and serve a partial stage.
+    * An UNREADABLE record (a crash mid-way through the non-atomic
+    * overwrite leaves a directory with no valid parquet footer) is
+    * treated exactly like an absent one — wipe and rebuild — instead of
+    * throwing and wedging the stage permanently.
     */
   def guardFingerprint(spark: SparkSession, dir: String, fp: Long,
       dependents: Seq[String]): Unit = {
@@ -86,7 +102,9 @@ object CacheTable {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val recorded: Option[Long] =
       if (!fs.exists(p)) None
-      else spark.read.parquet(fpPath).collect().headOption.map(_.getLong(0))
+      else
+        try spark.read.parquet(fpPath).collect().headOption.map(_.getLong(0))
+        catch { case _: Exception => None } // corrupt record = absent
     if (recorded.contains(fp)) return
     dependents.foreach { d =>
       val dp = new org.apache.hadoop.fs.Path(d)

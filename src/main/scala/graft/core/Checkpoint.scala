@@ -19,10 +19,53 @@ import org.apache.spark.sql.DataFrame
   * loops otherwise OOM the PLANNER (AQE re-renders the doubling plan
   * tree per round) long before the data gets big.
   * `ReliableCheckpointSpec` pins branch parity on each operator family.
+  *
+  * Reliable checkpoints are FILES, and Spark's cleaner only removes them
+  * when `spark.cleaner.referenceTracking.cleanCheckpoints` is on (off by
+  * default) — so every ITERATIVE loop on this seam must eagerly delete
+  * the superseded round's snapshot ([[materializeSuperseding]]) or a
+  * deep loop leaves O(rounds) full state snapshots on HDFS/S3 per job.
+  * (localCheckpoint RDDs are block-manager entries, GC-reclaimed — the
+  * deletion is a no-op on that branch.)
   */
 object Checkpoint {
   def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** Path of the reliable-checkpoint file backing `df`, if any: walks
+    * the physical RDD's dependency chain to the first checkpointed RDD.
+    * None in localCheckpoint mode (block-manager, no file) or for an
+    * unmaterialized plan.
+    */
+  def ckptFile(df: DataFrame): Option[String] = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Option[String] =
+      r.getCheckpointFile.orElse(
+        r.dependencies.iterator.map(d => walk(d.rdd))
+          .collectFirst { case Some(p) => p })
+    walk(df.queryExecution.toRdd)
+  }
+
+  /** Delete a reliable checkpoint's files (no-op for None). */
+  def deleteCkpt(df: DataFrame, path: Option[String]): Unit = path.foreach { p =>
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(hp, true)
+  }
+
+  /** The iterative-loop step: eagerly [[materialize]] `next`, THEN
+    * delete the reliable snapshot behind the superseded `prev` (safe
+    * order — next's files exist before prev's are removed, so a crash
+    * in between leaves extra files, never missing ones). Only call when
+    * `prev` is genuinely superseded: nothing returned to the caller may
+    * still read through it (a lazily-derived result over prev must keep
+    * its final snapshot alive).
+    */
+  def materializeSuperseding(next: DataFrame, prev: DataFrame): DataFrame = {
+    val out = materialize(next)
+    if (out.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      deleteCkpt(prev, ckptFile(prev))
+    out
+  }
 }

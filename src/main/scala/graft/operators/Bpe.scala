@@ -147,7 +147,6 @@ object Bpe {
     // reliable checkpoints automatically when the session has a
     // checkpoint dir (executor-loss-safe on real clusters). Snapshots
     // are vocab-sized; the session's cache cleanup reclaims them.
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def chk(df: DataFrame): DataFrame =
       graft.core.Checkpoint.materialize(df) // shared policy seam
     var vocab = chk(base)
@@ -162,8 +161,15 @@ object Bpe {
         "corpus exhausted: every word is a single symbol — lower nMerges")
       val Array(a, b) = top.head.getString(0).split(" ", 2)
       merges += ((a, b))
-      vocab = chk(vocab.withColumn("sym", applyMerge(col("sym"), a, b)))
+      // supersede: each merge round's vocab snapshot fully replaces the
+      // previous round's — eager deletion or nMerges reliable snapshots
+      // outlive the job (the cleaner is off by default)
+      vocab = graft.core.Checkpoint.materializeSuperseding(
+        vocab.withColumn("sym", applyMerge(col("sym"), a, b)), vocab)
     }
+    // the result is the driver-side merge list — the final vocab
+    // snapshot is dead weight too
+    graft.core.Checkpoint.deleteCkpt(vocab, graft.core.Checkpoint.ckptFile(vocab))
     merges.result()
   }
 

@@ -534,7 +534,13 @@ object Dedup {
     CacheTable.guardFingerprint(spark, indexDir,
       CacheTable.fingerprint(base, Seq("doc_id", "text_c")),
       Seq(sigPath, pairPath, bandPath))
-    if (CacheTable.loadFresh(spark, bandPath, "doc_id", ttlMs, nowMs).isEmpty) {
+    // the gate checks ALL THREE snapshots: the fingerprint is recorded
+    // before the rebuild, so a bootstrap dying between puts leaves a
+    // fingerprint-matching stage with some snapshots present and some
+    // absent — a single-path gate would skip the rebuild and crash (or
+    // worse, silently serve a partial index) at the missing snapshot
+    if (!Seq(sigPath, bandPath, pairPath)
+        .forall(CacheTable.exists(spark, _))) {
       // bootstrap writes are wipe-first so a PARTIAL stage (a legacy
       // layout missing the band relation, or a bootstrap that died
       // between puts) can never stack a second generation onto a
@@ -773,21 +779,10 @@ object Dedup {
     // reliable checkpoints are FILES, and the cleaner only removes them
     // when spark.cleaner.referenceTracking.cleanCheckpoints is on (off
     // by default) — without eager deletion a deep graph leaves O(rounds)
-    // full label snapshots on HDFS/S3. Walk the checkpointed Dataset's
-    // RDD deps to its file and delete each round's snapshot as soon as
-    // the next round has materialized; the FINAL labels' files survive
-    // (the returned Dataset reads from them).
-    def ckptFile(df: DataFrame): Option[String] = {
-      def walk(r: org.apache.spark.rdd.RDD[_]): Option[String] =
-        r.getCheckpointFile.orElse(
-          r.dependencies.iterator.map(d => walk(d.rdd))
-            .collectFirst { case Some(p) => p })
-      walk(df.queryExecution.toRdd)
-    }
-    def deleteCkpt(path: Option[String]): Unit = path.foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-    }
+    // full label snapshots on HDFS/S3. Each round's snapshot is deleted
+    // as soon as the next round has materialized (the shared
+    // Checkpoint.ckptFile/deleteCkpt seam); the FINAL labels' files
+    // survive (the returned Dataset reads from them).
     // materialize the incoming edge relation ONCE before symmetrizing:
     // the union below references it from both branches, and an
     // unpersisted lineage (LSH candidate generation + exact verify for
@@ -851,7 +846,9 @@ object Dedup {
         }
       val changed = next.filter(col("chg")).count()
       converged = changed == 0
-      if (reliable) deleteCkpt(ckptFile(labels)) // superseded round's files
+      if (reliable) // superseded round's files
+        graft.core.Checkpoint.deleteCkpt(labels,
+          graft.core.Checkpoint.ckptFile(labels))
       labels = next.drop("chg") // superseded localCheckpoint RDDs GC-reclaimed
       i += 1
     }

@@ -177,7 +177,11 @@ object Similarity {
     while (r <= k) {
       val nd = least(col("d"), lit(1.0) - cosineFromNorms(
         dotD(col("embedding"), typedlit(cVec)), col("nrm"), lit(cNorm)))
-      state = state.withColumn("d", nd).transform(graft.core.Checkpoint.materialize)
+      // supersede: each round's min-distance column fully replaces the
+      // previous round's — delete the old reliable snapshot eagerly or
+      // a k-round selection leaves k corpus-sized files on HDFS/S3
+      state = graft.core.Checkpoint.materializeSuperseding(
+        state.withColumn("d", nd), state)
       val far = state.orderBy(col("d").desc, col("vec_id").asc).limit(1)
         .select("vec_id", "embedding", "nrm", "d").collect()(0)
       picked = picked :+ ((r, far.getLong(0), Some(far.getDouble(3))))
@@ -185,6 +189,9 @@ object Similarity {
       cNorm = far.getDouble(2)
       r += 1
     }
+    // the result is the driver-side picked vector — the final state
+    // snapshot is dead weight too
+    graft.core.Checkpoint.deleteCkpt(state, graft.core.Checkpoint.ckptFile(state))
     picked.map { case (rk, id, d) => (rk, id, d) }
       .toDF("rank", "vec_id", "dist")
   }

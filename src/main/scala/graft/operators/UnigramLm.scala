@@ -103,6 +103,11 @@ object UnigramLm {
       lit(0L).as("score"))
     var choices = wc.select(col("word"), lit(0).as("pos"),
       lit(null).cast("string").as("piece"), lit(0).as("j")).limit(0)
+    // per-round bi snapshots stay referenced by `ball` until the first
+    // backtrack round bakes `finals` into its own snapshot — tracked
+    // here, deleted there (reliable-FS runs only; O(maxLen) word-sized
+    // files otherwise outlive the job, the cleaner being off by default)
+    val biFiles = scala.collection.mutable.ListBuffer.empty[String]
     for (i <- 1 to maxLen) {
       val bi = cand.filter(col("i") === i)
         .join(ball.withColumnRenamed("pos", "j"), Seq("word", "j"))
@@ -113,9 +118,12 @@ object UnigramLm {
         .select(col("word"), lit(i).as("pos"), col("m.score").as("score"),
           col("m.piece").as("piece"), col("m.j").as("j"))
         .transform(graft.core.Checkpoint.materialize)
+      graft.core.Checkpoint.ckptFile(bi).foreach(biFiles += _)
       ball = ball.unionByName(bi.select("word", "pos", "score"))
       choices = choices.unionByName(bi.select("word", "pos", "piece", "j"))
     }
+    // choices gets its OWN snapshot here (the backtrack probes it every
+    // round); after this eager write it no longer reads the bi files
     choices = choices.transform(graft.core.Checkpoint.materialize)
     // backtrack from pos = length(word); each step prepends the chosen
     // piece and jumps to its start — words at pos 0 pass through
@@ -126,7 +134,8 @@ object UnigramLm {
       .join(finals, "word")
       .filter(col("pos") === col("p2"))
       .select(col("word"), col("pos"), col("seg"), col("score"))
-    for (_ <- 1 to maxLen) {
+    for (step <- 1 to maxLen) {
+      val prev = path
       path = path
         .join(choices.select(col("word"), col("pos"),
           col("piece").as("cp"), col("j").as("cj")), Seq("word", "pos"),
@@ -137,7 +146,19 @@ object UnigramLm {
             .otherwise(concat(array(col("cp")), col("seg"))).as("seg"),
           col("score"))
         .transform(graft.core.Checkpoint.materialize)
+      if (step == 1)
+        // round 1's snapshot baked `finals` (the only reader of `ball`)
+        // in — the forward rounds' bi files are superseded as a set.
+        // prev itself is the unmaterialized initial path (its deps ARE
+        // bi files), so the explicit list, not ckptFile(prev).
+        biFiles.foreach(f => graft.core.Checkpoint.deleteCkpt(path, Some(f)))
+      else
+        graft.core.Checkpoint.deleteCkpt(prev, graft.core.Checkpoint.ckptFile(prev))
     }
+    // the returned plan reads only the final path snapshot + wc; the DP
+    // edge relation and the choice table are superseded
+    graft.core.Checkpoint.deleteCkpt(cand, graft.core.Checkpoint.ckptFile(cand))
+    graft.core.Checkpoint.deleteCkpt(choices, graft.core.Checkpoint.ckptFile(choices))
     path.join(wc, "word")
       .select(col("word"), col("wc"),
         size(col("seg")).as("n_pieces"),

@@ -111,7 +111,15 @@ object WordPiece {
           when(col("piece").isNull, col("toks"))
             .otherwise(concat(col("toks"), array(col("piece")))).as("toks"),
           col("piece").isNull.as("unk"))
-        state = stepped.unionByName(closed).transform(graft.core.Checkpoint.materialize)
+        // supersede: the new round's snapshot replaces the old state
+        // entirely (closed rows were re-emitted into it), so the old
+        // round's reliable-checkpoint files are deleted eagerly —
+        // O(rounds) full state snapshots otherwise outlive the job on
+        // HDFS/S3 (the cleaner is off by default). The loop's FINAL
+        // state survives: the open.isEmpty exit assigns state = closed
+        // (a lazy filter over the last snapshot) without superseding it.
+        state = graft.core.Checkpoint.materializeSuperseding(
+          stepped.unionByName(closed), state)
         round += 1
       }
     }

@@ -36,6 +36,35 @@ class CacheTableSpec extends AnyFunSuite {
     assert(missing == Seq("A-3"))
   }
 
+  test("guardFingerprint: unreadable fp record (crash mid-overwrite) is " +
+      "treated as absent — wipe + rebuild, not a permanent wedge") {
+    val dir = Files.createTempDirectory("graft_fpguard").toString
+    val dep = s"$dir/snap"
+    CacheTable.put(Seq(("k", "v")).toDF("key", "data"), dep, 1L)
+    val fp = 42L
+    CacheTable.guardFingerprint(spark, dir, fp, Seq(dep))
+    // first guard with an absent record wiped the dependent
+    assert(!CacheTable.exists(spark, dep), "absent record wipes dependents")
+    CacheTable.put(Seq(("k", "v")).toDF("key", "data"), dep, 1L)
+    // matching record: dependents untouched
+    CacheTable.guardFingerprint(spark, dir, fp, Seq(dep))
+    assert(CacheTable.exists(spark, dep), "matching fp keeps dependents")
+    // corrupt the record the way a crash mid-overwrite does: directory
+    // exists but holds no valid parquet footer
+    val fpDir = java.nio.file.Path.of(dir, "_corpus_fp")
+    import scala.jdk.CollectionConverters._
+    Files.walk(fpDir).iterator().asScala.toSeq.reverse
+      .filter(p => p != fpDir).foreach(Files.delete)
+    Files.writeString(fpDir.resolve("part-corrupt.parquet"), "not parquet")
+    // must not throw; unreadable = absent = wipe + re-record
+    CacheTable.guardFingerprint(spark, dir, fp, Seq(dep))
+    assert(!CacheTable.exists(spark, dep),
+      "unreadable record wipes dependents (unverifiable stage)")
+    CacheTable.put(Seq(("k", "v")).toDF("key", "data"), dep, 1L)
+    CacheTable.guardFingerprint(spark, dir, fp, Seq(dep))
+    assert(CacheTable.exists(spark, dep), "re-recorded fp verifies again")
+  }
+
   test("jira connector fails open on a corrupt page file") {
     val d = Files.createTempDirectory("jira_bad")
     Files.writeString(d.resolve("page_0.json"),

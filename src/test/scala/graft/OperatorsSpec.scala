@@ -553,6 +553,39 @@ class OperatorsSpec extends AnyFunSuite {
       "same-corpus re-run keeps the rebuilt stage")
   }
 
+  test("incrementalLshPairs: mid-bootstrap death (pairs snapshot missing, " +
+      "fingerprint already recorded) self-heals instead of wedging") {
+    // guardFingerprint records the fp BEFORE the dependents are rebuilt,
+    // so a bootstrap dying between put(bands) and put(pairs) leaves a
+    // fingerprint-MATCHING stage with pairs absent. A gate checking only
+    // one snapshot would skip the rebuild and throw at loadFresh(pairs)
+    // .get forever (ADVICE r13); the all-snapshots gate rebuilds.
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_partial").toString
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"),
+      (10L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
+    def run() = Dedup.incrementalLshPairs(docs, "doc_id", "text",
+      isNew = $"doc_id" >= 10L, k = 3, numHashes = 64, bands = 16,
+      num = 1, den = 2, idx).as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(run() == Set((1L, 2L)))
+    // simulate the mid-bootstrap crash: wipe ONLY the pairs snapshot,
+    // leaving sigs/bands and the matching fingerprint record behind
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    rmrf(java.nio.file.Path.of(idx, "pairs"))
+    assert(run() == Set((1L, 2L)),
+      "partial stage must trigger a full rebuild, not a wedge")
+    assert(run() == Set((1L, 2L)), "and the rebuilt stage is reusable")
+  }
+
   test("simhash: identical docs at hamming 0, disjoint docs apart") {
     val docs = Seq(
       (1L, "p q r s t u v w"),

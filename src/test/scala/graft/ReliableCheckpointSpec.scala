@@ -24,13 +24,93 @@ class ReliableCheckpointSpec extends AnyFunSuite {
     try body finally sc.setCheckpointDir(null)
   }
 
-  test("Bpe.train: reliable-checkpoint branch learns the same merges") {
+  /** Run `body` with a reliable checkpoint dir and return (result,
+    * leftover rdd-* snapshot count under the dir). The iterative loops
+    * must delete superseded rounds eagerly (ADVICE r13: the cleaner is
+    * off by default, so an undeleted loop leaves O(rounds) snapshots on
+    * HDFS/S3 per job) — leftovers should be the final live snapshots
+    * only, never proportional to round count.
+    */
+  private def withReliableCounting[A](body: => A): (A, Int) = {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_relchk").toString
+    sc.setCheckpointDir(dir)
+    val out = try body finally sc.setCheckpointDir(null)
+    import scala.jdk.CollectionConverters._
+    val leftover = java.nio.file.Files.walk(java.nio.file.Path.of(dir))
+      .iterator().asScala
+      .count(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-"))
+    (out, leftover)
+  }
+
+  test("Bpe.train: reliable-checkpoint branch learns the same merges " +
+      "and leaves ZERO snapshots behind (merges are driver values)") {
     import spark.implicits._
     val docs = Seq("low lower lowest", "newer newest new", "low low new")
       .toDF("text")
     val local = graft.operators.Bpe.train(docs, "text", 6)
-    val reliable = withReliable(graft.operators.Bpe.train(docs, "text", 6))
+    val (reliable, leftover) =
+      withReliableCounting(graft.operators.Bpe.train(docs, "text", 6))
     assert(reliable == local)
+    assert(leftover == 0,
+      s"6 merge rounds must not leave snapshot files, got $leftover")
+  }
+
+  test("WordPiece.tokenize: reliable branch segments identically; " +
+      "superseded round snapshots deleted eagerly") {
+    import spark.implicits._
+    val docs = Seq("unaffable unaffordable stable unstable",
+      "afford affable table tablet").toDF("text")
+    val vocab = graft.operators.WordPiece.buildVocab(docs, "text",
+      vocabSize = 40, maxPieceLen = 6, maxWordLen = 16)
+    def run() = graft.operators.WordPiece
+      .tokenize(docs, "text", vocab, maxWordLen = 16)
+      .select("word", "pieces").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = run()
+    val (reliable, leftover) = withReliableCounting(run())
+    assert(reliable == local)
+    // live set = wc + the final state; a loop without eager deletion
+    // leaves one snapshot per greedy round (~word-length, >> 2)
+    assert(leftover <= 2,
+      s"only the live snapshots may remain, got $leftover")
+  }
+
+  test("UnigramLm.tokenize: reliable branch segments identically; " +
+      "forward bi / backtrack path rounds deleted eagerly") {
+    import spark.implicits._
+    val docs = Seq("hello hellish shell he she hell",
+      "low lower lowest slow").toDF("text")
+    val vocab = graft.operators.UnigramLm.buildVocab(docs, "text",
+      vocabSize = 40, maxPieceLen = 6, maxWordLen = 16)
+    def run() = graft.operators.UnigramLm
+      .tokenize(docs, "text", vocab, maxWordLen = 16)
+      .select("word", "pieces").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = run()
+    val (reliable, leftover) = withReliableCounting(run())
+    assert(reliable == local)
+    // live set = wc + the final path; the DP runs ~2·maxLen checkpointed
+    // rounds plus cand + choices — all superseded
+    assert(leftover <= 2,
+      s"only the live snapshots may remain, got $leftover")
+  }
+
+  test("kCenterCoreset: reliable branch picks the same centers and " +
+      "leaves ZERO snapshots (picks are driver values)") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)), (3L, Seq(0f, 10f)),
+      (4L, Seq(1f, 1f)), (5L, Seq(9f, 1f))).toDF("vec_id", "embedding")
+    def run() = graft.operators.Similarity.kCenterCoreset(emb, k = 3)
+      .select("rank", "vec_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val local = run()
+    val (reliable, leftover) = withReliableCounting(run())
+    assert(reliable == local)
+    assert(leftover == 0,
+      s"k rounds must not leave snapshot files, got $leftover")
   }
 
   test("Hierarchy.resolveRoots: reliable branch walks the same roots, " +
