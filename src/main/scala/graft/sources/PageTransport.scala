@@ -38,6 +38,41 @@ object PageTransport {
   def isHttp(location: String): Boolean =
     location.startsWith("http://") || location.startsWith("https://")
 
+  /** Hard ceiling on concurrent in-flight requests per JVM, matching the
+    * reference's pool clamp (`jira/lib/changelog-client.js:160`:
+    * `Math.min(concurrency, 20)`): once chain-head splitting plans tens
+    * of partitions against ONE live endpoint, the scheduler would
+    * otherwise open one socket per running task — 32 locally, hundreds
+    * per executor host on a cluster — against an API tier sized for ~20.
+    */
+  private[sources] val MaxInFlightCeiling = 20
+
+  /** Per-JVM in-flight gates, one per distinct limit (connectors sharing
+    * a limit share the gate — per-host politeness is the point).
+    */
+  private val gates =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.Semaphore]()
+
+  /** The connector's `maxInFlight` read option → effective limit:
+    * clamped to [1, MaxInFlightCeiling], defaulting to the ceiling.
+    */
+  def maxInFlightOf(options: Map[String, String]): Int =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase("maxinflight") =>
+      math.max(1, math.min(v.trim.toInt, MaxInFlightCeiling))
+    }.getOrElse(MaxInFlightCeiling)
+
+  /** Run `send` holding one of `limit` permits. The permit covers ONLY
+    * the HTTP round trip — a task sleeping out a Retry-After holds no
+    * permit (a sleeping connection is not in-flight, and pinning a
+    * permit through a 60 s wait would starve every other partition).
+    */
+  private def withPermit[A](limit: Int)(send: => A): A = {
+    val sem = gates.computeIfAbsent(limit,
+      n => new java.util.concurrent.Semaphore(n))
+    sem.acquire()
+    try send finally sem.release()
+  }
+
   /** RFC 7231 `Retry-After` → milliseconds to wait. Both legal forms:
     * delay-seconds (`"60"`) and HTTP-date (`"Wed, 21 Oct 2026 07:28:00
     * GMT"` — some gateways send only this form; treating it as
@@ -102,7 +137,8 @@ object PageTransport {
     */
   def readPage(location: String, maxAttempts: Int = 4,
       sleep: Long => Unit = Thread.sleep,
-      headers: Seq[(String, String)] = Nil): String = {
+      headers: Seq[(String, String)] = Nil,
+      maxInFlight: Int = MaxInFlightCeiling): String = {
     if (!isHttp(location))
       return java.nio.file.Files.readString(java.nio.file.Path.of(location))
     var attempt = 0
@@ -113,7 +149,8 @@ object PageTransport {
         try {
           val b = HttpRequest.newBuilder(URI.create(location)).GET()
           headers.foreach { case (k, v) => b.header(k, v) }
-          Right(client.send(b.build(), HttpResponse.BodyHandlers.ofString()))
+          withPermit(maxInFlight)(
+            Right(client.send(b.build(), HttpResponse.BodyHandlers.ofString())))
         } catch { case e: java.io.IOException => Left(e) }
       resp match {
         case Right(r) if r.statusCode() / 100 == 2 => return r.body()
@@ -175,4 +212,79 @@ object PageTransport {
     else Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".json")).sortBy(_.getName)
       .map(_.getAbsolutePath).toSeq
+
+  /** `base` with `clause` AND-merged into its `jql` query param (added
+    * if absent, existing value parenthesized — `(old) AND clause`).
+    * The chain-head splitter's URL builder: each date slice of one
+    * logical search becomes its own head URL.
+    */
+  def mergeJql(base: String, clause: String): String = {
+    val (b, q) = base.span(_ != '?')
+    val params = (if (q.isEmpty) Seq.empty[String]
+      else q.drop(1).split('&').toSeq).filter(_.nonEmpty)
+    val (jqlP, rest) = params.partition(_.startsWith("jql="))
+    val merged = jqlP.headOption
+      .map(p => java.net.URLDecoder.decode(p.substring(4), "UTF-8"))
+      .map(j => s"($j) AND $clause").getOrElse(clause)
+    val enc = java.net.URLEncoder.encode(merged, "UTF-8")
+    s"$b?${(rest :+ s"jql=$enc").mkString("&")}"
+  }
+
+  /** `updatedFrom`/`updatedTo` option value → Instant. Accepts a plain
+    * date (midnight UTC), an ISO instant, or an offset datetime;
+    * anything else throws (a silently-misparsed bound would slice the
+    * range wrong and drop rows).
+    */
+  def parseSliceInstant(s: String): java.time.Instant = {
+    val t = s.trim
+    try java.time.Instant.parse(t)
+    catch {
+      case _: Exception =>
+        try java.time.OffsetDateTime.parse(t).toInstant
+        catch {
+          case _: Exception => java.time.LocalDate.parse(t)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+        }
+    }
+  }
+
+  /** One logical live search split into `n` disjoint `updated`-range
+    * slices, each its own chain head: the ith head is `base` with
+    * `updated >= slice_i_start AND updated < slice_i_end` AND-merged
+    * into its jql — exactly the reference's concurrency pool
+    * (`jira/lib/changelog-client.js:159-202`) re-expressed as Spark task
+    * parallelism, so a single endpoint's ingest scales with the cluster
+    * instead of draining serially through one task. Slices partition
+    * [from, to) exactly (millisecond boundaries, no gap, no overlap);
+    * rows updated at/after `to` are out of the query's declared range.
+    * JQL minute-granularity caveat: boundaries are formatted to the
+    * minute (JQL's finest granularity), so from/to should be
+    * minute-aligned — parseSliceInstant's date form always is.
+    */
+  def sliceHeads(base: String, from: java.time.Instant,
+      to: java.time.Instant, n: Int): Seq[String] = {
+    require(n >= 1, s"slices must be >= 1, got $n")
+    val f0 = from.toEpochMilli
+    val span = to.toEpochMilli - f0
+    require(span > 0, s"updatedFrom ($from) must precede updatedTo ($to)")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm").withZone(java.time.ZoneOffset.UTC)
+    (0 until n).map { i =>
+      val lo = f0 + span * i / n
+      val hi = f0 + span * (i + 1) / n
+      mergeJql(base,
+        s"""updated >= "${fmt.format(java.time.Instant.ofEpochMilli(lo))}"""" +
+          s""" AND updated < "${fmt.format(java.time.Instant.ofEpochMilli(hi))}"""")
+    }
+  }
+
+  /** Per-entity chain heads: `base` with its `{key}` placeholder bound
+    * to each of `keys` (URL-encoded) — the reference's per-issue
+    * changelog/comment pool and per-channel Slack history pull as one
+    * InputPartition per entity.
+    */
+  def keyedHeads(base: String, placeholder: String,
+      keys: Seq[String]): Seq[String] =
+    keys.map(k => base.replace(placeholder,
+      java.net.URLEncoder.encode(k, "UTF-8")))
 }

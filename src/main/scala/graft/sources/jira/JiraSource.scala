@@ -36,12 +36,16 @@ class JiraSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     JiraSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
     // auth options (`user`+`token` → Basic, per the reference's Jira
     // client `jira/export-to-csv.js:15-82`) become request headers on
-    // every live page fetch; staged-file reads ignore them
+    // every live page fetch; staged-file reads ignore them. The full
+    // option map rides along (lower-cased keys, the DSv2 convention)
+    // for the head-splitting and in-flight-clamp options.
+    val opts = properties.asScala.toMap.map { case (k, v) => (k.toLowerCase, v) }
     new JiraTable(properties.get("path"),
-      graft.sources.PageTransport.authHeaders(properties.asScala.toMap))
+      graft.sources.PageTransport.authHeaders(opts), opts)
+  }
 }
 
 object JiraSource {
@@ -86,17 +90,18 @@ object JiraSource {
     StructField("fields", MapType(StringType, StringType))))
 }
 
-class JiraTable(path: String, headers: Seq[(String, String)])
-    extends Table with SupportsRead {
+class JiraTable(path: String, headers: Seq[(String, String)],
+    opts: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"jira($path)"
   override def schema(): StructType = JiraSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JiraScanBuilder(path, headers)
+    new JiraScanBuilder(path, headers, opts)
 }
 
-class JiraScanBuilder(path: String, headers: Seq[(String, String)]) extends ScanBuilder
+class JiraScanBuilder(path: String, headers: Seq[(String, String)],
+    opts: Map[String, String]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = JiraSource.schema
@@ -121,11 +126,12 @@ class JiraScanBuilder(path: String, headers: Seq[(String, String)]) extends Scan
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = JiraScan(path, required, pushed, headers)
+  override def build(): Scan = JiraScan(path, required, pushed, headers, opts)
 }
 
 case class JiraScan(path: String, required: StructType, pushed: Array[Filter],
-    headers: Seq[(String, String)]) extends Scan with Batch {
+    headers: Seq[(String, String)], opts: Map[String, String])
+    extends Scan with Batch {
 
   /** The JQL the reference would send (`project = X AND updated >= "…"`). */
   def jql: String = {
@@ -140,29 +146,60 @@ case class JiraScan(path: String, required: StructType, pushed: Array[Filter],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"JiraScan path=$path, jql=[$jql], fields=[${required.fieldNames.mkString(",")}]"
+    s"JiraScan path=$path, jql=[$jql], " +
+      s"fields=[${required.fieldNames.mkString(",")}], " +
+      s"heads=${planInputPartitions().length}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // staged dir: one partition per API page file — the connector-side
     // analog of the reference's pagination (page size bounds partition
-    // size). An http(s) path lists chain-head URLs (usually ONE live
-    // search endpoint); the reader fetches through the retrying
-    // transport and follows each head's nextPageToken chain lazily.
-    graft.sources.PageTransport.pageLocations(path)
-      .map(l => JiraPagePartition(l): InputPartition).toArray
+    // size). An http(s) path lists chain-head URLs; each head is then
+    // SPLIT into further heads when the splitting options are set, so
+    // ONE logical live query plans N partitions whose cursor chains
+    // fetch concurrently (the reference's concurrency pool,
+    // `jira/lib/changelog-client.js:159-202`, as task parallelism —
+    // a single serial chain per endpoint reads a whole project through
+    // one executor thread, page by page):
+    //   - `issueKeys=K1,K2,...` + a `{key}` placeholder in the URL →
+    //     one head per issue (the per-issue comments/changelog pool);
+    //   - `updatedFrom`/`updatedTo` [+ `slices=N`, default 8] → N
+    //     disjoint updated-range slices AND-merged into the jql param.
+    // The reader then walks each head's nextPageToken chain lazily.
+    import graft.sources.PageTransport
+    val heads = PageTransport.pageLocations(path).flatMap { h =>
+      if (!PageTransport.isHttp(h)) Seq(h)
+      else if (h.contains("{key}"))
+        PageTransport.keyedHeads(h, "{key}",
+          opts.getOrElse("issuekeys",
+            throw new IllegalArgumentException(
+              "path contains {key} but no issueKeys option was set"))
+            .split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      else (opts.get("updatedfrom"), opts.get("updatedto")) match {
+        case (Some(f), Some(t)) =>
+          PageTransport.sliceHeads(h,
+            PageTransport.parseSliceInstant(f),
+            PageTransport.parseSliceInstant(t),
+            opts.get("slices").map(_.trim.toInt).getOrElse(8))
+        case _ => Seq(h)
+      }
+    }
+    heads.map(l => JiraPagePartition(l): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    JiraReaderFactory(required, pushed, headers)
+    JiraReaderFactory(required, pushed, headers,
+      graft.sources.PageTransport.maxInFlightOf(opts))
 }
 
 case class JiraPagePartition(file: String) extends InputPartition
 
 case class JiraReaderFactory(required: StructType, pushed: Array[Filter],
-    headers: Seq[(String, String)]) extends PartitionReaderFactory {
+    headers: Seq[(String, String)], maxInFlight: Int)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new JiraPartitionReader(
-      partition.asInstanceOf[JiraPagePartition].file, required, pushed, headers)
+      partition.asInstanceOf[JiraPagePartition].file, required, pushed,
+      headers, maxInFlight)
 }
 
 /** Reads one staged page file; applies the pushed "JQL" the way the
@@ -170,7 +207,8 @@ case class JiraReaderFactory(required: StructType, pushed: Array[Filter],
   * required fields (the `fields=` param).
   */
 class JiraPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter], headers: Seq[(String, String)])
+    pushed: Array[Filter], headers: Seq[(String, String)],
+    maxInFlight: Int = graft.sources.PageTransport.MaxInFlightCeiling)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -262,18 +300,31 @@ class JiraPartitionReader(file: String, required: StructType,
       val pages = new Iterator[String] {
         private var loc: String = file
         private var n = 0
+        // cycle detection: a misbehaving server that echoes a previously
+        // seen continuation token (or re-serves the same startAt) would
+        // otherwise burn the full 100k-page cap in wasted HTTP round
+        // trips before failing. Track every chain location and fail at
+        // the FIRST repeat — position 2 for a self-looping token. Memory
+        // is bounded by the page cap; a healthy chain never repeats.
+        private val seen = scala.collection.mutable.HashSet(file)
         override def hasNext: Boolean = loc != null
         override def next(): String = {
           n += 1
           require(n <= 100000, s"nextPageToken chain too long at $file")
-          val text =
-            graft.sources.PageTransport.readPage(loc, headers = headers)
+          val cur = loc
+          val text = graft.sources.PageTransport.readPage(cur,
+            headers = headers, maxInFlight = maxInFlight)
           loc =
             try nextPageLocation(mapper.readTree(text))
             catch {
               case e: Exception => throw new java.io.IOException(
-                s"malformed Jira page at $loc (cursor chain position $n)", e)
+                s"malformed Jira page at $cur (cursor chain position $n)", e)
             }
+          if (loc != null && !seen.add(loc))
+            throw new java.io.IOException(
+              s"cursor cycle: page $n at $cur handed back an " +
+                s"already-visited continuation ($loc) — the server is " +
+                "misbehaving; failing fast instead of re-walking the chain")
           text
         }
       }

@@ -28,12 +28,16 @@ class SlackSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SlackSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
     // auth options (`bearerToken` -> Bearer, per the reference's Slack
     // client `slack/lib/api.js:30-110`) become request headers on every
-    // live page fetch; staged-file reads ignore them
+    // live page fetch; staged-file reads ignore them. The full option
+    // map rides along for head-splitting (`channels`) and the
+    // in-flight clamp (`maxInFlight`).
+    val opts = properties.asScala.toMap.map { case (k, v) => (k.toLowerCase, v) }
     new SlackTable(properties.get("path"),
-      graft.sources.PageTransport.authHeaders(properties.asScala.toMap))
+      graft.sources.PageTransport.authHeaders(opts), opts)
+  }
 }
 
 object SlackSource {
@@ -46,17 +50,18 @@ object SlackSource {
     StructField("reply_count", IntegerType)))
 }
 
-class SlackTable(path: String, headers: Seq[(String, String)])
-    extends Table with SupportsRead {
+class SlackTable(path: String, headers: Seq[(String, String)],
+    opts: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"slack($path)"
   override def schema(): StructType = SlackSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SlackScanBuilder(path, headers)
+    new SlackScanBuilder(path, headers, opts)
 }
 
-class SlackScanBuilder(path: String, headers: Seq[(String, String)]) extends ScanBuilder
+class SlackScanBuilder(path: String, headers: Seq[(String, String)],
+    opts: Map[String, String]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SlackSource.schema
@@ -79,11 +84,12 @@ class SlackScanBuilder(path: String, headers: Seq[(String, String)]) extends Sca
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = SlackScan(path, required, pushed, headers)
+  override def build(): Scan = SlackScan(path, required, pushed, headers, opts)
 }
 
 case class SlackScan(path: String, required: StructType, pushed: Array[Filter],
-    headers: Seq[(String, String)]) extends Scan with Batch {
+    headers: Seq[(String, String)], opts: Map[String, String])
+    extends Scan with Batch {
 
   def apiParams: String = pushed.collect {
     case EqualTo("channel", v) => s"channel=$v"
@@ -101,10 +107,25 @@ case class SlackScan(path: String, required: StructType, pushed: Array[Filter],
     // http(s) path = page-URL list fetched via the retrying transport;
     // planning-time channel pruning is a staged-file optimization (the
     // HTTP form prunes from conversations.list instead), so URL pages
-    // rely on the reader's channel filter
-    if (graft.sources.PageTransport.isHttp(path))
-      return graft.sources.PageTransport.pageLocations(path)
-        .map(l => SlackChannelPartition(l): InputPartition).toArray
+    // rely on the reader's channel filter. A `{channel}` placeholder +
+    // `channels=a,b,...` option splits ONE logical history pull into
+    // one chain head per channel (the reference's per-channel fetch
+    // loop as task parallelism) — each walks its own cursor chain
+    // concurrently instead of draining every channel through one task.
+    // A pushed channel-equality prunes the head list at PLANNING time,
+    // like the staged-file prune below.
+    if (graft.sources.PageTransport.isHttp(path)) {
+      val heads = graft.sources.PageTransport.pageLocations(path).flatMap { h =>
+        if (!h.contains("{channel}")) Seq(h)
+        else graft.sources.PageTransport.keyedHeads(h, "{channel}",
+          opts.getOrElse("channels",
+            throw new IllegalArgumentException(
+              "path contains {channel} but no channels option was set"))
+            .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+            .filter(c => channelFilter.forall(_ == c)))
+      }
+      return heads.map(l => SlackChannelPartition(l): InputPartition).toArray
+    }
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".json")).sortBy(_.getName)
       // channel pruning at PLANNING time: skip whole channels (the
@@ -153,20 +174,24 @@ case class SlackScan(path: String, required: StructType, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SlackReaderFactory(required, pushed, headers)
+    SlackReaderFactory(required, pushed, headers,
+      graft.sources.PageTransport.maxInFlightOf(opts))
 }
 
 case class SlackChannelPartition(file: String) extends InputPartition
 
 case class SlackReaderFactory(required: StructType, pushed: Array[Filter],
-    headers: Seq[(String, String)]) extends PartitionReaderFactory {
+    headers: Seq[(String, String)], maxInFlight: Int)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SlackPartitionReader(
-      p.asInstanceOf[SlackChannelPartition].file, required, pushed, headers)
+      p.asInstanceOf[SlackChannelPartition].file, required, pushed, headers,
+      maxInFlight)
 }
 
 class SlackPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter], headers: Seq[(String, String)])
+    pushed: Array[Filter], headers: Seq[(String, String)],
+    maxInFlight: Int = graft.sources.PageTransport.MaxInFlightCeiling)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -180,8 +205,8 @@ class SlackPartitionReader(file: String, required: StructType,
     // duplicates and no drops across the retry (ConnectorRetrySpec
     // pins this with per-page hit counts). Staged files never carry a
     // cursor, so the chain is a single page there.
-    val first = mapper.readTree(
-      graft.sources.PageTransport.readPage(file, headers = headers))
+    val first = mapper.readTree(graft.sources.PageTransport.readPage(
+      file, headers = headers, maxInFlight = maxInFlight))
     val name = first.path("channel").path("name").asText()
     // LAZY page walk: the next page is fetched only when the current
     // one's rows are drained, so reader memory is one page regardless of
@@ -189,6 +214,10 @@ class SlackPartitionReader(file: String, required: StructType,
     val pages = new Iterator[JsonNode] {
       private var page: JsonNode = first
       private var n = 1
+      // cycle detection (the JiraSource discipline): a server echoing an
+      // already-seen next_cursor must fail at the first repeat, not
+      // after 100k wasted fetches
+      private val seen = scala.collection.mutable.HashSet.empty[String]
       override def hasNext: Boolean = page != null
       override def next(): JsonNode = {
         val cur = page
@@ -199,8 +228,14 @@ class SlackPartitionReader(file: String, required: StructType,
           else {
             n += 1
             require(n <= 100000, s"cursor chain too long at $file")
+            if (!seen.add(cursor))
+              throw new java.io.IOException(
+                s"cursor cycle: page ${n - 1} of $file handed back an " +
+                  s"already-visited next_cursor ($cursor) — the server " +
+                  "is misbehaving; failing fast instead of re-walking")
             mapper.readTree(graft.sources.PageTransport.readPage(
-              cursorUrl(file, cursor), headers = headers))
+              cursorUrl(file, cursor), headers = headers,
+              maxInFlight = maxInFlight))
           }
         cur
       }

@@ -490,6 +490,226 @@ class ConnectorRetrySpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("Jira cursor cycle: a server echoing an already-visited token " +
+      "fails at chain position 2, not after the 100k-page cap") {
+    // self-looping token: every page hands back nextPageToken=t1. The
+    // only pre-r14 defense was the 100,000-page cap — 100k wasted HTTP
+    // round trips against a misbehaving server before failing (VERDICT
+    // r13 #2). The seen-set must trip on the FIRST repeat.
+    val looping = """{"issues":[{"key":"CY-1","project":"CY",
+      "updated":"2025-10-01T10:00:00.000+0000"}],"nextPageToken":"t1"}"""
+    val hits = new AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      hits.incrementAndGet()
+      val b = looping.getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    })
+    server.start()
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.jira.JiraSource")
+          .option("path",
+            s"http://127.0.0.1:${server.getAddress.getPort}/search")
+          .load().collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("cursor cycle")),
+        s"expected a loud cycle failure, got: ${msgs(e)}")
+      assert(hits.get() <= 3,
+        s"must fail at the first repeated token, got ${hits.get()} fetches")
+    } finally server.stop(0)
+  }
+
+  test("Slack cursor cycle: repeated next_cursor fails fast") {
+    val looping = """{"channel":{"name":"loop"},"messages":[
+      {"ts":"1.000001","user":"U1","text":"a"}],
+      "response_metadata":{"next_cursor":"c1"}}"""
+    val hits = new AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      hits.incrementAndGet()
+      val b = looping.getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    })
+    server.start()
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.slack.SlackSource")
+          .option("path",
+            s"http://127.0.0.1:${server.getAddress.getPort}/hist")
+          .load().collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("cursor cycle")),
+        s"expected a loud cycle failure, got: ${msgs(e)}")
+      assert(hits.get() <= 3,
+        s"must fail at the first repeated cursor, got ${hits.get()} fetches")
+    } finally server.stop(0)
+  }
+
+  test("Jira date-slice head splitting: ONE logical query plans N input " +
+      "partitions, each fetching its own disjoint updated-range slice") {
+    // the reference parallelizes per-issue fetches with a pool of 5
+    // (jira/lib/changelog-client.js:159-202); head splitting is that
+    // pool as Spark task parallelism: updatedFrom/updatedTo/slices turn
+    // one endpoint into N jql-sliced chain heads. The stub parses the
+    // jql param server-side and answers one issue per distinct slice —
+    // a reader that didn't split (or sliced wrong) can't return 4 rows.
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val raw = Option(x.getRequestURI.getRawQuery).getOrElse("")
+      val jql = raw.split('&').find(_.startsWith("jql="))
+        .map(p => java.net.URLDecoder.decode(p.substring(4), "UTF-8"))
+        .getOrElse("")
+      seen.add(jql)
+      // one issue per slice, keyed by the slice's start date
+      val day = "updated >= \"2025-10-0(\\d)".r.findFirstMatchIn(jql)
+        .map(_.group(1)).getOrElse("?")
+      val body =
+        s"""{"issues":[{"key":"SL-$day","project":"SL",
+           "updated":"2025-10-0${day}T01:00:00.000+0000"}]}"""
+          .getBytes("UTF-8")
+      x.sendResponseHeaders(200, body.length)
+      x.getResponseBody.write(body)
+      x.close()
+    })
+    server.start()
+    try {
+      val df = spark.read.format("graft.sources.jira.JiraSource")
+        .option("path",
+          s"http://127.0.0.1:${server.getAddress.getPort}/search?jql=project%20%3D%20%22SL%22")
+        .option("updatedFrom", "2025-10-01")
+        .option("updatedTo", "2025-10-05")
+        .option("slices", "4")
+        .load()
+      assert(df.rdd.getNumPartitions == 4,
+        s"4 slices must plan 4 input partitions, got ${df.rdd.getNumPartitions}")
+      val keys = df.select("key").collect().map(_.getString(0)).sorted.toSeq
+      assert(keys == Seq("SL-1", "SL-2", "SL-3", "SL-4"),
+        s"each slice must surface its own rows exactly once, got $keys")
+      assert(seen.size() == 4,
+        s"4 distinct slice jqls must reach the server, got $seen")
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.forall(_.startsWith("""(project = "SL") AND """)),
+        s"the head's own jql must be AND-preserved in every slice: $seen")
+      val bounds = Seq("2025-10-01 00:00", "2025-10-02 00:00",
+        "2025-10-03 00:00", "2025-10-04 00:00", "2025-10-05 00:00")
+      for (i <- 0 until 4)
+        assert(seen.asScala.exists(j =>
+          j.contains(s"""updated >= "${bounds(i)}"""") &&
+            j.contains(s"""updated < "${bounds(i + 1)}"""")),
+          s"slice $i bounds missing from $seen")
+    } finally server.stop(0)
+  }
+
+  test("Jira per-issue head splitting ({key} + issueKeys) fetches " +
+      "concurrently; maxInFlight clamps concurrent requests") {
+    // N per-issue heads from ONE logical query (the reference's
+    // changelog pool, clamped at 20: changelog-client.js:160). The stub
+    // gauges true overlap: in-flight counter around a 120 ms handler.
+    val inFlight = new AtomicInteger()
+    val peak = new AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    // parallel handler threads — the default single-thread executor
+    // would serialize requests and hide true client concurrency
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.createContext("/", (x: HttpExchange) => {
+      val n = inFlight.incrementAndGet()
+      peak.accumulateAndGet(n, math.max)
+      Thread.sleep(120)
+      val key = x.getRequestURI.getPath.split('/').last
+      val body = s"""{"issues":[{"key":"$key","project":"PK",
+        "updated":"2025-10-01T10:00:00.000+0000"}]}""".getBytes("UTF-8")
+      x.sendResponseHeaders(200, body.length)
+      x.getResponseBody.write(body)
+      inFlight.decrementAndGet()
+      x.close()
+    })
+    server.start()
+    try {
+      val keys8 = (1 to 8).map(i => s"PK-$i").mkString(",")
+      def read(extra: Map[String, String]) = {
+        var r = spark.read.format("graft.sources.jira.JiraSource")
+          .option("path",
+            s"http://127.0.0.1:${server.getAddress.getPort}/issue/{key}")
+          .option("issueKeys", keys8)
+        extra.foreach { case (k, v) => r = r.option(k, v) }
+        r.load()
+      }
+      // unclamped (default ceiling 20): the 8 heads genuinely overlap
+      val df = read(Map.empty)
+      assert(df.rdd.getNumPartitions == 8,
+        s"8 issue keys must plan 8 partitions, got ${df.rdd.getNumPartitions}")
+      assert(df.select("key").collect().map(_.getString(0)).sorted.toSeq ==
+        (1 to 8).map(i => s"PK-$i").sorted)
+      assert(peak.get() >= 3,
+        s"8 one-shot heads on local[32] must overlap, peak=${peak.get()}")
+      // clamped: the per-JVM gate must keep in-flight <= 2 even with 8
+      // tasks running
+      peak.set(0)
+      val clamped = read(Map("maxInFlight" -> "2"))
+      assert(clamped.select("key").collect().length == 8)
+      assert(peak.get() <= 2,
+        s"maxInFlight=2 must bound concurrent requests, peak=${peak.get()}")
+      assert(peak.get() >= 1)
+    } finally server.stop(0)
+  }
+
+  test("Slack per-channel head splitting ({channel} + channels): one " +
+      "partition per channel, each walking its own cursor chain") {
+    val p2 = """{"messages":[{"ts":"9.000009","user":"U9","text":"tail"}],
+      "response_metadata":{"next_cursor":""}}"""
+    def env(name: String) =
+      s"""{"channel":{"name":"$name"},"messages":[
+        {"ts":"1.000001","user":"U_$name","text":"hello $name"}],
+        "response_metadata":{"next_cursor":"${if (name == "eng") "c2" else ""}"}}"""
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val raw = Option(x.getRequestURI.getRawQuery).getOrElse("")
+      val ch = raw.split('&').find(_.startsWith("channel="))
+        .map(_.substring("channel=".length)).getOrElse("?")
+      val body = (if (raw.contains("cursor=c2")) p2 else env(ch))
+        .getBytes("UTF-8")
+      x.sendResponseHeaders(200, body.length)
+      x.getResponseBody.write(body)
+      x.close()
+    })
+    server.start()
+    try {
+      val df = spark.read.format("graft.sources.slack.SlackSource")
+        .option("path",
+          s"http://127.0.0.1:${server.getAddress.getPort}/hist?channel={channel}")
+        .option("channels", "general,eng,ops")
+        .load()
+      assert(df.rdd.getNumPartitions == 3,
+        s"3 channels must plan 3 partitions, got ${df.rdd.getNumPartitions}")
+      val rows = df.select("channel", "user").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      // eng's chain has a second page (cursor revealed only in page 1)
+      assert(rows == Seq(("eng", "U9"), ("eng", "U_eng"),
+        ("general", "U_general"), ("ops", "U_ops")),
+        s"per-channel chains must surface all rows exactly once, got $rows")
+      // a pushed channel filter prunes heads at PLANNING time
+      val pruned = spark.read.format("graft.sources.slack.SlackSource")
+        .option("path",
+          s"http://127.0.0.1:${server.getAddress.getPort}/hist?channel={channel}")
+        .option("channels", "general,eng,ops")
+        .load().filter(org.apache.spark.sql.functions.col("channel") === "ops")
+      assert(pruned.rdd.getNumPartitions == 1,
+        "channel-equality pushdown must prune unrequested channel heads")
+      assert(pruned.select("user").collect().map(_.getString(0)).toSeq ==
+        Seq("U_ops"))
+    } finally server.stop(0)
+  }
+
   test("header seam: authHeaders builds the reference's auth forms") {
     import graft.sources.PageTransport.authHeaders
     assert(authHeaders(Map("user" -> "u", "token" -> "t")) ==
