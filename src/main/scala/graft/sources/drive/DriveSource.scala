@@ -28,18 +28,39 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - one InputPartition per batch of files (`filesPerPartition`, default
   *    64) so millions of small transcripts don't mean millions of tasks.
   *
-  * Staged form reads a local/shared folder (zero-egress container); an
-  * HTTP-backed reader would swap the listing for `files.list` pagination
-  * and the content read for `files.get`, planner classes unchanged.
+  * Staged form reads a local/shared folder (zero-egress container). An
+  * `http(s)://` path swaps the listing for `files.list`-shaped pages
+  * (`{"files":[{id,name,mimeType,size,modifiedTime}],
+  * "nextPageToken":…}`) walked through the retrying transport — and
+  * unlike the reference, the walk FOLLOWS `nextPageToken`: the
+  * reference stops at its first 1000-file page with no signal
+  * (`download-from-drive.js:306-325` has no pageToken loop), silently
+  * losing every file past page one of a large folder. Deliberately
+  * exceeding parity here: same chain machinery as the Jira/Slack
+  * readers, cycle-guarded. Content downloads come from the
+  * `contentUrlTemplate` option (`{id}` bound per file, e.g. the
+  * `files/{id}?alt=media` form), executor-side, only when the content
+  * column survives pruning; fetch failures skip the file's content
+  * (the reference's per-file skip), never the task.
   */
 class DriveSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DriveSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    import scala.jdk.CollectionConverters._
+    val opts = properties.asScala.toMap.map { case (k, v) => (k.toLowerCase, v) }
     new DriveTable(properties.get("path"),
-      Option(properties.get("filesPerPartition")).map(_.toInt).getOrElse(64))
+      opts.get("filesperpartition").map(_.toInt).getOrElse(64),
+      graft.sources.PageTransport.authHeaders(opts), opts)
+  }
 }
+
+/** One listed file's metadata — the planning-time unit for the HTTP
+  * form (what one `files.list` row carries).
+  */
+case class DriveMeta(id: String, name: String, mime: String, size: Long,
+    mtimeMicros: Long)
 
 object DriveSource {
   val schema: StructType = StructType(Seq(
@@ -93,28 +114,31 @@ object DriveSource {
       }
   }
 
-  /** Does file metadata satisfy one pushed filter? (The staged-folder
-    * implementation of the server-side `q`.)
+  /** Does file metadata satisfy one pushed filter? (The server-side `q`
+    * evaluated over listing metadata — shared by the staged-folder and
+    * HTTP-listing forms.)
     */
-  def metaKeep(f: java.io.File)(filter: Filter): Boolean = filter match {
-    case EqualTo("name", v) => f.getName == v.toString
-    case StringStartsWith("name", v) => f.getName.startsWith(v)
-    case StringEndsWith("name", v) => f.getName.endsWith(v)
-    case StringContains("name", v) => f.getName.contains(v)
-    case EqualTo("mime_type", v) => mimeOf(f.getName) == v.toString
+  def metaKeepValues(name: String, mime: String, mtimeMicros: Long)(
+      filter: Filter): Boolean = filter match {
+    case EqualTo("name", v) => name == v.toString
+    case StringStartsWith("name", v) => name.startsWith(v)
+    case StringEndsWith("name", v) => name.endsWith(v)
+    case StringContains("name", v) => name.contains(v)
+    case EqualTo("mime_type", v) => mime == v.toString
     // compare in micros — the resolution of the row value the engine
     // would otherwise have filtered on
     case GreaterThanOrEqual("modified_time", v) =>
-      f.lastModified * 1000L >= tsBoundMicros(v)
-    case GreaterThan("modified_time", v) =>
-      f.lastModified * 1000L > tsBoundMicros(v)
+      mtimeMicros >= tsBoundMicros(v)
+    case GreaterThan("modified_time", v) => mtimeMicros > tsBoundMicros(v)
     case LessThanOrEqual("modified_time", v) =>
-      f.lastModified * 1000L <= tsBoundMicros(v)
-    case LessThan("modified_time", v) =>
-      f.lastModified * 1000L < tsBoundMicros(v)
+      mtimeMicros <= tsBoundMicros(v)
+    case LessThan("modified_time", v) => mtimeMicros < tsBoundMicros(v)
     case IsNotNull(_) => true // guaranteed non-null for listed files
     case _ => true
   }
+
+  def metaKeep(f: java.io.File)(filter: Filter): Boolean =
+    metaKeepValues(f.getName, mimeOf(f.getName), f.lastModified * 1000L)(filter)
 
   /** Distributed file-staging sink: writes one file per row (name column
     * → file name, content column → UTF-8 body) via foreachPartition —
@@ -151,17 +175,20 @@ object DriveSource {
   }
 }
 
-class DriveTable(path: String, filesPerPartition: Int)
+class DriveTable(path: String, filesPerPartition: Int,
+    headers: Seq[(String, String)], opts: Map[String, String])
     extends Table with SupportsRead {
   override def name(): String = s"drive($path)"
   override def schema(): StructType = DriveSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DriveScanBuilder(path, filesPerPartition)
+    new DriveScanBuilder(path, filesPerPartition, headers, opts)
 }
 
-class DriveScanBuilder(path: String, filesPerPartition: Int) extends ScanBuilder
+class DriveScanBuilder(path: String, filesPerPartition: Int,
+    headers: Seq[(String, String)], opts: Map[String, String])
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = DriveSource.schema
@@ -186,11 +213,13 @@ class DriveScanBuilder(path: String, filesPerPartition: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = DriveScan(path, required, pushed, filesPerPartition)
+  override def build(): Scan =
+    DriveScan(path, required, pushed, filesPerPartition, headers, opts)
 }
 
 case class DriveScan(path: String, required: StructType, pushed: Array[Filter],
-    filesPerPartition: Int) extends Scan with Batch {
+    filesPerPartition: Int, headers: Seq[(String, String)],
+    opts: Map[String, String]) extends Scan with Batch {
 
   /** The `q` string the reference would send (`files.list q=...`). */
   def q: String = {
@@ -215,6 +244,61 @@ case class DriveScan(path: String, required: StructType, pushed: Array[Filter],
       s"fields=[${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (graft.sources.PageTransport.isHttp(path)) {
+      // live listing: walk the files.list nextPageToken chain at
+      // PLANNING time (listing is metadata; the reference also lists
+      // driver-side) — but unlike the reference, FOLLOW the token: its
+      // single-page listing silently truncates a >1000-file folder
+      // (download-from-drive.js:306-325). Cycle-guarded like the
+      // Jira/Slack chains.
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      import scala.jdk.CollectionConverters._
+      val metas = scala.collection.mutable.ArrayBuffer.empty[DriveMeta]
+      var loc: String = path
+      val seen = scala.collection.mutable.HashSet(loc)
+      var n = 0
+      while (loc != null) {
+        n += 1
+        require(n <= 100000, s"listing pageToken chain too long at $path")
+        val root = mapper.readTree(
+          graft.sources.PageTransport.readPage(loc, headers = headers,
+            maxInFlight = graft.sources.PageTransport.maxInFlightOf(opts)))
+        Option(root.get("files")).filterNot(_.isNull).foreach { fs =>
+          fs.elements().asScala.foreach { f =>
+            metas += DriveMeta(
+              f.path("id").asText(""),
+              f.path("name").asText(""),
+              f.path("mimeType").asText(""),
+              f.path("size").asLong(0L),
+              Option(f.get("modifiedTime")).filterNot(_.isNull)
+                .map(v => DriveSource.tsBoundMicros(v.asText()))
+                .getOrElse(0L))
+          }
+        }
+        val tok = root.path("nextPageToken").asText("")
+        loc =
+          if (tok.isEmpty) null
+          else {
+            val next =
+              if (path.contains("?")) s"$path&pageToken=" +
+                java.net.URLEncoder.encode(tok, "UTF-8")
+              else s"$path?pageToken=" +
+                java.net.URLEncoder.encode(tok, "UTF-8")
+            if (!seen.add(next))
+              throw new java.io.IOException(
+                s"listing cursor cycle: page $n of $path handed back an " +
+                  s"already-visited pageToken — failing fast")
+            next
+          }
+      }
+      // server-side q over the listed metadata: pruned files are never
+      // planned, let alone downloaded
+      val kept = metas.filter(m => pushed.forall(
+        DriveSource.metaKeepValues(m.name, m.mime, m.mtimeMicros)))
+        .sortBy(_.name)
+      return kept.grouped(math.max(1, filesPerPartition))
+        .map(b => DriveHttpPartition(b.toArray): InputPartition).toArray
+    }
     val all = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(_.isFile).sortBy(_.getName)
       // server-side q: pruned files are never planned
@@ -225,16 +309,69 @@ case class DriveScan(path: String, required: StructType, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    DriveReaderFactory(required)
+    DriveReaderFactory(required, headers,
+      opts.get("contenturltemplate"),
+      graft.sources.PageTransport.maxInFlightOf(opts))
 }
 
 case class DriveFilesPartition(files: Array[String]) extends InputPartition
 
-case class DriveReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+case class DriveHttpPartition(files: Array[DriveMeta]) extends InputPartition
+
+case class DriveReaderFactory(required: StructType,
+    headers: Seq[(String, String)], contentTemplate: Option[String],
+    maxInFlight: Int) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DrivePartitionReader(
-      p.asInstanceOf[DriveFilesPartition].files, required)
+    p match {
+      case DriveFilesPartition(files) =>
+        new DrivePartitionReader(files, required)
+      case DriveHttpPartition(files) =>
+        new DriveHttpPartitionReader(files, required, headers,
+          contentTemplate, maxInFlight)
+    }
+}
+
+/** HTTP form of the per-file reader: metadata comes from the listing
+  * partition; the content "download" binds `{id}` into
+  * `contentUrlTemplate` and fetches through the retrying transport,
+  * ONLY when the content column survived pruning. A per-file fetch
+  * failure yields null content (the reference skips files it can't
+  * fetch), never a task failure.
+  */
+class DriveHttpPartitionReader(files: Array[DriveMeta], required: StructType,
+    headers: Seq[(String, String)], contentTemplate: Option[String],
+    maxInFlight: Int) extends PartitionReader[InternalRow] {
+
+  private val needContent = required.fieldNames.contains("content")
+  private val it = files.iterator
+  private var cur: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) { cur = toRow(it.next()); true } else false
+
+  private def toRow(m: DriveMeta): InternalRow = {
+    lazy val content: UTF8String = contentTemplate.map { t =>
+      try UTF8String.fromString(graft.sources.PageTransport.readPage(
+        t.replace("{id}", java.net.URLEncoder.encode(m.id, "UTF-8")),
+        headers = headers, maxInFlight = maxInFlight))
+      catch { case _: Exception => null }
+    }.orNull
+    val values: Array[Any] = required.fields.map { fld =>
+      fld.name match {
+        case "id" => UTF8String.fromString(m.id)
+        case "name" => UTF8String.fromString(m.name)
+        case "mime_type" => UTF8String.fromString(m.mime)
+        case "size" => java.lang.Long.valueOf(m.size)
+        case "modified_time" => java.lang.Long.valueOf(m.mtimeMicros)
+        case "content" => if (needContent) content else null
+        case _ => null
+      }
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
 }
 
 /** Emits one row per file; the content "download" happens here, executor

@@ -83,6 +83,116 @@ class DriveSourceSpec extends AnyFunSuite {
       ("meeting-2024-01-19.txt", "Bob")))
   }
 
+  test("HTTP listing follows the nextPageToken chain (page 2's token " +
+      "only inside page 1's body) — deliberately exceeding the " +
+      "reference's silent single-page truncation") {
+    // reference download-from-drive.js:306-325 has NO pageToken loop: a
+    // transcripts folder past its first 1000-file page silently loses
+    // data. The connector walks the chain instead (cycle-guarded), and
+    // content downloads bind {id} into contentUrlTemplate per file.
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val p1 = """{"files":[
+      {"id":"f1","name":"a.txt","mimeType":"text/plain","size":5,
+       "modifiedTime":"2024-01-10T00:00:00Z"},
+      {"id":"f2","name":"b.md","mimeType":"text/markdown","size":7,
+       "modifiedTime":"2024-01-20T00:00:00Z"}],
+      "nextPageToken":"pg two"}"""
+    val p2 = """{"files":[
+      {"id":"f3","name":"c.txt","mimeType":"text/plain","size":9,
+       "modifiedTime":"2024-01-25T00:00:00Z"}]}"""
+    val auths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val path = x.getRequestURI.getPath +
+        Option(x.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+      auths.put(path,
+        Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      val body: String =
+        if (path.startsWith("/download/")) "content of " + path.split('/').last
+        else if (path.contains("pageToken=pg+two")) p2
+        else if (path == "/list") p1
+        else null
+      if (body == null) x.sendResponseHeaders(404, -1)
+      else {
+        val b = body.getBytes("UTF-8")
+        x.sendResponseHeaders(200, b.length)
+        x.getResponseBody.write(b)
+      }
+      x.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val df = spark.read.format("graft.sources.drive.DriveSource")
+        .option("path", s"$base/list")
+        .option("contentUrlTemplate", s"$base/download/{id}")
+        .option("bearerToken", "ya29-drive")
+        .load()
+      val rows = df.orderBy("name").collect()
+      assert(rows.map(_.getAs[String]("name")).toSeq ==
+        Seq("a.txt", "b.md", "c.txt"),
+        "page 2's file (token only in page 1's body) must be listed")
+      assert(rows.map(_.getAs[String]("content")).toSeq ==
+        Seq("content of f1", "content of f2", "content of f3"))
+      assert(auths.get("/download/f3") == "Bearer ya29-drive",
+        "auth must follow per-file content downloads")
+      // pruning content away = metadata-only listing: NO download URL
+      // is ever hit
+      auths.clear()
+      val meta = spark.read.format("graft.sources.drive.DriveSource")
+        .option("path", s"$base/list")
+        .option("contentUrlTemplate", s"$base/download/{id}")
+        .load().select("name", "size")
+      assert(meta.collect().length == 3)
+      import scala.jdk.CollectionConverters._
+      assert(!auths.keys.asScala.exists(_.startsWith("/download/")),
+        "metadata-only scan must not download any file")
+      // pushed name filter prunes listed files before any download
+      auths.clear()
+      val filtered = spark.read.format("graft.sources.drive.DriveSource")
+        .option("path", s"$base/list")
+        .option("contentUrlTemplate", s"$base/download/{id}")
+        .load().filter(col("name").endsWith(".txt"))
+      assert(filtered.select("name", "content").collect().length == 2)
+      assert(auths.keySet().asScala.filter(_.startsWith("/download/")) ==
+        Set("/download/f1", "/download/f3"),
+        "pruned files must never be downloaded")
+    } finally server.stop(0)
+  }
+
+  test("HTTP listing: a self-looping pageToken fails fast") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val looping = """{"files":[{"id":"x","name":"x.txt",
+      "mimeType":"text/plain","size":1,
+      "modifiedTime":"2024-01-10T00:00:00Z"}],"nextPageToken":"same"}"""
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      hits.incrementAndGet()
+      val b = looping.getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    })
+    server.start()
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.drive.DriveSource")
+          .option("path",
+            s"http://127.0.0.1:${server.getAddress.getPort}/list")
+          .load().collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("cycle")),
+        s"expected a loud cycle failure, got: ${msgs(e)}")
+      assert(hits.get() <= 3,
+        s"must fail at the first repeated token, got ${hits.get()} fetches")
+    } finally server.stop(0)
+  }
+
   test("stageFiles writes one file per row, distributed, with mtime") {
     import spark.implicits._
     val out = Files.createTempDirectory("drive_staged").toString
