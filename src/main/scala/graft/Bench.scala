@@ -203,8 +203,22 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e6
     }.min
+    // round provenance (VERDICT r13 #6): the gate's staleness rule
+    // needs to know WHICH build round produced a record, or a pinned
+    // baseline silently drifts (r8->r13: per-query rules blind at
+    // 0.44x CPU). Derivation matches tools/bench_gate.py
+    // current_round(): 1 + the highest driver correctness record
+    // present (round N's file appears after round N ends), overridable
+    // via SPARK_GRAFT_ROUND.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val rx = """CORRECTNESS_r(\d+)\.json""".r
+      1 + Option(new java.io.File(".").list()).getOrElse(Array.empty)
+        .flatMap { case rx(n) => Some(n.toInt); case _ => None }
+        .foldLeft(0)(math.max)
+    }
     val envJson =
       s"""{"cpus":$cpus,""" +
+      s""""round":$round,""" +
       f""""calib_ms":$calibMs%.1f,""" +
       f""""calib_mt_ms":$calibMtMs%.1f,""" +
       s""""shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",""" +

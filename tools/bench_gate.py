@@ -58,7 +58,7 @@ an expression falling out of whole-stage codegen).
 
 Exit codes: 0 pass, 1 regression, 2 refused/invalid.
 """
-import sys, json, os, subprocess
+import sys, json, os, re, subprocess
 
 ENV_KEYS = ["cpus", "shuffle_partitions", "heap_max_mb", "jvm",
             "sf_name", "rep_policy"]
@@ -66,6 +66,31 @@ ENV_KEYS = ["cpus", "shuffle_partitions", "heap_max_mb", "jvm",
 # fresh standalone JVMs per flagged query (min-of-N, early exit once the
 # rule clears) -- mirrored in BENCH.md "min-of-5"
 RECHECK_JVMS = 5
+
+# baseline staleness (round 13: the r8-era pinned record drifted to
+# 0.44x CPU, leaving the per-query rules blind for five rounds): the
+# pinned baseline may trail the current round by at most this many
+# rounds before the gate REFUSES and demands a snapshot.sh re-pin
+MAX_BASELINE_AGE_ROUNDS = 2
+
+
+def current_round(repo_root):
+    """The build round in progress: 1 + the highest CORRECTNESS_r{N}
+    .json present (the driver writes round N's record after round N),
+    i.e. the same derivation graft.Bench stamps into env.round.
+    GRAFT_CURRENT_ROUND overrides (gate unit test)."""
+    override = os.environ.get("GRAFT_CURRENT_ROUND")
+    if override:
+        return int(override)
+    rounds = [0]
+    try:
+        for f in os.listdir(repo_root):
+            m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+            if m:
+                rounds.append(int(m.group(1)))
+    except OSError:
+        pass
+    return max(rounds) + 1
 
 
 def recheck(queries, env, repo_root):
@@ -133,6 +158,30 @@ def main():
         for k, b, c in skew:
             print(f"  {k}: baseline={b} candidate={c}")
         return 2
+    # baseline-round provenance + staleness rule. env.round is stamped
+    # by graft.Bench (NOT in ENV_KEYS: baseline and candidate rounds
+    # differ by design). A baseline pinned > MAX_BASELINE_AGE_ROUNDS
+    # behind has drifted past the per-query rules' teeth (r8->r13:
+    # gate blind at 0.44x CPU) -- refuse and force a snapshot.sh re-pin.
+    # GRAFT_ALLOW_STALE_BASELINE=1 downgrades to a loud note (for
+    # mid-re-pin gate runs, never for the committed gate).
+    cur_round = current_round(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    b_round = be.get("round")
+    print(f"baseline round: {b_round if b_round is not None else 'unstamped'}"
+          f" (pinned from {args[0]}); current round: {cur_round}")
+    stale = (b_round is None or
+             cur_round - b_round > MAX_BASELINE_AGE_ROUNDS)
+    if stale:
+        age = ("unstamped (predates round provenance)" if b_round is None
+               else f"{cur_round - b_round} rounds old")
+        msg = (f"baseline is {age} > {MAX_BASELINE_AGE_ROUNDS}-round limit"
+               f" -- re-pin with tools/snapshot.sh (same-run record)")
+        if os.environ.get("GRAFT_ALLOW_STALE_BASELINE") == "1":
+            print(f"WARNING (override): {msg}")
+        else:
+            print(f"REFUSED: STALE BASELINE: {msg}")
+            return 2
     # measured host-throughput stamp: when both records carry the spin
     # calibration, co-tenant load is an env field like cpus/heap.
     # Prefer the multi-threaded stamp (calib_mt_ms, one spin thread per
@@ -371,6 +420,8 @@ def main():
 
     gate_record = {
         "baseline": args[0], "candidate": args[1],
+        "baseline_round": b_round, "current_round": cur_round,
+        "baseline_stale": stale,
         "pass": not fails, "fails": fails, "notes": notes,
         "rechecks": rechecks,
     }

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Unit tests for the bench_gate baseline-staleness rule (VERDICT r13
+#6: the r8-era pinned baseline drifted to 0.44x CPU, leaving the
+per-query rules blind for five rounds — the gate must refuse a pin
+that trails the current round by more than MAX_BASELINE_AGE_ROUNDS).
+
+Run: python3 tools/test_bench_gate.py
+Stdlib-only (unittest + subprocess); spins no JVMs — records are
+synthetic, identical numbers, so no rule other than staleness can
+fire, and --no-recheck keeps the gate offline.
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import unittest
+
+GATE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "bench_gate.py")
+
+
+def record(round_stamp):
+    """Minimal identical-numbers extended bench record."""
+    env = {"cpus": 32, "calib_ms": 400.0, "calib_mt_ms": 120.0,
+           "shuffle_partitions": "32", "heap_max_mb": 91136,
+           "jvm": "17.0.20", "sf_name": "sf0.1",
+           "rep_policy": "min2_max4_agree1.25"}
+    if round_stamp is not None:
+        env["round"] = round_stamp
+    return {"metric": "total", "value": 2.0, "unit": "sec",
+            "queries": {"q1": 1.0, "q2": 1.0},
+            "cpu_total": 4.0, "cpu": {"q1": 2.0, "q2": 2.0},
+            "run": {"q1": 1.0, "q2": 1.0},
+            "shuffle_read": {"q1": 1000000, "q2": 1000000},
+            "shuffle_write": {"q1": 1000000, "q2": 1000000},
+            "rows": {"q1": 10, "q2": 10},
+            "reps": {"q1": 2, "q2": 2}, "env": env, "sf": "sf0.1"}
+
+
+def run_gate(base_round, cand_round, current_round, extra_env=None):
+    d = tempfile.mkdtemp(prefix="gate_test_")
+    bp, cp = os.path.join(d, "base.json"), os.path.join(d, "cand.json")
+    json.dump(record(base_round), open(bp, "w"))
+    json.dump(record(cand_round), open(cp, "w"))
+    env = dict(os.environ, GRAFT_CURRENT_ROUND=str(current_round))
+    env.pop("GRAFT_ALLOW_STALE_BASELINE", None)
+    env.update(extra_env or {})
+    r = subprocess.run(
+        [sys.executable, GATE, "--no-recheck", bp, cp],
+        capture_output=True, text=True, env=env)
+    return r.returncode, r.stdout
+
+
+class StalenessTest(unittest.TestCase):
+    def test_fresh_baseline_passes(self):
+        rc, out = run_gate(base_round=13, cand_round=14, current_round=14)
+        self.assertEqual(rc, 0, out)
+        self.assertIn("baseline round: 13", out)
+        self.assertIn("current round: 14", out)
+
+    def test_at_age_limit_passes(self):
+        rc, out = run_gate(base_round=12, cand_round=14, current_round=14)
+        self.assertEqual(rc, 0, out)
+
+    def test_stale_baseline_refused(self):
+        rc, out = run_gate(base_round=8, cand_round=13, current_round=13)
+        self.assertEqual(rc, 2, out)
+        self.assertIn("STALE BASELINE", out)
+        self.assertIn("snapshot.sh", out)
+
+    def test_unstamped_baseline_refused(self):
+        rc, out = run_gate(base_round=None, cand_round=14, current_round=14)
+        self.assertEqual(rc, 2, out)
+        self.assertIn("unstamped", out)
+
+    def test_override_downgrades_to_warning(self):
+        rc, out = run_gate(base_round=8, cand_round=13, current_round=13,
+                           extra_env={"GRAFT_ALLOW_STALE_BASELINE": "1"})
+        self.assertEqual(rc, 0, out)
+        self.assertIn("WARNING (override)", out)
+
+    def test_provenance_in_gate_record(self):
+        d = tempfile.mkdtemp(prefix="gate_test_rec_")
+        bp, cp = os.path.join(d, "base.json"), os.path.join(d, "cand.json")
+        json.dump(record(13), open(bp, "w"))
+        json.dump(record(14), open(cp, "w"))
+        env = dict(os.environ, GRAFT_CURRENT_ROUND="14")
+        subprocess.run([sys.executable, GATE, "--no-recheck", bp, cp],
+                       capture_output=True, text=True, env=env, check=True)
+        rec = json.load(open(os.path.join(d, "BENCH_GATE.json")))
+        self.assertEqual(rec["baseline_round"], 13)
+        self.assertEqual(rec["current_round"], 14)
+        self.assertFalse(rec["baseline_stale"])
+
+
+if __name__ == "__main__":
+    unittest.main(verbosity=2)
