@@ -56,6 +56,13 @@ ZIPF_RUNGS = ["zipf1", "zipf3", "zipf10"]
 # from the measurement. Rows whose Caesar exponents were
 # layout-confounded are refitted here.
 MATCHED_RUNGS = ["synth1m", "synth3m", "synth10m"]
+# Skewed-brand rungs (VERDICT r13 #3): SynthCorpus partzipf mode
+# replicates `part` with brands REASSIGNED to zipf(1) over the 25 TPC-H
+# brands (top brand ~26% of rows vs uniform 4%) at a matched 8-file
+# layout — the hot-block shape the er_* family's size-banded
+# (brand, size) key exists to survive. partzipf1 is the factor-1
+# rewrite of sf0.1's part (layout + skew matched baseline).
+PART_SKEW_RUNGS = ["partzipf1", "partzipf3", "partzipf10"]
 
 DIRS = {
     "sf0.001": f"{TESTDATA}/sf0.001",
@@ -72,6 +79,9 @@ DIRS = {
     "synth10m": f"{SYNTH}/synth10m",
     "synth25m": f"{SYNTH}/synth25m",
     "emb30": f"{SYNTH}/emb30",
+    "partzipf1": f"{SYNTH}/partzipf1",
+    "partzipf3": f"{SYNTH}/partzipf3",
+    "partzipf10": f"{SYNTH}/partzipf10",
 }
 
 # driving table per query: the relation whose cardinality the query's
@@ -249,6 +259,8 @@ MATCHED3 = {"dedup_clusters", "dedup_cc_distributed", "dedup_keep_best",
 
 
 def rungs_for(query, table):
+    if query in PART_SKEW and glob.glob("BENCH_LOCAL_partzipf10_partial*.json"):
+        return PART_SKEW_RUNGS
     if query in MATCHED3:
         return MATCHED_RUNGS
     if query in STRETCH25:
@@ -307,7 +319,20 @@ OUTPUT_SLACK = 0.25
 # read e 1.41 with flat per-stage profile and zero spill — the growth
 # is the digit-gram fingerprint df, i.e. the probe corpus, and the
 # candidate volume is the measured denominator that shows it.
-CANDIDATE_BOUND = {"dedup_apss_cosine", "dedup_winnow"}
+CANDIDATE_BOUND = {"dedup_apss_cosine", "dedup_winnow",
+                   "er_fellegi_sunter", "er_golden_record"}
+
+# the er_* rows moved to the skewed-brand ladder in r14 (VERDICT r13
+# #3): the "survives a skewed 100 TB brand" claim on the size-banded
+# blocking key needed a zipf-brand measurement, not a comment. Under
+# zipf(1) brands the hot block's pair volume grows ~quadratically BY
+# CONSTRUCTION (blocked-pair count is sum over (brand, size-band)
+# blocks of |variants|*|parts| — an FS scorer must score every blocked
+# pair), so the honest gate is the candidate-bound rule: cost tracks
+# the DuckDB-computed blocked-pair volume of the row's own
+# (brand, |size diff| <= 1) key, and cost/candidate is recorded flat.
+# Rungs appended only when the run files exist (the XL30 pattern).
+PART_SKEW = {"er_fellegi_sunter", "er_golden_record"}
 
 APSS_CANDIDATES_SQL = """
 WITH w0 AS (SELECT doc_id,
@@ -348,15 +373,47 @@ WITH w AS (SELECT doc_id,
 SELECT CAST(sum(df * (df - 1) / 2) AS BIGINT) FROM dfh
 """
 
+# blocked-pair volume for the er_* rows with their own blocking key:
+# variants joined to parts on (brand, |size diff| <= 1), counted as
+# sum over blocks of |variants| * |parts| — every blocked pair is
+# FS-scored (one Jaro-Winkler + two equality tests), so this is the
+# scorer's exact work denominator. er_fellegi_sunter's variant side is
+# one per part (size + partkey % 2 noise); er_golden_record's is two
+# (clean-size + size+1 generations).
+ER_FS_CANDIDATES_SQL = """
+WITH parts AS (SELECT p_partkey, p_brand, p_size
+       FROM read_parquet('{path}') WHERE length(p_name) > 8),
+  v AS (SELECT p_brand AS b, p_size + p_partkey % 2 AS s FROM parts),
+  vc AS (SELECT b, s, count(*) AS nv FROM v GROUP BY 1, 2),
+  pc AS (SELECT p_brand AS b, p_size AS s, count(*) AS np
+         FROM parts GROUP BY 1, 2)
+SELECT CAST(sum(nv * np) AS BIGINT)
+FROM vc JOIN pc ON vc.b = pc.b AND abs(vc.s - pc.s) <= 1
+"""
+
+ER_GOLDEN_CANDIDATES_SQL = """
+WITH parts AS (SELECT p_partkey, p_brand, p_size
+       FROM read_parquet('{path}') WHERE length(p_name) > 8),
+  v AS (SELECT p_brand AS b, p_size AS s FROM parts
+        UNION ALL SELECT p_brand, p_size + 1 FROM parts),
+  vc AS (SELECT b, s, count(*) AS nv FROM v GROUP BY 1, 2),
+  pc AS (SELECT p_brand AS b, p_size AS s, count(*) AS np
+         FROM parts GROUP BY 1, 2)
+SELECT CAST(sum(nv * np) AS BIGINT)
+FROM vc JOIN pc ON vc.b = pc.b AND abs(vc.s - pc.s) <= 1
+"""
+
 CANDIDATE_SQL = {
     "dedup_apss_cosine": APSS_CANDIDATES_SQL,
     "dedup_winnow": WINNOW_CANDIDATES_SQL,
+    "er_fellegi_sunter": ER_FS_CANDIDATES_SQL,
+    "er_golden_record": ER_GOLDEN_CANDIDATES_SQL,
 }
 
 
 def query_candidates(query, rung):
     import duckdb
-    path = os.path.join(DIRS[rung], "documents.parquet")
+    path = os.path.join(DIRS[rung], DRIVERS[query] + ".parquet")
     if os.path.isdir(path):
         path = os.path.join(path, "*.parquet")
     return duckdb.sql(
