@@ -647,13 +647,44 @@ object Graph {
     */
   private def pivotBfs(edges: DataFrame, uCol: String, vCol: String,
       nPivots: Int, maxDepth: Int): (DataFrame, DataFrame) = {
-    require(nPivots >= 1 && maxDepth >= 1)
+    require(nPivots >= 1)
+    pivotBfsCore(edges, uCol, vCol, maxDepth, adj => {
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      deg.orderBy(col("deg").desc, col("u")).limit(nPivots)
+        .select(col("u").as("src"))
+    })
+  }
+
+  /** Seeded UNIFORM pivot sample (Brandes & Pich 2007: random pivots
+    * give an unbiased estimator of exact betweenness scaled by n/k,
+    * where the degree-top pick is the coverage heuristic): the k nodes
+    * minimizing the salted multiplicative hash
+    * `((node + seed) % 1000003) * 2654435761 % 1000003` (ties by node).
+    * The hash is plain 64-bit integer arithmetic — the inner mod keeps
+    * the product < 2^52, so the SAME expression replays bit-for-bit in
+    * any SQL engine (the oracle's license) and under ANSI overflow
+    * checking.
+    */
+  def pivotBfsVisitedSeeded(edges: DataFrame, uCol: String, vCol: String,
+      k: Int, seed: Long, maxDepth: Int): DataFrame = {
+    require(k >= 1)
+    val (adj, visited) = pivotBfsCore(edges, uCol, vCol, maxDepth, adj => {
+      adj.select(col("u")).distinct()
+        .orderBy(pmod(pmod(col("u") + lit(seed), lit(1000003L)) *
+          lit(2654435761L), lit(1000003L)), col("u"))
+        .limit(k).select(col("u").as("src"))
+    })
+    adj.unpersist(blocking = false)
+    visited
+  }
+
+  private def pivotBfsCore(edges: DataFrame, uCol: String, vCol: String,
+      maxDepth: Int, pick: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    require(maxDepth >= 1)
     val adj = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .unionAll(edges.select(col(vCol).as("u"), col(uCol).as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-    val pivots = deg.orderBy(col("deg").desc, col("u")).limit(nPivots)
-      .select(col("u").as("src"))
+    val pivots = pick(adj)
     var frontier = materialize(pivots.select(col("src"),
       col("src").as("node"), lit(0).as("level"), lit(1L).as("sigma")))
     var visited = frontier

@@ -855,6 +855,29 @@ object CatalogAnalytics {
       },
       Some(betweennessOracleSql(nPivots = 4, maxDepth = 4))),
 
+    Q("g12_betweenness_seeded",
+      // seeded-SAMPLE betweenness (Brandes & Pich 2007): k pivots drawn
+      // by a salted integer hash instead of the degree-top pick — the
+      // unbiased estimator, and THE 100 TB-graph plan (exact Brandes is
+      // V·E; the sampled forward+backward passes are k·E, so accuracy
+      // is bought with k, not graph size — VERDICT r13 stretch). Same
+      // multi-pivot machinery as g12: all k sources advance in one
+      // (src, node)-keyed relation, exact BIGINT σ, 1e-9 fixed-point δ.
+      // The oracle replays the SAME hash pick (plain 64-bit integer
+      // arithmetic, inner mod keeps the product < 2^52) then the same
+      // 4 forward + 4 backward rounds — both engines sample identical
+      // sources, so the row is exact-for-the-sample by construction.
+      (s, d) => {
+        val pairs = coPurchase(s, d).select("u", "v")
+        Graph.betweennessFromBfs(pairs, "u", "v",
+          Graph.pivotBfsVisitedSeeded(pairs, "u", "v", k = 6, seed = 42L,
+            maxDepth = 4),
+          maxDepth = 4)
+          .orderBy("node")
+      },
+      Some(betweennessOracleSql(nPivots = 6, maxDepth = 4,
+        pivotSql = Some(seededPivotSql(k = 6, seed = 42L))))),
+
     Q("g13_harmonic",
       // pivot-sampled harmonic closeness on the same co-purchase
       // graph: Σ 1/d(pivot, v) over the radius-4 multi-pivot BFS —
@@ -2608,7 +2631,8 @@ object CatalogAnalytics {
     * rounds with 1e-9 fixed-point contributions — identical arithmetic
     * to [[Graph.betweennessPivots]].
     */
-  private def betweennessOracleSql(nPivots: Int, maxDepth: Int): String = {
+  private def betweennessOracleSql(nPivots: Int, maxDepth: Int,
+      pivotSql: Option[String] = None): String = {
     val fwd = (1 to maxDepth).map { d =>
       s"""f$d AS MATERIALIZED (
            SELECT f.src, a.v AS node, $d AS level,
@@ -2644,7 +2668,7 @@ object CatalogAnalytics {
     }.mkString(",\n")
     val allDl = (0 to maxDepth).map(l => s"SELECT src, node, d9 FROM dl$l")
       .mkString("\nUNION ALL ")
-    s"""WITH ${pivotBfsCtes(nPivots, maxDepth)},
+    s"""WITH ${pivotBfsCtes(nPivots, maxDepth, pivotSql)},
        $fwd,
        dl$maxDepth AS (SELECT src, node, CAST(0 AS BIGINT) AS d9
                        FROM vu$maxDepth WHERE level = $maxDepth),
@@ -2657,9 +2681,12 @@ object CatalogAnalytics {
   }
 
   /** Shared CTE prefix of the pivot-BFS oracles: co-purchase edges,
-    * bidirectional adjacency, degree-ranked pivot pick, the seed level.
+    * bidirectional adjacency, the pivot pick (degree-ranked by default,
+    * overridable — the seeded-sample row passes its hash pick), the
+    * seed level.
     */
-  private def pivotBfsCtes(nPivots: Int, maxDepth: Int): String =
+  private def pivotBfsCtes(nPivots: Int, maxDepth: Int,
+      pivotSql: Option[String] = None): String =
     s"""items AS (SELECT DISTINCT l_orderkey AS oid,
                 l_partkey AS item FROM lineitem),
        und AS MATERIALIZED (
@@ -2668,11 +2695,20 @@ object CatalogAnalytics {
        adj AS MATERIALIZED (
          SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
        deg AS (SELECT u AS node, count(*) AS deg FROM adj GROUP BY 1),
-       piv AS (SELECT node AS src FROM deg
-               ORDER BY deg DESC, node LIMIT $nPivots),
+       piv AS (${pivotSql.getOrElse(
+      s"SELECT node AS src FROM deg ORDER BY deg DESC, node LIMIT $nPivots")}),
        f0 AS (SELECT src, src AS node, 0 AS level,
                 CAST(1 AS BIGINT) AS sigma FROM piv),
        vu0 AS (SELECT src, node, level, sigma FROM f0)"""
+
+  /** The seeded uniform pivot pick (Brandes–Pich 2007) as SQL — the
+    * EXACT integer hash `Graph.pivotBfsVisitedSeeded` orders by, so
+    * both engines sample the same sources.
+    */
+  private def seededPivotSql(k: Int, seed: Long): String =
+    s"""SELECT node AS src FROM (SELECT DISTINCT u AS node FROM adj) n
+        ORDER BY ((node + $seed) % 1000003) * 2654435761 % 1000003, node
+        LIMIT $k"""
 
   /** Forward-only replay for `g13_harmonic`: the [[pivotBfsCtes]] BFS
     * plus the exact fixed-point reciprocal-distance sum.

@@ -443,7 +443,23 @@ object CatalogScale {
           explode(array(col("p_size") - 1, col("p_size"),
             col("p_size") + 1)))
         variants
-          .join(partsB, col("v_brand") === col("p_brand") &&
+          // spread the CPU-dense scoring probe by the BLOCKING KEY, not
+          // the byte layout: partsB broadcasts, so probe parallelism
+          // otherwise equals the variants SCAN's partition count — and
+          // a part table small in bytes coalesces to 1-2 map tasks no
+          // matter how big the cluster, serializing ~2 us/pair JW work
+          // (measured on the zipf-brand rungs: 265 CPU-s at 282 s WALL,
+          // parallelism ~1, before this repartition). The shuffle is
+          // variants-sized — three orders below the join output.
+          // EXPLICIT partition count: repartition(cols) alone leaves the
+          // exchange AQE-coalescible, and a ~2 MB variants relation
+          // coalesces straight back to ONE partition (measured: the fix
+          // without the count still ran wall = cpu); a user-specified
+          // count pins the spread. partsB is explicitly the broadcast
+          // side so the repartitioned variants stay the streamed probe.
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("v_brand"), col("v_size"))
+          .join(broadcast(partsB), col("v_brand") === col("p_brand") &&
             col("v_size") === col("p_size_b"))
           .select(col("v_id"), col("p_partkey"), weight.as("weight"))
           .withColumn("rn", row_number().over(Window.partitionBy("v_id")
@@ -536,7 +552,23 @@ object CatalogScale {
           explode(array(col("p_size") - 1, col("p_size"),
             col("p_size") + 1)))
         variants
-          .join(partsB, col("v_brand") === col("p_brand") &&
+          // spread the CPU-dense scoring probe by the BLOCKING KEY, not
+          // the byte layout: partsB broadcasts, so probe parallelism
+          // otherwise equals the variants SCAN's partition count — and
+          // a part table small in bytes coalesces to 1-2 map tasks no
+          // matter how big the cluster, serializing ~2 us/pair JW work
+          // (measured on the zipf-brand rungs: 265 CPU-s at 282 s WALL,
+          // parallelism ~1, before this repartition). The shuffle is
+          // variants-sized — three orders below the join output.
+          // EXPLICIT partition count: repartition(cols) alone leaves the
+          // exchange AQE-coalescible, and a ~2 MB variants relation
+          // coalesces straight back to ONE partition (measured: the fix
+          // without the count still ran wall = cpu); a user-specified
+          // count pins the spread. partsB is explicitly the broadcast
+          // side so the repartitioned variants stay the streamed probe.
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("v_brand"), col("v_size"))
+          .join(broadcast(partsB), col("v_brand") === col("p_brand") &&
             col("v_size") === col("p_size_b"))
           .select(col("v_id"), col("p_partkey"), weight.as("weight"))
           .withColumn("rn", row_number().over(Window.partitionBy("v_id")
@@ -651,7 +683,17 @@ object CatalogScale {
           explode(array(col("p_size") - 1, col("p_size"),
             col("p_size") + 1)))
         val edges = variants
-          .join(partsB, col("v_brand") === col("p_brand") &&
+          // blocking-key repartition before the broadcast probe — see
+          // the er_fellegi_sunter comment (same serialized-probe fix)
+          // EXPLICIT partition count: repartition(cols) alone leaves the
+          // exchange AQE-coalescible, and a ~2 MB variants relation
+          // coalesces straight back to ONE partition (measured: the fix
+          // without the count still ran wall = cpu); a user-specified
+          // count pins the spread. partsB is explicitly the broadcast
+          // side so the repartitioned variants stay the streamed probe.
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("v_brand"), col("v_size"))
+          .join(broadcast(partsB), col("v_brand") === col("p_brand") &&
             col("v_size") === col("p_size_b"))
           .select(col("v_id"), col("p_partkey"), weight.as("weight"))
           .withColumn("rn", row_number().over(Window.partitionBy("v_id")

@@ -42,6 +42,10 @@ ZIPF_SET=search_bm25,ta_bpe_tokens,ta_lang_divergence,ta_textrank_keywords,ta_un
 # would exceed this host's free disk (see scale_ladder.py STRETCH25).
 STRETCH_SET=dedup_cdc_chunks,dedup_winnow,dedup_edit_distance,inc_dedup_pairs,inc_cluster_update,inc_cluster_fixed_batch,mm_phash_dct,td_leakage_split
 APSS_SET=dedup_apss_cosine,$MATCHED3_SET,$STRETCH_SET
+# skewed-brand rungs (VERDICT r13 #3) — zipf(1) brands over part, the
+# er_* blocking-key family's hot-block shape — build with:
+#   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/partzipf1 1 partzipf 8'  (and 3, 10)
+PARTZIPF_SET=er_fellegi_sunter,er_golden_record
 # third embedding decade (VERDICT r10 #5) — build with:
 #   sbt 'runMain graft.tools.SynthCorpus /root/testdata/sf0.1 /tmp/graft_synth/emb30 30 emb'
 # scaled row only: the fixed-cells row's emb30 attempt is a measured
@@ -75,6 +79,9 @@ run_rung /tmp/graft_synth/synth1m  synth1m  "$APSS_SET"
 run_rung /tmp/graft_synth/synth3m  synth3m  "$APSS_SET"
 run_rung /tmp/graft_synth/synth10m synth10m "$APSS_SET"
 run_rung /tmp/graft_synth/synth25m synth25m "$STRETCH_SET"
+run_rung /tmp/graft_synth/partzipf1  partzipf1  "$PARTZIPF_SET"
+run_rung /tmp/graft_synth/partzipf3  partzipf3  "$PARTZIPF_SET"
+run_rung /tmp/graft_synth/partzipf10 partzipf10 "$PARTZIPF_SET"
 # third embedding decade (~25 min: the 30x rung's pair volume) — gated
 # like XL30; the ladder appends the rung when its run files exist
 if [ "${RUN_EMB30:-0}" = "1" ]; then
