@@ -1,0 +1,57 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** CPU-vs-k sweep for the seeded-pivot betweenness estimator
+  * (`g12_betweenness_seeded`'s operator): runs
+  * `Graph.pivotBfsVisitedSeeded` + `betweennessFromBfs` on the part
+  * co-purchase graph at each k and prints wall + summed executor CPU —
+  * the "accuracy is bought with k, not graph size" evidence: CPU should
+  * grow ~linearly in k at fixed E, while the ladder's sf rungs pin the
+  * ∝E growth at fixed k.
+  * Usage: runMain graft.tools.BetweennessK <sfDir> [k1,k2,...]
+  */
+object BetweennessK {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val ks = (if (args.length > 1) args(1) else "3,6,12")
+      .split(',').map(_.trim.toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cpuNs = new AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        cpuNs.addAndGet(e.stageInfo.taskMetrics.executorCpuTime)
+    })
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.oid") === col("b.oid") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("u"), col("b.item").as("v")).distinct()
+      .localCheckpoint(true) // pin the graph OUTSIDE the measured work
+    for (k <- ks) {
+      cpuNs.set(0)
+      val t0 = System.nanoTime()
+      val n = graft.operators.Graph.betweennessFromBfs(pairs, "u", "v",
+        graft.operators.Graph.pivotBfsVisitedSeeded(pairs, "u", "v",
+          k = k, seed = 42L, maxDepth = 4),
+        maxDepth = 4).count()
+      Thread.sleep(400) // listener drain
+      println(f"BETWEENNESS_K k=$k%3d wall=${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+        f"cpu=${cpuNs.get / 1e9}%8.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}

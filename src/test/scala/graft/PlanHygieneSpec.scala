@@ -222,6 +222,27 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("FS scoring probe is key-spread, not file-layout-bound: pinned " +
+      "REPARTITION_BY_NUM exchange feeds the broadcast join") {
+    // round 14: the Jaro-Winkler scoring stage's parallelism must
+    // follow the blocking key, not the scan's partition count — a part
+    // table small in bytes coalesces to 1-2 map tasks regardless of
+    // cluster size, serializing ~2 us/pair of CPU (measured 43 s wall
+    // for 274 CPU-s at partzipf10 before the fix). The explicit-count
+    // repartition is what AQE may NOT coalesce away; the partsB side
+    // must be the broadcast build so the repartitioned side streams.
+    val scaleRows = graft.queries.CatalogScale.all.map(q => q.name -> q).toMap
+    for (name <- Seq("er_fellegi_sunter", "er_golden_record",
+        "er_fs_blocking_disagree")) {
+      val plan = scaleRows(name).run(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        s"$name: blocking-key repartition with a pinned count missing\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: partsB must broadcast (streamed probe = variants)\n$plan")
+    }
+  }
+
   test("native winnow fingerprinting plans with ZERO exchanges") {
     // the point of plans/WinnowSelect: selection happens inside the
     // scan projection, so the fingerprint relation needs no shuffle at

@@ -159,6 +159,10 @@ DRIVERS = {
     "dq_k_anonymity": "customer",
     "inc_cluster_update": "documents",
     "inc_cluster_fixed_batch": "documents",
+    # r14: the seeded-pivot betweenness estimator (k*E, not V*E) on the
+    # lineitem ladder — the E-growth half of its scaling evidence; the
+    # k-linearity half is tools/BetweennessK (SCALE.md round-14 note)
+    "g12_betweenness_seeded": "lineitem",
 }
 
 # per-query rung overrides where the DERIVED relation's size inverts
