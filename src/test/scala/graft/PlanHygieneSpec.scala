@@ -232,8 +232,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // repartition is what AQE may NOT coalesce away; the partsB side
     // must be the broadcast build so the repartitioned side streams.
     val scaleRows = graft.queries.CatalogScale.all.map(q => q.name -> q).toMap
-    for (name <- Seq("er_fellegi_sunter", "er_golden_record",
-        "er_fs_blocking_disagree")) {
+    // er_golden_record carries the SAME scoring-join code, but its
+    // edges subtree executes inside clusterAssign's checkpoint seam —
+    // the returned plan is the post-CC aggregation, so the exchange is
+    // not visible here; its probe spread is pinned by the shared code
+    // path and the partzipf rung measurement instead
+    for (name <- Seq("er_fellegi_sunter", "er_fs_blocking_disagree")) {
       val plan = scaleRows(name).run(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("REPARTITION_BY_NUM"),
