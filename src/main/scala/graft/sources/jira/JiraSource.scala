@@ -166,7 +166,14 @@ case class JiraScan(path: String, required: StructType, pushed: Array[Filter],
     //     disjoint updated-range slices AND-merged into the jql param.
     // The reader then walks each head's nextPageToken chain lazily.
     import graft.sources.PageTransport
-    val heads = PageTransport.pageLocations(path).flatMap { h =>
+    val heads = PageTransport.pageLocations(path).flatMap { h0 =>
+      // pushed filters reach the SERVER on live endpoints: the
+      // translated JQL is AND-merged into every head's jql param (the
+      // reference interpolates the same clause into its search body).
+      // The reader's serverSideKeep stays as the residual re-check, so
+      // a server that ignores the clause still returns correct rows.
+      val h = if (PageTransport.isHttp(h0) && jql.nonEmpty)
+        PageTransport.mergeJql(h0, jql) else h0
       if (!PageTransport.isHttp(h)) Seq(h)
       else if (h.contains("{key}"))
         PageTransport.keyedHeads(h, "{key}",

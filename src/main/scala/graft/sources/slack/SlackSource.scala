@@ -115,9 +115,20 @@ case class SlackScan(path: String, required: StructType, pushed: Array[Filter],
     // A pushed channel-equality prunes the head list at PLANNING time,
     // like the staged-file prune below.
     if (graft.sources.PageTransport.isHttp(path)) {
+      // pushed ts bounds reach the SERVER: each live head carries the
+      // oldest=/latest= params the reference passes to
+      // conversations.history (`slack/lib/api.js:120-252`); the
+      // reader's keep() stays as the residual re-check
+      val tsParams = pushed.collect {
+        case GreaterThanOrEqual("ts", v) => s"oldest=$v"
+        case LessThanOrEqual("ts", v) => s"latest=$v"
+      }
+      def withTs(h: String): String =
+        if (tsParams.isEmpty) h
+        else h + (if (h.contains("?")) "&" else "?") + tsParams.mkString("&")
       val heads = graft.sources.PageTransport.pageLocations(path).flatMap { h =>
-        if (!h.contains("{channel}")) Seq(h)
-        else graft.sources.PageTransport.keyedHeads(h, "{channel}",
+        if (!h.contains("{channel}")) Seq(withTs(h))
+        else graft.sources.PageTransport.keyedHeads(withTs(h), "{channel}",
           opts.getOrElse("channels",
             throw new IllegalArgumentException(
               "path contains {channel} but no channels option was set"))

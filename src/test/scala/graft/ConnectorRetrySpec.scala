@@ -710,6 +710,94 @@ class ConnectorRetrySpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("pushed filters reach the LIVE server: translated JQL lands in " +
+      "the head URL's jql param; Slack ts bounds become oldest=/latest=") {
+    // a live endpoint must receive the pushed predicates as request
+    // params (the reference interpolates JQL into its search body and
+    // passes oldest/latest to conversations.history) — reader-side
+    // filtering alone would transfer every row over the wire. The
+    // reader still re-checks (residual safety), so a stub that ignores
+    // the params returns correct rows either way; the assertion is
+    // about what the SERVER observed.
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val jiraBody = """{"issues":[{"key":"PD-1","project":"PD",
+      "updated":"2025-10-02T10:00:00.000+0000"}]}"""
+    val slackBody = """{"channel":{"name":"gen"},"messages":[
+      {"ts":"150.000001","user":"U1","text":"in range"}]}"""
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val raw = Option(x.getRequestURI.getRawQuery).getOrElse("")
+      seen.add(x.getRequestURI.getPath + "?" + raw)
+      val body = (if (x.getRequestURI.getPath.startsWith("/jira"))
+        jiraBody else slackBody).getBytes("UTF-8")
+      x.sendResponseHeaders(200, body.length)
+      x.getResponseBody.write(body)
+      x.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      import org.apache.spark.sql.functions.col
+      val jrows = spark.read.format("graft.sources.jira.JiraSource")
+        .option("path", s"$base/jira/search")
+        .load()
+        .filter(col("project") === "PD" &&
+          col("updated") >= "2025-10-01 00:00:00")
+        .select("key").collect()
+      assert(jrows.map(_.getString(0)).toSeq == Seq("PD-1"))
+      import scala.jdk.CollectionConverters._
+      val jiraQ = seen.asScala.find(_.startsWith("/jira")).get
+      val jql = java.net.URLDecoder.decode(
+        jiraQ.split("jql=").last, "UTF-8")
+      assert(jql.contains("""project = "PD"""") && jql.contains("updated >="),
+        s"pushed JQL must reach the live server, got $jiraQ")
+      val srows = spark.read.format("graft.sources.slack.SlackSource")
+        .option("path", s"$base/slack/hist")
+        .load()
+        .filter(col("ts") >= 100.0 && col("ts") <= 200.0)
+        .select("user").collect()
+      assert(srows.map(_.getString(0)).toSeq == Seq("U1"))
+      val slackQ = seen.asScala.find(_.startsWith("/slack")).get
+      assert(slackQ.contains("oldest=100.0") && slackQ.contains("latest=200.0"),
+        s"pushed ts bounds must reach the live server, got $slackQ")
+    } finally server.stop(0)
+  }
+
+  test("Jira offset walk: a server echoing the same startAt envelope " +
+      "for every request fails at the first repeated offset URL") {
+    // the offset-cycle sibling of the token-cycle test: the body always
+    // claims startAt=0/total=100 with 2 rows, so next = startAt+2 = the
+    // same offset URL forever — the seen-set must trip on repeat #1
+    val echo = """{"issues":[
+      {"key":"EO-1","project":"EO","updated":"2025-10-01T10:00:00.000+0000"},
+      {"key":"EO-2","project":"EO","updated":"2025-10-01T11:00:00.000+0000"}],
+      "startAt":0,"maxResults":2,"total":100}"""
+    val hits = new AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      hits.incrementAndGet()
+      val b = echo.getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    })
+    server.start()
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.jira.JiraSource")
+          .option("path",
+            s"http://127.0.0.1:${server.getAddress.getPort}/v2search")
+          .load().collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("cursor cycle")),
+        s"expected a loud cycle failure, got: ${msgs(e)}")
+      assert(hits.get() <= 3,
+        s"must fail at the first repeated offset, got ${hits.get()} fetches")
+    } finally server.stop(0)
+  }
+
   test("header seam: authHeaders builds the reference's auth forms") {
     import graft.sources.PageTransport.authHeaders
     assert(authHeaders(Map("user" -> "u", "token" -> "t")) ==
