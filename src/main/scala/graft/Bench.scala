@@ -238,10 +238,14 @@ object Bench {
     // the committed baseline is the sf0.1 run; other scale factors write
     // a suffixed file so an iteration run can't silently replace the
     // baseline with incomparable numbers
+    // ladder droppings (~4 runs x ~15 rungs per full ladder) live under
+    // bench/, not the repo root; only the committed sf0.1 baseline
+    // record stays top-level
     val outName =
-      if (only.isDefined) s"BENCH_LOCAL_${sfName}_partial.json"
+      if (only.isDefined) s"bench/BENCH_LOCAL_${sfName}_partial.json"
       else if (sfName == "sf0.1") "BENCH_LOCAL.json"
-      else s"BENCH_LOCAL_$sfName.json"
+      else s"bench/BENCH_LOCAL_$sfName.json"
+    if (outName.startsWith("bench/")) new java.io.File("bench").mkdirs()
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outName), extended.getBytes("UTF-8"))

@@ -18,15 +18,20 @@ object CacheTable {
     df.withColumn("_fetched_at", lit(fetchedAtMs))
       .write.mode("append").parquet(path)
 
-  /** Does a staged snapshot exist at `path`? Same Hadoop-FS resolution
-    * as [[loadFresh]] (s3://, hdfs://, file:// alike). Used by
-    * bootstrap gates that must verify EVERY dependent snapshot is
+  /** Is a COMPLETED staged snapshot present at `path`? Same Hadoop-FS
+    * resolution as [[loadFresh]] (s3://, hdfs://, file:// alike). Used
+    * by bootstrap gates that must verify EVERY dependent snapshot is
     * present — a job dying between `put`s leaves a partial stage whose
-    * first snapshot alone would satisfy a single-path check.
+    * first snapshot alone would satisfy a single-path check. Requires
+    * the `_SUCCESS` marker of a committed Spark write, not bare
+    * directory existence: a job killed mid-write leaves a directory
+    * with some task files and no marker, and serving that as a complete
+    * snapshot is the same partial-stage failure one `put` later.
     */
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
   }
 
   /** Rows still within TTL, latest fetch per key winning. Returns None

@@ -38,8 +38,8 @@ object PageTransport {
   def isHttp(location: String): Boolean =
     location.startsWith("http://") || location.startsWith("https://")
 
-  /** Hard ceiling on concurrent in-flight requests per JVM, matching the
-    * reference's pool clamp (`jira/lib/changelog-client.js:160`:
+  /** Hard ceiling on concurrent in-flight requests per API host, matching
+    * the reference's pool clamp (`jira/lib/changelog-client.js:160`:
     * `Math.min(concurrency, 20)`): once chain-head splitting plans tens
     * of partitions against ONE live endpoint, the scheduler would
     * otherwise open one socket per running task — 32 locally, hundreds
@@ -47,30 +47,96 @@ object PageTransport {
     */
   private[sources] val MaxInFlightCeiling = 20
 
-  /** Per-JVM in-flight gates, one per distinct limit (connectors sharing
-    * a limit share the gate — per-host politeness is the point).
+  /** One host's in-flight gate: a semaphore whose permit count can only
+    * shrink. When two connectors aim different `maxInFlight` settings at
+    * the SAME host, the smallest wins for both — politeness budgets are
+    * per API tier, and letting the looser connector's permits leak past
+    * the stricter one's clamp would defeat the stricter setting entirely.
+    */
+  private[graft] final class InFlightGate(initial: Int)
+      extends java.util.concurrent.Semaphore(initial) {
+    @volatile private var current: Int = initial
+    def limit: Int = current
+    def clampTo(n: Int): Unit = synchronized {
+      if (n < current) { reducePermits(current - n); current = n }
+    }
+  }
+
+  /** Per-JVM in-flight gates, keyed by the request's host (authority —
+    * host:port): every request to one API host shares one gate
+    * regardless of which connector (or which configured limit) issued
+    * it, and unrelated hosts never contend on each other's permits.
     */
   private val gates =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.Semaphore]()
+    new java.util.concurrent.ConcurrentHashMap[String, InFlightGate]()
 
-  /** The connector's `maxInFlight` read option → effective limit:
-    * clamped to [1, MaxInFlightCeiling], defaulting to the ceiling.
+  /** The gate for `host`, created at `limit` permits on first sight and
+    * clamped down (never up) when a smaller limit appears later.
+    */
+  private[graft] def gateFor(host: String, limit: Int): InFlightGate = {
+    val g = gates.computeIfAbsent(host, _ => new InFlightGate(limit))
+    g.clampTo(limit)
+    g
+  }
+
+  /** The connector's `maxInFlight` read option → effective PER-HOST
+    * limit: clamped to [1, MaxInFlightCeiling], defaulting to the
+    * ceiling.
     */
   def maxInFlightOf(options: Map[String, String]): Int =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("maxinflight") =>
       math.max(1, math.min(v.trim.toInt, MaxInFlightCeiling))
     }.getOrElse(MaxInFlightCeiling)
 
-  /** Run `send` holding one of `limit` permits. The permit covers ONLY
-    * the HTTP round trip — a task sleeping out a Retry-After holds no
-    * permit (a sleeping connection is not in-flight, and pinning a
-    * permit through a 60 s wait would starve every other partition).
+  /** The in-flight budget each EXECUTOR may use so the cluster-wide
+    * total stays within the per-host `maxInFlight`. The per-JVM gate
+    * alone reproduces the reference's single-process clamp, but E
+    * executors x clamp-20 = 20E sockets against an API tier sized for
+    * ~20 — the reference never had this problem only because it never
+    * had more than one process. Division is floor (E executors x
+    * floor(B/E) <= B, never over budget); the floor of 1 means a
+    * cluster with more executors than budget can still exceed it —
+    * at that point fewer connector tasks, not more, is the fix, and
+    * the head-coalescing cap (`coalesceHeads`) already bounds task
+    * count to a multiple of the budget. An explicit
+    * `maxInFlightPerExecutor` option overrides the derivation.
     */
-  private def withPermit[A](limit: Int)(send: => A): A = {
-    val sem = gates.computeIfAbsent(limit,
-      n => new java.util.concurrent.Semaphore(n))
-    sem.acquire()
-    try send finally sem.release()
+  def perExecutorInFlight(options: Map[String, String],
+      executors: Int): Int = {
+    val explicit = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxinflightperexecutor") =>
+        math.max(1, math.min(v.trim.toInt, MaxInFlightCeiling))
+    }
+    explicit.getOrElse(
+      math.max(1, maxInFlightOf(options) / math.max(1, executors)))
+  }
+
+  def perExecutorInFlight(options: Map[String, String]): Int =
+    perExecutorInFlight(options, numExecutors())
+
+  /** Live executor count, driver-side at planning time. Local mode runs
+    * every task in the driver JVM (one "executor"); cluster mode's
+    * memory-status map includes the driver, which runs no connector
+    * tasks. Defaults to 1 with no active session (unit contexts).
+    */
+  private[sources] def numExecutors(): Int =
+    try {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      if (sc.isLocal) 1
+      else math.max(1, sc.getExecutorMemoryStatus.size - 1)
+    } catch { case _: Exception => 1 }
+
+  /** Run `send` holding one of the target host's `limit` permits. The
+    * permit covers ONLY the HTTP round trip — a task sleeping out a
+    * Retry-After holds no permit (a sleeping connection is not
+    * in-flight, and pinning a permit through a 60 s wait would starve
+    * every other partition).
+    */
+  private def withPermit[A](location: String, limit: Int)(send: => A): A = {
+    val host = Option(URI.create(location).getAuthority).getOrElse(location)
+    val g = gateFor(host, limit)
+    g.acquire()
+    try send finally g.release()
   }
 
   /** RFC 7231 `Retry-After` → milliseconds to wait. Both legal forms:
@@ -149,7 +215,7 @@ object PageTransport {
         try {
           val b = HttpRequest.newBuilder(URI.create(location)).GET()
           headers.foreach { case (k, v) => b.header(k, v) }
-          withPermit(maxInFlight)(
+          withPermit(location, maxInFlight)(
             Right(client.send(b.build(), HttpResponse.BodyHandlers.ofString())))
         } catch { case e: java.io.IOException => Left(e) }
       resp match {
@@ -248,35 +314,135 @@ object PageTransport {
     }
   }
 
+  private val MinuteMs = 60000L
+
+  private val jqlMinuteFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm").withZone(java.time.ZoneOffset.UTC)
+
+  /** `[lo, hi)` in millis → the JQL range clause at JQL's minute
+    * granularity. Both sides floor to the minute, so ADJACENT slices
+    * stay gap/overlap-free regardless of alignment — only the OUTER
+    * edges of the whole sliced range need minute handling (see
+    * [[sliceHeads]]).
+    */
+  private def minuteClause(lo: Long, hi: Long): String =
+    s"""updated >= "${jqlMinuteFmt.format(java.time.Instant.ofEpochMilli(lo))}"""" +
+      s""" AND updated < "${jqlMinuteFmt.format(java.time.Instant.ofEpochMilli(hi))}""""
+
+  /** The widened, minute-aligned window `[floor(from), ceil(to))` the
+    * sliced heads collectively cover. Widening OUTWARD is the only safe
+    * direction at JQL's minute granularity: flooring `to` (what naive
+    * formatting does) silently drops every row updated in
+    * `[floor(to), to)` — the reader re-applies the EXACT `[from, to)`
+    * bounds as a residual filter, trimming the over-fetch
+    * (`JiraSource` passes the bounds to its readers for exactly this).
+    */
+  private[sources] def widenedWindow(from: java.time.Instant,
+      to: java.time.Instant): (Long, Long) = {
+    val f = math.floorDiv(from.toEpochMilli, MinuteMs) * MinuteMs
+    val t0 = to.toEpochMilli
+    val t = math.floorDiv(t0 + MinuteMs - 1, MinuteMs) * MinuteMs
+    (f, t)
+  }
+
   /** One logical live search split into `n` disjoint `updated`-range
     * slices, each its own chain head: the ith head is `base` with
     * `updated >= slice_i_start AND updated < slice_i_end` AND-merged
     * into its jql — exactly the reference's concurrency pool
     * (`jira/lib/changelog-client.js:159-202`) re-expressed as Spark task
     * parallelism, so a single endpoint's ingest scales with the cluster
-    * instead of draining serially through one task. Slices partition
-    * [from, to) exactly (millisecond boundaries, no gap, no overlap);
-    * rows updated at/after `to` are out of the query's declared range.
-    * JQL minute-granularity caveat: boundaries are formatted to the
-    * minute (JQL's finest granularity), so from/to should be
-    * minute-aligned — parseSliceInstant's date form always is.
+    * instead of draining serially through one task.
+    *
+    * Slices partition the minute-WIDENED window `[floor(from),
+    * ceil(to))` — a superset of the declared `[from, to)`, never a
+    * subset: the server may hand back rows in the widened margins, and
+    * the caller MUST re-apply the exact bounds as a residual filter
+    * (silently flooring `to` instead would lose the sub-minute tail —
+    * unguarded silent data loss, the one failure mode a split may never
+    * have). Interior boundaries floor identically on both sides, so
+    * slices stay gap/overlap-free; a window shorter than `n` minutes
+    * yields some empty (zero-width) clauses, which are harmless.
     */
   def sliceHeads(base: String, from: java.time.Instant,
       to: java.time.Instant, n: Int): Seq[String] = {
     require(n >= 1, s"slices must be >= 1, got $n")
-    val f0 = from.toEpochMilli
-    val span = to.toEpochMilli - f0
-    require(span > 0, s"updatedFrom ($from) must precede updatedTo ($to)")
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm").withZone(java.time.ZoneOffset.UTC)
+    require(to.isAfter(from),
+      s"updatedFrom ($from) must precede updatedTo ($to)")
+    val (f0, t0) = widenedWindow(from, to)
+    val span = t0 - f0
     (0 until n).map { i =>
-      val lo = f0 + span * i / n
-      val hi = f0 + span * (i + 1) / n
-      mergeJql(base,
-        s"""updated >= "${fmt.format(java.time.Instant.ofEpochMilli(lo))}"""" +
-          s""" AND updated < "${fmt.format(java.time.Instant.ofEpochMilli(hi))}"""")
+      mergeJql(base, minuteClause(f0 + span * i / n, f0 + span * (i + 1) / n))
     }
   }
+
+  /** Cap on sub-slices per split and on recursive split depth: a probe
+    * loop against a pathological distribution must stay bounded
+    * (16^4 = 65k heads would itself be the problem).
+    */
+  private[sources] val MaxSplitFanout = 16
+  private[sources] val MaxSplitDepth = 4
+
+  /** Skew-aware variant of [[sliceHeads]]: equal-TIME slices serialize
+    * under bursty `updated` distributions (a bulk-edit or migration day
+    * puts most of a project's rows into one slice, so one head drains
+    * almost everything through one task — the blocking-key skew problem
+    * one layer up). `probe` returns a slice head's total row count
+    * cheaply (the offset envelope's `total` field via a
+    * `maxResults=1` request — [[probeTotal]]); any slice above
+    * `rowBudget` rows is recursively re-split into
+    * `ceil(total/rowBudget)` sub-slices (fanout/depth capped, and a
+    * slice narrower than two JQL minutes can't split further). An
+    * unprobeable slice (no offset envelope, probe failure) is kept
+    * as-is — skew balancing is an optimization and must never turn a
+    * readable range into a planning failure. Bounds widen outward
+    * exactly as in [[sliceHeads]]; same residual-filter contract.
+    */
+  def skewSliceHeads(base: String, from: java.time.Instant,
+      to: java.time.Instant, n: Int, rowBudget: Long,
+      probe: String => Option[Long]): Seq[String] = {
+    require(n >= 1, s"slices must be >= 1, got $n")
+    require(rowBudget >= 1, s"rowBudget must be >= 1, got $rowBudget")
+    require(to.isAfter(from),
+      s"updatedFrom ($from) must precede updatedTo ($to)")
+    val (f0, t0) = widenedWindow(from, to)
+    val span = t0 - f0
+    def refine(lo: Long, hi: Long, depth: Int): Seq[(Long, Long)] = {
+      val spanMinutes =
+        math.floorDiv(hi, MinuteMs) - math.floorDiv(lo, MinuteMs)
+      if (depth >= MaxSplitDepth || spanMinutes < 2) Seq((lo, hi))
+      else probe(mergeJql(base, minuteClause(lo, hi))) match {
+        case Some(total) if total > rowBudget =>
+          val want = math.ceil(total.toDouble / rowBudget).toLong
+          val k = math.min(math.min(want, MaxSplitFanout.toLong),
+            spanMinutes).toInt
+          (0 until k).flatMap { i =>
+            refine(lo + (hi - lo) * i / k, lo + (hi - lo) * (i + 1) / k,
+              depth + 1)
+          }
+        case _ => Seq((lo, hi))
+      }
+    }
+    (0 until n).flatMap { i =>
+      refine(f0 + span * i / n, f0 + span * (i + 1) / n, 0)
+    }.map { case (lo, hi) => mergeJql(base, minuteClause(lo, hi)) }
+  }
+
+  /** Planning-time cardinality probe for [[skewSliceHeads]]: fetch the
+    * head with `maxResults=1` (the smallest legal page) and read the
+    * offset envelope's `total`. `None` when the server doesn't send an
+    * offset envelope (token-style pagination has no cheap count) or the
+    * probe fails — the caller keeps the slice unsplit.
+    */
+  def probeTotal(head: String, headers: Seq[(String, String)] = Nil,
+      maxInFlight: Int = MaxInFlightCeiling): Option[Long] =
+    try {
+      val sep = if (head.contains("?")) "&" else "?"
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readPage(s"$head${sep}maxResults=1", headers = headers,
+          maxInFlight = maxInFlight))
+      val t = root.path("total")
+      if (t.isNumber) Some(t.asLong) else None
+    } catch { case _: Exception => None }
 
   /** Per-entity chain heads: `base` with its `{key}` placeholder bound
     * to each of `keys` (URL-encoded) — the reference's per-issue
@@ -287,4 +453,27 @@ object PageTransport {
       keys: Seq[String]): Seq[String] =
     keys.map(k => base.replace(placeholder,
       java.net.URLEncoder.encode(k, "UTF-8")))
+
+  /** Scheduler-overhead multiple for [[coalesceHeads]]: partitions per
+    * in-flight budget unit. 4x the socket budget keeps every permit
+    * busy with work queued behind it while bounding task count.
+    */
+  private[sources] val HeadsPerInFlight = 4
+
+  /** Group chain heads into at most `maxInFlight * HeadsPerInFlight`
+    * partitions, each walking several chains serially. Per-entity
+    * planning would otherwise make a 10k-issue changelog pull 10k
+    * single-chain partitions: the in-flight gate bounds SOCKETS but not
+    * scheduler overhead — 10k tasks each fetching a page or two.
+    * Striped assignment (head i → group i mod n) so chain-size
+    * gradients along a sorted key list spread across groups instead of
+    * landing contiguously in one.
+    */
+  def coalesceHeads(heads: Seq[String], maxInFlight: Int): Seq[Seq[String]] = {
+    val n = math.min(heads.length,
+      math.max(1, maxInFlight) * HeadsPerInFlight)
+    if (n <= 0) Nil
+    else heads.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+  }
 }

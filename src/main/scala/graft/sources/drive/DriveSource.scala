@@ -57,10 +57,14 @@ class DriveSource extends TableProvider {
 }
 
 /** One listed file's metadata — the planning-time unit for the HTTP
-  * form (what one `files.list` row carries).
+  * form (what one `files.list` row carries). `mtimeMicros` is None when
+  * the listing page omitted `modifiedTime` — `files.list` returns only
+  * the fields named in the request's `fields` param, so absence is a
+  * projection artifact, NOT epoch zero: defaulting it to 0 made any
+  * pushed `modified_time >= X` silently prune every such file.
   */
 case class DriveMeta(id: String, name: String, mime: String, size: Long,
-    mtimeMicros: Long)
+    mtimeMicros: Option[Long])
 
 object DriveSource {
   val schema: StructType = StructType(Seq(
@@ -140,6 +144,32 @@ object DriveSource {
   def metaKeep(f: java.io.File)(filter: Filter): Boolean =
     metaKeepValues(f.getName, mimeOf(f.getName), f.lastModified * 1000L)(filter)
 
+  /** Is `filter` a modified_time predicate? These are translatable only
+    * when the listing is guaranteed to carry a timestamp per file (the
+    * staged-folder form — `File.lastModified` always exists). The HTTP
+    * listing may omit `modifiedTime`, so they stay RESIDUAL there:
+    * Spark re-evaluates them over the row values (null → dropped, SQL
+    * semantics), and planning uses them only advisorily
+    * ([[metaKeepOpt]]) to skip files whose timestamp is known.
+    */
+  def timeShaped(filter: Filter): Boolean = filter match {
+    case GreaterThanOrEqual("modified_time", _) | GreaterThan("modified_time", _) |
+         LessThanOrEqual("modified_time", _) | LessThan("modified_time", _) |
+         IsNotNull("modified_time") => true
+    case _ => false
+  }
+
+  /** [[metaKeepValues]] over possibly-absent listing metadata: a file
+    * whose `modifiedTime` the listing omitted is KEPT under any time
+    * predicate (non-prunable — absence is a projection artifact, and
+    * the residual filter owns the final decision over the row's null),
+    * and filtered normally when the timestamp is known.
+    */
+  def metaKeepOpt(name: String, mime: String, mtime: Option[Long])(
+      filter: Filter): Boolean =
+    if (!timeShaped(filter)) metaKeepValues(name, mime, 0L)(filter)
+    else mtime.forall(t => metaKeepValues(name, mime, t)(filter))
+
   /** Distributed file-staging sink: writes one file per row (name column
     * → file name, content column → UTF-8 body) via foreachPartition —
     * the inverse of the download path, used to materialize transcript
@@ -191,39 +221,53 @@ class DriveScanBuilder(path: String, filesPerPartition: Int,
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
+  private var advisory: Array[Filter] = Array.empty
   private var required: StructType = DriveSource.schema
+  private val http = graft.sources.PageTransport.isHttp(path)
 
   private def translatable(f: Filter): Boolean = f match {
     case EqualTo("name", _) | StringStartsWith("name", _) |
          StringEndsWith("name", _) | StringContains("name", _) => true
     case EqualTo("mime_type", _) => true
-    case GreaterThanOrEqual("modified_time", _) | GreaterThan("modified_time", _) |
-         LessThanOrEqual("modified_time", _) | LessThan("modified_time", _) => true
+    // time predicates are fully pushable only when every listed file is
+    // guaranteed a timestamp (staged folder). The HTTP listing may omit
+    // modifiedTime per file, so claiming them pushed would silently
+    // prune those files — they stay residual there and prune advisorily
+    case _ if DriveSource.timeShaped(f) => !http
     // listing guarantees these; content may be null (unreadable file)
     // and must stay residual
     case IsNotNull("id") | IsNotNull("name") | IsNotNull("mime_type") |
-         IsNotNull("size") | IsNotNull("modified_time") => true
+         IsNotNull("size") => true
     case _ => false
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(translatable)
+    // advisory (HTTP form): used at planning to skip files whose
+    // timestamp the listing DID carry; handed back to Spark unclaimed,
+    // so the residual re-check owns correctness for the rest
+    advisory =
+      if (http) filters.filter(DriveSource.timeShaped) else Array.empty
     filters.filterNot(translatable)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    DriveScan(path, required, pushed, filesPerPartition, headers, opts)
+    DriveScan(path, required, pushed, advisory, filesPerPartition, headers,
+      opts)
 }
 
 case class DriveScan(path: String, required: StructType, pushed: Array[Filter],
-    filesPerPartition: Int, headers: Seq[(String, String)],
-    opts: Map[String, String]) extends Scan with Batch {
+    advisory: Array[Filter], filesPerPartition: Int,
+    headers: Seq[(String, String)], opts: Map[String, String])
+    extends Scan with Batch {
 
-  /** The `q` string the reference would send (`files.list q=...`). */
+  /** The `q` string the reference would send (`files.list q=...`) —
+    * pushed plus advisory clauses (both reach the planning-time prune).
+    */
   def q: String = {
-    val clauses = pushed.collect {
+    val clauses = (pushed ++ advisory).collect {
       case EqualTo("name", v) => s"name = '$v'"
       case StringStartsWith("name", v) => s"name starts with '$v'"
       case StringEndsWith("name", v) => s"name ends with '$v'"
@@ -270,9 +314,13 @@ case class DriveScan(path: String, required: StructType, pushed: Array[Filter],
               f.path("name").asText(""),
               f.path("mimeType").asText(""),
               f.path("size").asLong(0L),
+              // absent OR unparseable modifiedTime = unknown (None),
+              // never epoch 0: `files.list` only returns fields the
+              // request named, so absence says nothing about the file
               Option(f.get("modifiedTime")).filterNot(_.isNull)
-                .map(v => DriveSource.tsBoundMicros(v.asText()))
-                .getOrElse(0L))
+                .flatMap(v =>
+                  try Some(DriveSource.tsBoundMicros(v.asText()))
+                  catch { case _: Exception => None }))
           }
         }
         val tok = root.path("nextPageToken").asText("")
@@ -292,9 +340,13 @@ case class DriveScan(path: String, required: StructType, pushed: Array[Filter],
           }
       }
       // server-side q over the listed metadata: pruned files are never
-      // planned, let alone downloaded
-      val kept = metas.filter(m => pushed.forall(
-        DriveSource.metaKeepValues(m.name, m.mime, m.mtimeMicros)))
+      // planned, let alone downloaded. Time predicates prune ADVISORILY
+      // — a file with no listed modifiedTime is kept (its null row value
+      // meets the residual re-check Spark still runs), because pruning
+      // on an absent field would be silent data loss
+      val kept = metas.filter(m =>
+        (pushed ++ advisory).forall(
+          DriveSource.metaKeepOpt(m.name, m.mime, m.mtimeMicros)))
         .sortBy(_.name)
       return kept.grouped(math.max(1, filesPerPartition))
         .map(b => DriveHttpPartition(b.toArray): InputPartition).toArray
@@ -309,9 +361,12 @@ case class DriveScan(path: String, required: StructType, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // executor-side downloads share the per-host budget across the
+    // cluster; the planning-time listing above runs in the one driver
+    // JVM and uses the full per-host budget directly
     DriveReaderFactory(required, headers,
       opts.get("contenturltemplate"),
-      graft.sources.PageTransport.maxInFlightOf(opts))
+      graft.sources.PageTransport.perExecutorInFlight(opts))
 }
 
 case class DriveFilesPartition(files: Array[String]) extends InputPartition
@@ -362,7 +417,8 @@ class DriveHttpPartitionReader(files: Array[DriveMeta], required: StructType,
         case "name" => UTF8String.fromString(m.name)
         case "mime_type" => UTF8String.fromString(m.mime)
         case "size" => java.lang.Long.valueOf(m.size)
-        case "modified_time" => java.lang.Long.valueOf(m.mtimeMicros)
+        case "modified_time" =>
+          m.mtimeMicros.map(java.lang.Long.valueOf).orNull
         case "content" => if (needContent) content else null
         case _ => null
       }

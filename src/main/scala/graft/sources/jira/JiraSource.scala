@@ -145,12 +145,38 @@ case class JiraScan(path: String, required: StructType, pushed: Array[Filter],
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"JiraScan path=$path, jql=[$jql], " +
-      s"fields=[${required.fieldNames.mkString(",")}], " +
-      s"heads=${planInputPartitions().length}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The declared `[updatedFrom, updatedTo)` range in epoch micros —
+    * re-applied EXACTLY in the reader as a residual filter. The sliced
+    * heads cover the minute-WIDENED window (JQL can't express
+    * sub-minute bounds), so the server legitimately returns rows in the
+    * widened margins; without this residual the sub-minute edges would
+    * be silently wrong (tail rows dropped by a floored `to`, margin
+    * rows leaked by a widened one).
+    */
+  def boundMicros: (Option[Long], Option[Long]) = {
+    def micros(k: String): Option[Long] = opts.get(k).map(v =>
+      graft.sources.PageTransport.parseSliceInstant(v).toEpochMilli * 1000L)
+    (micros("updatedfrom"), micros("updatedto"))
+  }
+
+  override def description(): String = {
+    // planning a live scan touches the network (head splitting may
+    // probe slice cardinalities) and can throw on misconfiguration —
+    // describe/explain must do neither, so the head count is reported
+    // from the cached plan defensively, never computed eagerly here
+    val heads =
+      try partitions.length.toString catch { case e: Exception => s"invalid(${e.getMessage})" }
+    s"JiraScan path=$path, jql=[$jql], " +
+      s"fields=[${required.fieldNames.mkString(",")}], heads=$heads"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  /** Computed once per scan: repeated planning calls (describe/explain
+    * then execute) must not re-run the planning-time HTTP probes.
+    */
+  private lazy val partitions: Array[InputPartition] = {
     // staged dir: one partition per API page file — the connector-side
     // analog of the reference's pagination (page size bounds partition
     // size). An http(s) path lists chain-head URLs; each head is then
@@ -183,39 +209,64 @@ case class JiraScan(path: String, required: StructType, pushed: Array[Filter],
             .split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       else (opts.get("updatedfrom"), opts.get("updatedto")) match {
         case (Some(f), Some(t)) =>
-          PageTransport.sliceHeads(h,
-            PageTransport.parseSliceInstant(f),
-            PageTransport.parseSliceInstant(t),
-            opts.get("slices").map(_.trim.toInt).getOrElse(8))
+          val from = PageTransport.parseSliceInstant(f)
+          val to = PageTransport.parseSliceInstant(t)
+          val n = opts.get("slices").map(_.trim.toInt).getOrElse(8)
+          // sliceRowBudget=N turns on skew-aware planning: slice
+          // cardinalities are probed via the offset envelope's `total`
+          // and bursty slices re-split, so one migration day can't
+          // serialize the whole ingest through one head
+          opts.get("slicerowbudget").map(_.trim.toLong) match {
+            case Some(budget) =>
+              PageTransport.skewSliceHeads(h, from, to, n, budget,
+                head => PageTransport.probeTotal(head, headers,
+                  PageTransport.maxInFlightOf(opts)))
+            case None => PageTransport.sliceHeads(h, from, to, n)
+          }
         case _ => Seq(h)
       }
     }
-    heads.map(l => JiraPagePartition(l): InputPartition).toArray
+    // bound task count, not just sockets: per-entity splitting plans one
+    // head per issue key, and 10k single-chain tasks are scheduler
+    // overhead the in-flight gate can't see. Staged directories keep one
+    // page file per partition (local reads have no politeness budget).
+    val coalesced =
+      if (PageTransport.isHttp(path))
+        PageTransport.coalesceHeads(heads, PageTransport.maxInFlightOf(opts))
+      else heads.map(Seq(_))
+    coalesced.map(g => JiraPagePartition(g): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (fromB, toB) = boundMicros
     JiraReaderFactory(required, pushed, headers,
-      graft.sources.PageTransport.maxInFlightOf(opts))
+      graft.sources.PageTransport.perExecutorInFlight(opts), fromB, toB)
+  }
 }
 
-case class JiraPagePartition(file: String) extends InputPartition
+case class JiraPagePartition(files: Seq[String]) extends InputPartition
 
 case class JiraReaderFactory(required: StructType, pushed: Array[Filter],
-    headers: Seq[(String, String)], maxInFlight: Int)
+    headers: Seq[(String, String)], maxInFlight: Int,
+    boundFromMicros: Option[Long] = None, boundToMicros: Option[Long] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new JiraPartitionReader(
-      partition.asInstanceOf[JiraPagePartition].file, required, pushed,
-      headers, maxInFlight)
+      partition.asInstanceOf[JiraPagePartition].files, required, pushed,
+      headers, maxInFlight, boundFromMicros, boundToMicros)
 }
 
-/** Reads one staged page file; applies the pushed "JQL" the way the
-  * server would (filtering before rows reach Spark) and projects only the
-  * required fields (the `fields=` param).
+/** Reads one partition's chain heads (staged page files or live chain
+  * URLs — a partition may carry several, walked serially); applies the
+  * pushed "JQL" the way the server would (filtering before rows reach
+  * Spark), re-applies the declared `[updatedFrom, updatedTo)` bounds
+  * exactly (the sliced heads cover a minute-widened window), and
+  * projects only the required fields (the `fields=` param).
   */
-class JiraPartitionReader(file: String, required: StructType,
+class JiraPartitionReader(files: Seq[String], required: StructType,
     pushed: Array[Filter], headers: Seq[(String, String)],
-    maxInFlight: Int = graft.sources.PageTransport.MaxInFlightCeiling)
+    maxInFlight: Int = graft.sources.PageTransport.MaxInFlightCeiling,
+    boundFromMicros: Option[Long] = None, boundToMicros: Option[Long] = None)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -277,9 +328,9 @@ class JiraPartitionReader(file: String, required: StructType,
     *     comes back empty (the reference's exact guard — a server
     *     misreporting `total` must not loop forever).
     */
-  private def nextPageLocation(root: JsonNode): String = {
+  private def nextPageLocation(head: String, root: JsonNode): String = {
     val tok = root.path("nextPageToken").asText("")
-    if (tok.nonEmpty) return tokenUrl(file, tok)
+    if (tok.nonEmpty) return tokenUrl(head, tok)
     val arr =
       if (root.has("issues")) root.get("issues")
       else root.get("values")
@@ -287,12 +338,12 @@ class JiraPartitionReader(file: String, required: StructType,
     val total = root.path("total")
     if (arr != null && arr.isArray && startAt.isNumber && total.isNumber) {
       val next = startAt.asLong + arr.size()
-      if (arr.size() > 0 && next < total.asLong) offsetUrl(file, next)
+      if (arr.size() > 0 && next < total.asLong) offsetUrl(head, next)
       else null
     } else null
   }
 
-  private val issues: Iterator[JsonNode] =
+  private def headIssues(file: String): Iterator[JsonNode] =
     if (graft.sources.PageTransport.isHttp(file)) {
       // LIVE cursor pagination (reference `jira/export-to-csv.js:231-272`:
       // `do { fetch; token = data.nextPageToken } while (token)`): the
@@ -322,7 +373,7 @@ class JiraPartitionReader(file: String, required: StructType,
           val text = graft.sources.PageTransport.readPage(cur,
             headers = headers, maxInFlight = maxInFlight)
           loc =
-            try nextPageLocation(mapper.readTree(text))
+            try nextPageLocation(file, mapper.readTree(text))
             catch {
               case e: Exception => throw new java.io.IOException(
                 s"malformed Jira page at $cur (cursor chain position $n)", e)
@@ -348,6 +399,27 @@ class JiraPartitionReader(file: String, required: StructType,
         catch { case _: Exception => Nil }
       parsed.iterator.filter(serverSideKeep)
     }
+
+  private val issues: Iterator[JsonNode] =
+    files.iterator.flatMap(headIssues).filter(boundsKeep)
+
+  /** The declared `[updatedFrom, updatedTo)` residual: the sliced heads
+    * query the minute-widened window, so the reader owns the exact
+    * sub-minute edges — margin rows the widened query legitimately
+    * returned are trimmed here, and nothing inside the declared range
+    * was ever excluded server-side. Rows with no parseable `updated`
+    * can't be placed in the range and are excluded, matching what the
+    * server's own `updated` clause does.
+    */
+  private def boundsKeep(n: JsonNode): Boolean =
+    (boundFromMicros.isEmpty && boundToMicros.isEmpty) || {
+      ts(n, "updated") match {
+        case Some(u) =>
+          boundFromMicros.forall(u >= _) && boundToMicros.forall(u < _)
+        case None => false
+      }
+    }
+
   private var cur: InternalRow = _
 
   /** Timestamp parse tolerant of the formats Jira actually emits:

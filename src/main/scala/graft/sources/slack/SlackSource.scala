@@ -135,7 +135,13 @@ case class SlackScan(path: String, required: StructType, pushed: Array[Filter],
             .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
             .filter(c => channelFilter.forall(_ == c)))
       }
-      return heads.map(l => SlackChannelPartition(l): InputPartition).toArray
+      // bound task count, not just sockets: a workspace-wide pull plans
+      // one head per channel, and thousands of single-chain tasks are
+      // scheduler overhead the in-flight gate can't see — group heads
+      // into ~maxInFlight x 4 partitions, each walking several chains
+      return graft.sources.PageTransport.coalesceHeads(heads,
+          graft.sources.PageTransport.maxInFlightOf(opts))
+        .map(g => SlackChannelPartition(g): InputPartition).toArray
     }
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".json")).sortBy(_.getName)
@@ -147,7 +153,10 @@ case class SlackScan(path: String, required: StructType, pushed: Array[Filter],
       // this connector would prune from the conversations.list response
       // instead of opening files.)
       .filter(f => channelFilter.forall(c => envelopeChannel(f) == c))
-    files.map(f => SlackChannelPartition(f.getAbsolutePath): InputPartition)
+    // staged files keep one envelope per partition (local reads carry
+    // no politeness budget, and per-file tasks parallelize the parse)
+    files.map(f =>
+      SlackChannelPartition(Seq(f.getAbsolutePath)): InputPartition)
   }
 
   /** Streaming parse of just `channel.name` from an envelope file — no
@@ -186,36 +195,39 @@ case class SlackScan(path: String, required: StructType, pushed: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     SlackReaderFactory(required, pushed, headers,
-      graft.sources.PageTransport.maxInFlightOf(opts))
+      graft.sources.PageTransport.perExecutorInFlight(opts))
 }
 
-case class SlackChannelPartition(file: String) extends InputPartition
+case class SlackChannelPartition(files: Seq[String]) extends InputPartition
 
 case class SlackReaderFactory(required: StructType, pushed: Array[Filter],
     headers: Seq[(String, String)], maxInFlight: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SlackPartitionReader(
-      p.asInstanceOf[SlackChannelPartition].file, required, pushed, headers,
+      p.asInstanceOf[SlackChannelPartition].files, required, pushed, headers,
       maxInFlight)
 }
 
-class SlackPartitionReader(file: String, required: StructType,
+class SlackPartitionReader(files: Seq[String], required: StructType,
     pushed: Array[Filter], headers: Seq[(String, String)],
     maxInFlight: Int = graft.sources.PageTransport.MaxInFlightCeiling)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val (channelName, messages) = {
-    // staged file or live URL — the transport owns 429/Retry-After.
-    // Cursor pagination (reference `slack/lib/api.js:153-168`): follow
-    // `response_metadata.next_cursor` until it comes back empty, each
-    // page's messages appended exactly once. A retryable failure on
-    // page N is retried by the transport AT page N's cursor URL —
-    // resume, not restart: pages 1..N-1 are never refetched, so no
-    // duplicates and no drops across the retry (ConnectorRetrySpec
-    // pins this with per-page hit counts). Staged files never carry a
-    // cursor, so the chain is a single page there.
+
+  /** One chain head's messages, tagged with its envelope's channel name.
+    * Staged file or live URL — the transport owns 429/Retry-After.
+    * Cursor pagination (reference `slack/lib/api.js:153-168`): follow
+    * `response_metadata.next_cursor` until it comes back empty, each
+    * page's messages appended exactly once. A retryable failure on
+    * page N is retried by the transport AT page N's cursor URL —
+    * resume, not restart: pages 1..N-1 are never refetched, so no
+    * duplicates and no drops across the retry (ConnectorRetrySpec
+    * pins this with per-page hit counts). Staged files never carry a
+    * cursor, so the chain is a single page there.
+    */
+  private def headMessages(file: String): Iterator[(String, JsonNode)] = {
     val first = mapper.readTree(graft.sources.PageTransport.readPage(
       file, headers = headers, maxInFlight = maxInFlight))
     val name = first.path("channel").path("name").asText()
@@ -251,9 +263,17 @@ class SlackPartitionReader(file: String, required: StructType,
         cur
       }
     }
-    (name, pages.flatMap(_.path("messages").elements().asScala)
-      .filter(keep(name)))
+    pages.flatMap(_.path("messages").elements().asScala)
+      .filter(keep(name)).map((name, _))
   }
+
+  /** A partition may carry several chain heads (coalesced per-channel
+    * pulls) — walked serially, lazily: a head's first page is fetched
+    * only once the previous head's chain is drained.
+    */
+  private val messages: Iterator[(String, JsonNode)] =
+    files.iterator.flatMap(headMessages)
+
   private var cur: InternalRow = _
 
   private def cursorUrl(base: String, cursor: String): String = {
@@ -273,9 +293,13 @@ class SlackPartitionReader(file: String, required: StructType,
   }
 
   override def next(): Boolean =
-    if (messages.hasNext) { cur = toRow(messages.next()); true } else false
+    if (messages.hasNext) {
+      val (name, m) = messages.next()
+      cur = toRow(name, m)
+      true
+    } else false
 
-  private def toRow(m: JsonNode): InternalRow = {
+  private def toRow(channelName: String, m: JsonNode): InternalRow = {
     val values: Array[Any] = required.fields.map { f =>
       f.name match {
         case "channel" => UTF8String.fromString(channelName)

@@ -65,6 +65,22 @@ class CacheTableSpec extends AnyFunSuite {
     assert(CacheTable.exists(spark, dep), "re-recorded fp verifies again")
   }
 
+  test("exists() requires the _SUCCESS marker: a partially-committed " +
+      "snapshot (task files, no marker) does not pass the bootstrap gate") {
+    val dir = Files.createTempDirectory("graft_exists").toString
+    val snap = s"$dir/snap"
+    assert(!CacheTable.exists(spark, snap), "absent path")
+    // a completed Spark write passes
+    CacheTable.put(Seq(("k", "v")).toDF("key", "data"), snap, 1L)
+    assert(CacheTable.exists(spark, snap), "committed write passes")
+    // simulate a job killed mid-write: data files present, marker gone
+    Files.delete(java.nio.file.Path.of(snap, "_SUCCESS"))
+    assert(!CacheTable.exists(spark, snap),
+      "a directory without _SUCCESS is a partial snapshot, not a " +
+        "complete one — serving it would repeat the partial-stage bug " +
+        "one put later")
+  }
+
   test("jira connector fails open on a corrupt page file") {
     val d = Files.createTempDirectory("jira_bad")
     Files.writeString(d.resolve("page_0.json"),

@@ -798,6 +798,301 @@ class ConnectorRetrySpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("sub-minute slice bounds lose ZERO rows: heads widen to the " +
+      "enclosing minutes and the reader re-applies the exact [from, to)") {
+    // JQL can't express seconds, so the slice clauses cover the
+    // minute-WIDENED window; the reader's option-bound residual owns the
+    // sub-minute edges. The stub evaluates the minute clauses the way a
+    // real JQL server would (compare row timestamps against the minute
+    // instants) — a planner that floors `to` instead of widening it
+    // never even ASKS for the tail minute, so TAIL-1 cannot come back.
+    val rows = Seq( // key -> updated instant
+      "PRE-1" -> "2025-10-01T00:00:10Z", // in from's minute, before from
+      "POST-1" -> "2025-10-01T00:00:40Z", // in from's minute, at/after from
+      "MID-1" -> "2025-10-02T12:00:00Z",
+      "TAIL-1" -> "2025-10-04T12:03:10Z", // in to's minute, before to
+      "MARGIN-1" -> "2025-10-04T12:03:50Z") // in to's minute, at/after to
+      .map { case (k, t) => (k, java.time.Instant.parse(t)) }
+    val minuteFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm").withZone(java.time.ZoneOffset.UTC)
+    val jiraFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSZ").withZone(java.time.ZoneOffset.UTC)
+    val clause = """updated >= "([^"]+)" AND updated < "([^"]+)"""".r
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val raw = Option(x.getRequestURI.getRawQuery).getOrElse("")
+      val jql = raw.split('&').find(_.startsWith("jql="))
+        .map(p => java.net.URLDecoder.decode(p.substring(4), "UTF-8"))
+        .getOrElse("")
+      val hits = clause.findFirstMatchIn(jql).map { m =>
+        def inst(s: String) = java.time.Instant.from(minuteFmt.parse(s))
+        val (lo, hi) = (inst(m.group(1)), inst(m.group(2)))
+        rows.filter { case (_, t) => !t.isBefore(lo) && t.isBefore(hi) }
+      }.getOrElse(rows)
+      val issues = hits.map { case (k, t) =>
+        s"""{"key":"$k","project":"TM","updated":"${jiraFmt.format(t)}"}"""
+      }.mkString(",")
+      val body = s"""{"issues":[$issues]}""".getBytes("UTF-8")
+      x.sendResponseHeaders(200, body.length)
+      x.getResponseBody.write(body)
+      x.close()
+    })
+    server.start()
+    try {
+      val df = spark.read.format("graft.sources.jira.JiraSource")
+        .option("path",
+          s"http://127.0.0.1:${server.getAddress.getPort}/search")
+        .option("updatedFrom", "2025-10-01T00:00:30Z") // NOT minute-aligned
+        .option("updatedTo", "2025-10-04T12:03:45Z") // NOT minute-aligned
+        .option("slices", "2")
+        .load()
+      val keys = df.select("key").collect().map(_.getString(0)).sorted.toSeq
+      assert(keys == Seq("MID-1", "POST-1", "TAIL-1"),
+        s"rows in [from, to) exactly — TAIL-1 (the sub-minute tail) kept, " +
+          s"PRE-1/MARGIN-1 (the widened margins) trimmed; got $keys")
+    } finally server.stop(0)
+  }
+
+  test("skew-aware slice planning: a bursty slice is probed via the " +
+      "offset envelope's total and re-split below the row budget") {
+    // 90% of the rows land on one day (a migration-day burst): with
+    // equal-time slices that whole day drains through ONE head. With
+    // sliceRowBudget set, planning probes each slice's `total` (a
+    // maxResults=1 request) and recursively splits the hot slice.
+    val day1 = java.time.Instant.parse("2025-10-01T00:00:00Z")
+    val stamps: Seq[java.time.Instant] =
+      (0 until 900).map(i => day1.plusSeconds(96L * i)) ++ // hot: Oct 1
+        (1 to 3).flatMap(d => (0 until 33).map(i => // quiet: Oct 2-4
+          day1.plusSeconds(86400L * d + 2618L * i)))
+    val keys = stamps.zipWithIndex.map { case (t, i) => (s"SK-$i", t) }
+    val minuteFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm").withZone(java.time.ZoneOffset.UTC)
+    val jiraFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSZ").withZone(java.time.ZoneOffset.UTC)
+    val clause = """updated >= "([^"]+)" AND updated < "([^"]+)"""".r
+    val readJqls = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val probeJqls = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val raw = Option(x.getRequestURI.getRawQuery).getOrElse("")
+      val jql = raw.split('&').find(_.startsWith("jql="))
+        .map(p => java.net.URLDecoder.decode(p.substring(4), "UTF-8"))
+        .getOrElse("")
+      val inRange = clause.findFirstMatchIn(jql).map { m =>
+        def inst(s: String) = java.time.Instant.from(minuteFmt.parse(s))
+        val (lo, hi) = (inst(m.group(1)), inst(m.group(2)))
+        keys.filter { case (_, t) => !t.isBefore(lo) && t.isBefore(hi) }
+      }.getOrElse(keys)
+      val body: String =
+        if (raw.contains("maxResults=1")) { // planning-time probe
+          probeJqls.add(jql)
+          s"""{"issues":[],"startAt":0,"total":${inRange.length}}"""
+        } else {
+          readJqls.add(jql)
+          val issues = inRange.map { case (k, t) =>
+            s"""{"key":"$k","project":"SK","updated":"${jiraFmt.format(t)}"}"""
+          }.mkString(",")
+          s"""{"issues":[$issues]}"""
+        }
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    })
+    server.start()
+    try {
+      val df = spark.read.format("graft.sources.jira.JiraSource")
+        .option("path",
+          s"http://127.0.0.1:${server.getAddress.getPort}/search")
+        .option("updatedFrom", "2025-10-01")
+        .option("updatedTo", "2025-10-05")
+        .option("slices", "4")
+        .option("sliceRowBudget", "250")
+        .load()
+      val got = df.select("key").collect().map(_.getString(0)).toSeq
+      assert(got.length == 999 && got.distinct.length == 999,
+        s"every row exactly once across re-split heads, got ${got.length} " +
+          s"(${got.distinct.length} distinct)")
+      assert(probeJqls.size() >= 8,
+        s"each slice (and each hot sub-slice) must be probed, " +
+          s"saw ${probeJqls.size()} probes")
+      import scala.jdk.CollectionConverters._
+      val day2 = day1.plusSeconds(86400L)
+      def bounds(j: String) = clause.findFirstMatchIn(j).map { m =>
+        (java.time.Instant.from(minuteFmt.parse(m.group(1))),
+          java.time.Instant.from(minuteFmt.parse(m.group(2))))
+      }
+      val hotHeads = readJqls.asScala.flatMap(bounds).filter { case (lo, hi) =>
+        !lo.isBefore(day1) && !hi.isAfter(day2)
+      }
+      assert(hotHeads.size >= 4,
+        s"the 900-row day must be served by >= 4 re-split heads, " +
+          s"got $hotHeads")
+      // no head over budget: the point of the probe loop
+      readJqls.asScala.flatMap(bounds).foreach { case (lo, hi) =>
+        val n = keys.count { case (_, t) => !t.isBefore(lo) && t.isBefore(hi) }
+        assert(n <= 250, s"head [$lo, $hi) carries $n rows > budget 250")
+      }
+    } finally server.stop(0)
+  }
+
+  test("in-flight budget is cluster-aware: per-executor derivation " +
+      "floors so E executors never exceed the per-host total") {
+    import graft.sources.PageTransport
+    assert(PageTransport.perExecutorInFlight(Map.empty[String, String], 1) == 20)
+    assert(PageTransport.perExecutorInFlight(Map("maxinflight" -> "20"), 8) == 2)
+    assert(PageTransport.perExecutorInFlight(Map("maxinflight" -> "20"), 3) == 6,
+      "floor division: 3 executors x 6 = 18 <= 20 (ceil would give 21)")
+    assert(PageTransport.perExecutorInFlight(Map("maxinflight" -> "20"), 50) == 1,
+      "never below 1 permit per executor")
+    assert(PageTransport.perExecutorInFlight(
+      Map("maxinflight" -> "20", "maxinflightperexecutor" -> "5"), 8) == 5,
+      "explicit per-executor option overrides the derivation")
+    for (e <- Seq(1, 2, 3, 7, 19, 20);
+         b <- Seq(1, 2, 5, 20)) {
+      val per = PageTransport.perExecutorInFlight(
+        Map("maxinflight" -> b.toString), e)
+      assert(per * e <= math.max(b, e),
+        s"budget $b over $e executors: $per x $e must stay within " +
+          s"max(budget, one-per-executor floor)")
+    }
+  }
+
+  test("two executors' gates (separate JVMs simulated as separate " +
+      "gates) keep the HOST's observed in-flight within the per-host total") {
+    import graft.sources.PageTransport
+    val inFlight = new AtomicInteger()
+    val peak = new AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32))
+    server.createContext("/", (x: HttpExchange) => {
+      val n = inFlight.incrementAndGet()
+      peak.accumulateAndGet(n, math.max)
+      Thread.sleep(80)
+      val b = "ok".getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      inFlight.decrementAndGet()
+      x.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/p"
+      // per-host total 4 split across 2 "executors" -> 2 permits each;
+      // each executor JVM has its own gate instance (nothing shared)
+      val per = PageTransport.perExecutorInFlight(Map("maxinflight" -> "4"), 2)
+      assert(per == 2)
+      val gates = Seq.fill(2)(new PageTransport.InFlightGate(per))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val tasks = for (g <- gates; _ <- 1 to 8) yield
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            g.acquire()
+            // high per-JVM limit: only the executor gates constrain
+            try PageTransport.readPage(url, maxInFlight = 20)
+            finally g.release()
+          }
+        })
+      tasks.foreach(_.get())
+      pool.shutdown()
+      assert(peak.get() <= 4,
+        s"2 executors x 2 permits must cap host in-flight at 4, " +
+          s"peak=${peak.get()}")
+      assert(peak.get() >= 2,
+        s"16 queued fetches must genuinely overlap, peak=${peak.get()}")
+    } finally server.stop(0)
+  }
+
+  test("gates are keyed by HOST: same host with two limits shares one " +
+      "gate clamped to the smaller; distinct hosts never share") {
+    import graft.sources.PageTransport
+    // distinct hosts with the SAME limit get independent gates
+    assert(PageTransport.gateFor("hostA:1111", 5) ne
+      PageTransport.gateFor("hostB:1111", 5))
+    // same host, smaller limit later: the gate clamps down and stays
+    val g = PageTransport.gateFor("hostC:2222", 20)
+    assert(g.limit == 20)
+    assert(PageTransport.gateFor("hostC:2222", 2) eq g)
+    assert(g.limit == 2, "smallest configured limit wins for the host")
+    assert(PageTransport.gateFor("hostC:2222", 20).limit == 2,
+      "a later looser limit must NOT re-widen the clamp")
+    // end-to-end: after any connector clamps the host to 2, requests
+    // sent with the looser limit still observe <= 2 in flight
+    val inFlight = new AtomicInteger()
+    val peak = new AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.createContext("/", (x: HttpExchange) => {
+      val n = inFlight.incrementAndGet()
+      peak.accumulateAndGet(n, math.max)
+      Thread.sleep(80)
+      val b = "ok".getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      inFlight.decrementAndGet()
+      x.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/p"
+      PageTransport.readPage(url, maxInFlight = 2) // strict connector first
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val tasks = (1 to 8).map(_ => pool.submit(new Runnable {
+        override def run(): Unit =
+          PageTransport.readPage(url, maxInFlight = 20) // loose connector
+      }))
+      tasks.foreach(_.get())
+      pool.shutdown()
+      assert(peak.get() <= 2,
+        s"host clamped at 2 by the stricter connector, peak=${peak.get()}")
+    } finally server.stop(0)
+  }
+
+  test("keyed heads coalesce into bounded partitions: 100 issue keys " +
+      "plan maxInFlight x 4 tasks, every key fetched exactly once") {
+    import graft.sources.PageTransport
+    // unit: striped grouping covers every head exactly once
+    val heads = (1 to 100).map(i => s"h$i")
+    val groups = PageTransport.coalesceHeads(heads, 2)
+    assert(groups.length == 8, s"cap = 2 x 4 = 8, got ${groups.length}")
+    assert(groups.flatten.sorted == heads.sorted, "no head lost or doubled")
+    assert(groups.map(_.length).max - groups.map(_.length).min <= 1,
+      s"striped groups stay balanced, got sizes ${groups.map(_.length)}")
+    assert(PageTransport.coalesceHeads(Seq("a", "b"), 20).length == 2,
+      "fewer heads than the cap stay one-per-partition")
+    // e2e: 100 per-issue chain heads through the Jira connector
+    val hit = new ConcurrentHashMap[String, AtomicInteger]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.createContext("/", (x: HttpExchange) => {
+      val key = x.getRequestURI.getPath.split('/').last
+      hit.computeIfAbsent(key, _ => new AtomicInteger()).incrementAndGet()
+      val body = s"""{"issues":[{"key":"$key","project":"CO",
+        "updated":"2025-10-01T10:00:00.000+0000"}]}""".getBytes("UTF-8")
+      x.sendResponseHeaders(200, body.length)
+      x.getResponseBody.write(body)
+      x.close()
+    })
+    server.start()
+    try {
+      val df = spark.read.format("graft.sources.jira.JiraSource")
+        .option("path",
+          s"http://127.0.0.1:${server.getAddress.getPort}/issue/{key}")
+        .option("issueKeys", (1 to 100).map(i => s"CO-$i").mkString(","))
+        .option("maxInFlight", "2")
+        .load()
+      assert(df.rdd.getNumPartitions == 8,
+        s"100 keys at maxInFlight=2 must coalesce to 8 partitions, " +
+          s"got ${df.rdd.getNumPartitions}")
+      val got = df.select("key").collect().map(_.getString(0)).toSeq
+      assert(got.length == 100 && got.distinct.length == 100,
+        s"every key exactly once, got ${got.length}")
+      import scala.jdk.CollectionConverters._
+      assert(hit.asScala.values.forall(_.get() == 1),
+        "each per-key chain fetched exactly once despite coalescing")
+    } finally server.stop(0)
+  }
+
   test("header seam: authHeaders builds the reference's auth forms") {
     import graft.sources.PageTransport.authHeaders
     assert(authHeaders(Map("user" -> "u", "token" -> "t")) ==

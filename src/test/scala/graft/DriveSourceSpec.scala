@@ -161,6 +161,74 @@ class DriveSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("HTTP listing with a file MISSING modifiedTime: time filters " +
+      "never prune it at planning; the row carries null, not epoch 0") {
+    // files.list returns only the fields the request named — an absent
+    // modifiedTime is a projection artifact, not 1970. Pre-fix, the
+    // missing field defaulted to 0 and modified_time filters were fully
+    // trusted, so `modified_time >= X` silently pruned the file AND an
+    // isNull-tolerant disjunction evaluated over the fabricated 0 —
+    // silent data loss both ways. Now: time filters stay residual on
+    // the HTTP form (Spark re-evaluates over the real null), and
+    // planning prunes advisorily only where the timestamp is KNOWN.
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val listing = """{"files":[
+      {"id":"f1","name":"old.txt","mimeType":"text/plain","size":3,
+       "modifiedTime":"2024-01-10T00:00:00Z"},
+      {"id":"f2","name":"unknown.txt","mimeType":"text/plain","size":4},
+      {"id":"f3","name":"new.txt","mimeType":"text/plain","size":5,
+       "modifiedTime":"2024-01-25T00:00:00Z"}]}"""
+    val downloads = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val path = x.getRequestURI.getPath
+      val body: String =
+        if (path.startsWith("/download/")) {
+          downloads.add(path.split('/').last)
+          "body"
+        } else listing
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      def read = spark.read.format("graft.sources.drive.DriveSource")
+        .option("path", s"$base/list")
+        .option("contentUrlTemplate", s"$base/download/{id}")
+        .load()
+      // unfiltered: the unknown file's timestamp is null, never 1970
+      val all = read.orderBy("name").collect()
+      assert(all.map(_.getAs[String]("name")).toSeq ==
+        Seq("new.txt", "old.txt", "unknown.txt"))
+      assert(all.find(_.getAs[String]("name") == "unknown.txt")
+        .get.isNullAt(all.head.fieldIndex("modified_time")),
+        "missing modifiedTime must surface as null")
+      // range filter: SQL null semantics drop the unknown row (residual
+      // re-check), known-out-of-range files are pruned at PLANNING
+      downloads.clear()
+      val recent = read
+        .filter(col("modified_time") >= "2024-01-20 00:00:00")
+        .select("name", "content").collect()
+      assert(recent.map(_.getString(0)).toSeq == Seq("new.txt"))
+      import scala.jdk.CollectionConverters._
+      assert(!downloads.asScala.contains("f1"),
+        "known-out-of-range file must be pruned before any download")
+      // the null-tolerant disjunction the fabricated 0 used to break:
+      // unknown-timestamp files must SURVIVE
+      val tolerant = read
+        .filter(col("modified_time") >= "2024-01-20 00:00:00" ||
+          col("modified_time").isNull)
+        .select("name").collect().map(_.getString(0)).sorted.toSeq
+      assert(tolerant == Seq("new.txt", "unknown.txt"),
+        s"unknown-mtime file must survive an isNull-tolerant filter, " +
+          s"got $tolerant")
+    } finally server.stop(0)
+  }
+
   test("HTTP listing: a self-looping pageToken fails fast") {
     import java.net.InetSocketAddress
     import com.sun.net.httpserver.{HttpExchange, HttpServer}

@@ -112,7 +112,7 @@ def recheck(queries, env, repo_root):
     print(f"  recheck: fresh-JVM rerun of {len(queries)} flagged "
           f"quer{'y' if len(queries) == 1 else 'ies'} "
           f"({', '.join(sorted(queries))}) ...")
-    out = os.path.join(repo_root,
+    out = os.path.join(repo_root, "bench",
                        f"BENCH_LOCAL_{env['sf_name']}_partial.json")
     # remove any stale partial record first: a failed run must not be
     # silently read as a result (dict-default -1s looked like a crash)

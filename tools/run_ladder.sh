@@ -56,17 +56,17 @@ run_rung() { # dir rungname queryset
   local dir=$1 rung=$2 set=$3
   for i in $(seq 1 "$RUNS"); do
     echo "=== rung $rung run $i/$RUNS ($(date +%H:%M:%S))"
-    rm -f "BENCH_LOCAL_${rung}_partial.json"
+    rm -f "bench/BENCH_LOCAL_${rung}_partial.json"
     SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_ONLY=$set \
       tools/run_bench.sh graft.Bench > /dev/null 2>&1
-    mv "BENCH_LOCAL_${rung}_partial.json" \
-       "BENCH_LOCAL_${rung}_partial_r$i.json"
+    mv "bench/BENCH_LOCAL_${rung}_partial.json" \
+       "bench/BENCH_LOCAL_${rung}_partial_r$i.json"
   done
 }
 
-rm -f BENCH_LOCAL_sf0.001_partial*.json BENCH_LOCAL_sf0.01_partial*.json \
-      BENCH_LOCAL_sf0.1_partial*.json BENCH_LOCAL_synth*_partial*.json \
-      BENCH_LOCAL_zipf*_partial*.json
+rm -f bench/BENCH_LOCAL_sf0.001_partial*.json bench/BENCH_LOCAL_sf0.01_partial*.json \
+      bench/BENCH_LOCAL_sf0.1_partial*.json bench/BENCH_LOCAL_synth*_partial*.json \
+      bench/BENCH_LOCAL_zipf*_partial*.json
 run_rung /root/testdata/sf0.001 sf0.001 "$SF_SET"
 run_rung /root/testdata/sf0.01  sf0.01  "$SF_SET"
 run_rung /root/testdata/sf0.1   sf0.1   "$SF_SET,$CORPUS_SET"

@@ -18,7 +18,7 @@ exponents rested on ONE 10x step and e(mid) was unfittable):
   - lineitem-driven rows additionally get an e(xl) segment
     sf0.1 -> synth10 (6M-row disjoint-universe lineitem).
 
-Reads BENCH_LOCAL_<rung>_partial*.json (written by graft.Bench with
+Reads bench/BENCH_LOCAL_<rung>_partial*.json (written by graft.Bench with
 SPARK_GRAFT_ONLY set to the rung's subset). Exponents are fitted against
 the DRIVING TABLE's actual row ratio:
 
@@ -263,24 +263,24 @@ MATCHED3 = {"dedup_clusters", "dedup_cc_distributed", "dedup_keep_best",
 
 
 def rungs_for(query, table):
-    if query in PART_SKEW and glob.glob("BENCH_LOCAL_partzipf10_partial*.json"):
+    if query in PART_SKEW and glob.glob("bench/BENCH_LOCAL_partzipf10_partial*.json"):
         return PART_SKEW_RUNGS
     if query in MATCHED3:
         return MATCHED_RUNGS
     if query in STRETCH25:
-        if glob.glob("BENCH_LOCAL_synth25m_partial*.json"):
+        if glob.glob("bench/BENCH_LOCAL_synth25m_partial*.json"):
             return MATCHED_RUNGS + ["synth25m"]
         return MATCHED_RUNGS
     if query in RUNG_OVERRIDE:
         return RUNG_OVERRIDE[query]
-    if query in EMB30 and glob.glob("BENCH_LOCAL_emb30_partial*.json"):
+    if query in EMB30 and glob.glob("bench/BENCH_LOCAL_emb30_partial*.json"):
         return CORPUS_RUNGS + ["emb30"]
     if query in VOCAB_BOUND:
         return ZIPF_RUNGS
     if table in ("documents", "embeddings"):
         return CORPUS_RUNGS
     if table == "lineitem" and query not in NO_SYNTH:
-        if query in XL30 and glob.glob("BENCH_LOCAL_synth30_partial*.json"):
+        if query in XL30 and glob.glob("bench/BENCH_LOCAL_synth30_partial*.json"):
             return SFS + ["synth10", "synth30"]
         return SFS + ["synth10"]
     return SFS
@@ -449,7 +449,7 @@ def table_rows(rung, table):
 
 def main():
     check = "--check" in sys.argv
-    # Merge ALL run files per rung (BENCH_LOCAL_<rung>_partial*.json)
+    # Merge ALL run files per rung (bench/BENCH_LOCAL_<rung>_partial*.json)
     # with a per-query MIN: per-query CPU is bimodal ACROSS JVMs on this
     # host (one run measured dedup_minhash_lsh at 17 s, an identical-code
     # rerun at 138 s with the same wall and shuffle bytes — 32 threads
@@ -460,9 +460,9 @@ def main():
     benches = {}
     runs_per = {}
     for rung in all_rungs:
-        paths = sorted(glob.glob(f"BENCH_LOCAL_{rung}_partial*.json"))
+        paths = sorted(glob.glob(f"bench/BENCH_LOCAL_{rung}_partial*.json"))
         if not paths:
-            print(f"missing BENCH_LOCAL_{rung}_partial*.json — run graft.Bench "
+            print(f"missing bench/BENCH_LOCAL_{rung}_partial*.json — run graft.Bench "
                   f"with SPARK_GRAFT_ONLY and SPARK_GRAFT_SF_DIR={DIRS[rung]}")
             return 2
         runs = [json.load(open(p)) for p in paths]
@@ -588,7 +588,7 @@ def main():
     out.append("### Fitted cost exponents for the heavy rows\n")
     out.append(
         "Regenerated by `tools/scale_ladder.py` from the\n"
-        "`BENCH_LOCAL_<rung>_partial*.json` ladder runs (graft.Bench with\n"
+        "`bench/BENCH_LOCAL_<rung>_partial*.json` ladder runs (graft.Bench with\n"
         "`SPARK_GRAFT_ONLY` = the rung's subset; env: "
         f"cpus={env.get('cpus')}, heap={env.get('heap_max_mb')} MiB, "
         f"jvm={env.get('jvm')}; fresh-JVM runs merged per rung: "
