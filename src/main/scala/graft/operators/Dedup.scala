@@ -340,25 +340,20 @@ object Dedup {
       "avgChunkTokens must be a power of two (keeps the modulo zero set " +
         "identical between signed and unsigned 64-bit replays)")
     val base = widen(docs).select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val toks = base.select(col("doc_id"),
-      posexplode(words(col("text"))).as(Seq("p", "tok")))
-    val bnd = base
-      .filter(size(words(col("text"))) >= k)
+    // one codegen'd doc-local pass ([[graft.plans.CdcChunksExpr]]):
+    // boundaries are a pure function of the doc's own grams, so the
+    // token explode → running-count window → collect_list regroup this
+    // replaces paid two corpus×tokens shuffles to reassemble what a
+    // single compiled expression computes per row (r15: the window+
+    // regroup was most of this row's 6.2 executor-CPU-s; the streaming
+    // twin shares this exact expression, so stream ≡ batch stays pinned
+    // by construction plus the parity spec)
+    val chunks = base
       .select(col("doc_id"),
-        posexplode(shingles(words(col("text")), k)).as(Seq("g", "sh")))
-      .filter(portableHash64(col("sh")) % avgChunkTokens === 0)
-      .select(col("doc_id"), (col("g") + (k - 1)).as("p"),
-        lit(1).as("is_boundary"))
-    val win = Window.partitionBy("doc_id").orderBy("p")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks.join(bnd, Seq("doc_id", "p"), "left")
-      .withColumn("chunk_id",
-        coalesce(sum(col("is_boundary")).over(win), lit(0L)))
-      .groupBy("doc_id", "chunk_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-            s => s.getField("tok")), " ").as("chunk_text"))
+        explode(graft.plans.CdcChunksExpr.chunks(
+          col("text"), k, avgChunkTokens)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
     // occurrence counts keyed by the chunk HASH, not the chunk text —
     // the count shuffle carries 8 bytes per chunk instead of the text
     val occ = chunks.groupBy(xxhash64(col("chunk_text")).as("ct"))

@@ -1,0 +1,152 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `cdc_chunks(text)` — content-defined chunking of one document as ONE
+  * compiled pass: whitespace tokens, word k-gram boundaries where the
+  * portable md5-derived 64-bit hash of the gram is ≡ 0 (mod
+  * `avgChunkTokens`), chunks sliced between consecutive boundaries.
+  * Returns `array<struct<chunk_id bigint, n_tokens bigint,
+  * chunk_text string>>`; the trailing chunk opened by a boundary on the
+  * final token is dropped (it would be empty), so ids are contiguous.
+  *
+  * Replaces two older forms with identical semantics (parity
+  * spec-pinned, and both rows hash against the same DuckDB oracle):
+  *
+  *  - the STREAMING chunker's higher-order composition
+  *    (`transform`/`filter`/`slice` lambdas over materialized word and
+  *    gram arrays) — Catalyst evaluates higher-order functions
+  *    interpreted AND they break the enclosing whole-stage-codegen
+  *    span; the r15 bench read 22.9 executor-CPU-s for the streaming
+  *    row vs 6.2 for the batch twin on the same corpus, most of it
+  *    this composition;
+  *  - the BATCH operator's explode-tokens → window running-count →
+  *    `collect_list` regroup, which paid two corpus×tokens shuffles to
+  *    reassemble what this expression computes doc-locally in one pass.
+  *
+  * Hash contract (must stay bit-identical to
+  * [[graft.operators.Dedup.portableHash64]], which the DuckDB oracles
+  * replay as `('0x'||substr(md5(s),1,16))::UBIGINT`): the first 8 bytes
+  * of the gram's md5, big-endian, as a signed 64-bit value; divisibility
+  * by the power-of-two `avgChunkTokens` is a low-bits test, identical
+  * for signed and unsigned interpretations.
+  */
+case class CdcChunksExpr(child: Expression, k: Int, avgChunkTokens: Int)
+    extends UnaryExpression {
+  require(k >= 2, "k must be >= 2")
+  require(avgChunkTokens >= 2 && (avgChunkTokens & (avgChunkTokens - 1)) == 0,
+    "avgChunkTokens must be a power of two")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks needs a string column, got $other")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_id", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+
+  /** public for the generated code — stays inside WholeStageCodegen */
+  def compute(input: UTF8String): ArrayData = {
+    // split(trim(text), "\s+"): Spark's trim removes 0x20 only; \s is
+    // the ASCII class (no UNICODE flag), limit -1 — all matched by
+    // doing exactly what StringSplit does on the trimmed UTF8String
+    val words: Array[String] =
+      CdcChunksExpr.Whitespace.split(input.trim().toString, -1)
+    val n = words.length
+    val mask = (avgChunkTokens - 1).toLong
+    // boundary AFTER the last token of any k-gram whose portable hash
+    // has its avg-low bits zero; docs shorter than k have no k-gram
+    var bpos: List[Int] = Nil
+    if (n >= k) {
+      val md = CdcChunksExpr.Md5.get()
+      val sb = new java.lang.StringBuilder
+      var g = 0
+      val nGrams = n - k + 1
+      while (g < nGrams) {
+        sb.setLength(0)
+        var j = g
+        while (j < g + k) {
+          if (j > g) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        md.reset()
+        val digest = md.digest(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = ByteBuffer.wrap(digest, 0, 8).getLong
+        if ((h & mask) == 0L) bpos = (g + k - 1) :: bpos
+        g += 1
+      }
+    }
+    val bounds = bpos.reverse.toArray
+    // chunk cid spans (starts(cid), ends(cid)]; a boundary on the final
+    // token would open an empty trailing chunk — dropped, so ids stay
+    // the running count (matches both prior forms exactly)
+    val nChunks0 = bounds.length + 1
+    val out = new Array[AnyRef](nChunks0)
+    var cid = 0
+    var kept = 0
+    val sb = new java.lang.StringBuilder
+    while (cid < nChunks0) {
+      val start = if (cid == 0) -1 else bounds(cid - 1)
+      val end = if (cid == nChunks0 - 1) n - 1 else bounds(cid)
+      val nTok = end - start
+      if (nTok > 0) {
+        sb.setLength(0)
+        var j = start + 1
+        while (j <= end) {
+          if (j > start + 1) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        out(kept) = new GenericInternalRow(Array[Any](
+          cid.toLong, nTok.toLong, UTF8String.fromString(sb.toString)))
+        kept += 1
+      }
+      cid += 1
+    }
+    new GenericArrayData(
+      if (kept == nChunks0) out else java.util.Arrays.copyOf(out, kept))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cdcChunksExpr", this,
+      classOf[CdcChunksExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunksExpr {
+  private val Whitespace = Pattern.compile("\\s+")
+
+  private val Md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  def chunks(text: Column, k: Int, avgChunkTokens: Int): Column =
+    ColumnBridge.column(
+      CdcChunksExpr(ColumnBridge.expression(text), k, avgChunkTokens))
+}

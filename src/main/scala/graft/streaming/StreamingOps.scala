@@ -134,45 +134,20 @@ object StreamingOps {
     require(k >= 2, "k must be >= 2")
     require(avgChunkTokens >= 2 && (avgChunkTokens & (avgChunkTokens - 1)) == 0,
       "avgChunkTokens must be a power of two")
-    // materialize the token array and the gram array ONCE per row
-    // before any higher-order lambda touches them: an expression inside
-    // a lambda body re-evaluates per ELEMENT, so referencing the raw
-    // regexp split there costs O(tokens²) splits per doc (measured
-    // ~40× the whole-row cost at sf0.1). The gram array comes from the
-    // same codegen ShinglesExpr as the batch operator.
-    val ws = graft.operators.Dedup.words(col(textCol))
-    // boundary AFTER the last token of any k-gram hashing ≡ 0 (mod
-    // avg); docs shorter than k have no k-gram, hence no boundary
-    val bposFromShingles = filter(
-      transform(col("_shs"), (sh, g) =>
-        when(graft.operators.Dedup.portableHash64(sh) % avgChunkTokens === 0,
-          g + (k - 1)).otherwise(lit(-1))),
-      p => p >= 0)
-    // chunk cid spans (starts(cid), ends(cid)]; a boundary on the final
-    // token would open an EMPTY trailing chunk — filtered out, so ids
-    // match the batch operator's running-count assignment exactly
+    // one codegen'd doc-local pass ([[graft.plans.CdcChunksExpr]]):
+    // tokens, gram hashes, boundary set and chunk slices computed in a
+    // single compiled expression. The higher-order composition this
+    // replaces (transform/filter/slice lambdas over materialized word
+    // and gram arrays) evaluated interpreted AND broke the enclosing
+    // whole-stage-codegen span — the r15 bench charged the streaming
+    // chunking row 22.9 executor-CPU-s vs the batch twin's 6.2 on the
+    // same corpus, most of it that composition. Chunk ids, the trailing
+    // empty-chunk drop and the portable md5 boundary hash are
+    // bit-identical (parity spec + the shared DuckDB oracle).
     docs
-      .withColumn("_ws", ws)
-      .withColumn("_shs",
-        when(size(col("_ws")) >= k,
-          graft.operators.Dedup.shingles(col("_ws"), k))
-          .otherwise(array().cast("array<string>")))
-      .withColumn("_bpos", bposFromShingles)
-      .withColumn("_starts", concat(array(lit(-1)), col("_bpos")))
-      .withColumn("_ends", concat(col("_bpos"), array(size(col("_ws")) - 1)))
-      .withColumn("_chunks",
-        filter(
-          transform(sequence(lit(0), size(col("_starts")) - 1),
-            cid => struct(
-              cid.cast("long").as("chunk_id"),
-              (element_at(col("_ends"), cid + 1) -
-                element_at(col("_starts"), cid + 1)).cast("long").as("n_tokens"),
-              array_join(
-                slice(col("_ws"), element_at(col("_starts"), cid + 1) + 2,
-                  element_at(col("_ends"), cid + 1) -
-                    element_at(col("_starts"), cid + 1)), " ").as("chunk_text"))),
-          c => c.getField("n_tokens") > 0))
-      .select(col(idCol).as("doc_id"), explode(col("_chunks")).as("c"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.plans.CdcChunksExpr.chunks(
+          col(textCol), k, avgChunkTokens)).as("c"))
       .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
         col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
   }

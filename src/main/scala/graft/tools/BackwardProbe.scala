@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Isolate ONE backward-dependency round of the pivot-betweenness pass
+  * and time the broadcast vs sort-merge variants operator by operator —
+  * r15 diagnosis tool for the 112-CPU-s single-stage regression.
+  */
+object BackwardProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val items = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+    val pairs = items.select(col("oid"), col("item").as("u"))
+      .join(items.select(col("oid"), col("item").as("v")), "oid")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_co"))
+      .select("u", "v")
+    val adj = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"adj rows: ${adj.count()}")
+    val visited = graft.operators.Graph.pivotBfsVisited(pairs, "u", "v",
+      nPivots = 4, maxDepth = 4).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println("level histogram:")
+    visited.groupBy("level").count().orderBy("level").show()
+    val lev = 2
+    val vlev = visited.filter(col("level") === lev)
+      .select(col("src"), col("node").as("v"), col("sigma").as("sv"))
+    val wlev = visited.filter(col("level") === lev + 1)
+      .select(col("src"), col("node").as("w"), col("sigma").as("sw"))
+    val dW = visited.filter(col("level") === lev + 1)
+      .select(col("src"), col("node").as("w"), lit(0L).as("d9"))
+    def time(tag: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+    def contrib(b: DataFrame => DataFrame): DataFrame =
+      adj.select(col("u").as("v"), col("v").as("w"))
+        .join(b(vlev), "v")
+        .join(b(wlev), Seq("src", "w"))
+        .join(b(dW), Seq("src", "w"), "left")
+        .select(col("src"), col("v").as("node"),
+          round(lit(1e9) * (col("sv").cast("double") / col("sw")) *
+            (lit(1.0) + coalesce(col("d9"), lit(0L)) / lit(1e9)), 0)
+            .cast("long").as("k"))
+        .groupBy("src", "node").agg(sum("k").as("d9"))
+    (1 to 2).foreach { i =>
+      time(s"rep$i join-chain only, broadcast") {
+        adj.select(col("u").as("v"), col("v").as("w"))
+          .join(broadcast(vlev), "v")
+          .join(broadcast(wlev), Seq("src", "w"))
+      }
+      time(s"rep$i join-chain only, smj") {
+        adj.select(col("u").as("v"), col("v").as("w"))
+          .join(vlev, "v")
+          .join(wlev, Seq("src", "w"))
+      }
+      time(s"rep$i full contrib, broadcast")(contrib(broadcast))
+      time(s"rep$i full contrib, smj")(contrib(identity))
+      time(s"rep$i full contrib, broadcast no-round") {
+        adj.select(col("u").as("v"), col("v").as("w"))
+          .join(broadcast(vlev), "v")
+          .join(broadcast(wlev), Seq("src", "w"))
+          .join(broadcast(dW), Seq("src", "w"), "left")
+          .select(col("src"), col("v").as("node"),
+            (col("sv") * 1000000L / col("sw")).as("k"))
+          .groupBy("src", "node").agg(sum("k").as("d9"))
+      }
+    }
+    (1 to 2).foreach { i =>
+      time(s"rep$i FULL betweennessFromBfs") {
+        graft.operators.Graph.betweennessFromBfs(pairs, "u", "v", visited, 4)
+      }
+    }
+    spark.stop()
+  }
+}

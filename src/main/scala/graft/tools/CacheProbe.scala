@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnose whether a persisted relation is actually served from cache
+  * inside an iterative materialize loop (r15: per-round stages kept
+  * reporting parquet input bytes, suggesting the loop re-reads the scan
+  * every round despite .persist()).
+  */
+object CacheProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    @volatile var inputBytes = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        inputBytes += e.stageInfo.taskMetrics.inputMetrics.bytesRead
+    })
+    val dir = java.nio.file.Files.createTempDirectory("cacheprobe_").toString
+    spark.range(0, 2000000).select(col("id"),
+      (col("id") * 7 % 1000).as("k")).write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    val e = base.select(col("id"), col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    Thread.sleep(300)
+    val after = inputBytes
+    e.count()
+    Thread.sleep(300)
+    println(s"second count after explicit populate: input bytes = ${inputBytes - after}")
+    var small = graft.core.Checkpoint.materialize(
+      e.select(col("k")).distinct().withColumn("s", lit(1.0)))
+    for (r <- 1 to 3) {
+      Thread.sleep(300)
+      val before = inputBytes
+      val next = e.join(broadcast(small), Seq("k"))
+        .groupBy("k").agg(sum("s").as("s"))
+      val plan = next.queryExecution.executedPlan.toString
+      println(s"round $r plan uses cache: ${plan.contains("InMemoryTableScan")}, " +
+        s"scans parquet: ${plan.contains("FileScan")}")
+      small = graft.core.Checkpoint.materialize(next)
+      Thread.sleep(300)
+      println(s"round $r: input bytes this round = ${inputBytes - before}")
+    }
+    spark.stop()
+  }
+}

@@ -48,9 +48,24 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_DIR=<dir> SPARK_GRAFT_PLAN_SUFFIX=<before|after>:
+    // additionally write each query's formatted plan to
+    // <dir>/<name>_<suffix>.txt — the committed evidence files for an
+    // optimization round's plan-diff claims.
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
+    planDir.foreach(d => new java.io.File(d).mkdirs())
     names.foreach { n =>
       println(s"\n==================== $n ====================")
-      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(txt)
+      planDir.foreach { d =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"${n}_$suffix.txt"),
+          txt.getBytes("UTF-8"))
+      }
     }
     spark.stop()
   }

@@ -136,4 +136,72 @@ class NativeExprParitySpec extends AnyFunSuite {
         s"hash=$hname k=$k w=$w: native winnow diverges from composition")
     }
   }
+
+  test("prop: CdcChunksExpr ≡ the higher-order chunker composition") {
+    // the composed reference is the pre-r15 streaming chunker verbatim:
+    // word/gram arrays materialized once, boundary = portable md5 hash
+    // ≡ 0 (mod avg) on the gram ending at that token, chunks sliced
+    // between consecutive boundaries, empty trailing chunk filtered
+    def composedChunks(df: org.apache.spark.sql.DataFrame,
+        k: Int, avg: Int): org.apache.spark.sql.DataFrame = {
+      val ws = graft.operators.Dedup.words(col("text"))
+      val bposFromShingles = filter(
+        transform(col("_shs"), (sh, g) =>
+          when(graft.operators.Dedup.portableHash64(sh) % avg === 0,
+            g + (k - 1)).otherwise(lit(-1))),
+        p => p >= 0)
+      df.withColumn("_ws", ws)
+        .withColumn("_shs",
+          when(size(col("_ws")) >= k,
+            graft.operators.Dedup.shingles(col("_ws"), k))
+            .otherwise(array().cast("array<string>")))
+        .withColumn("_bpos", bposFromShingles)
+        .withColumn("_starts", concat(array(lit(-1)), col("_bpos")))
+        .withColumn("_ends", concat(col("_bpos"), array(size(col("_ws")) - 1)))
+        .withColumn("_chunks",
+          filter(
+            transform(sequence(lit(0), size(col("_starts")) - 1),
+              cid => struct(
+                cid.cast("long").as("chunk_id"),
+                (element_at(col("_ends"), cid + 1) -
+                  element_at(col("_starts"), cid + 1)).cast("long")
+                  .as("n_tokens"),
+                array_join(
+                  slice(col("_ws"), element_at(col("_starts"), cid + 1) + 2,
+                    element_at(col("_ends"), cid + 1) -
+                      element_at(col("_starts"), cid + 1)), " ")
+                  .as("chunk_text"))),
+            c => c.getField("n_tokens") > 0))
+        .select(col("id"), explode(col("_chunks")).as("c"))
+        .select(col("id"), col("c.chunk_id"), col("c.n_tokens"),
+          col("c.chunk_text"))
+    }
+    // corpora including empty text, single words, docs shorter than k,
+    // runs of whitespace (tabs/newlines), unicode words, long repeats
+    val textGen = Gen.frequency(
+      6 -> Gen.choose(0, 40).flatMap(n =>
+        Gen.listOfN(n, word).map(_.mkString(" "))),
+      1 -> Gen.const(""),
+      1 -> Gen.const("   "),
+      1 -> Gen.choose(1, 20).flatMap(n =>
+        Gen.listOfN(n, word).map(_.mkString("\t"))),
+      1 -> Gen.choose(1, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.const("dup word")).map(_.mkString("  \n"))))
+    val texts = samples(textGen, 300)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for ((k, avg) <- Seq((3, 4), (5, 16), (2, 2))) {
+      def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      val native = asSet(df.select(col("id"),
+          explode(graft.plans.CdcChunksExpr.chunks(col("text"), k, avg))
+            .as("c"))
+        .select(col("id"), col("c.chunk_id"), col("c.n_tokens"),
+          col("c.chunk_text")))
+      val composed = asSet(composedChunks(df, k, avg))
+      assert(native == composed,
+        s"k=$k avg=$avg: native cdc chunks diverge from composition")
+    }
+  }
 }
