@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the bench's one-line JSON contract must be the LAST stdout line the
+// driver sees; sbt's "[success] Total time" banner printed after it and
+// the driver's 2 KB tail capture clipped the 8 KB line from the front —
+// parsed: null every round r12-r15 (VERDICT r15 #3). Bench re-emits a
+// compact final record; this keeps sbt from printing after it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// per-suite wall durations in the test report (-oD): the r15 driver run
+// was killed on its time budget mid-suite with no way to tell which
+// suites spent it — durations make the budget auditable.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1095,15 +1095,22 @@ object Dedup {
     // distinct char q-grams, hashed to 8 bytes (a collision only merges
     // two gram keys: extra candidates, never lost ones — and a doc's
     // hashed-distinct count <= its true count, so the short-bucket test
-    // below only gets MORE conservative)
+    // below only gets MORE conservative). Native one-pass expression
+    // (plans/CharGramHashes, r16): the composed
+    // array_distinct(transform(sequence…, xxhash64(substr…))) form is
+    // CodegenFallback — an interpreted lambda + substring allocation
+    // per gram per document on the dominant gram-extraction stage —
+    // and bit-identical to this expression (NativeExprParitySpec).
     val grams = trackedPersist(base.filter(col("l") >= q)
       .select(col("doc_id"), col("l"),
-        explode(array_distinct(transform(
-          sequence(lit(1), col("l") - (q - 1)),
-          i => xxhash64(col("text").substr(i, lit(q)))))).as("gh")))
+        explode(graft.plans.CharGramHashes.charGramHashes(
+          col("text"), q)).as("gh")))
     val nDistinct = grams.groupBy("doc_id").agg(count(lit(1)).as("n_gh"))
-    val flagged = base.join(nDistinct, Seq("doc_id"), "left")
-      .withColumn("n_gh", coalesce(col("n_gh"), lit(0L)))
+    // persisted: shortDocs and longDocs each consume this relation, and
+    // unpersisted it re-ran the base⨝count join (and the nDistinct agg
+    // over the gram cache) once per branch (r16 profile)
+    val flagged = trackedPersist(base.join(nDistinct, Seq("doc_id"), "left")
+      .withColumn("n_gh", coalesce(col("n_gh"), lit(0L))))
     val shortDocs = flagged.filter(col("n_gh") <= q.toLong * tau)
     val longDocs = flagged.filter(col("n_gh") > q.toLong * tau)
     // rarest prefixLen grams per long doc, under the global

@@ -469,30 +469,53 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val srcs = e.select(col("src").as("node")).distinct()
+    // two cached copies of the edge relation, one per half-round agg
+    // key: a=Eᵀh joins on src (hub scores broadcast while node-sized)
+    // and aggregates on dst; h=Ea joins on dst (auth scores broadcast)
+    // and aggregates on src. Partitioning each copy on ITS agg key
+    // makes both half-rounds exchange-free under the broadcast bound —
+    // the pageRank dst-keyed-cache trick, applied per direction.
+    // Before r16 the single plain persist re-shuffled the edges twice
+    // per round (join + agg, per direction).
+    val eByDst = persistPartitionedBy(e0, "dst")
+    val eBySrc = persistPartitionedBy(e0, "src")
+    val srcs = eBySrc.select(col("src").as("node")).distinct()
     var hubs = materialize(srcs.withColumn("score", lit(1.0)))
+    var nHubs = hubs.count()
     var auths: DataFrame = null
     var it = 0
     while (it < iterations) {
-      val aRaw = e.join(hubs.select(col("node").as("src"),
-          col("score").as("hs")), "src")
+      // materialize the raw sums ONCE per half-round: before r16 the
+      // normalization total was an agg over the unmaterialized aRaw, so
+      // the join+agg ran twice per half-round (once for the total, once
+      // under the divide)
+      val aRaw = materialize(eByDst
+        .join(maybeBroadcast(hubs.select(col("node").as("src"),
+          col("score").as("hs")), nHubs), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum("hs").as("raw"))
+        .agg(sum("hs").as("raw")))
+      val nAuths = aRaw.count()
       val aTot = aRaw.agg(sum("raw").as("tot"))
-      auths = materialize(aRaw.crossJoin(broadcast(aTot))
-        .select(col("node"), (col("raw") / col("tot")).as("score")))
-      val hRaw = e.join(auths.select(col("node").as("dst"),
-          col("score").as("as_")), "dst")
+      auths = aRaw.crossJoin(broadcast(aTot))
+        .select(col("node"), (col("raw") / col("tot")).as("score"))
+      val hRaw = materialize(eBySrc
+        .join(maybeBroadcast(auths.select(col("node").as("dst"),
+          col("score").as("as_")), nAuths), "dst")
         .groupBy(col("src").as("node"))
-        .agg(sum("as_").as("raw"))
+        .agg(sum("as_").as("raw")))
+      nHubs = hRaw.count()
       val hTot = hRaw.agg(sum("raw").as("tot"))
-      hubs = materialize(hRaw.crossJoin(broadcast(hTot))
-        .select(col("node"), (col("raw") / col("tot")).as("score")))
+      hubs = hRaw.crossJoin(broadcast(hTot))
+        .select(col("node"), (col("raw") / col("tot")).as("score"))
       it += 1
     }
-    e.unpersist(blocking = false)
+    // final hub/auth relations derive only from materialized raw sums,
+    // so the edge caches can be released before the caller's action
+    eBySrc.unpersist(blocking = false)
+    eByDst.unpersist(blocking = false)
+    e0.unpersist(blocking = false)
     hubs.select(lit("hub").as("side"), col("node"), col("score"))
       .unionByName(
         auths.select(lit("auth").as("side"), col("node"), col("score")))
@@ -681,23 +704,37 @@ object Graph {
   private def pivotBfsCore(edges: DataFrame, uCol: String, vCol: String,
       maxDepth: Int, pick: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     require(maxDepth >= 1)
-    val adj = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-      .unionAll(edges.select(col(vCol).as("u"), col(uCol).as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // adjacency cached hash-partitioned on the per-round join key `u`
+    // (the pageRank r8-r11 shape): under the broadcast bound a round's
+    // expansion join needs NO exchange on either side — the frontier
+    // broadcasts (it is pivot x node sized, known exactly from the
+    // materialization action) and the adjacency is map-scanned from
+    // cache; past the bound the shuffle join reuses this cached
+    // partitioning, so only the frontier side moves per round. Before
+    // r16 this was a plain persist: every round re-shuffled AND re-
+    // sorted the full adjacency to meet the frontier (SMJ), which the
+    // r15 BackwardProbe measured as the dominant per-round CPU.
+    val adj = persistPartitionedBy(
+      edges.select(col(uCol).as("u"), col(vCol).as("v"))
+        .unionAll(edges.select(col(vCol).as("u"), col(uCol).as("v"))), "u")
     val pivots = pick(adj)
     var frontier = materialize(pivots.select(col("src"),
       col("src").as("node"), lit(0).as("level"), lit(1L).as("sigma")))
     var visited = frontier
+    var frontierRows = frontier.count()
+    var visitedRows = frontierRows
     for (d <- 1 to maxDepth) {
       val nf = adj
-        .join(frontier.select(col("src"), col("node").as("u"),
-          col("sigma")), "u")
+        .join(maybeBroadcast(frontier.select(col("src"),
+          col("node").as("u"), col("sigma")), frontierRows), "u")
         .select(col("src"), col("v").as("node"), col("sigma"))
-        .join(visited.select(col("src"), col("node")),
-          Seq("src", "node"), "left_anti")
+        .join(maybeBroadcast(visited.select(col("src"), col("node")),
+          visitedRows), Seq("src", "node"), "left_anti")
         .groupBy("src", "node").agg(sum("sigma").as("sigma"))
         .select(col("src"), col("node"), lit(d).as("level"), col("sigma"))
       frontier = materialize(nf)
+      frontierRows = frontier.count()
+      visitedRows += frontierRows
       visited = materialize(visited.unionByName(frontier))
     }
     (adj, visited)
@@ -770,20 +807,34 @@ object Graph {
   private def backwardPass(adj: DataFrame, visited: DataFrame,
       maxDepth: Int): DataFrame = {
     // backward: δ at the horizon level is 0; each earlier level sums
-    // fixed-point contributions from its BFS successors
+    // fixed-point contributions from its BFS successors.
+    // Every per-level relation (vlev/wlev/dW) is pivot x node sized;
+    // the adjacency is the only edge-sized relation. Broadcasting the
+    // level slices (row counts come from one tiny level histogram agg)
+    // makes the adjacency the STREAMED side of every join: it is
+    // map-scanned from cache once per level with no exchange and no
+    // sort. Before r16 the level join planned as SMJ and re-shuffled +
+    // re-sorted the full src-expanded adjacency once per level — the
+    // 112-CPU-s single stage the r15 BackwardProbe isolated.
+    val levelRows: Map[Int, Long] = visited
+      .groupBy("level").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     var delta = visited.filter(col("level") === maxDepth)
       .select(col("src"), col("node"), lit(0L).as("d9"))
+    var deltaRows = levelRows.getOrElse(maxDepth, 0L)
     var deltaAll = delta
     for (lev <- (0 until maxDepth).reverse) {
+      val vRows = levelRows.getOrElse(lev, 0L)
+      val wRows = levelRows.getOrElse(lev + 1, 0L)
       val vlev = visited.filter(col("level") === lev)
         .select(col("src"), col("node").as("v"), col("sigma").as("sv"))
       val wlev = visited.filter(col("level") === lev + 1)
         .select(col("src"), col("node").as("w"), col("sigma").as("sw"))
       val dW = delta.select(col("src"), col("node").as("w"), col("d9"))
-      val contrib = vlev
-        .join(adj.select(col("u").as("v"), col("v").as("w")), "v")
-        .join(wlev, Seq("src", "w"))
-        .join(dW, Seq("src", "w"), "left")
+      val contrib = adj.select(col("u").as("v"), col("v").as("w"))
+        .join(maybeBroadcast(vlev, vRows), "v")
+        .join(maybeBroadcast(wlev, wRows), Seq("src", "w"))
+        .join(maybeBroadcast(dW, deltaRows), Seq("src", "w"), "left")
         .select(col("src"), col("v").as("node"),
           round(lit(1e9) * (col("sv").cast("double") / col("sw")) *
             (lit(1.0) + coalesce(col("d9"), lit(0L)) / lit(1e9)), 0)
@@ -793,6 +844,7 @@ object Graph {
         .join(contrib, Seq("src", "node"), "left")
         .select(col("src"), col("node"),
           coalesce(col("d9"), lit(0L)).as("d9")))
+      deltaRows = vRows
       deltaAll = materialize(deltaAll.unionByName(delta))
     }
     deltaAll

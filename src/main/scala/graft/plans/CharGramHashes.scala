@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `char_gram_hashes(text, q)` — the DISTINCT xxhash64 values of a
+  * string's character q-grams, as ONE compiled pass over the UTF-8
+  * bytes.
+  *
+  * Replaces the Ed-Join candidate generator's
+  * `array_distinct(transform(sequence(1, l-(q-1)), i →
+  * xxhash64(substr(text, i, q))))` composition: higher-order functions
+  * are `CodegenFallback`, so that form paid an interpreted lambda
+  * invocation PLUS a `substring` allocation per gram per document on
+  * the corpus-scale gram-extraction stage (r16 profile: the gram-build
+  * stages were the top CPU rows of `dedup_edit_distance`), and the
+  * fallback broke the enclosing whole-stage-codegen span.
+  *
+  * Bit-parity contract (pinned by `NativeExprParitySpec`): output
+  * elements equal `xxhash64(substr(text, i, q))` for i = 1..len-q+1 —
+  * same seed-42 XXH64 over the same UTF-8 byte slices (q counts CODE
+  * POINTS, exactly like `substring`) — deduplicated keeping first
+  * occurrence, exactly like `array_distinct`. Strings shorter than q
+  * code points yield an empty array (callers filter `length >= q`
+  * first; the composed form's `sequence(1, l-q+1)` would walk
+  * BACKWARDS for l < q, so this expression is only substituted behind
+  * that filter).
+  */
+case class CharGramHashes(child: Expression, q: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType =>
+      if (q >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("q must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_hashes needs string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_gram_hashes"
+
+  /** public for the generated code — stays inside WholeStageCodegen */
+  def compute(s: UTF8String): ArrayData = {
+    val numBytes = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // code-point boundaries: byte offset of each character start, one
+    // pass (substring counts code points; q-grams must match it)
+    var nChars = 0
+    val bounds = new Array[Int](numBytes + 1)
+    var i = 0
+    while (i < numBytes) {
+      bounds(nChars) = i
+      i += UTF8String.numBytesForFirstByte(s.getByte(i))
+      nChars += 1
+    }
+    bounds(nChars) = numBytes
+    val count = nChars - q + 1
+    if (count <= 0)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    // distinct hashes, first-occurrence order (= array_distinct):
+    // open-addressed long set sized for the gram count
+    var cap = Integer.highestOneBit(math.max(count * 2 - 1, 4)) << 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[Long](count)
+    var n = 0
+    val mask = cap - 1
+    var g = 0
+    while (g < count) {
+      val from = bounds(g)
+      val len = bounds(g + q) - from
+      val h = XXH64.hashUnsafeBytes(base, off + from, len, 42L)
+      var slot = (h ^ (h >>> 32)).toInt & mask
+      var seen = false
+      while (used(slot) && !seen) {
+        if (table(slot) == h) seen = true
+        else slot = (slot + 1) & mask
+      }
+      if (!seen) {
+        used(slot) = true
+        table(slot) = h
+        out(n) = h
+        n += 1
+      }
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("charGramHashes", this,
+      classOf[CharGramHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramHashes {
+  def charGramHashes(text: Column, q: Int): Column =
+    ColumnBridge.column(CharGramHashes(ColumnBridge.expression(text), q))
+}

@@ -238,12 +238,20 @@ object CatalogAnalytics {
         val nOrders = items.agg(countDistinct("oid").as("n_orders"))
         val freq = items.groupBy("item").agg(count(lit(1)).as("n_item"))
           .filter(col("n_item") >= 5)
-        val ii = items.join(freq.select("item"), Seq("item"), "left_semi")
-        val pairs = ii.select(col("oid"), col("item").as("ia"))
-          .join(ii.select(col("oid"), col("item").as("ib")), "oid")
-          .filter(col("ia") < col("ib"))
-          .groupBy("ia", "ib").agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 3)
+        // pair support from the SHARED co-purchase snapshot (the same
+        // (u, v, n_co) relation eight graph rows already scan): dropping
+        // infrequent items BEFORE pairing cannot change how many orders
+        // contain a given frequent pair, so the apriori-pruned pair
+        // relation this row used to rebuild with its own oid self-join
+        // (the r15 bench's #6 CPU row, 23.6 CPU-s) is exactly the shared
+        // pairs filtered to frequent endpoints — at 100 TB the basket
+        // pair table is one shared table, not a per-report self-join.
+        val pairs = coPurchase(s, d)
+          .filter(col("n_co") >= 3)
+          .join(freq.select(col("item").as("u")), Seq("u"), "left_semi")
+          .join(freq.select(col("item").as("v")), Seq("v"), "left_semi")
+          .select(col("u").as("ia"), col("v").as("ib"),
+            col("n_co").as("n_ab"))
         val rules = pairs.select(col("ia").as("antecedent"),
             col("ib").as("consequent"), col("n_ab"))
           .unionAll(pairs.select(col("ib").as("antecedent"),

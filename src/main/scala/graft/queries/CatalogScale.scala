@@ -68,7 +68,7 @@ object CatalogScale {
     * by Bench/Verify's between-query cache isolation); the pair relation
     * is dup-pair-sized (≪ corpus), so the snapshot is tiny.
     */
-  private def sharedLshPairs(s: SparkSession, d: String): DataFrame =
+  private[queries] def sharedLshPairs(s: SparkSession, d: String): DataFrame =
     CatalogAnalytics.snapshot(s, d, "lshpairs") {
       Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id",
         "text", k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
@@ -788,9 +788,12 @@ object CatalogScale {
       // same truth as dedup_jaccard: the banded candidates are verified
       // with exact Jaccard, so a green hash here proves banding recall
       // was complete on this corpus (a dropped pair = red row = signal)
-      (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
-        k = 5, numHashes = 64, bands = 16, num = 4, den = 5)
-        .orderBy("id_a", "id_b"),
+      // r16: the full MinHash pipeline here is the verbatim
+      // [[sharedLshPairs]] relation (same corpus, k, hashes, bands,
+      // threshold) that dedup_clusters / dedup_cc_distributed already
+      // scan — the r15 bench's #9 CPU row (20.5 CPU-s) was a third
+      // rebuild of it. Same shared-snapshot pattern, same output.
+      (s, d) => sharedLshPairs(s, d).orderBy("id_a", "id_b"),
       Some(jaccardOracle)),
 
     Q("inc_dedup_pairs",

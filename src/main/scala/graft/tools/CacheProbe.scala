@@ -48,6 +48,28 @@ object CacheProbe {
       Thread.sleep(300)
       println(s"round $r: input bytes this round = ${inputBytes - before}")
     }
+    // DECISIVE test (r16): task input metrics count CACHED block reads
+    // too (InMemoryTableScan reports Input Size), so nonzero per-round
+    // input bytes do NOT imply a parquet re-read. Delete the parquet dir
+    // while the cache is populated: if the loop body still runs, every
+    // byte came from the cache and the r15 hypothesis is a metric
+    // misread; if it throws FileNotFound, the loop genuinely re-scans.
+    val dirF = new java.io.File(dir)
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmAll)); f.delete(): Unit
+    }
+    rmAll(dirF)
+    try {
+      val n = e.join(broadcast(small), Seq("k"))
+        .groupBy("k").agg(sum("s").as("s")).count()
+      println(s"parquet deleted, loop round still ran from cache: rows=$n " +
+        "=> persisted relation IS served from cache; r15 'input bytes'" +
+        " readings were cached-block reads, not parquet re-scans")
+    } catch {
+      case ex: Throwable =>
+        println(s"parquet deleted, loop round FAILED: ${ex.getClass.getName}" +
+          " => the loop genuinely re-reads parquet every round")
+    }
     spark.stop()
   }
 }

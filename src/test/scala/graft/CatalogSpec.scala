@@ -8,14 +8,42 @@ class CatalogSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("every catalog query runs and returns a non-empty schema on sf0.001") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    def run(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[String] =
       try {
         val df = fn(spark, "/root/testdata/sf0.001")
         assert(df.columns.nonEmpty)
         df.count() // force full execution
         None
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
-    }
+    // Overlap independent queries from a small driver-side pool (guide
+    // §2.6: actions are only sequential because the driver calls them
+    // sequentially) — this suite was the test budget's biggest line
+    // (330 s of 874 at r16 start) and each tiny-sf query leaves most
+    // executor slots idle. Rows that mutate shared session/tmp state
+    // stay SEQUENTIAL: st_* (session-wide shuffle-partition override in
+    // withStreamConf), inc_* (two rows bootstrap the SAME staged
+    // lshidx dir — a concurrent wipe+rebuild would race), ep* and the
+    // metastore/layout-staging rows (saveAsTable / fixed tmp layouts).
+    val serialNames =
+      Set("j1_bucketed", "scale_partition_prune", "scale_layout_compare")
+    val (serial, parallel) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition { case (n, _) =>
+        n.startsWith("st_") || n.startsWith("inc_") || n.startsWith("ep") ||
+          serialNames(n)
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val parFailures = try {
+      import scala.concurrent.{Await, Future}
+      Await.result(
+        Future.sequence(parallel.map { case (n, fn) => Future(run(n, fn)) }),
+        scala.concurrent.duration.Duration.Inf).flatten
+    } finally pool.shutdown()
+    val failures = parFailures ++
+      serial.flatMap { case (name, fn) => run(name, fn) }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 

@@ -137,6 +137,39 @@ class NativeExprParitySpec extends AnyFunSuite {
     }
   }
 
+  test("prop: CharGramHashes ≡ array_distinct/transform/xxhash64(substr) composition") {
+    // the composed reference is the pre-r16 Ed-Join gram extractor
+    // verbatim (only evaluated where length >= q, matching the
+    // operator's filter — sequence(1, l-q+1) walks backwards below it).
+    // Multi-byte words exercise the code-point (not byte) gram windows;
+    // tiny alphabets force duplicate grams, exercising the
+    // first-occurrence dedup order against array_distinct's.
+    val tinyWord: Gen[String] = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'ä', '字')).map(_.mkString))
+    val textGen = Gen.frequency(
+      5 -> Gen.choose(0, 30).flatMap(n =>
+        Gen.listOfN(n, tinyWord).map(_.mkString(" "))),
+      2 -> Gen.choose(0, 80).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)),
+      1 -> Gen.const(""))
+    val texts = samples(textGen, 300)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (q <- Seq(2, 3, 5)) {
+      val composed = array_distinct(transform(
+        sequence(lit(1), length(col("text")) - (q - 1)),
+        i => xxhash64(col("text").substr(i, lit(q)))))
+      val bad = df.filter(length(col("text")) >= q)
+        .select(col("id"),
+          graft.plans.CharGramHashes.charGramHashes(col("text"), q)
+            .as("native"),
+          composed.as("composed"))
+        .filter(not(col("native") <=> col("composed")))
+        .count()
+      assert(bad == 0L, s"q=$q: native char-gram hashes diverge from composition")
+    }
+  }
+
   test("prop: CdcChunksExpr ≡ the higher-order chunker composition") {
     // the composed reference is the pre-r15 streaming chunker verbatim:
     // word/gram arrays materialized once, boundary = portable md5 hash

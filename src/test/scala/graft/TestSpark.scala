@@ -2,10 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local session for all suites. */
+/** One shared local session for all suites.
+  * local[8] (was local[4]): the r15 driver run was killed on its time
+  * budget mid-suite; the full suite's wall is executor-bound in the
+  * heavy suites (CatalogSpec runs all 293 queries, OperatorsSpec real
+  * corpora), and 4 cores on a 32-core host left 7/8 of the machine
+  * idle. shuffle.partitions stays 4, so per-trigger streaming state
+  * cost and tiny-data plan shapes are unchanged.
+  */
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master(s"local[${math.min(8, Runtime.getRuntime.availableProcessors)}]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
